@@ -36,10 +36,15 @@ object NowAggregates {
     * collection, scales to arbitrary group counts.
     *
     * @param tSec time expressed as double seconds (caller converts ns)
+    * @param tieBreak extra ordering columns so equal timestamps get a
+    *                 deterministic neighbor order (ties make the strip
+    *                 sum order-dependent otherwise)
     */
   def integral(df: DataFrame, groupCols: Seq[String], tSec: Column,
-               y: Column, out: String = "integral"): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(tSec)
+               y: Column, out: String = "integral",
+               tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(tSec +: tieBreak: _*)
     val strip = (tSec - lag(tSec, 1).over(w)) *
       (y + lag(y, 1).over(w)) / lit(2.0)
     df.withColumn("_strip", strip)

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float|double>` columns.
+  *
+  * Pure higher-order built-in expressions (`zip_with`/`aggregate`) — no
+  * UDF serialization, evaluated natively per row, safe at any scale.
+  * The fold is sequential left-to-right, so results are deterministic
+  * (important for the differential oracle).
+  */
+object VectorOps {
+
+  /** Element-wise cast to double (float32 inputs promote once, up
+    * front, instead of per-operation). */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product: Σ aᵢ·bᵢ (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Everything is expressed as declarative DataFrame programs so the
+  * physical plan stays shuffle-minimal and scales to 100 TB:
+  *
+  *  - exact dedup shuffles 16-byte digests, never document bodies;
+  *  - MinHash/SimHash signatures are computed with map-side partial
+  *    `min`/`sum` aggregation over exploded features (one shuffle on
+  *    doc_id), then candidate generation is an equi-join on small
+  *    (band, bucket-hash) keys — the classic LSH band trick, so the
+  *    quadratic all-pairs comparison never materializes;
+  *  - exact verification (Jaccard / Hamming / cosine) runs only on the
+  *    candidate pairs the buckets produce.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest. Emits one row per distinct
+    * text: the digest, the survivor (min id), and the multiplicity.
+    * Shuffle key is the 128-bit md5, not the document body. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles: (doc_id, shingle). Documents with
+    * fewer than n words produce no shingles. */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: k independent hash functions realized as
+    * xxhash64(shingle, seed) — k min-aggregates with map-side partial
+    * aggregation; one shuffle on doc_id. Output: doc_id, mh0..mh{k-1}. */
+  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+        (1 until k).map(i =>
+          min(xxhash64(col("shingle"), lit(i))).as(s"mh$i")): _*)
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * `r` rows, hash each band, and emit candidate pairs of documents
+    * sharing any (band, hash) bucket. Join key is (band, 64-bit hash):
+    * tiny, uniformly distributed — no skew at scale. */
+  def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(j => col(s"mh${b * r + j}")) :+ lit(b): _*)
+          .as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs via a shingle-set join — only
+    * candidates pay the verification cost. */
+  def jaccardVerify(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingles.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        ((col("inter") * lit(1.0)) /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash+LSH near-duplicate pairs with exact-Jaccard
+    * verification at `tau`. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+                          tau: Double = 0.5): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, k)
+    val cand = lshCandidatePairs(sig, k, bands)
+    jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash-64 over shingle features: per bit, sum ±1 weighted by the
+    * feature hash's bit, then pack the signs into one long. 64 sums
+    * with map-side partial aggregation; one shuffle on doc_id. */
+  def simHash(shingles: DataFrame, bits: Int = 64): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val sums = (0 until bits).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val packed = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    shingles.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole banding — hamming ≤ maxHamming
+    * (< #chunks) implies at least one equal 16-bit chunk, so candidates
+    * come from 4 chunk-equality joins, then exact popcount verify. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, shingleN)
+    val sig = simHash(sh)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs above `tau`, via a
+    * shingle equi-join (never a cartesian product). Right-sized for a
+    * bounded corpus or for verifying LSH candidates; at 100 TB the LSH
+    * variants above bound the pair space first. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("sa")
+      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+        && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        ((col("inter") * lit(1.0)) /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Random-hyperplane sign bits for a vector: bit j is the sign of
+    * ⟨v, r_j⟩ where r_j is the deterministic ±1 vector derived from
+    * xxhash64(seed, j, i). Each projection is one higher-order fold, so
+    * the expression tree stays compact (bits folds, not bits×dim terms). */
+  private def signBits(v: Column, bits: Int, seed: Int): Column =
+    (0 until bits).map { j =>
+      val signs = transform(sequence(lit(0), size(v) - 1),
+        i => when(shiftright(xxhash64(lit(seed), lit(j), i), 13)
+          .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
+      val proj = aggregate(zip_with(v, signs, (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-duplicates: random-hyperplane LSH buckets (bands of
+    * sign bits) generate candidates; exact cosine verifies. For pairs
+    * with cosine ≥ tau ≈ 0.98 the per-band miss rate is ≈(θ/π)·bits,
+    * so `bands` bands push recall to ~1 while random pairs never
+    * collide on all bits of a band. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            tau: Double = 0.98, bands: Int = 8,
+                            bitsPerBand: Int = 8): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      VectorOps.toDoubleVec(col(vecCol)).as("v"))
+    val buckets = v.select(col("vec_id"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        signBits(col("v"), bitsPerBand, seed = b).as("bk"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bk"))
+    // dedupe candidate ids first — vectors rejoin after the shuffle
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.as("va"), col("id_a") === col("va.vec_id"))
+      .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
+      .withColumn("cosine", VectorOps.cosine(col("va.v"), col("vb.v")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Dedup operator coverage over the documents/embeddings tables.
+  *
+  * The driver corpus has no natural duplicates, so the near-dup queries
+  * derive a deterministic corpus inside the query: the original
+  * documents plus mutated copies (id+10000, three appended
+  * out-of-vocabulary words → word-3-gram Jaccard ≈ (n−2)/(n+1) ≈ 0.85).
+  * The DuckDB oracles recompute the *exact* pair sets; the Spark side
+  * produces them through the LSH pipelines, so an LSH recall miss would
+  * fail the gate (band parameters are sized for miss-rate ≈ 1e-10).
+  */
+object DedupQueries extends QueryPack {
+
+  /** documents ∪ near-duplicate mutations of the even-id half. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 2 === 0).select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000 AS doc_id, text || ' zq0 zq1 zq2' AS text
+      | FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: shuffle digests, keep min id. On the derived corpus
+    // every text is still unique (mutations differ) — so run it on a
+    // corpus that also duplicates some texts verbatim.
+    "q41_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withCopies = docs.unionAll(
+        docs.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 20000L).as("doc_id"), col("text")))
+      Dedup.exact(withCopies, "doc_id", "text")
+    }),
+    // MinHash(k=32) + LSH(16 bands × 2) + exact-Jaccard verify.
+    "q42_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+          .as("jaccard"))),
+    // SimHash-64 near-dups, hamming ≤ 3 (not oracle-expressible —
+    // depends on xxhash64; covered by DedupSpec).
+    "q43_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(corpus(s, d), "doc_id", "text",
+        shingleN = 3, maxHamming = 3)),
+    // Exact word-bigram Jaccard, all pairs ≥ 0.5 via shingle equi-join.
+    "q44_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text",
+          n = 2, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+          .as("jaccard"))),
+    // Embedding near-dups: hyperplane-LSH buckets + exact cosine ≥ 0.99.
+    // Derived corpus: one element of each even-id vector scaled ×1.2.
+    "q45_dedup_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding"))
+          .as("embedding"))
+      val mutated = emb.filter(col("vec_id") % 2 === 0).select(
+        (col("vec_id") + 10000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      Dedup.embeddingNearDupPairs(emb.unionAll(mutated), "vec_id",
+        "embedding", tau = 0.99, bands = 16, bitsPerBand = 8)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q41_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0)
+        | SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        | FROM corpus GROUP BY md5(text)""".stripMargin,
+    "q42_dedup_minhash" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |  round((i * 1.0) / (sa.n + sb.n - i), 6) AS jaccard
+        | FROM inter
+        | JOIN sizes sa ON da = sa.doc_id
+        | JOIN sizes sb ON db = sb.doc_id
+        | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q44_ngram_jaccard" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |  round((i * 1.0) / (sa.n + sb.n - i), 6) AS jaccard
+        | FROM inter
+        | JOIN sizes sa ON da = sa.doc_id
+        | JOIN sizes sb ON db = sb.doc_id
+        | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q45_dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |   list_concat([v[1] * 1.2], v[2:]) AS v
+        |  FROM base WHERE vec_id % 2 = 0),
+        | flat AS (SELECT vec_id, i, v[i] AS x
+        |  FROM corpus, UNNEST(generate_series(1, 64)) AS t(i)),
+        | dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM flat GROUP BY vec_id)
+        | SELECT id_a, id_b,
+        |  round(dp / (na.nrm * nb.nrm), 6) AS cosine
+        | FROM dots
+        | JOIN norms na ON id_a = na.vec_id
+        | JOIN norms nb ON id_b = nb.vec_id
+        | WHERE dp / (na.nrm * nb.nrm) >= 0.99""".stripMargin
+  )
+}

@@ -37,7 +37,8 @@ object NowQueries extends QueryPack {
       val ev = Tables.events(s, d)
         .withColumn("t_sec",
           (col("ts") - pmod(col("ts"), lit(1000L))).cast("double") / lit(1.0e9))
-      A.integral(ev, Seq("user_id"), col("t_sec"), col("value"), "area")
+      A.integral(ev, Seq("user_id"), col("t_sec"), col("value"), "area",
+          tieBreak = Seq(col("event_id")))
         .select(col("user_id"), coalesce(col("area"), lit(0.0)).as("area"))
     }),
     // Empty-input parity: avg/median/stddev over zero rows ⇒ 0, not
@@ -109,9 +110,9 @@ object NowQueries extends QueryPack {
         |  SELECT user_id,
         |   (t_sec - lag(t_sec) OVER w) * (value + lag(value) OVER w) / 2.0
         |     AS strip
-        |  FROM (SELECT user_id, value,
+        |  FROM (SELECT user_id, value, event_id,
         |          CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t_sec FROM events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_sec)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_sec, event_id)
         | ) GROUP BY user_id""".stripMargin,
     "q36_empty_aggs" ->
       """SELECT coalesce(avg(l_quantity), 0.0) AS avg0,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog tonight again and again"), // near-dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "another unrelated document mentioning parquet files and columnar io")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 2L) // docs 1,2 collapse, survivor 1
+    assert(got.size == 4)
+    assert(got.values.sum == 5L)
+  }
+
+  test("word shingles are distinct n-grams") {
+    val sh = Dedup.wordShingles(docs.filter($"doc_id" === 1), "doc_id",
+      "text", 3).collect().map(_.getString(1))
+    assert(sh.length == 8) // 10 words → 8 trigrams, all distinct here
+    assert(sh.contains("the quick brown"))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("identical docs have identical simhash; near-dups low hamming") {
+    val sh = Dedup.simHash(
+      Dedup.wordShingles(docs, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hamming14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming13 < hamming14)
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard computes exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc3 = doc1 + 3 words: 9 distinct bigrams vs 12, inter 9 → 0.75
+    assert(math.abs(pairs((1L, 3L)) - 0.75) < 1e-9)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH + exact cosine") {
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16) { j => // deterministic hash-mixed
+        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+        (h % 1000) / 1000.0
+      })
+    }
+    val emb = (base ++ Seq((100L, base(3)._2.updated(0,
+      base(3)._2(0) * 1.1)))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.98, bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)))
+    assert(pairs.size == 1)
+  }
+}
