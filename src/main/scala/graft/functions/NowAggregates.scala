@@ -53,4 +53,23 @@ object NowAggregates {
       .agg(sum(col("_strip").cast(DecimalType(38, 6))).cast("double")
         .as(out))
   }
+
+  /** integral over µs-long timestamps with fully exact arithmetic:
+    * strip 2·area·1e6 = Δt_µs · (yᵢ + yᵢ₋₁) computed in decimal (one
+    * value-level decimal cast, then integer×decimal — no double→decimal
+    * rounding of intermediate products), summed exactly, converted to
+    * double once at the end. Deterministic across engines and partition
+    * orders — used by the differential-checked query. */
+  def integralExactUs(df: DataFrame, groupCols: Seq[String], tUs: Column,
+                      y: Column, out: String = "integral",
+                      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(tUs +: tieBreak: _*)
+    val ydec = y.cast(DecimalType(18, 6))
+    val strip = (tUs - lag(tUs, 1).over(w)) * (ydec + lag(ydec, 1).over(w))
+    df.withColumn("_strip", strip)
+      .groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(col("_strip")).cast("double") / lit(2.0e6), lit(0.0))
+        .as(out))
+  }
 }

@@ -33,13 +33,14 @@ object NowQueries extends QueryPack {
     // integral: trapezoid area under (t, value) per user (fun.h:35,
     // sql.tex:1360-1378) — lag-window strips + exact decimal sum.
     "q35_integral" -> ((s, d) => {
-      // µs-truncated stamp so the DuckDB oracle sees identical doubles
+      // µs-long stamps + exact decimal strips: bit-identical to the
+      // oracle regardless of summation order (see integralExactUs).
       val ev = Tables.events(s, d)
-        .withColumn("t_sec",
-          (col("ts") - pmod(col("ts"), lit(1000L))).cast("double") / lit(1.0e9))
-      A.integral(ev, Seq("user_id"), col("t_sec"), col("value"), "area",
-          tieBreak = Seq(col("event_id")))
-        .select(col("user_id"), coalesce(col("area"), lit(0.0)).as("area"))
+        .withColumn("t_us",
+          F.intDiv(col("ts") - pmod(col("ts"), lit(1000L)), lit(1000L)))
+      A.integralExactUs(ev, Seq("user_id"), col("t_us"), col("value"),
+          "area", tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("area"))
     }),
     // Empty-input parity: avg/median/stddev over zero rows ⇒ 0, not
     // NULL (fun.c:582-647).
@@ -105,14 +106,16 @@ object NowQueries extends QueryPack {
         | (epoch_ns(ts) % 1000000000) // 1000 AS us_part
         | FROM events""".stripMargin,
     "q35_integral" ->
-      """SELECT user_id, coalesce(CAST(sum(CAST(strip AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS area
+      """SELECT user_id,
+        |  coalesce(CAST(CAST(sum(strip) AS VARCHAR) AS DOUBLE)
+        |    / 2000000.0, 0.0) AS area
         | FROM (
         |  SELECT user_id,
-        |   (t_sec - lag(t_sec) OVER w) * (value + lag(value) OVER w) / 2.0
-        |     AS strip
-        |  FROM (SELECT user_id, value, event_id,
-        |          CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t_sec FROM events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_sec, event_id)
+        |   (t_us - lag(t_us) OVER w) * (ydec + lag(ydec) OVER w) AS strip
+        |  FROM (SELECT user_id, event_id,
+        |          CAST(value AS DECIMAL(18,6)) AS ydec,
+        |          epoch_us(ts) AS t_us FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
         | ) GROUP BY user_id""".stripMargin,
     "q36_empty_aggs" ->
       """SELECT coalesce(avg(l_quantity), 0.0) AS avg0,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps._
+
+/** Approximate / exact nearest-neighbor search over an embedding
+  * column (`array<float|double>`).
+  *
+  * Scale design:
+  *  - brute force = one scan + TakeOrderedAndProject (no shuffle of
+  *    the corpus; the top-k heap merges per partition) — the exact
+  *    baseline, linear in corpus size;
+  *  - many-queries brute force broadcasts the query set so the corpus
+  *    is still scanned once, never shuffled;
+  *  - IVF: corpus pre-assigned to the nearest of `nlist` centroids
+  *    (at 100 TB: write the table partitioned by `centroid_id`, so a
+  *    probe prunes to nprobe/nlist of the data on disk); a query
+  *    probes the `nprobe` closest centroid buckets only.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one literal query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = typedlit(query)
+    emb.select(col(idCol).as("vec_id"),
+        round(cosine(toDoubleVec(col(vecCol)), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Exact top-k per query row: broadcast the (small) query set, scan
+    * the corpus once, rank within each query. */
+  def bruteForceTopKJoin(emb: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         qIdCol: String, qVecCol: String,
+                         k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val qs = queries.select(col(qIdCol).as("query_id"),
+      toDoubleVec(col(qVecCol)).as("qv"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic coarse quantizer: the first `nlist` vectors by id
+    * serve as centroids (k-means refinement is an orthogonal,
+    * pluggable improvement — the partition/probe plumbing is what
+    * matters for scale). */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("centroid_id"),
+        toDoubleVec(col(vecCol)).as("cv"))
+
+  /** Assign every vector to its nearest centroid (max cosine,
+    * centroid_id as tie-break). Broadcast the centroid table; one pass
+    * over the corpus, no shuffle. At scale, persist the result
+    * partitioned by centroid_id. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                cents: DataFrame): DataFrame = {
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+  }
+
+  /** IVF probe: rank centroids against the query, brute-force only the
+    * vectors assigned to the closest `nprobe` centroids. */
+  def ivfSearch(assigned: DataFrame, cents: DataFrame,
+                query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val q = typedlit(query)
+    val probed = cents
+      .select(col("centroid_id"), cosine(col("cv"), q).as("csim"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned.join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select(col("vec_id"), round(cosine(col("v"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** End-to-end IVF ANN: build + probe in one call (for the query
+    * pack; real pipelines persist the assignment). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], nlist: Int, nprobe: Int,
+              k: Int): DataFrame = {
+    val cents = centroids(emb, idCol, vecCol, nlist)
+    val assigned = ivfAssign(emb, idCol, vecCol, cents)
+    ivfSearch(assigned, cents, query, nprobe, k)
+  }
+}

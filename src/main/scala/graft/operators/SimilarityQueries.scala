@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ANN similarity-search coverage over the embeddings table. The
+  * DuckDB oracles recompute the exact same searches (including the
+  * IVF bucket structure) from first principles via unnest + window
+  * SQL, so both the plumbing and the math are differentially checked.
+  */
+object SimilarityQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force top-10 cosine neighbors of vector 0.
+    "q46_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKJoin(emb,
+          emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          "vec_id", "embedding", k = 10)
+        .select(col("vec_id"), col("cosine"), col("rank").cast("long")
+          .as("rank"))
+    }),
+    // IVF(nlist=16, nprobe=4): centroid assignment + probe, top-10.
+    "q47_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+        nlist = 16, nprobe = 4, k = 10)
+    }),
+    // Batch ANN: top-3 neighbors for each of the first 5 vectors.
+    "q48_ann_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKJoin(emb,
+          emb.filter(col("vec_id") < 5L), "vec_id", "embedding",
+          "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("vec_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+    })
+  )
+
+  private val flatCte =
+    """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |   FROM embeddings),
+      | flat AS (SELECT vec_id, i, v[i] AS x
+      |   FROM base, UNNEST(generate_series(1, 64)) AS t(i)),
+      | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+      |   FROM flat GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q46_ann_bruteforce" ->
+      s"""WITH $flatCte,
+        | dots AS (SELECT f.vec_id, sum(f.x * q.x) AS dp
+        |   FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id = 0
+        |   WHERE f.vec_id <> 0 GROUP BY f.vec_id),
+        | scored AS (SELECT d.vec_id,
+        |   dp / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)) AS c
+        |  FROM dots d JOIN norms n ON d.vec_id = n.vec_id)
+        | SELECT vec_id, round(c, 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+        |    AS rank
+        | FROM scored ORDER BY rank LIMIT 10""".stripMargin,
+    "q47_ann_ivf" ->
+      s"""WITH $flatCte,
+        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+        |   sum(f.x * c.x) /
+        |    (max(nf.nrm) * max(nc.nrm)) AS sim
+        |  FROM flat f
+        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
+        |  JOIN norms nf ON f.vec_id = nf.vec_id
+        |  JOIN norms nc ON c.vec_id = nc.vec_id
+        |  GROUP BY f.vec_id, c.vec_id),
+        | assigned AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT vec_id, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims) WHERE rk = 1),
+        | probed AS (SELECT centroid_id FROM sims
+        |   WHERE vec_id = 0 ORDER BY sim DESC, centroid_id LIMIT 4),
+        | cand AS (SELECT a.vec_id FROM assigned a
+        |   JOIN probed p ON a.centroid_id = p.centroid_id)
+        | SELECT s.vec_id, round(s.sim, 6) AS cosine
+        | FROM (SELECT f.vec_id, sum(f.x * q.x) /
+        |        (max(nf.nrm) * (SELECT nrm FROM norms WHERE vec_id = 0))
+        |        AS sim
+        |       FROM flat f
+        |       JOIN flat q ON f.i = q.i AND q.vec_id = 0
+        |       JOIN norms nf ON f.vec_id = nf.vec_id
+        |       GROUP BY f.vec_id) s
+        | JOIN cand USING (vec_id)
+        | ORDER BY s.sim DESC, s.vec_id LIMIT 10""".stripMargin,
+    "q48_ann_batch" ->
+      s"""WITH $flatCte,
+        | dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(f.x * q.x) AS dp
+        |   FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id < 5
+        |   WHERE f.vec_id <> q.vec_id GROUP BY q.vec_id, f.vec_id),
+        | scored AS (SELECT query_id, d.vec_id,
+        |   dp / (nf.nrm * nq.nrm) AS c
+        |  FROM dots d
+        |  JOIN norms nf ON d.vec_id = nf.vec_id
+        |  JOIN norms nq ON d.query_id = nq.vec_id),
+        | ranked AS (SELECT query_id, vec_id, c,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY c DESC, vec_id) AS rk
+        |  FROM scored)
+        | SELECT query_id, vec_id, round(c, 6) AS cosine,
+        |  CAST(rk AS BIGINT) AS rank
+        | FROM ranked WHERE rk <= 3""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 well-separated directions + noise vectors near each
+  private val emb = Seq(
+    (0L, Array(1.0, 0.0, 0.0, 0.0)),
+    (1L, Array(0.0, 1.0, 0.0, 0.0)),
+    (2L, Array(0.0, 0.0, 1.0, 0.0)),
+    (10L, Array(0.9, 0.1, 0.0, 0.0)),  // near 0
+    (11L, Array(0.95, 0.05, 0.1, 0.0)), // near 0
+    (20L, Array(0.1, 0.9, 0.05, 0.0)), // near 1
+    (30L, Array(0.0, 0.1, 0.9, 0.1))   // near 2
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3)
+      .collect().map(_.getLong(0))
+    assert(got(0) == 0L) // exact match first
+    assert(got.toSet == Set(0L, 10L, 11L))
+  }
+
+  test("batch top-k returns per-query ranks") {
+    val qs = emb.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopKJoin(emb, qs, "vec_id",
+      "embedding", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 10L) // cos=0.9/√0.82≈0.9939 beats 0.95/√0.915≈0.9931
+    assert(got(1L) == 20L)
+    assert(got(2L) == 30L)
+  }
+
+  test("IVF probe finds neighbors in probed buckets only") {
+    // centroids = first 3 by id (the axis vectors)
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), nlist = 3, nprobe = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // probe bucket of centroid 0 only → axis-0 cluster, not 20/30
+    assert(got.contains(0L) && got.contains(10L) && got.contains(11L))
+    assert(!got.contains(20L) && !got.contains(30L))
+  }
+
+  test("IVF assignment puts every vector in exactly one bucket") {
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    assert(assigned.count() == 7)
+    assert(assigned.select("vec_id").distinct().count() == 7)
+  }
+}
