@@ -15,7 +15,8 @@ object SparkEntry {
     CoreQueries,
     NowQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

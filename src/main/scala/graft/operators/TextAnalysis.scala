@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * Everything is a narrow per-row transformation built from codegen'd
+  * built-in functions — no UDFs, no shuffle except where a query
+  * explicitly aggregates. At 100 TB these run as a single map stage
+  * fused into the parquet scan by whole-stage codegen.
+  *
+  * Determinism: scores/hashes use integer arithmetic (exact on both
+  * engines); double ratios are a single division of two exact longs
+  * rounded once, so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Non-overlapping occurrence count of literal `m` via the
+    * length-difference trick — one codegen'd expression, no regex. */
+  def occurrences(text: Column, m: String): Column =
+    ((length(text) - length(replace(text, lit(m), lit("")))) /
+      lit(m.length)).cast("long")
+
+  /** Character-trigram profiles for the n-gram language-ID heuristic.
+    * Deliberately tiny: distinctive function-word trigrams per
+    * language. (A production profile table would be a broadcast dim;
+    * the plumbing is identical.) */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "und"),
+    "en" -> Seq("the", "he ", " th", "and"),
+    "es" -> Seq("los", " el", "que", "ión"),
+    "fr" -> Seq("les", " le", "ent", "que"),
+    "zh" -> Seq("的", "是", "不", "一")
+  )
+
+  /** Per-language trigram score: total occurrences of the profile's
+    * trigrams in the text. */
+  def langScore(text: Column, lang: String): Column =
+    langProfiles.toMap.apply(lang)
+      .map(m => occurrences(text, m)).reduce(_ + _)
+
+  /** n-gram language ID: argmax over profile scores, alphabetical
+    * language as the deterministic tie-break. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id") +:
+      langProfiles.map { case (l, _) =>
+        langScore(col(textCol), l).as(s"score_$l") }: _*)
+    // argmax via min over (-score, lang) structs: highest score wins,
+    // ties break toward the alphabetically first language.
+    val best = array_min(array(langProfiles.map { case (l, _) =>
+      struct((-col(s"score_$l")).as("neg"), lit(l).as("lang")) }: _*))
+    scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
+      (-best.getField("neg")).as("best_score"))
+  }
+
+  /** Single-space word split (the corpus is single-space tokenized);
+    * empty strings kept — identical to DuckDB string_split. */
+  def words(text: Column): Column = split(text, " ")
+
+  private val stopwords = Seq("a", "the", "of", "and", "in", "to", "is")
+
+  /** Quality features + a weighted score in [0,1]-ish: integer counts,
+    * each ratio one double division, fixed evaluation order. */
+  def qualityScore(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nw = size(w).cast("long")
+    val nc = length(t).cast("long")
+    val stop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", "")).cast("long")
+    val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+    docs.select(col(idCol).as("doc_id"), nw.as("n_words"), nc.as("n_chars"),
+        stop.as("n_stop"), punct.as("n_punct"), alpha.as("n_alpha"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        round(col("n_alpha").cast("double") / col("n_words"), 6)
+          .as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_words"), 6)
+          .as("stop_ratio"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6)
+          .as("punct_ratio"),
+        // quality: in-range word length + stopword presence − punct noise
+        round(when(col("n_words") >= 10, lit(0.4)).otherwise(lit(0.0))
+          + when(col("n_stop") > 0, lit(0.3)).otherwise(lit(0.0))
+          + when(col("n_punct") * lit(10L) < col("n_chars"), lit(0.3))
+            .otherwise(lit(0.0)), 6).as("quality"))
+  }
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, or single
+    * non-alphanumeric marks (both engines: simple character classes,
+    * identical in Java regex and RE2). */
+  val tokenRegex = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  def wsTokens(t: Column): Column = size(words(t)).cast("long")
+  def reTokens(t: Column): Column =
+    size(regexp_extract_all(t, lit(tokenRegex), lit(0))).cast("long")
+  def bpeEst(t: Column): Column =
+    ceil(length(t).cast("double") / lit(4.0)).cast("long")
+
+  /** Token counts per document: whitespace tokens, regex tokens, and
+    * the chars/4 BPE estimate. */
+  def tokenCounts(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"), wsTokens(t).as("ws_tokens"),
+      reTokens(t).as("re_tokens"), bpeEst(t).as("bpe_est"))
+  }
+
+  private val M = 1000000007L
+
+  /** Codepoint array of a string (1 element per character; explicit
+    * indexing — mirrors the oracle's generate_series + unicode form). */
+  def codepoints(text: Column): Column =
+    transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+
+  /** Rolling polynomial hash h ← (31·h + code(c)) mod 1e9+7 over the
+    * codepoints of `text` — exact 64-bit integer arithmetic. */
+  def docHash(text: Column): Column =
+    aggregate(codepoints(text), lit(0L), (h, c) => (h * 31L + c) % M)
+
+  /** Winnowing-style fingerprint: the minimum rolling hash over all
+    * 8-character shingles (documents shorter than 8 chars hash whole). */
+  def winnowMin(text: Column, gram: Int = 8): Column = {
+    val n = greatest(length(text) - (gram - 1), lit(1))
+    array_min(transform(sequence(lit(1), n),
+      i => aggregate(codepoints(text.substr(i, lit(gram))),
+        lit(0L), (h, c) => (h * 31L + c) % M)))
+  }
+
+  /** Document fingerprints: full-text rolling hash + winnowing min. */
+  def fingerprints(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      docHash(col(textCol)).as("doc_hash"),
+      winnowMin(col(textCol)).as("winnow_min"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis coverage over the documents table. Each oracle
+  * recomputes the same deterministic heuristic from first principles
+  * in DuckDB SQL (integer hashing, single-division ratios), so the
+  * differential check is exact, not tolerance-based.
+  */
+object TextQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // n-gram language ID: argmax of char-trigram profile scores.
+    "q49_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // Quality scoring: word/char/stopword/punct features + score.
+    "q50_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    // Token counting aggregated per source (exact long sums).
+    "q51_tokens" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.wsTokens(t).as("ws"),
+          TextAnalysis.reTokens(t).as("re"), TextAnalysis.bpeEst(t).as("bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("re_tokens"), sum(col("bp")).as("bpe_est"))
+    }),
+    // Document fingerprinting: rolling hash + winnowing minimum.
+    "q52_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text"))
+  )
+
+  private val profileValues = TextAnalysis.langProfiles
+    .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "q49_lang_id" ->
+      s"""WITH profile(lang, tg) AS (VALUES $profileValues),
+        | sc AS (SELECT d.doc_id, p.lang,
+        |   sum((length(d.text) - length(replace(d.text, p.tg, '')))
+        |       // length(p.tg)) AS score
+        |  FROM documents d CROSS JOIN profile p GROUP BY 1, 2),
+        | ranked AS (SELECT doc_id, lang, score, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM sc)
+        | SELECT doc_id, lang AS pred_lang,
+        |  CAST(score AS BIGINT) AS best_score
+        | FROM ranked WHERE rk = 1""".stripMargin,
+    "q50_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |   len(string_split(text, ' ')) AS n_words,
+        |   length(text) AS n_chars,
+        |   len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('a','the','of','and','in','to','is'))) AS n_stop,
+        |   length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |   length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        |  FROM documents)
+        | SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS avg_word_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  round((CASE WHEN n_words >= 10 THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN n_punct * 10 < n_chars THEN 0.3 ELSE 0.0 END),
+        |    6) AS quality
+        | FROM f""".stripMargin,
+    "q51_tokens" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+        |  CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0)
+        |    AS BIGINT)) AS BIGINT) AS bpe_est
+        | FROM documents GROUP BY source""".stripMargin,
+    "q52_fingerprint" ->
+      """WITH cp AS (SELECT doc_id, text, length(text) AS n
+        |   FROM documents),
+        | dh AS (SELECT doc_id,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |     generate_series(1, n),
+        |     i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS doc_hash
+        |  FROM cp),
+        | grams AS (SELECT doc_id, text,
+        |   unnest(generate_series(1, greatest(n - 7, 1))) AS i FROM cp),
+        | wm AS (SELECT doc_id,
+        |   min(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |     generate_series(i, i + 7),
+        |     k -> CAST(unicode(substr(text, k, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007)) AS winnow_min
+        |  FROM grams GROUP BY doc_id)
+        | SELECT dh.doc_id, CAST(dh.doc_hash AS BIGINT) AS doc_hash,
+        |  CAST(wm.winnow_min AS BIGINT) AS winnow_min
+        | FROM dh JOIN wm ON dh.doc_id = wm.doc_id""".stripMargin
+  )
+}
