@@ -16,7 +16,8 @@ object SparkEntry {
     NowQueries,
     DedupQueries,
     SimilarityQueries,
-    TextQueries
+    TextQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -36,7 +36,8 @@ object Tables {
     * `ts_utc` for window/partition-pruning use. */
   def eventsWithTime(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+    events(s, d).withColumn("ts_utc",
+      graft.functions.NowFunctions.stampToTs(col("ts")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming superset of the reference's time-series model.
+  *
+  * NoWDB's "edges are time-series events" (SURVEY §2.9: stamped
+  * append-only rows, period pruning, background sorters) maps to
+  * Structured Streaming: `readStream` over an append-only source,
+  * event-time windows + watermarks, and keyed state for custom
+  * sessionization. Every transformation below is written against a
+  * plain DataFrame so the SAME code runs in batch (the oracle-checked
+  * queries) and incrementally in a stream — Spark's unified model.
+  *
+  * Scale: windowed aggregations shuffle on (window, key) with map-side
+  * partial aggregation; state stores are per-key and pruned by
+  * watermark, so 1000-executor state stays bounded by live keys, not
+  * history.
+  */
+object EventStreams {
+
+  /** events-table schema with `ts` as ns-since-epoch long (the
+    * engine's exact time model; SURVEY §7.3). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** µs-precision event-time column derived from the ns long (exact
+    * integral division — double `/` loses µs above 2^53 ns). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts_utc", graft.functions.NowFunctions.stampToTs(col("ts")))
+
+  /** File-source stream over an events directory (parquet, append-only
+    * — the streaming analog of NoWDB's pending-file ingestion). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(spark.readStream.schema(eventSchema).parquet(dir))
+
+  /** Tumbling event-time window counts + exact value sums per
+    * event_type. `watermark` bounds state/late data in streaming; pass
+    * None for batch. Decimal sum keeps the result order-independent. */
+  def tumblingAgg(events: DataFrame, width: String,
+                  watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts_utc", w))
+    src.groupBy(window(col("ts_utc"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Sliding event-time windows (width/slide) with count and a
+    * deterministic mean (decimal sum ÷ count, one double division). */
+  def slidingAgg(events: DataFrame, width: String, slide: String,
+                 watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts_utc", w))
+    src.groupBy(window(col("ts_utc"), width, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / col("n"), 6).as("avg_value"))
+  }
+
+  /** Built-in gap-based session windows per user: session start, end
+    * (= last event + gap, Spark semantics) and event count. */
+  def sessionAgg(events: DataFrame, gap: String,
+                 watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts_utc", w))
+    src.groupBy(session_window(col("ts_utc"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+  }
+
+  // ---- custom keyed state: incremental sessionization ----
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  /** Open-session register: all times in µs since epoch. */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long)
+
+  /** flatMapGroupsWithState sessionizer. In streaming, closed sessions
+    * are emitted when the event-time timeout (watermark past
+    * last + gap) fires; `emitOpen=true` (batch mode) also flushes the
+    * trailing open session, since batch runs the function exactly once
+    * per key and no timeout will ever fire. */
+  private def sessionize(gapUs: Long, emitOpen: Boolean)(
+      user: Long, rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    def close(s: SessionState) = Session(user, s.start, s.last, s.n)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      out
+    } else {
+      val evs = rows.map(e => e.ts / 1000L).toArray.sorted
+      var out = List.empty[Session]
+      var cur = state.getOption
+      evs.foreach { t =>
+        cur = cur match {
+          case Some(s) if t - s.last <= gapUs =>
+            Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            out ::= close(s); Some(SessionState(t, t, 1))
+          case None => Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        if (emitOpen) out ::= close(s)
+        else {
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+        }
+      }
+      out.reverseIterator
+    }
+  }
+
+  /** Typed entry: sessionize an event Dataset with a gap in minutes.
+    * Batch (`emitOpen=true`) and streaming share the state logic. */
+  def sessionizeStateful(events: Dataset[Event], gapMinutes: Int,
+                         emitOpen: Boolean): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        sessionize(gapMinutes * 60_000_000L, emitOpen))
+  }
+
+  /** Streaming sink helper: append a windowed aggregation to parquet
+    * with a checkpoint (exactly-once file sink). */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", path)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, tsSec: Long, user: Long, typ: String = "click",
+                 v: Double = 1.0): Event =
+    Event(id, tsSec * 1000000000L, user, typ, v, "{}")
+
+  test("streaming tumbling agg emits finalized windows after watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.tumblingAgg(
+      EventStreams.withEventTime(input.toDF()), "1 hour", Some("10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("append").start()
+    try {
+      // two events in hour 0, one far later to advance the watermark
+      input.addData(ev(1, 100, 1), ev(2, 200, 1, "view"))
+      q.processAllAvailable()
+      input.addData(ev(3, 100000, 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("w_start", "event_type", "n").collect()
+      // hour-0 windows are final once watermark passed; the late bucket
+      // (t=100000s) is still open and unemitted
+      assert(rows.length == 2)
+      assert(rows.map(_.getLong(2)).sum == 2L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions via event-time timeout") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeStateful(
+      EventStreams.withEventTime(input.toDF())
+        .withWatermark("ts_utc", "1 minute").as[Event],
+      gapMinutes = 30, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // t=1000s and t=1600s: one session, 10 min apart (times kept off
+      // epoch zero — the initial watermark 0 drops a t=0 row as late)
+      input.addData(ev(1, 1000, 7), ev(2, 1600, 7))
+      q.processAllAvailable()
+      // 3 hours later: watermark passes 1600s+30min → session closes
+      input.addData(ev(3, 12000, 7))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").as[EventStreams.Session].collect()
+      assert(rows.exists(s => s.user_id == 7 && s.n_events == 2
+        && s.start_us == 1000000000L && s.end_us == 1600000000L))
+    } finally q.stop()
+  }
+
+  test("batch sessionize with emitOpen matches naive gap sessionization") {
+    val evs = Seq(ev(1, 0, 1), ev(2, 100, 1), ev(3, 10000, 1),
+      ev(4, 50, 2)).toDS()
+    val out = EventStreams.sessionizeStateful(evs, gapMinutes = 30,
+      emitOpen = true).collect().sortBy(s => (s.user_id, s.start_us))
+    assert(out.length == 3)
+    assert(out(0) == EventStreams.Session(1, 0L, 100000000L, 2))
+    assert(out(1) == EventStreams.Session(1, 10000000000L, 10000000000L, 1))
+    assert(out(2) == EventStreams.Session(2, 50000000L, 50000000L, 1))
+  }
+
+  test("batch session_window agg ends sessions at last event + gap") {
+    val df = EventStreams.withEventTime(
+      Seq(ev(1, 0, 1), ev(2, 60, 1), ev(3, 7200, 1)).toDF())
+    val out = EventStreams.sessionAgg(df, "30 minutes")
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    // end = last event (60s) + 30 min gap
+    assert(out(0).getAs[java.sql.Timestamp]("session_end").getTime ==
+      (60 + 1800) * 1000L)
+  }
+}
