@@ -17,7 +17,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    StreamingQueries
+    StreamingQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

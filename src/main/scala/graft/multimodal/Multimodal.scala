@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Media content is an opaque `binary` column plus typed metadata —
+  * the lakehouse-native layout (`spark.read.format("binaryFile")` or a
+  * parquet/Delta table with a BLOB column). Decode / feature-extract /
+  * resize / frame-sample run as **partition-batched typed pipelines**
+  * (`Dataset.mapPartitions`): one iterator pass per partition, the
+  * Scala analog of `mapInPandas` — constant memory, no driver
+  * round-trip, schema known to Catalyst via Encoders.
+  *
+  * The codec itself is a STUB (this container ships no image/audio
+  * libraries): `decodePixels`/`decodeSamples` deterministically
+  * reinterpret the raw bytes as pixels/samples. Every surrounding
+  * piece — schema, partitioning, batch shape, feature math — is real;
+  * swapping in libjpeg/ffmpeg changes only those two functions.
+  *
+  * Scale: decode is embarrassingly parallel (no shuffle); feature rows
+  * are tiny compared to content, so downstream aggregation shuffles
+  * only features. At 100 TB, partition the media table by kind/date
+  * and size `spark.sql.files.maxPartitionBytes` so one task holds a
+  * bounded number of blobs in flight.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, fmt: String,
+                         content: Array[Byte])
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           n_pixels: Long, sum_pixel: Long,
+                           min_pixel: Int, max_pixel: Int)
+  case class Frame(media_id: Long, frame_no: Int, frame_hash: Long,
+                   n_bytes: Int)
+  case class AudioWindow(media_id: Long, window_no: Int, energy: Long,
+                         n_samples: Int)
+
+  /** Deterministic media table derived from the documents corpus:
+    * content = UTF-8 bytes of the text (an opaque payload as far as
+    * the pipeline is concerned), kind round-robined by id. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      element_at(array(lit("png"), lit("wav"), lit("mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
+      col("text").cast("binary").as("content"))
+
+  // ───────────────────────── STUBBED CODECS ─────────────────────────
+  /** STUB image decode: bytes are the pixel array (grayscale u8).
+    * Production: JNI/javacpp libjpeg decode to the same Array[Int]. */
+  private def decodePixels(content: Array[Byte]): Array[Int] =
+    content.map(b => b & 0xff)
+
+  /** STUB audio decode: bytes are centered i8 PCM samples.
+    * Production: ffmpeg/soundfile decode to the same Array[Int]. */
+  private def decodeSamples(content: Array[Byte]): Array[Int] =
+    content.map(b => (b & 0xff) - 128)
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Fixed fake raster width for the stub decoder. */
+  val StubWidth = 32
+
+  private def features(id: Long, px: Array[Int]): ImageFeatures = {
+    var sum = 0L; var mn = 255; var mx = 0
+    px.foreach { p => sum += p; if (p < mn) mn = p; if (p > mx) mx = p }
+    ImageFeatures(id, math.min(px.length, StubWidth),
+      (px.length + StubWidth - 1) / StubWidth, px.length, sum, mn, mx)
+  }
+
+  /** Decode + feature-extract, one partition batch at a time. */
+  def imageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => features(m.media_id,
+      decodePixels(m.content)))) // STUB decode; plumbing is real
+  }
+
+  /** "Resize" = stride-k subsample of the decoded raster (the stub
+    * analog of bilinear downscale), then re-extract features. */
+  def resizedFeatures(media: Dataset[MediaRecord],
+                      stride: Int): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val px = decodePixels(m.content)
+      features(m.media_id,
+        Array.range(0, px.length, stride).map(px(_)))
+    })
+  }
+
+  private val M = 1000000007L
+
+  /** Split a video payload into fixed-size frames, keep every
+    * `everyNth` frame, fingerprint each (rolling 31-hash). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      m.content.grouped(frameBytes).zipWithIndex.collect {
+        case (fr, i) if i % everyNth == 0 =>
+          val h = fr.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % M)
+          Frame(m.media_id, i, h, fr.length)
+      }
+    })
+  }
+
+  /** Windowed energy (Σ sample², exact longs) over decoded samples —
+    * the stub analog of framed RMS/mel features. */
+  def audioEnergy(media: Dataset[MediaRecord],
+                  windowSamples: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      decodeSamples(m.content).grouped(windowSamples).zipWithIndex.map {
+        case (w, i) =>
+          AudioWindow(m.media_id, i, w.foldLeft(0L)((a, s) => a + s * s),
+            w.length)
+      }
+    })
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+
+/** Multimodal-plumbing coverage. The media table derives its binary
+  * content deterministically from the documents corpus (UTF-8 bytes,
+  * pure ASCII — verified), so the DuckDB oracles can recompute every
+  * stubbed-decoder feature from text codepoints: bytes == codepoints.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** Column-level kind filter (not a typed lambda) so the predicate
+    * folds into the scan instead of running post-deserialization. */
+  private def media(s: SparkSession, d: String,
+                    kind: String): Dataset[MediaRecord] = {
+    val sp = s; import sp.implicits._
+    Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .filter(col("kind") === kind).as[MediaRecord]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Manifest over the opaque binary column: sizes + digests.
+    "q57_media_manifest" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("kind"), col("fmt"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("digest"))),
+    // Stub decode + feature extraction via mapPartitions.
+    "q58_image_features" -> ((s, d) =>
+      Multimodal.imageFeatures(media(s, d, "image")).toDF()),
+    // Stride-4 "resize" then re-extract features.
+    "q59_image_resize" -> ((s, d) =>
+      Multimodal.resizedFeatures(media(s, d, "image"), stride = 4).toDF()),
+    // 16-byte frames, every 2nd sampled, rolling-hash fingerprint.
+    "q60_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d, "video"), frameBytes = 16,
+        everyNth = 2).toDF()),
+    // 32-sample windowed energy over centered i8 samples.
+    "q61_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergy(media(s, d, "audio"), windowSamples = 32)
+        .toDF())
+  )
+
+  private val hashRed =
+    "(h, c) -> (h * 31 + c) % 1000000007"
+
+  /** codepoint exploder restricted to one media kind (doc_id mod 3). */
+  private def cpCte(kindMod: Int) =
+    s"""cp AS (SELECT doc_id, text,
+      |   unnest(generate_series(1, length(text))) AS i
+      |  FROM documents WHERE doc_id % 3 = $kindMod),
+      | b AS (SELECT doc_id, i,
+      |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q57_media_manifest" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    ELSE 'mp4' END AS fmt,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        | FROM documents""".stripMargin,
+    "q58_image_features" ->
+      s"""WITH ${cpCte(0)}
+        | SELECT doc_id AS media_id,
+        |  CAST(least(count(*), 32) AS INT) AS width,
+        |  CAST((count(*) + 31) // 32 AS INT) AS height,
+        |  count(*) AS n_pixels, CAST(sum(p) AS BIGINT) AS sum_pixel,
+        |  CAST(min(p) AS INT) AS min_pixel,
+        |  CAST(max(p) AS INT) AS max_pixel
+        | FROM b GROUP BY doc_id""".stripMargin,
+    "q59_image_resize" ->
+      s"""WITH ${cpCte(0)}
+        | SELECT doc_id AS media_id,
+        |  CAST(least(count(*), 32) AS INT) AS width,
+        |  CAST((count(*) + 31) // 32 AS INT) AS height,
+        |  count(*) AS n_pixels, CAST(sum(p) AS BIGINT) AS sum_pixel,
+        |  CAST(min(p) AS INT) AS min_pixel,
+        |  CAST(max(p) AS INT) AS max_pixel
+        | FROM b WHERE (i - 1) % 4 = 0 GROUP BY doc_id""".stripMargin,
+    "q60_frame_sample" ->
+      s"""WITH ${cpCte(2)}
+        | SELECT doc_id AS media_id,
+        |  CAST((i - 1) // 16 AS INT) AS frame_no,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list(p ORDER BY i)), $hashRed) AS frame_hash,
+        |  CAST(count(*) AS INT) AS n_bytes
+        | FROM b GROUP BY doc_id, (i - 1) // 16
+        | HAVING ((i - 1) // 16) % 2 = 0""".stripMargin,
+    "q61_audio_energy" ->
+      s"""WITH ${cpCte(1)}
+        | SELECT doc_id AS media_id,
+        |  CAST((i - 1) // 32 AS INT) AS window_no,
+        |  CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
+        |  CAST(count(*) AS INT) AS n_samples
+        | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rec(id: Long, kind: String, payload: String) =
+    MediaRecord(id, kind, "raw", payload.getBytes("UTF-8"))
+
+  test("media table carries opaque binary + typed metadata") {
+    val docs = Seq((0L, "hello world"), (1L, "beep"), (2L, "movie bytes"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.mediaFromDocuments(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(m.toSet == Set((0L, "image", "png"), (1L, "audio", "wav"),
+      (2L, "video", "mp4")))
+    val bytes = Multimodal.mediaFromDocuments(docs)
+      .filter(col("media_id") === 0L).select("content").collect()(0)
+      .getAs[Array[Byte]](0)
+    assert(new String(bytes, "UTF-8") == "hello world")
+  }
+
+  test("imageFeatures: exact counts over stub-decoded pixels") {
+    val ds = Seq(rec(1, "image", "abc")).toDS()
+    val f = Multimodal.imageFeatures(ds).collect()(0)
+    assert(f == ImageFeatures(1, 3, 1, 3, 'a' + 'b' + 'c', 'a', 'c'))
+  }
+
+  test("resize stride-4 keeps pixels at 0,4,8,...") {
+    val ds = Seq(rec(1, "image", "abcdefgh")).toDS()
+    val f = Multimodal.resizedFeatures(ds, 4).collect()(0)
+    assert(f.n_pixels == 2 && f.sum_pixel == ('a' + 'e').toLong)
+  }
+
+  test("frame sampling takes every 2nd 16-byte frame with stable hash") {
+    val payload = "x" * 40 // frames: 16,16,8 → sampled: 0 and 2
+    val fr = Multimodal.sampleFrames(Seq(rec(1, "video", payload)).toDS(),
+      16, 2).collect().sortBy(_.frame_no)
+    assert(fr.map(_.frame_no).toSeq == Seq(0, 2))
+    assert(fr.map(_.n_bytes).toSeq == Seq(16, 8))
+    val M = 1000000007L
+    val exp0 = (1 to 16).foldLeft(0L)((h, _) => (h * 31 + 'x') % M)
+    assert(fr(0).frame_hash == exp0)
+  }
+
+  test("audio energy windows are exact integer sums of squares") {
+    val ds = Seq(rec(1, "audio", "aA")).toDS() // 97-128=-31, 65-128=-63
+    val w = Multimodal.audioEnergy(ds, 32).collect()(0)
+    assert(w == AudioWindow(1, 0, 31L * 31 + 63L * 63, 2))
+  }
+}
