@@ -18,7 +18,8 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     StreamingQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    SqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,631 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.locks.ReentrantReadWriteLock
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.catalog.Catalog
+import graft.catalog.Catalog.{Prop, Scope}
+import graft.sql.{Ast, ExprBuilder, Parser}
+import graft.sql.Ast._
+import graft.functions.{IntegralAggregator, NowFunctions}
+
+/** Result ADT mirroring the reference's statement results
+  * (query/stmt.c:2543-2590: status / report / row / cursor). */
+sealed trait Result
+case class Status(ok: Boolean, msg: String = "") extends Result
+case class Report(loaded: Long, errors: Long) extends Result
+case class Rows(df: DataFrame) extends Result
+case class CursorRef(id: Long) extends Result
+case class Batch(rows: Seq[Row], schema: StructType, more: Boolean)
+    extends Result
+
+/** The engine facade: `Engine.sql(statement)` — parse → dispatch →
+  * DataFrame program (SURVEY §3.1 pipeline re-expressed Spark-first:
+  * the "planner" is the AST→DataFrame builder; Catalyst takes it from
+  * there). One Engine = one session (current scope, held locks, open
+  * cursors); scopes/catalogs/tables persist under `root` and are
+  * shared across sessions via the filesystem, like the reference's
+  * scope directories.
+  */
+class Engine(val spark: SparkSession, root: String,
+             cursorPageSize: Int = 1000) {
+
+  private var current: Option[Scope] = None
+  private val attached = mutable.Map.empty[String, DataFrame]
+  private val procs =
+    mutable.Map.empty[String, (Engine, Seq[Any]) => Result]
+  private val cursors = mutable.Map.empty[Long, (Iterator[Row], StructType)]
+  private val heldLocks = mutable.Map.empty[String, (Engine.SessionRWLock, Boolean)]
+  private val cursorSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  spark.udf.register("now_integral", udaf(new IntegralAggregator))
+
+  private val attachedTimeCols = mutable.Map.empty[String, Set[String]]
+
+  /** Mount an external DataFrame as a queryable table (tests, bench,
+    * federating parquet without DDL). Pass `timeCols` for ns-long
+    * stamp columns so time-literal coercion applies to them. */
+  def attachTable(name: String, df: DataFrame,
+                  timeCols: Set[String] = Set.empty): Unit = {
+    attached += name.toLowerCase -> df
+    attachedTimeCols += name.toLowerCase -> timeCols.map(_.toLowerCase)
+  }
+
+  def registerProcedure(name: String,
+                        fn: (Engine, Seq[Any]) => Result): Unit =
+    procs += name.toLowerCase -> fn
+
+  def sql(statement: String): Result =
+    try run(Parser.parse(statement))
+    catch {
+      case e: Parser.ParseError => Status(ok = false, e.getMessage)
+      case e: IllegalArgumentException => Status(ok = false, e.getMessage)
+      case e: IllegalStateException => Status(ok = false, e.getMessage)
+    }
+
+  /** Run a whole `;`-separated script; stops at first failure. */
+  def script(statements: String): Seq[Result] = {
+    val stmts = Parser.parseScript(statements)
+    val out = mutable.ArrayBuffer.empty[Result]
+    var failed = false
+    stmts.foreach { st =>
+      if (!failed) {
+        val r = run(st)
+        out += r
+        r match {
+          case Status(false, _) => failed = true
+          case _ =>
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def scope: Scope = current.getOrElse(
+    throw new IllegalStateException("no scope selected — USE <scope>"))
+
+  private def run(st: Statement): Result = st match {
+    // ── DDL ──────────────────────────────────────────────────────────
+    case CreateScope(name, ine) =>
+      if (Catalog.exists(root, name)) {
+        if (ine) Status(ok = true, "exists") else
+          Status(ok = false, s"scope $name exists")
+      } else {
+        val s = Catalog.open(root, name); s.save(); Status(ok = true)
+      }
+    case UseScope(name) =>
+      if (!Catalog.exists(root, name))
+        Status(ok = false, s"no scope $name")
+      else { current = Some(Catalog.open(root, name)); Status(ok = true) }
+    case CreateType(name, props, ine) =>
+      val s = scope
+      if (s.types.contains(name)) {
+        if (ine) Status(ok = true, "exists")
+        else Status(ok = false, s"type $name exists")
+      } else if (props.count(_.pk) != 1)
+        Status(ok = false, "type needs exactly one primary key")
+      else {
+        s.types += name -> Catalog.VertexType(name,
+          props.map(p => Prop(p.name, p.typ, p.pk, p.stamp)))
+        s.save(); Status(ok = true)
+      }
+    case CreateEdge(name, o, d, stamped, payload, ine) =>
+      val s = scope
+      if (s.edges.contains(name)) {
+        if (ine) Status(ok = true, "exists")
+        else Status(ok = false, s"edge $name exists")
+      } else if (!s.types.contains(o) || !s.types.contains(d))
+        Status(ok = false, s"edge $name: unknown origin/destin type")
+      else {
+        s.edges += name -> Catalog.EdgeType(name, o, d, stamped,
+          payload.map(p => Prop(p.name, p.typ, pk = false, stamp = false)))
+        s.save(); Status(ok = true)
+      }
+    case CreateStorage(name, _, opts, ine) =>
+      val s = scope
+      if (s.storages.contains(name) && !ine)
+        Status(ok = false, s"storage $name exists")
+      else {
+        s.storages += name -> Catalog.StorageDef(name, opts)
+        s.save(); Status(ok = true)
+      }
+    case CreateIndex(name, on, fields, ine) =>
+      val s = scope
+      if (s.indexes.contains(name) && !ine)
+        Status(ok = false, s"index $name exists")
+      else if (s.resolve(on).isEmpty)
+        Status(ok = false, s"index on unknown table $on")
+      else {
+        // metadata-only: Catalyst needs no user indexes (SURVEY §2.11)
+        s.indexes += name -> Catalog.IndexDef(name, on, fields)
+        s.save(); Status(ok = true)
+      }
+    case CreateProcedure(module, name, args, lang, _) =>
+      val s = scope
+      s.procs += name -> Catalog.ProcDef(module, name, args, lang)
+      s.save(); Status(ok = true)
+    case CreateLock(name, ine) =>
+      val s = scope
+      if (s.locks.contains(name) && !ine)
+        Status(ok = false, s"lock $name exists")
+      else { s.locks += name; s.save(); Status(ok = true) }
+    case DropStmt(kind, name, ifE) =>
+      val existed = kind match {
+        case "scope" =>
+          val e = Catalog.exists(root, name)
+          if (e) {
+            if (current.exists(_.name == name)) current = None
+            Catalog.drop(root, name)
+          }
+          e
+        case "type" => val s = scope
+          val e = s.types.remove(name).isDefined; if (e) s.save(); e
+        case "edge" => val s = scope
+          val e = s.edges.remove(name).isDefined; if (e) s.save(); e
+        case "storage" => val s = scope
+          val e = s.storages.remove(name).isDefined; if (e) s.save(); e
+        case "index" => val s = scope
+          val e = s.indexes.remove(name).isDefined; if (e) s.save(); e
+        case "procedure" => val s = scope
+          val e = s.procs.remove(name).isDefined; if (e) s.save(); e
+        case "lock" => val s = scope
+          val e = s.locks.remove(name); if (e) s.save(); e
+      }
+      if (existed || ifE) Status(ok = true)
+      else Status(ok = false, s"no $kind $name")
+
+    // ── metadata queries ────────────────────────────────────────────
+    case ShowStmt(what) =>
+      val s = scope
+      import spark.implicits._
+      val df = what match {
+        case "types" | "vertices" => s.types.keys.toSeq.toDF("name")
+        case "edges" => s.edges.keys.toSeq.toDF("name")
+        case "procedures" => s.procs.values
+          .map(p => (p.name, p.module, p.lang)).toSeq
+          .toDF("name", "module", "language")
+        case "stores" | "storages" =>
+          s.storages.keys.toSeq.toDF("name")
+        case "indexes" | "indices" => s.indexes.values
+          .map(ix => (ix.name, ix.on, ix.fields.mkString(","))).toSeq
+          .toDF("name", "on", "fields")
+        case "locks" => s.locks.toSeq.toDF("name")
+        case other => throw new IllegalArgumentException(s"show $other?")
+      }
+      Rows(df)
+    case DescStmt(name) =>
+      val s = scope
+      import spark.implicits._
+      val props = s.propsOf(name)
+      Rows(props.map(p => (p.name, p.typ, p.pk, p.stamp)).toDF(
+        "property", "type", "pk", "stamp"))
+
+    // ── session: locks, cursors, procedures ─────────────────────────
+    case LockStmt(name, write, timeoutMs) =>
+      val s = scope
+      if (!s.locks.contains(name)) Status(ok = false, s"no lock $name")
+      else {
+        val l = Engine.lockRegistry.computeIfAbsent(
+          s"${s.name}/$name", _ => new Engine.SessionRWLock())
+        val got = timeoutMs match {
+          case Some(ms) => l.tryAcquire(write, ms)
+          case None => l.acquire(write); true
+        }
+        if (got) { heldLocks += name -> (l, write); Status(ok = true) }
+        else Status(ok = false, s"lock $name: timeout")
+      }
+    case UnlockStmt(name) =>
+      heldLocks.remove(name) match {
+        case Some((l, w)) => l.release(w); Status(ok = true)
+        case None => Status(ok = false, s"lock $name not held")
+      }
+    case ExecStmt(name, args) =>
+      procs.get(name.toLowerCase) match {
+        case Some(fn) =>
+          val vals = args.map {
+            case Lit(v, _) => v
+            case other => throw new IllegalArgumentException(
+              s"EXEC args must be literals, got $other")
+          }
+          fn(this, vals)
+        case None => Status(ok = false, s"no procedure $name")
+      }
+    case FetchStmt(id) => fetch(id)
+    case CloseStmt(id) =>
+      cursors.remove(id); Status(ok = true)
+
+    // ── DML ─────────────────────────────────────────────────────────
+    case ins: InsertStmt => insert(ins)
+    case ld: LoadStmt => load(ld)
+
+    // ── DQL ─────────────────────────────────────────────────────────
+    case sel: SelectStmt => Rows(buildSelect(sel))
+  }
+
+  // ── cursors (reference FETCH/CLOSE protocol, ifc/nowdb.c) ─────────
+  def openCursor(df: DataFrame): Long = {
+    import scala.jdk.CollectionConverters._
+    val id = cursorSeq.incrementAndGet()
+    cursors += id -> (df.toLocalIterator().asScala, df.schema)
+    id
+  }
+
+  private def fetch(id: Long): Result = cursors.get(id) match {
+    case None => Status(ok = false, s"no cursor $id")
+    case Some((it, schema)) =>
+      val buf = mutable.ArrayBuffer.empty[Row]
+      while (buf.length < cursorPageSize && it.hasNext) buf += it.next()
+      val more = it.hasNext
+      if (!more) cursors.remove(id)
+      Batch(buf.toSeq, schema, more)
+  }
+
+  // ── table access ──────────────────────────────────────────────────
+  private def typeCtx(table: String): Map[String, String] = {
+    attachedTimeCols.get(table.toLowerCase) match {
+      case Some(cols) => cols.map(_ -> "time").toMap
+      case None =>
+        if (attached.contains(table.toLowerCase)) Map.empty
+        else scope.propsOf(table).map(p => p.name.toLowerCase -> p.typ).toMap
+    }
+  }
+
+  /** DataFrame for a table: attached > scope catalog (empty-with-schema
+    * when no data has been written yet). */
+  def tableDf(table: String): DataFrame =
+    attached.getOrElse(table.toLowerCase, {
+      val s = scope
+      val (kind, name) = s.resolve(table).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $table"))
+      val props = s.propsOf(name)
+      val dir = s.tableDir(name)
+      if (Files.exists(dir))
+        spark.read.schema(Catalog.schemaOf(props)).parquet(dir.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], Catalog.schemaOf(props))
+    })
+
+  // ── INSERT (reference query/stmt.c:2371-2448, scope/dml.c) ────────
+  private def insert(ins: InsertStmt): Result = {
+    val s = scope
+    // legacy context-insert: INSERT INTO store (edge, origin, …) —
+    // re-route to the edge named by the `edge` column value
+    val (target, cols, vals) =
+      if (ins.cols.exists(_.equalsIgnoreCase("edge"))) {
+        val i = ins.cols.indexWhere(_.equalsIgnoreCase("edge"))
+        val en = ins.values(i) match {
+          case Lit(s0: String, _) => s0
+          case _ => return Status(ok = false, "edge name must be a string")
+        }
+        val keep = ins.cols.zip(ins.values).patch(i, Nil, 1).map {
+          case (c, v) if c.equalsIgnoreCase("timestamp") => ("stamp", v)
+          case cv => cv
+        }
+        (en, keep.map(_._1), keep.map(_._2))
+      } else (ins.target, ins.cols, ins.values)
+
+    val (kind, name) = s.resolve(target).getOrElse(
+      return Status(ok = false, s"unknown table $target"))
+    val props = s.propsOf(name)
+    val byName = props.map(p => p.name.toLowerCase -> p).toMap
+    val colProps = cols.map(c => byName.getOrElse(c.toLowerCase,
+      return Status(ok = false, s"unknown column $c in $name")))
+    if (cols.size != vals.size)
+      return Status(ok = false, "column/value count mismatch")
+
+    // evaluate value expressions (constants) with time coercion
+    val valueByCol: Map[String, Column] =
+      colProps.zip(vals).map { case (p, v) =>
+        val c = (p.typ, v) match {
+          case (("time" | "date"), Lit(sv: String, "string")) =>
+            lit(ExprBuilder.parseTime(sv).getOrElse(
+              return Status(ok = false, s"bad time literal '$sv'")))
+          case _ => ExprBuilder.build(v)
+        }
+        p.name.toLowerCase -> c.cast(Catalog.sparkType(p.typ))
+      }.toMap
+    val rowCols = props.map(p =>
+      valueByCol.getOrElse(p.name.toLowerCase,
+        lit(null).cast(Catalog.sparkType(p.typ))).as(p.name))
+    val row = spark.range(1).select(rowCols: _*)
+
+    if (kind == "type") { // vertex PK uniqueness (dml.c:116-168)
+      val pk = s.types(name).pk.name
+      if (!valueByCol.contains(pk.toLowerCase))
+        return Status(ok = false, s"missing primary key $pk")
+      val dir = s.tableDir(name)
+      if (Files.exists(dir)) {
+        val pkVal = row.select(col(pk)).collect()(0).get(0)
+        val clash = tableDf(name).filter(col(pk) === lit(pkVal))
+          .limit(1).count()
+        if (clash > 0)
+          return Status(ok = false, s"duplicate key $pkVal in $name")
+      }
+    }
+    row.write.mode("append").parquet(s.tableDir(name).toString)
+    Status(ok = true)
+  }
+
+  // ── CSV LOAD (reference scope/loader.c; LOAD stmt sql §2.1) ──────
+  private def load(ld: LoadStmt): Result = {
+    val s = scope
+    val (kind, name) = s.resolve(ld.target).getOrElse(
+      return Status(ok = false, s"unknown table ${ld.target}"))
+    val props = s.propsOf(name)
+    // header=true also for "ignore": the first line is skipped either
+    // way; "ignore" just maps columns positionally instead of by name
+    val reader = spark.read
+      .option("header", ld.header != "none")
+      .option("mode", "PERMISSIVE")
+    // read everything as string; typed casts decide validity per row
+    val raw0 = reader.csv(ld.path)
+    val raw = raw0.toDF(raw0.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    val positional = ld.header != "use"
+    val srcCols: Seq[(Prop, Column)] = props.zipWithIndex.map {
+      case (p, i) =>
+        val src =
+          if (positional)
+            if (i < raw.columns.length) col(raw.columns(i)) else lit(null)
+          else if (raw.columns.contains(p.name.toLowerCase))
+            col(p.name.toLowerCase)
+          else lit(null)
+        (p, src)
+    }
+    // ANSI mode (Spark 4 default) makes bare casts throw on malformed
+    // cells — guard every cast so bad rows become error-report rows,
+    // like the reference's per-row error file (loader.c).
+    def typed(p: Prop, src: Column): Column = p.typ match {
+      case "time" | "date" =>
+        // ISO-8601; date-only and sub-second both allowed
+        NowFunctions.tsToStamp(coalesce(
+          try_to_timestamp(src, lit("yyyy-MM-dd'T'HH:mm:ss")),
+          try_to_timestamp(src, lit("yyyy-MM-dd HH:mm:ss")),
+          try_to_timestamp(src, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+          try_to_timestamp(src, lit("yyyy-MM-dd"))))
+      case "int" | "uint" =>
+        when(src.rlike("^[+-]?[0-9]+$"), src.cast("long"))
+      case "float" =>
+        when(src.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+          src.cast("double"))
+      case "bool" =>
+        when(lower(src).isin("true", "false"), lower(src) === "true")
+      case t => src.cast(Catalog.sparkType(t))
+    }
+    val castCols = srcCols.map { case (p, src) => typed(p, src).as(p.name) }
+    // errors: any non-null source cell that fails its typed cast
+    val badPred = srcCols.map { case (p, src) =>
+      typed(p, src).isNull && src.isNotNull
+    }.reduce(_ || _)
+    val withFlag = raw.withColumn("_bad", badPred)
+    val errors = withFlag.filter(col("_bad")).drop("_bad")
+    val good = withFlag.filter(!col("_bad")).drop("_bad")
+    val errCount = errors.count()
+    ld.errorsFile.foreach { ef =>
+      if (errCount > 0)
+        errors.coalesce(1).write.mode("overwrite").csv(ef)
+    }
+    val out = good.select(castCols: _*)
+    val loaded = out.count()
+    out.write.mode("append").parquet(s.tableDir(name).toString)
+    Report(loaded, errCount)
+  }
+
+  // ── SELECT → DataFrame (the "planner", SURVEY §3.1 steps 3-4) ────
+  private def aggExprOf(e: Expr, ctx: ExprBuilder.Ctx): Option[Column] =
+    e match {
+      case FnCall(name, args) if Parser.isAggregate(name) =>
+        def a(i: Int): Column = ExprBuilder.build(args(i), ctx)
+        val c = name match {
+          case "count" => args.headOption match {
+            case None | Some(Star()) => count(lit(1))
+            case Some(x) => count(ExprBuilder.build(x, ctx))
+          }
+          case "sum" => sum(a(0))
+          case "avg" | "average" => coalesce(avg(a(0)), lit(0.0))
+          case "min" => min(a(0))
+          case "max" => max(a(0))
+          case "spread" => max(a(0)) - min(a(0))
+          case "median" => // exact, like the reference's block-sort
+            coalesce(call_function("percentile", a(0), lit(0.5))
+              .cast("double"), lit(0.0))
+          case "stddev" => coalesce(stddev_samp(a(0)), lit(0.0))
+          case "prod" | "product" => product(a(0))
+          case "mode" => mode(a(0))
+          case "integral" => call_udf("now_integral", a(0), a(1))
+        }
+        Some(c)
+      case _ => None
+    }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case FnCall(n, args) =>
+      Parser.isAggregate(n) || args.exists(containsAgg)
+    case BinOp(_, l, r) => containsAgg(l) || containsAgg(r)
+    case UnOp(_, x) => containsAgg(x)
+    case InList(x, vs, _) => containsAgg(x) || vs.exists(containsAgg)
+    case IsNull(x, _) => containsAgg(x)
+    case CaseExpr(bs, o) =>
+      bs.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
+        o.exists(containsAgg)
+    case _ => false
+  }
+
+  /** Build a Column where aggregate calls become agg expressions and
+    * everything else builds normally. */
+  private def buildWithAggs(e: Expr, ctx: ExprBuilder.Ctx): Column =
+    aggExprOf(e, ctx).getOrElse(e match {
+      case BinOp(op, l, r) if containsAgg(e) =>
+        val lc = buildWithAggs(l, ctx); val rc = buildWithAggs(r, ctx)
+        op match {
+          case "+" => lc + rc;  case "-" => lc - rc
+          case "*" => lc * rc;  case "/" => lc / rc
+          case "%" => lc % rc
+          case "^" => NowFunctions.power(lc, rc)
+          case "and" => lc && rc; case "or" => lc || rc
+          case "=" => lc === rc; case "!=" | "<>" => lc =!= rc
+          case "<" => lc < rc; case ">" => lc > rc
+          case "<=" => lc <= rc; case ">=" => lc >= rc
+        }
+      case UnOp("-", x) if containsAgg(e) => -buildWithAggs(x, ctx)
+      case FnCall("tofloat", Seq(x)) if containsAgg(e) =>
+        buildWithAggs(x, ctx).cast("double")
+      case _ => ExprBuilder.build(e, ctx)
+    })
+
+  private def defaultName(e: Expr, idx: Int): String = e match {
+    case Field(n, _) => n
+    case FnCall(n, _) => s"${n}_$idx"
+    case _ => s"col_$idx"
+  }
+
+  private[engine] def buildSelect(sel: SelectStmt): DataFrame = {
+    // SELECT without FROM: one constant row (stmt.c:1398-1463)
+    if (sel.from.isEmpty) {
+      val cols = sel.items.zipWithIndex.map { case (it, i) =>
+        ExprBuilder.build(it.expr)
+          .as(it.alias.getOrElse(defaultName(it.expr, i)))
+      }
+      return spark.range(1).select(cols: _*)
+    }
+    val s = current
+    val fromName = sel.from.get
+    val fromAlias = sel.fromAlias.getOrElse(fromName)
+    var df = tableDf(fromName).as(fromAlias)
+    var ctx: Map[String, String] = typeCtx(fromName) ++
+      typeCtx(fromName).map { case (k, v) =>
+        s"${fromAlias.toLowerCase}.$k" -> v }
+
+    // edge-joins (sql.tex:2291-2368): inner equi-join edge.origin|destin
+    // against the vertex type's pk; broadcast the vertex side — the
+    // dimension is small relative to the edge time-series.
+    sel.joins.foreach { j =>
+      val sc = scope
+      val vt = sc.types.getOrElse(j.typeName,
+        throw new IllegalArgumentException(s"unknown type ${j.typeName}"))
+      val vAlias = j.alias.getOrElse(j.typeName)
+      val vdf = tableDf(j.typeName).as(vAlias)
+      df = df.join(broadcast(vdf),
+        col(s"$fromAlias.${j.onField}") === col(s"$vAlias.${vt.pk.name}"),
+        "inner")
+      ctx ++= typeCtx(j.typeName).map { case (k, v) =>
+        s"${vAlias.toLowerCase}.$k" -> v }
+    }
+
+    val where = sel.where.map(w => ExprBuilder.build(w, ctx))
+    val filtered = where.fold(df)(df.filter)
+
+    // star expansion: model order, edge fields first (plan.c:1216+)
+    def starCols: Seq[Column] = {
+      val base = current match {
+        case Some(sc) if sc.resolve(fromName).isDefined =>
+          sc.propsOf(fromName).map(p => col(s"$fromAlias.${p.name}"))
+        case _ => attached(fromName.toLowerCase).columns.toSeq
+          .map(c => col(s"$fromAlias.$c"))
+      }
+      base ++ sel.joins.flatMap { j =>
+        val vAlias = j.alias.getOrElse(j.typeName)
+        scope.types(j.typeName).props.map(p => col(s"$vAlias.${p.name}"))
+      }
+    }
+
+    val hasAgg = sel.items.exists(it => containsAgg(it.expr))
+    if (sel.groupBy.nonEmpty || hasAgg) {
+      val keys = sel.groupBy.map(f => ExprBuilder.build(f, ctx))
+      val keyNames = sel.groupBy.map(_.name.toLowerCase).toSet
+      val aggCols = sel.items.zipWithIndex.flatMap { case (it, i) =>
+        val nm = it.alias.getOrElse(defaultName(it.expr, i))
+        it.expr match {
+          case f: Field if keyNames(f.name.toLowerCase) => None // key
+          case e if containsAgg(e) => Some(buildWithAggs(e, ctx).as(nm))
+          case e => // non-agg non-key: "any row's value" (sql.tex:2690)
+            Some(any_value(ExprBuilder.build(e, ctx)).as(nm))
+        }
+      }
+      // GROUP BY with no aggregates = distinct keys (the reference's
+      // KRANGE keys-only fast path, plan.c:1635-1644)
+      if (aggCols.isEmpty)
+        return filtered.select(sel.groupBy.map(f =>
+          ExprBuilder.build(f, ctx).as(f.name)): _*).distinct()
+      val grouped =
+        if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggCols.head,
+          aggCols.tail: _*)
+        else filtered.agg(aggCols.head, aggCols.tail: _*)
+      // project in declared item order (keys keep their names)
+      val outCols = sel.items.zipWithIndex.map { case (it, i) =>
+        it.expr match {
+          case f: Field if keyNames(f.name.toLowerCase) =>
+            col(f.name).as(it.alias.getOrElse(f.name))
+          case e => col(it.alias.getOrElse(defaultName(e, i)))
+        }
+      }
+      val out = grouped.select(outCols: _*)
+      if (sel.orderBy.nonEmpty)
+        out.orderBy(sel.orderBy.map(f => asc(f.name)): _*)
+      else out
+    } else {
+      val projected =
+        if (sel.items.exists(_.expr.isInstanceOf[Star]))
+          filtered.select(starCols: _*)
+        else filtered.select(sel.items.zipWithIndex.map { case (it, i) =>
+          ExprBuilder.build(it.expr, ctx)
+            .as(it.alias.getOrElse(defaultName(it.expr, i)))
+        }: _*)
+      if (sel.orderBy.nonEmpty) {
+        val outNames = projected.columns.map(_.toLowerCase).toSet
+        if (sel.orderBy.forall(f => outNames(f.name.toLowerCase)))
+          projected.orderBy(sel.orderBy.map(f => asc(f.name)): _*)
+        else { // order on base columns, then project (always ASC)
+          val sorted = filtered.orderBy(
+            sel.orderBy.map(f => ExprBuilder.build(f, ctx).asc): _*)
+          if (sel.items.exists(_.expr.isInstanceOf[Star]))
+            sorted.select(starCols: _*)
+          else sorted.select(sel.items.zipWithIndex.map { case (it, i) =>
+            ExprBuilder.build(it.expr, ctx)
+              .as(it.alias.getOrElse(defaultName(it.expr, i)))
+          }: _*)
+        }
+      } else projected
+    }
+  }
+}
+
+object Engine {
+  /** Non-reentrant session-scoped RW lock: the reference's locks
+    * belong to sessions (scope/ipc.c), not threads, so a second
+    * Engine on the same thread must still block — Java's reentrant
+    * locks would let it through. */
+  final class SessionRWLock {
+    private var readers = 0
+    private var writer = false
+    def tryAcquire(write: Boolean, timeoutMs: Long): Boolean =
+      synchronized {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        def ready = if (write) !writer && readers == 0 else !writer
+        while (!ready) {
+          val waitMs = (deadline - System.nanoTime()) / 1000000L
+          if (waitMs <= 0) return false
+          wait(waitMs)
+        }
+        if (write) writer = true else readers += 1
+        true
+      }
+    def acquire(write: Boolean): Unit = synchronized {
+      def ready = if (write) !writer && readers == 0 else !writer
+      while (!ready) wait()
+      if (write) writer = true else readers += 1
+    }
+    def release(write: Boolean): Unit = synchronized {
+      if (write) writer = false else readers -= 1
+      notifyAll()
+    }
+  }
+
+  /** Cross-session lock registry (reference scope/ipc.c — advisory
+    * RW locks shared by sessions of one process). */
+  private val lockRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, SessionRWLock]()
+}

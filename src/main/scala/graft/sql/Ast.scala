@@ -1,0 +1,86 @@
+package graft.sql
+
+/** AST for the NoWDB SQL dialect (grammar surface:
+  * /root/reference/src/nowdb/sql/nowdbsql.y; statement inventory
+  * SURVEY.md §2.11). Deliberately small — statements compile to
+  * DataFrame programs, not to a bespoke execution engine.
+  */
+object Ast {
+
+  // ── expressions ────────────────────────────────────────────────────
+  sealed trait Expr
+  /** typ ∈ uint|int|float|string|bool|null (NoWDB literal typing:
+    * bare digits are UINT, signed are INT — sql.tex:190-205). */
+  case class Lit(value: Any, typ: String) extends Expr
+  case class Field(name: String, qualifier: Option[String] = None)
+      extends Expr
+  case class Star() extends Expr
+  case class FnCall(name: String, args: Seq[Expr]) extends Expr
+  case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  case class UnOp(op: String, e: Expr) extends Expr // "-" | "not"
+  case class InList(e: Expr, values: Seq[Expr], negated: Boolean)
+      extends Expr
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class CaseExpr(branches: Seq[(Expr, Expr)],
+                      otherwise: Option[Expr]) extends Expr
+
+  case class SelectItem(expr: Expr, alias: Option[String])
+
+  // ── statements ─────────────────────────────────────────────────────
+  sealed trait Statement
+
+  // DDL
+  case class CreateScope(name: String, ifNotExists: Boolean)
+      extends Statement
+  case class PropDef(name: String, typ: String, pk: Boolean,
+                     stamp: Boolean)
+  case class CreateType(name: String, props: Seq[PropDef],
+                        ifNotExists: Boolean) extends Statement
+  case class CreateEdge(name: String, origin: String, destin: String,
+                        stamped: Boolean, payload: Seq[PropDef],
+                        ifNotExists: Boolean) extends Statement
+  /** CREATE TABLE/CONTEXT/STORAGE — physical placement config; a
+    * metadata no-op in Spark (SURVEY §1.1 Storage). */
+  case class CreateStorage(name: String, kind: String,
+                           options: Map[String, String],
+                           ifNotExists: Boolean) extends Statement
+  case class CreateIndex(name: String, on: String, fields: Seq[String],
+                         ifNotExists: Boolean) extends Statement
+  case class CreateProcedure(module: String, name: String,
+                             args: Seq[(String, String)], lang: String,
+                             ifNotExists: Boolean) extends Statement
+  case class CreateLock(name: String, ifNotExists: Boolean)
+      extends Statement
+  /** kind ∈ scope|type|edge|storage|index|procedure|lock */
+  case class DropStmt(kind: String, name: String, ifExists: Boolean)
+      extends Statement
+
+  // misc / session
+  case class UseScope(name: String) extends Statement
+  /** what ∈ types|edges|procedures|stores|locks */
+  case class ShowStmt(what: String) extends Statement
+  case class DescStmt(name: String) extends Statement
+  case class LockStmt(name: String, write: Boolean, timeoutMs: Option[Long])
+      extends Statement
+  case class UnlockStmt(name: String) extends Statement
+  case class ExecStmt(name: String, args: Seq[Expr]) extends Statement
+  case class FetchStmt(cursorId: Long) extends Statement
+  case class CloseStmt(cursorId: Long) extends Statement
+
+  // DML
+  case class InsertStmt(target: String, cols: Seq[String],
+                        values: Seq[Expr]) extends Statement
+  case class LoadStmt(path: String, target: String, header: String,
+                      errorsFile: Option[String]) extends Statement
+
+  // DQL
+  /** Edge-join form (sql.tex:2291-2368): `JOIN vtype ON origin|destin`,
+    * always inner, ≤2 sub-joins. */
+  case class JoinClause(typeName: String, onField: String,
+                        alias: Option[String])
+  case class SelectStmt(items: Seq[SelectItem], from: Option[String],
+                        fromAlias: Option[String],
+                        joins: Seq[JoinClause], where: Option[Expr],
+                        groupBy: Seq[Field], orderBy: Seq[Field])
+      extends Statement
+}

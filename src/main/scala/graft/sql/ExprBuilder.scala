@@ -1,0 +1,219 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.NowFunctions
+import Ast._
+
+/** AST expression → Spark Column, with NoWDB semantics (operator set:
+  * reference fun/expr.h:414-522, evaluation expr.c:1228-2450):
+  * `^` is power, `log` is ln, time parts run over ns-long stamps,
+  * `wday` is Sunday=0, and string literals compared against TIME/DATE
+  * fields parse as ISO-8601 timestamps (plan.c:615-642 tryTime).
+  */
+object ExprBuilder {
+
+  /** ISO-8601 'YYYY-MM-DD[THH:MM:SS[.f{1..9}]]' (UTC) → ns stamp
+    * (reference types/time.h:27-37). */
+  def parseTime(s: String): Option[Long] = {
+    val re =
+      """(\d{4})-(\d{2})-(\d{2})(?:[T ](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?)?""".r
+    s match {
+      case re(y, mo, d, h, mi, se, fr) =>
+        try {
+          val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+            Option(h).map(_.toInt).getOrElse(0),
+            Option(mi).map(_.toInt).getOrElse(0),
+            Option(se).map(_.toInt).getOrElse(0))
+          val epochSec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+          val frNs = Option(fr).map(f => (f + "0" * (9 - f.length)).toLong)
+            .getOrElse(0L)
+          Some(epochSec * 1000000000L + frNs)
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  /** Typing context: lowercase column name (and "qualifier.name") →
+    * NoWDB type, used for time-literal coercion. */
+  type Ctx = Map[String, String]
+
+  private def fieldKey(f: Field): String =
+    f.qualifier.map(q => s"${q.toLowerCase}.").getOrElse("") +
+      f.name.toLowerCase
+
+  private def fieldCol(f: Field): Column =
+    f.qualifier match {
+      case Some(q) => col(s"$q.${f.name}")
+      case None => col(f.name)
+    }
+
+  private def isTimeField(f: Field, ctx: Ctx): Boolean =
+    ctx.get(fieldKey(f)).orElse(ctx.get(f.name.toLowerCase))
+      .exists(t => t == "time" || t == "date")
+
+  /** Coerce a literal to the ns-stamp domain when compared to a
+    * TIME/DATE field. */
+  private def coercePair(l: Expr, r: Expr, ctx: Ctx): (Column, Column) = {
+    (l, r) match {
+      case (f: Field, Lit(s: String, "string")) if isTimeField(f, ctx) =>
+        (build(f, ctx), lit(parseTime(s).getOrElse(
+          throw new IllegalArgumentException(s"bad time literal '$s'"))))
+      case (Lit(s: String, "string"), f: Field) if isTimeField(f, ctx) =>
+        (lit(parseTime(s).getOrElse(
+          throw new IllegalArgumentException(s"bad time literal '$s'"))),
+          build(f, ctx))
+      case _ => (build(l, ctx), build(r, ctx))
+    }
+  }
+
+  def build(e: Expr, ctx: Ctx = Map.empty): Column = e match {
+    case Lit(null, _) => lit(null)
+    case Lit(v, _) => lit(v)
+    case f: Field => fieldCol(f)
+    case Star() => col("*")
+    case BinOp(op, l, r) =>
+      val (lc, rc) = op match {
+        case "=" | "!=" | "<>" | "<" | ">" | "<=" | ">=" =>
+          coercePair(l, r, ctx)
+        case _ => (build(l, ctx), build(r, ctx))
+      }
+      op match {
+        case "and" => lc && rc
+        case "or" => lc || rc
+        case "=" => lc === rc
+        case "!=" | "<>" => lc =!= rc
+        case "<" => lc < rc
+        case ">" => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => NowFunctions.rem(lc, rc)
+        case "^" => NowFunctions.power(lc, rc)
+      }
+    case UnOp("-", x) => -build(x, ctx)
+    case UnOp("not", x) => !build(x, ctx)
+    case UnOp(op, _) =>
+      throw new IllegalArgumentException(s"unknown unary $op")
+    case InList(x, vs, neg) =>
+      val base = x match {
+        case f: Field if isTimeField(f, ctx) =>
+          build(f, ctx).isin(vs.map {
+            case Lit(s: String, "string") => parseTime(s).getOrElse(
+              throw new IllegalArgumentException(s"bad time literal '$s'"))
+            case Lit(v, _) => v
+            case other => throw new IllegalArgumentException(
+              s"IN list must be constant, got $other")
+          }: _*)
+        case _ => build(x, ctx).isin(vs.map {
+          case Lit(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"IN list must be constant, got $other")
+        }: _*)
+      }
+      if (neg) !base else base
+    case IsNull(x, neg) =>
+      if (neg) build(x, ctx).isNotNull else build(x, ctx).isNull
+    case CaseExpr(branches, other) =>
+      val first = when(build(branches.head._1, ctx),
+        build(branches.head._2, ctx))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(build(c, ctx), build(v, ctx))
+      }
+      other.fold(chained)(o => chained.otherwise(build(o, ctx)))
+    case FnCall(name, args) => fn(name, args, ctx)
+  }
+
+  private def fn(name: String, args: Seq[Expr], ctx: Ctx): Column = {
+    def a(i: Int): Column = build(args(i), ctx)
+    /** time-valued argument: a string literal parses as an ISO stamp
+      * (`year('2024-05-06')` works like the reference's tryTime). */
+    def t(i: Int): Column = args(i) match {
+      case Lit(s: String, "string") => lit(parseTime(s).getOrElse(
+        throw new IllegalArgumentException(s"bad time literal '$s'")))
+      case _ => a(i)
+    }
+    name match {
+      // conversions (expr.h:414-418)
+      case "tofloat" => a(0).cast("double")
+      case "toint" | "touint" => a(0).cast("long")
+      case "totime" => args(0) match {
+        case Lit(s: String, "string") => lit(parseTime(s).getOrElse(
+          throw new IllegalArgumentException(s"bad time literal '$s'")))
+        case _ => a(0).cast("long")
+      }
+      case "totext" => a(0).cast("string")
+      // math (expr.h:431-435; log is ln)
+      case "log" => NowFunctions.ln(a(0))
+      case "abs" => abs(a(0))
+      case "ceil" => ceil(a(0))
+      case "floor" => floor(a(0))
+      case "round" => round(a(0))
+      // trig + aliases (expr.h:436-447, names expr.c:2787-2816)
+      case "sin" => sin(a(0));   case "sine" => sin(a(0))
+      case "cos" => cos(a(0));   case "cosine" => cos(a(0))
+      case "tan" => tan(a(0));   case "tangent" => tan(a(0))
+      case "asin" | "arcsine" | "arcsin" => asin(a(0))
+      case "acos" | "arccosine" | "arccos" => acos(a(0))
+      case "atan" | "arctangent" | "arctan" => atan(a(0))
+      case "sinh" => sinh(a(0)); case "cosh" => cosh(a(0))
+      case "tanh" => tanh(a(0))
+      case "asinh" => asinh(a(0)); case "acosh" => acosh(a(0))
+      case "atanh" => atanh(a(0))
+      // constants
+      case "pi" => lit(math.Pi)
+      case "e" => lit(math.E)
+      // time parts over ns stamps (expr.h:479-490)
+      case "year" => NowFunctions.yearOfNs(t(0))
+      case "month" => NowFunctions.monthOfNs(t(0))
+      case "mday" => NowFunctions.mdayNs(t(0))
+      case "wday" => NowFunctions.wdayNs(t(0))
+      case "yday" => NowFunctions.ydayNs(t(0))
+      case "hour" => NowFunctions.hourOfNs(t(0))
+      case "minute" => NowFunctions.minuteOf(NowFunctions.stampToTs(t(0)))
+      case "second" => NowFunctions.secondOf(NowFunctions.stampToTs(t(0)))
+      case "milli" => NowFunctions.milli(t(0))
+      case "micro" => NowFunctions.micro(t(0))
+      case "nano" => NowFunctions.nano(t(0))
+      // time points (expr.h:491-494)
+      case "now" => NowFunctions.nowNs
+      case "dawn" => NowFunctions.dawn
+      case "dusk" => NowFunctions.dusk
+      case "epoch" => NowFunctions.epochNs
+      // declared-only in the reference, native here (expr.c:2372-2429)
+      case "bin" => args(1) match {
+        case Lit(u: String, "string") =>
+          NowFunctions.tsToStamp(
+            NowFunctions.timeBin(u, NowFunctions.stampToTs(t(0))))
+        case _ => throw new IllegalArgumentException("bin(stamp,'unit')")
+      }
+      case "format" => args(1) match {
+        case Lit(f: String, "string") =>
+          date_format(NowFunctions.stampToTs(t(0)), f)
+        case _ => throw new IllegalArgumentException("format(stamp,'fmt')")
+      }
+      case "substr" => substring(a(0), args(1) match {
+        case Lit(v: Long, _) => v.toInt + 1 // NoWDB is 0-based C-style
+        case _ => throw new IllegalArgumentException("substr pos")
+      }, args(2) match {
+        case Lit(v: Long, _) => v.toInt
+        case _ => throw new IllegalArgumentException("substr len")
+      })
+      case "length" => length(a(0)).cast("long")
+      case "strcat" => concat(args.map(x => build(x, ctx)): _*)
+      case "pos" => (instr(a(0), args(1) match {
+        case Lit(s: String, _) => s
+        case _ => throw new IllegalArgumentException("pos needle")
+      }) - lit(1)).cast("long") // 0-based, -1 when absent
+      // null handling
+      case "coal" | "coalesce" => coalesce(args.map(build(_, ctx)): _*)
+      case "just" => a(0)
+      case "version" => lit("graft-1.0")
+      case other =>
+        throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+}

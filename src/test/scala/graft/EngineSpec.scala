@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.engine._
+
+/** End-to-end NoWDB-dialect session: mirrors the reference's pysmoke
+  * flow (create scope → schema → insert → query → procs/locks/cursors)
+  * against the Spark engine. */
+class EngineSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  lazy val root = Files.createTempDirectory("graft-scope").toString
+  lazy val eng = new Engine(spark, root, cursorPageSize = 3)
+
+  private def ok(r: Result): Unit = r match {
+    case Status(true, _) | Report(_, _) | Rows(_) =>
+    case Status(false, m) => fail(s"statement failed: $m")
+    case other => fail(s"unexpected $other")
+  }
+  private def rows(r: Result): Array[org.apache.spark.sql.Row] = r match {
+    case Rows(df) => df.collect()
+    case other => fail(s"expected rows, got $other")
+  }
+
+  test("full DDL + DML + DQL session") {
+    ok(eng.sql("create scope retail"))
+    ok(eng.sql("use retail"))
+    ok(eng.sql("create type client (id uint pk, name text)"))
+    ok(eng.sql(
+      "create type product (id uint pk, title text, price float)"))
+    ok(eng.sql("""create edge buys (
+      origin client origin, destin product destin, stamp time stamp,
+      quantity int, amount float)"""))
+    // reference-style trailing if-not-exists and storage no-op
+    ok(eng.sql("create scope retail if not exists"))
+    ok(eng.sql("create table sales if not exists"))
+    ok(eng.sql("create index idx_buys on buys (origin, stamp)"))
+
+    ok(eng.sql("insert into client (id, name) (1, 'Popeye')"))
+    ok(eng.sql("insert into client (id, name) (2, 'Olivia')"))
+    // duplicate PK must fail (dml.c:116-168)
+    assert(eng.sql("insert into client (id, name) (1, 'Dup')") match {
+      case Status(false, m) => m.contains("duplicate"); case _ => false
+    })
+    ok(eng.sql("insert into product (id, title, price) (100, 'Spinach', 1.99)"))
+    ok(eng.sql("insert into product (id, title, price) (101, 'Candy', 2.49)"))
+    for (i <- 0 until 4)
+      ok(eng.sql(s"insert into buys (origin, destin, stamp, quantity, amount) " +
+        s"(1, 100, '2024-01-0${i + 1}T10:00:00', ${i + 1}, ${(i + 1) * 1.99})"))
+    ok(eng.sql("insert into buys (origin, destin, stamp, quantity, amount) " +
+      "(2, 101, '2024-01-03T11:30:00', 2, 4.98)"))
+    // edges never dedup: same row twice is two rows
+    ok(eng.sql("insert into buys (origin, destin, stamp, quantity, amount) " +
+      "(2, 101, '2024-01-03T11:30:00', 2, 4.98)"))
+
+    val all = rows(eng.sql("select origin, destin, quantity from buys"))
+    assert(all.length == 6)
+
+    // time-literal coercion in WHERE (plan.c tryTime)
+    val jan3 = rows(eng.sql(
+      "select origin, quantity from buys where stamp >= '2024-01-03'"))
+    assert(jan3.length == 4)
+
+    // group + aggregates
+    val g = rows(eng.sql(
+      "select origin, count(*), sum(quantity) from buys group by origin"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(g.toSeq == Seq((1L, 4L, 10L), (2L, 2L, 4L)))
+
+    // expression surface: ^ is power, aliases honored
+    val e = rows(eng.sql(
+      "select 3*2^2 as v, year('2024-05-06') as y from buys where origin = 1"))
+    assert(e(0).getDouble(0) == 12.0)
+
+    // edge join on origin and destin (sql.tex:2291-2368)
+    val j = rows(eng.sql(
+      """select name, title, quantity from buys
+         join client on origin join product on destin
+         where quantity = 2""".stripMargin))
+    assert(j.length == 3) // Popeye/Spinach qty-2 + Olivia/Candy twice
+    assert(j.count(r => r.getString(0) == "Olivia"
+      && r.getString(1) == "Candy") == 2)
+
+    // group-by-no-agg = distinct (KRANGE)
+    assert(rows(eng.sql(
+      "select origin from buys group by origin")).length == 2)
+
+    // ungrouped aggregate over all rows
+    val tot = rows(eng.sql("select count(*), avg(quantity) from buys"))(0)
+    assert(tot.getLong(0) == 6L)
+
+    // select without FROM
+    assert(rows(eng.sql("select 1 + 2"))(0).getLong(0) == 3L)
+  }
+
+  test("show / desc") {
+    assert(rows(eng.sql("show types")).map(_.getString(0)).toSet ==
+      Set("client", "product"))
+    assert(rows(eng.sql("show edges")).map(_.getString(0)).toSet ==
+      Set("buys"))
+    val d = rows(eng.sql("desc buys")).map(_.getString(0)).toSeq
+    assert(d == Seq("origin", "destin", "stamp", "quantity", "amount"))
+  }
+
+  test("cursors page through results (FETCH/CLOSE)") {
+    val df = eng.sql("select origin, destin from buys") match {
+      case Rows(d) => d
+      case other => fail(s"$other")
+    }
+    val cur = eng.openCursor(df)
+    val b1 = eng.sql(s"fetch $cur")
+    val (n1, more1) = b1 match {
+      case Batch(rs, _, m) => (rs.length, m)
+      case other => fail(s"$other")
+    }
+    assert(n1 == 3 && more1)
+    val b2 = eng.sql(s"fetch $cur")
+    assert(b2 match { case Batch(rs, _, false) => rs.length == 3
+      case _ => false })
+  }
+
+  test("locks: create, acquire with timeout, unlock") {
+    ok(eng.sql("create lock mylock"))
+    ok(eng.sql("lock mylock for writing set timeout = 1000"))
+    // a second session cannot acquire it
+    val eng2 = new Engine(spark, root)
+    ok(eng2.sql("use retail"))
+    assert(eng2.sql("lock mylock set timeout = 10") match {
+      case Status(false, m) => m.contains("timeout"); case _ => false
+    })
+    ok(eng.sql("unlock mylock"))
+    ok(eng2.sql("lock mylock set timeout = 1000"))
+    ok(eng2.sql("unlock mylock"))
+  }
+
+  test("procedures: EXEC dispatches to registered callables") {
+    ok(eng.sql("create procedure analytics.topbuyer() language lua"))
+    eng.registerProcedure("topbuyer", (e, _) =>
+      e.sql("select origin, sum(quantity) as q from buys group by origin"))
+    val r = rows(eng.sql("exec topbuyer()"))
+    assert(r.length == 2)
+    assert(rows(eng.sql("show procedures"))(0).getString(0) == "topbuyer")
+  }
+
+  test("CSV LOAD with header modes and error reporting") {
+    val csv = Files.createTempFile("load", ".csv")
+    Files.writeString(csv,
+      "id,name\n10,Wimpy\n11,Bluto\nnotanumber,Bad\n12,Swee'Pea\n")
+    val rep = eng.sql(s"load '${csv}' into client use header")
+    assert(rep match { case Report(3, 1) => true; case other => false })
+    val got = rows(eng.sql("select name from client where id >= 10"))
+    assert(got.length == 3)
+  }
+
+  test("legacy context insert routes to the named edge") {
+    ok(eng.sql("insert into sales (edge, origin, destin, timestamp, quantity, amount) " +
+      "('buys', 1, 101, '2024-02-01T00:00:00', 7, 13.93)"))
+    val r = rows(eng.sql("select quantity from buys where origin = 1 and destin = 101"))
+    assert(r.length == 1 && r(0).getLong(0) == 7L)
+  }
+
+  test("drop and if-exists behavior") {
+    ok(eng.sql("drop index idx_buys"))
+    assert(eng.sql("drop index idx_buys") match {
+      case Status(false, _) => true; case _ => false })
+    ok(eng.sql("drop index idx_buys if exists"))
+  }
+}
