@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -139,26 +140,92 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity for ALL pairs above `tau`, via a
-    * shingle equi-join (never a cartesian product). Right-sized for a
-    * bounded corpus or for verifying LSH candidates; at 100 TB the LSH
-    * variants above bound the pair space first. */
+  /** Exact n-gram Jaccard similarity for ALL pairs above `tau`.
+    *
+    * Adaptive physical strategy — the two regimes need opposite plans:
+    *  - **Small shingle vocabulary** (dense overlap: nearly every pair
+    *    shares shingles, so candidate pruning cannot help): encode each
+    *    document as a bitset over the vocabulary, broadcast, and sweep
+    *    all pairs with AND+popcount — O(pairs · vocab/64) word ops, no
+    *    shuffle at all.
+    *  - **Large vocabulary** (the 100 TB text regime): PPJoin-style
+    *    prefix filtering (Xiao et al., WWW'08 — public algorithm):
+    *    each document joins only on its `|d| − ⌈tau·|d|⌉ + 1` globally
+    *    rarest shingles; any pair with J ≥ tau must share one, so the
+    *    result stays exact while hot shingles drop out of the join.
+    * Both paths produce identical results. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
+                        n: Int, tau: Double,
+                        denseVocabLimit: Int = 4096): DataFrame = {
     val sh = wordShingles(docs, idCol, textCol, n)
+    val vocab = sh.select("shingle").distinct().count()
+    if (vocab <= denseVocabLimit) densePairs(sh, vocab.toInt, tau)
+    else prefixFilteredPairs(sh, tau)
+  }
+
+  /** Dense regime: broadcast bitsets, distributed all-pairs sweep. */
+  private def densePairs(sh: DataFrame, vocab: Int,
+                         tau: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val shingleIdx = sh.select("shingle").distinct().orderBy("shingle")
+      .collect().map(_.getString(0)).zipWithIndex.toMap
+    val idxB = spark.sparkContext.broadcast(shingleIdx)
+    val words = (vocab + 63) / 64
+    val docBits = sh.select(col("doc_id").cast("long"), col("shingle"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = idxB.value
+        it.map { case (id, s) => (id, m(s)) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (id, rows) =>
+        val bits = new Array[Long](words)
+        var card = 0
+        rows.foreach { case (_, i) =>
+          bits(i >> 6) |= 1L << (i & 63); card += 1
+        }
+        (id, bits, card)
+      }.collect().sortBy(_._1)
+    require(docBits.length.toLong * words * 8 < 512L * 1024 * 1024,
+      "dense path needs the bitset table to fit a broadcast")
+    val bitsB = spark.sparkContext.broadcast(docBits)
+    spark.range(docBits.length.toLong).as[Long].mapPartitions { it =>
+      val arr = bitsB.value
+      it.flatMap { ai =>
+        val i = ai.toInt
+        val (ida, ba, ca) = arr(i)
+        (i + 1 until arr.length).iterator.flatMap { j =>
+          val (idb, bb, cb) = arr(j)
+          var inter = 0
+          var w = 0
+          while (w < ba.length) {
+            inter += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+          }
+          val jac = inter.toDouble / (ca + cb - inter)
+          if (jac >= tau) Some((ida, idb, jac)) else None
+        }
+      }
+    }.toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Sparse regime: prefix-filtered candidate join + exact verify. */
+  private def prefixFilteredPairs(sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("sa")
-      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+    // global shingle frequency → rarity rank within each document
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("shingle").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = ranked.as("sa")
+      .join(ranked.as("sb"), col("sa.shingle") === col("sb.shingle")
         && col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        ((col("inter") * lit(1.0)) /
-          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
   }
 
   /** Random-hyperplane sign bits for a vector: bit j is the sign of

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the properties that matter at 100 TB
+  * (BASELINE.md §3 structural obligations): predicate pushdown into
+  * the parquet scan, column-pruned read schemas, broadcast joins for
+  * dimensions, metadata-thin count(*), whole-stage codegen in the
+  * hot paths.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filters push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,30.0)"), p)
+    assert(p.contains("EqualTo(l_returnfl"), p) // display-truncated
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("count(*) reads an empty schema (metadata-thin scan)") {
+    val df = Tables.lineitem(spark, sf).groupBy().count()
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<>"), p)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q27_join_agg_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation pipelines run inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // finalize the AQE plan so codegen stages materialize
+    val p = plan(df)
+    assert(p.contains("*("), p) // WholeStageCodegen stage markers
+    // partial (map-side) aggregation before the shuffle
+    assert(p.contains("partial_sum") && p.contains("Exchange"), p)
+  }
+
+  test("engine edge-joins broadcast the vertex side") {
+    import java.nio.file.Files
+    val eng = new graft.engine.Engine(spark,
+      Files.createTempDirectory("plan-scope").toString)
+    eng.sql("create scope planspec")
+    eng.sql("use planspec")
+    eng.sql("create type v (id uint pk, name text)")
+    eng.sql("create edge e (origin v origin, destin v destin, w uint)")
+    eng.sql("insert into v (id, name) (1, 'a')")
+    eng.sql("insert into e (origin, destin, w) (1, 1, 5)")
+    val df = eng.sql("select name, w from e join v on origin") match {
+      case graft.engine.Rows(d) => d
+      case other => fail(s"$other")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("time-range predicate on the stamp long pushes down") {
+    val lo = 1705276800000000000L // 2024-01-15 UTC in ns
+    val df = Tables.events(spark, sf).filter(col("ts") >= lo)
+      .select("event_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(ts,"), p)
+  }
+}
