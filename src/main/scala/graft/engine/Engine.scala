@@ -241,6 +241,40 @@ class Engine(val spark: SparkSession, root: String,
     // ── DML ─────────────────────────────────────────────────────────
     case ins: InsertStmt => insert(ins)
     case ld: LoadStmt => load(ld)
+    case DeleteStmt(target, where) => rewrite(target) { (df, ctx) =>
+      // keep rows where the predicate is NOT satisfied (NULL keeps)
+      where.fold(df.limit(0))(w =>
+        df.filter(!coalesce(ExprBuilder.build(w, ctx), lit(false))))
+    }
+    case UpdateStmt(target, sets, where) => rewrite(target) { (df, ctx) =>
+      val s = scope
+      val props = s.propsOf(target)
+      val byName = props.map(p => p.name.toLowerCase -> p).toMap
+      sets.foreach { case (c, _) =>
+        if (!byName.contains(c.toLowerCase))
+          throw new IllegalArgumentException(s"unknown column $c")
+      }
+      val pred = where.map(w =>
+        coalesce(ExprBuilder.build(w, ctx), lit(false)))
+      val setMap = sets.map { case (c, e) =>
+        val p = byName(c.toLowerCase)
+        val v = (p.typ, e) match {
+          case (("time" | "date"), Ast.Lit(sv: String, "string")) =>
+            lit(ExprBuilder.parseTime(sv).getOrElse(
+              throw new IllegalArgumentException(s"bad time '$sv'")))
+          case _ => ExprBuilder.build(e, ctx)
+        }
+        p.name.toLowerCase -> v.cast(Catalog.sparkType(p.typ))
+      }.toMap
+      df.select(props.map { p =>
+        setMap.get(p.name.toLowerCase) match {
+          case Some(v) =>
+            pred.fold(v)(pr => when(pr, v).otherwise(col(p.name)))
+              .as(p.name)
+          case None => col(p.name)
+        }
+      }: _*)
+    }
 
     // ── DQL ─────────────────────────────────────────────────────────
     case sel: SelectStmt => Rows(buildSelect(sel))
@@ -347,6 +381,27 @@ class Engine(val spark: SparkSession, root: String,
       }
     }
     row.write.mode("append").parquet(s.tableDir(name).toString)
+    Status(ok = true)
+  }
+
+  /** Rewrite a table in place (DELETE/UPDATE): materialize the
+    * transformed frame to a sibling dir, then swap — the parquet
+    * analog of the reference's documented tombstoning intent
+    * (sql.tex:2017-2034). At lakehouse scale this is Delta/Iceberg
+    * MERGE territory; plain parquet gets copy-on-write. */
+  private def rewrite(target: String)(
+      f: (DataFrame, ExprBuilder.Ctx) => DataFrame): Result = {
+    val s = scope
+    val (_, name) = s.resolve(target).getOrElse(
+      return Status(ok = false, s"unknown table $target"))
+    val dir = s.tableDir(name)
+    if (!Files.exists(dir)) return Status(ok = true, "empty table")
+    val out = f(tableDf(name), typeCtx(name))
+    val tmp = dir.resolveSibling(name + "__rewrite")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    Files.move(tmp, dir)
     Status(ok = true)
   }
 

@@ -228,19 +228,50 @@ object Dedup {
     jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
   }
 
-  /** Random-hyperplane sign bits for a vector: bit j is the sign of
-    * ⟨v, r_j⟩ where r_j is the deterministic ±1 vector derived from
-    * xxhash64(seed, j, i). Each projection is one higher-order fold, so
-    * the expression tree stays compact (bits folds, not bits×dim terms). */
-  private def signBits(v: Column, bits: Int, seed: Int): Column =
-    (0 until bits).map { j =>
-      val signs = transform(sequence(lit(0), size(v) - 1),
-        i => when(shiftright(xxhash64(lit(seed), lit(j), i), 13)
-          .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
-      val proj = aggregate(zip_with(v, signs, (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** The ±1 hyperplane matrix is a deterministic constant — sign
+    * (b,j,i) = bit 13 of xxhash64(b, j, i) — so it's computed once
+    * (same Catalyst XxHash64, bit-identical buckets) instead of
+    * re-hashing bands×bits×dim times per row in the expression tree. */
+  private def signMatrix(bands: Int, bits: Int,
+                         dim: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(bands, bits, dim) { (b, j, i) =>
+      // seed 42L = functions.xxhash64's default, bit-identical buckets
+      val h = XxHash64(Seq(Literal(b), Literal(j), Literal(i)), 42L)
+        .eval(null).asInstanceOf[Long]
+      if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** (vec_id, band, bucket) rows via one typed pass per partition:
+    * bands×bits dot products against the constant sign matrix. */
+  private def hyperplaneBuckets(v: DataFrame, bands: Int,
+                                bitsPerBand: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        var m: Array[Array[Array[Double]]] = null
+        it.flatMap { case (id, vec) =>
+          if (m == null || m(0)(0).length < vec.length)
+            m = signMatrix(bands, bitsPerBand, vec.length)
+          val arr = vec.toArray
+          (0 until bands).iterator.map { b =>
+            var bucket = 0L
+            var j = 0
+            while (j < bitsPerBand) {
+              var dot = 0.0
+              var i = 0
+              while (i < arr.length) { dot += arr(i) * m(b)(j)(i); i += 1 }
+              if (dot > 0) bucket |= 1L << j
+              j += 1
+            }
+            (id, b, bucket)
+          }
+        }
+      }.toDF("vec_id", "band", "bk")
+  }
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets (bands of
     * sign bits) generate candidates; exact cosine verifies. For pairs
@@ -252,11 +283,7 @@ object Dedup {
                             bitsPerBand: Int = 8): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
       VectorOps.toDoubleVec(col(vecCol)).as("v"))
-    val buckets = v.select(col("vec_id"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        signBits(col("v"), bitsPerBand, seed = b).as("bk"))): _*))
-        .as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bk"))
+    val buckets = hyperplaneBuckets(v, bands, bitsPerBand)
     // dedupe candidate ids first — vectors rejoin after the shuffle
     val cand = buckets.as("a")
       .join(buckets.as("b"),

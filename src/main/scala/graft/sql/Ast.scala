@@ -72,6 +72,13 @@ object Ast {
                         values: Seq[Expr]) extends Statement
   case class LoadStmt(path: String, target: String, header: String,
                       errorsFile: Option[String]) extends Statement
+  /** Declared-only in the reference (stmt.c:2449-2470 "not yet
+    * implemented"; DELETE semantics documented sql.tex:2017-2034) —
+    * implemented natively here. */
+  case class DeleteStmt(target: String, where: Option[Expr])
+      extends Statement
+  case class UpdateStmt(target: String, sets: Seq[(String, Expr)],
+                        where: Option[Expr]) extends Statement
 
   // DQL
   /** Edge-join form (sql.tex:2291-2368): `JOIN vtype ON origin|destin`,

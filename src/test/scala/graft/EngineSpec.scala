@@ -159,6 +159,21 @@ class EngineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getLong(0) == 7L)
   }
 
+  test("UPDATE and DELETE rewrite tables in place") {
+    ok(eng.sql("create type gadget (id uint pk, price float)"))
+    ok(eng.sql("insert into gadget (id, price) (1, 10.0)"))
+    ok(eng.sql("insert into gadget (id, price) (2, 20.0)"))
+    ok(eng.sql("insert into gadget (id, price) (3, 30.0)"))
+    ok(eng.sql("update gadget set price = price * 2 where id >= 2"))
+    val p = rows(eng.sql("select id, price from gadget order by id"))
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p == Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)))
+    ok(eng.sql("delete from gadget where price > 50"))
+    assert(rows(eng.sql("select id from gadget")).length == 2)
+    ok(eng.sql("delete from gadget"))
+    assert(rows(eng.sql("select id from gadget")).isEmpty)
+  }
+
   test("drop and if-exists behavior") {
     ok(eng.sql("drop index idx_buys"))
     assert(eng.sql("drop index idx_buys") match {
