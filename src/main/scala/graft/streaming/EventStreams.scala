@@ -134,6 +134,14 @@ object EventStreams {
         sessionize(gapMinutes * 60_000_000L, emitOpen))
   }
 
+  /** Streaming exact dedup by event id: drops re-deliveries within
+    * the watermark horizon, so state stays bounded (the streaming
+    * face of the dedup suite — at-least-once ingestion becomes
+    * exactly-once downstream). Works on batch frames too. */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming sink helper: append a windowed aggregation to parquet
     * with a checkpoint (exactly-once file sink). */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =

@@ -59,6 +59,24 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupEvents(
+      EventStreams.withEventTime(input.toDF()), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1), ev(2, 1010, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, 1000, 1), ev(3, 1020, 1)) // event 1 re-delivered
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch sessionize with emitOpen matches naive gap sessionization") {
     val evs = Seq(ev(1, 0, 1), ev(2, 100, 1), ev(3, 10000, 1),
       ev(4, 50, 2)).toDS()

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Layouts
+
+/** Partition-pruning proofs for the 100 TB layouts: the plan must
+  * show PartitionFilters (storage never listed), not just pushed
+  * data filters. */
+class LayoutsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  test("date-partitioned events prune partitions on stamp ranges") {
+    val dir = Files.createTempDirectory("events-by-day").toString
+    Layouts.writeEventsByDay(Tables.events(spark, TestSpark.sfDir), dir)
+    // 2024-01-10 .. 2024-01-12 in ns
+    val lo = 1704844800000000000L
+    val hi = 1705017600000000000L
+    val df = Layouts.readEventsRange(spark, dir, lo, hi)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), plan)
+    // correctness: matches an unpartitioned range scan
+    val expected = Tables.events(spark, TestSpark.sfDir)
+      .filter(col("ts") >= lo && col("ts") < hi).count()
+    assert(df.count() == expected)
+  }
+
+  test("persisted IVF probes read only nprobe centroid partitions") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    Layouts.writeIvf(emb, "vec_id", "embedding", nlist = 8, dir)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val res = Layouts.searchIvf(spark, dir, q, nprobe = 2, k = 5)
+    val plan = res.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(0) == 0L) // the query vector is its own NN
+  }
+}
