@@ -179,6 +179,13 @@ class Engine(val spark: SparkSession, root: String,
       else Status(ok = false, s"no $kind $name")
 
     // ── metadata queries ────────────────────────────────────────────
+    case ShowStmt("scopes") =>
+      import spark.implicits._
+      val dirs = java.nio.file.Paths.get(root).toFile.listFiles()
+      val names = if (dirs == null) Seq.empty[String]
+        else dirs.filter(d => Catalog.exists(root, d.getName))
+          .map(_.getName).toSeq
+      Rows(names.toDF("name"))
     case ShowStmt(what) =>
       val s = scope
       import spark.implicits._
@@ -240,6 +247,7 @@ class Engine(val spark: SparkSession, root: String,
 
     // ── DML ─────────────────────────────────────────────────────────
     case ins: InsertStmt => insert(ins)
+    case InsertSelect(target, cols, sel) => insertSelect(target, cols, sel)
     case ld: LoadStmt => load(ld)
     case DeleteStmt(target, where) => rewrite(target) { (df, ctx) =>
       // keep rows where the predicate is NOT satisfied (NULL keeps)
@@ -381,6 +389,43 @@ class Engine(val spark: SparkSession, root: String,
       }
     }
     row.write.mode("append").parquet(s.tableDir(name).toString)
+    Status(ok = true)
+  }
+
+  /** INSERT … SELECT (reference: documented "not yet",
+    * sql.tex:1934-1950): run the select, align its columns to the
+    * target positionally, cast to declared types, enforce vertex PK
+    * uniqueness set-wise (dedupe within + anti-join existing). */
+  private def insertSelect(target: String, cols: Seq[String],
+                           sel: SelectStmt): Result = {
+    val s = scope
+    val (kind, name) = s.resolve(target).getOrElse(
+      return Status(ok = false, s"unknown table $target"))
+    val props = s.propsOf(name)
+    val byName = props.map(p => p.name.toLowerCase -> p).toMap
+    val colProps = cols.map(c => byName.getOrElse(c.toLowerCase,
+      return Status(ok = false, s"unknown column $c in $name")))
+    val src = buildSelect(sel)
+    if (src.columns.length != cols.length)
+      return Status(ok = false,
+        s"select yields ${src.columns.length} columns for ${cols.length}")
+    val aligned = src.select(src.columns.zip(colProps).map {
+      case (c, p) => col(c).cast(Catalog.sparkType(p.typ)).as(p.name)
+    }: _*)
+    val provided = colProps.map(_.name.toLowerCase).toSet
+    val full = aligned.select(props.map(p =>
+      if (provided(p.name.toLowerCase)) col(p.name)
+      else lit(null).cast(Catalog.sparkType(p.typ)).as(p.name)): _*)
+    val out = if (kind == "type") {
+      val pk = s.types(name).pk.name
+      if (!provided(pk.toLowerCase))
+        return Status(ok = false, s"missing primary key $pk")
+      val deduped = full.dropDuplicates(pk)
+      if (Files.exists(s.tableDir(name)))
+        deduped.join(tableDf(name).select(col(pk)), Seq(pk), "left_anti")
+      else deduped
+    } else full
+    out.write.mode("append").parquet(s.tableDir(name).toString)
     Status(ok = true)
   }
 
@@ -537,7 +582,15 @@ class Engine(val spark: SparkSession, root: String,
     case _ => s"col_$idx"
   }
 
+  private def orderCols(ob: Seq[(Ast.Field, Boolean)]): Seq[Column] =
+    ob.map { case (f, a) => if (a) asc(f.name) else desc(f.name) }
+
   private[engine] def buildSelect(sel: SelectStmt): DataFrame = {
+    val base = buildSelectNoLimit(sel)
+    sel.limit.fold(base)(n => base.limit(n.toInt))
+  }
+
+  private def buildSelectNoLimit(sel: SelectStmt): DataFrame = {
     // SELECT without FROM: one constant row (stmt.c:1398-1463)
     if (sel.from.isEmpty) {
       val cols = sel.items.zipWithIndex.map { case (it, i) =>
@@ -618,8 +671,7 @@ class Engine(val spark: SparkSession, root: String,
         }
       }
       val out = grouped.select(outCols: _*)
-      if (sel.orderBy.nonEmpty)
-        out.orderBy(sel.orderBy.map(f => asc(f.name)): _*)
+      if (sel.orderBy.nonEmpty) out.orderBy(orderCols(sel.orderBy): _*)
       else out
     } else {
       val projected =
@@ -631,11 +683,12 @@ class Engine(val spark: SparkSession, root: String,
         }: _*)
       if (sel.orderBy.nonEmpty) {
         val outNames = projected.columns.map(_.toLowerCase).toSet
-        if (sel.orderBy.forall(f => outNames(f.name.toLowerCase)))
-          projected.orderBy(sel.orderBy.map(f => asc(f.name)): _*)
-        else { // order on base columns, then project (always ASC)
-          val sorted = filtered.orderBy(
-            sel.orderBy.map(f => ExprBuilder.build(f, ctx).asc): _*)
+        if (sel.orderBy.forall(f => outNames(f._1.name.toLowerCase)))
+          projected.orderBy(orderCols(sel.orderBy): _*)
+        else { // order on base columns, then project
+          val sorted = filtered.orderBy(sel.orderBy.map { case (f, a) =>
+            val c = ExprBuilder.build(f, ctx); if (a) c.asc else c.desc
+          }: _*)
           if (sel.items.exists(_.expr.isInstanceOf[Star]))
             sorted.select(starCols: _*)
           else sorted.select(sel.items.zipWithIndex.map { case (it, i) =>

@@ -70,6 +70,10 @@ object Ast {
   // DML
   case class InsertStmt(target: String, cols: Seq[String],
                         values: Seq[Expr]) extends Statement
+  /** INSERT … SELECT — documented "not yet" in the reference
+    * (sql.tex:1934-1950), implemented natively here. */
+  case class InsertSelect(target: String, cols: Seq[String],
+                          select: SelectStmt) extends Statement
   case class LoadStmt(path: String, target: String, header: String,
                       errorsFile: Option[String]) extends Statement
   /** Declared-only in the reference (stmt.c:2449-2470 "not yet
@@ -85,9 +89,13 @@ object Ast {
     * always inner, ≤2 sub-joins. */
   case class JoinClause(typeName: String, onField: String,
                         alias: Option[String])
+  /** orderBy: (field, ascending). DESC and LIMIT are supersets — the
+    * reference's grammar has neither (SURVEY §2.7). */
   case class SelectStmt(items: Seq[SelectItem], from: Option[String],
                         fromAlias: Option[String],
                         joins: Seq[JoinClause], where: Option[Expr],
-                        groupBy: Seq[Field], orderBy: Seq[Field])
+                        groupBy: Seq[Field],
+                        orderBy: Seq[(Field, Boolean)],
+                        limit: Option[Long] = None)
       extends Statement
 }

@@ -159,6 +159,22 @@ class EngineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getLong(0) == 7L)
   }
 
+  test("INSERT SELECT, ORDER BY DESC, LIMIT, SHOW scopes (supersets)") {
+    ok(eng.sql("create type vip (id uint pk, name text)"))
+    // vertices whose total quantity ≥ 4, via insert-from-select
+    ok(eng.sql("insert into vip (id) select origin from buys " +
+      "group by origin"))
+    assert(rows(eng.sql("select id from vip")).length == 2)
+    // PK-safe: re-running inserts nothing new
+    ok(eng.sql("insert into vip (id) select origin from buys group by origin"))
+    assert(rows(eng.sql("select id from vip")).length == 2)
+    val top = rows(eng.sql(
+      "select origin, quantity from buys order by quantity desc limit 2"))
+    assert(top.length == 2 && top(0).getLong(1) >= top(1).getLong(1))
+    assert(rows(eng.sql("show scopes")).map(_.getString(0))
+      .contains("retail"))
+  }
+
   test("UPDATE and DELETE rewrite tables in place") {
     ok(eng.sql("create type gadget (id uint pk, price float)"))
     ok(eng.sql("insert into gadget (id, price) (1, 10.0)"))
