@@ -20,10 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm up session machinery (codegen, parquet footer readers) so
-    // the first measured query doesn't pay one-time JVM costs
+    // warm up session machinery (codegen, shuffle, parquet readers)
+    // with a real scan+aggregate so the first measured query doesn't
+    // pay one-time JVM costs
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

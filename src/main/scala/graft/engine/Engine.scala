@@ -670,7 +670,9 @@ class Engine(val spark: SparkSession, root: String,
           case e => col(it.alias.getOrElse(defaultName(e, i)))
         }
       }
-      val out = grouped.select(outCols: _*)
+      val out0 = grouped.select(outCols: _*)
+      val out = sel.having.fold(out0)(h =>
+        out0.filter(ExprBuilder.build(h)))
       if (sel.orderBy.nonEmpty) out.orderBy(orderCols(sel.orderBy): _*)
       else out
     } else {

@@ -130,6 +130,14 @@ object TextAnalysis {
         lit(0L), (h, c) => (h * 31L + c) % M)))
   }
 
+  /** Deterministic hash-based sampling: keep rows whose multiplicative
+    * id-hash lands under `pct`% — reproducible across runs, engines,
+    * and partitionings (unlike `df.sample`, whose output depends on
+    * partition layout). The training-pipeline way to carve stable
+    * subsets/holdouts at 100 TB. Knuth multiplicative constant. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(pmod(col(idCol) * lit(2654435761L), lit(100L)) < pct)
+
   /** Document fingerprints: full-text rolling hash + winnowing min.
     *
     * Runs as a typed per-partition scan: prefix hashes make every

@@ -30,7 +30,11 @@ object TextQueries extends QueryPack {
     }),
     // Document fingerprinting: rolling hash + winnowing minimum.
     "q52_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")),
+    // Deterministic 10% sample (stable holdout carving).
+    "q71_sample_hash" -> ((s, d) =>
+      TextAnalysis.hashSample(Tables.documents(s, d), "doc_id", 10)
+        .select("doc_id", "source", "n_chars"))
   )
 
   private val profileValues = TextAnalysis.langProfiles
@@ -95,6 +99,9 @@ object TextQueries extends QueryPack {
         |  FROM grams GROUP BY doc_id)
         | SELECT dh.doc_id, CAST(dh.doc_hash AS BIGINT) AS doc_hash,
         |  CAST(wm.winnow_min AS BIGINT) AS winnow_min
-        | FROM dh JOIN wm ON dh.doc_id = wm.doc_id""".stripMargin
+        | FROM dh JOIN wm ON dh.doc_id = wm.doc_id""".stripMargin,
+    "q71_sample_hash" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        | WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin
   )
 }

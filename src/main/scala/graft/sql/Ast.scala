@@ -96,6 +96,7 @@ object Ast {
                         joins: Seq[JoinClause], where: Option[Expr],
                         groupBy: Seq[Field],
                         orderBy: Seq[(Field, Boolean)],
-                        limit: Option[Long] = None)
+                        limit: Option[Long] = None,
+                        having: Option[Expr] = None)
       extends Statement
 }

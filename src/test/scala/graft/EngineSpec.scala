@@ -175,6 +175,12 @@ class EngineSpec extends AnyFunSuite {
       .contains("retail"))
   }
 
+  test("HAVING filters aggregated groups (superset)") {
+    val g = rows(eng.sql("select origin, sum(quantity) as q from buys " +
+      "group by origin having q > 5"))
+    assert(g.length == 1 && g(0).getLong(0) == 1L)
+  }
+
   test("UPDATE and DELETE rewrite tables in place") {
     ok(eng.sql("create type gadget (id uint pk, price float)"))
     ok(eng.sql("insert into gadget (id, price) (1, 10.0)"))
