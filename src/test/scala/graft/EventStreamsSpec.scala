@@ -88,6 +88,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out(2) == EventStreams.Session(2, 50000000L, 50000000L, 1))
   }
 
+  test("file-source stream equals the batch plan on the same parquet") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, TestSpark.sfDir).write.mode("overwrite")
+      .parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.tumblingAgg(stream, "1 day")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("file_stream_test")
+      .collect().map(r => (r.get(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    val batch = EventStreams.tumblingAgg(
+      EventStreams.withEventTime(Tables.events(spark, TestSpark.sfDir)),
+      "1 day").collect().map(r => (r.get(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("batch session_window agg ends sessions at last event + gap") {
     val df = EventStreams.withEventTime(
       Seq(ev(1, 0, 1), ev(2, 60, 1), ev(3, 7200, 1)).toDF())
