@@ -379,16 +379,25 @@ class Engine(val spark: SparkSession, root: String,
       val pk = s.types(name).pk.name
       if (!valueByCol.contains(pk.toLowerCase))
         return Status(ok = false, s"missing primary key $pk")
-      val dir = s.tableDir(name)
-      if (Files.exists(dir)) {
-        val pkVal = row.select(col(pk)).collect()(0).get(0)
-        val clash = tableDf(name).filter(col(pk) === lit(pkVal))
-          .limit(1).count()
-        if (clash > 0)
-          return Status(ok = false, s"duplicate key $pkVal in $name")
-      }
+      // serialize check+append across sessions — the reference guards
+      // vertex inserts with scope locks too (SURVEY §7.3)
+      val l = Engine.lockRegistry.computeIfAbsent(
+        s"${s.name}/__table_$name", _ => new Engine.SessionRWLock())
+      l.acquire(write = true)
+      try {
+        val dir = s.tableDir(name)
+        if (Files.exists(dir)) {
+          val pkVal = row.select(col(pk)).collect()(0).get(0)
+          val clash = tableDf(name).filter(col(pk) === lit(pkVal))
+            .limit(1).count()
+          if (clash > 0)
+            return Status(ok = false, s"duplicate key $pkVal in $name")
+        }
+        row.write.mode("append").parquet(s.tableDir(name).toString)
+      } finally l.release(write = true)
+    } else {
+      row.write.mode("append").parquet(s.tableDir(name).toString)
     }
-    row.write.mode("append").parquet(s.tableDir(name).toString)
     Status(ok = true)
   }
 
