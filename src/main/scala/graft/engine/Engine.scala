@@ -316,8 +316,16 @@ class Engine(val spark: SparkSession, root: String,
     }
   }
 
+  private def isStampedEdge(table: String): Boolean =
+    current.exists(s => s.resolve(table) match {
+      case Some(("edge", n)) => s.edges(n).stamped
+      case _ => false
+    })
+
   /** DataFrame for a table: attached > scope catalog (empty-with-schema
-    * when no data has been written yet). */
+    * when no data has been written yet). Stamped edge tables carry the
+    * hidden `stamp_date` hive-partition column (dropped by projection,
+    * used by period pruning). */
   def tableDf(table: String): DataFrame =
     attached.getOrElse(table.toLowerCase, {
       val s = scope
@@ -325,11 +333,24 @@ class Engine(val spark: SparkSession, root: String,
         throw new IllegalArgumentException(s"unknown table $table"))
       val props = s.propsOf(name)
       val dir = s.tableDir(name)
-      if (Files.exists(dir))
-        spark.read.schema(Catalog.schemaOf(props)).parquet(dir.toString)
-      else spark.createDataFrame(
+      if (Files.exists(dir)) {
+        if (isStampedEdge(name)) spark.read.parquet(dir.toString)
+        else spark.read.schema(Catalog.schemaOf(props)).parquet(dir.toString)
+      } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], Catalog.schemaOf(props))
     })
+
+  /** Central table writer: stamped edges are stored hive-partitioned
+    * by UTC day of their stamp — the lakehouse analog of the
+    * reference's per-file time periods (store.h:172); stamp-range
+    * queries then prune whole days before listing files. */
+  private def writeTable(name: String, df: DataFrame, dir: String,
+                         mode: String): Unit =
+    if (isStampedEdge(name))
+      df.withColumn("stamp_date",
+          to_date(NowFunctions.stampToTs(col("stamp"))))
+        .write.partitionBy("stamp_date").mode(mode).parquet(dir)
+    else df.write.mode(mode).parquet(dir)
 
   // ── INSERT (reference query/stmt.c:2371-2448, scope/dml.c) ────────
   private def insert(ins: InsertStmt): Result = {
@@ -396,7 +417,7 @@ class Engine(val spark: SparkSession, root: String,
         row.write.mode("append").parquet(s.tableDir(name).toString)
       } finally l.release(write = true)
     } else {
-      row.write.mode("append").parquet(s.tableDir(name).toString)
+      writeTable(name, row, s.tableDir(name).toString, "append")
     }
     Status(ok = true)
   }
@@ -434,7 +455,7 @@ class Engine(val spark: SparkSession, root: String,
         deduped.join(tableDf(name).select(col(pk)), Seq(pk), "left_anti")
       else deduped
     } else full
-    out.write.mode("append").parquet(s.tableDir(name).toString)
+    writeTable(name, out, s.tableDir(name).toString, "append")
     Status(ok = true)
   }
 
@@ -450,9 +471,11 @@ class Engine(val spark: SparkSession, root: String,
       return Status(ok = false, s"unknown table $target"))
     val dir = s.tableDir(name)
     if (!Files.exists(dir)) return Status(ok = true, "empty table")
-    val out = f(tableDf(name), typeCtx(name))
+    val props = s.propsOf(name)
+    val base = tableDf(name).select(props.map(p => col(p.name)): _*)
+    val out = f(base, typeCtx(name))
     val tmp = dir.resolveSibling(name + "__rewrite")
-    out.write.mode("overwrite").parquet(tmp.toString)
+    writeTable(name, out, tmp.toString, "overwrite")
     Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
     Files.move(tmp, dir)
@@ -519,7 +542,7 @@ class Engine(val spark: SparkSession, root: String,
     }
     val out = good.select(castCols: _*)
     val loaded = out.count()
-    out.write.mode("append").parquet(s.tableDir(name).toString)
+    writeTable(name, out, s.tableDir(name).toString, "append")
     Report(loaded, errCount)
   }
 
@@ -591,6 +614,46 @@ class Engine(val spark: SparkSession, root: String,
     case _ => s"col_$idx"
   }
 
+  private def nsToDate(ns: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L))
+      .toString.take(10)
+
+  /** Extract conjunctive [start,end] ns bounds on `stamp` from a WHERE
+    * AST (string literals parse as ISO stamps). Only top-level AND
+    * conjuncts contribute — disjunctions disable pruning, like the
+    * reference's period walk. */
+  private def stampPeriod(w: Expr): Option[(Long, Long)] = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case BinOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var found = false
+    def bound(op: String, t: Long): Unit = op match {
+      case ">=" | ">" => lo = math.max(lo, t); found = true
+      case "<=" | "<" => hi = math.min(hi, t); found = true
+      case "=" =>
+        lo = math.max(lo, t); hi = math.min(hi, t); found = true
+      case _ =>
+    }
+    def flip(op: String): String = op match {
+      case ">=" => "<="; case ">" => "<"
+      case "<=" => ">="; case "<" => ">"
+      case o => o
+    }
+    conjuncts(w).foreach {
+      case BinOp(op, Field(n, _), Lit(s: String, "string"))
+          if n.equalsIgnoreCase("stamp") =>
+        ExprBuilder.parseTime(s).foreach(bound(op, _))
+      case BinOp(op, Lit(s: String, "string"), Field(n, _))
+          if n.equalsIgnoreCase("stamp") =>
+        ExprBuilder.parseTime(s).foreach(bound(flip(op), _))
+      case _ =>
+    }
+    if (found) Some((lo, hi)) else None
+  }
+
   private def orderCols(ob: Seq[(Ast.Field, Boolean)]): Seq[Column] =
     ob.map { case (f, a) => if (a) asc(f.name) else desc(f.name) }
 
@@ -633,7 +696,25 @@ class Engine(val spark: SparkSession, root: String,
     }
 
     val where = sel.where.map(w => ExprBuilder.build(w, ctx))
-    val filtered = where.fold(df)(df.filter)
+    val filtered0 = where.fold(df)(df.filter)
+    // period pruning (reference expr_period, fun/expr.c:1578-1631):
+    // extract the [start,end] stamp bounds from the WHERE conjunction
+    // and add the equivalent stamp_date partition predicate, so whole
+    // days are pruned before any file is listed.
+    val filtered =
+      if (isStampedEdge(fromName) && sel.where.isDefined
+          && df.columns.contains("stamp_date"))
+        stampPeriod(sel.where.get) match {
+          case Some((lo, hi)) =>
+            var f = filtered0
+            if (lo != Long.MinValue)
+              f = f.filter(col("stamp_date") >= lit(nsToDate(lo)))
+            if (hi != Long.MaxValue)
+              f = f.filter(col("stamp_date") <= lit(nsToDate(hi)))
+            f
+          case None => filtered0
+        }
+      else filtered0
 
     // star expansion: model order, edge fields first (plan.c:1216+)
     def starCols: Seq[Column] = {

@@ -196,6 +196,18 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(eng.sql("select id from gadget")).isEmpty)
   }
 
+  test("stamped edges store date-partitioned; stamp ranges prune") {
+    val df = eng.sql("select origin, quantity from buys " +
+      "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
+      case Rows(d) => d
+      case other => fail(s"$other")
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("stamp_date")
+      && plan.contains("isnotnull(stamp_date"), plan)
+    assert(df.count() == 4) // Jan 3 ×3 + Jan 4 ×1
+  }
+
   test("drop and if-exists behavior") {
     ok(eng.sql("drop index idx_buys"))
     assert(eng.sql("drop index idx_buys") match {
