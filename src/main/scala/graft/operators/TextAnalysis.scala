@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, and document fingerprinting.
@@ -128,6 +129,63 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), n),
       i => aggregate(codepoints(text.substr(i, lit(gram))),
         lit(0L), (h, c) => (h * 31L + c) % M)))
+  }
+
+  /** TF-IDF with smoothed idf = ln((N+1)/(df+1)): tf and df are exact
+    * longs (map-side combined group-bys), idf is the only double and
+    * is rounded before ranking so top-k order is engine-stable.
+    * Returns the top `k` terms per document. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") *
+        log((lit(n) + 1.0) / (col("df") + lit(1.0))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Benchmark decontamination: score each corpus document by its
+    * distinct word-n-gram overlap with a benchmark set — the standard
+    * check that training data doesn't contain eval data. Exact
+    * integer counts; the shingle equi-join is the scalable form (the
+    * benchmark side is tiny → broadcast). */
+  def decontaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val docSh = Dedup.wordShingles(corpus, idCol, textCol, n)
+    val benchSh = Dedup.wordShingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val sizes = docSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = docSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sizes.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          col("n_shingles").cast("double"), 6).as("contamination"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates over
+    * the same multiplicative id-hash — reproducible domain mixing. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol) * lit(2654435761L), lit(100L)) < pct)
   }
 
   /** Deterministic hash-based sampling: keep rows whose multiplicative

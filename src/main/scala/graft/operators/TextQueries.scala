@@ -34,7 +34,28 @@ object TextQueries extends QueryPack {
     // Deterministic 10% sample (stable holdout carving).
     "q71_sample_hash" -> ((s, d) =>
       TextAnalysis.hashSample(Tables.documents(s, d), "doc_id", 10)
-        .select("doc_id", "source", "n_chars"))
+        .select("doc_id", "source", "n_chars")),
+    // TF-IDF: top-3 terms per document (smoothed idf, rounded-then-
+    // ranked so ordering is engine-stable).
+    "q72_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id",
+        "text", k = 3)),
+    // Decontamination: 5-gram overlap of the corpus against the
+    // doc_id<25 "benchmark" slice.
+    "q73_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminationScores(
+        docs.filter(col("doc_id") >= 25L),
+        docs.filter(col("doc_id") < 25L), "doc_id", "text", n = 5)
+    }),
+    // Stratified deterministic sampling: src0-src4 at 5%, rest at 20%.
+    "q74_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id",
+          "source",
+          rates = Map("src0" -> 5, "src1" -> 5, "src2" -> 5,
+            "src3" -> 5, "src4" -> 5),
+          defaultPct = 20)
+        .groupBy(col("source")).agg(count(lit(1)).as("kept")))
   )
 
   private val profileValues = TextAnalysis.langProfiles
@@ -102,6 +123,45 @@ object TextQueries extends QueryPack {
         | FROM dh JOIN wm ON dh.doc_id = wm.doc_id""".stripMargin,
     "q71_sample_hash" ->
       """SELECT doc_id, source, n_chars FROM documents
-        | WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin
+        | WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,
+    "q72_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        | dfq AS (SELECT term, count(*) AS df FROM (
+        |   SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        | nn AS (SELECT count(*) AS n FROM documents),
+        | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |   round(tf.tf * ln((nn.n + 1.0) / (dfq.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf DESC, term) AS rk FROM scored)
+        | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+        | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q73_decontaminate" ->
+      """WITH csh AS (SELECT DISTINCT doc_id,
+        |   array_to_string(ws[i:i+4], ' ') AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id >= 25) t,
+        |   UNNEST(generate_series(1, len(ws) - 4)) u(i)),
+        | bsh AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id < 25) t,
+        |   UNNEST(generate_series(1, len(ws) - 4)) u(i)),
+        | sizes AS (SELECT doc_id, count(*) AS n_shingles
+        |  FROM csh GROUP BY doc_id),
+        | shared AS (SELECT c.doc_id, count(*) AS n_shared
+        |  FROM csh c JOIN bsh b ON c.s = b.s GROUP BY c.doc_id)
+        | SELECT z.doc_id, z.n_shingles,
+        |  coalesce(sh.n_shared, 0) AS n_shared,
+        |  round(coalesce(sh.n_shared, 0)
+        |    / CAST(z.n_shingles AS DOUBLE), 6) AS contamination
+        | FROM sizes z LEFT JOIN shared sh ON z.doc_id = sh.doc_id""".stripMargin,
+    "q74_stratified_sample" ->
+      """SELECT source, count(*) AS kept FROM documents
+        | WHERE (doc_id * 2654435761) % 100 < (CASE WHEN source IN
+        |  ('src0','src1','src2','src3','src4') THEN 5 ELSE 20 END)
+        | GROUP BY source""".stripMargin
   )
 }

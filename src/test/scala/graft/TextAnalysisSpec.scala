@@ -42,6 +42,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       math.ceil("der hund und der schnelle fuchs, ein tier!".length / 4.0).toLong)
   }
 
+  test("tfidf ranks rare terms above common ones") {
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "banana banana date")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(corpus, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "banana" appears in every doc → lowest idf; unique terms win
+    assert(top(1L) == "apple" && top(2L) == "cherry" && top(3L) == "date")
+  }
+
+  test("decontamination counts shared distinct n-grams") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over me"), // contains the 5-gram
+      (2L, "entirely different words here friend okay")).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminationScores(corpus, bench,
+      "doc_id", "text", n = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) == 1L && r(2L) == 0L)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = TextAnalysis.stratifiedSample(df, "id", "s",
+      Map("a" -> 0), defaultPct = 100).collect()
+    assert(kept.forall(_.getString(1) == "b") && kept.length == 500)
+  }
+
   test("fingerprints: rolling hash matches a scala reimplementation") {
     val M = 1000000007L
     def poly(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % M)
