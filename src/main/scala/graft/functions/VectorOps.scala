@@ -23,8 +23,19 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity (interpreted HOF form — see [[nativeCosine]]
+    * for the codegen'd hot-path variant; both are bit-identical). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Register the codegen'd [[CosineSim]] in the session and return a
+    * cosine builder backed by it: one fused loop per row inside
+    * whole-stage codegen instead of three interpreted folds. */
+  def nativeCosine(spark: org.apache.spark.sql.SparkSession)
+      : (Column, Column) => Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    (a, b) => call_function("graft_cosine", a, b)
+  }
 
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =

@@ -291,10 +291,11 @@ object Dedup {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    val cos = VectorOps.nativeCosine(emb.sparkSession)
     cand
       .join(v.as("va"), col("id_a") === col("va.vec_id"))
       .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
-      .withColumn("cosine", VectorOps.cosine(col("va.v"), col("vb.v")))
+      .withColumn("cosine", cos(col("va.v"), col("vb.v")))
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

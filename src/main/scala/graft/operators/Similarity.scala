@@ -24,9 +24,10 @@ object Similarity {
   /** Exact top-k by cosine against one literal query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession)
     val q = typedlit(query)
     emb.select(col(idCol).as("vec_id"),
-        round(cosine(toDoubleVec(col(vecCol)), q), 6).as("cosine"))
+        round(cos(toDoubleVec(col(vecCol)), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -41,10 +42,11 @@ object Similarity {
       toDoubleVec(col(vecCol)).as("v"))
     val qs = queries.select(col(qIdCol).as("query_id"),
       toDoubleVec(col(qVecCol)).as("qv"))
+    val cos = nativeCosine(emb.sparkSession)
     val scored = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("v"), col("qv")).as("cos_raw"))
+        cos(col("v"), col("qv")).as("cos_raw"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -69,13 +71,14 @@ object Similarity {
     * partitioned by centroid_id. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("vec_id"),
       toDoubleVec(col(vecCol)).as("v"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id").asc)
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("centroid_id"),
-        cosine(col("v"), col("cv")).as("sim"))
+        cos(col("v"), col("cv")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
@@ -85,14 +88,15 @@ object Similarity {
     * vectors assigned to the closest `nprobe` centroids. */
   def ivfSearch(assigned: DataFrame, cents: DataFrame,
                 query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val cos = nativeCosine(assigned.sparkSession)
     val q = typedlit(query)
     val probed = cents
-      .select(col("centroid_id"), cosine(col("cv"), q).as("csim"))
+      .select(col("centroid_id"), cos(col("cv"), q).as("csim"))
       .orderBy(col("csim").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select("centroid_id")
     assigned.join(broadcast(probed), Seq("centroid_id"), "left_semi")
-      .select(col("vec_id"), round(cosine(col("v"), q), 6).as("cosine"))
+      .select(col("vec_id"), round(cos(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

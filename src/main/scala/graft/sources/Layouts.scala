@@ -60,15 +60,16 @@ object Layouts {
   def searchIvf(spark: SparkSession, path: String, query: Seq[Double],
                 nprobe: Int, k: Int): DataFrame = {
     import graft.functions.VectorOps._
+    val cos = nativeCosine(spark)
     val q = typedlit(query)
     val probed = spark.read.parquet(s"$path/centroids")
-      .select(col("centroid_id"), cosine(col("cv"), q).as("csim"))
+      .select(col("centroid_id"), cos(col("cv"), q).as("csim"))
       .orderBy(col("csim").desc, col("centroid_id").asc)
       .limit(nprobe).collect().map(_.getLong(0))
     spark.read.parquet(s"$path/vectors")
       .filter(col("centroid_id").isin(probed: _*)) // partition pruning
       .select(col("vec_id"),
-        round(cosine(col("v"), q), 6).as("cosine"))
+        round(cos(col("v"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -5,6 +5,25 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("codegen CosineSim is bit-identical to the HOF fold") {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions._
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val cos = VectorOps.nativeCosine(spark0)
+    val out = rows.select(VectorOps.cosine($"a", $"b").as("hof"),
+      cos($"a", $"b").as("native")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
