@@ -140,9 +140,24 @@ class Engine(val spark: SparkSession, root: String,
       else if (s.resolve(on).isEmpty)
         Status(ok = false, s"index on unknown table $on")
       else {
-        // metadata-only: Catalyst needs no user indexes (SURVEY §2.11)
         s.indexes += name -> Catalog.IndexDef(name, on, fields)
-        s.save(); Status(ok = true)
+        s.save()
+        // Catalyst needs no B⁺-tree, but the index INTENT (cluster by
+        // these keys — reference index/index.h) maps to a physical
+        // reorganization: range-repartition + sort by the index fields
+        // so parquet row-group min/max stats skip on those columns.
+        // The reference's background sorter is the same idea applied
+        // to its pending files (store/storewrk.c:470-530).
+        val (_, tname) = s.resolve(on).get
+        if (Files.exists(s.tableDir(tname)))
+          rewrite(tname) { (df, _) =>
+            df.repartitionByRange(fields.map(col): _*)
+              .sortWithinPartitions(fields.map(col): _*)
+          } match {
+            case st @ Status(false, _) => return st
+            case _ =>
+          }
+        Status(ok = true)
       }
     case CreateProcedure(module, name, args, lang, _) =>
       val s = scope
@@ -286,6 +301,10 @@ class Engine(val spark: SparkSession, root: String,
 
     // ── DQL ─────────────────────────────────────────────────────────
     case sel: SelectStmt => Rows(buildSelect(sel))
+    case ExplainStmt(sel) =>
+      import spark.implicits._
+      Rows(Seq(buildSelect(sel).queryExecution.executedPlan.toString())
+        .toDF("plan"))
   }
 
   // ── cursors (reference FETCH/CLOSE protocol, ifc/nowdb.c) ─────────

@@ -65,6 +65,8 @@ object Ast {
   case class UnlockStmt(name: String) extends Statement
   case class ExecStmt(name: String, args: Seq[Expr]) extends Statement
   case class FetchStmt(cursorId: Long) extends Statement
+  /** EXPLAIN SELECT … — engine extension: returns the physical plan. */
+  case class ExplainStmt(select: SelectStmt) extends Statement
   case class CloseStmt(cursorId: Long) extends Statement
 
   // DML

@@ -208,6 +208,16 @@ class EngineSpec extends AnyFunSuite {
     assert(df.count() == 4) // Jan 3 ×3 + Jan 4 ×1
   }
 
+  test("CREATE INDEX reorganizes data; EXPLAIN returns the plan") {
+    // index on a populated table → range-repartition + sort rewrite
+    ok(eng.sql("create index idx_prod_price on product (price)"))
+    val after = rows(eng.sql("select id, title from product"))
+    assert(after.length == 2) // data intact after reorganization
+    val pl = rows(eng.sql(
+      "explain select id from product where price > 2.0"))
+    assert(pl.length == 1 && pl(0).getString(0).contains("FileScan"), pl)
+  }
+
   test("drop and if-exists behavior") {
     ok(eng.sql("drop index idx_buys"))
     assert(eng.sql("drop index idx_buys") match {
