@@ -327,11 +327,33 @@ class Engine(val spark: SparkSession, root: String,
 
   // ── table access ──────────────────────────────────────────────────
   private def typeCtx(table: String): Map[String, String] = {
-    attachedTimeCols.get(table.toLowerCase) match {
-      case Some(cols) => cols.map(_ -> "time").toMap
+    attached.get(table.toLowerCase) match {
+      case Some(df) =>
+        // derive NoWDB kinds from the Spark schema so expression
+        // typing (e.g. QUOT integer division) works on mounted
+        // tables too; declared timeCols override the derived kind
+        val derived = df.schema.fields.flatMap { f =>
+          val kind = f.dataType match {
+            case _: org.apache.spark.sql.types.ByteType |
+                 _: org.apache.spark.sql.types.ShortType |
+                 _: org.apache.spark.sql.types.IntegerType |
+                 _: org.apache.spark.sql.types.LongType => Some("int")
+            case _: org.apache.spark.sql.types.FloatType |
+                 _: org.apache.spark.sql.types.DoubleType => Some("float")
+            // NOTE: TimestampType is deliberately untagged — engine
+            // "time" means ns-long stamps (declared via timeCols);
+            // coercing literals to ns against a real timestamp column
+            // would compare across domains.
+            case _: org.apache.spark.sql.types.StringType => Some("text")
+            case _: org.apache.spark.sql.types.BooleanType => Some("bool")
+            case _ => None
+          }
+          kind.map(f.name.toLowerCase -> _)
+        }.toMap
+        derived ++ attachedTimeCols.getOrElse(table.toLowerCase, Set.empty)
+          .map(_ -> "time").toMap
       case None =>
-        if (attached.contains(table.toLowerCase)) Map.empty
-        else scope.propsOf(table).map(p => p.name.toLowerCase -> p.typ).toMap
+        scope.propsOf(table).map(p => p.name.toLowerCase -> p.typ).toMap
     }
   }
 
@@ -358,6 +380,18 @@ class Engine(val spark: SparkSession, root: String,
       } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], Catalog.schemaOf(props))
     })
+
+  /** Serialize all writers of one table across sessions — the same
+    * registry lock the PK-checked vertex insert takes. Appends must
+    * not interleave with rewrite()'s delete+swap, or a concurrently
+    * appended file is silently deleted with the old directory. */
+  private def withTableWriteLock[A](scopeName: String, table: String)(
+      body: => A): A = {
+    val l = Engine.lockRegistry.computeIfAbsent(
+      s"$scopeName/__table_$table", _ => new Engine.SessionRWLock())
+    l.acquire(write = true)
+    try body finally l.release(write = true)
+  }
 
   /** Central table writer: stamped edges are stored hive-partitioned
     * by UTC day of their stamp — the lakehouse analog of the
@@ -421,10 +455,7 @@ class Engine(val spark: SparkSession, root: String,
         return Status(ok = false, s"missing primary key $pk")
       // serialize check+append across sessions — the reference guards
       // vertex inserts with scope locks too (SURVEY §7.3)
-      val l = Engine.lockRegistry.computeIfAbsent(
-        s"${s.name}/__table_$name", _ => new Engine.SessionRWLock())
-      l.acquire(write = true)
-      try {
+      withTableWriteLock(s.name, name) {
         val dir = s.tableDir(name)
         if (Files.exists(dir)) {
           val pkVal = row.select(col(pk)).collect()(0).get(0)
@@ -434,9 +465,11 @@ class Engine(val spark: SparkSession, root: String,
             return Status(ok = false, s"duplicate key $pkVal in $name")
         }
         row.write.mode("append").parquet(s.tableDir(name).toString)
-      } finally l.release(write = true)
+      }
     } else {
-      writeTable(name, row, s.tableDir(name).toString, "append")
+      withTableWriteLock(s.name, name) {
+        writeTable(name, row, s.tableDir(name).toString, "append")
+      }
     }
     Status(ok = true)
   }
@@ -474,7 +507,9 @@ class Engine(val spark: SparkSession, root: String,
         deduped.join(tableDf(name).select(col(pk)), Seq(pk), "left_anti")
       else deduped
     } else full
-    writeTable(name, out, s.tableDir(name).toString, "append")
+    withTableWriteLock(s.name, name) {
+      writeTable(name, out, s.tableDir(name).toString, "append")
+    }
     Status(ok = true)
   }
 
@@ -488,17 +523,22 @@ class Engine(val spark: SparkSession, root: String,
     val s = scope
     val (_, name) = s.resolve(target).getOrElse(
       return Status(ok = false, s"unknown table $target"))
-    val dir = s.tableDir(name)
-    if (!Files.exists(dir)) return Status(ok = true, "empty table")
-    val props = s.propsOf(name)
-    val base = tableDf(name).select(props.map(p => col(p.name)): _*)
-    val out = f(base, typeCtx(name))
-    val tmp = dir.resolveSibling(name + "__rewrite")
-    writeTable(name, out, tmp.toString, "overwrite")
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.delete(p))
-    Files.move(tmp, dir)
-    Status(ok = true)
+    // The whole read→transform→swap must hold the table write lock:
+    // a concurrent PK-checked INSERT appending between the snapshot
+    // and the directory delete would be silently lost otherwise.
+    withTableWriteLock(s.name, name) {
+      val dir = s.tableDir(name)
+      if (!Files.exists(dir)) return Status(ok = true, "empty table")
+      val props = s.propsOf(name)
+      val base = tableDf(name).select(props.map(p => col(p.name)): _*)
+      val out = f(base, typeCtx(name))
+      val tmp = dir.resolveSibling(name + "__rewrite")
+      writeTable(name, out, tmp.toString, "overwrite")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      Files.move(tmp, dir)
+      Status(ok = true)
+    }
   }
 
   // ── CSV LOAD (reference scope/loader.c; LOAD stmt sql §2.1) ──────
@@ -561,7 +601,9 @@ class Engine(val spark: SparkSession, root: String,
     }
     val out = good.select(castCols: _*)
     val loaded = out.count()
-    writeTable(name, out, s.tableDir(name).toString, "append")
+    withTableWriteLock(s.name, name) {
+      writeTable(name, out, s.tableDir(name).toString, "append")
+    }
     Report(loaded, errCount)
   }
 

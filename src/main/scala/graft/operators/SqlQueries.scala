@@ -54,7 +54,13 @@ object SqlQueries extends QueryPack {
         |      else 'lo' end as bucket
         | from events where event_type in ('click', 'view')""".stripMargin),
     // SELECT without FROM: constants, ^ as power
-    "q67_sql_const" -> q("select 3*2^2 as v, pi() as pi")
+    "q67_sql_const" -> q("select 3*2^2 as v, pi() as pi"),
+    // QUOT: `/` on int operands is the integer quotient
+    // (fun/expr.c:1842,2228-2233); float operand → double division
+    "q75_sql_intdiv" -> q(
+      """select l_orderkey, l_partkey / 7 as q, l_partkey % 7 as r,
+        | l_quantity / 7 as fq
+        | from lineitem where l_orderkey < 500""".stripMargin)
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +89,10 @@ object SqlQueries extends QueryPack {
         |       ELSE 'lo' END AS bucket
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
     "q67_sql_const" ->
-      "SELECT 12.0 AS v, pi() AS pi"
+      "SELECT 12.0 AS v, pi() AS pi",
+    "q75_sql_intdiv" ->
+      """SELECT l_orderkey, l_partkey // 7 AS q, l_partkey % 7 AS r,
+        |  l_quantity / 7 AS fq
+        | FROM lineitem WHERE l_orderkey < 500""".stripMargin
   )
 }

@@ -67,6 +67,58 @@ object ExprBuilder {
     }
   }
 
+  /** Static NoWDB numeric kind of an expression: Some("int"),
+    * Some("float"), or None when unknown. Drives `/` semantics — the
+    * reference's QUOT (fun/expr.c:1842,2228-2233) takes the integer
+    * quotient when both operands are non-float. Only provably-integer
+    * expressions are tagged "int"; anything uncertain keeps the
+    * double-division fallback. */
+  private def numKind(e: Expr, ctx: Ctx): Option[String] = e match {
+    case Lit(_, "uint" | "int") => Some("int")
+    case Lit(_, "float") => Some("float")
+    case f: Field =>
+      ctx.get(fieldKey(f)).orElse(ctx.get(f.name.toLowerCase)) match {
+        case Some("float") => Some("float")
+        case Some("int" | "uint" | "time" | "date") => Some("int")
+        case _ => None
+      }
+    case UnOp("-", x) => numKind(x, ctx)
+    case BinOp("+" | "-" | "*" | "%" | "/", l, r) =>
+      (numKind(l, ctx), numKind(r, ctx)) match {
+        case (Some("int"), Some("int")) => Some("int")
+        case (Some(_), Some(_)) => Some("float")
+        case _ => None
+      }
+    case BinOp("^", _, _) => Some("float") // pow is always double
+    case CaseExpr(branches, other) =>
+      val ks = (branches.map(_._2) ++ other.toSeq).map(numKind(_, ctx))
+      if (ks.exists(_.isEmpty)) None
+      else if (ks.forall(_.contains("int"))) Some("int")
+      else Some("float")
+    case FnCall(name, args) => name match {
+      case "toint" | "touint" | "totime" | "year" | "month" | "mday" |
+           "wday" | "yday" | "hour" | "minute" | "second" | "milli" |
+           "micro" | "nano" | "now" | "dawn" | "dusk" | "epoch" |
+           "bin" | "length" | "pos" => Some("int")
+      // floor/ceil return long here (Spark semantics, also what the
+      // differential fuzzer's interpreter implements)
+      case "floor" | "ceil" => Some("int")
+      case "tofloat" | "pi" | "e" | "log" | "sin" | "sine" | "cos" |
+           "cosine" | "tan" | "tangent" | "asin" | "arcsine" | "arcsin" |
+           "acos" | "arccosine" | "arccos" | "atan" | "arctangent" |
+           "arctan" | "sinh" | "cosh" | "tanh" | "asinh" | "acosh" |
+           "atanh" => Some("float")
+      case "abs" | "just" => numKind(args.head, ctx)
+      case "coal" | "coalesce" =>
+        val ks = args.map(numKind(_, ctx))
+        if (ks.exists(_.isEmpty)) None
+        else if (ks.forall(_.contains("int"))) Some("int")
+        else Some("float")
+      case _ => None
+    }
+    case _ => None
+  }
+
   def build(e: Expr, ctx: Ctx = Map.empty): Column = e match {
     case Lit(null, _) => lit(null)
     case Lit(v, _) => lit(v)
@@ -90,7 +142,13 @@ object ExprBuilder {
         case "+" => lc + rc
         case "-" => lc - rc
         case "*" => lc * rc
-        case "/" => lc / rc
+        case "/" =>
+          // QUOT: int/int takes the truncating integer quotient
+          // (fun/expr.c:1842,2228-2233); anything else divides double
+          if (numKind(l, ctx).contains("int") &&
+              numKind(r, ctx).contains("int"))
+            NowFunctions.intDiv(lc, rc)
+          else lc / rc
         case "%" => NowFunctions.rem(lc, rc)
         case "^" => NowFunctions.power(lc, rc)
       }

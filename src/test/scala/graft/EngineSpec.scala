@@ -181,6 +181,29 @@ class EngineSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).getLong(0) == 1L)
   }
 
+  test("LIMIT/HAVING right after FROM are clauses, not table aliases") {
+    assert(rows(eng.sql("select origin from buys limit 3")).length == 3)
+    val h = rows(eng.sql("select origin, sum(quantity) as q from buys " +
+      "group by origin having q > 5"))
+    assert(h.length == 1)
+    // a genuine alias still parses
+    assert(rows(eng.sql("select b.origin from buys b limit 2")).length == 2)
+  }
+
+  test("int/int division takes the integer quotient (QUOT)") {
+    // literals: 7/2 = 3, not 3.5; float operand falls back to double
+    val c = rows(eng.sql("select 7/2 as q, 7/2.0 as f, -7/2 as nq"))
+    assert(c(0).getLong(0) == 3L)
+    assert(c(0).getDouble(1) == 3.5)
+    assert(c(0).getLong(2) == -3L) // truncation toward zero, like C
+    // typed columns: quantity is int, amount float
+    val r = rows(eng.sql(
+      "select quantity/2 as qi, amount/2 as af from buys " +
+        "where origin = 1 and quantity = 3"))
+    assert(r(0).getLong(0) == 1L)
+    assert(math.abs(r(0).getDouble(1) - 3 * 1.99 / 2) < 1e-9)
+  }
+
   test("UPDATE and DELETE rewrite tables in place") {
     ok(eng.sql("create type gadget (id uint pk, price float)"))
     ok(eng.sql("insert into gadget (id, price) (1, 10.0)"))

@@ -11,8 +11,9 @@ import graft.sql.Ast._
   * formulas in the NoWDB dialect, (1) round-trip them through the
   * parser, (2) evaluate via ExprBuilder→Catalyst and compare against
   * an independent Scala interpreter implementing the same semantics
-  * (uint=long arithmetic, / always float division, ^ = pow, floor/
-  * ceil → long, NULL propagation). */
+  * (uint=long arithmetic, QUOT `/`: int/int takes the integer
+  * quotient, otherwise float division — fun/expr.c:2228-2233, ^ =
+  * pow, floor/ceil → long, NULL propagation). */
 class FormulaPropertySpec extends AnyFunSuite {
   val spark = TestSpark.spark
 
@@ -66,7 +67,7 @@ class FormulaPropertySpec extends AnyFunSuite {
         case "+" => l + r
         case "-" => l - r
         case "*" => l * r
-        case "/" => l.toDouble / r // Spark Divide is float division
+        case "/" => l / r // QUOT: integer quotient, truncating like C
         case "%" => l % r
         case "^" => math.pow(l.toDouble, r.toDouble)
       }

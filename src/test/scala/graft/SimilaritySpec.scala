@@ -24,6 +24,32 @@ class SimilaritySpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+  test("CosineSim matches the HOF fold on nulls and ragged lengths") {
+    import graft.functions.VectorOps
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0)),  // null element
+      (2L, Seq[java.lang.Double](1.0, 2.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0)),  // ragged lengths
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0))   // clean
+    ).toDF("id", "a", "b")
+    val cos = VectorOps.nativeCosine(spark0)
+    val out = rows
+      .select($"id", VectorOps.cosine($"a", $"b").as("hof"),
+        cos($"a", $"b").as("native"))
+      .orderBy($"id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+    assert(out(0).isNullAt(2) && out(1).isNullAt(2) && !out(2).isNullAt(2))
+  }
+
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -57,4 +57,64 @@ class StressSpec extends AnyFunSuite {
     }
     assert(rows == (0L until perSession.toLong))
   }
+
+  test("concurrent UPDATE rewrite never loses a concurrent insert") {
+    val root = Files.createTempDirectory("stress-rw").toString
+    val setup = new Engine(spark, root)
+    setup.sql("create scope rwstress")
+    setup.sql("use rwstress")
+    setup.sql("create type acct (id uint pk, bal int)")
+    setup.sql("insert into acct (id, bal) (0, 100)")
+
+    // one session repeatedly rewrites (UPDATE = snapshot/delete/swap),
+    // another appends fresh PKs; without the shared table write lock
+    // an append landing between snapshot and delete is silently lost
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val n = 8
+    val updater = pool.submit(new Runnable {
+      def run(): Unit = {
+        val e = new Engine(spark, root)
+        e.sql("use rwstress")
+        start.await()
+        (0 until n).foreach { _ =>
+          e.sql("update acct set bal = bal + 1 where id = 0") match {
+            case Status(true, _) =>
+            case other => fail(s"update failed: $other")
+          }
+        }
+      }
+    })
+    val inserter = pool.submit(new Runnable {
+      def run(): Unit = {
+        val e = new Engine(spark, root)
+        e.sql("use rwstress")
+        start.await()
+        (1 to n).foreach { i =>
+          e.sql(s"insert into acct (id, bal) ($i, $i)") match {
+            case Status(true, _) =>
+            case other => fail(s"insert failed: $other")
+          }
+        }
+      }
+    })
+    start.countDown()
+    updater.get(300, TimeUnit.SECONDS)
+    inserter.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    val reader = new Engine(spark, root)
+    reader.sql("use rwstress")
+    val ids = reader.sql("select id from acct") match {
+      case Rows(df) => df.collect().map(_.getLong(0)).sorted.toSeq
+      case other => fail(s"$other")
+    }
+    assert(ids == (0L to n.toLong), s"lost rows: got $ids")
+    // the updater's increments all survived too
+    val bal = reader.sql("select bal from acct where id = 0") match {
+      case Rows(df) => df.collect()(0).getLong(0)
+      case other => fail(s"$other")
+    }
+    assert(bal == 100L + n)
+  }
 }
