@@ -29,14 +29,32 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // local-iteration knobs (unset in driver runs): SPARK_GRAFT_ONLY
+    // is a comma-separated substring filter, SPARK_GRAFT_REPS repeats
+    // each query and keeps the fastest rep (isolates plan cost from
+    // GC/JIT noise).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.isEmpty || only.exists(name.contains)
+    }
+    val results = selected.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators persist reused intermediates for the duration of
+          // their query; drop them so caches don't accumulate memory
+          // pressure across the 75-query run
+          spark.catalog.clearCache()
+          dt
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

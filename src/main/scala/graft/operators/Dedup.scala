@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorOps
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -29,24 +30,60 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles: (doc_id, shingle). Documents with
-    * fewer than n words produce no shingles. */
+    * fewer than n words produce no shingles. Distinctness is per
+    * document, so it's enforced row-locally with `array_distinct`
+    * BEFORE the explode — zero shuffle, unlike a global `.distinct()`
+    * which would reshuffle the whole exploded set. */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("w")) - (n - 1)),
-        i => array_join(slice(col("w"), i, lit(n)), " "))).as("shingle"))
-      .distinct()
+        i => array_join(slice(col("w"), i, lit(n)), " ")))).as("shingle"))
 
-  /** MinHash signatures: k independent hash functions realized as
-    * xxhash64(shingle, seed) — k min-aggregates with map-side partial
-    * aggregation; one shuffle on doc_id. Output: doc_id, mh0..mh{k-1}. */
+  /** [[wordShingles]] with each shingle hashed to its 64-bit
+    * xxhash64: (doc_id, shingle: long). Signatures, LSH banding, and
+    * exact-Jaccard verification only consume set identity, so running
+    * them over the 8-byte hash instead of the n-gram string shrinks
+    * every shuffle, cache, and join key ~4× — the difference between
+    * shuffling ~10× corpus size and ~2× at 100 TB. Two different
+    * n-grams of one document colliding (which is what it would take to
+    * perturb a Jaccard count) is a ~2⁻⁶⁴·|doc|² event — below any
+    * realistic bit-error rate. */
+  def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => xxhash64(array_join(slice(col("w"), i, lit(n)), " ")))))
+        .as("shingle"))
+
+  /** MinHash signatures: k independent hash functions, realized as one
+    * base string hash h0 = xxhash64(shingle) re-mixed per function by
+    * hashing the (h0, i) long pair — the standard "one hash + k mixes"
+    * construction (Broder's original minwise family only needs pairwise
+    * independence per function). Hashing two longs is a handful of
+    * xxhash rounds vs re-hashing the whole shingle string k times, so
+    * the map-side cost drops ~10× at equal recall. k min-aggregates
+    * with map-side partial aggregation; one shuffle on doc_id. */
   def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
-    shingles.groupBy(col("doc_id"))
-      .agg(min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+    shingles
+      .select(col("doc_id"), featureHash(shingles).as("h0"))
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h0"), lit(0))).as("mh0"),
         (1 until k).map(i =>
-          min(xxhash64(col("shingle"), lit(i))).as(s"mh$i")): _*)
+          min(xxhash64(col("h0"), lit(i))).as(s"mh$i")): _*)
+
+  /** Base feature hash of the `shingle` column: already-long input
+    * (from [[wordShingleHashes]]) passes through; strings hash here —
+    * both yield xxhash64(shingle string), so pipelines are identical
+    * whichever form they're fed. */
+  private def featureHash(shingles: DataFrame): Column =
+    if (shingles.schema("shingle").dataType ==
+        org.apache.spark.sql.types.LongType) col("shingle")
+    else xxhash64(col("shingle"))
 
   /** LSH banding: split the k-wide signature into `bands` bands of
     * `r` rows, hash each band, and emit candidate pairs of documents
@@ -93,25 +130,44 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                           tau: Double = 0.5): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, shingleN)
-    val sig = minHashSignatures(sh, k)
+    // sh is referenced 4× downstream (signatures + the three verify
+    // legs) and sig 2× (both sides of the bucket self-join): persist
+    // both or the whole explode/distinct pipeline re-runs per leg —
+    // at 100 TB the shingle set is ~10× the corpus, so recomputing it
+    // four times dwarfs the cost of spilling it once.
+    val sh = wordShingleHashes(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minHashSignatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(sig, k, bands)
     jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
   }
 
-  /** SimHash-64 over shingle features: per bit, sum ±1 weighted by the
-    * feature hash's bit, then pack the signs into one long. 64 sums
-    * with map-side partial aggregation; one shuffle on doc_id. */
+  /** SimHash-64 over shingle features. The textbook form keeps 64 ±1
+    * sums; materializing that as 64 aggregate buffers makes Janino
+    * compile a huge HashAggregate method (seconds of one-time codegen)
+    * and quadruples the buffer width. Instead pack 4 bit-counters of
+    * 16 bits each into one long (SWAR): 16 packed sums + one count.
+    * Bit j's sign is 2·c_j > n ⟺ the ±1 sum is positive — identical
+    * output, ~4× less codegen and aggregation state. Lanes are 16-bit,
+    * so documents are capped at 65535 distinct shingles (far beyond
+    * any real document; the shingle set is `distinct` per doc). */
   def simHash(shingles: DataFrame, bits: Int = 64): DataFrame = {
-    val h = xxhash64(col("shingle"))
-    val sums = (0 until bits).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+    val h = featureHash(shingles)
+    val lanes = 4 // 16-bit counters per 64-bit sum
+    val groups = bits / lanes
+    val sums = (0 until groups).map { g =>
+      sum((0 until lanes).map { l =>
+        shiftright(h, g * lanes + l).bitwiseAND(lit(1L)) *
+          lit(1L << (16 * l))
+      }.reduce(_ + _)).as(s"s$g")
     }
     val packed = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      val cj = shiftright(col(s"s${j / lanes}"), 16 * (j % lanes))
+        .bitwiseAND(lit(0xFFFFL))
+      when(cj * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    shingles.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    shingles.groupBy(col("doc_id"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
 
@@ -120,8 +176,10 @@ object Dedup {
     * come from 4 chunk-equality joins, then exact popcount verify. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, shingleN)
-    val sig = simHash(sh)
+    val sh = wordShingleHashes(docs, idCol, textCol, shingleN)
+    // the 64-sum signature aggregation is the expensive stage; both
+    // sides of the chunk self-join need it, so compute it once
+    val sig = simHash(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
@@ -157,7 +215,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double,
                         denseVocabLimit: Int = 4096): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, n)
+    // both regimes walk the shingle set repeatedly (vocab probe +
+    // either the bitset build or prefix-rank/verify legs)
+    val sh = wordShingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab = sh.select("shingle").distinct().count()
     if (vocab <= denseVocabLimit) densePairs(sh, vocab.toInt, tau)
     else prefixFilteredPairs(sh, tau)
@@ -169,11 +230,11 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     val shingleIdx = sh.select("shingle").distinct().orderBy("shingle")
-      .collect().map(_.getString(0)).zipWithIndex.toMap
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
     val idxB = spark.sparkContext.broadcast(shingleIdx)
     val words = (vocab + 63) / 64
     val docBits = sh.select(col("doc_id").cast("long"), col("shingle"))
-      .as[(Long, String)]
+      .as[(Long, Long)]
       .mapPartitions { it =>
         val m = idxB.value
         it.map { case (id, s) => (id, m(s)) }
@@ -220,6 +281,7 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
       .select(col("doc_id"), col("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     val cand = ranked.as("sa")
       .join(ranked.as("sb"), col("sa.shingle") === col("sb.shingle")
         && col("sa.doc_id") < col("sb.doc_id"))
@@ -283,7 +345,9 @@ object Dedup {
                             bitsPerBand: Int = 8): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
       VectorOps.toDoubleVec(col(vecCol)).as("v"))
+    // bands×bits dot products per vector — compute once, join twice
     val buckets = hyperplaneBuckets(v, bands, bitsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // dedupe candidate ids first — vectors rejoin after the shuffle
     val cand = buckets.as("a")
       .join(buckets.as("b"),

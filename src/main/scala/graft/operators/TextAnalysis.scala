@@ -163,8 +163,11 @@ object TextAnalysis {
   def decontaminationScores(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, textCol: String,
                             n: Int): DataFrame = {
-    val docSh = Dedup.wordShingles(corpus, idCol, textCol, n)
-    val benchSh = Dedup.wordShingles(benchmark, idCol, textCol, n)
+    // overlap only needs set identity → 8-byte shingle hashes, and
+    // docSh feeds both legs (sizes + shared) → persist once
+    val docSh = Dedup.wordShingleHashes(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = Dedup.wordShingleHashes(benchmark, idCol, textCol, n)
       .select(col("shingle")).distinct()
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
