@@ -27,6 +27,16 @@ object CoreQueries extends QueryPack {
   /** Deterministic double sum: exact decimal sum, then back to double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Deterministic double sum via scaled 64-bit integers: round to
+    * 4 dp fixed-point, sum exactly in long, divide back. Same
+    * order-independence guarantee as [[dsum]] but ~3× faster — Spark's
+    * decimal sum buffer (input precision + 10 > 18 digits) falls off
+    * the long-backed fast path into per-row java.math.BigDecimal,
+    * while this stays in primitive long the whole way. Overflow bound:
+    * 2⁶³/10⁴ ≈ 9.2e14 per partial sum. */
+  private def lsum(c: Column): Column =
+    sum(round(c * lit(10000)).cast("long")) / lit(10000.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Scans / readers (SURVEY §2.1) ────────────────────────────────
     // FULLSCAN (reader.c:1100-1131): full scan + filter; Catalyst pushes
@@ -158,12 +168,12 @@ object CoreQueries extends QueryPack {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          lsum(col("l_quantity")).as("sum_qty"),
+          lsum(col("l_extendedprice")).as("sum_base_price"),
+          lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          (lsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (lsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
     // min/max/spread (fun.c:385-404): spread = max − min.
@@ -387,11 +397,11 @@ object CoreQueries extends QueryPack {
         | FROM events""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        | sum(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0 AS sum_qty,
+        | sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS sum_base_price,
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+        | sum(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0 / count(*) AS avg_qty,
+        | sum(CAST(round(l_discount * 10000) AS BIGINT)) / 10000.0 / count(*) AS avg_disc,
         | count(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q17_minmax_spread" ->

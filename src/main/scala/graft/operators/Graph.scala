@@ -36,18 +36,23 @@ object Graph {
       .select(col("a"), col("b"), col("c"))
 
   /** Vertex pairs on the `dst` side sharing at least `minShared`
-    * common `src` neighbors (co-occurrence graph). The self-join is on
-    * the src id — pairs per src grow quadratically with its out-degree,
+    * common `src` neighbors (co-occurrence graph). One shuffle on the
+    * src id (groupBy + collect_set, map-side combined) and in-row pair
+    * expansion — instead of the textbook self-join, which shuffles the
+    * edge set three times (distinct, join, count) and re-scans it
+    * twice. Pairs per src still grow quadratically with out-degree,
     * so skewed hubs should be capped upstream at extreme scale. */
   def commonNeighborPairs(edges: DataFrame, src: String, dst: String,
-                          minShared: Long): DataFrame = {
-    val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
-    e.as("x").join(e.as("y"),
-        col("x.s") === col("y.s") && col("x.d") < col("y.d"))
-      .groupBy(col("x.d").as("d_a"), col("y.d").as("d_b"))
+                          minShared: Long): DataFrame =
+    edges.select(col(src).as("s"), col(dst).as("d"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+          y => struct(x.as("d_a"), y.as("d_b")))))).as("p"))
+      .groupBy(col("p.d_a").as("d_a"), col("p.d_b").as("d_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-  }
 
   /** Undirected connected components by min-label propagation.
     * Converges in O(diameter) iterations; each iteration is one

@@ -53,8 +53,8 @@ object StreamingQueries extends QueryPack {
         |     - k * 10800000000) AS w_start, event_type, value
         |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
         | SELECT w_start, event_type, count(*) AS n,
-        |  round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
-        |    AS DOUBLE) / count(*), 6) AS avg_value
+        |  ((CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |     * 200 + count(*)) // (2 * count(*))) / 1000000.0 AS avg_value
         | FROM wins GROUP BY 1, 2""".stripMargin,
     "q55_session_window" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

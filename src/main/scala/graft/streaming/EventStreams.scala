@@ -54,7 +54,12 @@ object EventStreams {
   }
 
   /** Sliding event-time windows (width/slide) with count and a
-    * deterministic mean (decimal sum ÷ count, one double division). */
+    * deterministic mean. The 6-dp mean is rounded in integer
+    * arithmetic — avg·10⁶ = (S₄·200 + n) div 2n over the exact
+    * fixed-point sum S₄ = sv·10⁴ — so the HALF_UP decision never
+    * rests on a double ulp (a plain `round(double, 6)` diverges
+    * between engines when the mean lands within an ulp of a 5·10⁻⁷
+    * boundary, which real data does hit). */
   def slidingAgg(events: DataFrame, width: String, slide: String,
                  watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts_utc", w))
@@ -63,7 +68,9 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).as("sv"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
-        round(col("sv").cast("double") / col("n"), 6).as("avg_value"))
+        (graft.functions.NowFunctions.intDiv(
+          (col("sv") * 10000).cast("long") * 200 + col("n"),
+          col("n") * 2) / lit(1000000.0)).as("avg_value"))
   }
 
   /** Built-in gap-based session windows per user: session start, end
