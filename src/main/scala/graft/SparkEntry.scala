@@ -20,7 +20,8 @@ object SparkEntry {
     StreamingQueries,
     MultimodalQueries,
     SqlQueries,
-    GraphQueries
+    GraphQueries,
+    TemporalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
