@@ -21,7 +21,8 @@ object SparkEntry {
     MultimodalQueries,
     SqlQueries,
     GraphQueries,
-    TemporalQueries
+    TemporalQueries,
+    SkewQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
