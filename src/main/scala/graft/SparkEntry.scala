@@ -22,7 +22,8 @@ object SparkEntry {
     SqlQueries,
     GraphQueries,
     TemporalQueries,
-    SkewQueries
+    SkewQueries,
+    SketchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -42,6 +42,25 @@ object Layouts {
         && col("ts") >= fromNs && col("ts") < untilNs) // row-group stats
   }
 
+  /** Save a table bucketed by a join key (hive-style bucketed parquet
+    * via saveAsTable). Two tables bucketed the same way co-locate
+    * matching keys, so their equi-join runs with NO exchange on either
+    * side — at 100 TB this turns the recurring fact⋈fact join's
+    * dominant shuffle into a bucket-local merge. `buckets` should be
+    * sized so one bucket ≈ one task's memory (e.g. 4096 at 100 TB). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Join two same-bucketing tables on their bucket key: Catalyst
+    * recognizes the matching output partitioning and plans a
+    * SortMergeJoin with zero Exchange (LayoutsSpec asserts this). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
   /** Persist an IVF index layout: vectors partitioned by their coarse
     * centroid. A probe then touches nprobe/nlist of the data ON DISK —
     * the partition filter is the "inverted list" selection. */

@@ -41,4 +41,28 @@ class LayoutsSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.head.getLong(0) == 0L) // the query vector is its own NN
   }
+
+  test("same-bucketing tables join with zero exchange") {
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Layouts.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Layouts.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
+    // at toy scale the planner would broadcast (which bypasses
+    // bucketing); disable it so the plan shows what a 100 TB
+    // fact⋈fact join gets: SMJ over bucketed scans, no shuffle
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layouts.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // and it is the same join
+      assert(joined.count() == orders.join(li, "o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
