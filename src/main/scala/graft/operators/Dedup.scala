@@ -290,6 +290,49 @@ object Dedup {
     jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
   }
 
+  /** Near-duplicate CLUSTERS from a near-dup pair set: connected
+    * components over the pair graph, labeled by the component's
+    * minimum doc id — which is also the survivor a keep-one-per-
+    * cluster policy retains. This is the step that turns pairwise
+    * similarity into an actionable training-data dedup decision
+    * (transitive closure matters: A~B, B~C must purge to one survivor
+    * even when A≁C). Output: (doc_id, cluster_id) for every clustered
+    * document.
+    *
+    * Adaptive physical strategy, like [[ngramJaccardPairs]]: the pair
+    * set is orders of magnitude smaller than the corpus (only near-dup
+    * docs appear), so when it fits the driver (`driverLimit` pairs,
+    * ~32 MB at the default), an exact union-find beats the iterative
+    * distributed loop's per-round shuffles; past the limit it falls
+    * back to [[Graph.connectedComponents]] min-label propagation. Both
+    * paths produce identical labels. */
+  def nearDupClusters(pairs: DataFrame,
+                      driverLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= driverLimit) {
+      val edges = p.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      verts.toSeq.sorted.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+    } else
+      Graph.connectedComponents(p, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   /** The ±1 hyperplane matrix is a deterministic constant — sign
     * (b,j,i) = bit 13 of xxhash64(b, j, i) — so it's computed once
     * (same Catalyst XxHash64, bit-identical buckets) instead of

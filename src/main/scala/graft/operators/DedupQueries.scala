@@ -59,6 +59,14 @@ object DedupQueries extends QueryPack {
           n = 2, tau = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
           .as("jaccard"))),
+    // Near-dup clusters: MinHash pairs → connected components →
+    // min-id cluster labels (the keep-one survivor). The oracle
+    // recomputes components with a recursive reachability CTE over
+    // the exact-Jaccard pair set, so transitive closure is verified.
+    "q81_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, tau = 0.5))),
     // Embedding near-dups: hyperplane-LSH buckets + exact cosine ≥ 0.99.
     // Derived corpus: one element of each even-id vector scaled ×1.2.
     "q45_dedup_embedding" -> ((s, d) => {
@@ -117,6 +125,29 @@ object DedupQueries extends QueryPack {
         | JOIN sizes sa ON da = sa.doc_id
         | JOIN sizes sb ON db = sb.doc_id
         | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q81_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | edges AS (SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        | walk(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v)
+        | SELECT v AS doc_id, min(r) AS cluster_id
+        | FROM walk GROUP BY v""".stripMargin,
     "q45_dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -54,27 +54,69 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
 
+  /** PageRank by synchronous power iteration: rank' = (1−d)/N +
+    * d·Σ rank/out_deg over incoming edges (+ redistributed dangling
+    * mass, so Σrank stays 1). Each iteration: one join on src + one
+    * aggregation on dst, lineage cut per iteration — the same
+    * flat-plan pattern as [[connectedComponents]]. Output: (vertex,
+    * rank). */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("s").as("v"))
+      .unionAll(e.select(col("d").as("v"))).distinct().localCheckpoint()
+    val n = verts.count()
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, ranks("v") === outDeg("s"), "left")
+        .select(col("v"), col("rank"), col("deg"))
+      // dangling vertices (no out-edges) spread their rank uniformly
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      val contrib = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("s") === col("v"))
+        .select(col("d"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("in_rank"))
+      ranks = verts.join(contrib, verts("v") === contrib("d"), "left")
+        .select(col("v"), (lit((1.0 - damping) / n) +
+          lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
+            lit(danglingMass / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Undirected connected components by min-label propagation.
-    * Converges in O(diameter) iterations; each iteration is one
-    * shuffle + localCheckpoint (flat lineage, AQE-sized). */
+    * Converges in O(diameter) iterations. Per iteration: ONE join
+    * (neighbor labels) unioned with the current labels and min-reduced
+    * — a single aggregation shuffle — then localCheckpoint for flat
+    * lineage. Convergence is detected from Σcomp, which under
+    * min-label strictly decreases until the fixpoint, so the check
+    * rides the same tiny aggregate instead of a join-and-compare
+    * pass. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
+    // (a,b) with a<b plus the mirror — already distinct if the input
+    // pair list is; a duplicate edge would not change min-labels anyway
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionAll(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("v"))
-        .groupBy(col("a")).agg(min(col("comp")).as("nc"))
-      val next = labels.join(prop, labels("v") === prop("a"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .select(col("a").as("v"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("v")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "old"), "v")
-        .filter(col("comp") =!= col("old")).isEmpty
+      val newSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = next
       it += 1
     }

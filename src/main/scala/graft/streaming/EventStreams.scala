@@ -141,6 +141,23 @@ object EventStreams {
         sessionize(gapMinutes * 60_000_000L, emitOpen))
   }
 
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same `key` with right.time ∈ [left.time − maxLag,
+    * left.time]. Both sides must be watermarked by the caller — the
+    * time bound plus the watermarks let Spark prune join state, so
+    * 1000-executor state holds only the lag horizon, not history.
+    * Right columns come back `rightPrefix`ed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   timeCol: String, maxLag: String,
+                   rightPrefix: String = "r_"): DataFrame = {
+    val r = right.select(right.columns.map(c =>
+      col(c).as(s"$rightPrefix$c")): _*)
+    left.join(r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"$rightPrefix$timeCol") >= col(timeCol) - expr(s"INTERVAL $maxLag") &&
+        col(s"$rightPrefix$timeCol") <= col(timeCol))
+  }
+
   /** Streaming exact dedup by event id: drops re-deliveries within
     * the watermark horizon, so state stays bounded (the streaming
     * face of the dedup suite — at-least-once ingestion becomes

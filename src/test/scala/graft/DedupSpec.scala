@@ -80,4 +80,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 100L)))
     assert(pairs.size == 1)
   }
+
+  test("nearDupClusters: union-find and distributed paths agree") {
+    // chain 1-2-3-4 (transitive), pair 10-11, self-contained 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val small = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val big = Dedup.nearDupClusters(pairs, driverLimit = 0) // force loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == big)
+    assert(Seq(1L, 2L, 3L, 4L).forall(small(_) == 1L)) // transitive
+    assert(small(11L) == 10L && small(22L) == 20L)
+  }
 }

@@ -77,6 +77,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views to clicks within lag") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+      EventStreams.withEventTime(clicks.toDF())
+        .filter($"event_type" === "click")
+        .withWatermark("ts_utc", "10 minutes"),
+      EventStreams.withEventTime(views.toDF())
+        .filter($"event_type" === "view")
+        .withWatermark("ts_utc", "10 minutes"),
+      key = "user_id", timeCol = "ts_utc", maxLag = "5 minutes")
+    val q = joined.select($"event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      views.addData(ev(10, 1000, 1, "view"), ev(11, 2000, 1, "view"),
+        ev(12, 1100, 2, "view"))
+      clicks.addData(ev(20, 1200, 1), // 200s after view 10 → match
+        ev(21, 2900, 1),              // 900s after view 11 → outside lag
+        ev(22, 1150, 2))              // user 2 → view 12
+      q.processAllAvailable()
+      val got = spark.table("ivj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L), (22L, 12L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize with emitOpen matches naive gap sessionization") {
     val evs = Seq(ev(1, 0, 1), ev(2, 100, 1), ev(3, 10000, 1),
       ev(4, 50, 2)).toDS()

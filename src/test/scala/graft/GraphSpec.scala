@@ -31,4 +31,21 @@ class GraphSpec extends AnyFunSuite {
     assert(comp(5L) == 5L && comp(6L) == 5L)
     assert(comp(7L) == 7L)
   }
+
+  test("pageRank: mass conserved, hub ranks highest, star graph exact") {
+    // star: 1..4 all point at 5; 5 is dangling
+    val star = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("s", "d")
+    val pr = Graph.pageRank(star, "s", "d", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6) // dangling mass kept
+    assert(pr(5L) > pr(1L) * 3) // the hub dominates
+    assert(Seq(1L, 2L, 3L, 4L).map(pr).distinct.size == 1) // symmetry
+    // closed form for the 4→1 star with damping .85:
+    // leaves get (1-d)/5 + d*m/5; hub gets (1-d)/5 + d*(4*leaf + m/5)
+    // where m is the hub's own (dangling) mass — verify fixed point
+    // (tolerance tracks the 0.85^20 ≈ 4e-4 power-iteration residual)
+    val leaf = pr(1L); val hub = pr(5L)
+    assert(math.abs(hub - (0.03 + 0.85 * (4 * leaf + hub / 5))) < 1e-3)
+    assert(math.abs(leaf - (0.03 + 0.85 * (hub / 5))) < 1e-3)
+  }
 }
