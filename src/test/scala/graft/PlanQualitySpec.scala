@@ -77,4 +77,38 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(ts,"), p)
   }
+
+  test("as-of join plans one key shuffle and zero joins") {
+    import graft.operators.TemporalJoins
+    val l = Tables.events(spark, sf).select(col("user_id"), col("ts"),
+      col("event_id"))
+    val r = Tables.events(spark, sf).groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("rid"))
+    val df = TemporalJoins.asofJoin(l, r, "user_id", "ts", "ts")
+    val p = plan(df)
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    assert(p.contains("Window"), p)
+    // exactly one exchange on the as-of key feeds the window (the
+    // right side's pre-aggregation has its own, which is upstream)
+    assert(p.contains("hashpartitioning(__k"), p)
+  }
+
+  test("co-occurrence pairs plan has no self-join") {
+    import graft.operators.Graph
+    val df = Graph.commonNeighborPairs(Tables.lineitem(spark, sf),
+      "l_orderkey", "l_suppkey", minShared = 2L)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pair expansion should be join-free:\n$p")
+  }
+
+  test("shingle pipelines dedup in-row (no global distinct shuffle)") {
+    import graft.operators.Dedup
+    val sh = Dedup.wordShingleHashes(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      "doc_id", "text", 3)
+    val p = plan(sh)
+    assert(!p.contains("Exchange"), s"shingles should not shuffle:\n$p")
+    assert(p.contains("array_distinct"), p)
+  }
 }
