@@ -58,7 +58,27 @@ object Catalog {
     val storages = mutable.LinkedHashMap.empty[String, StorageDef]
     val locks = mutable.LinkedHashSet.empty[String]
 
-    def tableDir(table: String): Path = dir.resolve("tables").resolve(table)
+    /** A table's root directory (holds versioned snapshots). */
+    def tableRoot(table: String): Path =
+      dir.resolve("tables").resolve(table)
+
+    /** Live snapshot version, if the table uses the versioned layout.
+      * Absent marker = legacy v0 layout (data directly in the root). */
+    def currentVersion(table: String): Option[Long] = {
+      val f = tableRoot(table).resolve("_version")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    }
+
+    /** Data directory of the CURRENT snapshot. Copy-on-write rewrites
+      * (UPDATE/DELETE/CREATE INDEX) materialize a `v<k+1>` subdir and
+      * atomically flip the `_version` marker — a reader that resolved
+      * its snapshot keeps reading those files while the flip happens,
+      * so scans get snapshot isolation without read locks (the
+      * previous snapshot is retained one generation before GC). */
+    def tableDir(table: String): Path = currentVersion(table) match {
+      case Some(v) => tableRoot(table).resolve(s"v$v")
+      case None => tableRoot(table)
+    }
 
     /** Case-insensitive table resolution → (kind, canonical name). */
     def resolve(table: String): Option[(String, String)] = {

@@ -523,20 +523,39 @@ class Engine(val spark: SparkSession, root: String,
     val s = scope
     val (_, name) = s.resolve(target).getOrElse(
       return Status(ok = false, s"unknown table $target"))
-    // The whole read→transform→swap must hold the table write lock:
+    // The whole read→transform→flip must hold the table write lock:
     // a concurrent PK-checked INSERT appending between the snapshot
-    // and the directory delete would be silently lost otherwise.
+    // and the version flip would be silently lost otherwise. Readers
+    // need no lock: they resolved their snapshot dir already, and that
+    // generation survives until the NEXT rewrite GCs it.
     withTableWriteLock(s.name, name) {
-      val dir = s.tableDir(name)
-      if (!Files.exists(dir)) return Status(ok = true, "empty table")
+      val cur = s.tableDir(name)
+      if (!Files.exists(cur)) return Status(ok = true, "empty table")
       val props = s.propsOf(name)
       val base = tableDf(name).select(props.map(p => col(p.name)): _*)
       val out = f(base, typeCtx(name))
-      val tmp = dir.resolveSibling(name + "__rewrite")
-      writeTable(name, out, tmp.toString, "overwrite")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      Files.move(tmp, dir)
+      val root = s.tableRoot(name)
+      val curV = s.currentVersion(name).getOrElse(0L)
+      val nextV = curV + 1
+      writeTable(name, out, root.resolve(s"v$nextV").toString, "overwrite")
+      // atomic pointer flip
+      val tmpMark = root.resolve("_version.tmp")
+      Files.writeString(tmpMark, nextV.toString)
+      Files.move(tmpMark, root.resolve("_version"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // GC generations older than the one just replaced (keep curV for
+      // in-flight readers): versioned dirs v<k> with k < curV, and —
+      // once v2 exists — any legacy v0 loose files in the root
+      def rmTree(p: java.nio.file.Path): Unit =
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+      Files.list(root).forEach { child =>
+        val n = child.getFileName.toString
+        val isVersionDir = n.matches("v\\d+")
+        if (isVersionDir && n.drop(1).toLong < curV) rmTree(child)
+        else if (!isVersionDir && n != "_version" && nextV >= 2) rmTree(child)
+      }
       Status(ok = true)
     }
   }

@@ -117,4 +117,65 @@ class StressSpec extends AnyFunSuite {
     }
     assert(bal == 100L + n)
   }
+
+  test("readers stay consistent while UPDATE rewrites flip versions") {
+    val root = Files.createTempDirectory("stress-mvcc").toString
+    val setup = new Engine(spark, root)
+    setup.sql("create scope mvcc")
+    setup.sql("use mvcc")
+    setup.sql("create type row_t (id uint pk, x int)")
+    (0 until 20).foreach(i => setup.sql(s"insert into row_t (id, x) ($i, 0)"))
+
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = {
+        val e = new Engine(spark, root)
+        e.sql("use mvcc")
+        start.await()
+        (1 to 6).foreach { k =>
+          e.sql(s"update row_t set x = $k") match {
+            case Status(true, _) =>
+            case other => fail(s"update failed: $other")
+          }
+        }
+        stop.set(true)
+      }
+    })
+    // reader hammers row-count scans: every scan must see a complete
+    // snapshot (exactly 20 rows), never a half-deleted directory —
+    // with in-place delete+swap this throws FileNotFound or drops rows
+    val reader = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        val e = new Engine(spark, root)
+        e.sql("use mvcc")
+        start.await()
+        var scans = 0
+        while (!stop.get()) {
+          e.sql("select id from row_t") match {
+            case Rows(df) =>
+              val n = df.collect().length
+              assert(n == 20, s"scan saw $n rows")
+              scans += 1
+            case other => fail(s"read failed: $other")
+          }
+        }
+        scans
+      }
+    })
+    start.countDown()
+    writer.get(300, TimeUnit.SECONDS)
+    val scans = reader.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(scans > 0)
+    // final state reflects the last committed rewrite
+    val e = new Engine(spark, root)
+    e.sql("use mvcc")
+    val xs = e.sql("select x from row_t") match {
+      case Rows(df) => df.collect().map(_.getLong(0)).toSet
+      case other => fail(s"$other")
+    }
+    assert(xs == Set(6L))
+  }
 }
