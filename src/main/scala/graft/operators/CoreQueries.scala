@@ -283,7 +283,7 @@ object CoreQueries extends QueryPack {
         .filter(c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .agg(lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     }),
     // Semi-join (EXISTS).
@@ -457,7 +457,7 @@ object CoreQueries extends QueryPack {
         | WHERE l_quantity >= 49.0""".stripMargin,
     "q27_join_agg_nation" ->
       """SELECT n_name,
-        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
         | FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey

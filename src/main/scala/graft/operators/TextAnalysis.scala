@@ -140,9 +140,13 @@ object TextAnalysis {
     val n = docs.count()
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(words(col(textCol))).as("term"))
+    // document frequency falls out of the (already aggregated, far
+    // smaller) tf frame — each (doc, term) appears once there — so the
+    // raw term explosion is scanned once, not re-exploded + distinct'd
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = terms.distinct().groupBy(col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
