@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.engine.{Engine, Rows}
+import graft.engine.{Engine, Rows, Status}
 
 /** End-to-end NoWDB-dialect coverage: every query here goes through
   * the full pipeline — Parser → AST → ExprBuilder/Engine → Catalyst —
@@ -60,7 +60,35 @@ object SqlQueries extends QueryPack {
     "q75_sql_intdiv" -> q(
       """select l_orderkey, l_partkey / 7 as q, l_partkey % 7 as r,
         | l_quantity / 7 as fq
-        | from lineitem where l_orderkey < 500""".stripMargin)
+        | from lineitem where l_orderkey < 500""".stripMargin),
+    // HAVING + multi-key ORDER BY DESC + LIMIT supersets end-to-end
+    "q82_sql_having_limit" -> q(
+      """select user_id, count(*) as n from events
+        | group by user_id having n >= 50
+        | order by n desc, user_id limit 10""".stripMargin),
+    // Full DML round-trip in a scratch scope: CREATE TYPE →
+    // INSERT..SELECT from a mounted table (PK-deduped) → UPDATE →
+    // DELETE (both copy-on-write version flips) → final aggregate.
+    "q83_sql_dml_roundtrip" -> ((s, d) => {
+      val e = engine(s, d)
+      def ok(sql: String): Unit = e.sql(sql) match {
+        case Status(false, m) => throw new IllegalStateException(s"$sql: $m")
+        case _ =>
+      }
+      ok("create scope dmlrt")
+      ok("use dmlrt")
+      ok("create type item (id uint pk, qty int, flag text)")
+      ok("""insert into item (id, qty, flag)
+           | select event_id, toint(value), event_type
+           |  from events""".stripMargin)
+      ok("update item set qty = qty + 1000 where flag = 'click'")
+      ok("delete from item where qty < 1100 and flag = 'click'")
+      e.sql("select flag, count(*) as n, sum(qty) as sq from item " +
+        "group by flag") match {
+        case Rows(df) => df
+        case other => throw new IllegalStateException(s"$other")
+      }
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +121,22 @@ object SqlQueries extends QueryPack {
     "q75_sql_intdiv" ->
       """SELECT l_orderkey, l_partkey // 7 AS q, l_partkey % 7 AS r,
         |  l_quantity / 7 AS fq
-        | FROM lineitem WHERE l_orderkey < 500""".stripMargin
+        | FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+    "q82_sql_having_limit" ->
+      """SELECT user_id, count(*) AS n FROM events
+        | GROUP BY user_id HAVING count(*) >= 50
+        | ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "q83_sql_dml_roundtrip" ->
+      """WITH item AS (
+        |  SELECT event_id AS id, CAST(trunc(value) AS BIGINT) AS qty,
+        |   event_type AS flag
+        |  FROM events),
+        | upd AS (SELECT id,
+        |   CASE WHEN flag = 'click' THEN qty + 1000 ELSE qty END AS qty,
+        |   flag FROM item),
+        | del AS (SELECT * FROM upd
+        |  WHERE NOT (qty < 1100 AND flag = 'click'))
+        | SELECT flag, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+        | FROM del GROUP BY flag""".stripMargin
   )
 }
