@@ -25,6 +25,11 @@ object StreamingQueries extends QueryPack {
     // Built-in gap-based session windows (2h gap) per user.
     "q55_session_window" -> ((s, d) =>
       EventStreams.sessionAgg(ev(s, d), "2 hours")),
+    // Ordered-step funnel over the event stream (signup → click →
+    // purchase), one shuffle for the whole chain.
+    "q84_funnel" -> ((s, d) =>
+      EventStreams.funnelCounts(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"))),
     // Custom keyed-state sessionizer (flatMapGroupsWithState), batch
     // mode: same state logic the incremental stream runs.
     "q56_sessionize_stateful" -> ((s, d) => {
@@ -38,6 +43,20 @@ object StreamingQueries extends QueryPack {
   private val gapUs = 7200000000L // 2 hours in µs
 
   val oracles: Map[String, String] = Map(
+    "q84_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |   WHERE event_type = 'signup' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |   WHERE e.event_type = 'click' GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        | SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |   (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
     "q53_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
         |  event_type,

@@ -141,6 +141,34 @@ object EventStreams {
         sessionize(gapMinutes * 60_000_000L, emitOpen))
   }
 
+  /** Funnel analysis: how many users performed `steps` strictly in
+    * order (each step after the previous step's FIRST occurrence).
+    * Built as a chain of min-aggregations and joins all keyed on the
+    * user column — Catalyst reuses the hash partitioning across the
+    * chain, so the whole funnel costs ONE shuffle of the events no
+    * matter how many steps (no per-user event-list materialization,
+    * which a collect_list formulation would need and hot users would
+    * blow up). Output: (step, step_name, users), one row per step. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .select(col(userCol).as("u"), col(tsCol).as("ts2"))
+        .join(prev, "u")
+        .filter(col("ts2") > col("t"))
+        .groupBy(col("u")).agg(min(col("ts2")).as("t"))
+    }
+    val counts = reached.map(_.count())
+    steps.zipWithIndex.map { case (s, i) =>
+      ((i + 1).toLong, s, counts(i))
+    }.toDF("step", "step_name", "users")
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events of the same `key` with right.time ∈ [left.time − maxLag,
     * left.time]. Both sides must be watermarked by the caller — the
