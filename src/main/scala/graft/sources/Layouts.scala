@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.NowFunctions
 import graft.operators.Similarity
@@ -40,6 +40,47 @@ object Layouts {
       .filter(col("event_date") >= fromDate
         && col("event_date") <= untilDate // partition pruning
         && col("ts") >= fromNs && col("ts") < untilNs) // row-group stats
+  }
+
+  /** 16-bit Morton spread: insert a zero bit between every bit of the
+    * low 16 bits (classic magic-number shifts — constant-folded,
+    * codegen'd, no UDF). */
+  private def spread16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Z-order (Morton) two-column layout: quantize both key columns to
+    * 16 bits over their min-max range, interleave the bits, then
+    * range-partition + sort by the Z value. Every written file then
+    * covers a NARROW rectangle in (a, b) space, so parquet row-group
+    * min/max stats skip files for predicates on EITHER column — the
+    * multi-dimensional generalization of the engine's CREATE INDEX
+    * (range-repartition+sort), which only helps its leading column.
+    * This is what OPTIMIZE ZORDER does in lakehouses, built from plain
+    * codegen'd column ops. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, files: Int): Unit = {
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).collect()(0)
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      ((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) *
+        lit(65535.0)).cast("long")
+    def d(i: Int): Double = r.get(i) match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric $other")
+    }
+    val z = spread16(quant(col(colA), d(0), d(1)))
+      .bitwiseOR(shiftleft(spread16(quant(col(colB), d(2), d(3))), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Save a table bucketed by a join key (hive-style bucketed parquet

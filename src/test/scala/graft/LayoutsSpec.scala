@@ -42,6 +42,35 @@ class LayoutsSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 0L) // the query vector is its own NN
   }
 
+  test("z-order files cover narrow rectangles on BOTH key columns") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val files = 8
+    // per-file min-max width of a column, as a fraction of its global
+    // range, averaged over files — the quantity row-group skipping
+    // depends on
+    def avgWidth(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val Array(glo) = df.agg((max(col(c)) - min(col(c))).cast("double"))
+        .collect().map(_.getDouble(0))
+      val per = df.select(col(c), col("_metadata.file_path").as("f"))
+        .groupBy("f").agg(((max(col(c)) - min(col(c))) / glo).as("w"))
+        .agg(avg(col("w"))).collect()(0).getDouble(0)
+      per
+    }
+    val zdir = Files.createTempDirectory("zorder").toString
+    Layouts.writeZOrdered(li, "l_partkey", "l_suppkey", zdir, files)
+    val sdir = Files.createTempDirectory("singlesort").toString
+    li.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sdir)
+    // single-column sort: second column's per-file range stays global
+    assert(avgWidth(sdir, "l_suppkey") > 0.9)
+    // z-order: BOTH columns narrow per file
+    assert(avgWidth(zdir, "l_partkey") < 0.6, s"partkey ${avgWidth(zdir, "l_partkey")}")
+    assert(avgWidth(zdir, "l_suppkey") < 0.6, s"suppkey ${avgWidth(zdir, "l_suppkey")}")
+  }
+
   test("same-bucketing tables join with zero exchange") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
