@@ -184,6 +184,48 @@ object TextAnalysis {
           col("n_shingles").cast("double"), 6).as("contamination"))
   }
 
+  /** End-to-end corpus curation — the composed pipeline a training-
+    * data run actually executes, assembled purely from the operators
+    * above so the whole thing stays one declarative plan per stage:
+    *
+    *  1. quality gate   (qualityScore ≥ minQuality)
+    *  2. language gate  (languageId == lang)
+    *  3. exact dedup    (min doc id per content digest survives)
+    *  4. near-dup purge (MinHash+LSH pairs → clusters → only each
+    *     cluster's min id survives; transitive closure respected)
+    *
+    * Returns the surviving documents (idCol column). Each gate is a
+    * join against a small derived frame, so Catalyst broadcast/AQE
+    * handles the physical strategy at any scale. */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   minQuality: Double = 0.7, lang: String = "en",
+                   shingleN: Int = 3, nearDupTau: Double = 0.5): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality"))
+    val l = languageId(docs, idCol, textCol)
+      .select(col("doc_id"), col("pred_lang"))
+    // both gate outputs feed multiple downstream legs (digest group,
+    // rejoin, shingling, final anti-join) — compute each once
+    val kept = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(q, "doc_id").join(l, "doc_id")
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactSurvivors = kept
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactKept = kept.join(exactSurvivors, "doc_id")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = Dedup.nearDupClusters(
+      Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
+        shingleN = shingleN, tau = nearDupTau))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    exactKept.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as(idCol))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates over
     * the same multiplicative id-hash — reproducible domain mixing. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,

@@ -40,6 +40,19 @@ object TextQueries extends QueryPack {
     "q72_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id",
         "text", k = 3)),
+    // Capstone: the composed curation pipeline (quality gate →
+    // language gate → exact dedup → near-dup cluster purge) on a
+    // corpus salted with near-duplicate mutations; output = the
+    // surviving document ids. The oracle recomputes every gate in
+    // SQL including the recursive transitive closure.
+    "q85_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+      TextAnalysis.curateCorpus(corpus, "doc_id", "text",
+        minQuality = 0.7, lang = "en")
+    }),
     // Decontamination: 5-gram overlap of the corpus against the
     // doc_id<25 "benchmark" slice.
     "q73_decontaminate" -> ((s, d) => {
@@ -139,6 +152,61 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q85_curation" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text || ' zq0 zq1 zq2' AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | f AS (SELECT doc_id,
+        |   len(string_split(text, ' ')) AS n_words,
+        |   length(text) AS n_chars,
+        |   len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('a','the','of','and','in','to','is'))) AS n_stop,
+        |   length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+        |  FROM corpus),
+        | q AS (SELECT doc_id,
+        |   round((CASE WHEN n_words >= 10 THEN 0.4 ELSE 0.0 END)
+        |       + (CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END)
+        |       + (CASE WHEN n_punct * 10 < n_chars THEN 0.3 ELSE 0.0 END),
+        |     6) AS quality
+        |  FROM f),
+        | profile(lang, tg) AS (VALUES $profileValues),
+        | sc AS (SELECT c.doc_id, p.lang,
+        |   sum((length(c.text) - length(replace(c.text, p.tg, '')))
+        |       // length(p.tg)) AS score
+        |  FROM corpus c CROSS JOIN profile p GROUP BY 1, 2),
+        | lr AS (SELECT doc_id, lang, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM sc),
+        | kept AS (SELECT c.doc_id, c.text FROM corpus c
+        |   JOIN q ON c.doc_id = q.doc_id AND q.quality >= 0.7
+        |   JOIN lr ON c.doc_id = lr.doc_id AND lr.rk = 1
+        |     AND lr.lang = 'en'),
+        | ek AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        | ekd AS (SELECT k.doc_id, k.text FROM kept k
+        |   JOIN ek ON k.doc_id = ek.doc_id),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ekd),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | edges AS (SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        | walk(v, r) AS (SELECT a, a FROM edges
+        |  UNION SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v),
+        | losers AS (SELECT v AS doc_id FROM walk
+        |  GROUP BY v HAVING v != min(r))
+        | SELECT doc_id FROM ekd
+        | WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q73_decontaminate" ->
       """WITH csh AS (SELECT DISTINCT doc_id,
         |   array_to_string(ws[i:i+4], ' ') AS s
