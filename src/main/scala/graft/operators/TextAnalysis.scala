@@ -226,6 +226,28 @@ object TextAnalysis {
       .select(col("doc_id").as(idCol))
   }
 
+  /** Sequence packing: assign documents (in deterministic id order,
+    * per stream) to fixed-token-budget chunks by cumulative fill — the
+    * concat-and-chunk step that turns a curated corpus into training
+    * sequences. chunk = ⌊tokens-before-this-doc / maxTokens⌋, i.e. a
+    * doc starts in the chunk its predecessor filled up to (straddlers
+    * spill forward, the usual pre-tokenized-stream semantics). One
+    * window scan per stream partition; output one row per chunk with
+    * its doc span and token count. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    streamCol: String, maxTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(streamCol).as("stream"), col(idCol).as("doc_id"),
+        wsTokens(col(textCol)).as("toks"))
+      .withColumn("before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("chunk", // exact integral division (not via double)
+        graft.functions.NowFunctions.intDiv(col("before"), lit(maxTokens)))
+      .groupBy(col("stream"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"), sum(col("toks")).as("tokens"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates over
     * the same multiplicative id-hash — reproducible domain mixing. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,

@@ -40,6 +40,10 @@ object TextQueries extends QueryPack {
     "q72_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id",
         "text", k = 3)),
+    // Sequence packing: 2048-token chunks per source stream.
+    "q86_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id",
+        "text", "source", maxTokens = 2048L)),
     // Capstone: the composed curation pipeline (quality gate →
     // language gate → exact dedup → near-dup cluster purge) on a
     // corpus salted with near-duplicate mutations; output = the
@@ -152,6 +156,19 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q86_seq_pack" ->
+      """WITH t AS (SELECT source AS stream, doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        | c AS (SELECT stream, doc_id, toks,
+        |   COALESCE(sum(toks) OVER (PARTITION BY stream ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS before
+        |  FROM t)
+        | SELECT stream, before // 2048 AS chunk, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(toks) AS BIGINT) AS tokens
+        | FROM c GROUP BY stream, before // 2048""".stripMargin,
     "q85_curation" ->
       s"""WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
