@@ -49,9 +49,13 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           // operators persist reused intermediates for the duration of
-          // their query; drop them so caches don't accumulate memory
-          // pressure across the 75-query run
+          // their query; drop them (plus any leftover checkpoint RDD
+          // blocks) and let the JVM settle so late queries aren't taxed
+          // for earlier queries' garbage — all outside the timed window
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
           dt
         }
         name -> times.min
