@@ -674,7 +674,14 @@ class Engine(val spark: SparkSession, root: String,
         val lc = buildWithAggs(l, ctx); val rc = buildWithAggs(r, ctx)
         op match {
           case "+" => lc + rc;  case "-" => lc - rc
-          case "*" => lc * rc;  case "/" => lc / rc
+          case "*" => lc * rc
+          case "/" =>
+            // QUOT applies over aggregate results too: sum(int)/count
+            // is the integer quotient in the reference's typing
+            if (ExprBuilder.numKind(l, ctx).contains("int") &&
+                ExprBuilder.numKind(r, ctx).contains("int"))
+              NowFunctions.intDiv(lc, rc)
+            else lc / rc
           case "%" => lc % rc
           case "^" => NowFunctions.power(lc, rc)
           case "and" => lc && rc; case "or" => lc || rc

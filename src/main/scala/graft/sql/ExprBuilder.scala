@@ -73,7 +73,7 @@ object ExprBuilder {
     * quotient when both operands are non-float. Only provably-integer
     * expressions are tagged "int"; anything uncertain keeps the
     * double-division fallback. */
-  private def numKind(e: Expr, ctx: Ctx): Option[String] = e match {
+  private[graft] def numKind(e: Expr, ctx: Ctx): Option[String] = e match {
     case Lit(_, "uint" | "int") => Some("int")
     case Lit(_, "float") => Some("float")
     case f: Field =>
@@ -109,6 +109,13 @@ object ExprBuilder {
            "arctan" | "sinh" | "cosh" | "tanh" | "asinh" | "acosh" |
            "atanh" => Some("float")
       case "abs" | "just" => numKind(args.head, ctx)
+      // aggregates (reference fun.c typing: count → UINT; sum/min/max/
+      // prod/spread/mode carry the input kind; the statistics are float)
+      case "count" => Some("int")
+      case "sum" | "min" | "max" | "prod" | "product" | "mode" |
+           "spread" => args.headOption.flatMap(numKind(_, ctx))
+      case "avg" | "average" | "median" | "stddev" | "integral" =>
+        Some("float")
       case "coal" | "coalesce" =>
         val ks = args.map(numKind(_, ctx))
         if (ks.exists(_.isEmpty)) None

@@ -202,6 +202,13 @@ class EngineSpec extends AnyFunSuite {
         "where origin = 1 and quantity = 3"))
     assert(r(0).getLong(0) == 1L)
     assert(math.abs(r(0).getDouble(1) - 3 * 1.99 / 2) < 1e-9)
+    // aggregates: sum(int)/count is the integer quotient too, while a
+    // float aggregate keeps double division
+    val a = rows(eng.sql("select sum(quantity)/count(*) as q, " +
+      "sum(amount)/count(*) as f from buys"))
+    assert(a(0).getLong(0) == a(0).getLong(0)) // long-typed (no cast error)
+    assert(a(0).schema("q").dataType.typeName == "long")
+    assert(a(0).schema("f").dataType.typeName == "double")
   }
 
   test("UPDATE and DELETE rewrite tables in place") {
