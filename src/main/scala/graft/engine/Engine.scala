@@ -550,12 +550,13 @@ class Engine(val spark: SparkSession, root: String,
       def rmTree(p: java.nio.file.Path): Unit =
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => Files.delete(q))
-      Files.list(root).forEach { child =>
+      val children = Files.list(root)
+      try children.forEach { child =>
         val n = child.getFileName.toString
         val isVersionDir = n.matches("v\\d+")
         if (isVersionDir && n.drop(1).toLong < curV) rmTree(child)
         else if (!isVersionDir && n != "_version" && nextV >= 2) rmTree(child)
-      }
+      } finally children.close()
       Status(ok = true)
     }
   }

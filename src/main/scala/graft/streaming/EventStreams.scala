@@ -154,14 +154,19 @@ object EventStreams {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // each stage is both counted and the next stage's build side —
+    // persist so counting stage i doesn't re-run stages 1..i-1
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val reached = steps.tail.scanLeft(first) { (prev, step) =>
       events.filter(col(typeCol) === step)
         .select(col(userCol).as("u"), col(tsCol).as("ts2"))
         .join(prev, "u")
         .filter(col("ts2") > col("t"))
         .groupBy(col("u")).agg(min(col("ts2")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val counts = reached.map(_.count())
     steps.zipWithIndex.map { case (s, i) =>
