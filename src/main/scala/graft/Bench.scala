@@ -35,7 +35,7 @@ object Bench {
     // GC/JIT noise).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq).getOrElse(Nil)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.isEmpty || only.exists(name.contains)
     }
@@ -43,11 +43,16 @@ object Bench {
       case (name, fn) =>
         val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
+          val failed =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              false
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              true
+            }
+          // a fast failure must not win `times.min` over a real run
+          val dt = if (failed) 1e9 else (System.nanoTime() - t0) / 1e9
           // operators persist reused intermediates for the duration of
           // their query; drop them (plus any leftover checkpoint RDD
           // blocks) and let the JVM settle so late queries aren't taxed

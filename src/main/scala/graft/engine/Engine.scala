@@ -498,16 +498,21 @@ class Engine(val spark: SparkSession, root: String,
     val full = aligned.select(props.map(p =>
       if (provided(p.name.toLowerCase)) col(p.name)
       else lit(null).cast(Catalog.sparkType(p.typ)).as(p.name)): _*)
-    val out = if (kind == "type") {
-      val pk = s.types(name).pk.name
-      if (!provided(pk.toLowerCase))
-        return Status(ok = false, s"missing primary key $pk")
-      val deduped = full.dropDuplicates(pk)
-      if (Files.exists(s.tableDir(name)))
-        deduped.join(tableDf(name).select(col(pk)), Seq(pk), "left_anti")
-      else deduped
-    } else full
+    if (kind == "type" && !provided(s.types(name).pk.name.toLowerCase))
+      return Status(ok = false, s"missing primary key ${s.types(name).pk.name}")
+    // the PK anti-join frame must be BUILT inside the lock: the scan
+    // snapshots its file listing at DataFrame creation, so planning it
+    // earlier would dedup against pre-lock state and let two
+    // concurrent INSERT..SELECTs both pass the check (and a concurrent
+    // rewrite could GC the version dir the stale plan points at)
     withTableWriteLock(s.name, name) {
+      val out = if (kind == "type") {
+        val pk = s.types(name).pk.name
+        val deduped = full.dropDuplicates(pk)
+        if (Files.exists(s.tableDir(name)))
+          deduped.join(tableDf(name).select(col(pk)), Seq(pk), "left_anti")
+        else deduped
+      } else full
       writeTable(name, out, s.tableDir(name).toString, "append")
     }
     Status(ok = true)

@@ -33,7 +33,10 @@ object CoreQueries extends QueryPack {
     * decimal sum buffer (input precision + 10 > 18 digits) falls off
     * the long-backed fast path into per-row java.math.BigDecimal,
     * while this stays in primitive long the whole way. Overflow bound:
-    * 2⁶³/10⁴ ≈ 9.2e14 per partial sum. */
+    * 2⁶³/10⁴ ≈ 9.2e14 per group sum — and Spark's default ANSI mode
+    * makes exceeding it a LOUD ARITHMETIC_OVERFLOW, never a silent
+    * wrap; groups past the bound should use [[dsum]] (decimal,
+    * unbounded). */
   private def lsum(c: Column): Column =
     sum(round(c * lit(10000)).cast("long")) / lit(10000.0)
 

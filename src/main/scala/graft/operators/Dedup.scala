@@ -168,7 +168,14 @@ object Dedup {
     }.reduce(_ + _)
     shingles.groupBy(col("doc_id"))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("doc_id"), packed.as("simhash"))
+      // enforce the lane cap LOUDLY: a >65535-shingle document would
+      // carry into the adjacent counter and silently corrupt the
+      // signature; failing the job beats a wrong near-dup set
+      .select(col("doc_id"),
+        when(col("n") > 0xFFFFL, raise_error(concat(
+          lit("simHash: document "), col("doc_id").cast("string"),
+          lit(" has > 65535 shingles — exceeds the 16-bit SWAR lanes"))))
+          .otherwise(packed).as("simhash"))
   }
 
   /** SimHash near-dup pairs: pigeonhole banding — hamming ≤ maxHamming
@@ -314,6 +321,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (p.count() <= driverLimit) {
       val edges = p.as[(Long, Long)].collect()
+      p.unpersist(blocking = false) // fully collected
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

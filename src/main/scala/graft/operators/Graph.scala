@@ -105,7 +105,8 @@ object Graph {
       .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L)))
+      .collect()(0).getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -114,7 +115,8 @@ object Graph {
       val next = labels.unionAll(prop)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val newSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      val newSum = next.agg(coalesce(sum(col("comp")), lit(0L)))
+        .collect()(0).getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = next

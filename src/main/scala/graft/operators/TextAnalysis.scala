@@ -222,8 +222,16 @@ object TextAnalysis {
         shingleN = shingleN, tau = nearDupTau))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    exactKept.join(losers, Seq("doc_id"), "left_anti")
+    // materialize the (small) survivor set, then release the gate
+    // frames — callers get a self-contained cached result instead of a
+    // lazy plan pinning every intermediate for the session lifetime
+    val out = exactKept.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    kept.unpersist(blocking = false)
+    exactKept.unpersist(blocking = false)
+    out
   }
 
   /** Sequence packing: assign documents (in deterministic id order,

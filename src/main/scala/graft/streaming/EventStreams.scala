@@ -169,6 +169,7 @@ object EventStreams {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val counts = reached.map(_.count())
+    reached.foreach(_.unpersist(blocking = false)) // counts are taken
     steps.zipWithIndex.map { case (s, i) =>
       ((i + 1).toLong, s, counts(i))
     }.toDF("step", "step_name", "users")

@@ -204,9 +204,13 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - 3 * 1.99 / 2) < 1e-9)
     // aggregates: sum(int)/count is the integer quotient too, while a
     // float aggregate keeps double division
+    val parts = rows(eng.sql(
+      "select sum(quantity) as s, count(*) as c from buys where origin = 1"))(0)
     val a = rows(eng.sql("select sum(quantity)/count(*) as q, " +
-      "sum(amount)/count(*) as f from buys"))
-    assert(a(0).getLong(0) == a(0).getLong(0)) // long-typed (no cast error)
+      "sum(amount)/count(*) as f from buys where origin = 1"))
+    assert(a(0).getLong(0) == parts.getLong(0) / parts.getLong(1))
+    assert(parts.getLong(0) % parts.getLong(1) != 0, // non-trivial quotient
+      "fixture should not divide evenly")
     assert(a(0).schema("q").dataType.typeName == "long")
     assert(a(0).schema("f").dataType.typeName == "double")
   }
