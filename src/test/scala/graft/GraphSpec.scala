@@ -32,6 +32,11 @@ class GraphSpec extends AnyFunSuite {
     assert(comp(7L) == 7L)
   }
 
+  test("connected components of an empty edge set is empty") {
+    val none = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Graph.connectedComponents(none, "s", "d").collect().isEmpty)
+  }
+
   test("pageRank: mass conserved, hub ranks highest, star graph exact") {
     // star: 1..4 all point at 5; 5 is dangling
     val star = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("s", "d")
