@@ -53,11 +53,17 @@ object Dedup {
     * realistic bit-error rate. */
   def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
+    // hash each word once, then hash the n word-hash longs per shingle
+    // — no n-gram string is ever materialized (the string build was
+    // the hot allocation in this path); same set identity, same
+    // 2⁻⁶⁴-collision caveat
+    docs.select(col(idCol).as("doc_id"),
+        transform(split(col(textCol), " "), w => xxhash64(w)).as("wh"))
+      .filter(size(col("wh")) >= n)
       .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("w")) - (n - 1)),
-        i => xxhash64(array_join(slice(col("w"), i, lit(n)), " ")))))
+        sequence(lit(0), size(col("wh")) - n),
+        i => xxhash64((0 until n).map(j =>
+          element_at(col("wh"), i + lit(j + 1))): _*))))
         .as("shingle"))
 
   /** MinHash signatures: k independent hash functions, realized as one
