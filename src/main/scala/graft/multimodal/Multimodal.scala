@@ -48,6 +48,28 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
       col("text").cast("binary").as("content"))
 
+  /** Media↔caption training-pair batches: join each media item back to
+    * its caption text, then assign pairs to fixed-size batches PER
+    * MODALITY (row_number over media id within kind — deterministic,
+    * no global sort) — the batch-shape step of multimodal training
+    * prep. Output: one row per (kind, batch) with its pair count,
+    * caption-token sum, and id span. */
+  def captionPairBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+    val media = mediaFromDocuments(docs)
+    val pairs = media.join(
+      docs.select(col("doc_id").as("media_id"),
+        graft.operators.TextAnalysis.wsTokens(col("text")).as("cap_toks")),
+      "media_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("media_id"))
+    pairs
+      .withColumn("batch", graft.functions.NowFunctions.intDiv(
+        row_number().over(w).cast("long") - 1, lit(batchSize.toLong)))
+      .groupBy(col("kind"), col("batch"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cap_toks")).as("cap_tokens"),
+        min(col("media_id")).as("first_id"), max(col("media_id")).as("last_id"))
+  }
+
   // ───────────────────────── STUBBED CODECS ─────────────────────────
   /** STUB image decode: bytes are the pixel array (grayscale u8).
     * Production: JNI/javacpp libjpeg decode to the same Array[Int]. */

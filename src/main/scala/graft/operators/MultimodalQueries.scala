@@ -29,6 +29,9 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("kind"), col("fmt"),
           length(col("content")).cast("long").as("n_bytes"),
           md5(col("content")).as("digest"))),
+    // Media↔caption pair batches per modality (training batch shape).
+    "q87_pair_batches" -> ((s, d) =>
+      Multimodal.captionPairBatches(Tables.documents(s, d), batchSize = 32)),
     // Stub decode + feature extraction via mapPartitions.
     "q58_image_features" -> ((s, d) =>
       Multimodal.imageFeatures(media(s, d, "image")).toDF()),
@@ -66,6 +69,19 @@ object MultimodalQueries extends QueryPack {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         | FROM documents""".stripMargin,
+    "q87_pair_batches" ->
+      """WITH pairs AS (SELECT doc_id AS media_id,
+        |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |     ELSE 'video' END AS kind,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS cap_toks
+        |  FROM documents),
+        | nb AS (SELECT *, (row_number() OVER (
+        |   PARTITION BY kind ORDER BY media_id) - 1) // 32 AS batch
+        |  FROM pairs)
+        | SELECT kind, batch, count(*) AS n_pairs,
+        |  CAST(sum(cap_toks) AS BIGINT) AS cap_tokens,
+        |  min(media_id) AS first_id, max(media_id) AS last_id
+        | FROM nb GROUP BY kind, batch""".stripMargin,
     "q58_image_features" ->
       s"""WITH ${cpCte(0)}
         | SELECT doc_id AS media_id,
