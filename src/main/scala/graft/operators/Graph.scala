@@ -112,8 +112,21 @@ object Graph {
     while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("b") === labels("v"))
         .select(col("a").as("v"), col("comp"))
-      val next = labels.unionAll(prop)
+      // materialized before the self-join below (also sidesteps
+      // Catalyst's constraint rewrite over self-joined Union plans)
+      val stepped = labels.unionAll(prop)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jump (label doubling): also adopt the label OF the
+      // label — comp values are vertex ids, so the self-join resolves
+      // comp → comp(comp), halving label distances each round. Total
+      // convergence is O(log diameter) instead of O(diameter), which
+      // is the difference between 9 and 300 rounds on a 300-link
+      // chain (maxIter would silently truncate the latter).
+      val lookup = stepped
+        .select(col("v").as("lv"), col("comp").as("lcomp"))
+      val next = stepped.join(lookup, col("comp") === col("lv"))
+        .select(col("v"), least(col("comp"), col("lcomp")).as("comp"))
         .localCheckpoint()
       val newSum = next.agg(coalesce(sum(col("comp")), lit(0L)))
         .collect()(0).getLong(0)

@@ -32,6 +32,16 @@ class GraphSpec extends AnyFunSuite {
     assert(comp(7L) == 7L)
   }
 
+  test("connected components converge on a 300-link chain within maxIter") {
+    // worst case for plain min-label (O(diameter) = 300 rounds);
+    // pointer jumping must close it in O(log n) ≪ maxIter=20
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("s", "d")
+    val comp = Graph.connectedComponents(chain, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 300)
+    assert(comp.values.forall(_ == 1L), s"unconverged: ${comp.values.toSet}")
+  }
+
   test("connected components of an empty edge set is empty") {
     val none = Seq.empty[(Long, Long)].toDF("s", "d")
     assert(Graph.connectedComponents(none, "s", "d").collect().isEmpty)
