@@ -39,19 +39,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.isEmpty || only.exists(name.contains)
     }
-    // Per-query warmup at the smallest scale factor (disable with
+    // Per-query warmup at a smaller scale factor (disable with
     // SPARK_GRAFT_WARM=0): each query's first execution pays seconds of
     // Janino whole-stage-codegen compilation and JIT that a C engine —
     // or the 1000-executor deployment this models, where codegen
     // compiles once per executor lifetime — never re-pays per query.
-    // Warming on sf0.001 compiles the same generated classes (plans are
-    // data-independent), so the timed sf run measures data work.
+    // sf0.01 (not the smallest) so the size-adaptive operators (dense⇄
+    // prefix-filter Jaccard, union-find⇄distributed clustering) pick
+    // the SAME physical path they take at the timed scale and its
+    // generated classes get compiled. Skipped entirely if the sf
+    // substitution doesn't apply (never warm at full scale).
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-      val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-      selected.foreach { case (_, fn) =>
+      val base = sfDir.replaceAll("/+$", "")
+      val warmDir = base.replaceAll("sf[0-9.]+$", "sf0.01")
+      if (warmDir != base) selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val results = selected.map {

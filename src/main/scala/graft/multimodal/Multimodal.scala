@@ -40,10 +40,14 @@ object Multimodal {
   /** Deterministic media table derived from the documents corpus:
     * content = UTF-8 bytes of the text (an opaque payload as far as
     * the pipeline is concerned), kind round-robined by id. */
+  /** Modality of a synthetic media id (doc_id mod 3). */
+  private def kindOf(id: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      kindOf(col("doc_id")).as("kind"),
       element_at(array(lit("png"), lit("wav"), lit("mp4")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
       col("text").cast("binary").as("content"))
@@ -55,11 +59,11 @@ object Multimodal {
     * prep. Output: one row per (kind, batch) with its pair count,
     * caption-token sum, and id span. */
   def captionPairBatches(docs: DataFrame, batchSize: Int): DataFrame = {
-    val media = mediaFromDocuments(docs)
-    val pairs = media.join(
-      docs.select(col("doc_id").as("media_id"),
-        graft.operators.TextAnalysis.wsTokens(col("text")).as("cap_toks")),
-      "media_id")
+    // kind and caption tokens are both per-row functions of the doc —
+    // one scan, no join back against the media frame
+    val pairs = docs.select(col("doc_id").as("media_id"),
+      kindOf(col("doc_id")).as("kind"),
+      graft.operators.TextAnalysis.wsTokens(col("text")).as("cap_toks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind")).orderBy(col("media_id"))
     pairs

@@ -83,9 +83,13 @@ object Dedup {
           min(xxhash64(col("h0"), lit(i))).as(s"mh$i")): _*)
 
   /** Base feature hash of the `shingle` column: already-long input
-    * (from [[wordShingleHashes]]) passes through; strings hash here —
-    * both yield xxhash64(shingle string), so pipelines are identical
-    * whichever form they're fed. */
+    * (from [[wordShingleHashes]]) passes through; strings hash here.
+    * NOTE the two forms are different hash FAMILIES (the long form
+    * hashes word-hash tuples, the string form hashes the n-gram
+    * text): each is a valid feature hash and all set-identity
+    * semantics hold within either, but signatures/sketches built from
+    * one form must not be compared against artifacts built from the
+    * other. */
   private def featureHash(shingles: DataFrame): Column =
     if (shingles.schema("shingle").dataType ==
         org.apache.spark.sql.types.LongType) col("shingle")
@@ -151,36 +155,35 @@ object Dedup {
   /** SimHash-64 over shingle features. The textbook form keeps 64 ±1
     * sums; materializing that as 64 aggregate buffers makes Janino
     * compile a huge HashAggregate method (seconds of one-time codegen)
-    * and quadruples the buffer width. Instead pack 4 bit-counters of
-    * 16 bits each into one long (SWAR): 16 packed sums + one count.
-    * Bit j's sign is 2·c_j > n ⟺ the ±1 sum is positive — identical
-    * output, ~4× less codegen and aggregation state. Lanes are 16-bit,
-    * so documents are capped at 65535 distinct shingles (far beyond
-    * any real document; the shingle set is `distinct` per doc). */
+    * and quadruples the buffer width. Instead pack 2 bit-counters of
+    * 32 bits each into one long (SWAR): 32 packed sums + one count —
+    * half the codegen/state. Bit j's sign is 2·c_j > n ⟺ the ±1 sum
+    * is positive, identical output. 32-bit lanes hold counters (and
+    * their partial sums) up to 2³¹ shingles per document — ANSI's
+    * long-sum overflow cannot fire below the guard, so the loud
+    * per-document error below is the failure mode, never a silent
+    * carry into the adjacent lane. */
   def simHash(shingles: DataFrame, bits: Int = 64): DataFrame = {
     val h = featureHash(shingles)
-    val lanes = 4 // 16-bit counters per 64-bit sum
+    val lanes = 2 // 32-bit counters per 64-bit sum
     val groups = bits / lanes
     val sums = (0 until groups).map { g =>
       sum((0 until lanes).map { l =>
         shiftright(h, g * lanes + l).bitwiseAND(lit(1L)) *
-          lit(1L << (16 * l))
+          lit(1L << (32 * l))
       }.reduce(_ + _)).as(s"s$g")
     }
     val packed = (0 until bits).map { j =>
-      val cj = shiftright(col(s"s${j / lanes}"), 16 * (j % lanes))
-        .bitwiseAND(lit(0xFFFFL))
+      val cj = shiftright(col(s"s${j / lanes}"), 32 * (j % lanes))
+        .bitwiseAND(lit(0xFFFFFFFFL))
       when(cj * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     shingles.groupBy(col("doc_id"))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-      // enforce the lane cap LOUDLY: a >65535-shingle document would
-      // carry into the adjacent counter and silently corrupt the
-      // signature; failing the job beats a wrong near-dup set
       .select(col("doc_id"),
-        when(col("n") > 0xFFFFL, raise_error(concat(
+        when(col("n") > Int.MaxValue.toLong, raise_error(concat(
           lit("simHash: document "), col("doc_id").cast("string"),
-          lit(" has > 65535 shingles — exceeds the 16-bit SWAR lanes"))))
+          lit(" has > 2^31 shingles — exceeds the 32-bit SWAR lanes"))))
           .otherwise(packed).as("simhash"))
   }
 
@@ -342,9 +345,14 @@ object Dedup {
       }
       val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
       verts.toSeq.sorted.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
-    } else
-      Graph.connectedComponents(p, "doc_a", "doc_b")
+    } else {
+      // connectedComponents eagerly checkpoints its symmetrized edge
+      // set up front, so p's cache is releasable as soon as it returns
+      val labels = Graph.connectedComponents(p, "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+      p.unpersist(blocking = false)
+      labels
+    }
   }
 
   /** The ±1 hyperplane matrix is a deterministic constant — sign

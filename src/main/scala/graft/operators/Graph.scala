@@ -88,14 +88,13 @@ object Graph {
     ranks
   }
 
-  /** Undirected connected components by min-label propagation.
-    * Converges in O(diameter) iterations. Per iteration: ONE join
-    * (neighbor labels) unioned with the current labels and min-reduced
-    * — a single aggregation shuffle — then localCheckpoint for flat
-    * lineage. Convergence is detected from Σcomp, which under
-    * min-label strictly decreases until the fixpoint, so the check
-    * rides the same tiny aggregate instead of a join-and-compare
-    * pass. */
+  /** Undirected connected components by min-label propagation with
+    * pointer jumping. Converges in O(log diameter) rounds; each round
+    * is a neighbor-propagation join + min-reduce, then a label-lookup
+    * join that adopts comp(comp) (label doubling), each followed by a
+    * localCheckpoint for flat lineage. Convergence is detected from
+    * Σcomp, which strictly decreases until the fixpoint, so the check
+    * rides a tiny aggregate instead of a join-and-compare pass. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
     // (a,b) with a<b plus the mirror — already distinct if the input
