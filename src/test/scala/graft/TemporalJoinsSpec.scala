@@ -34,6 +34,30 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Set(1L)) // trade at 90 is 80 ticks past quote 10 → dropped
   }
 
+  test("asofJoin matches a naive per-row reference on 500 random rows") {
+    val rnd = new scala.util.Random(1234)
+    val quotes = (0 until 200).map { i =>
+      (s"K${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong)
+    }.groupBy(q => (q._1, q._2)) // unique (key, t): keep max id
+      .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    val trades = (0 until 300).map { i =>
+      (s"K${rnd.nextInt(10)}", rnd.nextInt(1100).toLong, (1000 + i).toLong)
+    }
+    val got = TemporalJoins.asofJoin(
+        trades.toDF("k", "t", "id"), quotes.toDF("k", "t", "qid"),
+        "k", "t", "t", "q_")
+      .select($"id", $"q_qid").as[(Long, Long)].collect().toMap
+    val want = trades.flatMap { case (k, t, id) =>
+      val eligible = quotes.filter(q => q._1 == k && q._2 <= t)
+      if (eligible.isEmpty) None
+      else {
+        val tMax = eligible.map(_._2).max
+        Some(id -> eligible.filter(_._2 == tMax).map(_._3).max)
+      }
+    }.toMap
+    assert(got == want)
+  }
+
   test("rangeJoinBinned matches the theta join on overlapping intervals") {
     val points = Seq(0.0, 4499.9, 4500.0, 6999.9, 7000.0, 8999.9, 9000.0)
       .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
