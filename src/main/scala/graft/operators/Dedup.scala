@@ -22,6 +22,19 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
+  /** Materialize `result` (eager local checkpoint) and release the
+    * cached intermediate `legs`. Callers get a self-contained frame:
+    * the MEMORY_AND_DISK legs drop out of the cache immediately, and
+    * the checkpoint blocks themselves are released by Spark's
+    * ContextCleaner once the returned frame is garbage-collected — so
+    * a long-lived library session does not accumulate cache blocks
+    * per query the way persist-and-return-lazy would. */
+  private def sealResult(result: DataFrame, legs: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    legs.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup: group by content digest. Emits one row per distinct
     * text: the digest, the survivor (min id), and the multiplicity.
     * Shuffle key is the 128-bit md5, not the document body. */
@@ -149,7 +162,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = minHashSignatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(sig, k, bands)
-    jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
+    sealResult(jaccardVerify(cand, sh).filter(col("jaccard") >= tau),
+      sh, sig)
   }
 
   /** SimHash-64 over shingle features. The textbook form keeps 64 ±1
@@ -203,7 +217,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("ch.c"), col("ch.v"))
     val a = chunks.as("a")
     val b = chunks.as("b")
-    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v")
+    val res = a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
@@ -212,6 +226,7 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    sealResult(res, sig)
   }
 
   /** Exact n-gram Jaccard similarity for ALL pairs above `tau`.
@@ -236,8 +251,9 @@ object Dedup {
     val sh = wordShingleHashes(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab = sh.select("shingle").distinct().count()
-    if (vocab <= denseVocabLimit) densePairs(sh, vocab.toInt, tau)
-    else prefixFilteredPairs(sh, tau)
+    // both branches seal: the caller's frame carries no cached legs
+    if (vocab <= denseVocabLimit) sealResult(densePairs(sh, vocab.toInt, tau), sh)
+    else prefixFilteredPairs(sh, tau) // seals internally (releases sh too)
   }
 
   /** Dense regime: broadcast bitsets, distributed all-pairs sweep. */
@@ -303,7 +319,9 @@ object Dedup {
         && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, sh).filter(col("jaccard") >= tau)
+    // releases the caller-persisted `sh` leg along with `ranked`
+    sealResult(jaccardVerify(cand, sh).filter(col("jaccard") >= tau),
+      ranked, sh)
   }
 
   /** Near-duplicate CLUSTERS from a near-dup pair set: connected
@@ -421,11 +439,12 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val cos = VectorOps.nativeCosine(emb.sparkSession)
-    cand
+    val res = cand
       .join(v.as("va"), col("id_a") === col("va.vec_id"))
       .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
       .withColumn("cosine", cos(col("va.v"), col("vb.v")))
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    sealResult(res, buckets)
   }
 }

@@ -11,9 +11,19 @@ import graft.functions.VectorOps
   * derive a deterministic corpus inside the query: the original
   * documents plus mutated copies (id+10000, three appended
   * out-of-vocabulary words → word-3-gram Jaccard ≈ (n−2)/(n+1) ≈ 0.85).
-  * The DuckDB oracles recompute the *exact* pair sets; the Spark side
-  * produces them through the LSH pipelines, so an LSH recall miss would
-  * fail the gate (band parameters are sized for miss-rate ≈ 1e-10).
+  *
+  * RECALL ASSUMPTION (q42/q81/q85 vs their exact oracles): the DuckDB
+  * oracles recompute the *exact* all-pairs sets, while the Spark side
+  * generates candidates through MinHash-LSH (k=32, 16 bands × r=2),
+  * whose recall is probabilistic in the corpus — a pair at exactly
+  * J=tau=0.5 is missed with p=(1−0.25)¹⁶ ≈ 1%. The gate holds because
+  * the pair spectrum is measured, not assumed: at sf0.01 every
+  * qualifying pair has J ≥ 0.69 (miss ≤ 3e-5) and at sf0.1 J ≥ 0.6
+  * with only 12 pairs under 0.7 (expected misses ≈ 5e-3 — and since
+  * the MinHash seeds are fixed, recall is *deterministic* per corpus:
+  * both shipped scale factors verify green, and reruns cannot flake).
+  * New data with pairs sitting at the tau boundary would need wider
+  * banding (more bands of r=2) or a rows-only carve-out like q43/q80.
   */
 object DedupQueries extends QueryPack {
 

@@ -94,7 +94,10 @@ object Graph {
     * join that adopts comp(comp) (label doubling), each followed by a
     * localCheckpoint for flat lineage. Convergence is detected from
     * Σcomp, which strictly decreases until the fixpoint, so the check
-    * rides a tiny aggregate instead of a join-and-compare pass. */
+    * rides a tiny aggregate instead of a join-and-compare pass. The
+    * sum is carried as decimal(38,0): with billions of 64-bit vertex
+    * ids a long Σ would overflow (ANSI abort / silent wrap), while
+    * decimal(38,0) holds ~1e19 max-magnitude ids loss-free. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
     // (a,b) with a<b plus the mirror — already distinct if the input
@@ -104,8 +107,11 @@ object Graph {
       .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L)))
-      .collect()(0).getLong(0)
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = compSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -127,9 +133,8 @@ object Graph {
       val next = stepped.join(lookup, col("comp") === col("lv"))
         .select(col("v"), least(col("comp"), col("lcomp")).as("comp"))
         .localCheckpoint()
-      val newSum = next.agg(coalesce(sum(col("comp")), lit(0L)))
-        .collect()(0).getLong(0)
-      converged = newSum == prevSum
+      val newSum = compSum(next)
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       labels = next
       it += 1

@@ -71,10 +71,14 @@ object StreamingQueries extends QueryPack {
         |   make_timestamp((t // 10800000000) * 10800000000
         |     - k * 10800000000) AS w_start, event_type, value
         |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
-        | SELECT w_start, event_type, count(*) AS n,
-        |  ((CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
-        |     * 200 + count(*)) // (2 * count(*))) / 1000000.0 AS avg_value
-        | FROM wins GROUP BY 1, 2""".stripMargin,
+        | SELECT w_start, event_type, n,
+        |  CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+        |    / 1000000.0 AS avg_value
+        | FROM (SELECT w_start, event_type, count(*) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,4))) * 2000000 AS HUGEINT)
+        |     + count(*) AS num,
+        |   CAST(2 * count(*) AS HUGEINT) AS den
+        |  FROM wins GROUP BY 1, 2)""".stripMargin,
     "q55_session_window" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         | marked AS (SELECT user_id, t,

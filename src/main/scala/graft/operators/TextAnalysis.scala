@@ -223,12 +223,14 @@ object TextAnalysis {
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     // materialize the (small) survivor set, then release the gate
-    // frames — callers get a self-contained cached result instead of a
-    // lazy plan pinning every intermediate for the session lifetime
+    // frames — callers get a self-contained result instead of a lazy
+    // plan pinning every intermediate for the session lifetime; the
+    // eager local checkpoint's own blocks are freed by ContextCleaner
+    // once the caller drops the frame (a persist here would pin them
+    // in the cache manager until an explicit release)
     val out = exactKept.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     kept.unpersist(blocking = false)
     exactKept.unpersist(blocking = false)
     out

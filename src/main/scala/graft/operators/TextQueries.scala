@@ -165,7 +165,8 @@ object TextQueries extends QueryPack {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |     AS before
         |  FROM t)
-        | SELECT stream, before // 2048 AS chunk, count(*) AS n_docs,
+        | SELECT stream, CAST(before // 2048 AS BIGINT) AS chunk,
+        |  count(*) AS n_docs,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(sum(toks) AS BIGINT) AS tokens
         | FROM c GROUP BY stream, before // 2048""".stripMargin,

@@ -54,23 +54,29 @@ object EventStreams {
   }
 
   /** Sliding event-time windows (width/slide) with count and a
-    * deterministic mean. The 6-dp mean is rounded in integer
-    * arithmetic — avg·10⁶ = (S₄·200 + n) div 2n over the exact
-    * fixed-point sum S₄ = sv·10⁴ — so the HALF_UP decision never
+    * deterministic mean. The 6-dp mean is rounded in exact decimal
+    * arithmetic — avg·10⁶ = floor((S₄·200 + n) / 2n) over the exact
+    * fixed-point sum S₄ = sv·10⁴ — so the rounding decision never
     * rests on a double ulp (a plain `round(double, 6)` diverges
     * between engines when the mean lands within an ulp of a 5·10⁻⁷
-    * boundary, which real data does hit). */
+    * boundary, which real data does hit). The floor is spelled out as
+    * (num − pmod(num, den))/den in decimal(38,·): long arithmetic
+    * would overflow past |Σvalue| ≈ 4.6e13 (ANSI abort), and native
+    * integer division is truncating here but flooring in some DuckDB
+    * versions — the explicit form means "round half toward +∞" holds
+    * for BOTH engines at every sign and magnitude. */
   def slidingAgg(events: DataFrame, width: String, slide: String,
                  watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts_utc", w))
+    val num = col("sv").cast(DecimalType(38, 4)) * lit(2000000L) + col("n")
+    val den = (col("n") * lit(2L)).cast(DecimalType(38, 0))
+    val mean6 = ((num - pmod(num, den)) / den).cast(DecimalType(38, 0))
     src.groupBy(window(col("ts_utc"), width, slide).as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).as("sv"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
-        (graft.functions.NowFunctions.intDiv(
-          (col("sv") * 10000).cast("long") * 200 + col("n"),
-          col("n") * 2) / lit(1000000.0)).as("avg_value"))
+        (mean6.cast("double") / lit(1000000.0)).as("avg_value"))
   }
 
   /** Built-in gap-based session windows per user: session start, end
