@@ -91,4 +91,112 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(kmvEstimate(sk(col(valueCol)), k).as("approx_distinct"))
   }
+
+  // ---- approximate quantiles: bottom-k-by-hash sample sketch ----
+
+  /** Bounded-state quantile sketch: keep the k (hash, value) pairs with
+    * the lexicographically smallest keys — a deterministic uniform
+    * sample (the hash makes inclusion independent of value order).
+    * Compared with GK/KLL summaries this bottom-k design is
+    * ORDER-INDEPENDENT: the bottom-k of a multiset does not depend on
+    * partitioning or merge order, so estimates are bit-identical
+    * across cluster sizes and reruns (KLL's compaction path depends on
+    * merge order, which Spark does not fix), and — when the hash is a
+    * plain arithmetic formula — an external engine can reproduce the
+    * sample exactly, making the sketch differentially testable.
+    * Quantile error is the sampling error O(1/√k). State: ≤ k pairs,
+    * exactly mergeable (merge = bottom-k of the union). */
+  class BottomKSampleAggregator(k: Int)
+      extends Aggregator[(Long, Double), Array[(Long, Double)],
+        Array[Double]] {
+    private val ord = Ordering.Tuple2[Long, Double]
+    def zero: Array[(Long, Double)] = Array.empty
+    def reduce(b: Array[(Long, Double)],
+               p: (Long, Double)): Array[(Long, Double)] = insert(b, p)
+    def merge(a: Array[(Long, Double)],
+              b: Array[(Long, Double)]): Array[(Long, Double)] = {
+      var out = a
+      var i = 0
+      while (i < b.length) { out = insert(out, b(i)); i += 1 }
+      out
+    }
+    /** Sample values in ascending order (the estimation-ready form). */
+    def finish(r: Array[(Long, Double)]): Array[Double] =
+      r.map(_._2).sorted
+    // multiset bottom-k: duplicates kept, so the result is exactly
+    // "ORDER BY (h, v) LIMIT k" over the whole input
+    private def insert(b: Array[(Long, Double)],
+                       p: (Long, Double)): Array[(Long, Double)] = {
+      if (b.length >= k && ord.compare(p, b(b.length - 1)) >= 0) b
+      else {
+        var lo = 0
+        var hi = b.length
+        while (lo < hi) { // first index with b(idx) > p (upper bound)
+          val mid = (lo + hi) >>> 1
+          if (ord.compare(b(mid), p) <= 0) lo = mid + 1 else hi = mid
+        }
+        val n = math.min(b.length + 1, k)
+        val out = new Array[(Long, Double)](n)
+        System.arraycopy(b, 0, out, 0, lo)
+        out(lo) = p
+        System.arraycopy(b, lo, out, lo + 1, n - lo - 1)
+        out
+      }
+    }
+    def bufferEncoder: Encoder[Array[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(Long, Double)]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Oracle-reproducible sampling hash over a non-negative id: Knuth
+    * multiplicative over a reduced residue, all intermediates < 2⁶³ so
+    * ANSI long arithmetic (and DuckDB BIGINT) never overflows. */
+  def sampleHash(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(999999999989L))
+
+  /** Register the k-sized quantile-sample UDAF as
+    * `bottomk_sample_<k>` and return (idCol, valueCol) => agg column
+    * producing the sorted sample array. */
+  def quantileSketchAgg(spark: org.apache.spark.sql.SparkSession,
+                        k: Int): (Column, Column) => Column = {
+    val name = s"bottomk_sample_$k"
+    spark.udf.register(name, udaf(new BottomKSampleAggregator(k)))
+    (id, v) => call_udf(name, sampleHash(id), v.cast("double"))
+  }
+
+  /** Linear-interpolated quantile over a sorted sample array — the
+    * same arithmetic as SQL percentile_cont: h = p(n−1), result =
+    * v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]−v[⌊h⌋]). Pure double ops in a fixed
+    * order, so an oracle spelling out the identical formula matches
+    * bit-for-bit. */
+  def sampleQuantile(sample: Column, p: Double): Column = {
+    val n = size(sample)
+    val h = lit(p) * (n - 1).cast("double")
+    val lo = floor(h).cast("int")
+    val frac = h - lo.cast("double")
+    val vlo = element_at(sample, lo + 1)
+    val vhi = element_at(sample, least(lo + lit(2), n))
+    vlo + frac * (vhi - vlo)
+  }
+
+  /** Per-group approximate quantiles in ONE streaming pass: one
+    * shuffle on the group keys, ≤ k (hash, value) pairs of state per
+    * group on the map side — the 100 TB shape (an exact per-group
+    * percentile must materialize and sort every value). */
+  def approxQuantilesByKey(df: DataFrame, keys: Seq[String],
+                           idCol: String, valueCol: String,
+                           probs: Map[String, Double],
+                           k: Int = 200): DataFrame = {
+    val sk = quantileSketchAgg(df.sparkSession, k)
+    val qs = probs.toSeq.sortBy(_._1).map { case (name, p) =>
+      round(sampleQuantile(col("sample"), p), 6).as(name)
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(sk(col(idCol), col(valueCol)).as("sample"))
+      .select(keys.map(col) ++ qs: _*)
+  }
 }

@@ -55,6 +55,27 @@ object Similarity {
         round(col("cos_raw"), 6).as("cosine"), col("rank"))
   }
 
+  /** Per-class embedding centroids (the mean vector of each label
+    * group) — the training step behind IVF coarse quantizers,
+    * class prototypes, and embedding-drift monitoring. Emitted in
+    * long form (label, dim, centroid): the per-dimension sums ride
+    * ONE shuffle on (label, dim) with map-side partial aggregation,
+    * and the decimal(18,9) accumulator makes the mean exact and
+    * order-independent (a double sum would drift with partitioning).
+    * At 100 TB: state is |labels|·dims accumulators, independent of
+    * row count. */
+  def classCentroids(emb: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    emb.select(col(groupCol), posexplode(toDoubleVec(col(vecCol))))
+      .select(col(groupCol), col("pos").cast("long").as("dim"),
+        col("col").as("x"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .as("sx"))
+      .select(col(groupCol), col("dim"),
+        round(col("sx").cast("double") / col("n"), 6).as("centroid"))
+
   /** Deterministic coarse quantizer: the first `nlist` vectors by id
     * serve as centroids (k-means refinement is an orthogonal,
     * pluggable improvement — the partition/probe plumbing is what

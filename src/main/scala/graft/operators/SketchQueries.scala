@@ -1,21 +1,70 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Sketches
 
-/** KMV sketch coverage. The estimate is a deterministic function of
-  * xxhash64, which DuckDB cannot recompute — rows-only driver check
-  * (like q43); SketchesSpec proves accuracy, determinism, and exact
-  * mergeability instead. */
+/** Sketch coverage: bounded-state aggregates for the 100 TB regime.
+  *
+  * q80 (KMV distinct) is a deterministic function of xxhash64, which
+  * DuckDB cannot recompute — rows-only driver check (like q43);
+  * SketchesSpec proves accuracy, determinism, and exact mergeability.
+  *
+  * q88 (quantile sketch) is differentially testable END-TO-END: the
+  * bottom-k-by-hash sample uses a plain arithmetic hash, so the oracle
+  * reproduces the exact sample ("ORDER BY h, v LIMIT k") and the
+  * identical interpolation formula — an *approximate* sketch with an
+  * *exact* oracle, because the approximation is deterministic.
+  */
 object SketchQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-event-type approximate distinct users, k=256 (~6% σ)
     "q80_kmv_distinct" -> ((s, d) =>
       Sketches.approxDistinctByKey(Tables.events(s, d),
-        Seq("event_type"), "user_id", k = 256))
+        Seq("event_type"), "user_id", k = 256)),
+    // per-flag price quantiles from a k=200 bottom-k-by-hash sample:
+    // one pass, ≤200 pairs of state per group on the map side.
+    "q88_quantile_sketch" -> ((s, d) =>
+      Sketches.approxQuantilesByKey(
+        Tables.lineitem(s, d)
+          .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
+        Seq("l_returnflag"), "rid", "l_extendedprice",
+        Map("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), k = 200))
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q88_quantile_sketch" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+        |   ((l_orderkey * 10 + l_linenumber) % 1000000007)
+        |     * 2654435761 % 999999999989 AS h,
+        |   CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        | ranked AS (SELECT grp, v, h,
+        |   row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rk,
+        |   count(*) OVER (PARTITION BY grp) AS cnt FROM base),
+        | samp AS (SELECT grp, v,
+        |   CAST(least(cnt, 200) AS BIGINT) AS n FROM ranked
+        |  WHERE rk <= 200),
+        | byv AS (SELECT grp, v, n,
+        |   row_number() OVER (PARTITION BY grp ORDER BY v) AS vr
+        |  FROM samp),
+        | pl AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        | j AS (SELECT b.grp, p.p, b.n, b.vr, b.v,
+        |   CAST(floor(p.p * (b.n - 1)) AS BIGINT) AS flo,
+        |   p.p * (b.n - 1) - floor(p.p * (b.n - 1)) AS frac
+        |  FROM byv b CROSS JOIN pl p),
+        | agg AS (SELECT grp, p, any_value(frac) AS frac,
+        |   max(CASE WHEN vr = flo + 1 THEN v END) AS vlo,
+        |   max(CASE WHEN vr = least(flo + 2, n) THEN v END) AS vhi
+        |  FROM j GROUP BY grp, p)
+        | SELECT grp AS l_returnflag,
+        |  round(max(CASE WHEN p = 0.5 THEN vlo + frac * (vhi - vlo) END),
+        |    6) AS p50,
+        |  round(max(CASE WHEN p = 0.9 THEN vlo + frac * (vhi - vlo) END),
+        |    6) AS p90,
+        |  round(max(CASE WHEN p = 0.99 THEN vlo + frac * (vhi - vlo) END),
+        |    6) AS p99
+        | FROM agg GROUP BY grp""".stripMargin
+  )
 }

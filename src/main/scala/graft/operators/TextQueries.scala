@@ -65,6 +65,10 @@ object TextQueries extends QueryPack {
         docs.filter(col("doc_id") >= 25L),
         docs.filter(col("doc_id") < 25L), "doc_id", "text", n = 5)
     }),
+    // Exact frequent word-bigrams (heavy hitters), top 20.
+    "q89_frequent_ngrams" -> ((s, d) =>
+      TextAnalysis.frequentNgrams(Tables.documents(s, d), "text",
+        n = 2, k = 20)),
     // Stratified deterministic sampling: src0-src4 at 5%, rest at 20%.
     "q74_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id",
@@ -156,6 +160,14 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q89_frequent_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w
+        |   FROM documents),
+        | grams AS (SELECT w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2)
+        | SELECT gram, count(*) AS freq FROM grams GROUP BY gram
+        | ORDER BY freq DESC, gram LIMIT 20""".stripMargin,
     "q86_seq_pack" ->
       """WITH t AS (SELECT source AS stream, doc_id,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
