@@ -89,7 +89,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Verbose record first (full query names, for humans and
+    // BENCH_LOCAL archives) …
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // … then a COMPACT line (qNN keys) as the final stdout line: the
+    // driver keeps only the last ~2000 chars of output, and the
+    // verbose line with ~90 full names (~2700 chars) gets its head cut
+    // off there, so its JSON never parses. The compact line stays
+    // ~1200 chars — whole line inside the tail window — and is the
+    // last "{"-prefixed line, so either first- or last-match parsing
+    // finds a complete JSON object.
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
