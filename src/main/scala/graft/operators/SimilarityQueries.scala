@@ -38,7 +38,12 @@ object SimilarityQueries extends QueryPack {
           "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("vec_id"), col("cosine"),
           col("rank").cast("long").as("rank"))
-    })
+    }),
+    // Per-label centroid vectors in long form (label, dim, centroid):
+    // exact decimal per-dimension means, one shuffle.
+    "q90_class_centroids" -> ((s, d) =>
+      Similarity.classCentroids(Tables.embeddings(s, d), "label",
+        "embedding"))
   )
 
   private val flatCte =
@@ -107,6 +112,13 @@ object SimilarityQueries extends QueryPack {
         |  FROM scored)
         | SELECT query_id, vec_id, round(c, 6) AS cosine,
         |  CAST(rk AS BIGINT) AS rank
-        | FROM ranked WHERE rk <= 3""".stripMargin
+        | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q90_class_centroids" ->
+      """WITH flat AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |   CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(18,9)) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i))
+        | SELECT label, dim,
+        |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS centroid
+        | FROM flat GROUP BY label, dim""".stripMargin
   )
 }

@@ -98,4 +98,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.count() == 7)
     assert(assigned.select("vec_id").distinct().count() == 7)
   }
+
+  test("classCentroids computes exact per-dimension means per label") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, -2.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.classCentroids(df, "label", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got == Map((0, 0L) -> 2.0, (0, 1L) -> 3.0,
+      (1, 0L) -> 10.0, (1, 1L) -> -2.0))
+  }
+
+  test("classCentroids mean is partition-order independent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // values chosen so a double sum would depend on add order
+    val rows = (1 to 2000).map(i =>
+      (0, Seq((if (i % 2 == 0) 1e8f else 1e-8f) * (i % 7 - 3))))
+    val run = (s: Seq[(Int, Seq[Float])], p: Int) =>
+      Similarity.classCentroids(s.toDF("label", "embedding")
+          .repartition(p), "label", "embedding")
+        .collect()(0).getDouble(2)
+    assert(run(rows, 3) == run(rows.reverse, 17))
+  }
 }

@@ -48,4 +48,46 @@ class SketchesSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(merged == skU) // exact mergeability, not just close estimates
   }
+
+  test("bottom-k quantile sample is order- and partition-independent") {
+    val rows = (1 to 5000).map(i => ("g", i.toLong, (i * 37 % 1000).toDouble))
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      Sketches.approxQuantilesByKey(df, Seq("g"), "id", "v",
+        Map("p50" -> 0.5, "p90" -> 0.9), k = 100).collect()(0)
+    val a = q(rows.toDF("g", "id", "v").repartition(3))
+    val b = q(rows.reverse.toDF("g", "id", "v").repartition(13))
+    assert(a == b)
+  }
+
+  test("bottom-k quantile sample equals ORDER BY (h,v) LIMIT k") {
+    val k = 50
+    val rows = (1 to 2000).map(i => (i.toLong, (i % 321).toDouble))
+    val df = rows.toDF("id", "v")
+    val sk = Sketches.quantileSketchAgg(spark, k)
+    val got = df.agg(sk($"id", $"v").as("s"))
+      .collect()(0).getSeq[Double](0)
+    val want = df.select(Sketches.sampleHash($"id").as("h"),
+        $"v".cast("double").as("v"))
+      .orderBy($"h", $"v").limit(k)
+      .collect().map(_.getDouble(1)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("quantile estimate tracks the exact percentile within sampling error") {
+    // uniform values: p-quantile ≈ p * n; k=200 ⇒ σ ≈ 1/√200 ≈ 7%
+    val n = 20000
+    val rows = (1 to n).map(i => ("g", i.toLong, i.toDouble))
+    val got = Sketches.approxQuantilesByKey(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", Map("p50" -> 0.5, "p90" -> 0.9), k = 200)
+      .collect()(0)
+    assert(math.abs(got.getDouble(1) - 0.5 * n) / n < 0.15)
+    assert(math.abs(got.getDouble(2) - 0.9 * n) / n < 0.15)
+  }
+
+  test("quantile sample below k is the whole group (exact percentiles)") {
+    val rows = (1 to 101).map(i => ("g", i.toLong, i.toDouble))
+    val got = Sketches.approxQuantilesByKey(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", Map("p50" -> 0.5), k = 200).collect()(0)
+    assert(got.getDouble(1) == 51.0) // exact interpolated median
+  }
 }

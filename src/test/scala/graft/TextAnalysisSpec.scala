@@ -14,6 +14,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     (3L, "x")
   ).toDF("doc_id", "text")
 
+  test("frequentNgrams counts overlapping bigrams, freq-desc/gram-asc") {
+    val out = TextAnalysis.frequentNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "der hund", "der schnelle" etc. appear once; "the" bigrams:
+    // doc 1 has "the cat","the dog","the garden","the house" — all 1;
+    // no repeated bigram exists, so top-3 is pure gram-asc among freq=1
+    assert(out.length == 3 && out.forall(_._2 == 1L))
+    assert(out == out.sortBy(_._1))
+    // a doc shorter than n yields no grams (doc 3 = "x")
+    val one = TextAnalysis.frequentNgrams(
+      Seq((9L, "a b a b a")).toDF("doc_id", "text"), "text", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(one == Seq(("a b", 2L), ("b a", 2L)))
+  }
+
   test("languageId picks the max-scoring profile with alpha tie-break") {
     val out = TextAnalysis.languageId(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
