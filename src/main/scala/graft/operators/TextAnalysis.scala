@@ -62,6 +62,27 @@ object TextAnalysis {
 
   private val stopwords = Seq("a", "the", "of", "and", "in", "to", "is")
 
+  /** Row-local quality score in [0,1]: the same expression
+    * qualityScore emits, usable directly inside a projection/filter
+    * (curateCorpus gates on it without a join). */
+  def qualityExpr(t: Column): Column = {
+    val w = words(t)
+    val nw = size(w).cast("long")
+    val nc = length(t).cast("long")
+    val stop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", "")).cast("long")
+    round(when(nw >= 10, lit(0.4)).otherwise(lit(0.0))
+      + when(stop > 0, lit(0.3)).otherwise(lit(0.0))
+      + when(punct * lit(10L) < nc, lit(0.3)).otherwise(lit(0.0)), 6)
+  }
+
+  /** Row-local predicted language (argmax profile score, alphabetical
+    * tie-break) — languageId's decision column without the frame. */
+  def langPredExpr(t: Column): Column =
+    array_min(array(langProfiles.map { case (l, _) =>
+      struct((-langScore(t, l)).as("neg"), lit(l).as("lang"))
+    }: _*)).getField("lang")
+
   /** Quality features + a weighted score in [0,1]-ish: integer counts,
     * each ratio one double division, fixed evaluation order. */
   def qualityScore(docs: DataFrame, idCol: String,
@@ -200,21 +221,22 @@ object TextAnalysis {
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    minQuality: Double = 0.7, lang: String = "en",
                    shingleN: Int = 3, nearDupTau: Double = 0.5): DataFrame = {
-    val q = qualityScore(docs, idCol, textCol)
-      .select(col("doc_id"), col("quality"))
-    val l = languageId(docs, idCol, textCol)
-      .select(col("doc_id"), col("pred_lang"))
-    // both gate outputs feed multiple downstream legs (digest group,
-    // rejoin, shingling, final anti-join) — compute each once
-    val kept = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(q, "doc_id").join(l, "doc_id")
-      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exactSurvivors = kept
+    // Both gates are row-local expressions, so the whole quality+
+    // language filter is ONE narrow codegen'd projection over the
+    // corpus scan — no gate joins, no shuffle (an earlier version
+    // scored each gate as its own frame and joined twice; at 100 TB
+    // those are two full-corpus shuffles for per-row arithmetic).
+    val kept = docs
+      .filter(qualityExpr(col(textCol)) >= minQuality &&
+        langPredExpr(col(textCol)) === lang)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Exact dedup in one shuffle with no join-back: all rows in an
+    // md5 group carry identical text, so any_value(text) is
+    // deterministic and recovers the survivor's body.
+    val exactKept = kept
       .groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exactKept = kept.join(exactSurvivors, "doc_id")
+      .agg(min(col("doc_id")).as("doc_id"),
+        any_value(col("text")).as("text"))
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clusters = Dedup.nearDupClusters(
@@ -231,7 +253,6 @@ object TextAnalysis {
     val out = exactKept.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as(idCol))
       .localCheckpoint(true)
-    kept.unpersist(blocking = false)
     exactKept.unpersist(blocking = false)
     out
   }
