@@ -23,7 +23,8 @@ object SparkEntry {
     GraphQueries,
     TemporalQueries,
     SkewQueries,
-    SketchQueries
+    SketchQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** OLAP analytics superset: multi-level grouping (ROLLUP/CUBE), window
+  * analytics (running totals, lag, gaps), histograms, exact moment
+  * statistics (corr/covar from decimal sums), per-group top-k, and
+  * pivot. The reference's surface stops at flat GROUP BY + ORDER BY
+  * (SURVEY §2.5–§2.7); these are the standard analytics a user of any
+  * OLAP engine expects, built on Spark's native rollup/cube/Window/
+  * pivot operators so Catalyst keeps partial aggregation and pushdown.
+  *
+  * Determinism: every aggregated double rides an exact DECIMAL cast
+  * before SUM (see CoreQueries scaladoc); derived statistics (corr,
+  * covariance) are then computed from those exact sums in a spelled-out
+  * double formula identical on both engines, so the driver's
+  * hash-compare holds bit-for-bit.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP: (flag, status), (flag), () subtotal levels in one pass —
+    // Spark expands to a union of grouping sets with partial aggs.
+    "q91_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+    // CUBE over two independent dimensions (all 4 grouping sets).
+    "q92_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("revenue"))),
+    // Window analytics per customer ordered by time: running revenue
+    // (exact decimal prefix sum), previous price, day gap since the
+    // previous order. One shuffle on o_custkey, one sort per partition.
+    "q93_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val prevDate = lag(col("o_orderdate"), 1).over(w)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_rev"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        datediff(to_date(col("o_orderdate")), to_date(prevDate))
+          .cast("long").as("gap_days"))
+    }),
+    // Fixed-width histogram: floor-bin on the double itself (identical
+    // IEEE divide+floor both engines), count/min/max/sum per bin.
+    "q94_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / lit(25000.0)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          dsum(col("o_totalprice")).as("total"))),
+    // Pearson correlation + sample covariance per group, computed from
+    // exact decimal power sums — a double-accumulated corr() is
+    // partition-order dependent; this one is reproducible anywhere.
+    "q95_corr" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1), 4).as("covar_samp"))
+    }),
+    // Top-3 orders by price per priority class: rank inside the
+    // window, filter — TakeOrdered-per-group shape, never a global sort.
+    "q96_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+    }),
+    // Pivot: event counts per user cohort × event type (wide form).
+    "q97_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(100L)).as("cohort"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q91_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        | FROM lineitem
+        | GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q92_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS revenue
+        | FROM orders
+        | GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q93_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS running_rev,
+        | lag(o_totalprice, 1)
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |   AS prev_price,
+        | CAST(date_diff('day',
+        |   CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        | FROM orders""".stripMargin,
+    "q94_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        | FROM orders GROUP BY 1""".stripMargin,
+    "q95_corr" ->
+      """WITH sums AS (SELECT l_returnflag,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |     AS sy,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
+        |     * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |     * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
+        |     * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        | SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    AS corr_qty_price,
+        |  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
+        | FROM sums""".stripMargin,
+    "q96_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q97_pivot" ->
+      """SELECT user_id % 100 AS cohort,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |   AS click,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |   AS error,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |   AS BIGINT) AS purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |   AS signup,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |   AS view
+        | FROM events GROUP BY 1""".stripMargin
+  )
+}
