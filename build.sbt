@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.Shell reads statements from stdin
+// Pass the forked run's stdout straight through (no "[info] " log
+// prefix) so Bench's one-line JSON is machine-parseable from the
+// captured output tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

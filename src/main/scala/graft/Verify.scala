@@ -17,8 +17,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev aid: SPARK_GRAFT_ONLY=q86_seq_pack,q51_tokens limits the dump
     // to a comma-separated subset (driver never sets it → full run).
+    // Blank entries dropped and a set-but-empty var treated as unset:
+    // SPARK_GRAFT_ONLY="" from a CI wrapper must mean "full run", not
+    // "match nothing".
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }

@@ -144,12 +144,12 @@ object AnalyticsQueries extends QueryPack {
         |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         |     AS sy,
-        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
-        |     * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-        |     * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
-        |     * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS syy,
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         | SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) /

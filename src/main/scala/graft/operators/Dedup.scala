@@ -22,17 +22,33 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
-  /** Materialize `result` (eager local checkpoint) and release the
-    * cached intermediate `legs`. Callers get a self-contained frame:
-    * the MEMORY_AND_DISK legs drop out of the cache immediately, and
-    * the checkpoint blocks themselves are released by Spark's
-    * ContextCleaner once the returned frame is garbage-collected — so
-    * a long-lived library session does not accumulate cache blocks
-    * per query the way persist-and-return-lazy would. */
+  /** Materialize `result` and release the cached intermediate `legs`.
+    * Callers get a self-contained frame: the MEMORY_AND_DISK legs drop
+    * out of the cache immediately, and the result's own blocks are
+    * released by Spark's ContextCleaner once the returned frame is
+    * garbage-collected — so a long-lived library session does not
+    * accumulate cache blocks per query.
+    *
+    * The result is persisted WITH its lineage (not checkpointed): on a
+    * large cluster an executor loss then recomputes the missing
+    * partitions instead of invalidating the frame, which matters for
+    * pair results that took an LSH pass to produce. Callers that
+    * consume the frame exactly once (e.g. an immediate parquet write)
+    * can skip the eager materialization entirely with
+    * `spark.graft.sealResults=false` — they pay at most a duplicate
+    * leg computation inside their single job, and nothing is cached. */
   private def sealResult(result: DataFrame, legs: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    legs.foreach(_.unpersist(blocking = false))
-    out
+    val seal = result.sparkSession.conf
+      .getOption("spark.graft.sealResults").forall(_.toBoolean)
+    if (seal) {
+      val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // eager: legs are consumed here, then freed
+      legs.foreach(_.unpersist(blocking = false))
+      out
+    } else {
+      legs.foreach(_.unpersist(blocking = false))
+      result
+    }
   }
 
   /** Exact dedup: group by content digest. Emits one row per distinct

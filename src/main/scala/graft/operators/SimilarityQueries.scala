@@ -116,7 +116,9 @@ object SimilarityQueries extends QueryPack {
     "q90_class_centroids" ->
       """WITH flat AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |   CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(18,9)) AS x
-        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i))
+        |  FROM embeddings,
+        |   UNNEST(generate_series(1, len(CAST(embedding AS DOUBLE[]))))
+        |   AS t(i))
         | SELECT label, dim,
         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS centroid
         | FROM flat GROUP BY label, dim""".stripMargin
