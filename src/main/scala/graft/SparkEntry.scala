@@ -24,7 +24,9 @@ object SparkEntry {
     TemporalQueries,
     SkewQueries,
     SketchQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    BehaviorQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -102,7 +102,44 @@ object AnalyticsQueries extends QueryPack {
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L))
+        .na.fill(0L)),
+    // Per-group OLS regression (slope/intercept/R²) from the same
+    // exact decimal power sums as q95 — one aggregation pass, then a
+    // spelled-out double formula shared verbatim with the oracle.
+    "q98_regression" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(y * y).cast("double").as("syy"))
+        .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("cxx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("cyy", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(col("cxy") / col("cxx"), 6).as("slope"),
+          round((col("sy") - col("cxy") / col("cxx") * col("sx")) /
+            col("n"), 6).as("intercept"),
+          round(col("cxy") * col("cxy") / (col("cxx") * col("cyy")), 6)
+            .as("r2"))
+    }),
+    // Decile bands over a deterministic total order: ntile + per-band
+    // stats. The global sort is the cost (at 100 TB you'd derive band
+    // boundaries from a quantile sketch and bucket by range instead —
+    // q88 has the sketch); the band aggregation itself is one shuffle.
+    "q99_ntile_bands" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_totalprice"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          dsum(col("o_totalprice")).as("band_total"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +194,38 @@ object AnalyticsQueries extends QueryPack {
         |    AS corr_qty_price,
         |  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
         | FROM sums""".stripMargin,
+    "q98_regression" ->
+      """WITH sums AS (SELECT l_returnflag,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |     AS sy,
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(28,4))
+        |     * CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        | m AS (SELECT l_returnflag, n, sx, sy,
+        |   n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx,
+        |   n * syy - sy * sy AS cyy
+        |  FROM sums)
+        | SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(cxy / cxx, 6) AS slope,
+        |  round((sy - cxy / cxx * sx) / n, 6) AS intercept,
+        |  round(cxy * cxy / (cxx * cyy), 6) AS r2
+        | FROM m""".stripMargin,
+    "q99_ntile_bands" ->
+      """WITH r AS (SELECT o_totalprice,
+        |   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+        |     AS BIGINT) AS decile
+        |  FROM orders)
+        | SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS band_total
+        | FROM r GROUP BY decile""".stripMargin,
     "q96_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | CAST(rk AS BIGINT) AS rk FROM (

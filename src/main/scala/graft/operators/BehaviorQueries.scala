@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral / event-log analytics over the `events` stream table —
+  * the workloads a time-series engine's users actually run on stamped
+  * edges (SURVEY §1.1: "edges are the time-series"): semi-structured
+  * payload extraction, cohort retention, interval concurrency
+  * (sweep-line), and gap-based activity islands.
+  *
+  * `ts` is an ns-since-epoch long (Tables scaladoc); arithmetic stays
+  * in exact integer µs/day space so every oracle compare is
+  * bit-stable. One shuffle per query (on the analysis key), window
+  * sorts run inside the keyed partitions.
+  */
+object BehaviorQueries extends QueryPack {
+
+  /** epoch µs from the ns-long stamp. Exact integral divide
+    * (IntegralDivide) — the double `/` rounds above 2^53, and epoch-ns
+    * is ~1.7e18. All testdata stamps are post-epoch so truncation =
+    * floor = DuckDB's epoch_us on the TIMESTAMP_NS read. */
+  private def us(c: org.apache.spark.sql.Column) =
+    call_function("div", c, lit(1000L))
+  private val usPerDay = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi-structured payload: JSON path extraction from the props
+    // string, aggregated per event type. get_json_object is codegen'd;
+    // at scale the JSON never leaves the executor — only (type, k)
+    // pairs shuffle into the partial aggregation.
+    "q100_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          round(sum(col("k")).cast("double") / count(lit(1)), 6)
+            .as("avg_k"))),
+    // Cohort retention: users bucketed by first-activity week, counted
+    // per (cohort_week, active_week). Two aggregations, both keyed on
+    // user_id first — the wide event set shuffles once on user_id,
+    // then the small (user, week) set reshuffles on the cohort key.
+    "q101_cohort_retention" -> ((s, d) => {
+      val byUser = Tables.events(s, d)
+        .select(col("user_id"),
+          call_function("div",
+            call_function("div", us(col("ts")), lit(usPerDay)), lit(7L))
+            .as("week"))
+        .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("n_ev"))
+      val cohort = byUser.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      byUser.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("n_ev")).as("n_events"))
+    }),
+    // Sweep-line concurrency: each event opens a 5-minute interval;
+    // +1/-1 boundary points, running sum in time order, max per day.
+    // The global time-ordered prefix sum is the textbook sequential
+    // formulation; at 100 TB you'd range-partition by day and add
+    // per-partition carry-ins (two passes) — the ±1 point set is
+    // already ~10^-3 of the input bytes, so the sort is cheap.
+    "q102_concurrency" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(us(col("ts")).as("t"))
+      val pts = ev.select(col("t"), lit(1).as("delta"))
+        .unionAll(ev.select((col("t") + 300000000L).as("t"),
+          lit(-1).as("delta")))
+      // ends sort before starts at the same instant (delta asc)
+      val w = Window.orderBy(col("t"), col("delta"))
+      pts.select(call_function("div", col("t"), lit(usPerDay)).as("day"),
+          sum(col("delta")).over(w).as("conc"))
+        .groupBy(col("day"))
+        .agg(max(col("conc")).cast("long").as("peak_concurrency"))
+    }),
+    // Gap islands: per user, a >30-minute silence starts a new
+    // activity burst. lag + conditional prefix sum inside the per-user
+    // window — one shuffle on user_id, integer-exact everywhere.
+    "q103_gap_islands" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val gap = 1800000000L // 30 min in µs
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), us(col("ts")).as("t"))
+        .withColumn("new_island",
+          when(col("t") - lag(col("t"), 1).over(w) > gap, 1)
+            .otherwise(lit(0)))
+        .withColumn("island",
+          sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"),
+          call_function("div", max(col("t")) - min(col("t")),
+            lit(60000000L)).as("span_min"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_islands"),
+          max(col("len")).as("longest_island"),
+          max(col("span_min")).as("longest_span_min"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q100_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS DOUBLE) / count(*), 6) AS avg_k
+        | FROM events GROUP BY event_type""".stripMargin,
+    "q101_cohort_retention" ->
+      """WITH by_user AS (SELECT user_id,
+        |   epoch_us(ts) // 86400000000 // 7 AS week, count(*) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        | cohort AS (SELECT user_id, min(week) AS cohort_week
+        |  FROM by_user GROUP BY 1)
+        | SELECT c.cohort_week, b.week,
+        |  count(DISTINCT b.user_id) AS n_users,
+        |  CAST(sum(b.n_ev) AS BIGINT) AS n_events
+        | FROM by_user b JOIN cohort c USING (user_id)
+        | GROUP BY 1, 2""".stripMargin,
+    "q102_concurrency" ->
+      """WITH pts AS (
+        |  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events),
+        | run AS (SELECT t // 86400000000 AS day,
+        |   sum(delta) OVER (ORDER BY t, delta
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        | SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+        | FROM run GROUP BY day""".stripMargin,
+    "q103_gap_islands" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |   FROM events),
+        | flag AS (SELECT user_id, event_id, t,
+        |   CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id) > 1800000000 THEN 1 ELSE 0 END AS ni
+        |  FROM t),
+        | isl AS (SELECT user_id, t,
+        |   sum(ni) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flag),
+        | per AS (SELECT user_id, island, count(*) AS len,
+        |   (max(t) - min(t)) // 60000000 AS span_min
+        |  FROM isl GROUP BY 1, 2)
+        | SELECT user_id, count(*) AS n_islands,
+        |  max(len) AS longest_island,
+        |  CAST(max(span_min) AS BIGINT) AS longest_span_min
+        | FROM per GROUP BY user_id""".stripMargin
+  )
+}

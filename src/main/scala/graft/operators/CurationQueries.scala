@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators, round 4: metric-similarity
+  * blocking (edit distance), Bloom-accelerated decontamination,
+  * Gopher-style repetition signals, domain mixture weights, vocabulary
+  * coverage, per-class entropy, and deterministic weighted sampling.
+  *
+  * Scale notes are per-query; the common theme is collapsing
+  * quadratic candidate spaces (distinct-value canonicalization,
+  * Bloom prefilters, blocking keys) before any pairwise work, and
+  * keeping every aggregate integer-exact or spelled-out-double so the
+  * DuckDB oracle compare is bit-stable.
+  */
+object CurationQueries extends QueryPack {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Edit-distance near-dup names, blocked by (p_type, length band).
+    // Canonicalize to DISTINCT (type, name) groups FIRST: the 20k-part
+    // table has only 64 distinct names, so the naive all-pairs join is
+    // quadratic in *rows* (651k pairs at sf0.1) while the distinct-
+    // group join is quadratic only in *values* (≤ C(64,2)·types) —
+    // at 100 TB this is the difference between an impossible join and
+    // a broadcast. levenshtein() is codegen'd in both engines.
+    "q106_edit_distance" -> ((s, d) => {
+      val g = Tables.part(s, d)
+        .groupBy(col("p_type"), col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+      val a = g.select(col("p_type"), col("p_name").as("name_a"),
+        col("n_parts").as("n_a"))
+      val b = g.select(col("p_type"), col("p_name").as("name_b"),
+        col("n_parts").as("n_b"))
+      a.join(b, Seq("p_type"))
+        .filter(col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("p_type"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long")
+            .as("dist"), col("n_a"), col("n_b"))
+    }),
+    // Benchmark decontamination with a Bloom prefilter: documents
+    // sharing any distinct word 5-gram with the held-out benchmark
+    // slice (doc_id % 20 = 7) are contaminated. The Bloom filter over
+    // benchmark-gram hashes is built once (small side), broadcast
+    // inside might_contain, and prunes the corpus gram stream BEFORE
+    // the shuffle — only might-contain survivors reach the exact
+    // verify join, so false positives cost a little work, never
+    // correctness. Result is exact; the oracle knows nothing of the
+    // Bloom pass.
+    "q107_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = (df: DataFrame) => df
+        .select(col("doc_id"), col("source"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 4),
+            i => array_join(slice(col("w"), i, lit(5)), " "))))
+            .as("gram"))
+      val bench = grams(docs.filter(col("doc_id") % 20 === 7))
+        .select(col("gram")).distinct().persist()
+      val bloom = bench.stat.bloomFilter("gram", 100000L, 0.01)
+      val might = udf((g: String) => bloom.mightContain(g))
+      val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+      val contaminated = grams(corpus)
+        .filter(might(col("gram"))) // Bloom prefilter, ~1% FP
+        .join(broadcast(bench), "gram") // exact verify
+        .select(col("doc_id")).distinct()
+      val res = corpus
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0))).cast("long")
+            .as("n_contaminated"),
+          (count(lit(1)) - sum(coalesce(col("hit"), lit(0))))
+            .cast("long").as("n_clean"))
+      res.persist().count()
+      bench.unpersist(blocking = false)
+      res
+    }),
+    // Gopher-style repetition signals: most-frequent-word fraction and
+    // duplicate-word fraction per document. One explode + two-level
+    // aggregation, all integer counts until the final division.
+    "q108_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_words"),
+          count(lit(1)).cast("long").as("n_types"),
+          max(col("c")).cast("long").as("top_count"))
+        .select(col("doc_id"), col("n_words"), col("n_types"),
+          round(col("top_count").cast("double") / col("n_words"), 6)
+            .as("top_word_frac"),
+          round(lit(1.0) - col("n_types").cast("double") / col("n_words"),
+            6).as("dup_word_frac"))),
+    // Domain mixture weights: per-source token mass → sqrt-smoothed
+    // sampling weight (the standard multi-domain LM mixing move:
+    // damps head domains, boosts tail ones). 20 rows after the first
+    // aggregation — the window total is driver-trivial.
+    "q109_domain_mix" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words(col("text")))).cast("long").as("tokens"))
+      val w = Window.partitionBy()
+      perSrc.select(col("source"), col("n_docs"), col("tokens"),
+        round(sqrt(col("tokens")) / sum(sqrt(col("tokens"))).over(w), 6)
+          .as("mix_weight"))
+    }),
+    // Vocabulary coverage: tokenizer-building stat. Vocab = words with
+    // count ≥ total/1000 (relative threshold so it scales with the
+    // corpus); report type/token coverage of that vocab. Integer-exact
+    // until the final two divisions.
+    "q110_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = Window.partitionBy()
+      counts
+        .withColumn("total", sum(col("c")).over(tot))
+        .withColumn("in_vocab", // integral div: oracle's `total // 1000`
+          col("c") >= call_function("div", col("total"), lit(1000L)))
+        .groupBy()
+        .agg(sum(when(col("in_vocab"), 1L).otherwise(0L)).cast("long")
+            .as("vocab_size"),
+          count(lit(1)).cast("long").as("n_types"),
+          max(col("total")).cast("long").as("total_tokens"),
+          sum(when(col("in_vocab"), col("c")).otherwise(0L)).cast("long")
+            .as("covered_tokens"))
+        .select(col("vocab_size"), col("n_types"), col("total_tokens"),
+          col("covered_tokens"),
+          round(col("covered_tokens").cast("double") /
+            col("total_tokens"), 6).as("coverage"))
+    }),
+    // Per-language unigram entropy (nats): H = ln(T) − Σ c·ln c / T,
+    // computed from exact integer counts with the log applied last —
+    // the identical spelled-out formula runs on both engines.
+    "q111_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(words(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum(col("c")).cast("long").as("tokens"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clnc"))
+        .select(col("lang"), col("n_types"), col("tokens"),
+          round(log(col("tokens").cast("double")) -
+            col("clnc") / col("tokens"), 6).as("entropy_nats"))),
+    // Deterministic weighted sampling (A-ES / Efraimidis-Spirakis in
+    // log domain): key = ln(u)/w with u a fixed integer-hash uniform,
+    // so every engine — and every retry of a failed stage — draws the
+    // SAME sample. Top-k by key via a single TakeOrdered, no shuffle
+    // of the full corpus.
+    "q112_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log(((col("doc_id") * 2654435761L) % 1000003L + 1L)
+            .cast("double") / 1000004.0) /
+            col("n_chars").cast("double")).as("key"))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("key"), 9).as("samp_key")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q106_edit_distance" ->
+      """WITH g AS (SELECT p_type, p_name, count(*) AS n_parts
+        |   FROM part GROUP BY 1, 2)
+        | SELECT a.p_type, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        | FROM g a JOIN g b ON a.p_type = b.p_type
+        |  AND a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    "q107_bloom_decontaminate" ->
+      """WITH docs AS (SELECT doc_id,
+        |   string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM docs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | bench AS (SELECT DISTINCT gram FROM grams
+        |   WHERE doc_id % 20 = 7),
+        | corpus AS (SELECT doc_id, source FROM documents
+        |   WHERE doc_id % 20 <> 7),
+        | contaminated AS (SELECT DISTINCT g.doc_id FROM grams g
+        |   JOIN bench b USING (gram) WHERE g.doc_id % 20 <> 7)
+        | SELECT c.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ct.doc_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean
+        | FROM corpus c LEFT JOIN contaminated ct USING (doc_id)
+        | GROUP BY c.source""".stripMargin,
+    "q108_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        | per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |   count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_count
+        |  FROM cnt GROUP BY doc_id)
+        | SELECT doc_id, n_words, n_types,
+        |  round(CAST(top_count AS DOUBLE) / n_words, 6)
+        |    AS top_word_frac,
+        |  round(1.0 - CAST(n_types AS DOUBLE) / n_words, 6)
+        |    AS dup_word_frac
+        | FROM per""".stripMargin,
+    "q109_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source)
+        | SELECT source, n_docs, tokens,
+        |  round(sqrt(tokens) / sum(sqrt(tokens)) OVER (), 6)
+        |    AS mix_weight
+        | FROM per""".stripMargin,
+    "q110_vocab_coverage" ->
+      """WITH cnt AS (SELECT w, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt)
+        | SELECT
+        |  CAST(sum(CASE WHEN c >= total // 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS vocab_size,
+        |  count(*) AS n_types,
+        |  max(total) AS total_tokens,
+        |  CAST(sum(CASE WHEN c >= total // 1000 THEN c ELSE 0 END)
+        |    AS BIGINT) AS covered_tokens,
+        |  round(CAST(sum(CASE WHEN c >= total // 1000 THEN c ELSE 0 END)
+        |      AS DOUBLE) / max(total), 6) AS coverage
+        | FROM cnt, tot""".stripMargin,
+    "q111_entropy" ->
+      """WITH cnt AS (SELECT lang, w, count(*) AS c FROM (
+        |   SELECT lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1, 2),
+        | per AS (SELECT lang, count(*) AS n_types,
+        |   CAST(sum(c) AS BIGINT) AS tokens,
+        |   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        |  FROM cnt GROUP BY lang)
+        | SELECT lang, n_types, tokens,
+        |  round(ln(CAST(tokens AS DOUBLE)) - clnc / tokens, 6)
+        |    AS entropy_nats
+        | FROM per""".stripMargin,
+    "q112_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        | round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+        |     / 1000004.0) / CAST(n_chars AS DOUBLE), 9) AS samp_key
+        | FROM documents
+        | ORDER BY ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+        |     / 1000004.0) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
+        | LIMIT 20""".stripMargin
+  )
+}

@@ -54,6 +54,54 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
 
+  /** Global triangle count of the undirected simple graph given by
+    * `edges`, with degree-ordered orientation (Suri–Vassilvitskii):
+    * every edge is directed from its lower-(degree, id) endpoint to
+    * the higher one, wedges are generated only at each edge's *low*
+    * endpoint, and a wedge (b, c) closes iff the oriented edge b→c
+    * exists. Each triangle is produced exactly once, and the wedge
+    * fan-out per vertex is bounded by its *oriented* out-degree —
+    * O(√m) on any graph — so a celebrity hub with 10^7 neighbors
+    * generates ~m^1.5 total work instead of 10^14 wedges. Plain
+    * id-ordering (the naive oracle formulation) has no such bound.
+    * Output: one row, `n_triangles`. */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dx"))
+    // π(x) = (degree, id); orient low-π → high-π
+    val ranked = e
+      .join(deg.select(col("x").as("u"), col("dx").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dx").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+    val o = ranked.select(col("e.a").as("a"), col("e.b").as("b")).persist()
+    o.count()
+    // wedges at the low endpoint, π-ordered so (b, c) is oriented
+    val w1 = o.select(col("a"), col("b"))
+    val w2 = o.select(col("a"), col("b").as("c"))
+    val wedges = w1.join(w2, "a").filter(col("b") < col("c"))
+    // π-order on ids within a's out-neighborhood is NOT (deg,id)-order;
+    // check the closing edge in both directions — orientation made the
+    // edge set a DAG, so exactly one direction can exist.
+    val closedFwd = wedges.join(
+      o.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"),
+      "left_semi")
+    val closedRev = wedges.join(
+      o.select(col("a").as("c"), col("b").as("b")), Seq("b", "c"),
+      "left_semi")
+    val res = closedFwd.unionAll(closedRev)
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = res.localCheckpoint(true)
+    o.unpersist(blocking = false)
+    out
+  }
+
   /** PageRank by synchronous power iteration: rank' = (1−d)/N +
     * d·Σ rank/out_deg over incoming edges (+ redistributed dangling
     * mass, so Σrank stays 1). Each iteration: one join on src + one

@@ -33,7 +33,42 @@ object GraphQueries extends QueryPack {
       Graph.commonNeighborPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_suppkey", minShared = 30L)
         .select(col("d_a").as("supp_a"), col("d_b").as("supp_b"),
-          col("shared")))
+          col("shared"))),
+    // triangle count of the supplier co-occurrence graph,
+    // degree-ordered orientation (the oracle's naive 3-way self-join
+    // has unbounded wedge fan-out on hubs; Graph.triangleCount is
+    // O(m^1.5) — see its scaladoc)
+    "q104_triangles" -> ((s, d) => {
+      val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 30L)
+      Graph.triangleCount(e, "d_a", "d_b")
+    }),
+    // k-hop reach from a seed set over the bipartite
+    // customer→order→supplier structure: chained semi-joins, each hop
+    // one shuffle, nothing materialized but distinct frontier ids —
+    // the BFS-frontier pattern that scales to billion-edge graphs.
+    "q105_khop_reach" -> ((s, d) => {
+      val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select(col("c_custkey"))
+      val o1 = Tables.orders(s, d)
+        .join(seed.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      val s2 = Tables.lineitem(s, d)
+        .join(o1.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      val c3 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+            .join(s2, Seq("l_suppkey"), "left_semi")
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .select(col("o_custkey")).distinct()
+      seed.agg(count(lit(1)).as("n_seed"))
+        .crossJoin(o1.agg(count(lit(1)).as("n_orders_1hop")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_suppliers_2hop")))
+        .crossJoin(c3.agg(count(lit(1)).as("n_customers_3hop")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,6 +85,29 @@ object GraphQueries extends QueryPack {
         |   FROM lineitem)
         | SELECT x.d AS supp_a, y.d AS supp_b, count(*) AS shared
         | FROM e x JOIN e y ON x.s = y.s AND x.d < y.d
-        | GROUP BY x.d, y.d HAVING count(*) >= 30""".stripMargin
+        | GROUP BY x.d, y.d HAVING count(*) >= 30""".stripMargin,
+    "q104_triangles" ->
+      """WITH be AS (SELECT DISTINCT l_orderkey AS s, l_suppkey AS d
+        |   FROM lineitem),
+        | g AS (SELECT x.d AS u, y.d AS v
+        |  FROM be x JOIN be y ON x.s = y.s AND x.d < y.d
+        |  GROUP BY x.d, y.d HAVING count(*) >= 30)
+        | SELECT count(*) AS n_triangles
+        | FROM g e1 JOIN g e2 ON e1.v = e2.u
+        | JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "q105_khop_reach" ->
+      """WITH seed AS (SELECT c_custkey FROM customer
+        |   WHERE c_nationkey = 0),
+        | o1 AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+        | s2 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+        | c3 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |    WHERE l_suppkey IN (SELECT l_suppkey FROM s2)))
+        | SELECT (SELECT count(*) FROM seed) AS n_seed,
+        |  (SELECT count(*) FROM o1) AS n_orders_1hop,
+        |  (SELECT count(*) FROM s2) AS n_suppliers_2hop,
+        |  (SELECT count(*) FROM c3) AS n_customers_3hop""".stripMargin
   )
 }

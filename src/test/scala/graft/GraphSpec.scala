@@ -47,6 +47,41 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.connectedComponents(none, "s", "d").collect().isEmpty)
   }
 
+  private def tri(e: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(e.toDF("s", "d"), "s", "d")
+      .collect().head.getLong(0)
+
+  test("triangleCount: K4 has 4, star has 0, chain has 0") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == 4L)
+    assert(tri((2L to 9L).map(i => (1L, i))) == 0L) // star
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+  }
+
+  test("triangleCount ignores direction, dups, self-loops") {
+    // triangle {1,2,3} written with mixed directions + noise
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L),
+      (1L, 1L), (1L, 2L), (3L, 4L))
+    assert(tri(messy) == 1L)
+  }
+
+  test("triangleCount matches brute force on a hub-skewed graph") {
+    // hub 0 connected to all; ring among 1..12 — skew makes the
+    // degree-ordered orientation actually reorder edges
+    val n = 12L
+    val hub = (1L to n).map(i => (0L, i))
+    val ring = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+    val es = hub ++ ring
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verts = adj.keys.toSeq.sorted
+    val brute = (for {
+      a <- verts; b <- verts if a < b && adj(a)(b)
+      c <- verts if b < c && adj(a)(c) && adj(b)(c)
+    } yield 1).size
+    assert(tri(es) == brute.toLong && brute == 12)
+  }
+
   test("pageRank: mass conserved, hub ranks highest, star graph exact") {
     // star: 1..4 all point at 5; 5 is dangling
     val star = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("s", "d")
