@@ -100,6 +100,29 @@ object BehaviorQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_islands"),
           max(col("len")).as("longest_island"),
           max(col("span_min")).as("longest_span_min"))
+    }),
+    // Per-user event-type sequences (first 20 events in time order) —
+    // the sequence-dataset prep step for behavioral models. The
+    // ordering is pinned by (t, event_id) so the concatenated string
+    // is engine- and partitioning-stable; collect_list's arbitrary
+    // arrival order is neutralized by sorting (t, id, type) structs
+    // in-row before joining.
+    "q116_event_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us(col("ts")).as("t"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_events",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rk") <= 20)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("t"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), " ").as("seq20"))
     })
   )
 
@@ -152,6 +175,16 @@ object BehaviorQueries extends QueryPack {
         | SELECT user_id, count(*) AS n_islands,
         |  max(len) AS longest_island,
         |  CAST(max(span_min) AS BIGINT) AS longest_span_min
-        | FROM per GROUP BY user_id""".stripMargin
+        | FROM per GROUP BY user_id""".stripMargin,
+    "q116_event_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS t,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS rk,
+        |   count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        | SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY t, event_id) AS seq20
+        | FROM e WHERE rk <= 20 GROUP BY user_id""".stripMargin
   )
 }

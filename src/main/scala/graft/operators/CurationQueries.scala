@@ -154,6 +154,74 @@ object CurationQueries extends QueryPack {
         .select(col("lang"), col("n_types"), col("tokens"),
           round(log(col("tokens").cast("double")) -
             col("clnc") / col("tokens"), 6).as("entropy_nats"))),
+    // Incremental dedup: match an incoming batch (the mutated +10000
+    // docs, as in q42's derived corpus) against the existing base
+    // corpus — the "new crawl vs corpus" shape every production dedup
+    // runs daily. Same MinHash-LSH machinery as q42 (recall analysis
+    // in DedupQueries' scaladoc applies verbatim); the cross-set
+    // restriction and best-match ranking happen on the tiny verified
+    // pair set, never the corpus.
+    "q113_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+      val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, tau = 0.5)
+        .filter(col("doc_a") < 10000L && col("doc_b") >= 10000L)
+      val w = Window.partitionBy(col("doc_b"))
+        .orderBy(col("jaccard").desc, col("doc_a").asc)
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_b").as("new_doc"), col("doc_a").as("base_match"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // Unigram LM cross-entropy per document against the corpus unigram
+    // distribution — the cheap statistical stand-in for model-based
+    // quality scoring (an unusual-token-mix doc scores high). The
+    // corpus LM is a ~vocabulary-sized frame, broadcast into the
+    // per-document term counts; everything integer until the final ln.
+    "q114_unigram_xent" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cd"))
+        .persist()
+      val lm = terms.groupBy(col("w")).agg(sum(col("cd")).as("cw"))
+      val total = Window.partitionBy()
+      val lmP = lm.select(col("w"), col("cw"),
+        sum(col("cw")).over(total).as("t"))
+      val res = terms.join(broadcast(lmP), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cd")).cast("long").as("n_words"),
+          sum(col("cd").cast("double") *
+            log(col("cw").cast("double") / col("t").cast("double")))
+            .as("s"))
+        .select(col("doc_id"), col("n_words"),
+          round(-col("s") / col("n_words"), 6).as("xent_nats"))
+      res.persist().count()
+      terms.unpersist(blocking = false)
+      res
+    }),
+    // Scalar int8 quantization error per label: quantize each
+    // embedding dimension to round(clip(x)·127)/127, report the mean
+    // squared reconstruction error — the go/no-go stat before shipping
+    // a quantized retrieval index. Row-local arithmetic on exploded
+    // (vec, dim) pairs; one shuffle on label.
+    "q115_quant_error" -> ((s, d) => {
+      val x = col("x")
+      val q = round(greatest(least(x, lit(1.0)), lit(-1.0)) * 127) / 127.0
+      Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          explode(col("embedding")).as("xf"))
+        .select(col("label"), col("vec_id"),
+          col("xf").cast("double").as("x"))
+        .select(col("label"), col("vec_id"),
+          ((x - q) * (x - q)).as("se"))
+        .groupBy(col("label"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          count(lit(1)).as("n_dims"),
+          round(avg(col("se")) * 1000000.0, 6).as("mse_ppm"))
+    }),
     // Deterministic weighted sampling (A-ES / Efraimidis-Spirakis in
     // log domain): key = ln(u)/w with u a fixed integer-hash uniform,
     // so every engine — and every retry of a failed stage — draws the
@@ -250,6 +318,58 @@ object CurationQueries extends QueryPack {
         |  round(ln(CAST(tokens AS DOUBLE)) - clnc / tokens, 6)
         |    AS entropy_nats
         | FROM per""".stripMargin,
+    "q113_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text || ' zq0 zq1 zq2' AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |   AND a.doc_id < 10000 AND b.doc_id >= 10000
+        |  GROUP BY 1, 2),
+        | jac AS (SELECT da, db,
+        |   (i * 1.0) / (sa.n + sb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | best AS (SELECT db, da, j, row_number() OVER (
+        |   PARTITION BY db ORDER BY j DESC, da ASC) AS rk FROM jac)
+        | SELECT db AS new_doc, da AS base_match, round(j, 6) AS jaccard
+        | FROM best WHERE rk = 1""".stripMargin,
+    "q114_unigram_xent" ->
+      """WITH terms AS (SELECT doc_id, w, count(*) AS cd FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1, 2),
+        | lm AS (SELECT w, CAST(sum(cd) AS BIGINT) AS cw FROM terms
+        |  GROUP BY w),
+        | lmp AS (SELECT w, cw, sum(cw) OVER () AS t FROM lm)
+        | SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_words,
+        |  round(-sum(CAST(cd AS DOUBLE) *
+        |    ln(CAST(cw AS DOUBLE) / CAST(t AS DOUBLE))) / sum(cd), 6)
+        |    AS xent_nats
+        | FROM terms JOIN lmp USING (w)
+        | GROUP BY doc_id""".stripMargin,
+    "q115_quant_error" ->
+      """WITH flat AS (SELECT label, vec_id, x
+        |  FROM (SELECT label, vec_id,
+        |    UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+        | se AS (SELECT label, vec_id,
+        |   (x - round(greatest(least(x, 1.0), -1.0) * 127) / 127.0)
+        |   * (x - round(greatest(least(x, 1.0), -1.0) * 127) / 127.0)
+        |   AS se
+        |  FROM flat)
+        | SELECT label, count(DISTINCT vec_id) AS n_vecs,
+        |  count(*) AS n_dims,
+        |  round(avg(se) * 1000000.0, 6) AS mse_ppm
+        | FROM se GROUP BY label""".stripMargin,
     "q112_weighted_sample" ->
       """SELECT doc_id, n_chars,
         | round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)

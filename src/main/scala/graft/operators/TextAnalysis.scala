@@ -288,13 +288,18 @@ object TextAnalysis {
     * that survives a 100 TB corpus with a Zipfian vocabulary. */
   def frequentNgrams(docs: DataFrame, textCol: String, n: Int = 2,
                      k: Int = 20): DataFrame = {
-    val w = words(col(textCol))
+    // Project the word array FIRST: referencing the split() expression
+    // inside the transform lambda would re-tokenize the document for
+    // every element_at — O(words²) per doc. As a named column it's
+    // evaluated once per row (CollapseProject keeps expensive
+    // multiply-referenced projections separate).
+    val w = col("w")
     // sequence(1, m) requires m >= 1 (descending sequences otherwise)
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
-    ).otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("gram"))
+    val grams = transform(sequence(lit(1), size(w) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    docs.select(words(col(textCol)).as("w"))
+      .filter(size(w) >= n)
+      .select(explode(grams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram").asc)
       .limit(k)
