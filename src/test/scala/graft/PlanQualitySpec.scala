@@ -111,4 +111,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingles should not shuffle:\n$p")
     assert(p.contains("array_distinct"), p)
   }
+
+  test("gap islands reuse one user_id shuffle across window + both aggs") {
+    // HashPartitioning(user_id) from the window satisfies the
+    // (user_id, island) and (user_id) aggregations — a second
+    // Exchange would mean per-user analytics shuffle twice at scale
+    val df = SparkEntry.queries("q103_gap_islands")(spark, sf)
+    val p = plan(df)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("triangle count plans no cartesian product") {
+    val df = SparkEntry.queries("q104_triangles")(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("unigram LM broadcasts the vocabulary side") {
+    val df = SparkEntry.queries("q114_unigram_xent")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
