@@ -59,6 +59,15 @@ class Engine(val spark: SparkSession, root: String,
                         fn: (Engine, Seq[Any]) => Result): Unit =
     procs += name.toLowerCase -> fn
 
+  /** Table names of the current scope (types + edges + attached),
+    * empty when no scope is selected — lets integrations (e.g.
+    * [[GraftExtensions]]) mirror the scope as Spark temp views. */
+  def scopeTables: Seq[String] = current match {
+    case None => attached.keys.toSeq
+    case Some(s) =>
+      (s.types.keys ++ s.edges.keys ++ attached.keys).toSeq.distinct
+  }
+
   def sql(statement: String): Result =
     try run(Parser.parse(statement))
     catch {

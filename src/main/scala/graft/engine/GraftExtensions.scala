@@ -1,0 +1,136 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `SparkSessionExtensions` integration: the NoWDB dialect mounted at
+  * the session's front door via `injectParser` (SURVEY §4.3 item 1 —
+  * the recommended integration point for a dialect Spark's own parser
+  * cannot express).
+  *
+  * Routing rule: statements only the reference grammar knows —
+  * `CREATE SCOPE/TYPE/EDGE/…`, `USE`, `LOAD … INTO`, `EXEC`,
+  * `FETCH/CLOSE`, `LOCK/UNLOCK`, `DESC`, `SHOW types/edges/…`, and
+  * DML whose target is a scope table — run through [[Engine]]; every
+  * other statement falls through to Spark's delegate parser
+  * untouched. After each engine statement the current scope's tables
+  * are (re)published as temp views, so plain Spark SQL — the
+  * capability superset — queries them directly:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   .config("spark.graft.root", "/data/scopes").getOrCreate()
+  * spark.sql("CREATE SCOPE sales")         // engine DDL
+  * spark.sql("USE sales")
+  * spark.sql("CREATE TYPE product (id uint PK, price float)")
+  * spark.sql("INSERT INTO product (id, price) VALUES (1, 9.99)")
+  * spark.sql("SELECT sum(price) FROM product")  // plain Spark SQL
+  * }}}
+  *
+  * Engine statements execute when the plan is built (`spark.sql` call
+  * time), returning their Status/Report rows as a LocalRelation-backed
+  * DataFrame; `Rows` results stay lazy (the engine's own logical plan
+  * is returned unexecuted). The strict-parity DQL path (NoWDB quirks
+  * like `IS` only for NULL) remains on the `Engine.sql` facade.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser { case (session, delegate) =>
+      new GraftParser(session, delegate)
+    }
+}
+
+object GraftExtensions {
+  private val engines = new ConcurrentHashMap[SparkSession, Engine]()
+
+  /** The per-session engine backing intercepted statements; root dir
+    * from `spark.graft.root` (default: a session-scoped temp dir). */
+  def engineFor(session: SparkSession): Engine =
+    engines.computeIfAbsent(session, s => {
+      val root = s.conf.getOption("spark.graft.root").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-scopes").toString)
+      new Engine(s, root)
+    })
+}
+
+class GraftParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def engine: Engine = GraftExtensions.engineFor(session)
+
+  private val graftLead = Set("use", "exec", "fetch", "close", "lock",
+    "unlock", "load", "desc")
+  private val graftCreatables = Set("scope", "type", "edge", "storage",
+    "context", "procedure", "lock", "index", "tiny", "small", "big",
+    "huge")
+  private val graftShowables = Set("scopes", "types", "edges",
+    "procedures", "stores", "storages", "indexes", "locks")
+
+  /** True iff the statement belongs to the NoWDB dialect. DML is
+    * claimed only when its target is a table of the current scope, so
+    * Spark-native INSERT/UPDATE/DELETE on catalog tables still work. */
+  private def isGraft(sqlText: String): Boolean = {
+    val toks = sqlText.trim.toLowerCase.split("[\\s(]+").toSeq
+    toks.headOption match {
+      case Some(k) if graftLead(k) => true
+      case Some("create") | Some("drop") =>
+        toks.lift(1).exists(graftCreatables)
+      case Some("show") => toks.lift(1).exists(graftShowables)
+      case Some("insert") => // INSERT INTO <scope table>
+        toks.lift(2).exists(t => engine.scopeTables.contains(t))
+      case Some("update") =>
+        toks.lift(1).exists(t => engine.scopeTables.contains(t))
+      case Some("delete") => // DELETE FROM <scope table>
+        toks.lift(2).exists(t => engine.scopeTables.contains(t))
+      case _ => false
+    }
+  }
+
+  private def publishViews(): Unit =
+    engine.scopeTables.foreach { t =>
+      try engine.tableDf(t).createOrReplaceTempView(t)
+      catch { case _: Exception => () } // e.g. dropped mid-statement
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (!isGraft(sqlText)) delegate.parsePlan(sqlText)
+    else {
+      import session.implicits._
+      val plan = engine.sql(sqlText) match {
+        case Rows(df) => df.queryExecution.logical
+        case Status(ok, msg) =>
+          Seq((ok, msg)).toDF("ok", "msg").queryExecution.logical
+        case Report(loaded, errors) =>
+          Seq((loaded, errors)).toDF("loaded", "errors")
+            .queryExecution.logical
+        case CursorRef(id) =>
+          Seq(id).toDF("cursor_id").queryExecution.logical
+      }
+      publishViews()
+      plan
+    }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
