@@ -222,6 +222,33 @@ object CurationQueries extends QueryPack {
           count(lit(1)).as("n_dims"),
           round(avg(col("se")) * 1000000.0, 6).as("mse_ppm"))
     }),
+    // Frequency-ranked tokenizer: vocab ids by (count desc, word asc),
+    // documents encoded to id sequences (first 30 positions) — the
+    // text→ids step of dataset prep. The vocab is corpus-bounded
+    // (types, not tokens) and broadcasts; encoding is one broadcast
+    // join + per-doc in-row sort, so the corpus shuffles once on
+    // doc_id regardless of scale.
+    "q117_tokenize" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+        .persist()
+      val vw = Window.orderBy(col("c").desc, col("w").asc)
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .select(col("w"),
+          (row_number().over(vw) - 1).cast("long").as("tok_id"))
+      val res = toks.filter(col("pos") < 30)
+        .join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            e => e.getField("tok_id").cast("string")), " ")
+            .as("token_ids"))
+      res.persist().count()
+      toks.unpersist(blocking = false)
+      res
+    }),
     // Deterministic weighted sampling (A-ES / Efraimidis-Spirakis in
     // log domain): key = ln(u)/w with u a fixed integer-hash uniform,
     // so every engine — and every retry of a failed stage — draws the
@@ -318,6 +345,20 @@ object CurationQueries extends QueryPack {
         |  round(ln(CAST(tokens AS DOUBLE)) - clnc / tokens, 6)
         |    AS entropy_nats
         | FROM per""".stripMargin,
+    "q117_tokenize" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   w[i] AS w
+        |  FROM t0, UNNEST(generate_series(1, len(w))) AS t(i)),
+        | vocab AS (SELECT w, CAST(row_number() OVER (
+        |   ORDER BY count(*) DESC, w ASC) - 1 AS BIGINT) AS tok_id
+        |  FROM toks GROUP BY w)
+        | SELECT doc_id, count(*) AS n_tokens,
+        |  string_agg(CAST(tok_id AS VARCHAR), ' ' ORDER BY pos)
+        |    AS token_ids
+        | FROM toks JOIN vocab USING (w) WHERE pos < 30
+        | GROUP BY doc_id""".stripMargin,
     "q113_incremental_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

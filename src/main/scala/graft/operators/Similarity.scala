@@ -122,6 +122,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF probe: one probe pass for a whole (small, broadcast)
+    * query set — centroid ranking, cell pruning, and candidate
+    * scoring all stay per-query inside one DataFrame program, so a
+    * 10k-query eval batch costs one corpus pass, not 10k. Excludes
+    * each query's own vector (eval convention, matches
+    * [[bruteForceTopKJoin]]). */
+  def ivfSearchBatch(assigned: DataFrame, cents: DataFrame,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     nprobe: Int, k: Int): DataFrame = {
+    val cos = nativeCosine(assigned.sparkSession)
+    val qs = queries.select(col(qIdCol).as("query_id"),
+      toDoubleVec(col(qVecCol)).as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = cents.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cos(col("cv"), col("qv")).as("csim"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    assigned.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos(col("v"), col("qv")).as("cos_raw"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** End-to-end IVF ANN: build + probe in one call (for the query
     * pack; real pipelines persist the assignment). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -43,7 +43,32 @@ object SimilarityQueries extends QueryPack {
     // exact decimal per-dimension means, one shuffle.
     "q90_class_centroids" -> ((s, d) =>
       Similarity.classCentroids(Tables.embeddings(s, d), "label",
-        "embedding"))
+        "embedding")),
+    // ANN quality eval: recall@10 of the IVF index against exact
+    // brute force for a query batch — the accept/reject gate before
+    // shipping an index config. One corpus pass for all queries
+    // (batch probe); the oracle recomputes BOTH retrieval paths.
+    "q118_recall_at_k" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5L)
+      val brute = Similarity.bruteForceTopKJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        cents)
+      val ivf = Similarity.ivfSearchBatch(assigned, cents, queries,
+          "vec_id", "embedding", nprobe = 4, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 10.0, 6)
+            .as("recall_at_10"))
+    })
   )
 
   private val flatCte =
@@ -113,6 +138,53 @@ object SimilarityQueries extends QueryPack {
         | SELECT query_id, vec_id, round(c, 6) AS cosine,
         |  CAST(rk AS BIGINT) AS rank
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q118_recall_at_k" ->
+      s"""WITH $flatCte,
+        | dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(f.x * q.x)
+        |    AS dp
+        |   FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id < 5
+        |   WHERE f.vec_id <> q.vec_id GROUP BY q.vec_id, f.vec_id),
+        | scored AS (SELECT query_id, d.vec_id,
+        |   dp / (nf.nrm * nq.nrm) AS c
+        |  FROM dots d
+        |  JOIN norms nf ON d.vec_id = nf.vec_id
+        |  JOIN norms nq ON d.query_id = nq.vec_id),
+        | brute AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |   FROM scored) WHERE rk <= 10),
+        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
+        |  FROM flat f
+        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
+        |  JOIN norms nf ON f.vec_id = nf.vec_id
+        |  JOIN norms nc ON c.vec_id = nc.vec_id
+        |  GROUP BY f.vec_id, c.vec_id),
+        | assigned AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT vec_id, centroid_id, row_number() OVER (
+        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims) WHERE rk = 1),
+        | probed AS (SELECT vec_id AS query_id, centroid_id FROM (
+        |   SELECT vec_id, centroid_id, row_number() OVER (
+        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims WHERE vec_id < 5) WHERE rk <= 4),
+        | ivf AS (SELECT query_id, vec_id FROM (
+        |   SELECT p.query_id, a.vec_id, row_number() OVER (
+        |     PARTITION BY p.query_id ORDER BY s.c DESC, a.vec_id) AS rk
+        |   FROM probed p
+        |   JOIN assigned a ON a.centroid_id = p.centroid_id
+        |   JOIN scored s ON s.query_id = p.query_id
+        |    AND s.vec_id = a.vec_id
+        |   WHERE a.vec_id <> p.query_id) WHERE rk <= 10),
+        | hits AS (SELECT i.query_id, count(*) AS n_hits FROM ivf i
+        |   JOIN brute b ON i.query_id = b.query_id
+        |    AND i.vec_id = b.vec_id
+        |  GROUP BY i.query_id)
+        | SELECT q.vec_id AS query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+        | FROM (SELECT vec_id FROM base WHERE vec_id < 5) q
+        | LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
     "q90_class_centroids" ->
       """WITH flat AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |   CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(18,9)) AS x

@@ -99,6 +99,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() == 7)
   }
 
+  test("batch IVF probe matches single-query searches (minus self)") {
+    val emb2 = Tables.embeddings(TestSpark.spark, TestSpark.sfDir)
+    val cents = Similarity.centroids(emb2, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb2, "vec_id", "embedding",
+      cents)
+    val queries = emb2.filter(col("vec_id") < 3L)
+    val batch = Similarity.ivfSearchBatch(assigned, cents, queries,
+      "vec_id", "embedding", nprobe = 2, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet)
+      .toMap
+    queries.select("vec_id", "embedding").collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).map(_.toDouble)
+      val single = Similarity.ivfSearch(
+          assigned.filter(col("vec_id") =!= qid), cents, qv,
+          nprobe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
+
   test("classCentroids computes exact per-dimension means per label") {
     val spark = TestSpark.spark
     import spark.implicits._
