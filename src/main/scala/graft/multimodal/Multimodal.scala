@@ -36,6 +36,8 @@ object Multimodal {
                    n_bytes: Int)
   case class AudioWindow(media_id: Long, window_no: Int, energy: Long,
                          n_samples: Int)
+  case class FrameFeat(media_id: Long, frame_no: Int, fsum: Long,
+                       fmin: Int, fmax: Int, fhash: Long)
 
   /** Deterministic media table derived from the documents corpus:
     * content = UTF-8 bytes of the text (an opaque payload as far as
@@ -127,6 +129,27 @@ object Multimodal {
         case (fr, i) if i % everyNth == 0 =>
           val h = fr.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % M)
           Frame(m.media_id, i, h, fr.length)
+      }
+    })
+  }
+
+  /** Per-frame "embedding" features (sum/min/max/rolling-hash of the
+    * frame's bytes — the stub analog of a frame encoder's output).
+    * The decode+featurize runs in mapPartitions batches like the other
+    * stub codecs; pooling over frames stays DECLARATIVE (a groupBy on
+    * the returned Dataset), so Catalyst plans the aggregation —
+    * swapping the stub for a real encoder UDF changes nothing
+    * downstream. */
+  def frameFeatures(media: Dataset[MediaRecord], frameBytes: Int,
+                    everyNth: Int): Dataset[FrameFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      m.content.grouped(frameBytes).zipWithIndex.collect {
+        case (fr, i) if i % everyNth == 0 =>
+          val px = fr.map(_ & 0xff)
+          val h = px.foldLeft(0L)((acc, b) => (acc * 31 + b) % M)
+          FrameFeat(m.media_id, i, px.map(_.toLong).sum, px.min,
+            px.max, h)
       }
     })
   }

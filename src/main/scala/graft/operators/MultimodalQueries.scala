@@ -45,7 +45,27 @@ object MultimodalQueries extends QueryPack {
     // 32-sample windowed energy over centered i8 samples.
     "q61_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(media(s, d, "audio"), windowSamples = 32)
-        .toDF())
+        .toDF()),
+    // Video → frame features → mean-pooled per-video embedding: the
+    // frame-encoder + pooling shape of multimodal training prep. The
+    // stub encoder runs per-partition; the pool is a declarative
+    // groupBy with exact long sums, one shuffle on media_id.
+    "q119_frame_embed_pool" -> ((s, d) =>
+      Multimodal.frameFeatures(media(s, d, "video"), frameBytes = 16,
+          everyNth = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          round(sum(col("fsum")).cast("double") / count(lit(1)), 6)
+            .as("mean_sum"),
+          round(sum(col("fmin")).cast("double") / count(lit(1)), 6)
+            .as("mean_min"),
+          round(sum(col("fmax")).cast("double") / count(lit(1)), 6)
+            .as("mean_max"),
+          // hash means are ~1e9: rounding THAT at 6 dp sits below the
+          // double's ulp (ill-conditioned, engines disagree on
+          // boundary cells) — normalize into [0,1) first
+          round(sum(col("fhash")).cast("double") / count(lit(1))
+            / 1000000007.0, 6).as("mean_hash_norm")))
   )
 
   private val hashRed =
@@ -115,6 +135,24 @@ object MultimodalQueries extends QueryPack {
         |  CAST((i - 1) // 32 AS INT) AS window_no,
         |  CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
         |  CAST(count(*) AS INT) AS n_samples
-        | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin
+        | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    "q119_frame_embed_pool" ->
+      s"""WITH ${cpCte(2)},
+        | fr AS (SELECT doc_id AS media_id,
+        |   CAST((i - 1) // 16 AS INT) AS frame_no,
+        |   CAST(sum(p) AS BIGINT) AS fsum,
+        |   CAST(min(p) AS BIGINT) AS fmin,
+        |   CAST(max(p) AS BIGINT) AS fmax,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list(p ORDER BY i)), $hashRed) AS fhash
+        |  FROM b GROUP BY doc_id, (i - 1) // 16
+        |  HAVING ((i - 1) // 16) % 2 = 0)
+        | SELECT media_id, count(*) AS n_frames,
+        |  round(CAST(sum(fsum) AS DOUBLE) / count(*), 6) AS mean_sum,
+        |  round(CAST(sum(fmin) AS DOUBLE) / count(*), 6) AS mean_min,
+        |  round(CAST(sum(fmax) AS DOUBLE) / count(*), 6) AS mean_max,
+        |  round(CAST(sum(fhash) AS DOUBLE) / count(*) / 1000000007.0, 6)
+        |    AS mean_hash_norm
+        | FROM fr GROUP BY media_id""".stripMargin
   )
 }

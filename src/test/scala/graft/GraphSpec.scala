@@ -65,6 +65,25 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(messy) == 1L)
   }
 
+  test("triangleCount matches brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 20
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .withDefaultValue(Set.empty[Long])
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n if adj(a)(b)
+        c <- (b + 1) until n if adj(a)(c) && adj(b)(c)
+      } yield 1).size
+      assert(tri(es) == brute.toLong, s"trial $trial")
+    }
+  }
+
   test("triangleCount matches brute force on a hub-skewed graph") {
     // hub 0 connected to all; ring among 1..12 — skew makes the
     // degree-ordered orientation actually reorder edges

@@ -53,4 +53,17 @@ class MultimodalSpec extends AnyFunSuite {
     val w = Multimodal.audioEnergy(ds, 32).collect()(0)
     assert(w == AudioWindow(1, 0, 31L * 31 + 63L * 63, 2))
   }
+
+  test("frameFeatures: per-frame sum/min/max/hash over sampled frames") {
+    val payload = "abcz" * 9 // 36 bytes → frames 16,16,4 → sampled 0, 2
+    val fr = Multimodal.frameFeatures(Seq(rec(1, "video", payload)).toDS(),
+      16, 2).collect().sortBy(_.frame_no)
+    assert(fr.map(_.frame_no).toSeq == Seq(0, 2))
+    val bytes = payload.getBytes("UTF-8").map(_ & 0xff)
+    val f2 = bytes.slice(32, 36)
+    assert(fr(1).fsum == f2.map(_.toLong).sum)
+    assert(fr(1).fmin == f2.min && fr(1).fmax == f2.max)
+    val M = 1000000007L
+    assert(fr(1).fhash == f2.foldLeft(0L)((h, b) => (h * 31 + b) % M))
+  }
 }
