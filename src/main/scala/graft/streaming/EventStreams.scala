@@ -198,6 +198,20 @@ object EventStreams {
         col(s"$rightPrefix$timeCol") <= col(timeCol))
   }
 
+  /** Stream-static enrichment: join the live stream against a slow
+    * dimension table. The static side is broadcast into every
+    * micro-batch (no streaming state at all — the canonical shape for
+    * attaching reference data to events at any throughput); re-plan on
+    * dimension refresh is a micro-batch boundary, not a restart.
+    * Works identically on batch frames. */
+  def enrichStream(events: DataFrame, dim: DataFrame, eventKey: String,
+                   dimKey: String, dimPrefix: String = "d_"): DataFrame = {
+    val d = dim.select(dim.columns.map(c =>
+      col(c).as(s"$dimPrefix$c")): _*)
+    events.join(broadcast(d),
+      col(eventKey) === col(s"$dimPrefix$dimKey"), "left")
+  }
+
   /** Streaming exact dedup by event id: drops re-deliveries within
     * the watermark horizon, so state stays bounded (the streaming
     * face of the dedup suite — at-least-once ingestion becomes

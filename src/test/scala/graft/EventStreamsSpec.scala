@@ -137,6 +137,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static enrichment broadcasts the dim into micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrichStream(
+        EventStreams.withEventTime(input.toDF()), dim,
+        "user_id", "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 100, 1), ev(2, 200, 2), ev(3, 300, 9))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("event_id", "d_tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
+
   test("batch session_window agg ends sessions at last event + gap") {
     val df = EventStreams.withEventTime(
       Seq(ev(1, 0, 1), ev(2, 60, 1), ev(3, 7200, 1)).toDF())
