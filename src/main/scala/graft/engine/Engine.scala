@@ -68,6 +68,12 @@ class Engine(val spark: SparkSession, root: String,
       (s.types.keys ++ s.edges.keys ++ attached.keys).toSeq.distinct
   }
 
+  /** Whether `name` is a scope in this engine's catalog root — lets
+    * the parser integration route `USE` to the engine only when the
+    * target actually is a scope (Spark's own USE <database> keeps
+    * working otherwise). */
+  def hasScope(name: String): Boolean = Catalog.exists(root, name)
+
   def sql(statement: String): Result =
     try run(Parser.parse(statement))
     catch {

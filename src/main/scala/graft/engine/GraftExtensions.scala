@@ -15,11 +15,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * cannot express).
   *
   * Routing rule: statements only the reference grammar knows —
-  * `CREATE SCOPE/TYPE/EDGE/…`, `USE`, `LOAD … INTO`, `EXEC`,
-  * `FETCH/CLOSE`, `LOCK/UNLOCK`, `DESC`, `SHOW types/edges/…`, and
-  * DML whose target is a scope table — run through [[Engine]]; every
-  * other statement falls through to Spark's delegate parser
-  * untouched. After each engine statement the current scope's tables
+  * `CREATE SCOPE/TYPE/EDGE/…`, `EXEC`, `FETCH/CLOSE`, `LOCK/UNLOCK`,
+  * `SHOW types/edges/…` — always run through [[Engine]]; ambiguous
+  * leads route by their target (`USE` only for names that are scopes,
+  * `DESC`/`INSERT`/`UPDATE`/`DELETE` only for current-scope tables,
+  * `LOAD` never in Hive's `LOAD DATA` form); everything else falls
+  * through to Spark's delegate parser untouched. After each engine statement the current scope's tables
   * are (re)published as temp views, so plain Spark SQL — the
   * capability superset — queries them directly:
   *
@@ -48,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // One engine per session for the session's lifetime (an Engine holds
+  // cursors/locks/attached frames, so entries live as long as their
+  // session — a per-request-session server should reuse sessions or
+  // route through one engine).
   private val engines = new ConcurrentHashMap[SparkSession, Engine]()
 
   /** The per-session engine backing intercepted statements; root dir
@@ -58,6 +63,12 @@ object GraftExtensions {
         java.nio.file.Files.createTempDirectory("graft-scopes").toString)
       new Engine(s, root)
     })
+
+  /** The session's engine if one was already created — routing checks
+    * use this so that merely PARSING a non-dialect statement never
+    * instantiates an engine (no UDF registration, no temp dirs). */
+  def existingEngineFor(session: SparkSession): Option[Engine] =
+    Option(engines.get(session))
 }
 
 class GraftParser(session: SparkSession, delegate: ParserInterface)
@@ -65,30 +76,43 @@ class GraftParser(session: SparkSession, delegate: ParserInterface)
 
   private def engine: Engine = GraftExtensions.engineFor(session)
 
-  private val graftLead = Set("use", "exec", "fetch", "close", "lock",
-    "unlock", "load", "desc")
+  private val graftLead = Set("exec", "fetch", "close", "lock", "unlock")
   private val graftCreatables = Set("scope", "type", "edge", "storage",
     "context", "procedure", "lock", "index", "tiny", "small", "big",
     "huge")
   private val graftShowables = Set("scopes", "types", "edges",
     "procedures", "stores", "storages", "indexes", "locks")
 
-  /** True iff the statement belongs to the NoWDB dialect. DML is
-    * claimed only when its target is a table of the current scope, so
-    * Spark-native INSERT/UPDATE/DELETE on catalog tables still work. */
+  /** True iff the statement belongs to the NoWDB dialect. Ambiguous
+    * leads route by target: `USE` goes to the engine only when the
+    * name IS a scope (Spark's USE <database> keeps working), `DESC`
+    * and DML only when the target is a current-scope table, `LOAD`
+    * only in the dialect's `LOAD '<file>' INTO` form (never Hive's
+    * LOAD DATA). Routing never instantiates an engine — before any
+    * dialect statement has run there is nothing to route to. */
   private def isGraft(sqlText: String): Boolean = {
     val toks = sqlText.trim.toLowerCase.split("[\\s(]+").toSeq
+    def eng = GraftExtensions.existingEngineFor(session)
+    def scopeTable(tok: Option[String]): Boolean = tok.exists(t =>
+      eng.exists(_.scopeTables.exists(_.equalsIgnoreCase(t))))
     toks.headOption match {
       case Some(k) if graftLead(k) => true
       case Some("create") | Some("drop") =>
         toks.lift(1).exists(graftCreatables)
       case Some("show") => toks.lift(1).exists(graftShowables)
-      case Some("insert") => // INSERT INTO <scope table>
-        toks.lift(2).exists(t => engine.scopeTables.contains(t))
-      case Some("update") =>
-        toks.lift(1).exists(t => engine.scopeTables.contains(t))
-      case Some("delete") => // DELETE FROM <scope table>
-        toks.lift(2).exists(t => engine.scopeTables.contains(t))
+      case Some("use") => // a scope of THIS session's engine root?
+        toks.lift(1).exists(n =>
+          eng.exists(_.hasScope(n)) ||
+            // no engine yet: only probe (and thereby create) one when
+            // the user explicitly configured a graft root
+            (eng.isEmpty &&
+              session.conf.getOption("spark.graft.root").isDefined &&
+              GraftExtensions.engineFor(session).hasScope(n)))
+      case Some("load") => toks.lift(1).exists(_ != "data")
+      case Some("desc") => scopeTable(toks.lift(1))
+      case Some("insert") => scopeTable(toks.lift(2))
+      case Some("update") => scopeTable(toks.lift(1))
+      case Some("delete") => scopeTable(toks.lift(2))
       case _ => false
     }
   }
@@ -96,7 +120,10 @@ class GraftParser(session: SparkSession, delegate: ParserInterface)
   private def publishViews(): Unit =
     engine.scopeTables.foreach { t =>
       try engine.tableDf(t).createOrReplaceTempView(t)
-      catch { case _: Exception => () } // e.g. dropped mid-statement
+      catch { // e.g. dropped mid-statement — skip, but say so
+        case e: Exception =>
+          System.err.println(s"[graft] temp view '$t' not refreshed: $e")
+      }
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

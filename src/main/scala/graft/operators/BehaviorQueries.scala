@@ -69,8 +69,12 @@ object BehaviorQueries extends QueryPack {
       val pts = ev.select(col("t"), lit(1).as("delta"))
         .unionAll(ev.select((col("t") + 300000000L).as("t"),
           lit(-1).as("delta")))
-      // ends sort before starts at the same instant (delta asc)
+      // ends sort before starts at the same instant (delta asc).
+      // ROWS frame explicitly: Spark's default for an ordered window
+      // is RANGE, which collapses tied rows to the group-end sum and
+      // can understate the peak vs the oracle's ROWS prefix sum.
       val w = Window.orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       pts.select(call_function("div", col("t"), lit(usPerDay)).as("day"),
           sum(col("delta")).over(w).as("conc"))
         .groupBy(col("day"))

@@ -34,21 +34,25 @@ object Dedup {
     * partitions instead of invalidating the frame, which matters for
     * pair results that took an LSH pass to produce. Callers that
     * consume the frame exactly once (e.g. an immediate parquet write)
-    * can skip the eager materialization entirely with
-    * `spark.graft.sealResults=false` — they pay at most a duplicate
-    * leg computation inside their single job, and nothing is cached. */
+    * can skip the eager materialization with
+    * `spark.graft.sealResults=false`: the legs KEEP their persist
+    * marks (so the consumer's single job still computes each leg once
+    * and reads it from cache across its own stages) and nothing runs
+    * until that job; the leg blocks are reclaimed by ContextCleaner
+    * once the caller drops the returned frame. */
   private def sealResult(result: DataFrame, legs: DataFrame*): DataFrame = {
+    // lenient boolean: "false"/"0"/"off"/"no" disable, anything else
+    // (incl. unset) keeps the default-on seal — a typo'd value must
+    // not throw from inside a dedup query
     val seal = result.sparkSession.conf
-      .getOption("spark.graft.sealResults").forall(_.toBoolean)
+      .getOption("spark.graft.sealResults")
+      .forall(v => !Set("false", "0", "off", "no")(v.trim.toLowerCase))
     if (seal) {
       val out = result.persist(StorageLevel.MEMORY_AND_DISK)
       out.count() // eager: legs are consumed here, then freed
       legs.foreach(_.unpersist(blocking = false))
       out
-    } else {
-      legs.foreach(_.unpersist(blocking = false))
-      result
-    }
+    } else result
   }
 
   /** Exact dedup: group by content digest. Emits one row per distinct

@@ -61,6 +61,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.range(3).count() == 3)
   }
 
+  test("mixed-case scope tables route DML to the engine") {
+    spark.sql("CREATE TYPE Gadget (id uint PK, nm text)")
+    val r = spark.sql(
+      "INSERT INTO Gadget (id, nm) VALUES (7, 'x')").collect().head
+    assert(r.getBoolean(0), r.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM gadget")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("USE of a non-scope name stays Spark SQL") {
+    // extsales is a scope → engine; 'default' is not → delegate parser
+    val e = intercept[Exception](spark.sql("USE no_such_db_anywhere"))
+    // Spark's analyzer error (db not found), NOT an engine Status row
+    assert(e.getMessage.toLowerCase.contains("schema")
+      || e.getMessage.toLowerCase.contains("database"), e.getMessage)
+  }
+
   test("EXEC runs a registered procedure that re-enters the engine") {
     GraftExtensions.engineFor(spark).registerProcedure("pcount",
       (eng, _) => eng.sql("SELECT count(*) FROM product") match {
