@@ -126,15 +126,29 @@ object AnalyticsQueries extends QueryPack {
           round(col("cxy") * col("cxy") / (col("cxx") * col("cyy")), 6)
             .as("r2"))
     }),
-    // Decile bands over a deterministic total order: ntile + per-band
-    // stats. The global sort is the cost (at 100 TB you'd derive band
-    // boundaries from a quantile sketch and bucket by range instead —
-    // q88 has the sketch); the band aggregation itself is one shuffle.
+    // Decile bands over a deterministic total order, WITHOUT a global
+    // sort or single-partition ntile window: range-repartition +
+    // per-partition row_number + partition-count offsets gives each
+    // row its exact global rank (Rank.distributedRank), and SQL ntile
+    // is a pure function of (rank, N): the first N mod 10 deciles get
+    // ⌈N/10⌉ rows, the rest ⌊N/10⌋. N itself is a broadcast scalar.
+    // Same hashes as the ntile() form, but every stage is distributed.
     "q99_ntile_bands" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
+      val o = Tables.orders(s, d)
+        .select(col("o_totalprice"), col("o_orderkey"))
+      val ranked = Rank.distributedRank(
+        o, Seq(col("o_totalprice").asc, col("o_orderkey").asc), s)
+      val tot = o.agg(count(lit(1)).as("N"))
+      val qq = call_function("div", col("N"), lit(10L)) // ⌊N/10⌋
+      val rr = col("N") % 10L                           // big deciles
+      val cut = rr * (qq + 1L)                          // rows in them
+      val ceilDiv = (a: Column, b: Column) =>
+        call_function("div", a - 1L, b) + 1L
+      ranked.crossJoin(broadcast(tot))
         .select(col("o_totalprice"),
-          ntile(10).over(w).cast("long").as("decile"))
+          when(col("rk") <= cut, ceilDiv(col("rk"), qq + 1L))
+            .otherwise(rr + ceilDiv(col("rk") - cut, qq))
+            .cast("long").as("decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"),

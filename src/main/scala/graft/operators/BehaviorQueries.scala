@@ -60,23 +60,22 @@ object BehaviorQueries extends QueryPack {
     }),
     // Sweep-line concurrency: each event opens a 5-minute interval;
     // +1/-1 boundary points, running sum in time order, max per day.
-    // The global time-ordered prefix sum is the textbook sequential
-    // formulation; at 100 TB you'd range-partition by day and add
-    // per-partition carry-ins (two passes) — the ±1 point set is
-    // already ~10^-3 of the input bytes, so the sort is cheap.
+    // The prefix sum is DISTRIBUTED (Rank.distributedPrefixSum): range
+    // partition on (t, delta), local ROWS running sums, carry-in = Σ
+    // delta of earlier partitions — no single-partition window. Ties
+    // split across a range boundary are harmless: identical increments
+    // produce the same multiset of partial sums either side of the
+    // cut, and only max-per-day is kept. Ends sort before starts at
+    // the same instant (delta asc), matching the oracle's ROWS frame.
     "q102_concurrency" -> ((s, d) => {
       val ev = Tables.events(s, d).select(us(col("ts")).as("t"))
       val pts = ev.select(col("t"), lit(1).as("delta"))
         .unionAll(ev.select((col("t") + 300000000L).as("t"),
           lit(-1).as("delta")))
-      // ends sort before starts at the same instant (delta asc).
-      // ROWS frame explicitly: Spark's default for an ordered window
-      // is RANGE, which collapses tied rows to the group-end sum and
-      // can understate the peak vs the oracle's ROWS prefix sum.
-      val w = Window.orderBy(col("t"), col("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.select(call_function("div", col("t"), lit(usPerDay)).as("day"),
-          sum(col("delta")).over(w).as("conc"))
+      Rank.distributedPrefixSum(pts,
+          Seq(col("t").asc, col("delta").asc), col("delta"), s)
+        .select(call_function("div", col("t"), lit(usPerDay)).as("day"),
+          col("run").as("conc"))
         .groupBy(col("day"))
         .agg(max(col("conc")).cast("long").as("peak_concurrency"))
     }),

@@ -122,9 +122,14 @@ object CurationQueries extends QueryPack {
       val counts = Tables.documents(s, d)
         .select(explode(words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val tot = Window.partitionBy()
+      // The corpus token total is ONE number: compute it with a plain
+      // aggregate and attach via a broadcast cross join. The previous
+      // sum().over(Window.partitionBy()) funneled every type-count row
+      // through a single partition — a 10⁸-type web corpus would
+      // serialize on one task just to learn a scalar.
+      val tot = counts.agg(sum(col("c")).cast("long").as("total"))
       counts
-        .withColumn("total", sum(col("c")).over(tot))
+        .crossJoin(broadcast(tot))
         .withColumn("in_vocab", // integral div: oracle's `total // 1000`
           col("c") >= call_function("div", col("total"), lit(1000L)))
         .groupBy()
@@ -187,9 +192,12 @@ object CurationQueries extends QueryPack {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cd"))
         .persist()
       val lm = terms.groupBy(col("w")).agg(sum(col("cd")).as("cw"))
-      val total = Window.partitionBy()
-      val lmP = lm.select(col("w"), col("cw"),
-        sum(col("cw")).over(total).as("t"))
+      // LM mass total = scalar aggregate + broadcast cross join (the
+      // global-window form would single-partition the vocabulary-sized
+      // LM frame just to attach one number).
+      val lmT = lm.agg(sum(col("cw")).as("t"))
+      val lmP = lm.crossJoin(broadcast(lmT))
+        .select(col("w"), col("cw"), col("t"))
       val res = terms.join(broadcast(lmP), "w")
         .groupBy(col("doc_id"))
         .agg(sum(col("cd")).cast("long").as("n_words"),
@@ -233,10 +241,17 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), posexplode(words(col("text"))))
         .select(col("doc_id"), col("pos"), col("col").as("w"))
         .persist()
-      val vw = Window.orderBy(col("c").desc, col("w").asc)
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .select(col("w"),
-          (row_number().over(vw) - 1).cast("long").as("tok_id"))
+      // Distributed global rank: the naive Window.orderBy(count desc)
+      // ranks the entire vocabulary in ONE task — fatal at web-corpus
+      // type counts (10⁸–10⁹). Instead: range-repartition on the rank
+      // order (a total order — w is unique, so boundary ties are
+      // impossible), row_number within each range partition, then
+      // offset by the cumulative sizes of earlier partitions. The only
+      // single-partition work is the 32-row offset table.
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val vocab = Rank.distributedRank(
+          counts, Seq(col("c").desc, col("w").asc), s)
+        .select(col("w"), (col("rk") - 1).cast("long").as("tok_id"))
       val res = toks.filter(col("pos") < 30)
         .join(broadcast(vocab), "w")
         .groupBy(col("doc_id"))

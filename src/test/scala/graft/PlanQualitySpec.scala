@@ -135,4 +135,46 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  /** True iff some Window in the plan is fed (through sort/project
+    * wrappers) by an Exchange SinglePartition — the pattern that
+    * serializes a data-sized set through one task at scale.
+    */
+  private def windowFedBySinglePartition(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => strip(w.child)
+      case i: InputAdapter => strip(i.child)
+      case s: SortExec => strip(s.child)
+      case pr: ProjectExec => strip(pr.child)
+      case other => other
+    }
+    val top = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    top.collect { case w: WindowExec => strip(w.child) }.exists {
+      case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+      case _ => false
+    }
+  }
+
+  test("no single-partition exchange feeds a window in the rank/prefix-sum family") {
+    // q117 vocab rank, q99 ntile, q102 sweep-line ran global
+    // Window.orderBy (one task for the whole data set) until round 5;
+    // q110/q114 attached scalar totals via Window.partitionBy().
+    // All five now use distributed rank / prefix sums / broadcast
+    // scalars — this pins the property so a regression can't sneak in.
+    for (q <- Seq("q99_ntile_bands", "q102_concurrency",
+        "q110_vocab_coverage", "q114_unigram_xent", "q117_tokenize",
+        "q113_incremental_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(!windowFedBySinglePartition(df),
+        s"$q plans a single-partition-fed Window:\n${plan(df)}")
+    }
+  }
 }
