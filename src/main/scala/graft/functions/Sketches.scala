@@ -68,28 +68,52 @@ object Sketches {
     c => call_udf(name, shiftrightunsigned(xxhash64(c), 1).cast("long"))
   }
 
+  /** [[kmvSketchAgg]] over the oracle-reproducible arithmetic
+    * [[sampleHash]] instead of xxhash64 — an external engine (DuckDB,
+    * Python) can then recompute the k minima and the estimate exactly,
+    * making the sketch differentially testable. Input must be a
+    * non-negative integer id; estimates from this family use
+    * `space = sampleHashSpace`. */
+  def kmvSketchAggArith(spark: org.apache.spark.sql.SparkSession,
+                        k: Int): Column => Column = {
+    val name = s"kmv_sketch_arith_$k"
+    spark.udf.register(name, udaf(new KmvAggregator(k)))
+    c => call_udf(name, sampleHash(c))
+  }
+
+  /** Hash-space modulus of [[sampleHash]]. */
+  val sampleHashSpace: Double = 999999999989.0
+
   /** Merge two sketch arrays outside aggregation (e.g. rolling daily
     * sketch tables up to months): k smallest of the union. */
   def kmvMerge(a: Column, b: Column, k: Int): Column =
     slice(sort_array(array_distinct(concat(a, b))), 1, k)
 
   /** Distinct-count estimate from a sketch array: exact (= array size)
-    * below k values; else (k−1)/h₍ₖ₎ scaled from the 63-bit space. */
-  def kmvEstimate(sketch: Column, k: Int): Column = {
+    * below k values; else (k−1)/h₍ₖ₎ scaled from `space` (the hash
+    * family's modulus — 2⁶³ for the xxhash64 family, `sampleHashSpace`
+    * for the arithmetic one). */
+  def kmvEstimate(sketch: Column, k: Int,
+                  space: Double = 9.223372036854776e18): Column = {
     val n = size(sketch)
     val kth = element_at(sketch, k).cast("double")
     when(n < k, n.cast("double"))
-      .otherwise(round(lit((k - 1).toDouble) /
-        (kth / lit(9.223372036854776e18)), 2))
+      .otherwise(round(lit((k - 1).toDouble) / (kth / lit(space)), 2))
   }
 
   /** One-call per-group approximate distinct: one shuffle on the keys,
-    * map-side partial sketches, k·8 bytes of state per group. */
+    * map-side partial sketches, k·8 bytes of state per group.
+    * `arithHash = true` selects the [[sampleHash]] family (integer ids
+    * only) so the estimate is reproducible by an external engine. */
   def approxDistinctByKey(df: DataFrame, keys: Seq[String],
-                          valueCol: String, k: Int = 256): DataFrame = {
-    val sk = kmvSketchAgg(df.sparkSession, k)
+                          valueCol: String, k: Int = 256,
+                          arithHash: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val (sk, space) =
+      if (arithHash) (kmvSketchAggArith(spark, k), sampleHashSpace)
+      else (kmvSketchAgg(spark, k), 9.223372036854776e18)
     df.groupBy(keys.map(col): _*)
-      .agg(kmvEstimate(sk(col(valueCol)), k).as("approx_distinct"))
+      .agg(kmvEstimate(sk(col(valueCol)), k, space).as("approx_distinct"))
   }
 
   // ---- approximate quantiles: bottom-k-by-hash sample sketch ----

@@ -221,15 +221,33 @@ object Dedup {
           .otherwise(packed).as("simhash"))
   }
 
+  /** md5-derived 60-bit feature hash: the first 15 hex digits of
+    * md5(s) parsed base-16. ~3× the cost of xxhash64, but every engine
+    * with an md5 builtin (DuckDB, Python hashlib) reproduces it
+    * digit-for-digit, which makes hash-seeded sketches (simhash, KMV)
+    * DIFFERENTIALLY TESTABLE end-to-end instead of rows-only-checked.
+    * 60 bits keeps the parse inside a signed 64-bit int on both
+    * engines (16 digits could set the sign bit). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** SimHash near-dup pairs: pigeonhole banding — hamming ≤ maxHamming
     * (< #chunks) implies at least one equal 16-bit chunk, so candidates
     * come from 4 chunk-equality joins, then exact popcount verify. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sh = wordShingleHashes(docs, idCol, textCol, shingleN)
-    // the 64-sum signature aggregation is the expensive stage; both
+                          shingleN: Int = 3, maxHamming: Int = 3): DataFrame =
+    simhashNearDupPairsFrom(
+      wordShingleHashes(docs, idCol, textCol, shingleN), maxHamming)
+
+  /** [[simhashNearDupPairs]] over a prebuilt (doc_id, shingle) set —
+    * callers choose the feature-hash family (xxhash64 longs for
+    * production, [[md5Hash60]] for oracle-verifiable runs) and the
+    * signature width. */
+  def simhashNearDupPairsFrom(sh: DataFrame, maxHamming: Int,
+                              bits: Int = 64): DataFrame = {
+    // the per-bit signature aggregation is the expensive stage; both
     // sides of the chunk self-join need it, so compute it once
-    val sig = simHash(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = simHash(sh, bits).persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))

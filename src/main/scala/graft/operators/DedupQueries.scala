@@ -58,11 +58,19 @@ object DedupQueries extends QueryPack {
           shingleN = 3, k = 32, bands = 16, tau = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
           .as("jaccard"))),
-    // SimHash-64 near-dups, hamming ≤ 3 (not oracle-expressible —
-    // depends on xxhash64; covered by DedupSpec).
+    // SimHash near-dups, hamming ≤ 3. Feature hash = md5Hash60 (first
+    // 15 md5 hex digits): the oracle recomputes the identical 60-bit
+    // signatures digit-for-digit in DuckDB, so the whole sketch —
+    // shingling, per-bit majorities, popcount verify — is
+    // differentially checked, not rows-only. (Production callers
+    // default to the cheaper xxhash64 family via simhashNearDupPairs;
+    // DedupSpec proves the two variants find the same pair set here.)
     "q43_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(corpus(s, d), "doc_id", "text",
-        shingleN = 3, maxHamming = 3)),
+      Dedup.simhashNearDupPairsFrom(
+        Dedup.wordShingles(corpus(s, d), "doc_id", "text", 3)
+          .select(col("doc_id"),
+            Dedup.md5Hash60(col("shingle")).as("shingle")),
+        maxHamming = 3, bits = 60)),
     // Exact word-bigram Jaccard, all pairs ≥ 0.5 via shingle equi-join.
     "q44_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text",
@@ -92,7 +100,35 @@ object DedupQueries extends QueryPack {
     })
   )
 
+  /** Base-16 parse of md5-hex digits 1..15 as explicit shift-add terms
+    * (DuckDB has no hex→int cast; 15 digits stay inside BIGINT —
+    * mirrors [[Dedup.md5Hash60]]'s conv(substring(md5,1,15),16,10)). */
+  private val md5Hex60Sql: String = (1 to 15).map(i =>
+    s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT" +
+      s" << ${4 * (15 - i)})").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q43_dedup_simhash" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT doc_id, $md5Hex60Sql AS h FROM hm),
+        | bits AS (SELECT doc_id, b, (h >> b) & 1 AS bit
+        |  FROM hh, UNNEST(generate_series(0, 59)) AS g(b)),
+        | cnt AS (SELECT doc_id, b, CAST(sum(bit) AS BIGINT) AS c,
+        |   count(*) AS n FROM bits GROUP BY 1, 2),
+        | sig AS (SELECT doc_id, CAST(sum(
+        |   CASE WHEN 2*c > n THEN (1::BIGINT << b) ELSE 0 END)
+        |   AS BIGINT) AS sg FROM cnt GROUP BY doc_id)
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin,
     "q41_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -7,23 +7,23 @@ import graft.functions.Sketches
 
 /** Sketch coverage: bounded-state aggregates for the 100 TB regime.
   *
-  * q80 (KMV distinct) is a deterministic function of xxhash64, which
-  * DuckDB cannot recompute — rows-only driver check (like q43);
-  * SketchesSpec proves accuracy, determinism, and exact mergeability.
-  *
-  * q88 (quantile sketch) is differentially testable END-TO-END: the
-  * bottom-k-by-hash sample uses a plain arithmetic hash, so the oracle
-  * reproduces the exact sample ("ORDER BY h, v LIMIT k") and the
-  * identical interpolation formula — an *approximate* sketch with an
-  * *exact* oracle, because the approximation is deterministic.
+  * BOTH sketches here are differentially testable END-TO-END: they
+  * seed their sampling with the plain arithmetic [[Sketches.sampleHash]]
+  * rather than xxhash64, so the oracle reproduces the exact k-minima /
+  * bottom-k sample and the identical estimate formula — *approximate*
+  * sketches with *exact* oracles, because the approximation is
+  * deterministic. (Production callers needing stronger mixing or
+  * non-integer keys use the xxhash64 family — SketchesSpec proves its
+  * accuracy, determinism, and exact mergeability separately.)
   */
 object SketchQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-event-type approximate distinct users, k=256 (~6% σ)
+    // per-event-type approximate distinct users, k=256 (~6% σ);
+    // arithmetic hash family → DuckDB recomputes the estimate exactly
     "q80_kmv_distinct" -> ((s, d) =>
       Sketches.approxDistinctByKey(Tables.events(s, d),
-        Seq("event_type"), "user_id", k = 256)),
+        Seq("event_type"), "user_id", k = 256, arithHash = true)),
     // per-flag price quantiles from a k=200 bottom-k-by-hash sample:
     // one pass, ≤200 pairs of state per group on the map side.
     "q88_quantile_sketch" -> ((s, d) =>
@@ -35,6 +35,18 @@ object SketchQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |   (user_id % 1000000007) * 2654435761 % 999999999989 AS h
+        |  FROM events),
+        | ranked AS (SELECT event_type, h,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |   count(*) OVER (PARTITION BY event_type) AS cnt FROM h)
+        | SELECT event_type,
+        |  CASE WHEN max(cnt) < 256 THEN CAST(max(cnt) AS DOUBLE)
+        |   ELSE round(255.0 / (CAST(max(CASE WHEN rk = 256 THEN h END)
+        |     AS DOUBLE) / 999999999989.0), 2) END AS approx_distinct
+        | FROM ranked GROUP BY event_type""".stripMargin,
     "q88_quantile_sketch" ->
       """WITH base AS (SELECT l_returnflag AS grp,
         |   ((l_orderkey * 10 + l_linenumber) % 1000000007)

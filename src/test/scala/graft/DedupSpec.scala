@@ -53,6 +53,16 @@ class DedupSpec extends AnyFunSuite {
       shingleN = 3, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+    // md5Hash60 variant (the oracle-verifiable family q43 ships) finds
+    // the same pair set on this corpus as the xxhash64 production path
+    val pairsMd5 = Dedup.simhashNearDupPairsFrom(
+      Dedup.wordShingles(docs, "doc_id", "text", 3)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          Dedup.md5Hash60(org.apache.spark.sql.functions.col("shingle"))
+            .as("shingle")),
+      maxHamming = 3, bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsMd5 == pairs, s"md5=$pairsMd5 xx=$pairs")
   }
 
   test("ngram jaccard computes exact similarity") {
