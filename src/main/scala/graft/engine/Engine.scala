@@ -7,6 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 import graft.catalog.Catalog
 import graft.catalog.Catalog.{Prop, Scope}
 import graft.sql.{Ast, ExprBuilder, Parser}
@@ -38,7 +39,8 @@ class Engine(val spark: SparkSession, root: String,
   private val attached = mutable.Map.empty[String, DataFrame]
   private val procs =
     mutable.Map.empty[String, (Engine, Seq[Any]) => Result]
-  private val cursors = mutable.Map.empty[Long, (Iterator[Row], StructType)]
+  private val cursors =
+    mutable.Map.empty[Long, (Iterator[Row], StructType, DataFrame)]
   private val heldLocks = mutable.Map.empty[String, (Engine.SessionRWLock, Boolean)]
   private val cursorSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -273,7 +275,7 @@ class Engine(val spark: SparkSession, root: String,
       }
     case FetchStmt(id) => fetch(id)
     case CloseStmt(id) =>
-      cursors.remove(id); Status(ok = true)
+      closeCursor(id); Status(ok = true)
 
     // ── DML ─────────────────────────────────────────────────────────
     case ins: InsertStmt => insert(ins)
@@ -326,17 +328,26 @@ class Engine(val spark: SparkSession, root: String,
   def openCursor(df: DataFrame): Long = {
     import scala.jdk.CollectionConverters._
     val id = cursorSeq.incrementAndGet()
-    cursors += id -> (df.toLocalIterator().asScala, df.schema)
+    // Persist for the cursor's lifetime: toLocalIterator launches one
+    // job PER PARTITION, and without a cache each job re-runs the
+    // whole upstream plan — a shuffle-bearing query would recompute
+    // per fetched page (SURVEY §7.3's warning). Unpersisted on CLOSE
+    // or exhaustion.
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cursors += id -> (cached.toLocalIterator().asScala, df.schema, cached)
     id
   }
 
+  private def closeCursor(id: Long): Unit =
+    cursors.remove(id).foreach(_._3.unpersist(false))
+
   private def fetch(id: Long): Result = cursors.get(id) match {
     case None => Status(ok = false, s"no cursor $id")
-    case Some((it, schema)) =>
+    case Some((it, schema, _)) =>
       val buf = mutable.ArrayBuffer.empty[Row]
       while (buf.length < cursorPageSize && it.hasNext) buf += it.next()
       val more = it.hasNext
-      if (!more) cursors.remove(id)
+      if (!more) closeCursor(id)
       Batch(buf.toSeq, schema, more)
   }
 

@@ -239,9 +239,24 @@ object TextAnalysis {
         any_value(col("text")).as("text"))
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clusters = Dedup.nearDupClusters(
-      Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
-        shingleN = shingleN, tau = nearDupTau))
+    // Run the dedup stages UNSEALED: nearDupClusters materializes the
+    // pair set itself (persist + count before its guarded union-find),
+    // so the default intra-call seal would only add one more pass +
+    // job over the same pairs. The LSH legs keep their persist marks
+    // and are computed once inside that single materialization; their
+    // blocks are reclaimed by ContextCleaner when this frame is
+    // dropped (sealResult scaladoc documents this contract).
+    val spark = docs.sparkSession
+    val prevSeal = spark.conf.getOption("spark.graft.sealResults")
+    spark.conf.set("spark.graft.sealResults", "false")
+    val clusters =
+      try Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
+          shingleN = shingleN, tau = nearDupTau))
+      finally prevSeal match {
+        case Some(v) => spark.conf.set("spark.graft.sealResults", v)
+        case None => spark.conf.unset("spark.graft.sealResults")
+      }
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     // materialize the (small) survivor set, then release the gate
