@@ -341,6 +341,18 @@ class Engine(val spark: SparkSession, root: String,
   private def closeCursor(id: Long): Unit =
     cursors.remove(id).foreach(_._3.unpersist(false))
 
+  /** End-of-session cleanup (reference: session teardown releases its
+    * cursors and locks, ifc/nowdb.c session loop): drop every open
+    * cursor's cache and release held locks. The wire server calls this
+    * on disconnect so an abandoned session cannot pin caches or
+    * deadlock other sessions. Idempotent. */
+  def closeSession(): Unit = {
+    cursors.keys.toSeq.foreach(closeCursor)
+    heldLocks.keys.toSeq.foreach { n =>
+      heldLocks.remove(n).foreach { case (l, w) => l.release(w) }
+    }
+  }
+
   private def fetch(id: Long): Result = cursors.get(id) match {
     case None => Status(ok = false, s"no cursor $id")
     case Some((it, schema, _)) =>

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** Wire-protocol coverage: remote sessions drive the full
+  * create/insert/query/fetch/close flow through real sockets, and the
+  * StressSpec PK-race scenario holds when every session is a TCP
+  * client (reference: session server ifc/nowdb.c:585-696, cursor
+  * paging :1146-1366). */
+class ServerSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  test("two concurrent remote sessions create/insert/query/fetch/close") {
+    val root = Files.createTempDirectory("server-scope").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 2).start()
+    try {
+      val c1 = new WireClient("127.0.0.1", srv.boundPort)
+      val c2 = new WireClient("127.0.0.1", srv.boundPort)
+      assert(c1.send("create scope wire").head.startsWith("+ok"))
+      assert(c1.send("use wire").head.startsWith("+ok"))
+      assert(c1.send("create type gadget (id uint pk, name text)")
+        .head.startsWith("+ok"))
+      (1 to 5).foreach { i =>
+        assert(c1.send(s"insert into gadget (id, name) ($i, 'g$i')")
+          .head.startsWith("+ok"))
+      }
+      // session 2 sees session 1's writes through the shared scope root
+      assert(c2.send("use wire").head.startsWith("+ok"))
+      val (hdr, rows) = c2.query("select id, name from gadget")
+      assert(hdr == Seq("id", "name"))
+      assert(rows.map(_.head.toLong).sorted == (1L to 5L))
+      assert(rows.map(_(1)).toSet == (1 to 5).map(i => s"g$i").toSet)
+      // explicit paging at pageSize=2: 2 rows + more-flag, then CLOSE
+      // invalidates the cursor
+      val head = c2.send("select id from gadget").head
+      assert(head.startsWith("+cursor"), head)
+      val cur = head.split(" ")(1)
+      val f = c2.send(s"fetch $cur")
+      assert(f.head == "+batch 2 1", f.head)
+      assert(c2.send(s"close $cur").head.startsWith("+ok"))
+      assert(c2.send(s"fetch $cur").head.startsWith("-err"))
+      // a failing statement reports -err and the session survives
+      assert(c1.send("select nope from nowhere").head.startsWith("-err"))
+      assert(c1.send("select id from gadget").head.startsWith("+cursor"))
+      c1.close()
+      c2.close()
+    } finally srv.stop()
+  }
+
+  test("PK race over the socket: exactly one winner per id") {
+    val root = Files.createTempDirectory("server-race").toString
+    val srv = new Server(spark, root, port = 0).start()
+    try {
+      val boot = new WireClient("127.0.0.1", srv.boundPort)
+      assert(boot.send("create scope wrace").head.startsWith("+ok"))
+      assert(boot.send("use wrace").head.startsWith("+ok"))
+      assert(boot.send("create type item (id uint pk, tag text)")
+        .head.startsWith("+ok"))
+      boot.close()
+
+      val sessions = 4
+      val perSession = 6
+      val pool = Executors.newFixedThreadPool(sessions)
+      val start = new CountDownLatch(1)
+      val results = (0 until sessions).map { sid =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Boolean]] {
+          def call(): Seq[Boolean] = {
+            val c = new WireClient("127.0.0.1", srv.boundPort)
+            assert(c.send("use wrace").head.startsWith("+ok"))
+            start.await()
+            val outcomes = (0 until perSession).map { i =>
+              c.send(s"insert into item (id, tag) ($i, 's$sid')").head match {
+                case ok if ok.startsWith("+ok") => true
+                case err if err.contains("duplicate") => false
+                case other => fail(s"unexpected frame: $other")
+              }
+            }
+            c.close()
+            outcomes
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      val winsPerId = (0 until perSession).map(i => outcomes.count(_(i)))
+      assert(winsPerId.forall(_ == 1), s"wins per id: $winsPerId")
+      val check = new WireClient("127.0.0.1", srv.boundPort)
+      assert(check.send("use wrace").head.startsWith("+ok"))
+      val (_, rows) = check.query("select id from item")
+      assert(rows.map(_.head.toLong).sorted == (0L until perSession.toLong))
+      check.close()
+    } finally srv.stop()
+  }
+}
