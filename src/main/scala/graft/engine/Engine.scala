@@ -263,15 +263,22 @@ class Engine(val spark: SparkSession, root: String,
         case None => Status(ok = false, s"lock $name not held")
       }
     case ExecStmt(name, args) =>
+      val vals = args.map {
+        case Lit(v, _) => v
+        case other => throw new IllegalArgumentException(
+          s"EXEC args must be literals, got $other")
+      }
       procs.get(name.toLowerCase) match {
-        case Some(fn) =>
-          val vals = args.map {
-            case Lit(v, _) => v
-            case other => throw new IllegalArgumentException(
-              s"EXEC args must be literals, got $other")
+        case Some(fn) => fn(this, vals)
+        case None =>
+          // fall back to the scope catalog: externally-interpreted
+          // procedures (CREATE PROCEDURE m.p(...) LANGUAGE python)
+          // run out of process and call back into THIS session
+          current.flatMap(_.procs.get(name)) match {
+            case Some(pd) =>
+              ProcBridge.exec(this, pd.module, pd.name, pd.lang, vals)
+            case None => Status(ok = false, s"no procedure $name")
           }
-          fn(this, vals)
-        case None => Status(ok = false, s"no procedure $name")
       }
     case FetchStmt(id) => fetch(id)
     case CloseStmt(id) =>

@@ -92,6 +92,15 @@ class Server(spark: org.apache.spark.sql.SparkSession, root: String,
   }
 
   private def respond(eng: Engine, stmt: String, out: PrintWriter): Unit =
+    Wire.respond(eng, stmt, out)
+}
+
+/** Shared wire framing — used by [[Server]] sessions and by the
+  * external-procedure bridge (which serves the SAME engine session to
+  * a subprocess over a loopback socket). */
+private[engine] object Wire {
+
+  def respond(eng: Engine, stmt: String, out: PrintWriter): Unit =
     try eng.sql(stmt) match {
       case Status(true, m) =>
         out.println(if (m.isEmpty) "+ok" else s"+ok ${esc(m)}")
@@ -115,7 +124,7 @@ class Server(spark: org.apache.spark.sql.SparkSession, root: String,
         out.println(s"-err ${esc(String.valueOf(e.getMessage))}")
     }
 
-  private def esc(s: String): String = s
+  def esc(s: String): String = s
     .replace("\\", "\\\\").replace("\t", "\\t")
     .replace("\r", "\\r").replace("\n", "\\n")
 }

@@ -119,6 +119,74 @@ class EngineSpec extends AnyFunSuite {
       case _ => false })
   }
 
+  test("python procedure calls back into its own session (re-entrancy)") {
+    // needs a python3 on PATH; skip (don't fail) where there is none
+    assume(
+      try new ProcessBuilder("python3", "--version").start()
+        .waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: java.io.IOException => false },
+      "python3 not available")
+    val procDir = Files.createTempDirectory("graft-procs")
+    // The proc inherits the invoking session over the bridge socket:
+    // it issues SELECTs WITHOUT a `use` — the session's scope (retail,
+    // selected by earlier statements in this engine) must already
+    // apply, which is the reference's re-entrancy contract
+    // (sql/stmt.c:1791-1845).
+    val py =
+      """import os, socket, sys
+        |s = socket.create_connection(
+        |    (os.environ["GRAFT_HOST"], int(os.environ["GRAFT_PORT"])))
+        |r = s.makefile("r", encoding="utf-8", newline="\n")
+        |w = s.makefile("w", encoding="utf-8", newline="\n")
+        |assert r.readline().startswith("+ok")
+        |def send(stmt):
+        |    w.write(stmt + "\n"); w.flush()
+        |    head = r.readline().rstrip("\n")
+        |    if head.startswith("+batch"):
+        |        _, n, more = head.split(" ")
+        |        r.readline()  # header
+        |        rows = [r.readline().rstrip("\n") for _ in range(int(n))]
+        |        return head, rows, more == "1"
+        |    return head, [], False
+        |head, _, _ = send("select quantity from buys")
+        |assert head.startswith("+cursor"), head
+        |cur = head.split(" ")[1]
+        |total, n, more = 0, 0, True
+        |while more:
+        |    _, rows, more = send("fetch " + cur)
+        |    for line in rows:
+        |        total += int(line.split("\t")[0]); n += 1
+        |send("quit")
+        |print("#total_qty\tn_rows")
+        |print(str(total) + "\t" + str(n))
+        |""".stripMargin
+    Files.writeString(procDir.resolve("statsmod.py"), py)
+    spark.conf.set("spark.graft.procPath", procDir.toString)
+    // self-contained session (ordering-independent): own scope + rows
+    val peng = new Engine(spark,
+      Files.createTempDirectory("proc-scope").toString, cursorPageSize = 3)
+    try {
+      ok(peng.sql("create scope procscope"))
+      ok(peng.sql("use procscope"))
+      ok(peng.sql("create type v (id uint pk, origin uint)"))
+      ok(peng.sql("create edge buys (origin v origin, destin v destin, " +
+        "quantity uint)"))
+      ok(peng.sql("insert into v (id, origin) (1, 1)"))
+      (1 to 7).foreach(i =>
+        ok(peng.sql(s"insert into buys (origin, destin, quantity) " +
+          s"(1, 1, ${i * 10})")))
+      ok(peng.sql("create procedure statsmod.qtystats() language python"))
+      peng.sql("exec qtystats()") match {
+        case Rows(df) =>
+          val r0 = df.collect().head
+          assert(r0.getString(0).toLong == (1 to 7).map(_ * 10).sum,
+            s"proc total ${r0.getString(0)}")
+          assert(r0.getString(1).toInt == 7)
+        case other => fail(s"expected Rows, got $other")
+      }
+    } finally spark.conf.unset("spark.graft.procPath")
+  }
+
   test("open cursors persist their frame until CLOSE or exhaustion") {
     import org.apache.spark.storage.StorageLevel
     // shuffle-bearing query: without the cursor-lifetime cache every
