@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.streaming.EventStreams
 
@@ -37,12 +38,80 @@ object StreamingQueries extends QueryPack {
       EventStreams.sessionizeStateful(
         Tables.events(s, d).as[EventStreams.Event],
         gapMinutes = 120, emitOpen = true).toDF()
+    }),
+    // Stream-stream interval join: each click matched to same-user
+    // views in the trailing 10 minutes, aggregated per user. In a
+    // live stream the time bound + watermarks prune the join state to
+    // the lag horizon.
+    "q120_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_utc"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_utc"), col("event_id"))
+      EventStreams.intervalJoin(clicks, views, "user_id", "ts_utc",
+          "10 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_clicks_matched"),
+          countDistinct(col("r_event_id")).as("n_views_matched"))
+    }),
+    // Stream-static enrichment: events against the customer dimension
+    // (broadcast into every micro-batch, zero streaming state).
+    "q121_stream_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStreams.enrichStream(Tables.events(s, d), dim,
+          "user_id", "c_custkey")
+        .groupBy(col("d_c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // Streaming exact dedup: an at-least-once feed (every third event
+    // re-delivered) collapses back to exactly-once within the
+    // watermark horizon. Re-deliveries are bit-identical rows, so the
+    // arbitrary-survivor semantics of dropDuplicates cannot leak into
+    // the aggregate.
+    "q122_stream_dedup" -> ((s, d) => {
+      val e = ev(s, d)
+      val dup = e.unionAll(e.filter(col("event_id") % 3 === 0))
+      EventStreams.dedupEvents(dup, "10 minutes")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
     })
   )
 
   private val gapUs = 7200000000L // 2 hours in µs
 
   val oracles: Map[String, String] = Map(
+    "q120_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |   FROM events WHERE event_type = 'click'),
+        | v AS (SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS t
+        |   FROM events WHERE event_type = 'view'),
+        | j AS (SELECT c.user_id, c.event_id, v.r_event_id
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |   AND v.t >= c.t - 600000000 AND v.t <= c.t)
+        | SELECT user_id, count(*) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_clicks_matched,
+        |  count(DISTINCT r_event_id) AS n_views_matched
+        | FROM j GROUP BY user_id""".stripMargin,
+    "q121_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        | FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        | GROUP BY c.c_mktsegment""".stripMargin,
+    "q122_stream_dedup" ->
+      """WITH u AS (
+        |  SELECT event_id, event_type, user_id FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, user_id FROM events
+        |  WHERE event_id % 3 = 0),
+        | d AS (SELECT DISTINCT event_id, event_type, user_id FROM u)
+        | SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        | FROM d GROUP BY event_type""".stripMargin,
     "q84_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |   WHERE event_type = 'signup' GROUP BY user_id),

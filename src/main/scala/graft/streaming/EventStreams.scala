@@ -215,10 +215,15 @@ object EventStreams {
   /** Streaming exact dedup by event id: drops re-deliveries within
     * the watermark horizon, so state stays bounded (the streaming
     * face of the dedup suite — at-least-once ingestion becomes
-    * exactly-once downstream). Works on batch frames too. */
+    * exactly-once downstream). On a batch frame the same call is a
+    * plain dropDuplicates (Spark rejects the within-watermark variant
+    * outside streaming; with re-deliveries bit-identical the results
+    * coincide once the watermark passes). */
   def dedupEvents(events: DataFrame, watermark: String): DataFrame =
-    events.withWatermark("ts_utc", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts_utc", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Streaming sink helper: append a windowed aggregation to parquet
     * with a checkpoint (exactly-once file sink). */

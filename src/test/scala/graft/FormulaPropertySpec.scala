@@ -140,6 +140,33 @@ class FormulaPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("200 random formulas agree via the FULL engine path (sql text)") {
+    // Unlike the ExprBuilder test above, this rides the whole stack a
+    // session uses — Parser → Engine.buildSelect → Catalyst — so
+    // parser/coercion drift between the engine path and ExprBuilder
+    // cannot hide (the reference's differential method,
+    // test/pysmoke/formulas.py).
+    val eng = new graft.engine.Engine(spark,
+      java.nio.file.Files.createTempDirectory("fuzz-scope").toString)
+    samples(200, 3).grouped(25).foreach { grp =>
+      val sql = "select " + grp.map(render).mkString(", ")
+      val row = eng.sql(sql) match {
+        case graft.engine.Rows(df) => df.collect()(0)
+        case other => fail(s"$sql -> $other")
+      }
+      grp.zipWithIndex.foreach { case (e, i) =>
+        val got = row.get(i)
+        val want = ev(e)
+        val same = (got, want) match {
+          case (null, null) => true
+          case (g: Double, w: Double) => (g.isNaN && w.isNaN) || g == w
+          case (g, w) => g == w
+        }
+        assert(same, s"\n${render(e)}\nengine: $got  interp: $want")
+      }
+    }
+  }
+
   test("NULL propagates through arithmetic and functions") {
     val nulls = Seq[Expr](
       BinOp("+", Lit(null, "null"), Lit(1L, "uint")),
