@@ -264,6 +264,40 @@ object CurationQueries extends QueryPack {
       toks.unpersist(blocking = false)
       res
     }),
+    // PII detection/redaction stats: per source, how many documents
+    // carry email/phone spans and how many characters redaction
+    // removes — the scrub-before-training pass every corpus runs.
+    // Row-local regexes (codegen'd in both engines; plain ASCII
+    // classes so Java regex and RE2 agree); the derived corpus plants
+    // deterministic PII in a subset of docs. One shuffle on source.
+    "q123_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact bob@example.com x")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-123-4567 now")).otherwise(lit("")))
+          .as("text"))
+      corpus.select(col("source"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .as("ne"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+            .as("np"),
+          (length(col("text")) - length(
+            regexp_replace(regexp_replace(col("text"), email, "<PII>"),
+              phone, "<PII>"))).as("saved"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0, 1L).otherwise(0L)).cast("long")
+            .as("docs_with_email"),
+          sum(when(col("np") > 0, 1L).otherwise(0L)).cast("long")
+            .as("docs_with_phone"),
+          sum(col("ne") + col("np")).cast("long").as("n_pii_spans"),
+          sum(col("saved")).cast("long").as("chars_redacted"))
+    }),
     // Deterministic weighted sampling (A-ES / Efraimidis-Spirakis in
     // log domain): key = ln(u)/w with u a fixed integer-hash uniform,
     // so every engine — and every retry of a failed stage — draws the
@@ -426,6 +460,30 @@ object CurationQueries extends QueryPack {
         |  count(*) AS n_dims,
         |  round(avg(se) * 1000000.0, 6) AS mse_ppm
         | FROM se GROUP BY label""".stripMargin,
+    "q123_pii_redact" ->
+      """WITH corpus AS (SELECT doc_id, source, text
+        |   || CASE WHEN doc_id % 7 = 0
+        |        THEN ' contact bob@example.com x' ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 0
+        |        THEN ' call 555-123-4567 now' ELSE '' END AS text
+        |  FROM documents),
+        | per AS (SELECT source,
+        |   len(regexp_extract_all(text,
+        |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS ne,
+        |   len(regexp_extract_all(text,
+        |     '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+        |   length(text) - length(regexp_replace(regexp_replace(text,
+        |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<PII>', 'g'),
+        |     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PII>', 'g')) AS saved
+        |  FROM corpus)
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_email,
+        |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_phone,
+        |  CAST(sum(ne + np) AS BIGINT) AS n_pii_spans,
+        |  CAST(sum(saved) AS BIGINT) AS chars_redacted
+        | FROM per GROUP BY source""".stripMargin,
     "q112_weighted_sample" ->
       """SELECT doc_id, n_chars,
         | round(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)

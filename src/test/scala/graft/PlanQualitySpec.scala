@@ -163,18 +163,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("no single-partition exchange feeds a window in the rank/prefix-sum family") {
-    // q117 vocab rank, q99 ntile, q102 sweep-line ran global
-    // Window.orderBy (one task for the whole data set) until round 5;
-    // q110/q114 attached scalar totals via Window.partitionBy().
-    // All five now use distributed rank / prefix sums / broadcast
-    // scalars — this pins the property so a regression can't sneak in.
-    for (q <- Seq("q99_ntile_bands", "q102_concurrency",
-        "q110_vocab_coverage", "q114_unigram_xent", "q117_tokenize",
-        "q113_incremental_dedup")) {
+  test("no single-partition exchange feeds a window in ANY query (allowlist)") {
+    // A global Window funnels the whole data set through one task —
+    // the reference never does this (one reader per file range,
+    // reader.c:1100-1380) and neither may we. Queries whose
+    // single-partition window is over a frame bounded by something
+    // OTHER than data size are allowlisted with the bound:
+    val allow = Map(
+      // 20 domain rows — bounded by the source-label vocabulary
+      "q109_domain_mix" -> "per-source aggregate (≈20 rows)")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val df = SparkEntry.queries(q)(spark, sf)
-      assert(!windowFedBySinglePartition(df),
-        s"$q plans a single-partition-fed Window:\n${plan(df)}")
+      if (windowFedBySinglePartition(df) && !allow.contains(q)) Some(q)
+      else None
     }
+    assert(offenders.isEmpty,
+      s"single-partition-fed Window in: ${offenders.mkString(", ")}")
   }
 }

@@ -50,6 +50,45 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("python client (clients/pynow.py) drives a full session") {
+    assume(
+      try new ProcessBuilder("python3", "--version").start()
+        .waitFor(10, TimeUnit.SECONDS)
+      catch { case _: java.io.IOException => false },
+      "python3 not available")
+    val root = Files.createTempDirectory("server-pynow").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 2).start()
+    try {
+      val py =
+        s"""import sys
+           |sys.path.insert(0, "clients")
+           |from pynow import Connection
+           |with Connection("127.0.0.1", ${srv.boundPort}) as c:
+           |    assert c.execute("create scope pyc")[0]
+           |    assert c.execute("use pyc")[0]
+           |    assert c.execute("create type g (id uint pk, nm text)")[0]
+           |    for i in range(5):
+           |        ok, msg = c.execute(
+           |            "insert into g (id, nm) (%d, 'n%d')" % (i, i))
+           |        assert ok, msg
+           |    rows = sorted(c.query("select id, nm from g"))
+           |    assert c.columns == ["id", "nm"], c.columns
+           |    for r in rows:
+           |        print(r[0] + "," + r[1])
+           |""".stripMargin
+      val f = Files.createTempFile("pynow-drive", ".py")
+      Files.writeString(f, py)
+      val p = new ProcessBuilder("python3", f.toString)
+        .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, TimeUnit.SECONDS), "client timed out")
+      assert(p.exitValue() == 0, s"client failed:\n$out")
+      assert(out.linesIterator.toSeq ==
+        (0 until 5).map(i => s"$i,n$i"), out)
+    } finally srv.stop()
+  }
+
   test("PK race over the socket: exactly one winner per id") {
     val root = Files.createTempDirectory("server-race").toString
     val srv = new Server(spark, root, port = 0).start()
