@@ -102,17 +102,20 @@ object CurationQueries extends QueryPack {
             6).as("dup_word_frac"))),
     // Domain mixture weights: per-source token mass → sqrt-smoothed
     // sampling weight (the standard multi-domain LM mixing move:
-    // damps head domains, boosts tail ones). 20 rows after the first
-    // aggregation — the window total is driver-trivial.
+    // damps head domains, boosts tail ones). The normalizer is a
+    // scalar aggregate attached via broadcast cross join — same shape
+    // as q110/q114, so the whole-suite no-global-window audit holds
+    // with an EMPTY allowlist (even though this frame is only
+    // source-cardinality-sized).
     "q109_domain_mix" -> ((s, d) => {
       val perSrc = Tables.documents(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(words(col("text")))).cast("long").as("tokens"))
-      val w = Window.partitionBy()
-      perSrc.select(col("source"), col("n_docs"), col("tokens"),
-        round(sqrt(col("tokens")) / sum(sqrt(col("tokens"))).over(w), 6)
-          .as("mix_weight"))
+      val tot = perSrc.agg(sum(sqrt(col("tokens"))).as("z"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(sqrt(col("tokens")) / col("z"), 6).as("mix_weight"))
     }),
     // Vocabulary coverage: tokenizer-building stat. Vocab = words with
     // count ≥ total/1000 (relative threshold so it scales with the

@@ -163,18 +163,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("no single-partition exchange feeds a window in ANY query (allowlist)") {
+  test("no single-partition exchange feeds a window in ANY query") {
     // A global Window funnels the whole data set through one task —
     // the reference never does this (one reader per file range,
-    // reader.c:1100-1380) and neither may we. Queries whose
-    // single-partition window is over a frame bounded by something
-    // OTHER than data size are allowlisted with the bound:
-    val allow = Map(
-      // 20 domain rows — bounded by the source-label vocabulary
-      "q109_domain_mix" -> "per-source aggregate (≈20 rows)")
+    // reader.c:1100-1380) and neither may we. No allowlist: even
+    // queries whose windowed frame happens to be small today use
+    // distributed rank / prefix sums / broadcast scalars instead.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val df = SparkEntry.queries(q)(spark, sf)
-      if (windowFedBySinglePartition(df) && !allow.contains(q)) Some(q)
+      if (windowFedBySinglePartition(df)) Some(q)
       else None
     }
     assert(offenders.isEmpty,
