@@ -618,14 +618,30 @@ class Engine(val spark: SparkSession, root: String,
       return Status(ok = false, s"unknown table ${ld.target}"))
     val props = s.propsOf(name)
     // header=true also for "ignore": the first line is skipped either
-    // way; "ignore" just maps columns positionally instead of by name
-    val reader = spark.read
-      .option("header", ld.header != "none")
-      .option("mode", "PERMISSIVE")
-    // read everything as string; typed casts decide validity per row
-    val raw0 = reader.csv(ld.path)
+    // way; "ignore" just maps columns positionally instead of by name.
+    // JSONL reads with an all-string schema (typed casts below decide
+    // validity per row, same as csv) plus a corrupt-record column so
+    // malformed lines land in the error report instead of becoming
+    // all-null rows. JSON fields always map by name.
+    val jsonl = ld.format == "json"
+    val raw0 =
+      if (jsonl)
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            props.map(p => org.apache.spark.sql.types.StructField(
+              p.name.toLowerCase,
+              org.apache.spark.sql.types.StringType)) :+
+              org.apache.spark.sql.types.StructField("_corrupt_record",
+                org.apache.spark.sql.types.StringType)))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(ld.path)
+      else spark.read
+        .option("header", ld.header != "none")
+        .option("mode", "PERMISSIVE")
+        .csv(ld.path) // read everything as string; casts type per row
     val raw = raw0.toDF(raw0.columns.map(_.toLowerCase).toIndexedSeq: _*)
-    val positional = ld.header != "use"
+    val positional = !jsonl && ld.header != "use"
     val srcCols: Seq[(Prop, Column)] = props.zipWithIndex.map {
       case (p, i) =>
         val src =
@@ -658,9 +674,12 @@ class Engine(val spark: SparkSession, root: String,
     }
     val castCols = srcCols.map { case (p, src) => typed(p, src).as(p.name) }
     // errors: any non-null source cell that fails its typed cast
-    val badPred = srcCols.map { case (p, src) =>
+    // (plus, for JSONL, lines the json parser could not read at all)
+    val badCast = srcCols.map { case (p, src) =>
       typed(p, src).isNull && src.isNotNull
     }.reduce(_ || _)
+    val badPred =
+      if (jsonl) badCast || col("_corrupt_record").isNotNull else badCast
     val withFlag = raw.withColumn("_bad", badPred)
     val errors = withFlag.filter(col("_bad")).drop("_bad")
     val good = withFlag.filter(!col("_bad")).drop("_bad")

@@ -137,14 +137,15 @@ object AnalyticsQueries extends QueryPack {
       val o = Tables.orders(s, d)
         .select(col("o_totalprice"), col("o_orderkey"))
       val ranked = Rank.distributedRank(
-        o, Seq(col("o_totalprice").asc, col("o_orderkey").asc), s)
-      val tot = o.agg(count(lit(1)).as("N"))
-      val qq = call_function("div", col("N"), lit(10L)) // ⌊N/10⌋
-      val rr = col("N") % 10L                           // big deciles
+        o, Seq(col("o_totalprice").asc, col("o_orderkey").asc), s,
+        withTotal = true) // N rides the rank's own size table — no
+                          // second scan of orders just for count(*)
+      val qq = call_function("div", col("n_total"), lit(10L)) // ⌊N/10⌋
+      val rr = col("n_total") % 10L                     // big deciles
       val cut = rr * (qq + 1L)                          // rows in them
       val ceilDiv = (a: Column, b: Column) =>
         call_function("div", a - 1L, b) + 1L
-      ranked.crossJoin(broadcast(tot))
+      ranked
         .select(col("o_totalprice"),
           when(col("rk") <= cut, ceilDiv(col("rk"), qq + 1L))
             .otherwise(rr + ceilDiv(col("rk") - cut, qq))

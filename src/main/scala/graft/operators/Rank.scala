@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
 object Rank {
 
   /** Appends a 1-based global rank column `rk` ordered by `order`
-    * (which must be a total order). Parallelism follows
-    * spark.sql.shuffle.partitions.
+    * (which must be a total order) — and, when `withTotal` is set, a
+    * constant `n_total` column (the global row count, derived from
+    * the same per-partition size table, so callers needing (rank, N)
+    * pairs — e.g. exact ntile — don't re-scan the input for a
+    * count). Parallelism follows spark.sql.shuffle.partitions.
     */
   def distributedRank(df: DataFrame, order: Seq[Column],
-                      spark: SparkSession): DataFrame = {
+                      spark: SparkSession,
+                      withTotal: Boolean = false): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -48,7 +52,12 @@ object Rank {
     // Exchange SinglePartition feeding a Window (PlanQualitySpec
     // asserts exactly that).
     val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-    local.join(broadcast(cumulate(sizes)), "__pid")
+    val offsets =
+      if (withTotal)
+        cumulate(sizes).crossJoin(broadcast(
+          sizes.agg(sum(col("__n")).cast("long").as("n_total"))))
+      else cumulate(sizes)
+    local.join(broadcast(offsets), "__pid")
       .withColumn("rk", (col("__off") + col("__lrk")).cast("long"))
       .drop("__pid", "__lrk", "__off")
   }

@@ -86,6 +86,39 @@ object Similarity {
       .select(col(idCol).as("centroid_id"),
         toDoubleVec(col(vecCol)).as("cv"))
 
+  /** Lloyd refinement of an initial centroid table (k-means with
+    * cosine assignment): `iters` rounds of assign → exact elementwise
+    * mean. Means are computed in DECIMAL so they are order- and
+    * partitioning-independent — two runs on different cluster layouts
+    * produce BIT-IDENTICAL centroids (the determinism rule every
+    * sketch in this repo follows; double `avg` would drift with
+    * summation order). A cell that loses all members keeps its
+    * previous centroid. Each iteration is one corpus pass (broadcast
+    * centroids) + one (cell, dim)-keyed aggregation — no all-pairs
+    * work, scales like ivfAssign. */
+  def kmeansRefine(emb: DataFrame, idCol: String, vecCol: String,
+                   init: DataFrame, iters: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    var cents = init
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, "vec_id", "v", cents)
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("col").cast(
+          org.apache.spark.sql.types.DecimalType(30, 15))) /
+          count(lit(1))).cast("double").as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv_new"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
   /** Assign every vector to its nearest centroid (max cosine,
     * centroid_id as tie-break). Broadcast the centroid table; one pass
     * over the corpus, no shuffle. At scale, persist the result

@@ -104,10 +104,18 @@ object Layouts {
 
   /** Persist an IVF index layout: vectors partitioned by their coarse
     * centroid. A probe then touches nprobe/nlist of the data ON DISK —
-    * the partition filter is the "inverted list" selection. */
+    * the partition filter is the "inverted list" selection.
+    * `refineIters > 0` runs deterministic Lloyd rounds
+    * ([[Similarity.kmeansRefine]]) over the first-n seed before
+    * partitioning — better-balanced cells at the cost of one corpus
+    * pass per round. */
   def writeIvf(emb: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, path: String): Unit = {
-    val cents = Similarity.centroids(emb, idCol, vecCol, nlist)
+               nlist: Int, path: String, refineIters: Int = 0): Unit = {
+    val seed = Similarity.centroids(emb, idCol, vecCol, nlist)
+    val cents =
+      if (refineIters > 0)
+        Similarity.kmeansRefine(emb, idCol, vecCol, seed, refineIters)
+      else seed
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Similarity.ivfAssign(emb, idCol, vecCol, cents)
       .repartition(col("centroid_id"))

@@ -76,8 +76,11 @@ object Ast {
     * (sql.tex:1934-1950), implemented natively here. */
   case class InsertSelect(target: String, cols: Seq[String],
                           select: SelectStmt) extends Statement
+  /** format ∈ csv (reference loader.c) | json (JSONL superset — the
+    * lingua franca of training-data corpora; by-name field mapping) */
   case class LoadStmt(path: String, target: String, header: String,
-                      errorsFile: Option[String]) extends Statement
+                      errorsFile: Option[String],
+                      format: String = "csv") extends Statement
   /** Declared-only in the reference (stmt.c:2449-2470 "not yet
     * implemented"; DELETE semantics documented sql.tex:2017-2034) —
     * implemented natively here. */

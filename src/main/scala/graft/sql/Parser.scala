@@ -347,13 +347,19 @@ object Parser {
     p.expectKw("into")
     val target = p.ident()
     var header = "none"
+    var format = "csv"
     if (p.takeKw("use")) { p.expectKw("header"); header = "use" }
     else if (p.takeKw("ignore")) { p.expectKw("header"); header = "ignore" }
+    if (p.takeKw("format")) {
+      format = p.ident().toLowerCase
+      if (format != "csv" && format != "json")
+        throw ParseError(s"unsupported LOAD format '$format'", p.pos)
+    }
     var errs: Option[String] = None
     if (p.takeKw("set")) {
       p.expectKw("errors"); p.expectSym("="); errs = Some(p.string())
     }
-    LoadStmt(path, target, header, errs)
+    LoadStmt(path, target, header, errs, format)
   }
 
   private def exec(p: P): Statement = {

@@ -249,6 +249,24 @@ class EngineSpec extends AnyFunSuite {
     assert(got.length == 3)
   }
 
+  test("JSONL LOAD maps by name, types per row, reports corrupt lines") {
+    ok(eng.sql("create type jdoc (id uint pk, name text)"))
+    val jl = Files.createTempFile("load", ".jsonl")
+    Files.writeString(jl,
+      """{"id": 1, "name": "alpha"}
+        |{"name": "beta", "id": 2}
+        |{"id": "notanumber", "name": "bad"}
+        |this line is not json at all
+        |{"id": 4, "name": "delta"}
+        |""".stripMargin)
+    val rep = eng.sql(s"load '${jl}' into jdoc format json")
+    assert(rep match { case Report(3, 2) => true; case other => false },
+      s"got $rep")
+    val got = rows(eng.sql("select id, name from jdoc"))
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")))
+  }
+
   test("legacy context insert routes to the named edge") {
     ok(eng.sql("insert into sales (edge, origin, destin, timestamp, quantity, amount) " +
       "('buys', 1, 101, '2024-02-01T00:00:00', 7, 13.93)"))

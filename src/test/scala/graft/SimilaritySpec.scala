@@ -148,4 +148,32 @@ class SimilaritySpec extends AnyFunSuite {
         .collect()(0).getDouble(2)
     assert(run(rows, 3) == run(rows.reverse, 17))
   }
+
+  test("kmeansRefine improves the quantization objective; deterministic") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val cos = graft.functions.VectorOps.nativeCosine(spark)
+    // the k-means objective: mean cosine of each vector to its
+    // assigned centroid (what Lloyd ascends; recall at a fixed nprobe
+    // is downstream of this and noisy on a tiny corpus)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .join(broadcast(cents), "centroid_id")
+        .agg(avg(cos(col("v"), col("cv")))).collect()(0).getDouble(0)
+    val firstN = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      firstN, iters = 2)
+    val (o0, o1) = (objective(firstN), objective(refined))
+    assert(o1 > o0, s"refined objective $o1 did not beat first-n $o0")
+    // determinism: a second refine run under a different partitioning
+    // yields bit-identical centroid vectors (exact decimal means)
+    val refined2 = Similarity.kmeansRefine(
+      emb.repartition(7), "vec_id", "embedding", firstN, iters = 2)
+    val a = refined.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = refined2.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b))
+  }
 }
