@@ -15,6 +15,33 @@ object TextQueries extends QueryPack {
     // n-gram language ID: argmax of char-trigram profile scores.
     "q49_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // Inter-document duplication rate: per document, the fraction of
+    // its distinct word-5-grams that occur in at least one OTHER
+    // document — the corpus-QA memorization-risk stat (high-overlap
+    // docs are near-dup or boilerplate suspects below the pair
+    // threshold). Shape: in-row distinct shingles (no global
+    // distinct), gram-keyed count, one hash-join back — two shuffles
+    // on uniform gram keys, both partial-aggregated map-side. Only
+    // per-source aggregates leave the executors.
+    "q124_dup_ngram_rate" -> ((s, d) => {
+      val sh = Dedup.wordShingles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", 5)
+      val counts = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("k")) // per-doc-distinct ⇒ k = #docs
+      val perDoc = sh.join(counts, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "inner")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).cast("long").as("n_grams"),
+          sum(col("n_dup")).cast("long").as("n_dup"),
+          round(sum(col("n_dup")).cast("double") /
+            sum(col("n_grams")), 6).as("dup_rate"))
+    }),
     // Quality scoring: word/char/stopword/punct features + score.
     "q50_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -83,6 +110,26 @@ object TextQueries extends QueryPack {
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q124_dup_ngram_rate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     || ' ' || w[i+4] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | cnt AS (SELECT s, count(*) AS k FROM sh GROUP BY s),
+        | per AS (SELECT doc_id, count(*) AS n_grams,
+        |   CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_dup
+        |  FROM sh JOIN cnt USING (s) GROUP BY doc_id)
+        | SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(n_dup) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(n_dup) AS DOUBLE) / sum(n_grams), 6)
+        |    AS dup_rate
+        | FROM documents d JOIN per USING (doc_id)
+        | GROUP BY d.source""".stripMargin,
     "q49_lang_id" ->
       s"""WITH profile(lang, tg) AS (VALUES $profileValues),
         | sc AS (SELECT d.doc_id, p.lang,
