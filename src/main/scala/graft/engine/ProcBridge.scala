@@ -35,9 +35,11 @@ object ProcBridge {
 
   def exec(eng: Engine, module: String, proc: String, lang: String,
            args: Seq[Any], timeoutSec: Long = 120): Result = {
+    if (lang == "lua")
+      return LuaProcs.exec(eng, module, proc, args)
     if (lang != "python")
       return Status(ok = false,
-        s"procedure language '$lang' not supported (python only)")
+        s"procedure language '$lang' not supported (python or lua)")
     val path = eng.spark.conf.getOption("spark.graft.procPath")
       .orElse(sys.env.get("GRAFT_PROC_PATH"))
       .getOrElse(return Status(ok = false,
