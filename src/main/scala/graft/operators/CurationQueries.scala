@@ -186,32 +186,33 @@ object CurationQueries extends QueryPack {
     }),
     // Unigram LM cross-entropy per document against the corpus unigram
     // distribution — the cheap statistical stand-in for model-based
-    // quality scoring (an unusual-token-mix doc scores high). The
-    // corpus LM is a ~vocabulary-sized frame, broadcast into the
-    // per-document term counts; everything integer until the final ln.
+    // quality scoring (an unusual-token-mix doc scores high). Works
+    // on the RAW token stream: the vocabulary LM is one map-side-
+    // combined shuffle on w, broadcast back into the token stream,
+    // and the per-doc fold is the only other shuffle. (A per-(doc,w)
+    // pre-aggregation would add a third shuffle plus a persist to
+    // share it between the LM and the fold — more jobs for the same
+    // arithmetic, since sum_w cd·ln p = sum_tokens ln p.) The token
+    // explode is recomputed by both branches — narrow, cheap, and
+    // scale-free versus caching a corpus-sized frame.
     "q114_unigram_xent" -> ((s, d) => {
-      val terms = Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cd"))
-        .persist()
-      val lm = terms.groupBy(col("w")).agg(sum(col("cd")).as("cw"))
+      val lm = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
       // LM mass total = scalar aggregate + broadcast cross join (the
       // global-window form would single-partition the vocabulary-sized
       // LM frame just to attach one number).
       val lmT = lm.agg(sum(col("cw")).as("t"))
       val lmP = lm.crossJoin(broadcast(lmT))
-        .select(col("w"), col("cw"), col("t"))
-      val res = terms.join(broadcast(lmP), "w")
+        .select(col("w"),
+          log(col("cw").cast("double") / col("t").cast("double"))
+            .as("lnp"))
+      toks.join(broadcast(lmP), "w")
         .groupBy(col("doc_id"))
-        .agg(sum(col("cd")).cast("long").as("n_words"),
-          sum(col("cd").cast("double") *
-            log(col("cw").cast("double") / col("t").cast("double")))
-            .as("s"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("lnp")).as("s"))
         .select(col("doc_id"), col("n_words"),
           round(-col("s") / col("n_words"), 6).as("xent_nats"))
-      res.persist().count()
-      terms.unpersist(blocking = false)
-      res
     }),
     // Scalar int8 quantization error per label: quantize each
     // embedding dimension to round(clip(x)·127)/127, report the mean
@@ -240,10 +241,6 @@ object CurationQueries extends QueryPack {
     // join + per-doc in-row sort, so the corpus shuffles once on
     // doc_id regardless of scale.
     "q117_tokenize" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(words(col("text"))))
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
-        .persist()
       // Distributed global rank: the naive Window.orderBy(count desc)
       // ranks the entire vocabulary in ONE task — fatal at web-corpus
       // type counts (10⁸–10⁹). Instead: range-repartition on the rank
@@ -251,11 +248,24 @@ object CurationQueries extends QueryPack {
       // impossible), row_number within each range partition, then
       // offset by the cumulative sizes of earlier partitions. The only
       // single-partition work is the 32-row offset table.
-      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      //
+      // The two explode consumers are DIFFERENT projections of the
+      // source — vocab counts need every token, encoding only the
+      // first 30 positions — so each derives its own narrow explode
+      // from the parquet scan (the slice caps the second one) instead
+      // of sharing one persisted token frame, which cost an eager
+      // materialization job and corpus-sized cache for work the scan
+      // re-does for free.
+      val counts = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val vocab = Rank.distributedRank(
           counts, Seq(col("c").desc, col("w").asc), s)
         .select(col("w"), (col("rk") - 1).cast("long").as("tok_id"))
-      val res = toks.filter(col("pos") < 30)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(slice(words(col("text")), 1, 30)))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
         .join(broadcast(vocab), "w")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_tokens"),
@@ -263,9 +273,6 @@ object CurationQueries extends QueryPack {
             array_sort(collect_list(struct(col("pos"), col("tok_id")))),
             e => e.getField("tok_id").cast("string")), " ")
             .as("token_ids"))
-      res.persist().count()
-      toks.unpersist(blocking = false)
-      res
     }),
     // PII detection/redaction stats: per source, how many documents
     // carry email/phone spans and how many characters redaction
@@ -438,17 +445,17 @@ object CurationQueries extends QueryPack {
         | SELECT db AS new_doc, da AS base_match, round(j, 6) AS jaccard
         | FROM best WHERE rk = 1""".stripMargin,
     "q114_unigram_xent" ->
-      """WITH terms AS (SELECT doc_id, w, count(*) AS cd FROM (
+      """WITH toks AS (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |   FROM documents) GROUP BY 1, 2),
-        | lm AS (SELECT w, CAST(sum(cd) AS BIGINT) AS cw FROM terms
-        |  GROUP BY w),
-        | lmp AS (SELECT w, cw, sum(cw) OVER () AS t FROM lm)
-        | SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_words,
-        |  round(-sum(CAST(cd AS DOUBLE) *
-        |    ln(CAST(cw AS DOUBLE) / CAST(t AS DOUBLE))) / sum(cd), 6)
-        |    AS xent_nats
-        | FROM terms JOIN lmp USING (w)
+        |   FROM documents),
+        | lm AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        | lmp AS (SELECT w,
+        |   ln(CAST(cw AS DOUBLE) / CAST(sum(cw) OVER () AS DOUBLE))
+        |     AS lnp
+        |  FROM lm)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(-sum(lnp) / count(*), 6) AS xent_nats
+        | FROM toks JOIN lmp USING (w)
         | GROUP BY doc_id""".stripMargin,
     "q115_quant_error" ->
       """WITH flat AS (SELECT label, vec_id, x

@@ -162,16 +162,18 @@ object TextAnalysis {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(words(col(textCol))).as("term"))
     // document frequency falls out of the (already aggregated, far
-    // smaller) tf frame — each (doc, term) appears once there — so the
-    // raw term explosion is scanned once, not re-exploded + distinct'd
+    // smaller) tf frame — each (doc, term) appears once there, so a
+    // count window over `term` IS df, computed inside tf's own
+    // term-keyed exchange. One linear pipeline with two exchanges
+    // (term, then doc_id for the top-k window), nothing persisted —
+    // the groupBy(term)+self-join form re-shuffled the whole tf frame
+    // a third time and needed a cache to avoid re-exploding.
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val wt = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wt))
       .withColumn("tfidf", round(col("tf") *
         log((lit(n) + 1.0) / (col("df") + lit(1.0))), 6))
       .withColumn("rk", row_number().over(w))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis coverage over the documents table. Each oracle
@@ -20,16 +21,18 @@ object TextQueries extends QueryPack {
     // document — the corpus-QA memorization-risk stat (high-overlap
     // docs are near-dup or boilerplate suspects below the pair
     // threshold). Shape: in-row distinct shingles (no global
-    // distinct), gram-keyed count, one hash-join back — two shuffles
-    // on uniform gram keys, both partial-aggregated map-side. Only
+    // distinct), then ONE exchange on the gram key with a
+    // partition-local count window (per-doc-distinct ⇒ k = #docs) —
+    // the groupBy+self-join form would shuffle the shingle set twice
+    // for the same answer. Gram keys are near-uniform (5-gram text),
+    // so the window partitions stay balanced at scale. Only
     // per-source aggregates leave the executors.
     "q124_dup_ngram_rate" -> ((s, d) => {
       val sh = Dedup.wordShingles(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", 5)
-      val counts = sh.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("k")) // per-doc-distinct ⇒ k = #docs
-      val perDoc = sh.join(counts, "shingle")
+      val w = Window.partitionBy(col("shingle"))
+      val perDoc = sh.withColumn("k", count(lit(1)).over(w))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_dup"))
