@@ -166,17 +166,19 @@ object CurationQueries extends QueryPack {
     // docs, as in q42's derived corpus) against the existing base
     // corpus — the "new crawl vs corpus" shape every production dedup
     // runs daily. Same MinHash-LSH machinery as q42 (recall analysis
-    // in DedupQueries' scaladoc applies verbatim); the cross-set
-    // restriction and best-match ranking happen on the tiny verified
-    // pair set, never the corpus.
+    // in DedupQueries' scaladoc applies verbatim), but the bucket
+    // join is base × incoming: base-base candidates — the bulk of the
+    // work when the corpus dwarfs the day's crawl — are never
+    // generated or verified. Best-match ranking happens on the tiny
+    // verified pair set, never the corpus.
     "q113_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 10000L).as("doc_id"),
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
-      val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-          shingleN = 3, k = 32, bands = 16, tau = 0.5)
-        .filter(col("doc_a") < 10000L && col("doc_b") >= 10000L)
+      val pairs = Dedup.minhashNearDupPairsCross(corpus, "doc_id",
+        "text", incomingPred = col("doc_id") >= 10000L,
+        shingleN = 3, k = 32, bands = 16, tau = 0.5)
       val w = Window.partitionBy(col("doc_b"))
         .orderBy(col("jaccard").desc, col("doc_a").asc)
       pairs.withColumn("rk", row_number().over(w))

@@ -186,6 +186,44 @@ object Dedup {
       sh, sig)
   }
 
+  /** Cross-set near-dup pairs: match the `incoming` slice of `docs`
+    * (rows where `incomingPred` holds on the id column) against the
+    * rest — the daily "new crawl vs existing corpus" dedup. Same
+    * signature machinery as [[minhashNearDupPairs]], but the bucket
+    * join is base × incoming instead of the full self-join, so
+    * base-base candidate pairs (usually the overwhelming majority —
+    * the corpus outweighs a day's crawl by orders of magnitude) are
+    * never generated, never deduplicated, and never Jaccard-verified.
+    * Output: (doc_a from base, doc_b from incoming, jaccard ≥ tau). */
+  def minhashNearDupPairsCross(docs: DataFrame, idCol: String,
+                               textCol: String, incomingPred: Column,
+                               shingleN: Int = 3, k: Int = 32,
+                               bands: Int = 16,
+                               tau: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val sh = wordShingleHashes(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minHashSignatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(j => col(s"mh${b * r + j}")) :+ lit(b): _*)
+          .as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), incomingPred.as("incoming"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("incoming"), col("bb.band"), col("bb.bh"))
+    val base = buckets.filter(!col("incoming")).as("a")
+    val inc = buckets.filter(col("incoming")).as("b")
+    val cand = base.join(inc,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    sealResult(jaccardVerify(cand, sh).filter(col("jaccard") >= tau),
+      sh, sig)
+  }
+
   /** SimHash-64 over shingle features. The textbook form keeps 64 ±1
     * sums; materializing that as 64 aggregate buffers makes Janino
     * compile a huge HashAggregate method (seconds of one-time codegen)

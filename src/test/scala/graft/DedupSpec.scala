@@ -41,6 +41,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("cross-set pairs = full pairs restricted to base × incoming") {
+    // salt an "incoming batch": mutated copies of docs 1 and 4
+    val corpus = docs.unionAll(docs.filter($"doc_id" isin (1L, 4L))
+      .select(($"doc_id" + 100L).as("doc_id"),
+        concat($"text", lit(" xq")).as("text")))
+    val full = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.4)
+      .filter($"doc_a" < 100L && $"doc_b" >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val cross = Dedup.minhashNearDupPairsCross(corpus, "doc_id", "text",
+        incomingPred = $"doc_id" >= 100L,
+        shingleN = 3, k = 32, bands = 16, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(cross == full)
+    assert(cross.exists { case (a, b, _) => a == 1L && b == 101L })
+    // base-base near-dups (1,2,3 family) must NOT appear
+    assert(cross.forall { case (a, b, _) => a < 100L && b >= 100L })
+  }
+
   test("identical docs have identical simhash; near-dups low hamming") {
     val sh = Dedup.simHash(
       Dedup.wordShingles(docs, "doc_id", "text", 3))
