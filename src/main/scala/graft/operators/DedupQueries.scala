@@ -204,7 +204,7 @@ object DedupQueries extends QueryPack {
         |   list_concat([v[1] * 1.2], v[2:]) AS v
         |  FROM base WHERE vec_id % 2 = 0),
         | flat AS (SELECT vec_id, i, v[i] AS x
-        |  FROM corpus, UNNEST(generate_series(1, 64)) AS t(i)),
+        |  FROM corpus, UNNEST(generate_series(1, len(v))) AS t(i)),
         | dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |   sum(a.x * b.x) AS dp
         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id

@@ -75,7 +75,7 @@ object SimilarityQueries extends QueryPack {
     """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |   FROM embeddings),
       | flat AS (SELECT vec_id, i, v[i] AS x
-      |   FROM base, UNNEST(generate_series(1, 64)) AS t(i)),
+      |   FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
       | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
       |   FROM flat GROUP BY vec_id)""".stripMargin
 
