@@ -26,7 +26,8 @@ object SparkEntry {
     SketchQueries,
     AnalyticsQueries,
     BehaviorQueries,
-    CurationQueries
+    CurationQueries,
+    TimeSeriesQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -223,4 +223,91 @@ object Sketches {
       .agg(sk(col(idCol), col(valueCol)).as("sample"))
       .select(keys.map(col) ++ qs: _*)
   }
+
+  // ---- heavy hitters: Misra–Gries mergeable summary ----
+
+  /** Misra–Gries frequent-items summary (Misra & Gries '82; mergeable
+    * form Agarwal et al., PODS'12 — public algorithms). State: at most
+    * `c` (item, count) entries. Guarantee: every item with true
+    * frequency > n/c survives with estimate within n/c of truth,
+    * REGARDLESS of partitioning or merge order — so a downstream
+    * exact count of the ≤ c candidates turns the approximate sketch
+    * into an exact heavy-hitters answer (see
+    * SketchQueries q130: the full-vocabulary shuffle of a naive
+    * word count is replaced by c-bounded partial summaries).
+    *
+    * reduce: increment a resident item O(1); admit below capacity;
+    * else the MG decrement-all step (amortized O(1) per input — each
+    * decrement event cancels c+1 total count). merge: pointwise sum,
+    * then subtract the (c+1)-th largest count and drop non-positives
+    * (the PODS'12 merge that preserves the n/c error bound). */
+  class MisraGriesAggregator(c: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(n) => b.updated(w, n + 1)
+        case None if b.size < c => b.updated(w, 1L)
+        case None => // decrement-all, drop zeros (w itself cancels out)
+          b.iterator.flatMap { case (k, n) =>
+            if (n > 1) Iterator((k, n - 1)) else Iterator.empty
+          }.toMap
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (k, n)) =>
+        m.updated(k, m.getOrElse(k, 0L) + n)
+      }
+      if (sum.size <= c) sum
+      else {
+        val d = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(c)
+        sum.iterator.flatMap { case (k, n) =>
+          if (n - d > 0) Iterator((k, n - d)) else Iterator.empty
+        }.toMap
+      }
+    }
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Register the c-capacity Misra–Gries UDAF as `mg_sketch_<c>` and
+    * return an agg-column builder (input: the item column). */
+  def mgSketchAgg(spark: org.apache.spark.sql.SparkSession,
+                  c: Int): Column => Column = {
+    val name = s"mg_sketch_$c"
+    spark.udf.register(name, udaf(new MisraGriesAggregator(c)))
+    col => call_udf(name, col)
+  }
+
+  /** Exact heavy hitters (count > n/`threshDenom`) in the two-pass
+    * sketch-then-verify shape: pass 1 reduces the corpus to ONE
+    * ≤ `cap`-entry summary (map-side partial MG, no full-vocabulary
+    * shuffle); pass 2 exact-counts only the candidates (broadcast
+    * membership filter prunes the item stream before its shuffle).
+    * Correct for any `cap ≥ threshDenom` by the MG guarantee; the
+    * result is exact and partitioning-independent even though the
+    * intermediate sketch is neither. The ≤ cap candidate collect is
+    * driver-bounded by construction. */
+  def exactHeavyHitters(items: DataFrame, itemCol: String,
+                        threshDenom: Long, cap: Int): DataFrame = {
+    require(cap >= threshDenom,
+      s"cap $cap must be >= threshold denominator $threshDenom")
+    val spark = items.sparkSession
+    val mg = mgSketchAgg(spark, cap)
+    // one pass for sketch + total: a single job over the item stream
+    val row = items
+      .agg(mg(col(itemCol)).as("mg"), count(lit(1)).as("n"))
+      .select(map_keys(col("mg")).as("cands"), col("n"))
+      .collect()(0)
+    val summary = row.getSeq[String](0)
+    val n = row.getLong(1)
+    items.filter(col(itemCol).isInCollection(summary))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n / threshDenom))
+  }
 }

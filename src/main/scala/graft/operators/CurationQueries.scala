@@ -324,10 +324,62 @@ object CurationQueries extends QueryPack {
         .orderBy(col("key").desc, col("doc_id").asc)
         .limit(20)
         .select(col("doc_id"), col("n_chars"),
-          round(col("key"), 9).as("samp_key")))
+          round(col("key"), 9).as("samp_key"))),
+    // Gopher-style quality gates (Rae et al. 2021 §A1.1 adapted to
+    // the space-tokenized corpus): word-count band, mean-word-length
+    // band, and minimum stopword rate, aggregated into per-source
+    // pass/fail tallies. Every predicate is INTEGER arithmetic —
+    // mean length is tested as 3·n ≤ chars ≤ 10·n using the exact
+    // word-char count (len(text) − (n−1) separators), the stopword
+    // rate as 100·stop ≥ n — so the compare is bit-stable and the
+    // whole query is one row-local projection + one tiny aggregate
+    // (no explode: the word array never leaves the row).
+    "q129_gopher_rules" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val stop = filter(w, x => x === "a" || x === "the")
+      Tables.documents(s, d)
+        .select(col("source"), size(w).as("n_words"),
+          (length(col("text")) - (size(w) - 1)).as("word_chars"),
+          size(stop).as("n_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_words").between(20, 1000), 0L).otherwise(1L))
+            .as("n_fail_count"),
+          sum(when(col("word_chars") >= lit(3) * col("n_words") &&
+              col("word_chars") <= lit(10) * col("n_words"), 0L)
+            .otherwise(1L)).as("n_fail_meanlen"),
+          sum(when(lit(100) * col("n_stop") >= col("n_words"), 0L)
+            .otherwise(1L)).as("n_fail_stop"),
+          sum(when(col("n_words").between(20, 1000) &&
+              col("word_chars") >= lit(3) * col("n_words") &&
+              col("word_chars") <= lit(10) * col("n_words") &&
+              lit(100) * col("n_stop") >= col("n_words"), 1L)
+            .otherwise(0L)).as("n_pass"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_gopher_rules" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w,
+        |   length(text) AS nc FROM documents),
+        | per AS (SELECT source, len(w) AS n_words,
+        |   nc - (len(w) - 1) AS word_chars,
+        |   len(list_filter(w, x -> x IN ('a', 'the'))) AS n_stop
+        |  FROM w)
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_words BETWEEN 20 AND 1000
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_count,
+        |  CAST(sum(CASE WHEN word_chars >= 3 * n_words
+        |      AND word_chars <= 10 * n_words
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_meanlen,
+        |  CAST(sum(CASE WHEN 100 * n_stop >= n_words
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(CASE WHEN n_words BETWEEN 20 AND 1000
+        |      AND word_chars >= 3 * n_words
+        |      AND word_chars <= 10 * n_words
+        |      AND 100 * n_stop >= n_words
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        | FROM per GROUP BY source""".stripMargin,
     "q106_edit_distance" ->
       """WITH g AS (SELECT p_type, p_name, count(*) AS n_parts
         |   FROM part GROUP BY 1, 2)

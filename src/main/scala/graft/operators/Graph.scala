@@ -136,6 +136,45 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list:
+    * (v, dist) with dist = fewest hops from any seed, bounded by
+    * `maxHops`. Frontier-at-a-time expansion — each round is one
+    * semi-join (frontier → neighbors) + one anti-join (drop already
+    * visited), lineage cut per round like [[connectedComponents]].
+    * Seeds with no edges still appear at dist 0. This is the
+    * distance-labelled generalization of the reference's k-hop
+    * reach cursors (SURVEY §2.3; reference edge traversal is one
+    * origin-index probe per hop, reader.c): per hop exactly one
+    * shuffle keyed on the frontier, nothing quadratic, so it scales
+    * to billion-edge graphs where per-vertex Dijkstra never would. */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("v"))
+    var hop = 1L
+    var done = false
+    while (!done && hop <= maxHops) {
+      val next = sym
+        .join(frontier.select(col("v").as("u")), Seq("u"), "left_semi")
+        .select(col("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select(col("v"))
+      }
+      hop += 1
+    }
+    visited
+  }
+
   /** Undirected connected components by min-label propagation with
     * pointer jumping. Converges in O(log diameter) rounds; each round
     * is a neighbor-propagation join + min-reduce, then a label-lookup

@@ -47,6 +47,18 @@ object GraphQueries extends QueryPack {
     // customer→order→supplier structure: chained semi-joins, each hop
     // one shuffle, nothing materialized but distinct frontier ids —
     // the BFS-frontier pattern that scales to billion-edge graphs.
+    // multi-source BFS hop distances on the supplier co-occurrence
+    // graph (q70's edge set), seeds = every 10th supplier. The oracle
+    // is a recursive CTE; the Spark side is frontier expansion —
+    // one semi+anti join round per hop (Graph.bfsDistances).
+    "q128_bfs_distance" -> ((s, d) => {
+      val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 30L)
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      Graph.bfsDistances(e, "d_a", "d_b", seeds, "s_suppkey", maxHops = 4)
+        .select(col("v").as("suppkey"), col("dist"))
+    }),
     "q105_khop_reach" -> ((s, d) => {
       val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select(col("c_custkey"))
@@ -95,6 +107,21 @@ object GraphQueries extends QueryPack {
         | SELECT count(*) AS n_triangles
         | FROM g e1 JOIN g e2 ON e1.v = e2.u
         | JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "q128_bfs_distance" ->
+      """WITH RECURSIVE co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | walk(v, dist) AS (
+        |  SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey % 10 = 0
+        |  UNION
+        |  SELECT g.v, walk.dist + 1 FROM walk JOIN g ON g.u = walk.v
+        |  WHERE walk.dist < 4)
+        | SELECT v AS suppkey, CAST(min(dist) AS BIGINT) AS dist
+        | FROM walk GROUP BY v""".stripMargin,
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer
         |   WHERE c_nationkey = 0),

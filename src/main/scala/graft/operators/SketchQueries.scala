@@ -31,10 +31,28 @@ object SketchQueries extends QueryPack {
         Tables.lineitem(s, d)
           .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
         Seq("l_returnflag"), "rid", "l_extendedprice",
-        Map("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), k = 200))
+        Map("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), k = 200)),
+    // exact corpus heavy hitters (words with count > n/1000) via the
+    // two-pass Misra–Gries shape: a single ≤2000-entry mergeable
+    // summary replaces the full-vocabulary shuffle for candidate
+    // generation; the exact verify pass counts only candidates. The
+    // sketch is approximate and partitioning-dependent, the OUTPUT is
+    // exact and deterministic (MG guarantee: cap 2000 ≥ denom 1000).
+    "q130_heavy_hitters" -> ((s, d) =>
+      Sketches.exactHeavyHitters(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w")),
+        "w", threshDenom = 1000L, cap = 2000))
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+        | SELECT w, CAST(c AS BIGINT) AS cnt FROM cnt, tot
+        | WHERE c > n // 1000""".stripMargin,
     "q80_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |   (user_id % 1000000007) * 2654435761 % 999999999989 AS h

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series resampling and smoothing over the `events` stream —
+  * the regularization steps a time-series engine's users run before
+  * modeling (the reference's whole data model is stamped edges,
+  * SURVEY §1.1; reference reader pipeline `reader.c` only ever scans
+  * raw stamps, so these live in the query layer there too):
+  * gap-filled resampling (LOCF), truncated exponential smoothing,
+  * and per-series outlier flagging.
+  *
+  * Scale shape shared by all three: exactly one wide shuffle keyed on
+  * the series key (`user_id` / `event_type`); window sorts run inside
+  * those keyed partitions; scalar statistics travel back via
+  * broadcast, never through a global window. Bin and time arithmetic
+  * stays in exact integer µs so oracle compares are bit-stable; the
+  * only doubles are the value aggregates, rounded to 6 places on
+  * output (and, for q127's threshold, rounded BEFORE the compare so
+  * both engines test against identical constants).
+  */
+object TimeSeriesQueries extends QueryPack {
+
+  /** epoch µs from the ns-long stamp (exact IntegralDivide — see
+    * BehaviorQueries scaladoc for why the double `/` is unsafe). */
+  private def us(c: Column) = call_function("div", c, lit(1000L))
+
+  private val binUs = 21600000000L // 6 h in µs
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-filled resample: per (user, 6h-bin) mean value, then a dense
+    // bin grid per user (min..max observed bin) with missing bins
+    // filled last-observation-carried-forward. The grid explode is
+    // bounded by each user's own span (never a global calendar cross
+    // join), and the LOCF window is keyed on user_id — the observed
+    // aggregate subtree appears on both sides of the join, so the
+    // (user_id, bin) exchange is computed once and reused
+    // (ReusedExchange in the physical plan), not scanned twice.
+    "q125_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        call_function("div", us(col("ts")), lit(binUs)).as("bin"),
+        col("value"))
+      val obs = ev.groupBy(col("user_id"), col("bin"))
+        .agg(round(avg(col("value")), 6).as("v"), count(lit(1)).as("n"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("bin"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "bin"), "left")
+        .select(col("user_id"), col("bin"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("n").isNull.as("filled"))
+    }),
+    // Truncated EWMA (α=0.3 over the 20 most recent events per user):
+    // the classic recursive EWMA is sequential, but truncating the
+    // tail (weights below (1-α)^20 ≈ 8e-4 contribute nothing at 6
+    // decimals) turns it into a bounded weighted mean — rank inside
+    // the per-user window, weight by (1-α)^(rn-1), normalize by the
+    // realized weight mass so short series stay exact.
+    "q126_ewma" -> ((s, d) => {
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").desc, col("event_id").desc)
+      val wt = pow(lit(0.7), col("rn") - 1)
+      Tables.events(s, d)
+        .select(col("user_id"), us(col("ts")).as("t"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 20)
+        .groupBy(col("user_id"))
+        .agg(round(sum(wt * col("value")) / sum(wt), 6).as("ewma20"),
+          count(lit(1)).as("n_used"))
+    }),
+    // Per-series z-score outliers: series statistics (mean, sample
+    // stddev) come from one aggregate, are ROUNDED to 6 places (so
+    // both engines threshold against identical constants — the raw
+    // double aggregates differ in the last ulps between engines), and
+    // rejoin the events via broadcast. No second shuffle of the
+    // events: the fact side streams through the broadcast hash join
+    // straight into the re-aggregation on the same key.
+    "q127_anomaly_zscore" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("mu"),
+          round(stddev_samp(col("value")), 6).as("sd"),
+          count(lit(1)).as("n"))
+      ev.join(broadcast(st), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+          max(col("sd")).as("sd"),
+          sum(when(abs(col("value") - col("mu")) > lit(2.0) * col("sd"),
+            1L).otherwise(0L)).as("n_outliers"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q125_gap_fill" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_us(ts) // 21600000000 AS bin, value FROM events),
+        | obs AS (SELECT user_id, bin, round(avg(value), 6) AS v,
+        |   count(*) AS n FROM ev GROUP BY 1, 2),
+        | spans AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi
+        |   FROM obs GROUP BY 1),
+        | grid AS (SELECT user_id,
+        |   unnest(generate_series(lo, hi)) AS bin FROM spans)
+        | SELECT g.user_id, g.bin,
+        |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled,
+        |  (o.n IS NULL) AS filled
+        | FROM grid g LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.bin = o.bin""".stripMargin,
+    "q126_ewma" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+        |   FROM events),
+        | r AS (SELECT user_id, value, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM ev)
+        | SELECT user_id,
+        |  round(sum(power(0.7, rn - 1) * value)
+        |    / sum(power(0.7, rn - 1)), 6) AS ewma20,
+        |  count(*) AS n_used
+        | FROM r WHERE rn <= 20 GROUP BY user_id""".stripMargin,
+    "q127_anomaly_zscore" ->
+      """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+        |   round(stddev_samp(value), 6) AS sd, count(*) AS n
+        |  FROM events GROUP BY 1)
+        | SELECT e.event_type, max(st.n) AS n, max(st.mu) AS mu,
+        |  max(st.sd) AS sd,
+        |  CAST(sum(CASE WHEN abs(e.value - st.mu) > 2.0 * st.sd
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        | FROM events e JOIN st USING (event_type)
+        | GROUP BY e.event_type""".stripMargin
+  )
+}

@@ -32,6 +32,29 @@ class GraphSpec extends AnyFunSuite {
     assert(comp(7L) == 7L)
   }
 
+  test("bfsDistances labels min hops, stops at maxHops, keeps isolated seeds") {
+    // chain 1-2-3-4, separate 5-6, self-loop 7; seeds {1, 9} (9 has
+    // no edges at all)
+    val seeds = Seq(1L, 9L).toDF("v0")
+    val m = Graph.bfsDistances(edges, "s", "d", seeds, "v0", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L))
+    // dist 3 vertex (4) is beyond maxHops=2; unrelated component absent
+    assert(!m.contains(4L) && !m.contains(5L))
+    val full = Graph.bfsDistances(edges, "s", "d", seeds, "v0", maxHops = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(4L) == 3L) // early-exit loop still reaches the far end
+  }
+
+  test("bfsDistances takes the shortest of multiple seed paths") {
+    // ring 1-2-3-4-5-1: from seeds {1}, vertex 4 is 2 away via 5
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("s", "d")
+    val m = Graph.bfsDistances(ring, "s", "d", Seq(1L).toDF("v"), "v", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("connected components converge on a 300-link chain within maxIter") {
     // worst case for plain min-label (O(diameter) = 300 rounds);
     // pointer jumping must close it in O(log n) ≪ maxIter=20

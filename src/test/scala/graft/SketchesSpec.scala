@@ -90,4 +90,54 @@ class SketchesSpec extends AnyFunSuite {
       Seq("g"), "id", "v", Map("p50" -> 0.5), k = 200).collect()(0)
     assert(got.getDouble(1) == 51.0) // exact interpolated median
   }
+
+  test("Misra-Gries summary keeps every item above n/c (skewed zipf-ish data)") {
+    // 3 heavy items (1000 each) buried in 5000 singletons; c = 50
+    val rnd = new scala.util.Random(7)
+    val items = rnd.shuffle(
+      Seq.fill(1000)("hh1") ++ Seq.fill(1000)("hh2") ++
+        Seq.fill(1000)("hh3") ++ (1 to 5000).map(i => s"tail$i"))
+    val agg = new Sketches.MisraGriesAggregator(50)
+    val sketch = items.foldLeft(agg.zero)(agg.reduce)
+    assert(sketch.size <= 50)
+    // n/c = 8000/50 = 160 < 1000 ⇒ heavies must survive, estimates
+    // within n/c of truth
+    Seq("hh1", "hh2", "hh3").foreach { h =>
+      assert(sketch.contains(h), s"$h evicted")
+      assert(sketch(h) <= 1000 && sketch(h) >= 1000 - 160)
+    }
+  }
+
+  test("Misra-Gries merge preserves the guarantee across any split") {
+    val rnd = new scala.util.Random(11)
+    val items = rnd.shuffle(
+      Seq.fill(600)("big") ++ (1 to 3000).map(i => s"t$i"))
+    val agg = new Sketches.MisraGriesAggregator(40)
+    // merge order 1: left-to-right over 7 uneven chunks
+    val chunks = items.grouped(523).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val m1 = chunks.reduceLeft(agg.merge)
+    // merge order 2: right-to-left
+    val m2 = chunks.reverse.reduceLeft(agg.merge)
+    // both orders keep the heavy item with bounded undercount
+    assert(m1.size <= 40 && m2.size <= 40)
+    assert(m1.contains("big") && m2.contains("big"))
+    val bound = items.size / 40
+    assert(m1("big") >= 600 - bound && m2("big") >= 600 - bound)
+  }
+
+  test("exactHeavyHitters equals the brute-force count filter") {
+    val rnd = new scala.util.Random(3)
+    val words = rnd.shuffle(
+      Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+        Seq.fill(90)("gamma") ++ (1 to 2000).map(i => s"w$i"))
+    val df = words.toDF("w").repartition(7)
+    val got = Sketches.exactHeavyHitters(df, "w",
+      threshDenom = 20L, cap = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = words.size
+    val exp = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > n / 20).toMap
+    assert(got == exp) // exact despite the approximate candidate pass
+  }
 }
