@@ -150,6 +150,7 @@ object Graph {
   def bfsDistances(edges: DataFrame, src: String, dst: String,
                    seeds: DataFrame, seedCol: String,
                    maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
       .localCheckpoint()
@@ -159,15 +160,23 @@ object Graph {
     var hop = 1L
     var done = false
     while (!done && hop <= maxHops) {
+      // lazy persist, not an eager checkpoint: the frame is consumed
+      // by isEmpty, the union, and the next round's joins — one
+      // materialization, zero extra jobs. Lineage stays shallow
+      // because it bottoms out at the materialized `sym` and the
+      // persisted previous rounds; only every 4th hop flattens it
+      // with a checkpoint (the cadence that matters for 100-hop
+      // walks, not 4-hop ones).
       val next = sym
         .join(frontier.select(col("v").as("u")), Seq("u"), "left_semi")
         .select(col("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionAll(next).localCheckpoint()
+        val grown = visited.unionAll(next)
+        visited = if (hop % 4 == 0) grown.localCheckpoint() else grown
         frontier = next.select(col("v"))
       }
       hop += 1

@@ -75,6 +75,55 @@ object TimeSeriesQueries extends QueryPack {
         .agg(round(sum(wt * col("value")) / sum(wt), 6).as("ewma20"),
           count(lit(1)).as("n_used"))
     }),
+    // Linear-interpolation gap fill — the smooth complement to q125's
+    // LOCF: missing bins take pv + (nv−pv)·(bin−pb)/(nb−pb) between
+    // the bracketing observations. Same dense-grid join as q125; the
+    // four bracketing columns are two forward and two backward
+    // ignore-nulls window passes inside the user partition (one
+    // shuffle total). The interpolation itself runs in EXACT integer
+    // micro-units (scaled longs, explicit floor division via pmod) —
+    // a plain double formula + round(6) hit engine-dependent
+    // half-tie rounding on 1 row in 17k, so no double arithmetic is
+    // allowed to reach the output except the final exact /1e6.
+    "q131_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        call_function("div", us(col("ts")), lit(binUs)).as("bin"),
+        col("value"))
+      val obs = ev.groupBy(col("user_id"), col("bin"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("bin"))
+      val back = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsBin = when(col("v").isNotNull, col("bin"))
+      // micro-unit longs: v has ≤6 decimals (rounded above), so
+      // round(v·1e6) is the exact integer it denotes
+      val pv6 = round(col("pv") * 1000000).cast("long")
+      val nv6 = round(col("nv") * 1000000).cast("long")
+      val num = (nv6 - pv6) * (col("bin") - col("pb"))
+      // null-safe denominator: on observed rows pb = nb = bin; the
+      // unused ELSE branch must still be evaluation-safe under
+      // vectorized engines that don't short-circuit CASE
+      val den = when(col("nb") === col("pb"), lit(null))
+        .otherwise(col("nb") - col("pb"))
+      // exact floor division: (num − pmod(num, den)) is divisible by
+      // den and < 2^53, so even the double `/` is exact
+      val fdv = (num - pmod(num, den)) / den
+      grid.join(obs, Seq("user_id", "bin"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pb", last(obsBin, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nb", first(obsBin, ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("bin"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise((pv6.cast("double") + fdv) / 1000000.0)
+            .as("v_interp"),
+          col("v").isNotNull.as("observed"))
+    }),
     // Per-series z-score outliers: series statistics (mean, sample
     // stddev) come from one aggregate, are ROUNDED to 6 places (so
     // both engines threshold against identical constants — the raw
@@ -115,6 +164,43 @@ object TimeSeriesQueries extends QueryPack {
         |  (o.n IS NULL) AS filled
         | FROM grid g LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND g.bin = o.bin""".stripMargin,
+    "q131_interpolate" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_us(ts) // 21600000000 AS bin, value FROM events),
+        | obs AS (SELECT user_id, bin, round(avg(value), 6) AS v
+        |   FROM ev GROUP BY 1, 2),
+        | spans AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi
+        |   FROM obs GROUP BY 1),
+        | grid AS (SELECT user_id,
+        |   unnest(generate_series(lo, hi)) AS bin FROM spans),
+        | j AS (SELECT g.user_id, g.bin, o.v FROM grid g LEFT JOIN obs o
+        |   ON g.user_id = o.user_id AND g.bin = o.bin),
+        | w AS (SELECT user_id, bin, v,
+        |   last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY bin
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   last_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY bin
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |   first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY bin
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   first_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY bin
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |, scaled AS (SELECT user_id, bin, v,
+        |   CAST(round(pv * 1000000) AS BIGINT) AS pv6,
+        |   CAST(round(nv * 1000000) AS BIGINT) AS nv6,
+        |   pb, nullif(nb - pb, 0) AS den FROM w),
+        | fd AS (SELECT user_id, bin, v, pv6,
+        |   (nv6 - pv6) * (bin - pb) AS num, den FROM scaled)
+        | SELECT user_id, bin,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |   ELSE (pv6 + (num - ((num % den + den) % den)) / den)
+        |     / 1000000.0 END AS v_interp,
+        |  (v IS NOT NULL) AS observed
+        | FROM fd""".stripMargin,
     "q126_ewma" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
         |   FROM events),

@@ -86,6 +86,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 interpolation matches a scala recompute in micro-units") {
+    val got = TimeSeriesQueries.queries("q131_interpolate")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val binUs = 21600000000L
+    val exp = events.groupBy(_._3).flatMap { case (user, evs) =>
+      val byBin = evs.groupBy(_._2 / binUs).map { case (b, es) =>
+        b -> round6(es.map(_._5).sum / es.size)
+      }
+      val bins = byBin.keys.toSeq.sorted
+      (bins.min to bins.max).map { b =>
+        val v = byBin.get(b) match {
+          case Some(x) => x
+          case None =>
+            val pb = bins.filter(_ < b).max
+            val nb = bins.filter(_ > b).min
+            val pv6 = math.round(byBin(pb) * 1e6)
+            val nv6 = math.round(byBin(nb) * 1e6)
+            val num = (nv6 - pv6) * (b - pb)
+            val den = nb - pb
+            (pv6 + math.floorDiv(num, den)).toDouble / 1e6
+        }
+        (user, b) -> ((v, byBin.contains(b)))
+      }
+    }
+    assert(got.size == exp.size)
+    exp.foreach { case (k, (v, obs)) =>
+      val (gv, gobs) = got(k)
+      assert(gobs == obs && gv == v, s"$k: $gv vs $v") // exact, no eps
+    }
+  }
+
   test("q125 marks every observed bin unfilled and fills only gaps forward") {
     val rows = TimeSeriesQueries.queries("q125_gap_fill")(spark, d)
       .collect()
