@@ -98,6 +98,38 @@ object Multimodal {
       (px.length + StubWidth - 1) / StubWidth, px.length, sum, mn, mx)
   }
 
+  /** 60-bit block-mean perceptual hash (Yang et al. block-hash family
+    * — public algorithm) over the stub-decoded raster: pixel i
+    * (0-based) belongs to block ⌊i·60/n⌋; bit b is set when block b's
+    * mean exceeds the global mean, tested as the exact integer cross
+    * product bs·n > ts·bn (no float means → bit-stable across
+    * engines). 60 bits, not 64, so `1L << b` also stays in a signed
+    * 64-bit lane for SQL oracles. Row-local: hashes never shuffle
+    * anything but (id, long). */
+  def blockMeanHash(media: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.map { case (id, content) =>
+      val px = decodePixels(content) // STUB decode; plumbing is real
+      val n = px.length.toLong
+      val bs = new Array[Long](60)
+      val bn = new Array[Long](60)
+      var ts = 0L
+      var i = 0
+      while (i < px.length) {
+        val b = ((i.toLong * 60L) / n).toInt
+        bs(b) += px(i); bn(b) += 1; ts += px(i)
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 60) {
+        if (bs(b) * n > ts * bn(b)) h |= (1L << b)
+        b += 1
+      }
+      (id, h)
+    }
+  }
+
   /** Decode + feature-extract, one partition batch at a time. */
   def imageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._

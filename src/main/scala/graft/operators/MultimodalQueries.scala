@@ -65,7 +65,43 @@ object MultimodalQueries extends QueryPack {
           // double's ulp (ill-conditioned, engines disagree on
           // boundary cells) — normalize into [0,1) first
           round(sum(col("fhash")).cast("double") / count(lit(1))
-            / 1000000007.0, 6).as("mean_hash_norm")))
+            / 1000000007.0, 6).as("mean_hash_norm"))),
+    // Perceptual-hash image near-dup: images plus synthetically
+    // perturbed copies (one overwritten leading byte, id+100000 —
+    // the q113 planted-duplicate pattern), 60-bit block-mean hash
+    // per image, then the q43 pigeonhole: 4 chunks of 15 bits —
+    // hamming ≤ 3 ⇒ at least one chunk equal — so candidates come
+    // from 4 bucketed equi-joins on (chunk_no, chunk_value), never
+    // an all-pairs product; xor-popcount verifies. One typed pass
+    // for hashes, everything after is (id, long) tuples.
+    "q132_phash_dedup" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val docs = Tables.documents(s, d)
+      val imgs = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val pert = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("X"), col("text")
+            .substr(lit(2), length(col("text")))).as("text"))
+      val corpus = imgs.unionAll(pert)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      val ph = Multimodal.blockMeanHash(corpus).toDF("doc_id", "h")
+      val chv = ph
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("v",
+          expr("shiftright(h, cast(15 * c as int))") bitwiseAND lit(32767L))
+      val a = chv.select(col("doc_id").as("id_a"), col("h").as("ha"),
+        col("c"), col("v"))
+      val b = chv.select(col("doc_id").as("id_b"), col("h").as("hb"),
+        col("c"), col("v"))
+      a.join(b, Seq("c", "v")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ha") bitwiseXOR col("hb")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+    })
   )
 
   private val hashRed =
@@ -80,6 +116,41 @@ object MultimodalQueries extends QueryPack {
       |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q132_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |   'X' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        | cp AS (SELECT doc_id, text,
+        |   unnest(generate_series(1, length(text))) AS i FROM corpus),
+        | b AS (SELECT doc_id, i,
+        |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p,
+        |   CAST(length(text) AS BIGINT) AS n FROM cp),
+        | blk AS (SELECT doc_id, (i - 1) * 60 // n AS blk,
+        |   sum(p) AS bs, count(*) AS bn, max(n) AS n
+        |  FROM b GROUP BY doc_id, (i - 1) * 60 // n),
+        | tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts,
+        |   max(n) AS n FROM blk GROUP BY doc_id),
+        | bits AS (SELECT blk.doc_id,
+        |   CASE WHEN bs * tot.n > ts * bn
+        |    THEN (CAST(1 AS BIGINT) << CAST(blk AS INT)) ELSE 0 END AS bit
+        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+        | ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS h
+        |   FROM bits GROUP BY doc_id),
+        | ch AS (SELECT doc_id, h,
+        |   unnest(generate_series(0, 3)) AS c FROM ph),
+        | chv AS (SELECT doc_id, h, c,
+        |   (h >> CAST(15 * c AS INT)) & 32767 AS v FROM ch),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.h AS ha, b.h AS hb
+        |  FROM chv a JOIN chv b ON a.c = b.c AND a.v = b.v
+        |   AND a.doc_id < b.doc_id)
+        | SELECT id_a, id_b,
+        |  CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS dist
+        | FROM cand
+        | WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 3""".stripMargin,
     "q57_media_manifest" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

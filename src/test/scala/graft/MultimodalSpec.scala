@@ -54,6 +54,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w == AudioWindow(1, 0, 31L * 31 + 63L * 63, 2))
   }
 
+  test("blockMeanHash: identical content hashes equal, one byte flips few bits") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val tweaked = "X" + base.substring(1)
+    val ds = Seq((1L, base.getBytes("UTF-8")),
+      (2L, base.getBytes("UTF-8")),
+      (3L, tweaked.getBytes("UTF-8"))).toDS()
+    val h = Multimodal.blockMeanHash(ds).collect().toMap
+    assert(h(1L) == h(2L)) // determinism / exact dup
+    assert((h(1L) & ~((1L << 60) - 1)) == 0L) // 60-bit lane
+    val dist = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(dist >= 0 && dist <= 6, s"one-byte edit flipped $dist bits")
+    // recompute doc 3 by hand with the exact integer rule
+    val px = tweaked.getBytes("UTF-8").map(_ & 0xff)
+    val n = px.length.toLong
+    val bs = new Array[Long](60); val bn = new Array[Long](60)
+    var ts = 0L
+    px.zipWithIndex.foreach { case (p, i) =>
+      val b = ((i.toLong * 60) / n).toInt; bs(b) += p; bn(b) += 1; ts += p
+    }
+    val exp = (0 until 60).foldLeft(0L) { (acc, b) =>
+      if (bs(b) * n > ts * bn(b)) acc | (1L << b) else acc
+    }
+    assert(h(3L) == exp)
+  }
+
   test("frameFeatures: per-frame sum/min/max/hash over sampled frames") {
     val payload = "abcz" * 9 // 36 bytes → frames 16,16,4 → sampled 0, 2
     val fr = Multimodal.frameFeatures(Seq(rec(1, "video", payload)).toDS(),
