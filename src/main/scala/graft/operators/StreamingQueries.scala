@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.streaming.EventStreams
 
@@ -79,6 +80,23 @@ object StreamingQueries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+    // Rolling peak rate per user: max events in any trailing 5-minute
+    // interval. The batch plan is an exact RANGE-frame window count
+    // inside the user partition (one shuffle); the streaming twin
+    // (EventStreams.peakRateStateful, mapGroupsWithState with a
+    // horizon-evicted buffer) is spec-proven to emit the identical
+    // result incrementally (EventStreamsSpec).
+    "q133_peak_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-300000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          call_function("div", col("ts"), lit(1000L)).as("t"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("cnt")).as("peak_5min"),
+          count(lit(1)).as("n_events"))
     })
   )
 
@@ -112,6 +130,15 @@ object StreamingQueries extends QueryPack {
         | SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         | FROM d GROUP BY event_type""".stripMargin,
+    "q133_peak_rate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        | c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+        |   ORDER BY t
+        |   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS cnt
+        |  FROM ev)
+        | SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_5min,
+        |  count(*) AS n_events
+        | FROM c GROUP BY user_id""".stripMargin,
     "q84_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |   WHERE event_type = 'signup' GROUP BY user_id),

@@ -147,6 +147,58 @@ object EventStreams {
         sessionize(gapMinutes * 60_000_000L, emitOpen))
   }
 
+  case class RateState(buf: Array[Long], peak: Long, total: Long)
+  case class PeakRate(user_id: Long, peak_5min: Long, n_events: Long)
+
+  /** Rolling peak rate: the max number of events inside any trailing
+    * `windowUs` interval, per user. Keyed state is the event times
+    * still inside the horizon of the newest seen event — anything
+    * older can never fall in a future trailing window, so the buffer
+    * is evicted as time advances and 1000-executor state stays
+    * bounded by rate·horizon, not history. Peak is a monotone max
+    * carried across batches; re-counting windows that end at buffered
+    * events is idempotent. Batch mode (one invocation per key, empty
+    * state) degenerates to the exact two-pointer sweep, which is how
+    * q133 proves the state logic against a SQL oracle. Late events
+    * below the horizon update the total but cannot re-open evicted
+    * windows (watermark semantics). */
+  private def peakRateFn(windowUs: Long)(
+      user: Long, rows: Iterator[Event],
+      state: GroupState[RateState]): PeakRate = {
+    val prev = state.getOption
+      .getOrElse(RateState(Array.emptyLongArray, 0L, 0L))
+    val incoming = rows.map(_.ts / 1000L).toArray
+    val merged = new Array[Long](prev.buf.length + incoming.length)
+    System.arraycopy(prev.buf, 0, merged, 0, prev.buf.length)
+    System.arraycopy(incoming, 0, merged, prev.buf.length, incoming.length)
+    java.util.Arrays.sort(merged)
+    var peak = prev.peak
+    var l = 0
+    var j = 0
+    while (j < merged.length) {
+      while (merged(l) < merged(j) - windowUs) l += 1
+      if (j - l + 1 > peak) peak = j - l + 1
+      j += 1
+    }
+    val total = prev.total + incoming.length
+    val horizon =
+      if (merged.isEmpty) Long.MinValue
+      else merged(merged.length - 1) - windowUs
+    state.update(RateState(merged.dropWhile(_ < horizon), peak, total))
+    PeakRate(user, peak, total)
+  }
+
+  /** Typed entry: per-user rolling peak rate with a window in
+    * minutes. Streaming runs it under Update mode (each batch emits
+    * the running peak); batch runs the same state logic once per key. */
+  def peakRateStateful(events: Dataset[Event],
+                       windowMinutes: Int): Dataset[PeakRate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        peakRateFn(windowMinutes * 60000000L))
+  }
+
   /** Funnel analysis: how many users performed `steps` strictly in
     * order (each step after the previous step's FIRST occurrence).
     * Built as a chain of min-aggregations and joins all keyed on the

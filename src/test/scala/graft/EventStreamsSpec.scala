@@ -116,6 +116,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out(2) == EventStreams.Session(2, 50000000L, 50000000L, 1))
   }
 
+  test("stateful peak rate equals the batch RANGE-window plan on testdata") {
+    val evs = Tables.events(spark, TestSpark.sfDir).as[Event]
+    val got = EventStreams.peakRateStateful(evs, windowMinutes = 5)
+      .collect().map(p => p.user_id -> ((p.peak_5min, p.n_events))).toMap
+    val exp = operators.StreamingQueries
+      .queries("q133_peak_rate")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("streaming peak rate converges to the batch answer across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.peakRateStateful(input.toDS(), windowMinutes = 5)
+      .writeStream.format("memory").queryName("peak_test")
+      .outputMode("update").start()
+    try {
+      // burst of 3 inside 5 min, then a lone event far away — split
+      // across micro-batches so state eviction + monotone peak run
+      input.addData(ev(1, 1000, 7), ev(2, 1100, 7))
+      q.processAllAvailable()
+      input.addData(ev(3, 1200, 7)) // completes the 3-burst
+      q.processAllAvailable()
+      input.addData(ev(4, 90000, 7)) // horizon evicts the burst
+      q.processAllAvailable()
+      val last = spark.table("peak_test")
+        .as[EventStreams.PeakRate].collect()
+        .filter(_.user_id == 7).maxBy(_.n_events)
+      assert(last.peak_5min == 3 && last.n_events == 4)
+    } finally q.stop()
+  }
+
   test("file-source stream equals the batch plan on the same parquet") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
