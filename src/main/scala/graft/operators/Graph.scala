@@ -184,6 +184,53 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop single-source (multi-seed) shortest paths over a
+    * weighted undirected edge list: (v, dist) = cheapest cost over
+    * paths of ≤ `maxHops` edges from any seed — Bellman-Ford rounds
+    * with frontier pruning (only vertices whose cost improved last
+    * round relax their edges; the others provably contribute nothing
+    * new). Weights must be non-negative. Each round is one join on
+    * the frontier + one min-reduce keyed on the vertex — the min-plus
+    * generalization of [[bfsDistances]], same lazy-persist /
+    * checkpoint-cadence lineage discipline. Early-exits when a round
+    * improves nothing (then longer paths can't either). */
+  def ssspBounded(edges: DataFrame, src: String, dst: String,
+                  wCol: String, seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges
+      .select(col(src).as("u"), col(dst).as("v"), col(wCol).as("w"))
+      .unionAll(edges
+        .select(col(dst).as("u"), col(src).as("v"), col(wCol).as("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var hop = 1
+    var done = false
+    while (!done && hop <= maxHops) {
+      val relax = sym.join(
+          frontier.select(col("v").as("u"), col("dist").as("du")),
+          Seq("u"))
+        .select(col("v"), (col("du") + col("w")).as("dist"))
+      val next = dist.unionAll(relax)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val improved = next
+        .join(dist.select(col("v"), col("dist").as("old")), Seq("v"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("v"), col("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (improved.isEmpty) done = true
+      else {
+        dist = if (hop % 4 == 0) next.localCheckpoint() else next
+        frontier = improved
+      }
+      hop += 1
+    }
+    dist
+  }
+
   /** Undirected connected components by min-label propagation with
     * pointer jumping. Converges in O(log diameter) rounds; each round
     * is a neighbor-propagation join + min-reduce, then a label-lookup

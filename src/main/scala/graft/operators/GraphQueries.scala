@@ -59,6 +59,21 @@ object GraphQueries extends QueryPack {
       Graph.bfsDistances(e, "d_a", "d_b", seeds, "s_suppkey", maxHops = 4)
         .select(col("v").as("suppkey"), col("dist"))
     }),
+    // bounded-hop weighted shortest paths on the co-occurrence graph
+    // (minShared=10 so the graph stays connected at every SF), edge
+    // cost 1e6/shared (closer collaborators = cheaper) — all integer,
+    // so the min-plus relaxation is bit-exact against the recursive
+    // CTE oracle.
+    "q134_sssp_bounded" -> ((s, d) => {
+      val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey", minShared = 10L)
+        .withColumn("w", call_function("div", lit(1000000L), col("shared")))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      Graph.ssspBounded(e, "d_a", "d_b", "w", seeds, "s_suppkey",
+          maxHops = 4)
+        .select(col("v").as("suppkey"), col("dist").as("dist_cost"))
+    }),
     "q105_khop_reach" -> ((s, d) => {
       val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select(col("c_custkey"))
@@ -121,6 +136,24 @@ object GraphQueries extends QueryPack {
         |  SELECT g.v, walk.dist + 1 FROM walk JOIN g ON g.u = walk.v
         |  WHERE walk.dist < 4)
         | SELECT v AS suppkey, CAST(min(dist) AS BIGINT) AS dist
+        | FROM walk GROUP BY v""".stripMargin,
+    "q134_sssp_bounded" ->
+      """WITH RECURSIVE co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | g AS (SELECT u, v, 1000000 // shared AS w FROM co
+        |  UNION ALL SELECT v, u, 1000000 // shared AS w FROM co),
+        | walk(v, dist, hops) AS (
+        |  SELECT s_suppkey, CAST(0 AS BIGINT), 0 FROM supplier
+        |  WHERE s_suppkey % 10 = 0
+        |  UNION
+        |  SELECT g.v, walk.dist + g.w, walk.hops + 1
+        |  FROM walk JOIN g ON g.u = walk.v
+        |  WHERE walk.hops < 4)
+        | SELECT v AS suppkey, min(dist) AS dist_cost
         | FROM walk GROUP BY v""".stripMargin,
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer

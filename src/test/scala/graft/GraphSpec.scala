@@ -55,6 +55,21 @@ class GraphSpec extends AnyFunSuite {
     assert(m == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("ssspBounded relaxes through cheaper multi-hop routes, respects hop bound") {
+    // direct 1→3 costs 10; 1→2→3 costs 2 — relaxation must prefer it
+    val wedges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 1L), (4L, 5L, 1L)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("v0")
+    val m = Graph.ssspBounded(wedges, "s", "d", "w", seeds, "v0", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // hop bound 2: vertex 4 is reachable only at 3 edges via the cheap
+    // route, but 1→3 (direct) + 3→4 = 11 within 2 hops
+    val m2 = Graph.ssspBounded(wedges, "s", "d", "w", seeds, "v0", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2(3L) == 2L && m2(4L) == 11L && !m2.contains(5L))
+  }
+
   test("connected components converge on a 300-link chain within maxIter") {
     // worst case for plain min-label (O(diameter) = 300 rounds);
     // pointer jumping must close it in O(log n) ≪ maxIter=20
