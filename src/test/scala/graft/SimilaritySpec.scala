@@ -122,6 +122,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantizedTopK: exact integer dots, partition-independent, near-float ranks") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val qs = emb.filter(col("vec_id") < 3L)
+    val got = Similarity.quantizedTopK(emb, qs, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent scala recompute of the int8 dots for one query
+    val vecs = emb.filter(col("vec_id") < 50L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def q8(v: Array[Double]): Array[Long] = {
+      val mx = v.map(math.abs).max
+      v.map(x => math.round(127.0 * x / mx))
+    }
+    val q0 = q8(vecs(0L))
+    got.filter(t => t._1 == 0L && vecs.contains(t._2)).foreach {
+      case (_, id, dot, _) =>
+        val exp = (q8(vecs(id)), q0).zipped.map(_ * _).sum
+        assert(dot == exp, s"vec $id: $dot vs $exp")
+    }
+    // partitioning must not change a single output bit
+    val got2 = Similarity.quantizedTopK(emb.repartition(13), qs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(t => (t._1, t._4)).sameElements(
+      got2.sortBy(t => (t._1, t._4))))
+    // sanity: quantized top-1 overlaps the float top-5 for each query
+    val brute = Similarity.bruteForceTopKJoin(emb, qs, "vec_id",
+      "embedding", "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    got.filter(_._4 == 1L).foreach { case (qid, id, _, _) =>
+      assert(brute(qid).contains(id), s"query $qid: top-1 $id not in float top-5")
+    }
+  }
+
   test("classCentroids computes exact per-dimension means per label") {
     val spark = TestSpark.spark
     import spark.implicits._
