@@ -334,6 +334,33 @@ object CurationQueries extends QueryPack {
     // rate as 100·stop ≥ n — so the compare is bit-stable and the
     // whole query is one row-local projection + one tiny aggregate
     // (no explode: the word array never leaves the row).
+    // Cross-source overlap matrix (dataset governance: which corpus
+    // slices leak into each other): distinct (5-gram, source) pairs,
+    // then the same in-row pair expansion as graph co-occurrence —
+    // sources sharing a gram pair up INSIDE the gram's row (≤20
+    // sources), never via a gram×gram self-join. Exact-count strings
+    // here (the matrix is a governance artifact); the 100 TB path
+    // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    "q136_source_overlap" -> ((s, d) => {
+      val sg = Dedup.wordShingles(Tables.documents(s, d), "source",
+          "text", n = 5)
+        .select(col("shingle"), col("doc_id").as("source")).distinct()
+      val pairs = Graph.commonNeighborPairs(sg, "shingle", "source",
+          minShared = 1L)
+        .select(col("d_a").as("src_a"), col("d_b").as("src_b"),
+          col("shared").as("n_shared"))
+      val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      pairs
+        .join(sz.select(col("source").as("src_a"),
+          col("n_grams").as("n_a")), Seq("src_a"))
+        .join(sz.select(col("source").as("src_b"),
+          col("n_grams").as("n_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6)
+            .as("overlap_coef"))
+    }),
     "q129_gopher_rules" -> ((s, d) => {
       val w = split(col("text"), " ")
       val stop = filter(w, x => x === "a" || x === "the")
@@ -359,6 +386,25 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_source_overlap" ->
+      """WITH docs AS (SELECT source, string_split(text, ' ') AS w
+        |   FROM documents),
+        | grams AS (SELECT DISTINCT source,
+        |   array_to_string(w[i:i+4], ' ') AS g
+        |  FROM docs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |   count(*) AS n_shared
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        | sz AS (SELECT source, count(*) AS n_grams FROM grams
+        |  GROUP BY source)
+        | SELECT src_a, src_b, n_shared, sa.n_grams AS n_a,
+        |  sb.n_grams AS n_b,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / least(sa.n_grams, sb.n_grams), 6) AS overlap_coef
+        | FROM p JOIN sz sa ON p.src_a = sa.source
+        |  JOIN sz sb ON p.src_b = sb.source""".stripMargin,
     "q129_gopher_rules" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS w,
         |   length(text) AS nc FROM documents),
