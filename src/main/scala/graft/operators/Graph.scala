@@ -173,7 +173,9 @@ object Graph {
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) done = true
+      // the final hop folds in unconditionally — an emptiness probe
+      // there is dead work (the loop exits either way)
+      if (hop < maxHops && next.isEmpty) done = true
       else {
         val grown = visited.unionAll(next)
         visited = if (hop % 4 == 0) grown.localCheckpoint() else grown
@@ -216,15 +218,23 @@ object Graph {
       val next = dist.unionAll(relax)
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val improved = next
-        .join(dist.select(col("v"), col("dist").as("old")), Seq("v"), "left")
-        .filter(col("old").isNull || col("dist") < col("old"))
-        .select(col("v"), col("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (improved.isEmpty) done = true
-      else {
-        dist = if (hop % 4 == 0) next.localCheckpoint() else next
-        frontier = improved
+      if (hop == maxHops) {
+        // last round: the result is `next` regardless — computing the
+        // improved set would be a pure-overhead join + action
+        dist = next
+        done = true
+      } else {
+        val improved = next
+          .join(dist.select(col("v"), col("dist").as("old")), Seq("v"),
+            "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select(col("v"), col("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (improved.isEmpty) done = true
+        else {
+          dist = if (hop % 4 == 0) next.localCheckpoint() else next
+          frontier = improved
+        }
       }
       hop += 1
     }
