@@ -81,18 +81,34 @@ class Connection:
             raise WireError("expected cursor, got %r" % head)
         cur = head.split(" ")[1]
         more = True
-        while more:
-            batch = self._send("fetch " + cur)
-            if not batch.startswith("+batch"):
-                raise WireError("expected batch, got %r" % batch)
-            _, n, more_flag = batch.split(" ")
-            header = self._r.readline().rstrip("\n")
-            self.columns = [_unesc(c) for c in
-                            header.lstrip("#").split("\t")]
-            for _ in range(int(n)):
-                line = self._r.readline().rstrip("\n")
-                yield tuple(_unesc(c) for c in line.split("\t"))
-            more = more_flag == "1"
+        rows_left = 0
+        try:
+            while more:
+                batch = self._send("fetch " + cur)
+                if not batch.startswith("+batch"):
+                    raise WireError("expected batch, got %r" % batch)
+                _, n, more_flag = batch.split(" ")
+                header = self._r.readline().rstrip("\n")
+                self.columns = [_unesc(c) for c in
+                                header.lstrip("#").split("\t")]
+                rows_left = int(n)
+                while rows_left > 0:
+                    line = self._r.readline().rstrip("\n")
+                    rows_left -= 1
+                    yield tuple(_unesc(c) for c in line.split("\t"))
+                more = more_flag == "1"
+        finally:
+            # abandoned early (consumer stopped iterating / closed the
+            # generator): drain the partially-read batch so the wire
+            # stays in sync, then release the server-side cursor — it
+            # pins a persisted frame until closed
+            if more or rows_left:
+                for _ in range(rows_left):
+                    self._r.readline()
+                try:
+                    self._send("close " + cur)
+                except (WireError, OSError):
+                    pass
 
     def close(self):
         try:

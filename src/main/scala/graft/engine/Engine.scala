@@ -203,7 +203,11 @@ class Engine(val spark: SparkSession, root: String,
         case "index" => val s = scope
           val e = s.indexes.remove(name).isDefined; if (e) s.save(); e
         case "procedure" => val s = scope
-          val e = s.procs.remove(name).isDefined; if (e) s.save(); e
+          // same case-insensitive resolution as EXEC (identifiers are
+          // case-preserved in the catalog but matched foldedly)
+          val key = s.procs.keys.find(_.equalsIgnoreCase(name))
+          val e = key.exists(k => s.procs.remove(k).isDefined)
+          if (e) s.save(); e
         case "lock" => val s = scope
           val e = s.locks.remove(name); if (e) s.save(); e
       }
@@ -274,7 +278,13 @@ class Engine(val spark: SparkSession, root: String,
           // fall back to the scope catalog: externally-interpreted
           // procedures (CREATE PROCEDURE m.p(...) LANGUAGE python)
           // run out of process and call back into THIS session
-          current.flatMap(_.procs.get(name)) match {
+          // catalog names are case-preserved; match them the same
+          // case-insensitive way the built-in registry is keyed, so
+          // `exec QtyStats()` and `exec qtystats()` resolve alike
+          current.flatMap(s => s.procs.get(name).orElse(
+            s.procs.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(name) => v
+            })) match {
             case Some(pd) =>
               ProcBridge.exec(this, pd.module, pd.name, pd.lang, vals)
             case None => Status(ok = false, s"no procedure $name")

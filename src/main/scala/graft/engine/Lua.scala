@@ -152,7 +152,12 @@ object Lua {
             "abcdefABCDEF".indexOf(src.charAt(i)) >= 0)) i += 1
           out += Tok("num", src.substring(start, i), line)
         } else {
-          while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
+          // a '.' is part of the number only when NOT followed by
+          // another '.' — otherwise `1..x` (concat) lexes as the
+          // malformed number "1.." and dies in parseNum
+          while (i < n && (src.charAt(i).isDigit ||
+            (src.charAt(i) == '.' &&
+              !(i + 1 < n && src.charAt(i + 1) == '.')) ||
             src.charAt(i) == 'e' || src.charAt(i) == 'E' ||
             ((src.charAt(i) == '+' || src.charAt(i) == '-') &&
               (src.charAt(i - 1) == 'e' || src.charAt(i - 1) == 'E')))) i += 1
@@ -536,6 +541,18 @@ object Lua {
       case "<=" => x <= y; case ">=" => x >= y
       case _ => throw err("bad cmp")
     }
+    // int-int compares EXACTLY on Long (Lua 5.3 §3.4.4): routing
+    // through Double would collapse ns stamps above 2^53 (ulp 256 at
+    // 1.7e18) — two distinct stamps would be neither < nor > nor ==
+    case (LInt(x), LInt(y)) => op match {
+      case "<" => x < y; case ">" => x > y
+      case "<=" => x <= y; case ">=" => x >= y
+      case _ => throw err("bad cmp")
+    }
+    // mixed int/float: exact via BigDecimal (Lua 5.3 compares the
+    // mathematical values); NaN compares false on every operator
+    case (LInt(x), LFlt(y)) => mixedCmp(op, x, y, intLeft = true)
+    case (LFlt(x), LInt(y)) => mixedCmp(op, y, x, intLeft = false)
     case _ =>
       val (x, y) = (toD(a), toD(b))
       op match {
@@ -545,11 +562,36 @@ object Lua {
       }
   }
 
+  /** Exact (long vs double) comparison; `intLeft` says which operand
+    * position the long occupies for the asymmetric operators. */
+  private def mixedCmp(op: String, i: Long, f: Double,
+                       intLeft: Boolean): Boolean = {
+    if (f.isNaN) return false
+    val c = // sign of (i - f), exactly
+      if (f.isPosInfinity) -1
+      else if (f.isNegInfinity) 1
+      else java.math.BigDecimal.valueOf(i)
+        .compareTo(new java.math.BigDecimal(f))
+    val s = if (intLeft) c else -c
+    op match {
+      case "<" => s < 0; case ">" => s > 0
+      case "<=" => s <= 0; case ">=" => s >= 0
+      case _ => throw err("bad cmp")
+    }
+  }
+
   private def luaEquals(a: V, b: V): Boolean = (a, b) match {
-    case (LInt(x), LFlt(y)) => x.toDouble == y
-    case (LFlt(x), LInt(y)) => x == y.toDouble
+    // exact mathematical equality (not via toDouble, which collapses
+    // longs above 2^53 onto their float neighbors)
+    case (LInt(x), LFlt(y)) => intEqFlt(x, y)
+    case (LFlt(x), LInt(y)) => intEqFlt(y, x)
     case _ => a == b
   }
+
+  private def intEqFlt(i: Long, f: Double): Boolean =
+    !f.isNaN && !f.isInfinite &&
+      java.math.BigDecimal.valueOf(i)
+        .compareTo(new java.math.BigDecimal(f)) == 0
 
   final class Interp(globals: Env) {
     def execBlock(stats: List[Stat], env: Env): Unit =

@@ -72,15 +72,31 @@ object ProcBridge {
       })
       errDrain.setDaemon(true)
       errDrain.start()
-      val outR = new BufferedReader(
-        new InputStreamReader(p.getInputStream, UTF_8))
-      val outLines = Iterator.continually(outR.readLine())
-        .takeWhile(_ != null).toVector
+      // stdout must also drain on its own thread: reading to EOF on
+      // the engine thread would make the timeout below dead code (a
+      // hung proc that never closes stdout would block the read
+      // forever and waitFor would never run)
+      val outBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val outDrain = new Thread(() => {
+        val outR = new BufferedReader(
+          new InputStreamReader(p.getInputStream, UTF_8))
+        var l = outR.readLine()
+        while (l != null) { outBuf.add(l); l = outR.readLine() }
+      })
+      outDrain.setDaemon(true)
+      outDrain.start()
       if (!p.waitFor(timeoutSec, TimeUnit.SECONDS)) {
         p.destroyForcibly()
         return Status(ok = false, s"procedure $proc timed out")
       }
+      outDrain.join(2000)
       errDrain.join(2000)
+      val outLines = {
+        val b = Vector.newBuilder[String]
+        var l = outBuf.poll()
+        while (l != null) { b += l; l = outBuf.poll() }
+        b.result()
+      }
       if (p.exitValue() != 0)
         Status(ok = false,
           s"procedure $proc exited ${p.exitValue()}: ${errBuf.toString.trim}")

@@ -43,10 +43,17 @@ object Dedup {
   private def sealResult(result: DataFrame, legs: DataFrame*): DataFrame = {
     // lenient boolean: "false"/"0"/"off"/"no" disable, anything else
     // (incl. unset) keeps the default-on seal — a typo'd value must
-    // not throw from inside a dedup query
-    val seal = result.sparkSession.conf
-      .getOption("spark.graft.sealResults")
-      .forall(v => !Set("false", "0", "off", "no")(v.trim.toLowerCase))
+    // not throw from inside a dedup query.
+    // The THREAD-LOCAL property wins over the session conf: pipeline
+    // callers (curateCorpus) flip it around their own dedup stages,
+    // and with the wire Server sharing one SparkSession across
+    // connection threads, a session-global conf flip would race other
+    // sessions' dedup queries (unsealed frames → leaked cache legs).
+    val raw = Option(result.sparkSession.sparkContext
+        .getLocalProperty("spark.graft.sealResults"))
+      .orElse(result.sparkSession.conf.getOption("spark.graft.sealResults"))
+    val seal =
+      raw.forall(v => !Set("false", "0", "off", "no")(v.trim.toLowerCase))
     if (seal) {
       val out = result.persist(StorageLevel.MEMORY_AND_DISK)
       out.count() // eager: legs are consumed here, then freed

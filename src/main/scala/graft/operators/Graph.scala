@@ -154,6 +154,7 @@ object Graph {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
       .localCheckpoint()
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var visited = seeds.select(col(seedCol).as("v")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited.select(col("v"))
@@ -173,6 +174,7 @@ object Graph {
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches += next
       // the final hop folds in unconditionally — an emptiness probe
       // there is dead work (the loop exits either way)
       if (hop < maxHops && next.isEmpty) done = true
@@ -183,7 +185,13 @@ object Graph {
       }
       hop += 1
     }
-    visited
+    // seal: materialize the (vertex-count-sized) result once, then
+    // release every round cache — otherwise each call pins maxHops
+    // MEMORY_AND_DISK frames for the application lifetime (the
+    // long-lived wire Server would accumulate them indefinitely)
+    val out = visited.localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Bounded-hop single-source (multi-seed) shortest paths over a
@@ -205,6 +213,7 @@ object Graph {
       .unionAll(edges
         .select(col(dst).as("u"), col(src).as("v"), col(wCol).as("w")))
       .localCheckpoint()
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var dist = seeds.select(col(seedCol).as("v")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
@@ -218,6 +227,7 @@ object Graph {
       val next = dist.unionAll(relax)
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches += next
       if (hop == maxHops) {
         // last round: the result is `next` regardless — computing the
         // improved set would be a pure-overhead join + action
@@ -230,6 +240,7 @@ object Graph {
           .filter(col("old").isNull || col("dist") < col("old"))
           .select(col("v"), col("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        roundCaches += improved
         if (improved.isEmpty) done = true
         else {
           dist = if (hop % 4 == 0) next.localCheckpoint() else next
@@ -238,7 +249,10 @@ object Graph {
       }
       hop += 1
     }
-    dist
+    // seal + release round caches (same lifecycle as bfsDistances)
+    val out = dist.localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Undirected connected components by min-label propagation with

@@ -248,17 +248,18 @@ object TextAnalysis {
     // and are computed once inside that single materialization; their
     // blocks are reclaimed by ContextCleaner when this frame is
     // dropped (sealResult scaladoc documents this contract).
-    val spark = docs.sparkSession
-    val prevSeal = spark.conf.getOption("spark.graft.sealResults")
-    spark.conf.set("spark.graft.sealResults", "false")
+    // THREAD-LOCAL flip (not the session conf): the wire Server runs
+    // many sessions over one SparkSession, and a global conf flip here
+    // would race their dedup queries (Dedup.sealResult reads the
+    // local property first)
+    val sc = docs.sparkSession.sparkContext
+    val prevSeal = sc.getLocalProperty("spark.graft.sealResults")
+    sc.setLocalProperty("spark.graft.sealResults", "false")
     val clusters =
       try Dedup.nearDupClusters(
         Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
           shingleN = shingleN, tau = nearDupTau))
-      finally prevSeal match {
-        case Some(v) => spark.conf.set("spark.graft.sealResults", v)
-        case None => spark.conf.unset("spark.graft.sealResults")
-      }
+      finally sc.setLocalProperty("spark.graft.sealResults", prevSeal)
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     // materialize the (small) survivor set, then release the gate

@@ -34,6 +34,25 @@ class LuaSpec extends AnyFunSuite {
     assert(ns == LInt(1700000000000000000L + 3600000000000L))
   }
 
+  test("comparisons are exact above 2^53 (ns stamps order correctly)") {
+    // two ns stamps 1 apart near 1.7e18 — a double collapses them
+    assert(run1("return 1700000000000000001 > 1700000000000000000") == LBool(true))
+    assert(run1("return 1700000000000000000 < 1700000000000000001") == LBool(true))
+    assert(run1("return 1700000000000000000 >= 1700000000000000001") == LBool(false))
+    assert(run1("return math.max(1700000000000000001, 1700000000000000000)")
+      == LInt(1700000000000000001L))
+    // mixed int/float stays mathematically exact: 2^53 and 2^53+1
+    assert(run1("return 9007199254740993 == 9007199254740992.0") == LBool(false))
+    assert(run1("return 9007199254740993 > 9007199254740992.0") == LBool(true))
+    assert(run1("return 0/0 < 1 or 1 < 0/0") == LBool(false)) // NaN
+  }
+
+  test("number lexing: 1..x is concat, not a malformed number") {
+    assert(run1("return 1 .. 'x'") == LStr("1x"))
+    assert(run1("return 12..'y'") == LStr("12y"))
+    assert(run1("return 1.5 .. ''") == LStr("1.5"))
+  }
+
   test("strings, concat, length, string library") {
     assert(run1("return 'a' .. 'b' .. 1") == LStr("ab1"))
     assert(run1("return #'hello'") == LInt(5))
