@@ -124,6 +124,37 @@ object TimeSeriesQueries extends QueryPack {
             .as("v_interp"),
           col("v").isNotNull.as("observed"))
     }),
+    // CUSUM drift detection (Page's test): S_i = max(0, S_{i-1} + d_i)
+    // is sequential, but the running-min identity
+    // S_i = C_i − min(0, min_{j≤i} C_j) (C = prefix sum of deviations)
+    // turns it into two keyed window passes — fully distributed, no
+    // recursion. Deviations are exact micro-unit longs against the
+    // per-series mean; the alarm threshold is 3 rounded stddevs. One
+    // wide shuffle on user_id; stats ride back via broadcast.
+    "q137_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        us(col("ts")).as("t"), col("event_id"), col("value"))
+      val st = ev.groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("mu"),
+          round(stddev_samp(col("value")), 6).as("sd"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(broadcast(st), Seq("user_id"))
+        .withColumn("d",
+          round(col("value") * 1000000).cast("long") -
+            round(col("mu") * 1000000).cast("long"))
+        .withColumn("c", sum(col("d")).over(w))
+        .withColumn("s",
+          col("c") - least(lit(0L), min(col("c")).over(w)))
+        .withColumn("thresh",
+          lit(3L) * round(col("sd") * 1000000).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("s") > col("thresh"), 1L).otherwise(0L))
+            .as("n_alarm"),
+          max(col("s")).as("max_s"))
+    }),
     // Per-series z-score outliers: series statistics (mean, sample
     // stddev) come from one aggregate, are ROUNDED to 6 places (so
     // both engines threshold against identical constants — the raw
@@ -212,6 +243,31 @@ object TimeSeriesQueries extends QueryPack {
         |    / sum(power(0.7, rn - 1)), 6) AS ewma20,
         |  count(*) AS n_used
         | FROM r WHERE rn <= 20 GROUP BY user_id""".stripMargin,
+    "q137_cusum" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+        |   FROM events),
+        | st AS (SELECT user_id, round(avg(value), 6) AS mu,
+        |   round(stddev_samp(value), 6) AS sd FROM ev GROUP BY 1),
+        | dev AS (SELECT e.user_id, e.t, e.event_id,
+        |   CAST(round(e.value * 1000000) AS BIGINT)
+        |     - CAST(round(st.mu * 1000000) AS BIGINT) AS d,
+        |   CAST(3 * CAST(round(st.sd * 1000000) AS BIGINT) AS BIGINT)
+        |     AS thresh
+        |  FROM ev e JOIN st USING (user_id)),
+        | cs AS (SELECT user_id, t, event_id, thresh,
+        |   sum(d) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM dev),
+        | sv AS (SELECT user_id, thresh,
+        |   c - least(0, min(c) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM cs)
+        | SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN s > thresh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm,
+        |  CAST(max(s) AS BIGINT) AS max_s
+        | FROM sv GROUP BY user_id""".stripMargin,
     "q127_anomaly_zscore" ->
       """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
         |   round(stddev_samp(value), 6) AS sd, count(*) AS n

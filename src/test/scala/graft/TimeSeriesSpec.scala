@@ -119,6 +119,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 running-min CUSUM equals the sequential max(0, S+d) recursion") {
+    val got = TimeSeriesQueries.queries("q137_cusum")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val exp = events.groupBy(_._3).map { case (user, evs) =>
+      val xs = evs.sortBy(e => (e._2, e._1)).map(_._5)
+      val n = xs.size
+      val rawMu = xs.sum / n
+      val mu = round6(rawMu)
+      // sd from the RAW mean (stddev_samp semantics), rounded after
+      val sd = round6(math.sqrt(
+        xs.map(x => (x - rawMu) * (x - rawMu)).sum / math.max(n - 1, 1)))
+      val mu6 = math.round(mu * 1e6); val thresh = 3 * math.round(sd * 1e6)
+      var s = 0L; var alarms = 0L; var maxS = Long.MinValue
+      xs.foreach { x =>
+        val dlt = math.round(x * 1e6) - mu6
+        s = math.max(0L, s + dlt)
+        if (s > thresh) alarms += 1
+        maxS = math.max(maxS, s)
+      }
+      user -> ((n.toLong, alarms, maxS))
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (u, (n, a, m)) =>
+      assert(got(u)._1 == n && got(u)._2 == a && got(u)._3 == m,
+        s"user $u: ${got(u)} vs ($n, $a, $m)")
+    }
+  }
+
   test("q125 marks every observed bin unfilled and fills only gaps forward") {
     val rows = TimeSeriesQueries.queries("q125_gap_fill")(spark, d)
       .collect()
