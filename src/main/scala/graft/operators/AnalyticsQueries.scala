@@ -154,10 +154,83 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"),
           dsum(col("o_totalprice")).as("band_total"))
+    }),
+    // RFM customer scoring (recency/frequency/monetary with fixed
+    // value bands — band thresholds, not quantiles, so no global
+    // ranking is needed): one shuffle on o_custkey, integer day
+    // arithmetic, decimal-exact monetary. The dataset-max date rides
+    // in as a broadcast scalar (crossJoin of a 1-row aggregate).
+    "q139_rfm" -> ((s, d) => {
+      val usPerDay = 86400000000L
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        // parquet ms-timestamps read as TIMESTAMP_NTZ; the session
+        // timezone is pinned UTC, so the NTZ→TZ cast is the identity
+        // on the instant and unix_micros matches DuckDB's epoch_us
+        call_function("div",
+          unix_micros(col("o_orderdate").cast("timestamp")),
+          lit(usPerDay)).as("day"),
+        col("o_totalprice"))
+      val maxDay = o.agg(max(col("day")).as("max_day"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .as("monetary_d"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency_days", col("max_day") - col("last_day"))
+      val rScore = when(col("recency_days") <= 90, 5L)
+        .when(col("recency_days") <= 180, 4L)
+        .when(col("recency_days") <= 365, 3L)
+        .when(col("recency_days") <= 730, 2L).otherwise(1L)
+      val fScore = when(col("frequency") >= 20, 5L)
+        .when(col("frequency") >= 15, 4L)
+        .when(col("frequency") >= 10, 3L)
+        .when(col("frequency") >= 5, 2L).otherwise(1L)
+      val mScore = when(col("monetary_d") >= 2000000, 5L)
+        .when(col("monetary_d") >= 1500000, 4L)
+        .when(col("monetary_d") >= 1000000, 3L)
+        .when(col("monetary_d") >= 500000, 2L).otherwise(1L)
+      per.select(col("o_custkey").as("custkey"), col("recency_days"),
+          col("frequency"),
+          col("monetary_d").cast("string").cast("double").as("monetary"),
+          rScore.as("r_score"), fScore.as("f_score"), mScore.as("m_score"),
+          (rScore * 100 + fScore * 10 + mScore).as("rfm_segment"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+        |   epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice
+        |  FROM orders),
+        | mx AS (SELECT max(day) AS max_day FROM o),
+        | per AS (SELECT o_custkey, max(day) AS last_day,
+        |   count(*) AS frequency,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary_d
+        |  FROM o GROUP BY o_custkey),
+        | s AS (SELECT o_custkey, mx.max_day - last_day AS recency_days,
+        |   frequency, monetary_d FROM per, mx),
+        | sc AS (SELECT *,
+        |   CASE WHEN recency_days <= 90 THEN 5
+        |    WHEN recency_days <= 180 THEN 4
+        |    WHEN recency_days <= 365 THEN 3
+        |    WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r_score,
+        |   CASE WHEN frequency >= 20 THEN 5 WHEN frequency >= 15 THEN 4
+        |    WHEN frequency >= 10 THEN 3 WHEN frequency >= 5 THEN 2
+        |    ELSE 1 END AS f_score,
+        |   CASE WHEN monetary_d >= 2000000 THEN 5
+        |    WHEN monetary_d >= 1500000 THEN 4
+        |    WHEN monetary_d >= 1000000 THEN 3
+        |    WHEN monetary_d >= 500000 THEN 2 ELSE 1 END AS m_score
+        |  FROM s)
+        | SELECT o_custkey AS custkey, recency_days, frequency,
+        |  CAST(CAST(monetary_d AS VARCHAR) AS DOUBLE) AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS rfm_segment
+        | FROM sc""".stripMargin,
     "q91_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

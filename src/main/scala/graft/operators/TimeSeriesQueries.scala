@@ -124,6 +124,27 @@ object TimeSeriesQueries extends QueryPack {
             .as("v_interp"),
           col("v").isNotNull.as("observed"))
     }),
+    // Hour-of-day seasonal profile per event type: the decomposition
+    // step before anomaly detection on periodic series. Two tiny
+    // aggregates (24×types rows); the per-type mean rides back via
+    // broadcast so the seasonal delta needs no second wide shuffle.
+    // Hour extraction is exact integer µs arithmetic.
+    "q138_seasonal_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        pmod(call_function("div", us(col("ts")), lit(3600000000L)),
+          lit(24L)).as("hour"),
+        col("value"))
+      val byType = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("type_mean"))
+      ev.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          avg(col("value")).as("hour_mean"))
+        .join(broadcast(byType), Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n_events"),
+          round(col("hour_mean"), 6).as("hour_mean"),
+          round(col("hour_mean") - col("type_mean"), 6)
+            .as("seasonal_delta"))
+    }),
     // CUSUM drift detection (Page's test): S_i = max(0, S_{i-1} + d_i)
     // is sequential, but the running-min identity
     // S_i = C_i − min(0, min_{j≤i} C_j) (C = prefix sum of deviations)
@@ -243,6 +264,17 @@ object TimeSeriesQueries extends QueryPack {
         |    / sum(power(0.7, rn - 1)), 6) AS ewma20,
         |  count(*) AS n_used
         | FROM r WHERE rn <= 20 GROUP BY user_id""".stripMargin,
+    "q138_seasonal_profile" ->
+      """WITH ev AS (SELECT event_type,
+        |   (epoch_us(ts) // 3600000000) % 24 AS hour, value
+        |  FROM events),
+        | bt AS (SELECT event_type, avg(value) AS type_mean FROM ev
+        |  GROUP BY 1)
+        | SELECT e.event_type, e.hour, count(*) AS n_events,
+        |  round(avg(e.value), 6) AS hour_mean,
+        |  round(avg(e.value) - max(bt.type_mean), 6) AS seasonal_delta
+        | FROM ev e JOIN bt USING (event_type)
+        | GROUP BY e.event_type, e.hour""".stripMargin,
     "q137_cusum" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
         |   FROM events),
