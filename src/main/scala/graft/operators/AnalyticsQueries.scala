@@ -160,6 +160,32 @@ object AnalyticsQueries extends QueryPack {
     // ranking is needed): one shuffle on o_custkey, integer day
     // arithmetic, decimal-exact monetary. The dataset-max date rides
     // in as a broadcast scalar (crossJoin of a 1-row aggregate).
+    // Winsorized robust statistics per event type: clamp values at the
+    // exact [p05, p95] percentiles (ROUNDED to 6 places first, so both
+    // engines clamp against identical constants — the raw interpolated
+    // doubles differ in the last ulps), then the clamped mean and clamp
+    // tallies. This is the outlier-robust normalization step before
+    // value-based quality gates. The percentile pass buffers each
+    // type's values like exact median (q20) — for very large groups
+    // the scale path is q88's sketch + one exact boundary-rank
+    // refinement (the q99 pattern); the clamp pass itself streams
+    // through a broadcast join, no second wide shuffle.
+    "q143_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.05)), 6).as("lo"),
+          round(percentile(col("value"), lit(0.95)), 6).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          round(avg(greatest(col("lo"), least(col("hi"), col("value")))),
+            6).as("wins_mean"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+            .as("n_clamped_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+            .as("n_clamped_hi"))
+    }),
     "q139_rfm" -> ((s, d) => {
       val usPerDay = 86400000000L
       val o = Tables.orders(s, d).select(col("o_custkey"),
@@ -199,6 +225,21 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |   round(quantile_cont(value, 0.05), 6) AS lo,
+        |   round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1)
+        | SELECT e.event_type, count(*) AS n, max(b.lo) AS lo,
+        |  max(b.hi) AS hi,
+        |  round(avg(greatest(b.lo, least(b.hi, e.value))), 6)
+        |    AS wins_mean,
+        |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_hi
+        | FROM events e JOIN b USING (event_type)
+        | GROUP BY e.event_type""".stripMargin,
     "q139_rfm" ->
       """WITH o AS (SELECT o_custkey,
         |   epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice

@@ -27,6 +27,30 @@ object BehaviorQueries extends QueryPack {
   private val usPerDay = 86400000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Markov transition matrix over event types: per-user consecutive
+    // event pairs (lead inside the user_id window), counted globally,
+    // with row-normalized transition probabilities. The per-from
+    // totals ride back via broadcast (event-type vocabulary is tiny
+    // next to the event stream), so the events shuffle exactly once —
+    // on user_id for the ordering window; everything after runs on
+    // the (from, to) aggregate, which is |types|² rows no matter how
+    // many events feed it.
+    "q142_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), us(col("ts")).as("t"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_n"))
+      pairs.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("row_n"), 6).as("p"))
+    }),
     // Semi-structured payload: JSON path extraction from the props
     // string, aggregated per event type. get_json_object is codegen'd;
     // at scale the JSON never leaves the executor — only (type, k)
@@ -130,6 +154,19 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_transitions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |   event_type FROM events),
+        | seq AS (SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id) AS to_type
+        |  FROM ev),
+        | pairs AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT from_type, sum(n) AS row_n FROM pairs GROUP BY 1)
+        | SELECT p.from_type, p.to_type, p.n,
+        |  round((p.n * 1.0) / t.row_n, 6) AS p
+        | FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
     "q100_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

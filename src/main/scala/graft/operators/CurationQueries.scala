@@ -341,6 +341,33 @@ object CurationQueries extends QueryPack {
     // sources), never via a gram×gram self-join. Exact-count strings
     // here (the matrix is a governance artifact); the 100 TB path
     // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    // Token-budget corpus mixing: equalize the mixture by capping every
+    // source at the SMALLEST source's total token count, then select
+    // documents deterministically — order each source's docs by a
+    // multiplicative hash of doc_id (q71's sampling idiom: stable
+    // across engines, no RNG) and keep the prefix whose running token
+    // sum stays inside the budget. This is the rebalancing step a
+    // training run does when one crawl dwarfs the others and the
+    // mixture spec says "equal parts". One wide shuffle keyed on
+    // source (the per-source ordered window); the scalar budget rides
+    // in via broadcast, never a global window. At 100 TB the window
+    // partitions by source — 20 sources of 5 TB sort in parallel, and
+    // the sort key is an 8-byte hash, not the document.
+    "q141_corpus_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("tok"))
+      val budget = docs.groupBy(col("source"))
+        .agg(sum(col("tok")).as("src_tok"))
+        .agg(min(col("src_tok")).as("budget"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000L)),
+          col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tok", sum(col("tok")).over(w))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_tok") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"))
+    }),
     "q136_source_overlap" -> ((s, d) => {
       val sg = Dedup.wordShingles(Tables.documents(s, d), "source",
           "text", n = 5)
@@ -386,6 +413,19 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_corpus_mix" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        | b AS (SELECT min(src_tok) AS budget FROM (
+        |   SELECT source, sum(tok) AS src_tok FROM docs GROUP BY 1)),
+        | w AS (SELECT doc_id, source, tok,
+        |   sum(tok) OVER (PARTITION BY source
+        |     ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM docs)
+        | SELECT doc_id, source, tok, cum_tok FROM w, b
+        | WHERE cum_tok <= b.budget""".stripMargin,
     "q136_source_overlap" ->
       """WITH docs AS (SELECT source, string_split(text, ' ') AS w
         |   FROM documents),

@@ -407,6 +407,57 @@ object Dedup {
       ranked, sh)
   }
 
+  /** Exact n-gram CONTAINMENT pairs: ordered (doc_a, doc_b) with
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ tau and doc_a ≠ doc_b — the
+    * asymmetric complement of [[ngramJaccardPairs]]. Containment
+    * catches document-inside-document duplication (a page quoted
+    * whole inside a longer crawl, concatenated shards) that symmetric
+    * Jaccard misses whenever |Sb| ≫ |Sa| drags J below any usable
+    * threshold, so it's a distinct dedup mode for web-scale corpora,
+    * not a parameter tweak of the Jaccard join.
+    *
+    * Physical plan (prefix filter, asymmetric form of Xiao et al.'s
+    * PPJoin bound): C(a→b) ≥ tau forces a to share at least one of
+    * its |Sa| − ⌈tau·|Sa|⌉ + 1 globally RAREST shingles with b, so
+    * only that prefix of the probe side enters the candidate join;
+    * the indexed side stays whole (containment puts no bound on where
+    * the overlap sits in b). Hot shingles are by construction almost
+    * never in any prefix, so the join never degenerates into the
+    * C(df,2) blowup of a naive inverted index. Candidates then verify
+    * with an exact intersection count — the result is exact, the
+    * filter only prunes. One shuffle per leg, all keyed on shingle or
+    * doc id; nothing quadratic materializes. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double): DataFrame = {
+    // probe prefix, index, and both verify legs all walk the shingles
+    val sh = wordShingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("shingle").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("sa")
+      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+        && col("sa.doc_id") =!= col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val res = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz")), Seq("doc_a"))
+      .filter(col("i").cast("double") / col("sz") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / col("sz"), 6).as("containment"))
+    sealResult(res, sh)
+  }
+
   /** Near-duplicate CLUSTERS from a near-dup pair set: connected
     * components over the pair graph, labeled by the component's
     * minimum doc id — which is also the survivor a keep-one-per-

@@ -71,6 +71,15 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             Dedup.md5Hash60(col("shingle")).as("shingle")),
         maxHamming = 3, bits = 60)),
+    // Containment dedup: ordered pairs where ≥90% of doc_a's word
+    // 3-gram set appears in doc_b — catches doc-inside-doc duplication
+    // (the corpus mutations contain their originals verbatim, so every
+    // orig→mutated direction scores exactly 1.0; the reverse direction
+    // only qualifies for long docs where sz/(sz+3) ≥ 0.9). Prefix-
+    // filtered probe side, exact intersection verify.
+    "q140_containment" -> ((s, d) =>
+      Dedup.containmentPairs(corpus(s, d), "doc_id", "text",
+        n = 3, tau = 0.9)),
     // Exact word-bigram Jaccard, all pairs ≥ 0.5 via shingle equi-join.
     "q44_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text",
@@ -155,6 +164,21 @@ object DedupQueries extends QueryPack {
         | JOIN sizes sa ON da = sa.doc_id
         | JOIN sizes sb ON db = sb.doc_id
         | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q140_containment" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |  round((i * 1.0) / sa.n, 6) AS containment
+        | FROM inter JOIN sizes sa ON da = sa.doc_id
+        | WHERE (i * 1.0) / sa.n >= 0.9""".stripMargin,
     "q44_ngram_jaccard" ->
       s"""WITH corpus AS ($corpusSql),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),

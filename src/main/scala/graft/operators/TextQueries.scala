@@ -96,6 +96,30 @@ object TextQueries extends QueryPack {
         docs.filter(col("doc_id") < 25L), "doc_id", "text", n = 5)
     }),
     // Exact frequent word-bigrams (heavy hitters), top 20.
+    // BPE merge-candidate statistics: the inner loop of byte-pair-
+    // encoding tokenizer training — corpus-wide counts of adjacent
+    // character pairs inside words, i.e. the table whose argmax is the
+    // first BPE merge. Distinct-WORD canonicalization first (the q106
+    // trick): pairs are generated once per unique word and weighted by
+    // the word's corpus frequency, so the explode runs over the
+    // vocabulary (10⁵–10⁶ types), not the corpus (10¹¹ tokens at
+    // 100 TB). Two keyed shuffles (word counts, pair sums), top-20 via
+    // TakeOrdered — no global sort materializes.
+    "q144_bpe_pairs" -> ((s, d) => {
+      val wordFreq = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      wordFreq
+        .withColumn("ch", split(col("word"), ""))
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("ch")) - 1),
+          i => concat(element_at(col("ch"), i),
+            element_at(col("ch"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
     "q89_frequent_ngrams" -> ((s, d) =>
       TextAnalysis.frequentNgrams(Tables.documents(s, d), "text",
         n = 2, k = 20)),
@@ -210,6 +234,14 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q144_bpe_pairs" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS f FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        | pairs AS (SELECT substring(word, i, 2) AS pair, f
+        |  FROM wf, UNNEST(generate_series(1, len(word) - 1)) AS t(i))
+        | SELECT pair, sum(f) AS n FROM pairs GROUP BY pair
+        | ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q89_frequent_ngrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w
         |   FROM documents),

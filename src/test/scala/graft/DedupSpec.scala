@@ -86,6 +86,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairsMd5 == pairs, s"md5=$pairsMd5 xx=$pairs")
   }
 
+  test("containment pairs are asymmetric and exact") {
+    // doc 1's trigram set (8 shingles) is fully inside doc 3's
+    // (13 words → 11 distinct trigrams), so C(1→3) = 1.0; the reverse
+    // direction is 8/11 ≈ 0.727 and must NOT appear at tau = 0.9.
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0 && got((2L, 1L)) == 1.0) // identical docs
+    assert(got((1L, 3L)) == 1.0 && got((2L, 3L)) == 1.0) // 1 ⊂ 3
+    assert(!got.contains((3L, 1L))) // 3's extra shingles: C(3→1) < 0.9
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact value check: C(3→1) = 8/11 — below tau, so absent; verify
+    // via a lower threshold run
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(loose((3L, 1L)) - 8.0 / 11.0) < 1e-6)
+  }
+
   test("ngram jaccard computes exact similarity") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
