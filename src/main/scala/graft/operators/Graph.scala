@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators over the NoWDB edge model (SURVEY §1.1: a graph is
@@ -132,6 +132,51 @@ object Graph {
           lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
             lit(danglingMass / n))).as("rank"))
         .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Integer-exact PageRank: [[pageRank]] recast in scaled-integer
+    * arithmetic so the result is BIT-IDENTICAL across engines —
+    * rank mass starts as `scale // N` per vertex and every step is a
+    * BIGINT floor division (`contribution = rank // out_deg`,
+    * `rank' = (15·(scale//N))//100 + (85·in_sum)//100`), which makes
+    * the whole power iteration differentially testable against a SQL
+    * recompute (doubles drift in the last ulps per engine and per
+    * partition-sum order; integers cannot). Two deliberate deviations
+    * from the float form, both deterministic: floor-division remainder
+    * mass evaporates (< N·iters parts per `scale`), and dangling
+    * vertices drop their mass instead of redistributing it (the
+    * "strongly preferential" variant — redistributing needs a
+    * per-iteration driver scalar, which this form deliberately avoids:
+    * no collect anywhere, the iteration is pure joins + aggregates, so
+    * N iterations schedule as one DAG). Callers with dangling-heavy
+    * graphs should add self-loops upstream or use [[pageRank]].
+    * `iters` is expected to be small (rank queries, not convergence
+    * runs); lineage stays shallow because each iteration is two joins
+    * deep over the same cached edge frame. */
+  def pageRankInt(edges: DataFrame, src: String, dst: String,
+                  iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("s").as("v"))
+      .unionAll(e.select(col("d").as("v"))).distinct().localCheckpoint()
+    val n = verts.agg(count(lit(1)).as("n_verts"))
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    var ranks = verts.crossJoin(broadcast(n))
+      .select(col("v"), idiv(lit(scale), col("n_verts")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(outDeg, ranks("v") === outDeg("s"))
+        .select(col("s"), idiv(col("rank"), col("deg")).as("c"))
+        .join(e, "s")
+        .groupBy(col("d")).agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contrib, verts("v") === contrib("d"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("v"),
+          (idiv(lit(15L) * idiv(lit(scale), col("n_verts")), lit(100L)) +
+            idiv(lit(85L) * coalesce(col("in_sum"), lit(0L)), lit(100L)))
+            .as("rank"))
     }
     ranks
   }

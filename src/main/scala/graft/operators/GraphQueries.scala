@@ -74,6 +74,23 @@ object GraphQueries extends QueryPack {
           maxHops = 4)
         .select(col("v").as("suppkey"), col("dist").as("dist_cost"))
     }),
+    // Integer-exact PageRank (3 power iterations, scaled-BIGINT
+    // arithmetic) on the symmetric supplier co-occurrence graph —
+    // bit-identical against the oracle's unrolled-CTE recompute, which
+    // a floating-point PageRank can never be (per-engine summation
+    // order drifts the last ulps). Symmetric graph ⇒ no dangling
+    // vertices, so the no-redistribution variant loses only
+    // floor-division remainders. Pure joins+aggregates: the whole
+    // 3-iteration DAG schedules as one job, no driver scalar per
+    // iteration.
+    "q145_pagerank" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 10L)
+      val e = co.select(col("d_a").as("u"), col("d_b").as("v"))
+        .unionAll(co.select(col("d_b").as("u"), col("d_a").as("v")))
+      Graph.pageRankInt(e, "u", "v", iters = 3)
+        .select(col("v").as("suppkey"), col("rank"))
+    }),
     "q105_khop_reach" -> ((s, d) => {
       val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select(col("c_custkey"))
@@ -155,6 +172,41 @@ object GraphQueries extends QueryPack {
         |  WHERE walk.hops < 4)
         | SELECT v AS suppkey, min(dist) AS dist_cost
         | FROM walk GROUP BY v""".stripMargin,
+    "q145_pagerank" ->
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | verts AS (SELECT DISTINCT u AS v FROM g),
+        | n AS (SELECT count(*) AS nv FROM verts),
+        | deg AS (SELECT u, count(*) AS deg FROM g GROUP BY 1),
+        | r0 AS (SELECT v, (SELECT 1000000000000 // nv FROM n) AS rank
+        |  FROM verts),
+        | i1 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   FROM r0 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v),
+        | i2 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   FROM i1 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v),
+        | i3 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   FROM i2 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v)
+        | SELECT v AS suppkey, rank FROM i3""".stripMargin,
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer
         |   WHERE c_nationkey = 0),

@@ -32,6 +32,33 @@ class GraphSpec extends AnyFunSuite {
     assert(comp(7L) == 7L)
   }
 
+  test("pageRankInt matches a sequential integer recompute exactly") {
+    // directed graph with a cycle, a chase, and a dangling sink (4):
+    // dangling mass is dropped by design (scaladoc), the sequential
+    // reference below implements the identical recurrence.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("s", "d")
+    val scale = 1000000000000L
+    val verts = Seq(1L, 2L, 3L, 4L)
+    val deg = Map(1L -> 2L, 2L -> 1L, 3L -> 2L)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    var r = verts.map(v => v -> scale / verts.length).toMap
+    for (_ <- 1 to 3) {
+      val in = verts.map { v =>
+        v -> out.toSeq.flatMap { case (u, ds) =>
+          if (ds.contains(v)) Seq(r(u) / deg(u)) else Nil
+        }.sum
+      }.toMap
+      r = verts.map(v => v ->
+        (15L * (scale / verts.length) / 100L + 85L * in(v) / 100L)).toMap
+    }
+    val got = Graph.pageRankInt(e, "s", "d", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // sanity: the cycle hub (3) outranks the dangling sink (4)
+    assert(got(3L) > got(4L))
+  }
+
   test("bfsDistances labels min hops, stops at maxHops, keeps isolated seeds") {
     // chain 1-2-3-4, separate 5-6, self-loop 7; seeds {1, 9} (9 has
     // no edges at all)
