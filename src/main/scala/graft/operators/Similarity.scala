@@ -113,6 +113,40 @@ object Similarity {
       .select(col(groupCol), col("dim"),
         round(col("sx").cast("double") / col("n"), 6).as("centroid"))
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions with a
+    * deterministic ±1 sign matrix — the dimensionality-reduction step
+    * before indexing/clustering huge embedding sets (JL lemma: ±1
+    * entries preserve pairwise distances within ε at k = O(log n/ε²);
+    * Achlioptas 2001, public result). Signs come from md5 parity of
+    * "i_j" (sign = +1 iff the first hex digit is 0–7), so every engine
+    * with an md5 builtin reproduces the matrix digit-for-digit — the
+    * same differential-testability trick as [[Dedup.md5Hash60]]; the
+    * per-element products are exact DECIMAL(18,9) sums (the q90
+    * centroid pattern), so projections are bit-stable cross-engine.
+    * The sign matrix is dims×k rows (a few KB) broadcast into the
+    * exploded join — the corpus shuffles once, on (id, j) for the
+    * component sums. Long-form output (id, j, proj). */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val flat = emb
+      .select(col(idCol).as("id"), posexplode(toDoubleVec(col(vecCol))))
+      .select(col("id"), col("pos").cast("long").as("i"), col("col").as("x"))
+    val js = emb.sparkSession.range(k).select(col("id").as("j"))
+    val signs = flat.select(col("i")).distinct().crossJoin(js)
+      .select(col("i"), col("j"),
+        when(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+          lit(1)).otherwise(lit(-1)).as("sgn"))
+    flat.join(broadcast(signs), Seq("i"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(when(col("sgn") === 1, col("x").cast(dec))
+        .otherwise(-col("x").cast(dec))).as("sx"))
+      .select(col("id"), col("j"),
+        round(col("sx").cast("double") / math.sqrt(k.toDouble), 6)
+          .as("proj"))
+  }
+
   /** Deterministic coarse quantizer: the first `nlist` vectors by id
     * serve as centroids (k-means refinement is an orthogonal,
     * pluggable improvement — the partition/probe plumbing is what

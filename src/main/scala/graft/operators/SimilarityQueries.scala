@@ -48,6 +48,13 @@ object SimilarityQueries extends QueryPack {
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5L),
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
     }),
+    // JL random projection 64→16 dims, deterministic md5-parity signs
+    // (Similarity.jlProject scaladoc) — long-form (vec_id, j, proj),
+    // every projection bit-identical to the oracle's recompute.
+    "q146_jl_projection" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 16)
+        .select(col("id").as("vec_id"), col("j"), col("proj"))),
     // Per-label centroid vectors in long form (label, dim, centroid):
     // exact decimal per-dimension means, one shuffle.
     "q90_class_centroids" -> ((s, d) =>
@@ -215,6 +222,25 @@ object SimilarityQueries extends QueryPack {
         |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
         | FROM (SELECT vec_id FROM base WHERE vec_id < 5) q
         | LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
+    "q146_jl_projection" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | flat AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, v[i] AS x
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | dims AS (SELECT DISTINCT i FROM flat),
+        | js AS (SELECT CAST(j AS BIGINT) AS j
+        |  FROM UNNEST(generate_series(0, 15)) AS t(j)),
+        | signs AS (SELECT i, j,
+        |   CASE WHEN substring(md5(i || '_' || j), 1, 1) IN
+        |     ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+        |  FROM dims, js),
+        | p AS (SELECT f.vec_id, s.j,
+        |   sum(CASE WHEN s.sgn = 1 THEN CAST(f.x AS DECIMAL(18,9))
+        |     ELSE -CAST(f.x AS DECIMAL(18,9)) END) AS sx
+        |  FROM flat f JOIN signs s ON f.i = s.i GROUP BY 1, 2)
+        | SELECT vec_id, j, round(CAST(sx AS DOUBLE) / sqrt(16.0), 6)
+        |   AS proj
+        | FROM p""".stripMargin,
     "q90_class_centroids" ->
       """WITH flat AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |   CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(18,9)) AS x

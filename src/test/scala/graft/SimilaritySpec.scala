@@ -6,6 +6,43 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite {
 
+  test("jlProject matches an independent scala recompute of the md5-sign definition") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq.fill(12)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 4
+    def sign(i: Long, j: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) < 8) 1 else -1
+    }
+    val expected = vecs.flatMap { case (id, v) =>
+      (0 until k).map { j =>
+        val s = v.zipWithIndex.map { case (x, i) =>
+          // mirror the DECIMAL(18,9) element rounding
+          BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            sign(i.toLong, j.toLong)
+        }.sum
+        (id, j.toLong) ->
+          (BigDecimal(s.toDouble / math.sqrt(k.toDouble) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
+      }
+    }.toMap
+    val got = Similarity.jlProject(df, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    // tolerance 2e-6: covers half-tie divergence between the two
+    // double→decimal conversion routes at the final round(6); a wrong
+    // sign or normalization would miss by ~element magnitude (1e-1)
+    got.foreach { case (key, p) =>
+      assert(math.abs(p - expected(key)) < 2e-6, s"$key: $p vs ${expected(key)}")
+    }
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions._
