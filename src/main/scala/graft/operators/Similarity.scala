@@ -132,8 +132,14 @@ object Similarity {
     val flat = emb
       .select(col(idCol).as("id"), posexplode(toDoubleVec(col(vecCol))))
       .select(col("id"), col("pos").cast("long").as("i"), col("col").as("x"))
+    // one-row dimension probe (vectors are uniform-width by contract);
+    // deriving dims from flat.distinct() would cost a full corpus scan
+    // + exchange just to learn a constant
+    val dim = emb.select(size(toDoubleVec(col(vecCol))).as("d"))
+      .limit(1).collect()(0).getInt(0)
     val js = emb.sparkSession.range(k).select(col("id").as("j"))
-    val signs = flat.select(col("i")).distinct().crossJoin(js)
+    val signs = emb.sparkSession.range(dim).select(col("id").as("i"))
+      .crossJoin(js)
       .select(col("i"), col("j"),
         when(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1)
             .isin("0", "1", "2", "3", "4", "5", "6", "7"),
