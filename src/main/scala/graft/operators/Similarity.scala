@@ -113,6 +113,36 @@ object Similarity {
       .select(col(groupCol), col("dim"),
         round(col("sx").cast("double") / col("n"), 6).as("centroid"))
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most cosine-similar corpus vectors carrying a
+    * DIFFERENT label — the pairs that teach an embedding model the
+    * most (easy negatives are already far away; the hard ones sit
+    * just across the decision boundary). Same scale shape as
+    * [[bruteForceTopKJoin]]: the query batch broadcasts, the corpus
+    * is scored in place (never shuffled), the label filter prunes
+    * BEFORE ranking, and the per-query rank window is keyed on
+    * query_id. For corpus-sized query sets, mine per IVF bucket
+    * instead (ivfSearchBatch with a label predicate). */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).as("label"), toDoubleVec(col(vecCol)).as("v"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), toDoubleVec(col(vecCol)).as("qv"))
+    val cos = nativeCosine(emb.sparkSession)
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cos(col("v"), col("qv")).as("cos_raw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(col("cos_raw"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `k` dimensions with a
     * deterministic ±1 sign matrix — the dimensionality-reduction step
     * before indexing/clustering huge embedding sets (JL lemma: ±1

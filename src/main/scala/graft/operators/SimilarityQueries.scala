@@ -48,6 +48,14 @@ object SimilarityQueries extends QueryPack {
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5L),
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
     }),
+    // Hard-negative mining: top-5 most-similar DIFFERENT-label
+    // vectors per query — the contrastive-training pair generator
+    // (Similarity.hardNegatives scaladoc for the scale shape).
+    "q147_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5L),
+        "vec_id", "embedding", "label", k = 5)
+    }),
     // JL random projection 64→16 dims, deterministic md5-parity signs
     // (Similarity.jlProject scaladoc) — long-form (vec_id, j, proj),
     // every projection bit-identical to the oracle's recompute.
@@ -175,6 +183,28 @@ object SimilarityQueries extends QueryPack {
         | SELECT query_id, vec_id, round(c, 6) AS cosine,
         |  CAST(rk AS BIGINT) AS rank
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q147_hard_negatives" ->
+      s"""WITH $flatCte,
+        | lab AS (SELECT vec_id, label FROM embeddings),
+        | dots AS (SELECT q.vec_id AS query_id, f.vec_id,
+        |   sum(f.x * q.x) AS dp
+        |   FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id < 5
+        |   GROUP BY q.vec_id, f.vec_id),
+        | scored AS (SELECT query_id, d.vec_id, lf.label,
+        |   dp / (nf.nrm * nq.nrm) AS c
+        |  FROM dots d
+        |  JOIN norms nf ON d.vec_id = nf.vec_id
+        |  JOIN norms nq ON d.query_id = nq.vec_id
+        |  JOIN lab lf ON d.vec_id = lf.vec_id
+        |  JOIN lab lq ON d.query_id = lq.vec_id
+        |  WHERE lf.label <> lq.label),
+        | ranked AS (SELECT query_id, vec_id, label, c,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY c DESC, vec_id) AS rk
+        |  FROM scored)
+        | SELECT query_id, vec_id, label, round(c, 6) AS cosine,
+        |  CAST(rk AS BIGINT) AS rank
+        | FROM ranked WHERE rk <= 5""".stripMargin,
     "q118_recall_at_k" ->
       s"""WITH $flatCte,
         | dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(f.x * q.x)

@@ -43,6 +43,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives returns only other-label vectors, ranked by cosine") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat), (i % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" < 2),
+      "vec_id", "embedding", "label", k = 4).collect()
+    assert(got.length == 8) // 2 queries × 4
+    got.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(rows(v.toInt)._3 != rows(q.toInt)._3, s"same-label $q->$v")
+    }
+    // per query: ranks 1..4 with non-increasing cosine
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L, 4L))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions._
