@@ -113,6 +113,44 @@ object Similarity {
       .select(col(groupCol), col("dim"),
         round(col("sx").cast("double") / col("n"), 6).as("centroid"))
 
+  /** Label-noise screening by centroid agreement: a vector whose
+    * cosine to some OTHER label's centroid (exact decimal means,
+    * [[classCentroids]]) exceeds the cosine to its own is a mislabel
+    * suspect — the cheap first-pass dataset-QA gate before training
+    * on labeled embeddings. Returns per-label suspect tallies.
+    * Scale shape: centroids are |labels|·dim rows (tiny), pivoted to
+    * vectors and broadcast; the corpus is scored in place against all
+    * centroids (|labels| cosines per row, row-local), then one
+    * aggregate per (vec, label) and one per label. The corpus never
+    * shuffles with itself. Cosines are rounded to 6 places BEFORE the
+    * own-vs-other comparison so both engines compare identical
+    * constants. */
+  def labelNoiseByCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String): DataFrame = {
+    val cents = classCentroids(emb, labelCol, vecCol)
+      .groupBy(col(labelCol).as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("cs"))
+      .select(col("clabel"),
+        transform(col("cs"), s => s.getField("centroid")).as("cv"))
+    val cos = nativeCosine(emb.sparkSession)
+    val sims = emb.select(col(idCol).as("vec_id"),
+        col(labelCol).as("vlabel"), toDoubleVec(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("vlabel"), col("clabel"),
+        round(cos(col("v"), col("cv")), 6).as("c"))
+    sims.groupBy(col("vec_id"), col("vlabel"))
+      .agg(max(when(col("clabel") === col("vlabel"), col("c"))).as("own"),
+        max(when(col("clabel") =!= col("vlabel"), col("c")))
+          .as("best_other"))
+      .groupBy(col("vlabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("best_other") > col("own"), 1L).otherwise(0L))
+          .as("n_suspect"),
+        round(sum(when(col("best_other") > col("own"), 1.0)
+          .otherwise(0.0)) / count(lit(1)), 6).as("suspect_rate"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` most cosine-similar corpus vectors carrying a
     * DIFFERENT label — the pairs that teach an embedding model the

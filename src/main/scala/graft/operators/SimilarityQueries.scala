@@ -63,6 +63,12 @@ object SimilarityQueries extends QueryPack {
       Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
+    // Label-noise screening: per-label counts of vectors whose
+    // rounded cosine to another label's centroid beats their own —
+    // the mislabel-suspect gate (Similarity.labelNoiseByCentroid).
+    "q148_label_noise" -> ((s, d) =>
+      Similarity.labelNoiseByCentroid(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label")),
     // Per-label centroid vectors in long form (label, dim, centroid):
     // exact decimal per-dimension means, one shuffle.
     "q90_class_centroids" -> ((s, d) =>
@@ -271,6 +277,37 @@ object SimilarityQueries extends QueryPack {
         | SELECT vec_id, j, round(CAST(sx AS DOUBLE) / sqrt(16.0), 6)
         |   AS proj
         | FROM p""".stripMargin,
+    "q148_label_noise" ->
+      """WITH base AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | flat AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS i,
+        |   v[i] AS x
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | cent AS (SELECT label, i,
+        |   round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+        |     / count(*), 6) AS c
+        |  FROM flat GROUP BY 1, 2),
+        | cnorm AS (SELECT label, sqrt(sum(c * c)) AS cn
+        |  FROM cent GROUP BY 1),
+        | vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS vn
+        |  FROM flat GROUP BY 1),
+        | dots AS (SELECT f.vec_id, f.label AS vlabel, ce.label AS clabel,
+        |   sum(f.x * ce.c) AS dp
+        |  FROM flat f JOIN cent ce ON f.i = ce.i GROUP BY 1, 2, 3),
+        | sims AS (SELECT d.vec_id, d.vlabel, d.clabel,
+        |   round(dp / (vn.vn * cn.cn), 6) AS c
+        |  FROM dots d JOIN vnorm vn ON d.vec_id = vn.vec_id
+        |  JOIN cnorm cn ON d.clabel = cn.label),
+        | per AS (SELECT vec_id, vlabel,
+        |   max(CASE WHEN clabel = vlabel THEN c END) AS own,
+        |   max(CASE WHEN clabel <> vlabel THEN c END) AS best_other
+        |  FROM sims GROUP BY 1, 2)
+        | SELECT vlabel AS label, count(*) AS n,
+        |  CAST(sum(CASE WHEN best_other > own THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_suspect,
+        |  round(sum(CASE WHEN best_other > own THEN 1.0 ELSE 0.0 END)
+        |    / count(*), 6) AS suspect_rate
+        | FROM per GROUP BY 1""".stripMargin,
     "q90_class_centroids" ->
       """WITH flat AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |   CAST(CAST(embedding AS DOUBLE[])[i] AS DECIMAL(18,9)) AS x

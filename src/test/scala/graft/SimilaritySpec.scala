@@ -66,6 +66,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("labelNoiseByCentroid flags a planted mislabel") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // two tight clusters around orthogonal directions; vec 20 sits in
+    // cluster 0's direction but carries label 1 → must be the one
+    // suspect; everything else agrees with its own centroid
+    val rnd = new scala.util.Random(3)
+    def near(base: Int) = Seq.tabulate(8)(i =>
+      (if (i == base) 1.0 else 0.0) + rnd.nextDouble() * 0.01)
+      .map(_.toFloat)
+    val rows = (0L until 10L).map(i => (i, near(0), 0)) ++
+      (10L until 20L).map(i => (i, near(4), 1)) :+
+      ((20L, near(0), 1))
+    val got = Similarity.labelNoiseByCentroid(
+        rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0) == (10L, 0L)) // label 0: clean
+    assert(got(1) == (11L, 1L)) // label 1: exactly the planted suspect
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions._
