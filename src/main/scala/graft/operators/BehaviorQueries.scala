@@ -27,6 +27,29 @@ object BehaviorQueries extends QueryPack {
   private val usPerDay = 86400000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Out-of-order depth accounting: how far events arrive behind the
+    // per-user event-time high-water mark, using insertion order
+    // (event_id) as the arrival axis — THE diagnostic that sizes a
+    // streaming watermark (EventStreams scaladoc: withWatermark must
+    // exceed the observed disorder or late rows drop). depth =
+    // running max(ts) − ts over arrival order, all exact integer µs;
+    // one keyed window shuffle on user_id, then a per-type rollup.
+    "q149_disorder" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us(col("ts")).as("t"))
+        .withColumn("depth", max(col("t")).over(w) - col("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("depth") > 0L, 1L).otherwise(0L)).as("n_late"),
+          max(col("depth")).as("max_depth_us"),
+          round(sum(when(col("depth") > 0L, col("depth")).otherwise(0L))
+            .cast("double") /
+            greatest(sum(when(col("depth") > 0L, 1L).otherwise(0L)),
+              lit(1L)), 6).as("avg_late_depth_us"))
+    }),
     // Markov transition matrix over event types: per-user consecutive
     // event pairs (lead inside the user_id window), counted globally,
     // with row-normalized transition probabilities. The per-from
@@ -154,6 +177,22 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_disorder" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS t FROM events),
+        | d AS (SELECT event_type,
+        |   max(t) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+        |     AS depth
+        |  FROM ev)
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  max(depth) AS max_depth_us,
+        |  round(sum(CASE WHEN depth > 0 THEN depth ELSE 0 END) * 1.0
+        |    / greatest(sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END), 1),
+        |    6) AS avg_late_depth_us
+        | FROM d GROUP BY event_type""".stripMargin,
     "q142_transitions" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |   event_type FROM events),

@@ -341,6 +341,36 @@ object CurationQueries extends QueryPack {
     // sources), never via a gram×gram self-join. Exact-count strings
     // here (the matrix is a governance artifact); the 100 TB path
     // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    // Per-source KL divergence from the corpus unigram distribution —
+    // the mixture-design stat that says which sources are redundant
+    // (KL≈0: indistinguishable from the mixture) vs distinctive
+    // (high KL: dropping them loses coverage). Determinism: the log
+    // argument is a ratio of exact INTEGER products (cws·n)/(cw·ns) —
+    // identical doubles in both engines — and each term is rounded to
+    // 9 places then summed as exact DECIMAL, so the per-source sum is
+    // independent of partition/summation order (a raw double sum over
+    // a vocabulary-sized term set is not). Shape: one shuffle keyed on
+    // (source, word), the global word counts REUSE that aggregate
+    // (keyed join on word), scalars ride in broadcast.
+    "q150_source_kl" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val sc = Tables.documents(s, d)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cws"))
+      val st = sc.groupBy(col("source")).agg(sum(col("cws")).as("ns"))
+      val gc = sc.groupBy(col("w")).agg(sum(col("cws")).as("cw"))
+      val gt = gc.agg(sum(col("cw")).as("n"))
+      val term = (col("cws").cast("double") / col("ns")) *
+        log((col("cws") * col("n")).cast("double") /
+          (col("cw") * col("ns")).cast("double"))
+      sc.join(gc, "w")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(gt))
+        .select(col("source"), round(term, 9).cast(dec).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("t")).cast("double"), 6).as("kl_nats"))
+    }),
     // Token-budget corpus mixing: equalize the mixture by capping every
     // source at the SMALLEST source's total token count, then select
     // documents deterministically — order each source's docs by a
@@ -413,6 +443,23 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_source_kl" ->
+      """WITH toks AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | sc AS (SELECT source, w, count(*) AS cws FROM toks
+        |  GROUP BY 1, 2),
+        | st AS (SELECT source, sum(cws) AS ns FROM sc GROUP BY 1),
+        | gc AS (SELECT w, sum(cws) AS cw FROM sc GROUP BY 1),
+        | gt AS (SELECT sum(cw) AS n FROM gc),
+        | terms AS (SELECT sc.source,
+        |   CAST(round((CAST(sc.cws AS DOUBLE) / st.ns) *
+        |     ln(CAST(sc.cws * gt.n AS DOUBLE)
+        |       / CAST(gc.cw * st.ns AS DOUBLE)), 9)
+        |     AS DECIMAL(28,12)) AS t
+        |  FROM sc JOIN gc USING (w) JOIN st USING (source), gt)
+        | SELECT source, count(*) AS n_terms,
+        |  round(CAST(sum(t) AS DOUBLE), 6) AS kl_nats
+        | FROM terms GROUP BY source""".stripMargin,
     "q141_corpus_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
