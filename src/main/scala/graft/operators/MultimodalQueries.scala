@@ -46,6 +46,32 @@ object MultimodalQueries extends QueryPack {
     "q61_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(media(s, d, "audio"), windowSamples = 32)
         .toDF()),
+    // Voice-activity segments: gap-islands over the audio energy
+    // windows (q61's decode) — consecutive windows whose normalized
+    // energy beats the clip's own mean become one segment, the
+    // speech/silence splitter of audio training prep. The activity
+    // test cross-multiplies exact integers (energy·tn > te·n), the
+    // clip totals ride back via broadcast, and the island ids come
+    // from the classic window_no − row_number trick inside the
+    // media_id partition — one keyed shuffle end to end.
+    "q151_vad_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val en = Multimodal.audioEnergy(media(s, d, "audio"),
+        windowSamples = 32).toDF()
+      val tot = en.groupBy(col("media_id"))
+        .agg(sum(col("energy")).as("te"),
+          sum(col("n_samples").cast("long")).as("tn"))
+      val act = en.join(broadcast(tot), "media_id")
+        .filter(col("energy") * col("tn") > col("te") * col("n_samples"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("window_no"))
+      act.withColumn("grp", col("window_no") - row_number().over(w))
+        .groupBy(col("media_id"), col("grp"))
+        .agg(min(col("window_no")).as("seg_start"),
+          max(col("window_no")).as("seg_end"),
+          count(lit(1)).cast("long").as("n_windows"))
+        .select(col("media_id"), col("seg_start"), col("seg_end"),
+          col("n_windows"))
+    }),
     // Video → frame features → mean-pooled per-video embedding: the
     // frame-encoder + pooling shape of multimodal training prep. The
     // stub encoder runs per-partition; the pool is a declarative
@@ -207,6 +233,26 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
         |  CAST(count(*) AS INT) AS n_samples
         | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    "q151_vad_segments" ->
+      s"""WITH ${cpCte(1)},
+        | en AS (SELECT doc_id AS media_id,
+        |   CAST((i - 1) // 32 AS INT) AS window_no,
+        |   CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
+        |   CAST(count(*) AS BIGINT) AS n_samples
+        |  FROM b GROUP BY doc_id, (i - 1) // 32),
+        | tot AS (SELECT media_id, sum(energy) AS te,
+        |   sum(n_samples) AS tn FROM en GROUP BY 1),
+        | act AS (SELECT e.media_id, e.window_no
+        |  FROM en e JOIN tot t USING (media_id)
+        |  WHERE e.energy * t.tn > t.te * e.n_samples),
+        | g AS (SELECT media_id, window_no,
+        |   window_no - row_number() OVER (PARTITION BY media_id
+        |     ORDER BY window_no) AS grp
+        |  FROM act)
+        | SELECT media_id, CAST(min(window_no) AS INT) AS seg_start,
+        |  CAST(max(window_no) AS INT) AS seg_end,
+        |  count(*) AS n_windows
+        | FROM g GROUP BY media_id, grp""".stripMargin,
     "q119_frame_embed_pool" ->
       s"""WITH ${cpCte(2)},
         | fr AS (SELECT doc_id AS media_id,
