@@ -36,6 +36,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q149 disorder depth prescribes the watermark: sized keeps late rows, undersized drops") {
+    implicit val sq = spark.sqlContext
+    // arrival order (event_id): 1000s, 4000s, then 1500s — the last
+    // row lags the event-time high-water mark by 2500s. q149's batch
+    // stat computes exactly that depth...
+    val early = Seq(ev(1, 1000, 1), ev(2, 4000, 1))
+    val late = ev(3, 1500, 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val depthSec = (early :+ late).toDF()
+      .withColumn("d", max($"ts").over(w) - $"ts")
+      .agg(max($"d")).collect()(0).getLong(0) / 1000000000L
+    assert(depthSec == 2500L)
+    // ...so a watermark above 2500s must keep the late row and one
+    // below must drop it from the streaming aggregate.
+    def totalCounted(watermark: String): Long = {
+      val input = MemoryStream[Event]
+      val agg = EventStreams.tumblingAgg(
+        EventStreams.withEventTime(input.toDF()), "1 hour", Some(watermark))
+      val name = s"disorder_${watermark.replaceAll("\\W", "_")}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(early: _*)
+        q.processAllAvailable() // watermark advances to 4000s − delay
+        input.addData(late)
+        q.processAllAvailable()
+        input.addData(ev(4, 100000, 1)) // flush: finalize hours 0 and 1
+        q.processAllAvailable()
+        spark.table(name).agg(sum($"n")).collect()(0).getLong(0)
+      } finally q.stop()
+    }
+    assert(totalCounted("1 hour") == 3L) // 3600s ≥ 2500s: late row kept
+    assert(totalCounted("5 minutes") == 2L) // 300s < 2500s: dropped
+  }
+
   test("stateful sessionizer closes sessions via event-time timeout") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
