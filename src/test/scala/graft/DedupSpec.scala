@@ -107,6 +107,33 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(loose((3L, 1L)) - 8.0 / 11.0) < 1e-6)
   }
 
+  test("containment pairs match brute force on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0L until 24L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val n = 2
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val tau = 0.6
+    val expected = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia != ib
+      sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size if c >= tau
+    } yield (ia, ib) -> math.rint(c * 1e6) / 1e6).toMap
+    val got = Dedup.containmentPairs(corpus.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", n, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9) }
+  }
+
   test("ngram jaccard computes exact similarity") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
