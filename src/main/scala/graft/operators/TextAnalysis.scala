@@ -115,6 +115,52 @@ object TextAnalysis {
     * identical in Java regex and RE2). */
   val tokenRegex = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
+  /** Duplicated-substring span extraction (public ExactSubstr
+    * result — Lee et al. 2022 — as a fixed-L distributed recast): per
+    * document, the maximal word spans covered by length-`L` word
+    * grams occurring at least `minOccurs` times in the whole corpus
+    * (intra- or cross-document). Cutting these spans beats dropping
+    * whole near-dup documents for memorization reduction. Output:
+    * (doc_id, span_start, span_end, span_words, n_dup_grams), word
+    * positions 0-based inclusive.
+    *
+    * Scale shape: positional grams hash to 8-byte keys for the
+    * occurrence-count window — near-uniform key distribution, one
+    * exchange — then the interval merge (lag + prefix-sum island ids)
+    * runs entirely inside the doc_id partition: two keyed shuffles
+    * total, no suffix array, nothing quadratic. Hash collisions can
+    * only merge two distinct grams (2⁻⁶⁴·|grams|² odds — the q44
+    * caveat), never split a real span. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      l: Int, minOccurs: Long = 2L): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= l)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("w")) - (l - 1)),
+        i => xxhash64(array_join(slice(col("w"), i, lit(l)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("g"))
+    val dup = grams
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("k") >= minOccurs)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("nf",
+        when(col("prev").isNull || col("pos") > col("prev") + l, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("nf")).over(byDoc
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (l - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("n_dup_grams"))
+  }
+
   def wsTokens(t: Column): Column = size(words(t)).cast("long")
   def reTokens(t: Column): Column =
     size(regexp_extract_all(t, lit(tokenRegex), lit(0))).cast("long")

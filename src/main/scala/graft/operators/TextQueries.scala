@@ -96,6 +96,26 @@ object TextQueries extends QueryPack {
         docs.filter(col("doc_id") < 25L), "doc_id", "text", n = 5)
     }),
     // Exact frequent word-bigrams (heavy hitters), top 20.
+    // Duplicated-substring SPAN extraction — the actionable complement
+    // to q124's rate (public ExactSubstr result: cutting repeated
+    // spans beats dropping whole near-dup docs): per document, the
+    // maximal word spans covered by 8-grams that occur ≥2 times in
+    // the corpus. Corpus is salted with appended-tail mutations of the
+    // even docs (DedupQueries' derivation), so originals dup
+    // end-to-end while each mutation's tail grams stay unique — the
+    // span-merge must clip there, which the oracle checks. Shape:
+    // positional grams hash to 8-byte keys for the occurrence-count
+    // window (near-uniform keys, one exchange — q124's pattern), then
+    // interval merge runs entirely inside the doc_id partition
+    // (lag + prefix-sum island ids): two keyed shuffles total, nothing
+    // quadratic, no suffix array needed for fixed-L spans.
+    "q152_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+      TextAnalysis.duplicatedSpans(corpus, "doc_id", "text", l = 8)
+    }),
     // BPE merge-candidate statistics: the inner loop of byte-pair-
     // encoding tokenizer training — corpus-wide counts of adjacent
     // character pairs inside words, i.e. the table whose argmax is the
@@ -234,6 +254,36 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q152_dup_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text || ' zq0 zq1 zq2' AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |    || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |    || ' ' || w[i+7] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        | k AS (SELECT doc_id, pos,
+        |   count(*) OVER (PARTITION BY g) AS k FROM grams),
+        | dup AS (SELECT doc_id, pos FROM k WHERE k >= 2),
+        | m AS (SELECT doc_id, pos,
+        |   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM dup),
+        | f AS (SELECT doc_id, pos,
+        |   CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END
+        |     AS nf FROM m),
+        | isl AS (SELECT doc_id, pos,
+        |   sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f)
+        | SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 7 AS span_end,
+        |  max(pos) + 7 - min(pos) + 1 AS span_words,
+        |  count(*) AS n_dup_grams
+        | FROM isl GROUP BY doc_id, isl""".stripMargin,
     "q144_bpe_pairs" ->
       """WITH wf AS (SELECT w AS word, count(*) AS f FROM (
         |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -14,6 +14,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     (3L, "x")
   ).toDF("doc_id", "text")
 
+  test("duplicatedSpans merges overlapping repeats and clips at unique tails") {
+    // the 8-word phrase "a b c d e f g h" appears in docs 1, 2 (offset
+    // by 2), and 3; docs 4 and 5 are verbatim copies of each other
+    val corpus = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "p q a b c d e f g h r"),
+      (3L, "a b c d e f g h i"),
+      (4L, "m n o p q r s t u v w0 w1"),
+      (5L, "m n o p q r s t u v w0 w1"),
+      (6L, "totally unrelated words nothing repeats here at all ok")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(corpus, "doc_id", "text", l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 7L, 8L, 1L), // shared phrase at pos 0; tail x y z unique
+      (2L, 2L, 9L, 8L, 1L), // same phrase offset 2; p q / r clipped
+      (3L, 0L, 7L, 8L, 1L), // pos-1 gram "b..i" unique → span clips
+      (4L, 0L, 11L, 12L, 5L), // verbatim copies: one merged full span
+      (5L, 0L, 11L, 12L, 5L)))
+  }
+
   test("frequentNgrams counts overlapping bigrams, freq-desc/gram-asc") {
     val out = TextAnalysis.frequentNgrams(docs, "text", n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
