@@ -71,6 +71,29 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             Dedup.md5Hash60(col("shingle")).as("shingle")),
         maxHamming = 3, bits = 60)),
+    // Leakage-safe train/test split: assign documents to splits by
+    // hashing their near-dup CLUSTER root, not their own id — so a
+    // document and all its near-duplicates land in the SAME split and
+    // the test set can never be contaminated by a training-set twin
+    // (hash-of-doc_id splitting, q71, has exactly that leak on this
+    // corpus: every mutation pair would split independently).
+    // Composition: MinHash-LSH pairs → connected components → root =
+    // cluster min id (own id when unclustered) → split by the q71
+    // hash of the root. The oracle recomputes the full transitive
+    // closure recursively, so cluster-atomicity of the split is
+    // verified, not assumed.
+    "q153_leakage_safe_split" -> ((s, d) => {
+      val c = corpus(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(c, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, tau = 0.5))
+      c.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("root"))
+        .withColumn("split",
+          when(pmod(col("root") * 2654435761L, lit(100L)) < 80,
+            lit("train")).otherwise(lit("test")))
+    }),
     // Containment dedup: ordered pairs where ≥90% of doc_a's word
     // 3-gram set appears in doc_b — catches doc-inside-doc duplication
     // (the corpus mutations contain their originals verbatim, so every
@@ -195,6 +218,36 @@ object DedupQueries extends QueryPack {
         | JOIN sizes sa ON da = sa.doc_id
         | JOIN sizes sb ON db = sb.doc_id
         | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q153_leakage_safe_split" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | edges AS (SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        | walk(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v),
+        | cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+        |  FROM walk GROUP BY v),
+        | rooted AS (SELECT c.doc_id,
+        |   coalesce(cl.cluster_id, c.doc_id) AS root
+        |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id)
+        | SELECT doc_id, root,
+        |  CASE WHEN (root * 2654435761) % 100 < 80
+        |   THEN 'train' ELSE 'test' END AS split
+        | FROM rooted""".stripMargin,
     "q81_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
