@@ -160,6 +160,60 @@ object AnalyticsQueries extends QueryPack {
     // ranking is needed): one shuffle on o_custkey, integer day
     // arithmetic, decimal-exact monetary. The dataset-max date rides
     // in as a broadcast scalar (crossJoin of a 1-row aggregate).
+    // Column profile (ANALYZE-style data profiling): per numeric
+    // lineitem column — count, nulls, exact distinct, min, max — in
+    // ONE scan: Spark expands the multi-countDistinct into a single
+    // Expand + aggregate pipeline (the oracle needs a UNION of five
+    // scans for the same answer). n_distinct == n exposes key
+    // candidates; this is the first query every pipeline runs against
+    // an unfamiliar 100-TB table, and the single-pass plan is what
+    // makes it affordable there.
+    "q154_column_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))
+      }
+      val n = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      n.select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))): _*))
+          .as("p"))
+        .select(col("p.column_name"), col("p.n_rows"), col("p.n_null"),
+          col("p.n_distinct"), col("p.min_v"), col("p.max_v"))
+    }),
+    // Referential-integrity audit: orphan-FK counts over the schema's
+    // four edges in one result — the join-quality gate before trusting
+    // any enrichment at scale. Each edge is a distinct-key anti-join
+    // (left_anti on the parent PK), counted; the child side aggregates
+    // to its distinct FK values FIRST, so the anti-join runs on key
+    // sets, not row sets.
+    "q155_fk_audit" -> ((s, d) => {
+      def orphans(child: DataFrame, fk: String, parent: DataFrame,
+                  pk: String, edge: String): DataFrame = {
+        val fks = child.select(col(fk).as("k")).filter(col("k").isNotNull)
+          .distinct()
+        fks.join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_keys"))
+          .crossJoin(fks.agg(count(lit(1)).as("n_fk_keys")))
+          .select(lit(edge).as("fk_edge"), col("n_fk_keys"),
+            col("n_orphan_keys"))
+      }
+      orphans(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer")
+        .unionAll(orphans(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders"))
+        .unionAll(orphans(Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem->part"))
+        .unionAll(orphans(Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", "lineitem->supplier"))
+    }),
     // Winsorized robust statistics per event type: clamp values at the
     // exact [p05, p95] percentiles (ROUNDED to 6 places first, so both
     // engines clamp against identical constants — the raw interpolated
@@ -225,6 +279,30 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_column_profile" -> Seq("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v,
+           | CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
+      }.mkString("\n UNION ALL\n"),
+    "q155_fk_audit" -> Seq(
+        ("orders->customer", "o_custkey", "orders", "c_custkey",
+          "customer"),
+        ("lineitem->orders", "l_orderkey", "lineitem", "o_orderkey",
+          "orders"),
+        ("lineitem->part", "l_partkey", "lineitem", "p_partkey", "part"),
+        ("lineitem->supplier", "l_suppkey", "lineitem", "s_suppkey",
+          "supplier")).map { case (edge, fk, child, pk, parent) =>
+        s"""SELECT '$edge' AS fk_edge,
+           | (SELECT count(DISTINCT $fk) FROM $child
+           |   WHERE $fk IS NOT NULL) AS n_fk_keys,
+           | (SELECT count(*) FROM (
+           |   SELECT DISTINCT $fk AS k FROM $child WHERE $fk IS NOT NULL)
+           |   WHERE k NOT IN (SELECT $pk FROM $parent)) AS n_orphan_keys
+           |""".stripMargin
+      }.mkString("\n UNION ALL\n"),
     "q143_winsorize" ->
       """WITH b AS (SELECT event_type,
         |   round(quantile_cont(value, 0.05), 6) AS lo,

@@ -203,8 +203,11 @@ object Similarity {
     // one-row dimension probe (vectors are uniform-width by contract);
     // deriving dims from flat.distinct() would cost a full corpus scan
     // + exchange just to learn a constant
-    val dim = emb.select(size(toDoubleVec(col(vecCol))).as("d"))
-      .limit(1).collect()(0).getInt(0)
+    val probe = emb.select(size(toDoubleVec(col(vecCol))).as("d"))
+      .limit(1).collect()
+    // empty corpus → zero-dim sign matrix → empty (correctly-typed)
+    // projection, instead of an out-of-bounds probe
+    val dim = if (probe.isEmpty) 0 else probe(0).getInt(0)
     val js = emb.sparkSession.range(k).select(col("id").as("j"))
     val signs = emb.sparkSession.range(dim).select(col("id").as("i"))
       .crossJoin(js)
