@@ -341,6 +341,27 @@ object CurationQueries extends QueryPack {
     // sources), never via a gram×gram self-join. Exact-count strings
     // here (the matrix is a governance artifact); the 100 TB path
     // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    // RELATIVE quality gating: keep each source's top 70% of documents
+    // by token count — absolute gates (q129) misfire when sources have
+    // different length profiles; the relative form calibrates itself
+    // per source, which is how production quality gates are actually
+    // run. Entirely integer arithmetic (rn·10 ≤ n·7 — no percent_rank
+    // doubles to drift), deterministic tie order (n_words desc,
+    // doc_id). Both windows share the source partitioning → ONE
+    // exchange; rank and count run inside it.
+    "q156_relative_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), size(words(col("text"))).cast("long").as("n_words"))
+      val bySrc = Window.partitionBy(col("source"))
+      docs
+        .withColumn("rn", row_number().over(
+          bySrc.orderBy(col("n_words").desc, col("doc_id").asc))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(bySrc).cast("long"))
+        .filter(col("rn") * 10L <= col("n") * 7L)
+        .select(col("doc_id"), col("source"), col("n_words"), col("rn"),
+          col("n"))
+    }),
     // Per-source KL divergence from the corpus unigram distribution —
     // the mixture-design stat that says which sources are redundant
     // (KL≈0: indistinguishable from the mixture) vs distinctive
@@ -443,6 +464,17 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_relative_gate" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents),
+        | r AS (SELECT doc_id, source, n_words,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_words DESC, doc_id ASC) AS rn,
+        |   count(*) OVER (PARTITION BY source) AS n
+        |  FROM docs)
+        | SELECT doc_id, source, n_words, rn, n FROM r
+        | WHERE rn * 10 <= n * 7""".stripMargin,
     "q150_source_kl" ->
       """WITH toks AS (SELECT source,
         |   unnest(string_split(text, ' ')) AS w FROM documents),
