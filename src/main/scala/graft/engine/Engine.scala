@@ -46,6 +46,11 @@ class Engine(val spark: SparkSession, root: String,
 
   spark.udf.register("now_integral", udaf(new IntegralAggregator))
 
+  // built-in pipeline procedures (dedup/ANN/curation over scope
+  // tables) — preinstalled per session like the reference's proc
+  // manager modules; see PipelineProcs
+  PipelineProcs.install(this)
+
   private val attachedTimeCols = mutable.Map.empty[String, Set[String]]
 
   /** Mount an external DataFrame as a queryable table (tests, bench,

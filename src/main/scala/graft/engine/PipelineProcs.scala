@@ -1,0 +1,81 @@
+package graft.engine
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Built-in pipeline procedures: the modern training-data operators
+  * exposed through the reference's own procedure surface
+  * (`EXEC name(args)` — grammar nowdbsql.y:369-375, dispatch
+  * stmt.c:1791-1845), so a wire-protocol client can run dedup/ANN/
+  * curation against scope tables without writing any Scala. Installed
+  * on every Engine at construction, exactly like the reference's proc
+  * manager preloading server-side modules (scope/procman.c).
+  *
+  * Procs receive the INVOKING session (the reference's re-entrancy
+  * contract): table arguments resolve through `Engine.tableDf`, so
+  * attached frames, scope tables, and period-pruned stamped edges all
+  * work, and results come back as `Rows` — SELECT-shaped, pageable
+  * through the same cursor machinery as any query.
+  */
+object PipelineProcs {
+
+  private def str(a: Any): String = a match {
+    case s: String => s
+    case other => other.toString
+  }
+  private def lng(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case d: Double => d.toLong
+    case s: String => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"expected integer argument, got $other")
+  }
+  private def dbl(a: Any): Double = a match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: String => s.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected numeric argument, got $other")
+  }
+
+  def install(e: Engine): Unit = {
+    // exact dedup: (table, idCol, textCol) → (fp, keep_id, n_copies)
+    e.registerProcedure("dedup_exact", (eng, args) => {
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(Dedup.exact(eng.tableDf(t), id, tx))
+    })
+    // near-dup pairs: (table, idCol, textCol, tau) — MinHash k=32,
+    // 16 bands × 2, word 3-gram shingles, exact-Jaccard verified
+    e.registerProcedure("dedup_near", (eng, args) => {
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(Dedup.minhashNearDupPairs(eng.tableDf(t), id, tx,
+        shingleN = 3, k = 32, bands = 16, tau = dbl(args(3))))
+    })
+    // duplicated spans: (table, idCol, textCol, L)
+    e.registerProcedure("dup_spans", (eng, args) => {
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(TextAnalysis.duplicatedSpans(eng.tableDf(t), id, tx,
+        l = lng(args(3)).toInt))
+    })
+    // language ID: (table, idCol, textCol)
+    e.registerProcedure("lang_id", (eng, args) => {
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(TextAnalysis.languageId(eng.tableDf(t), id, tx))
+    })
+    // quality scores: (table, idCol, textCol)
+    e.registerProcedure("quality", (eng, args) => {
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(TextAnalysis.qualityScore(eng.tableDf(t), id, tx))
+    })
+    // brute-force ANN: (table, idCol, vecCol, queryId, k)
+    e.registerProcedure("ann_topk", (eng, args) => {
+      val Seq(t, id, vc) = args.take(3).map(str)
+      val df = eng.tableDf(t)
+      import org.apache.spark.sql.functions.col
+      Rows(Similarity.bruteForceTopKJoin(df,
+        df.filter(col(id) === lng(args(3))), id, vc, id, vc,
+        k = lng(args(4)).toInt))
+    })
+  }
+}

@@ -367,6 +367,30 @@ class EngineSpec extends AnyFunSuite {
     assert(pl.length == 1 && pl(0).getString(0).contains("FileScan"), pl)
   }
 
+  test("built-in pipeline procs run over attached tables via EXEC") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "an unrelated piece of text about columnar query engines")
+    ).toDF("doc_id", "text")
+    eng.attachTable("pdocs", docs)
+    val exact = rows(eng.sql("exec dedup_exact('pdocs', 'doc_id', 'text')"))
+    assert(exact.length == 2) // docs 1,2 collapse
+    val near = rows(eng.sql("exec dedup_near('pdocs', 'doc_id', 'text', 0.5)"))
+    assert(near.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val spans = rows(eng.sql("exec dup_spans('pdocs', 'doc_id', 'text', 8)"))
+    // the duplicated 10-word doc yields one full span in each copy
+    assert(spans.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(rows(eng.sql("exec quality('pdocs', 'doc_id', 'text')"))
+      .length == 3)
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    eng.attachTable("pvecs", vecs)
+    val ann = rows(eng.sql("exec ann_topk('pvecs', 'vec_id', 'embedding', 0, 1)"))
+    assert(ann.length == 1 && ann(0).getLong(1) == 1L) // nearest ≠ self
+  }
+
   test("drop and if-exists behavior") {
     ok(eng.sql("drop index idx_buys"))
     assert(eng.sql("drop index idx_buys") match {
