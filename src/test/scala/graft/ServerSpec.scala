@@ -45,6 +45,20 @@ class ServerSpec extends AnyFunSuite {
       // a failing statement reports -err and the session survives
       assert(c1.send("select nope from nowhere").head.startsWith("-err"))
       assert(c1.send("select id from gadget").head.startsWith("+cursor"))
+      // built-in pipeline procs are EXEC-able over the wire and their
+      // results page through the same cursor machinery
+      assert(c1.send("create type doc (id uint pk, body text)")
+        .head.startsWith("+ok"))
+      assert(c1.send("insert into doc (id, body) (1, 'same text')")
+        .head.startsWith("+ok"))
+      assert(c1.send("insert into doc (id, body) (2, 'same text')")
+        .head.startsWith("+ok"))
+      assert(c1.send("insert into doc (id, body) (3, 'other text')")
+        .head.startsWith("+ok"))
+      val (dh, dr) = c1.query("exec dedup_exact('doc', 'id', 'body')")
+      assert(dh == Seq("fp", "keep_id", "n_copies"))
+      assert(dr.map(r => (r(1).toLong, r(2).toLong)).toSet ==
+        Set((1L, 2L), (3L, 1L)))
       c1.close()
       c2.close()
     } finally srv.stop()
