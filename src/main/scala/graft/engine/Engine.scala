@@ -751,6 +751,28 @@ class Engine(val spark: SparkSession, root: String,
     case _ => false
   }
 
+  /** Inline select-item aliases into an expression (HAVING may refer
+    * to output aliases — `having q > 5` with `sum(x) as q` — which
+    * must resolve to the underlying aggregate when the predicate is
+    * evaluated inside the aggregation). */
+  private def substAliases(e: Expr, aliases: Map[String, Expr]): Expr =
+    e match {
+      case Field(n, None) if aliases.contains(n.toLowerCase) =>
+        aliases(n.toLowerCase)
+      case FnCall(n, args) => FnCall(n, args.map(substAliases(_, aliases)))
+      case BinOp(o, l, r) =>
+        BinOp(o, substAliases(l, aliases), substAliases(r, aliases))
+      case UnOp(o, x) => UnOp(o, substAliases(x, aliases))
+      case InList(x, vs, neg) =>
+        InList(substAliases(x, aliases), vs.map(substAliases(_, aliases)),
+          neg)
+      case IsNull(x, neg) => IsNull(substAliases(x, aliases), neg)
+      case CaseExpr(bs, o) => CaseExpr(
+        bs.map(b => (substAliases(b._1, aliases), substAliases(b._2, aliases))),
+        o.map(substAliases(_, aliases)))
+      case other => other
+    }
+
   /** Build a Column where aggregate calls become agg expressions and
     * everything else builds normally. */
   private def buildWithAggs(e: Expr, ctx: ExprBuilder.Ctx): Column =
@@ -915,15 +937,36 @@ class Engine(val spark: SparkSession, root: String,
             Some(any_value(ExprBuilder.build(e, ctx)).as(nm))
         }
       }
+      // HAVING resolution: inline select aliases first (`having q > 5`
+      // → `having sum(x) > 5`), then route by shape — predicates over
+      // aggregates (projected or not: `having sum(a) >= 100` with no
+      // sum(a) in the select list is legal SQL) evaluate INSIDE the
+      // aggregation as a hidden boolean column; key-only predicates
+      // filter the projected output.
+      val aliasMap = sel.items
+        .flatMap(it => it.alias.map(_.toLowerCase -> it.expr)).toMap
+      val havingRes = sel.having.map(substAliases(_, aliasMap))
+      val (aggHaving, keyHaving) = havingRes match {
+        case Some(h) if containsAgg(h) => (Some(h), None)
+        case other => (None, other)
+      }
+      val hvCol = aggHaving.map(h =>
+        buildWithAggs(h, ctx).as("__graft_having"))
       // GROUP BY with no aggregates = distinct keys (the reference's
-      // KRANGE keys-only fast path, plan.c:1635-1644)
-      if (aggCols.isEmpty)
-        return filtered.select(sel.groupBy.map(f =>
+      // KRANGE keys-only fast path, plan.c:1635-1644) — unless an
+      // aggregate HAVING forces a real aggregation anyway
+      if (aggCols.isEmpty && hvCol.isEmpty) {
+        val d = filtered.select(sel.groupBy.map(f =>
           ExprBuilder.build(f, ctx).as(f.name)): _*).distinct()
+        return keyHaving.fold(d)(h => d.filter(ExprBuilder.build(h)))
+      }
+      val allAggs = aggCols ++ hvCol
       val grouped =
-        if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggCols.head,
-          aggCols.tail: _*)
-        else filtered.agg(aggCols.head, aggCols.tail: _*)
+        if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(allAggs.head,
+          allAggs.tail: _*)
+        else filtered.agg(allAggs.head, allAggs.tail: _*)
+      val groupedF = if (hvCol.isDefined)
+        grouped.filter(col("__graft_having")) else grouped
       // project in declared item order (keys keep their names)
       val outCols = sel.items.zipWithIndex.map { case (it, i) =>
         it.expr match {
@@ -932,9 +975,8 @@ class Engine(val spark: SparkSession, root: String,
           case e => col(it.alias.getOrElse(defaultName(e, i)))
         }
       }
-      val out0 = grouped.select(outCols: _*)
-      val out = sel.having.fold(out0)(h =>
-        out0.filter(ExprBuilder.build(h)))
+      val out0 = groupedF.select(outCols: _*)
+      val out = keyHaving.fold(out0)(h => out0.filter(ExprBuilder.build(h)))
       if (sel.orderBy.nonEmpty) out.orderBy(orderCols(sel.orderBy): _*)
       else out
     } else {

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Engine, Rows}
+
+/** Statement-level differential fuzzing: random SELECTs (projection,
+  * WHERE, GROUP BY, HAVING, ORDER BY, LIMIT compositions) run through
+  * the FULL NowDB-dialect path (Parser → Engine.buildSelect →
+  * Catalyst) and through Spark SQL's own parser on the same data —
+  * two independent front-ends, one expected answer. Complements
+  * FormulaPropertySpec (expression-level) with clause-composition
+  * coverage: alias scoping, HAVING over aliased aggregates, ORDER/
+  * LIMIT interaction. Restricted to the subset where dialect
+  * semantics equal ANSI (always GROUP BY — nowdb's empty-global-agg
+  * conventions differ by design; no int/int division — QUOT differs
+  * by design and is covered by q75/FormulaPropertySpec).
+  */
+class EngineDqlFuzzSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("150 random DQL clause compositions: dialect engine == Spark SQL") {
+    val rnd = new scala.util.Random(4242)
+    val data = (0 until 400).map { i =>
+      (i.toLong % 11, rnd.nextInt(100).toLong,
+        math.rint(rnd.nextDouble() * 10000) / 100.0, "s" + (i % 7))
+    }
+    val df = data.toDF("k", "a", "b", "s")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz").toString)
+    eng.attachTable("fz", df)
+    df.createOrReplaceTempView("fz_v")
+
+    val aggPool = Seq("sum(a)", "min(b)", "max(a)", "count(*)",
+      "sum(b)", "min(a)", "max(b)", "count(a)")
+    val wherePool = Seq("a > 50", "b <= 42.5", "s = 's3'",
+      "a >= 10 and b < 90.0", "k <> 4", "s in ('s1', 's2', 's5')",
+      "not (a < 20)", "b > 10.0 or a > 80")
+    val havingPool = Seq("count(*) > 2", "sum(a) >= 100",
+      "min(b) < 50.0", "max(a) > 10")
+
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+
+    for (i <- 0 until 150) {
+      val nAgg = 1 + rnd.nextInt(3)
+      val aggs = rnd.shuffle(aggPool).take(nAgg).zipWithIndex
+        .map { case (a, j) => s"$a as g$j" }
+      val where = if (rnd.nextBoolean()) s" where ${pick(wherePool)}" else ""
+      val having = if (rnd.nextInt(3) == 0) s" having ${pick(havingPool)}"
+        else ""
+      // ORDER BY the grouping key (unique per group) keeps LIMIT
+      // prefixes deterministic in both engines
+      val tail = if (rnd.nextInt(3) == 0)
+        s" order by k limit ${1 + rnd.nextInt(8)}"
+      else ""
+      def q(t: String) =
+        s"select k, ${aggs.mkString(", ")} from $t$where group by k$having$tail"
+      val got = eng.sql(q("fz")) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"${q("fz")} -> $other")
+      }
+      val want = spark.sql(q("fz_v")).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map {
+          case d: Double => f"$d%.9f"
+          case v => String.valueOf(v)
+        }).toSeq.sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n${q("fz")}\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
+}

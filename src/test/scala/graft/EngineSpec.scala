@@ -294,6 +294,19 @@ class EngineSpec extends AnyFunSuite {
     val g = rows(eng.sql("select origin, sum(quantity) as q from buys " +
       "group by origin having q > 5"))
     assert(g.length == 1 && g(0).getLong(0) == 1L)
+    // aggregate NOT in the select list is legal HAVING (fuzz-found):
+    // evaluated inside the aggregation, never projected
+    val h2 = rows(eng.sql("select origin from buys " +
+      "group by origin having sum(quantity) > 5"))
+    assert(h2.length == 1 && h2(0).getLong(0) == 1L)
+    assert(h2(0).schema.fieldNames.toSeq == Seq("origin"))
+    // the group-no-agg distinct fast path must not drop HAVING
+    val h3 = rows(eng.sql("select origin from buys " +
+      "group by origin having count(*) >= 1"))
+    assert(h3.length == 2)
+    val h4 = rows(eng.sql("select origin from buys " +
+      "group by origin having origin > 1"))
+    assert(h4.length == 1 && h4(0).getLong(0) == 2L)
   }
 
   test("LIMIT/HAVING right after FROM are clauses, not table aliases") {
