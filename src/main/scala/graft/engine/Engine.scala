@@ -797,6 +797,21 @@ class Engine(val spark: SparkSession, root: String,
           case "<=" => lc <= rc; case ">=" => lc >= rc
         }
       case UnOp("-", x) if containsAgg(e) => -buildWithAggs(x, ctx)
+      case UnOp("not", x) if containsAgg(e) => !buildWithAggs(x, ctx)
+      case InList(x, vs, neg) if containsAgg(e) =>
+        val c = buildWithAggs(x, ctx)
+        val in = vs.map(v => c === buildWithAggs(v, ctx)).reduce(_ || _)
+        if (neg) !in else in
+      case IsNull(x, neg) if containsAgg(e) =>
+        val c = buildWithAggs(x, ctx)
+        if (neg) c.isNotNull else c.isNull
+      case CaseExpr(bs, o) if containsAgg(e) =>
+        val base = bs.foldLeft(Option.empty[Column]) { (acc, b) =>
+          val w = buildWithAggs(b._1, ctx)
+          val t = buildWithAggs(b._2, ctx)
+          Some(acc.fold(when(w, t))(_.when(w, t)))
+        }.get
+        o.fold(base)(x => base.otherwise(buildWithAggs(x, ctx)))
       case FnCall("tofloat", Seq(x)) if containsAgg(e) =>
         buildWithAggs(x, ctx).cast("double")
       case _ => ExprBuilder.build(e, ctx)

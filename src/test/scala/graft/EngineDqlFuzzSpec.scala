@@ -37,7 +37,8 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
       "a >= 10 and b < 90.0", "k <> 4", "s in ('s1', 's2', 's5')",
       "not (a < 20)", "b > 10.0 or a > 80")
     val havingPool = Seq("count(*) > 2", "sum(a) >= 100",
-      "min(b) < 50.0", "max(a) > 10")
+      "min(b) < 50.0", "max(a) > 10", "g0 >= 10", "not (g0 < 10)",
+      "count(*) > 1 and max(a) >= 50")
 
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
 
@@ -45,16 +46,22 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
       val nAgg = 1 + rnd.nextInt(3)
       val aggs = rnd.shuffle(aggPool).take(nAgg).zipWithIndex
         .map { case (a, j) => s"$a as g$j" }
+      // occasionally project an expression of the grouping key too
+      val keyExpr = if (rnd.nextInt(4) == 0) Seq("k + 1 as kk") else Nil
+      val items = aggs ++ keyExpr
       val where = if (rnd.nextBoolean()) s" where ${pick(wherePool)}" else ""
       val having = if (rnd.nextInt(3) == 0) s" having ${pick(havingPool)}"
         else ""
-      // ORDER BY the grouping key (unique per group) keeps LIMIT
-      // prefixes deterministic in both engines
-      val tail = if (rnd.nextInt(3) == 0)
-        s" order by k limit ${1 + rnd.nextInt(8)}"
-      else ""
+      // ORDER BY keeps LIMIT prefixes deterministic in both engines:
+      // either the unique grouping key, or an agg alias with the key
+      // as tiebreak
+      val tail = rnd.nextInt(4) match {
+        case 0 => s" order by k limit ${1 + rnd.nextInt(8)}"
+        case 1 => " order by k desc"
+        case _ => ""
+      }
       def q(t: String) =
-        s"select k, ${aggs.mkString(", ")} from $t$where group by k$having$tail"
+        s"select k, ${items.mkString(", ")} from $t$where group by k$having$tail"
       val got = eng.sql(q("fz")) match {
         case Rows(r) => r.collect()
         case other => fail(s"${q("fz")} -> $other")
