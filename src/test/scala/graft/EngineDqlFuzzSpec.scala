@@ -32,7 +32,8 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     df.createOrReplaceTempView("fz_v")
 
     val aggPool = Seq("sum(a)", "min(b)", "max(a)", "count(*)",
-      "sum(b)", "min(a)", "max(b)", "count(a)")
+      "sum(b)", "min(a)", "max(b)", "count(a)", "avg(a)",
+      "case when count(*) > 3 then 1 else 0 end")
     val wherePool = Seq("a > 50", "b <= 42.5", "s = 's3'",
       "a >= 10 and b < 90.0", "k <> 4", "s in ('s1', 's2', 's5')",
       "not (a < 20)", "b > 10.0 or a > 80")
@@ -55,9 +56,10 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
       // ORDER BY keeps LIMIT prefixes deterministic in both engines:
       // either the unique grouping key, or an agg alias with the key
       // as tiebreak
-      val tail = rnd.nextInt(4) match {
+      val tail = rnd.nextInt(5) match {
         case 0 => s" order by k limit ${1 + rnd.nextInt(8)}"
         case 1 => " order by k desc"
+        case 2 => s" order by g0 desc, k limit ${1 + rnd.nextInt(8)}"
         case _ => ""
       }
       def q(t: String) =
