@@ -971,9 +971,14 @@ class Engine(val spark: SparkSession, root: String,
       // KRANGE keys-only fast path, plan.c:1635-1644) — unless an
       // aggregate HAVING forces a real aggregation anyway
       if (aggCols.isEmpty && hvCol.isEmpty) {
-        val d = filtered.select(sel.groupBy.map(f =>
+        val d0 = filtered.select(sel.groupBy.map(f =>
           ExprBuilder.build(f, ctx).as(f.name)): _*).distinct()
-        return keyHaving.fold(d)(h => d.filter(ExprBuilder.build(h)))
+        val d = keyHaving.fold(d0)(h => d0.filter(ExprBuilder.build(h)))
+        // the fast path must not silently drop ORDER BY either
+        // (fuzz-found sibling of the dropped-HAVING defect)
+        return if (sel.orderBy.nonEmpty)
+          d.orderBy(orderCols(sel.orderBy): _*)
+        else d
       }
       val allAggs = aggCols ++ hvCol
       val grouped =

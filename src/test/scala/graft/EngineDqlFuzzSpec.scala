@@ -44,26 +44,33 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
 
     for (i <- 0 until 150) {
-      val nAgg = 1 + rnd.nextInt(3)
+      // nAgg = 0 exercises the group-no-agg distinct fast path, which
+      // historically dropped HAVING and ORDER BY
+      val nAgg = rnd.nextInt(4)
       val aggs = rnd.shuffle(aggPool).take(nAgg).zipWithIndex
         .map { case (a, j) => s"$a as g$j" }
       // occasionally project an expression of the grouping key too
       val keyExpr = if (rnd.nextInt(4) == 0) Seq("k + 1 as kk") else Nil
       val items = aggs ++ keyExpr
       val where = if (rnd.nextBoolean()) s" where ${pick(wherePool)}" else ""
-      val having = if (rnd.nextInt(3) == 0) s" having ${pick(havingPool)}"
-        else ""
+      val havingChoices =
+        if (nAgg == 0) havingPool.filterNot(_.contains("g0"))
+        else havingPool
+      val having = if (rnd.nextInt(3) == 0)
+        s" having ${pick(havingChoices)}"
+      else ""
       // ORDER BY keeps LIMIT prefixes deterministic in both engines:
       // either the unique grouping key, or an agg alias with the key
       // as tiebreak
       val tail = rnd.nextInt(5) match {
         case 0 => s" order by k limit ${1 + rnd.nextInt(8)}"
         case 1 => " order by k desc"
-        case 2 => s" order by g0 desc, k limit ${1 + rnd.nextInt(8)}"
+        case 2 if nAgg > 0 => s" order by g0 desc, k limit ${1 + rnd.nextInt(8)}"
         case _ => ""
       }
+      val selList = ("k" +: items).mkString(", ")
       def q(t: String) =
-        s"select k, ${items.mkString(", ")} from $t$where group by k$having$tail"
+        s"select $selList from $t$where group by k$having$tail"
       val got = eng.sql(q("fz")) match {
         case Rows(r) => r.collect()
         case other => fail(s"${q("fz")} -> $other")

@@ -307,6 +307,10 @@ class EngineSpec extends AnyFunSuite {
     val h4 = rows(eng.sql("select origin from buys " +
       "group by origin having origin > 1"))
     assert(h4.length == 1 && h4(0).getLong(0) == 2L)
+    // ...and must not drop ORDER BY (fuzz-found sibling defect)
+    val h5 = rows(eng.sql("select origin from buys " +
+      "group by origin order by origin desc"))
+    assert(h5.map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
 
   test("LIMIT/HAVING right after FROM are clauses, not table aliases") {
