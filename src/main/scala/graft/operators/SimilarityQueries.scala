@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorOps
 
 /** ANN similarity-search coverage over the embeddings table. The
   * DuckDB oracles recompute the exact same searches (including the
@@ -63,6 +64,44 @@ object SimilarityQueries extends QueryPack {
       Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
+    // IVF index health: bucket population per centroid + balance
+    // factor (n·nlist/total — 1.0 = perfectly even). Skewed buckets
+    // are the failure mode that quietly kills IVF recall/latency at
+    // scale, so this is the accept/reject gate on a quantizer before
+    // building the full layout. Reuses the q47 assignment; counts are
+    // one aggregate; the scalar total broadcasts back.
+    "q157_ivf_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        Similarity.centroids(emb, "vec_id", "embedding", 16))
+      val total = assigned.agg(count(lit(1)).as("n_total"))
+      assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(total))
+        .select(col("centroid_id"), col("n_vectors"),
+          round(col("n_vectors") * lit(16.0) / col("n_total"), 6)
+            .as("balance"))
+    }),
+    // Embedding degeneracy audit: per label — zero vectors and the
+    // squared-norm envelope, all in EXACT integer micro²-units
+    // (xi = round(x·1e6); Σxi² ≤ 64·10¹² fits BIGINT), so the audit
+    // has no doubles to drift. Zero/degenerate vectors poison cosine
+    // ranking (0/0) and training batches alike; this is the cheap
+    // pre-index gate.
+    "q158_embedding_audit" -> ((s, d) => {
+      val xi = round(col("col") * 1000000).cast("long")
+      Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          posexplode(VectorOps.toDoubleVec(col("embedding"))))
+        .select(col("label"), col("vec_id"), (xi * xi).as("x2"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("x2")).as("ss"), count(lit(1)).as("dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("ss") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("ss")).as("min_ss"), max(col("ss")).as("max_ss"),
+          max(col("dim")).as("dim"))
+    }),
     // Label-noise screening: per-label counts of vectors whose
     // rounded cosine to another label's centroid beats their own —
     // the mislabel-suspect gate (Similarity.labelNoiseByCentroid).
@@ -277,6 +316,37 @@ object SimilarityQueries extends QueryPack {
         | SELECT vec_id, j, round(CAST(sx AS DOUBLE) / sqrt(16.0), 6)
         |   AS proj
         | FROM p""".stripMargin,
+    "q157_ivf_balance" ->
+      s"""WITH $flatCte,
+        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
+        |  FROM flat f
+        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
+        |  JOIN norms nf ON f.vec_id = nf.vec_id
+        |  JOIN norms nc ON c.vec_id = nc.vec_id
+        |  GROUP BY f.vec_id, c.vec_id),
+        | assigned AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT vec_id, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims) WHERE rk = 1),
+        | t AS (SELECT count(*) AS n_total FROM assigned)
+        | SELECT centroid_id, count(*) AS n_vectors,
+        |  round(count(*) * 16.0 / t.n_total, 6) AS balance
+        | FROM assigned, t GROUP BY centroid_id, t.n_total""".stripMargin,
+    "q158_embedding_audit" ->
+      """WITH base AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | flat AS (SELECT vec_id, label,
+        |   CAST(round(v[i] * 1000000) AS BIGINT) AS xi
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | per AS (SELECT label, vec_id, sum(xi * xi) AS ss,
+        |   count(*) AS dim FROM flat GROUP BY 1, 2)
+        | SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  min(ss) AS min_ss, max(ss) AS max_ss, max(dim) AS dim
+        | FROM per GROUP BY label""".stripMargin,
     "q148_label_noise" ->
       """WITH base AS (SELECT vec_id, label,
         |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
