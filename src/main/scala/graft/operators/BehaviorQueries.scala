@@ -50,6 +50,27 @@ object BehaviorQueries extends QueryPack {
             greatest(sum(when(col("depth") > 0L, 1L).otherwise(0L)),
               lit(1L)), 6).as("avg_late_depth_us"))
     }),
+    // Top user journeys: the 20 most frequent 3-step event-type paths
+    // — funnel DISCOVERY (q84 measures a known funnel; this finds the
+    // candidates). Two lead() taps inside the per-user window build
+    // the path k-grams in one keyed shuffle; the count is a tiny
+    // (|types|³-bounded) aggregate; top-20 via TakeOrdered, no global
+    // sort materializes.
+    "q159_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), us(col("ts")).as("t"), col("event_id"),
+          col("event_type").as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(w))
+        .withColumn("s3", lead(col("s1"), 2).over(w))
+        .filter(col("s3").isNotNull)
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1").asc, col("s2").asc,
+          col("s3").asc)
+        .limit(20)
+    }),
     // Markov transition matrix over event types: per-user consecutive
     // event pairs (lead inside the user_id window), counted globally,
     // with row-normalized transition probabilities. The per-from
@@ -177,6 +198,18 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_top_paths" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |   event_type FROM events),
+        | seq AS (SELECT event_type AS s1,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id) AS s2,
+        |   lead(event_type, 2) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id) AS s3
+        |  FROM ev)
+        | SELECT s1, s2, s3, count(*) AS n FROM seq
+        | WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+        | ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 20""".stripMargin,
     "q149_disorder" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS t FROM events),

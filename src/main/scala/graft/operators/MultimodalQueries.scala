@@ -46,6 +46,31 @@ object MultimodalQueries extends QueryPack {
     "q61_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(media(s, d, "audio"), windowSamples = 32)
         .toDF()),
+    // Robust size outliers per modality: median/MAD envelope over the
+    // binary payload sizes — the corrupt-file detector (truncated
+    // downloads, runaway transcodes) that mean/stddev misses because
+    // the outliers poison the estimate. All medians land on exact
+    // half-integers (integer inputs), so both engines compare
+    // identical doubles — no rounding needed anywhere. Per-kind
+    // scalars broadcast back; the manifest scans stay 2 columns.
+    "q160_size_outliers" -> ((s, d) => {
+      val m = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("kind"), col("media_id"),
+          length(col("content")).cast("long").as("nb"))
+      val med = m.groupBy(col("kind"))
+        .agg(percentile(col("nb"), lit(0.5)).as("med"))
+      val dev = m.join(broadcast(med), "kind")
+        .select(col("kind"), col("nb"), col("med"),
+          abs(col("nb") - col("med")).as("dev"))
+      val mad = dev.groupBy(col("kind"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "kind")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med_bytes"),
+          max(col("mad")).as("mad_bytes"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
     // Voice-activity segments: gap-islands over the audio energy
     // windows (q61's decode) — consecutive windows whose normalized
     // energy beats the clip's own mean become one segment, the
@@ -233,6 +258,23 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
         |  CAST(count(*) AS INT) AS n_samples
         | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    "q160_size_outliers" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |     ELSE 'video' END AS kind,
+        |   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+        |  FROM documents),
+        | med AS (SELECT kind, quantile_cont(nb, 0.5) AS med FROM m
+        |  GROUP BY 1),
+        | dev AS (SELECT m.kind, m.nb, med.med,
+        |   abs(m.nb - med.med) AS dev FROM m JOIN med USING (kind)),
+        | mad AS (SELECT kind, quantile_cont(dev, 0.5) AS mad FROM dev
+        |  GROUP BY 1)
+        | SELECT d.kind, count(*) AS n, max(d.med) AS med_bytes,
+        |  max(mad.mad) AS mad_bytes,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        | FROM dev d JOIN mad USING (kind) GROUP BY d.kind""".stripMargin,
     "q151_vad_segments" ->
       s"""WITH ${cpCte(1)},
         | en AS (SELECT doc_id AS media_id,
