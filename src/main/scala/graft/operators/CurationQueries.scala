@@ -341,6 +341,27 @@ object CurationQueries extends QueryPack {
     // sources), never via a gram×gram self-join. Exact-count strings
     // here (the matrix is a governance artifact); the 100 TB path
     // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    // Dataset card: the one-row corpus summary a release ships with —
+    // volume (docs/tokens), provenance breadth (sources/languages),
+    // exact-duplication rate, and token-length envelope. One scan:
+    // the multi-countDistinct expands map-side (q154's shape); the
+    // dup rate comes from count − distinct(md5) in the same pass.
+    "q162_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("fp"),
+          size(words(col("text"))).cast("long").as("tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+          round((count(lit(1)) - countDistinct(col("fp")))
+            .cast("double") / count(lit(1)), 6).as("dup_rate"),
+          min(col("tok")).as("min_tokens"),
+          max(col("tok")).as("max_tokens"),
+          round(sum(col("tok")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"))),
     // RELATIVE quality gating: keep each source's top 70% of documents
     // by token count — absolute gates (q129) misfire when sources have
     // different length profiles; the relative form calibrates itself
@@ -464,6 +485,19 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_dataset_card" ->
+      """WITH d AS (SELECT doc_id, source, lang, md5(text) AS fp,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents)
+        | SELECT count(*) AS n_docs, sum(tok) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(*) - count(DISTINCT fp) AS n_exact_dups,
+        |  round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6)
+        |    AS dup_rate,
+        |  min(tok) AS min_tokens, max(tok) AS max_tokens,
+        |  round(sum(tok) * 1.0 / count(*), 6) AS avg_tokens
+        | FROM d""".stripMargin,
     "q156_relative_gate" ->
       """WITH docs AS (SELECT doc_id, source,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words

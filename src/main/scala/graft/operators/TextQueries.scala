@@ -116,6 +116,41 @@ object TextQueries extends QueryPack {
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
       TextAnalysis.duplicatedSpans(corpus, "doc_id", "text", l = 8)
     }),
+    // Adjacent-word PMI: the classic co-occurrence statistic behind
+    // collocation mining and word2vec-era preprocessing — which word
+    // pairs stick together far beyond chance. One keyed window pass
+    // builds adjacent pairs (the q159 shape on words); unigram and
+    // pair counts are two aggregates; the corpus totals broadcast.
+    // PMI's arithmetic is written as an IDENTICAL expression tree in
+    // both engines (exact integer counts → the same IEEE double ops),
+    // ranked on the ROUNDED value (the q72 trick) so ordering can't
+    // straddle an ulp.
+    "q161_word_pmi" -> ((s, d) => {
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val pairs = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(least(col("w"), col("w2")).as("a"),
+          greatest(col("w"), col("w2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("npair"))
+      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nw = wc.agg(sum(col("cw")).as("nw"))
+      val np = pairs.agg(sum(col("npair")).as("np"))
+      val pmi = round(log(
+        col("npair") * lit(1.0) * col("nw") / col("np") *
+          col("nw") / col("ca") / col("cb")), 6)
+      pairs
+        .join(wc.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+        .join(wc.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .crossJoin(broadcast(nw)).crossJoin(broadcast(np))
+        .filter(col("npair") >= 5)
+        .select(col("a"), col("b"), col("npair"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
     // BPE merge-candidate statistics: the inner loop of byte-pair-
     // encoding tokenizer training — corpus-wide counts of adjacent
     // character pairs inside words, i.e. the table whose argmax is the
@@ -254,6 +289,28 @@ object TextQueries extends QueryPack {
         |   ORDER BY tfidf DESC, term) AS rk FROM scored)
         | SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q161_word_pmi" ->
+      """WITH toks AS (SELECT doc_id, i AS pos, w[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents),
+        |   UNNEST(generate_series(1, len(w))) AS t(i)),
+        | seq AS (SELECT doc_id, pos, w,
+        |   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        | pairs AS (SELECT least(w, w2) AS a, greatest(w, w2) AS b,
+        |   count(*) AS npair
+        |  FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        | wc AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+        | nw AS (SELECT sum(cw) AS nw FROM wc),
+        | np AS (SELECT sum(npair) AS np FROM pairs)
+        | SELECT p.a, p.b, p.npair,
+        |  round(ln(p.npair * 1.0 * nw.nw / np.np * nw.nw
+        |    / ca.cw / cb.cw), 6) AS pmi
+        | FROM pairs p
+        | JOIN wc ca ON p.a = ca.w
+        | JOIN wc cb ON p.b = cb.w, nw, np
+        | WHERE p.npair >= 5
+        | ORDER BY pmi DESC, p.a ASC, p.b ASC LIMIT 20""".stripMargin,
     "q152_dup_spans" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL
