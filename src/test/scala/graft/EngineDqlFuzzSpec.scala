@@ -86,4 +86,50 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"spark:  ${canon(want).take(3)}")
     }
   }
+
+  test("100 random non-grouped selects: dialect engine == Spark SQL") {
+    val rnd = new scala.util.Random(777)
+    val data = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong,
+        math.rint(rnd.nextDouble() * 1000) / 100.0, "t" + (i % 5))
+    }
+    val df = data.toDF("id", "a", "b", "s")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz2").toString)
+    eng.attachTable("fp", df)
+    df.createOrReplaceTempView("fp_v")
+    val itemPool = Seq("id", "a", "b", "s", "a + 1 as a1",
+      "b * 2.0 as b2", "abs(a - 25) as d25",
+      "case when a > 25 then 'hi' else 'lo' end as band")
+    val wherePool = Seq("", " where a > 25", " where s = 't2'",
+      " where b < 500.0 and a >= 5", " where a in (1, 2, 3, 42)",
+      " where not (a <= 10)")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    for (i <- 0 until 100) {
+      val items = rnd.shuffle(itemPool).take(1 + rnd.nextInt(4))
+      val where = pick(wherePool)
+      // id is a unique key, so ordering by it (projected or not — the
+      // not-projected case exercises the sort-before-project branch)
+      // keeps LIMIT prefixes deterministic
+      val tail = rnd.nextInt(3) match {
+        case 0 => s" order by id limit ${1 + rnd.nextInt(10)}"
+        case 1 => " order by id desc"
+        case _ => ""
+      }
+      def q(t: String) = s"select ${items.mkString(", ")} from $t$where$tail"
+      val got = eng.sql(q("fp")) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"${q("fp")} -> $other")
+      }
+      val want = spark.sql(q("fp_v")).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map {
+          case d: Double => f"$d%.9f"
+          case v => String.valueOf(v)
+        }).toSeq.sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n${q("fp")}\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
 }
