@@ -50,6 +50,30 @@ object BehaviorQueries extends QueryPack {
             greatest(sum(when(col("depth") > 0L, 1L).otherwise(0L)),
               lit(1L)), 6).as("avg_late_depth_us"))
     }),
+    // Time-to-convert: per converting user, µs from first 'view' to
+    // the first 'purchase' AFTER it, rolled up to a distribution
+    // summary (converters, median/max latency) — the metric behind
+    // every funnel-latency dashboard, and the complement of q84's
+    // step counts. One aggregate keyed on user_id (two conditional
+    // mins — no window, no join); the exact-integer latencies make
+    // the median land on exact half-integers, so no rounding exists
+    // to disagree on.
+    "q163_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), us(col("ts")).as("t"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("t")))
+          .as("first_view"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(per.filter(col("first_view").isNotNull), "user_id")
+        .filter(col("t") >= col("first_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("t") - col("first_view")).as("latency_us"))
+      conv.agg(count(lit(1)).as("n_converters"),
+        min(col("latency_us")).as("min_us"),
+        percentile(col("latency_us"), lit(0.5)).as("median_us"),
+        max(col("latency_us")).as("max_us"))
+    }),
     // Top user journeys: the 20 most frequent 3-step event-type paths
     // — funnel DISCOVERY (q84 measures a known funnel; this finds the
     // candidates). Two lead() taps inside the per-user window build
@@ -198,6 +222,22 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |   FROM events),
+        | fv AS (SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN t END) AS first_view
+        |  FROM ev GROUP BY 1),
+        | conv AS (SELECT e.user_id,
+        |   min(e.t - fv.first_view) AS latency_us
+        |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        |   AND e.t >= fv.first_view
+        |  GROUP BY e.user_id)
+        | SELECT count(*) AS n_converters, min(latency_us) AS min_us,
+        |  quantile_cont(latency_us, 0.5) AS median_us,
+        |  max(latency_us) AS max_us
+        | FROM conv""".stripMargin,
     "q159_top_paths" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |   event_type FROM events),
