@@ -14,6 +14,33 @@ import graft.Tables
 object SkewQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew diagnosis: per candidate join/agg key, the population stats
+    // that decide WHETHER to salt (q78/q79 are the mitigation; this is
+    // the measurement): distinct keys, hottest key and its share, and
+    // the max/avg skew factor. One groupBy per key column, then a
+    // 1-row summary each — the per-key aggregates are the only wide
+    // work, and they're exactly the aggregates the later salted run
+    // would do anyway. Integer counts; ratios rounded once.
+    "q164_skew_report" -> ((s, d) => {
+      def report(df: DataFrame, keyCol: String): DataFrame = {
+        val counts = df.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("c"))
+        counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_cnt"),
+            max(struct(col("c"), col("k"))).as("hot"))
+          .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+            col("hot.k").cast("long").as("hottest_key"), col("max_cnt"),
+            round(col("max_cnt") * col("n_keys").cast("double") /
+              col("n_rows"), 6).as("skew_factor"),
+            round(col("max_cnt").cast("double") / col("n_rows"), 6)
+              .as("hot_share"))
+      }
+      val li = Tables.lineitem(s, d)
+      report(li, "l_suppkey")
+        .unionAll(report(li, "l_partkey"))
+        .unionAll(report(li, "l_orderkey"))
+        .unionAll(report(Tables.events(s, d), "user_id"))
+    }),
     // two-phase salted aggregation == plain aggregation
     "q78_salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(Tables.lineitem(s, d), "l_suppkey",
@@ -32,6 +59,21 @@ object SkewQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_skew_report" -> Seq(
+        ("l_suppkey", "lineitem"), ("l_partkey", "lineitem"),
+        ("l_orderkey", "lineitem"), ("user_id", "events"))
+      .map { case (k, t) =>
+        s"""SELECT '$k' AS key_col, count(*) AS n_keys,
+           | sum(c) AS n_rows,
+           | (SELECT CAST(k AS BIGINT) FROM (
+           |   SELECT $k AS k, count(*) AS c FROM $t GROUP BY 1)
+           |   ORDER BY c DESC, k DESC LIMIT 1) AS hottest_key,
+           | max(c) AS max_cnt,
+           | round(max(c) * count(*) * 1.0 / sum(c), 6) AS skew_factor,
+           | round(max(c) * 1.0 / sum(c), 6) AS hot_share
+           |FROM (SELECT $k AS k, count(*) AS c FROM $t GROUP BY 1)
+           |""".stripMargin
+      }.mkString("\n UNION ALL\n"),
     "q78_salted_agg" ->
       """SELECT l_suppkey, sum(l_quantity) AS sum_l_quantity,
         |  count(*) AS n
