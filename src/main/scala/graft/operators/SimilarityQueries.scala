@@ -64,6 +64,30 @@ object SimilarityQueries extends QueryPack {
       Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
+    // Quantization eval: recall@10 of the SQ8 integer index against
+    // exact float brute force — the accept/reject gate on a
+    // quantization config (q118's twin, measuring the OTHER recall
+    // loss axis: code precision instead of probe pruning). Both
+    // retrieval paths run their standard plans; the compare is a
+    // per-query semi-join count.
+    "q165_sq8_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5L)
+      val brute = Similarity.bruteForceTopKJoin(emb, qs, "vec_id",
+          "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val quant = Similarity.quantizedTopK(emb, qs, "vec_id",
+          "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = quant.join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 10.0, 6)
+            .as("recall_at_10"))
+    }),
     // IVF index health: bucket population per centroid + balance
     // factor (n·nlist/total — 1.0 = perfectly even). Skewed buckets
     // are the failure mode that quietly kills IVF recall/latency at
@@ -316,6 +340,43 @@ object SimilarityQueries extends QueryPack {
         | SELECT vec_id, j, round(CAST(sx AS DOUBLE) / sqrt(16.0), 6)
         |   AS proj
         | FROM p""".stripMargin,
+    "q165_sq8_recall" ->
+      s"""WITH $flatCte,
+        | fdots AS (SELECT q.vec_id AS query_id, f.vec_id,
+        |   sum(f.x * q.x) AS dp
+        |  FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id < 5
+        |  WHERE f.vec_id <> q.vec_id GROUP BY q.vec_id, f.vec_id),
+        | fscored AS (SELECT query_id, d.vec_id,
+        |   dp / (nf.nrm * nq.nrm) AS c
+        |  FROM fdots d
+        |  JOIN norms nf ON d.vec_id = nf.vec_id
+        |  JOIN norms nq ON d.query_id = nq.vec_id),
+        | brute AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |   FROM fscored) WHERE rk <= 10),
+        | m AS (SELECT vec_id, max(abs(x)) AS mx FROM flat GROUP BY 1),
+        | qz AS (SELECT f.vec_id, f.i,
+        |   CAST(round(127 * f.x / m.mx) AS BIGINT) AS q
+        |  FROM flat f JOIN m ON f.vec_id = m.vec_id),
+        | qdots AS (SELECT a.vec_id AS query_id, b.vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qz a JOIN qz b ON a.i = b.i
+        |   AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        | quant AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk
+        |   FROM qdots) WHERE rk <= 10),
+        | hits AS (SELECT q.query_id, count(*) AS n_hits
+        |  FROM quant q JOIN brute b
+        |   ON q.query_id = b.query_id AND q.vec_id = b.vec_id
+        |  GROUP BY q.query_id)
+        | SELECT q.vec_id AS query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+        | FROM (SELECT vec_id FROM base WHERE vec_id < 5) q
+        | LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
     "q157_ivf_balance" ->
       s"""WITH $flatCte,
         | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
