@@ -145,6 +145,49 @@ object TimeSeriesQueries extends QueryPack {
           round(col("hour_mean") - col("type_mean"), 6)
             .as("seasonal_delta"))
     }),
+    // PSI distribution drift (population stability index) — THE
+    // production drift metric: value deciles fitted on the EARLY half
+    // of the stream (split at the exact median µs stamp), both halves
+    // binned against those edges, psi = Σ (pe−pl)·ln(pe/pl) with +1
+    // Laplace smoothing so empty bands stay finite. Determinism: the
+    // split point and decile edges are exact/rounded constants, the
+    // ln argument is a ratio of exact INTEGER products, and the
+    // 10-term psi sum goes through round-then-DECIMAL (the q150
+    // pattern) so partition order can't change it. Shape: two tiny
+    // per-type aggregates broadcast back; the events shuffle once for
+    // the (type, band, half) counts.
+    "q166_psi_drift" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val fr = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val ev = Tables.events(s, d).select(col("event_type"),
+        us(col("ts")).as("t"), col("value"))
+      val medT = ev.agg(percentile(col("t"), lit(0.5)).as("mt"))
+      val tagged = ev.crossJoin(broadcast(medT))
+        .withColumn("half", when(col("t") <= col("mt"), lit("e"))
+          .otherwise(lit("l")))
+      val edges = tagged.filter(col("half") === "e")
+        .groupBy(col("event_type"))
+        .agg(transform(percentile(col("value"), fr),
+          e => round(e, 6)).as("edges"))
+      val banded = tagged.join(broadcast(edges), Seq("event_type"))
+        .withColumn("band",
+          size(filter(col("edges"), e => col("value") > e)))
+      val counts = banded.groupBy(col("event_type"), col("band"))
+        .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+          sum(when(col("half") === "l", 1L).otherwise(0L)).as("cl"))
+      val totals = counts.groupBy(col("event_type"))
+        .agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
+      val pe = (col("ce") + 1).cast("double") / (col("ne") + 10)
+      val pl = (col("cl") + 1).cast("double") / (col("nl") + 10)
+      val term = (pe - pl) * log(((col("ce") + 1) * (col("nl") + 10))
+        .cast("double") / ((col("cl") + 1) * (col("ne") + 10)))
+      counts.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("ne"), col("nl"),
+          round(term, 9).cast(dec).as("tm"))
+        .groupBy(col("event_type"))
+        .agg(max(col("ne")).as("n_early"), max(col("nl")).as("n_late"),
+          round(sum(col("tm")).cast("double"), 6).as("psi"))
+    }),
     // CUSUM drift detection (Page's test): S_i = max(0, S_{i-1} + d_i)
     // is sequential, but the running-min identity
     // S_i = C_i − min(0, min_{j≤i} C_j) (C = prefix sum of deviations)
@@ -275,6 +318,39 @@ object TimeSeriesQueries extends QueryPack {
         |  round(avg(e.value) - max(bt.type_mean), 6) AS seasonal_delta
         | FROM ev e JOIN bt USING (event_type)
         | GROUP BY e.event_type, e.hour""".stripMargin,
+    "q166_psi_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS t, value
+        |   FROM events),
+        | mt AS (SELECT quantile_cont(t, 0.5) AS mt FROM ev),
+        | tg AS (SELECT e.event_type, e.value,
+        |   CASE WHEN e.t <= mt.mt THEN 'e' ELSE 'l' END AS half
+        |  FROM ev e, mt),
+        | ed AS (SELECT event_type, list_transform(
+        |   quantile_cont(value,
+        |     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |   x -> round(x, 6)) AS edges
+        |  FROM tg WHERE half = 'e' GROUP BY 1),
+        | bd AS (SELECT t.event_type, t.half,
+        |   len(list_filter(ed.edges, x -> t.value > x)) AS band
+        |  FROM tg t JOIN ed USING (event_type)),
+        | c AS (SELECT event_type, band,
+        |   CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS ce,
+        |   CAST(sum(CASE WHEN half = 'l' THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS cl
+        |  FROM bd GROUP BY 1, 2),
+        | tot AS (SELECT event_type, sum(ce) AS ne, sum(cl) AS nl
+        |  FROM c GROUP BY 1),
+        | terms AS (SELECT c.event_type, tot.ne, tot.nl,
+        |   CAST(round(((c.ce + 1) * 1.0 / (tot.ne + 10)
+        |      - (c.cl + 1) * 1.0 / (tot.nl + 10))
+        |     * ln(((c.ce + 1) * (tot.nl + 10)) * 1.0
+        |       / ((c.cl + 1) * (tot.ne + 10))), 9) AS DECIMAL(28,12))
+        |     AS tm
+        |  FROM c JOIN tot USING (event_type))
+        | SELECT event_type, max(ne) AS n_early, max(nl) AS n_late,
+        |  round(CAST(sum(tm) AS DOUBLE), 6) AS psi
+        | FROM terms GROUP BY event_type""".stripMargin,
     "q137_cusum" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
         |   FROM events),
