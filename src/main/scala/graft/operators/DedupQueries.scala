@@ -71,6 +71,28 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             Dedup.md5Hash60(col("shingle")).as("shingle")),
         maxHamming = 3, bits = 60)),
+    // Per-source near-dup rate: which sources ship the duplication —
+    // the triage signal that decides WHERE to spend dedup effort (a
+    // source at 40% near-dup gets a crawler fix; 0.1% gets a filter).
+    // Pairs come from the standard LSH pipeline on the salted corpus;
+    // mutation ids fold back to their base document before the
+    // per-source rollup, so rates are in original-corpus terms.
+    "q168_source_dup_rate" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDupPairs(corpus(s, d), "doc_id",
+        "text", shingleN = 3, k = 32, bands = 16, tau = 0.5)
+      val baseIds = pairs.select(col("doc_a").as("id"))
+        .unionAll(pairs.select(col("doc_b").as("id")))
+        .select(when(col("id") >= 10000L, col("id") - 10000L)
+          .otherwise(col("id")).as("doc_id"))
+        .distinct()
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(baseIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_near_dup"),
+          round(sum(coalesce(col("dup"), lit(0L))).cast("double") /
+            count(lit(1)), 6).as("dup_rate"))
+    }),
     // Leakage-safe train/test split: assign documents to splits by
     // hashing their near-dup CLUSTER root, not their own id — so a
     // document and all its near-duplicates land in the SAME split and
@@ -218,6 +240,32 @@ object DedupQueries extends QueryPack {
         | JOIN sizes sa ON da = sa.doc_id
         | JOIN sizes sb ON db = sb.doc_id
         | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q168_source_dup_rate" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | ids AS (SELECT DISTINCT
+        |   CASE WHEN id >= 10000 THEN id - 10000 ELSE id END AS doc_id
+        |  FROM (SELECT da AS id FROM pairs
+        |        UNION ALL SELECT db FROM pairs))
+        | SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ids.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_near_dup,
+        |  round(sum(CASE WHEN ids.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 6) AS dup_rate
+        | FROM documents d LEFT JOIN ids ON d.doc_id = ids.doc_id
+        | GROUP BY d.source""".stripMargin,
     "q153_leakage_safe_split" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),

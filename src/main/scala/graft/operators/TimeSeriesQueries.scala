@@ -219,6 +219,38 @@ object TimeSeriesQueries extends QueryPack {
             .as("n_alarm"),
           max(col("s")).as("max_s"))
     }),
+    // Inter-arrival statistics per event type: mean gap and the
+    // coefficient of variation — the point-process regularity test
+    // (CV≈1 Poisson, CV≫1 bursty, CV≪1 periodic) that decides
+    // whether rate-based alerting is even meaningful for a stream.
+    // Gaps are exact integer µs from one lag() tap inside the
+    // (type, user) arrival order. A direct stddev_samp is NOT
+    // oracle-safe here: gaps are ~1e9, so rounding the stddev at 6
+    // decimals sits below the double's ulp and the engines' different
+    // accumulation orders would flip it — instead the moments are
+    // exact sums (Σgap as long, Σgap² as DECIMAL — gap² overflows
+    // BIGINT) and mean/CV derive through IDENTICAL expression trees
+    // (the q95 exact-moment idiom).
+    "q167_interarrival" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val g = col("gap").cast(dec38)
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          us(col("ts")).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("gap")).cast("double").as("sx"),
+          sum(g * g).cast("double").as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+          round(col("sx") / col("n"), 6).as("mean_gap_us"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))) / (col("sx") / col("n")), 6)
+            .as("cv"))
+    }),
     // Per-series z-score outliers: series statistics (mean, sample
     // stddev) come from one aggregate, are ROUNDED to 6 places (so
     // both engines threshold against identical constants — the raw
@@ -376,6 +408,24 @@ object TimeSeriesQueries extends QueryPack {
         |    AS n_alarm,
         |  CAST(max(s) AS BIGINT) AS max_s
         | FROM sv GROUP BY user_id""".stripMargin,
+    "q167_interarrival" ->
+      """WITH ev AS (SELECT event_type, user_id, event_id,
+        |   epoch_us(ts) AS t FROM events),
+        | g AS (SELECT event_type,
+        |   t - lag(t) OVER (PARTITION BY event_type, user_id
+        |     ORDER BY t, event_id) AS gap
+        |  FROM ev),
+        | m AS (SELECT event_type,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(gap) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(gap AS DECIMAL(38,0))
+        |     * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        | SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  round(sx / n, 6) AS mean_gap_us,
+        |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+        |    / (sx / n), 6) AS cv
+        | FROM m""".stripMargin,
     "q127_anomaly_zscore" ->
       """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
         |   round(stddev_samp(value), 6) AS sd, count(*) AS n
