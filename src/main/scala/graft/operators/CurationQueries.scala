@@ -341,6 +341,26 @@ object CurationQueries extends QueryPack {
     // sources), never via a gram×gram self-join. Exact-count strings
     // here (the matrix is a governance artifact); the 100 TB path
     // swaps in Dedup.wordShingleHashes for 8-byte shuffle keys.
+    // Language × source coverage matrix: which sources supply which
+    // languages, by doc count, token volume, and within-source share —
+    // the mixture-planning view (a language missing from every large
+    // source needs targeted crawling, not reweighting). One aggregate
+    // keyed on (source, lang); the per-source totals ride back via
+    // broadcast.
+    "q170_lang_source_matrix" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(words(col("text"))).cast("long").as("tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      val totals = cells.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("src_docs"))
+      cells.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_tokens"),
+          round(col("n_docs").cast("double") / col("src_docs"), 6)
+            .as("share"))
+    }),
     // Dataset card: the one-row corpus summary a release ships with —
     // volume (docs/tokens), provenance breadth (sources/languages),
     // exact-duplication rate, and token-length envelope. One scan:
@@ -485,6 +505,15 @@ object CurationQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_lang_source_matrix" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS n_docs,
+        |   sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        | t AS (SELECT source, sum(n_docs) AS src_docs FROM cells
+        |  GROUP BY 1)
+        | SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+        |  round(c.n_docs * 1.0 / t.src_docs, 6) AS share
+        | FROM cells c JOIN t USING (source)""".stripMargin,
     "q162_dataset_card" ->
       """WITH d AS (SELECT doc_id, source, lang, md5(text) AS fp,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

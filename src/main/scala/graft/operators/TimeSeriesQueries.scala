@@ -124,6 +124,33 @@ object TimeSeriesQueries extends QueryPack {
             .as("v_interp"),
           col("v").isNotNull.as("observed"))
     }),
+    // Weekend-effect lift per event type — the day-of-week companion
+    // to q138's hour-of-day profile: weekend vs weekday event volume
+    // and mean value, plus the lift ratio. Weekday derives from pure
+    // integer µs arithmetic ((epoch_day + 4) mod 7, Sunday = 0 — no
+    // engine dayofweek conventions to reconcile); value sums go
+    // through the exact DECIMAL cast (the dsum idiom) so the means
+    // divide identical numbers in both engines.
+    "q169_weekend_effect" -> ((s, d) => {
+      val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val wd = pmod(call_function("div", us(col("ts")),
+        lit(86400000000L)) + 4, lit(7L))
+      val we = wd.isin(0L, 6L)
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), we.as("is_we"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("is_we"), 1L).otherwise(0L)).as("n_weekend"),
+          sum(when(!col("is_we"), 1L).otherwise(0L)).as("n_weekday"),
+          sum(when(col("is_we"), col("value").cast(dec4))
+            .otherwise(lit(0).cast(dec4))).cast("double").as("s_we"),
+          sum(when(!col("is_we"), col("value").cast(dec4))
+            .otherwise(lit(0).cast(dec4))).cast("double").as("s_wd"))
+        .select(col("event_type"), col("n_weekend"), col("n_weekday"),
+          round(col("s_we") / col("n_weekend"), 6).as("weekend_mean"),
+          round(col("s_wd") / col("n_weekday"), 6).as("weekday_mean"),
+          round((col("s_we") / col("n_weekend")) /
+            (col("s_wd") / col("n_weekday")), 6).as("lift"))
+    }),
     // Hour-of-day seasonal profile per event type: the decomposition
     // step before anomaly detection on periodic series. Two tiny
     // aggregates (24×types rows); the per-type mean rides back via
@@ -339,6 +366,26 @@ object TimeSeriesQueries extends QueryPack {
         |    / sum(power(0.7, rn - 1)), 6) AS ewma20,
         |  count(*) AS n_used
         | FROM r WHERE rn <= 20 GROUP BY user_id""".stripMargin,
+    "q169_weekend_effect" ->
+      """WITH ev AS (SELECT event_type, value,
+        |   ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6) AS is_we
+        |  FROM events),
+        | m AS (SELECT event_type,
+        |   CAST(sum(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_weekend,
+        |   CAST(sum(CASE WHEN NOT is_we THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_weekday,
+        |   CAST(sum(CASE WHEN is_we THEN CAST(value AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_we,
+        |   CAST(sum(CASE WHEN NOT is_we
+        |     THEN CAST(value AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_wd
+        |  FROM ev GROUP BY event_type)
+        | SELECT event_type, n_weekend, n_weekday,
+        |  round(s_we / n_weekend, 6) AS weekend_mean,
+        |  round(s_wd / n_weekday, 6) AS weekday_mean,
+        |  round((s_we / n_weekend) / (s_wd / n_weekday), 6) AS lift
+        | FROM m""".stripMargin,
     "q138_seasonal_profile" ->
       """WITH ev AS (SELECT event_type,
         |   (epoch_us(ts) // 3600000000) % 24 AS hour, value
