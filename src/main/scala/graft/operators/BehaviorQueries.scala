@@ -50,6 +50,29 @@ object BehaviorQueries extends QueryPack {
             greatest(sum(when(col("depth") > 0L, 1L).otherwise(0L)),
               lit(1L)), 6).as("avg_late_depth_us"))
     }),
+    // Last-touch attribution: for every purchase, the event type that
+    // immediately preceded it in the user's stream — the simplest
+    // attribution model, and a family (credit assignment over event
+    // sequences) none of the other behavioral queries cover. One
+    // lag() tap inside the user window, then a tiny rollup with the
+    // purchase total broadcast back for the share.
+    "q171_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val touches = Tables.events(s, d)
+        .select(col("user_id"), us(col("ts")).as("t"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prev_type").isNotNull)
+        .groupBy(col("prev_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+      val total = touches.agg(sum(col("n_purchases")).as("tot"))
+      touches.crossJoin(broadcast(total))
+        .select(col("prev_type"), col("n_purchases"),
+          round(col("n_purchases").cast("double") / col("tot"), 6)
+            .as("share"))
+    }),
     // Time-to-convert: per converting user, µs from first 'view' to
     // the first 'purchase' AFTER it, rolled up to a distribution
     // summary (converters, median/max latency) — the metric behind
@@ -222,6 +245,21 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_attribution" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |   event_type FROM events),
+        | seq AS (SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY t, event_id) AS prev_type
+        |  FROM ev),
+        | touches AS (SELECT prev_type, count(*) AS n_purchases
+        |  FROM seq WHERE event_type = 'purchase'
+        |   AND prev_type IS NOT NULL
+        |  GROUP BY 1),
+        | t AS (SELECT sum(n_purchases) AS tot FROM touches)
+        | SELECT prev_type, n_purchases,
+        |  round(n_purchases * 1.0 / t.tot, 6) AS share
+        | FROM touches, t""".stripMargin,
     "q163_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
         |   FROM events),

@@ -64,6 +64,26 @@ object SimilarityQueries extends QueryPack {
       Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
           "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
+    // Pairwise-cosine histogram over a deterministic probe set (the
+    // first 100 vectors, 4950 pairs): the embedding-space geometry
+    // check — a distribution piled near 1.0 means collapsed
+    // embeddings, near 0 means healthy spread — run before trusting
+    // any similarity threshold. Binning happens on the ROUNDED cosine
+    // so bin edges are identical constants in both engines; the probe
+    // set is a broadcastable constant-size frame at any corpus scale.
+    "q172_cosine_histogram" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100L)
+        .select(col("vec_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("v"))
+      val cos = VectorOps.nativeCosine(s)
+      val a = emb.as("a")
+      val b = emb.as("b")
+      a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+        .select(round(cos(col("a.v"), col("b.v")), 6).as("c"))
+        .select(least(lit(9L), floor((col("c") + 1.0) * 5.0)
+          .cast("long")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    }),
     // Quantization eval: recall@10 of the SQ8 integer index against
     // exact float brute force — the accept/reject gate on a
     // quantization config (q118's twin, measuring the OTHER recall
@@ -340,6 +360,20 @@ object SimilarityQueries extends QueryPack {
         | SELECT vec_id, j, round(CAST(sx AS DOUBLE) / sqrt(16.0), 6)
         |   AS proj
         | FROM p""".stripMargin,
+    "q172_cosine_histogram" ->
+      s"""WITH $flatCte,
+        | dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |   sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i
+        |   AND a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+        |  GROUP BY 1, 2),
+        | cs AS (SELECT round(dp / (na.nrm * nb.nrm), 6) AS c
+        |  FROM dots d
+        |  JOIN norms na ON d.va = na.vec_id
+        |  JOIN norms nb ON d.vb = nb.vec_id)
+        | SELECT CAST(least(9, floor((c + 1.0) * 5.0)) AS BIGINT) AS bin,
+        |  count(*) AS n_pairs
+        | FROM cs GROUP BY 1""".stripMargin,
     "q165_sq8_recall" ->
       s"""WITH $flatCte,
         | fdots AS (SELECT q.vec_id AS query_id, f.vec_id,
