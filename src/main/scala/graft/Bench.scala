@@ -103,6 +103,10 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
     }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    // At 170+ queries even the compact line outgrew the driver's
+    // ~2000-char tail window (r5 recorded parsed:null). Final line is
+    // therefore total-only — always a complete object inside the tail.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

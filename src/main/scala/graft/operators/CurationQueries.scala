@@ -507,7 +507,7 @@ object CurationQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "q170_lang_source_matrix" ->
       """WITH cells AS (SELECT source, lang, count(*) AS n_docs,
-        |   sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1, 2),
         | t AS (SELECT source, sum(n_docs) AS src_docs FROM cells
         |  GROUP BY 1)
@@ -518,7 +518,7 @@ object CurationQueries extends QueryPack {
       """WITH d AS (SELECT doc_id, source, lang, md5(text) AS fp,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
         |  FROM documents)
-        | SELECT count(*) AS n_docs, sum(tok) AS n_tokens,
+        | SELECT count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
         |  count(DISTINCT source) AS n_sources,
         |  count(DISTINCT lang) AS n_langs,
         |  count(*) - count(DISTINCT fp) AS n_exact_dups,
@@ -562,9 +562,10 @@ object CurationQueries extends QueryPack {
         | b AS (SELECT min(src_tok) AS budget FROM (
         |   SELECT source, sum(tok) AS src_tok FROM docs GROUP BY 1)),
         | w AS (SELECT doc_id, source, tok,
-        |   sum(tok) OVER (PARTITION BY source
+        |   CAST(sum(tok) OVER (PARTITION BY source
         |     ORDER BY (doc_id * 2654435761) % 1000000, doc_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tok
         |  FROM docs)
         | SELECT doc_id, source, tok, cum_tok FROM w, b
         | WHERE cum_tok <= b.budget""".stripMargin,

@@ -189,24 +189,24 @@ object GraphQueries extends QueryPack {
         |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
         |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
         |  FROM verts LEFT JOIN (
-        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
         |   FROM r0 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
         |   GROUP BY g.v) sc ON verts.v = sc.v),
         | i2 AS (SELECT verts.v,
         |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
         |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
         |  FROM verts LEFT JOIN (
-        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
         |   FROM i1 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
         |   GROUP BY g.v) sc ON verts.v = sc.v),
         | i3 AS (SELECT verts.v,
         |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
         |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
         |  FROM verts LEFT JOIN (
-        |   SELECT g.v AS v, sum(r.rank // d.deg) AS in_sum
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
         |   FROM i2 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
         |   GROUP BY g.v) sc ON verts.v = sc.v)
-        | SELECT v AS suppkey, rank FROM i3""".stripMargin,
+        | SELECT v AS suppkey, CAST(rank AS BIGINT) AS rank FROM i3""".stripMargin,
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer
         |   WHERE c_nationkey = 0),

@@ -440,7 +440,8 @@ object SimilarityQueries extends QueryPack {
         | SELECT label, count(*) AS n_vectors,
         |  CAST(sum(CASE WHEN ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_zero,
-        |  min(ss) AS min_ss, max(ss) AS max_ss, max(dim) AS dim
+        |  CAST(min(ss) AS BIGINT) AS min_ss,
+        |  CAST(max(ss) AS BIGINT) AS max_ss, max(dim) AS dim
         | FROM per GROUP BY label""".stripMargin,
     "q148_label_noise" ->
       """WITH base AS (SELECT vec_id, label,

@@ -64,7 +64,7 @@ object SkewQueries extends QueryPack {
         ("l_orderkey", "lineitem"), ("user_id", "events"))
       .map { case (k, t) =>
         s"""SELECT '$k' AS key_col, count(*) AS n_keys,
-           | sum(c) AS n_rows,
+           | CAST(sum(c) AS BIGINT) AS n_rows,
            | (SELECT CAST(k AS BIGINT) FROM (
            |   SELECT $k AS k, count(*) AS c FROM $t GROUP BY 1)
            |   ORDER BY c DESC, k DESC LIMIT 1) AS hottest_key,

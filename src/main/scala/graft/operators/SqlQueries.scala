@@ -117,7 +117,7 @@ object SqlQueries extends QueryPack {
         |       ELSE 'lo' END AS bucket
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
     "q67_sql_const" ->
-      "SELECT 12.0 AS v, pi() AS pi",
+      "SELECT CAST(12.0 AS DOUBLE) AS v, pi() AS pi",
     "q75_sql_intdiv" ->
       """SELECT l_orderkey, l_partkey // 7 AS q, l_partkey % 7 AS r,
         |  l_quantity / 7 AS fq

@@ -238,10 +238,10 @@ object TextQueries extends QueryPack {
         |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS avg_word_len,
         |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
         |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-        |  round((CASE WHEN n_words >= 10 THEN 0.4 ELSE 0.0 END)
+        |  round(CAST((CASE WHEN n_words >= 10 THEN 0.4 ELSE 0.0 END)
         |      + (CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END)
-        |      + (CASE WHEN n_punct * 10 < n_chars THEN 0.3 ELSE 0.0 END),
-        |    6) AS quality
+        |      + (CASE WHEN n_punct * 10 < n_chars THEN 0.3 ELSE 0.0 END)
+        |    AS DOUBLE), 6) AS quality
         | FROM f""".stripMargin,
     "q51_tokens" ->
       """SELECT source, count(*) AS docs,
@@ -347,7 +347,7 @@ object TextQueries extends QueryPack {
         |  WHERE len(w) >= 2 GROUP BY 1),
         | pairs AS (SELECT substring(word, i, 2) AS pair, f
         |  FROM wf, UNNEST(generate_series(1, len(word) - 1)) AS t(i))
-        | SELECT pair, sum(f) AS n FROM pairs GROUP BY pair
+        | SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair
         | ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "q89_frequent_ngrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w

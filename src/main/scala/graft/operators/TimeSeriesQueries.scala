@@ -418,7 +418,8 @@ object TimeSeriesQueries extends QueryPack {
         |   CAST(sum(CASE WHEN half = 'l' THEN 1 ELSE 0 END) AS BIGINT)
         |     AS cl
         |  FROM bd GROUP BY 1, 2),
-        | tot AS (SELECT event_type, sum(ce) AS ne, sum(cl) AS nl
+        | tot AS (SELECT event_type, CAST(sum(ce) AS BIGINT) AS ne,
+        |   CAST(sum(cl) AS BIGINT) AS nl
         |  FROM c GROUP BY 1),
         | terms AS (SELECT c.event_type, tot.ne, tot.nl,
         |   CAST(round(((c.ce + 1) * 1.0 / (tot.ne + 10)

@@ -40,6 +40,36 @@ def eq(a, b):
     return a == b or str(a) == str(b)
 
 
+def type_class(t):
+    """Collapse a DuckDB type name to the numeric class the driver's
+    type-sensitive hash distinguishes. HUGEINT gets its own class so a
+    sum(BIGINT) oracle (int128) never silently matches Spark's int64."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if "HUGEINT" in s:
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    return s
+
+
+def type_mismatch(got_rel_types, got_cols, exp_rel_types, exp_cols):
+    """Column-name-aligned type-class compare; returns first mismatch."""
+    gm = {c: type_class(t) for c, t in zip(got_cols, got_rel_types)}
+    em = {c: type_class(t) for c, t in zip(exp_cols, exp_rel_types)}
+    for c in sorted(set(gm) & set(em)):
+        if em[c] == "hugeint":
+            return (c, gm[c], em[c], "oracle returns HUGEINT — "
+                    "CAST(... AS BIGINT) the sum")
+        if gm[c] != em[c]:
+            return (c, gm[c], em[c], "numeric class differs")
+    return None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -66,11 +96,21 @@ def main(sf_dir, out_dir):
             n_noracle += 1
             continue
         try:
-            exp_rel = con.execute(oracles[name])
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            exp_sql_rel = con.sql(oracles[name])
+            exp_cols = list(exp_sql_rel.columns)
+            exp_types = [str(t) for t in exp_sql_rel.types]
+            exp = exp_sql_rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got_types = [str(t)
+                     for t in con.sql(
+                         f"SELECT * FROM read_parquet({files!r})").types]
+        tm = type_mismatch(got_types, got_cols, exp_types, exp_cols)
+        if tm:
+            print(f"FAIL  {name}: col {tm[0]} type class "
+                  f"spark={tm[1]} oracle={tm[2]} ({tm[3]})")
             n_fail += 1
             continue
         gc, g = canon(got, got_cols)
