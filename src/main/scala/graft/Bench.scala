@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Bench consumes every query exactly once (the noop write), so the
+    // dedup operators' eager seal (persist + count + unpersist legs)
+    // would only add a second full materialization per query — opt out
+    // and let the single write drive the persisted legs directly.
+    spark.conf.set("spark.graft.sealResults", "false")
 
     // warm up session machinery (codegen, shuffle, parquet readers)
     // with a real scan+aggregate so the first measured query doesn't

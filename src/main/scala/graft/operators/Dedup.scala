@@ -445,16 +445,28 @@ object Dedup {
         && col("sa.doc_id") =!= col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
+    // Size-pair pruning before the exact-verify legs: the overlap i is
+    // bounded by |Sb|, and C(a→b) ≥ tau needs i ≥ ⌈tau·|Sa|⌉, so any
+    // candidate with |Sb| < ⌈tau·|Sa|⌉ can never verify — drop it now
+    // instead of paying two shingle-table joins to learn the same.
+    // Carrying sza through also retires the post-aggregate size join.
+    val candSized = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+        Seq("doc_b"))
+      .filter(col("szb") >= ceil(col("sza") * lit(tau)))
+      .select(col("doc_a"), col("doc_b"), col("sza"))
+    val inter = candSized
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"))
+      .agg(count(lit(1)).as("i"))
     val res = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz")), Seq("doc_a"))
-      .filter(col("i").cast("double") / col("sz") >= tau)
+      .filter(col("i").cast("double") / col("sza") >= tau)
       .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") / col("sz"), 6).as("containment"))
+        round(col("i").cast("double") / col("sza"), 6).as("containment"))
     sealResult(res, sh)
   }
 
