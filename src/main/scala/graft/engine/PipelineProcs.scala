@@ -39,37 +39,50 @@ object PipelineProcs {
       s"expected numeric argument, got $other")
   }
 
+  /** Arity gate: EXEC argument lists come straight off the wire, so a
+    * missing argument must surface as a usable signature message, not
+    * an IndexOutOfBounds/MatchError JVM trace echoed to the client. */
+  private def need(args: Seq[Any], n: Int, sig: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"expected $n arguments: $sig (got ${args.length})")
+
   def install(e: Engine): Unit = {
     // exact dedup: (table, idCol, textCol) → (fp, keep_id, n_copies)
     e.registerProcedure("dedup_exact", (eng, args) => {
+      need(args, 3, "dedup_exact(table, idCol, textCol)")
       val Seq(t, id, tx) = args.take(3).map(str)
       Rows(Dedup.exact(eng.tableDf(t), id, tx))
     })
     // near-dup pairs: (table, idCol, textCol, tau) — MinHash k=32,
     // 16 bands × 2, word 3-gram shingles, exact-Jaccard verified
     e.registerProcedure("dedup_near", (eng, args) => {
+      need(args, 4, "dedup_near(table, idCol, textCol, tau)")
       val Seq(t, id, tx) = args.take(3).map(str)
       Rows(Dedup.minhashNearDupPairs(eng.tableDf(t), id, tx,
         shingleN = 3, k = 32, bands = 16, tau = dbl(args(3))))
     })
     // duplicated spans: (table, idCol, textCol, L)
     e.registerProcedure("dup_spans", (eng, args) => {
+      need(args, 4, "dup_spans(table, idCol, textCol, spanWords)")
       val Seq(t, id, tx) = args.take(3).map(str)
       Rows(TextAnalysis.duplicatedSpans(eng.tableDf(t), id, tx,
         l = lng(args(3)).toInt))
     })
     // language ID: (table, idCol, textCol)
     e.registerProcedure("lang_id", (eng, args) => {
+      need(args, 3, "lang_id(table, idCol, textCol)")
       val Seq(t, id, tx) = args.take(3).map(str)
       Rows(TextAnalysis.languageId(eng.tableDf(t), id, tx))
     })
     // quality scores: (table, idCol, textCol)
     e.registerProcedure("quality", (eng, args) => {
+      need(args, 3, "quality(table, idCol, textCol)")
       val Seq(t, id, tx) = args.take(3).map(str)
       Rows(TextAnalysis.qualityScore(eng.tableDf(t), id, tx))
     })
     // brute-force ANN: (table, idCol, vecCol, queryId, k)
     e.registerProcedure("ann_topk", (eng, args) => {
+      need(args, 5, "ann_topk(table, idCol, vecCol, queryId, k)")
       val Seq(t, id, vc) = args.take(3).map(str)
       val df = eng.tableDf(t)
       import org.apache.spark.sql.functions.col

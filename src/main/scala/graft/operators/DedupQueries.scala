@@ -71,6 +71,12 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             Dedup.md5Hash60(col("shingle")).as("shingle")),
         maxHamming = 3, bits = 60)),
+    // ORACLE COUPLING (q168, and q153 below): the LSH candidate pass
+    // is probabilistically recall-bounded, but the oracle computes
+    // exact all-pairs Jaccard; equality holds because this fixture's
+    // true pairs sit at J≈0.9, where 16-band×2-row recall is ~1-1e-9.
+    // DedupSpec("LSH recall is 100% on the fixture corpus") pins this
+    // so a fixture change fails loudly there, not flakily here.
     // Per-source near-dup rate: which sources ship the duplication —
     // the triage signal that decides WHERE to spend dedup effort (a
     // source at 40% near-dup gets a crawler fix; 0.1% gets a filter).

@@ -120,17 +120,21 @@ object Graph {
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, ranks("v") === outDeg("s"), "left")
         .select(col("v"), col("rank"), col("deg"))
-      // dangling vertices (no out-edges) spread their rank uniformly
-      val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      // dangling vertices (no out-edges) spread their rank uniformly.
+      // The mass is a 1-row aggregate broadcast back into the update —
+      // NOT a driver collect — so each iteration stays a single job
+      // and no driver round-trip sits inside the loop at scale.
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contrib = withDeg.filter(col("deg").isNotNull)
         .join(e, col("s") === col("v"))
         .select(col("d"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("d")).agg(sum(col("c")).as("in_rank"))
       ranks = verts.join(contrib, verts("v") === contrib("d"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("v"), (lit((1.0 - damping) / n) +
           lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
-            lit(danglingMass / n))).as("rank"))
+            col("dm") / n)).as("rank"))
         .localCheckpoint()
     }
     ranks

@@ -160,13 +160,21 @@ object Similarity {
     * is scored in place (never shuffled), the label filter prunes
     * BEFORE ranking, and the per-query rank window is keyed on
     * query_id. For corpus-sized query sets, mine per IVF bucket
-    * instead (ivfSearchBatch with a label predicate). */
+    * instead (ivfSearchBatch with a label predicate).
+    *
+    * NULL-label rows (corpus or query side) are EXCLUDED, explicitly:
+    * a row whose label is unknown cannot be certified a negative, and
+    * serving it as one would poison the contrastive signal. This
+    * makes the former implicit null-rejection of `=!=` a documented
+    * contract rather than an accident. */
   def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val corpus = emb.select(col(idCol).as("vec_id"),
       col(labelCol).as("label"), toDoubleVec(col(vecCol)).as("v"))
+      .filter(col("label").isNotNull)
     val qs = queries.select(col(idCol).as("query_id"),
       col(labelCol).as("q_label"), toDoubleVec(col(vecCol)).as("qv"))
+      .filter(col("q_label").isNotNull)
     val cos = nativeCosine(emb.sparkSession)
     val scored = corpus.crossJoin(broadcast(qs))
       .filter(col("label") =!= col("q_label"))
@@ -202,12 +210,17 @@ object Similarity {
       .select(col("id"), col("pos").cast("long").as("i"), col("col").as("x"))
     // one-row dimension probe (vectors are uniform-width by contract);
     // deriving dims from flat.distinct() would cost a full corpus scan
-    // + exchange just to learn a constant
-    val probe = emb.select(size(toDoubleVec(col(vecCol))).as("d"))
+    // + exchange just to learn a constant. NOTE this runs an eager
+    // (tiny: LIMIT 1) Spark job at plan-construction time. Null
+    // embeddings are skipped so a leading null row can't NPE the probe
+    // or zero the sign-matrix width.
+    val probe = emb.filter(col(vecCol).isNotNull)
+      .select(size(toDoubleVec(col(vecCol))).as("d"))
       .limit(1).collect()
-    // empty corpus → zero-dim sign matrix → empty (correctly-typed)
-    // projection, instead of an out-of-bounds probe
-    val dim = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    // empty/all-null corpus → zero-dim sign matrix → empty
+    // (correctly-typed) projection, instead of an out-of-bounds probe
+    val dim = if (probe.isEmpty || probe(0).isNullAt(0)) 0
+      else probe(0).getInt(0)
     val js = emb.sparkSession.range(k).select(col("id").as("j"))
     val signs = emb.sparkSession.range(dim).select(col("id").as("i"))
       .crossJoin(js)

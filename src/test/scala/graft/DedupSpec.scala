@@ -160,6 +160,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 1)
   }
 
+  test("LSH recall is 100% on the fixture corpus (oracle coupling guard)") {
+    // q42/q113/q153/q168 compare MinHash-LSH (probabilistic recall,
+    // 16 bands × 2 rows) against EXACT all-pairs Jaccard oracles. That
+    // equality is a property of THIS fixture (mutation pairs sit at
+    // J≈0.9, far above the 16×2 S-curve's 0.5 midpoint), not of LSH
+    // itself. This test pins the property: if a future fixture change
+    // plants a J≥0.5 pair that every band misses, it fails HERE with a
+    // clear message instead of as a nondeterministic-looking oracle
+    // hash mismatch in the driver gate.
+    val base = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text")
+    val corpus = base.unionAll(base.filter($"doc_id" % 2 === 0).select(
+      ($"doc_id" + 10000L).as("doc_id"),
+      concat($"text", lit(" zq0 zq1 zq2")).as("text")))
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, tau = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size} true pairs (e.g. ${missed.take(3)}) — " +
+        "fixture no longer guarantees 100% LSH recall; q42/q113/q153/" +
+        "q168 oracles will hash-mismatch nondeterministically")
+    assert(lsh == exact) // verified pairs carry no false positives
+  }
+
   test("nearDupClusters: union-find and distributed paths agree") {
     // chain 1-2-3-4 (transitive), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),

@@ -406,6 +406,12 @@ class EngineSpec extends AnyFunSuite {
     eng.attachTable("pvecs", vecs)
     val ann = rows(eng.sql("exec ann_topk('pvecs', 'vec_id', 'embedding', 0, 1)"))
     assert(ann.length == 1 && ann(0).getLong(1) == 1L) // nearest ≠ self
+    // wrong arity → a usable signature message, not a raw JVM trace
+    eng.sql("exec dedup_near('pdocs', 'doc_id', 'text')") match {
+      case graft.engine.Status(ok, msg) =>
+        assert(!ok && msg.contains("dedup_near(table, idCol, textCol, tau)"))
+      case other => fail(s"expected arity error status, got $other")
+    }
   }
 
   test("drop and if-exists behavior") {
