@@ -27,7 +27,8 @@ object SparkEntry {
     AnalyticsQueries,
     BehaviorQueries,
     CurationQueries,
-    TimeSeriesQueries
+    TimeSeriesQueries,
+    EngineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EngineQueries
+
+/** The four engine-surface queries are value-checked by the driver's
+  * DuckDB oracle; this spec pins their structural invariants at
+  * sf0.001 so a regression fails fast locally. */
+class EngineQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("q173 LOAD round-trip rejects corrupted rows, keeps the rest") {
+    val got = EngineQueries.queries("q173_load_roundtrip")(spark, d)
+      .collect()
+    val total = got.map(_.getLong(1)).sum
+    val expected = Tables.customer(spark, d)
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 97 =!= 0)
+      .count()
+    assert(total == expected)
+  }
+
+  test("q174 DML round-trip applies insert/update/delete, rejects dup PK") {
+    val got = EngineQueries.queries("q174_dml_roundtrip")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(99L) == 2L) // both literal rows, dup rejected
+  }
+
+  test("q175 cursor pages are full except the last") {
+    val got = EngineQueries.queries("q175_cursor_pages")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(got.nonEmpty)
+    got.dropRight(1).foreach(r => assert(r.getLong(1) == 256L))
+    assert(got.last.getLong(1) <= 256L)
+  }
+
+  test("q176 DDL catalog reflects create/drop and DESC order") {
+    val got = EngineQueries.queries("q176_ddl_catalog")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("type", "person")))
+    assert(!got.exists(_._2 == "gone")) // dropped type absent
+    assert(got.contains(("edge_col", "stamp:time")))
+  }
+}
