@@ -148,4 +148,78 @@ class ServerSpec extends AnyFunSuite {
       check.close()
     } finally srv.stop()
   }
+
+  test("the Lua wire client (clients/nowlua.lua) drives a full session") {
+    // Run the REAL client file through the embedded Lua interpreter,
+    // with its injected transport bound to java sockets — the same
+    // contract a LuaSocket runtime satisfies (reference Lua binding:
+    // lua/now.lua connect/execute/rows surface).
+    import graft.engine.Lua._
+    val root = Files.createTempDirectory("server-lua").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 2).start()
+    try {
+      val env = Interp.stdEnv()
+      val socks = scala.collection.mutable.Map.empty[Long, (java.net.Socket,
+        java.io.BufferedReader, java.io.PrintWriter)]
+      var nextId = 0L
+      val tcp = new LTable
+      tcp.set(LStr("connect"), LBuiltin("tcp.connect", { as =>
+        val host = as(0).asInstanceOf[LStr].s
+        val port = as(1) match { case LInt(v) => v.toInt
+          case LFlt(d) => d.toInt case _ => sys.error("port") }
+        val s = new java.net.Socket(host, port)
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        nextId += 1; socks(nextId) = (s, r, w); Seq(LInt(nextId))
+      }))
+      tcp.set(LStr("sendline"), LBuiltin("tcp.sendline", { as =>
+        val (_, _, w) = socks(as(0).asInstanceOf[LInt].v)
+        w.println(as(1).asInstanceOf[LStr].s); w.flush(); Nil
+      }))
+      tcp.set(LStr("recvline"), LBuiltin("tcp.recvline", { as =>
+        val (_, r, _) = socks(as(0).asInstanceOf[LInt].v)
+        Option(r.readLine()).map(l => Seq(LStr(l))).getOrElse(Seq(LNil))
+      }))
+      tcp.set(LStr("close"), LBuiltin("tcp.close", { as =>
+        socks.remove(as(0).asInstanceOf[LInt].v).foreach(_._1.close()); Nil
+      }))
+      val clientSrc = new String(Files.readAllBytes(
+        java.nio.file.Paths.get("clients/nowlua.lua")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Lua.run(clientSrc, env)
+      env.get("now").asInstanceOf[LTable].set(LStr("transport"), tcp)
+      // driver script: DDL + inserts + a paged SELECT (pageSize=2 →
+      // the rows() iterator must transparently fetch 3 batches) + an
+      // error statement that must NOT kill the session
+      val script =
+        s"""local con = now.connect('127.0.0.1', ${srv.boundPort})
+           |con.execute('create scope luawire')
+           |con.execute('use luawire')
+           |con.execute('create type g (id uint pk, name text)')
+           |local i = 1
+           |while i <= 5 do
+           |  con.execute("insert into g (id, name) (" .. tostring(i)
+           |    .. ", 'n" .. tostring(i) .. "')")
+           |  i = i + 1
+           |end
+           |local rc, bad = con.pexecute('select nope from nowhere')
+           |assert(rc ~= now.OK)
+           |local r = con.execute('select id, name from g')
+           |local n = 0
+           |local sum = 0
+           |for row in r.rows() do
+           |  n = n + 1
+           |  sum = sum + tonumber(row[1])
+           |  assert(string.sub(row[2], 1, 1) == 'n')
+           |end
+           |assert(r.columns[1] == 'id' and r.columns[2] == 'name')
+           |con.close()
+           |return n, sum
+           |""".stripMargin
+      val out = Lua.run(script, env)
+      assert(out == Seq(LInt(5), LInt(15)), s"got $out")
+    } finally srv.stop()
+  }
 }
