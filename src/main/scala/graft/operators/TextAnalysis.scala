@@ -228,6 +228,84 @@ object TextAnalysis {
         col("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** BM25 lexical retrieval: score every document against a fixed
+    * query-term set and return the top-k (Robertson/Spärck Jones
+    * probabilistic relevance framework; the BM25 formula is public —
+    * idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1+(N−df+0.5)/(df+0.5))). The retrieval primitive behind
+    * corpus search, contamination triage, and RAG baselines.
+    *
+    * Scale shape: the token stream is filtered to the query terms
+    * BEFORE any shuffle, so the tf frame is |terms|·|matching docs|,
+    * not corpus-sized; N/avgdl are a 1-row broadcast aggregate; the
+    * global top-k is a TakeOrdered, never a full sort. Determinism:
+    * per-(doc,term) contributions are rounded to 9 dp and summed as
+    * DECIMAL (exact, order-free — the q150 pattern), so DuckDB
+    * reproduces the score bit-for-bit. Callers should pass k1/b with
+    * exact binary representations (1.5, 0.75) for cross-engine float
+    * identity. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.5,
+               b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = toks.filter(col("w").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(dft, "w").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") * col("n_docs") / col("tot")))),
+          9).cast(dec).as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("sc").cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Overlapping sliding-window chunking — the RAG / context-window
+    * preparation step: split each document's token stream into
+    * `window`-token chunks starting every `stride` tokens (stride <
+    * window ⇒ overlap), last chunk truncated at the document end.
+    * chunks(L) = 1 + max(0, ⌈(L−window)/stride⌉), all arithmetic
+    * integer-exact. Row-local (explode of a per-doc sequence): no
+    * shuffle at all — the 100 TB plan is a single mapper stage.
+    * Output: (doc_id, chunk_no, start_tok, n_toks, first_tok,
+    * last_tok) — span coordinates plus boundary tokens so chunk
+    * placement is value-checkable without shipping chunk text. */
+  def windowChunks(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    import graft.functions.NowFunctions.intDiv
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("l"))
+      .select(col("doc_id"), col("w"), col("l"),
+        explode(sequence(lit(0L), greatest(lit(0L),
+          intDiv(col("l") - window + (stride - 1), lit(stride.toLong)))))
+          .as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride + 1).as("start_tok"),
+        least(lit(window.toLong), col("l") - col("chunk_no") * stride)
+          .as("n_toks"),
+        element_at(col("w"), (col("chunk_no") * stride + 1).cast("int"))
+          .as("first_tok"),
+        element_at(col("w"),
+          least(col("chunk_no") * stride + window, col("l")).cast("int"))
+          .as("last_tok"))
+  }
+
   /** Benchmark decontamination: score each corpus document by its
     * distinct word-n-gram overlap with a benchmark set — the standard
     * check that training data doesn't contain eval data. Exact

@@ -16,6 +16,19 @@ object TextQueries extends QueryPack {
     // n-gram language ID: argmax of char-trigram profile scores.
     "q49_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // BM25 top-20 against a fixed 4-term query. k1=1.5 and b=0.75 are
+    // chosen exactly binary-representable so Spark's and DuckDB's
+    // double arithmetic agree bit-for-bit; per-term contributions are
+    // rounded/summed as DECIMAL (order-free) before the final round.
+    "q177_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("data", "join", "spark", "query"),
+        k1 = 1.5, b = 0.75, topK = 20)),
+    // Sliding-window chunking, 32-token windows every 16 tokens —
+    // pure row-local integer arithmetic, zero shuffles.
+    "q178_window_chunks" -> ((s, d) =>
+      TextAnalysis.windowChunks(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 16)),
     // Inter-document duplication rate: per document, the fraction of
     // its distinct word-5-grams that occur in at least one OTHER
     // document — the corpus-QA memorization-risk stat (high-overlap
@@ -192,6 +205,38 @@ object TextQueries extends QueryPack {
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q177_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM dl),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN ('data', 'join', 'spark', 'query') GROUP BY 1, 2),
+        | dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        | c AS (SELECT tf.doc_id,
+        |   CAST(round(
+        |     ln(1.0 + (CAST(st.n AS DOUBLE) - dft.df + 0.5)
+        |       / (dft.df + 0.5))
+        |     * (tf.tf * 2.5)
+        |     / (tf.tf + 1.5 * (0.25 + 0.75 * ((dl.dl * st.n) / st.tot))),
+        |    9) AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), st)
+        | SELECT doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        | FROM c GROUP BY doc_id
+        | ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q178_window_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        | c AS (SELECT doc_id, w, l, UNNEST(generate_series(0,
+        |   greatest(0, (l - 32 + 15) // 16))) AS chunk_no FROM d)
+        | SELECT doc_id, chunk_no, chunk_no * 16 + 1 AS start_tok,
+        |  least(32, l - chunk_no * 16) AS n_toks,
+        |  w[chunk_no * 16 + 1] AS first_tok,
+        |  w[least(chunk_no * 16 + 32, l)] AS last_tok
+        | FROM c""".stripMargin,
     "q124_dup_ngram_rate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM documents),

@@ -119,4 +119,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("doc_hash") == poly(txt))
     assert(r.getAs[Long]("winnow_min") == expWin)
   }
+
+  test("bm25TopK: hand-computed scores, rarer terms weigh more") {
+    val docs = Seq(
+      (1L, "spark spark spark alpha beta gamma"),
+      (2L, "spark alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "unrelated words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("spark"), k1 = 1.5, b = 0.75, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // only matching docs, tf order
+    // doc 1: tf=3, dl=6; N=4, df=2, avgdl=27/4
+    val idf = math.log(1.0 + (4.0 - 2 + 0.5) / (2 + 0.5))
+    def sat(tf: Long, dl: Long) =
+      (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl * 4L / 27L.toDouble)))
+    def score(tf: Long, dl: Long) =
+      BigDecimal(idf * sat(tf, dl)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._2 == score(3, 6) && got(1)._2 == score(1, 8))
+  }
+
+  test("windowChunks: spans tile with overlap, short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 tokens
+      (2L, "a b c")                                   // 3 tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.windowChunks(docs, "doc_id", "text",
+        window = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).sortBy(x => (x._1, x._2))
+    // 40 tokens: chunks at 1..32 and 17..40 (truncated)
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 1L, 32L, "w1", "w32"),
+      (1L, 1L, 17L, 24L, "w17", "w40")))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a", "c")))
+  }
 }
