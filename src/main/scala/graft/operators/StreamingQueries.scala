@@ -97,12 +97,29 @@ object StreamingQueries extends QueryPack {
         .groupBy(col("user_id"))
         .agg(max(col("cnt")).as("peak_5min"),
           count(lit(1)).as("n_events"))
-    })
+    }),
+    // Per-day dominant users (exact heavy hitters, count > total/50)
+    // via the windowed Misra–Gries sketch + exact verify. The sketch
+    // pass is a mergeable-state streaming aggregation; the output is
+    // exact by the MG guarantee (cap 64 ≥ denom 50).
+    "q179_window_heavy_hitters" -> ((s, d) =>
+      EventStreams.windowHeavyHitters(ev(s, d), "1 day",
+        threshDenom = 50L, cap = 64))
   )
 
   private val gapUs = 7200000000L // 2 hours in µs
 
   val oracles: Map[String, String] = Map(
+    "q179_window_heavy_hitters" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS w_start, user_id FROM events),
+        | d AS (SELECT w_start, user_id, count(*) AS cnt FROM e
+        |  GROUP BY 1, 2),
+        | t AS (SELECT w_start, CAST(sum(cnt) AS BIGINT) AS win_total
+        |  FROM d GROUP BY 1)
+        | SELECT d.w_start, d.user_id, d.cnt, t.win_total
+        | FROM d JOIN t USING (w_start)
+        | WHERE d.cnt > t.win_total // 50""".stripMargin,
     "q120_interval_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t
         |   FROM events WHERE event_type = 'click'),

@@ -277,6 +277,44 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Per-window exact heavy hitters — "which users dominate each
+    * day's traffic" (abuse/bot triage, per-window skew detection).
+    * Two passes in the q130 sketch-then-verify shape, windowed:
+    *
+    *  1. a windowed aggregation reduces each window's item stream to
+    *     one ≤`cap`-entry Misra–Gries summary plus the window total —
+    *     MG state is mergeable, so this pass is a VALID incremental
+    *     streaming aggregation (the same `groupBy(window).agg(mg)`
+    *     runs under readStream; EventStreamsSpec proves batch parity);
+    *  2. candidates join back against the item stream for an exact
+    *     count — candidate sets are cap-bounded per window, so the
+    *     join's build side stays tiny at any scale.
+    *
+    * The MG guarantee (every item with count > n/cap survives, cap ≥
+    * threshDenom) makes the OUTPUT exact and partitioning-independent
+    * even though the intermediate sketch is neither. Threshold uses
+    * integer floor division to stay engine-reproducible. */
+  def windowHeavyHitters(events: DataFrame, width: String,
+                         threshDenom: Long, cap: Int): DataFrame = {
+    require(cap >= threshDenom,
+      s"cap $cap must be >= threshold denominator $threshDenom")
+    val mg = graft.functions.Sketches.mgSketchAgg(events.sparkSession, cap)
+    val byWin = events.select(window(col("ts_utc"), width).as("w"),
+      col("user_id").cast("string").as("item"))
+    val sk = byWin.groupBy(col("w"))
+      .agg(mg(col("item")).as("mg"), count(lit(1)).as("win_total"))
+      .select(col("w"), col("win_total"),
+        explode(map_keys(col("mg"))).as("item"))
+    byWin.join(sk, Seq("w", "item"))
+      .groupBy(col("w"), col("item"), col("win_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > graft.functions.NowFunctions.intDiv(
+        col("win_total"), lit(threshDenom)))
+      .select(col("w.start").as("w_start"),
+        col("item").cast("long").as("user_id"),
+        col("cnt"), col("win_total"))
+  }
+
   /** Streaming sink helper: append a windowed aggregation to parquet
     * with a checkpoint (exactly-once file sink). */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =

@@ -237,4 +237,55 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out(0).getAs[java.sql.Timestamp]("session_end").getTime ==
       (60 + 1800) * 1000L)
   }
+
+  test("windowed MG sketch streams incrementally; heavy hitters exact") {
+    implicit val sq = spark.sqlContext
+    // user 7 dominates hour 0 (12 of 20 events > 20/4); user 8's 4
+    // events don't clear the threshold; hour 1 has no dominant user
+    val events = (1 to 12).map(i => ev(i, 60L * i, 7)) ++
+      (13 to 16).map(i => ev(i, 60L * i, 8)) ++
+      (17 to 20).map(i => ev(i, 60L * i, 100 + i)) ++
+      (21 to 24).map(i => ev(i, 3600 + 60L * i, 200 + i))
+    val batchDf = EventStreams.withEventTime(events.toDF())
+    val got = EventStreams.windowHeavyHitters(batchDf, "1 hour",
+        threshDenom = 4L, cap = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 12L, 20L)))
+    // the sketch PASS (the stateful part) runs as a real incremental
+    // stream: same candidates + totals as the batch plan, fed in two
+    // out-of-order micro-batches
+    val mg = graft.functions.Sketches.mgSketchAgg(spark, 8)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(window($"ts_utc", "1 hour").as("w"),
+          $"user_id".cast("string").as("item"))
+        .groupBy($"w").agg(mg($"item").as("mg"), count(lit(1)).as("n"))
+        .select($"w.start".as("ws"), map_keys($"mg").as("cands"), $"n")
+    val input = MemoryStream[Event]
+    val q = sketchOf(EventStreams.withEventTime(input.toDF()))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(10): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(10): _*)
+      q.processAllAvailable()
+      val stream = spark.table("mg_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getSeq[String](1).toSet,
+          r.getLong(2))).toSet
+      val batch = sketchOf(batchDf).collect()
+        .map(r => (r.getTimestamp(0), r.getSeq[String](1).toSet,
+          r.getLong(2))).toSet
+      // window totals agree exactly; candidate sets both honor the MG
+      // survival guarantee (count > n/cap ⇒ survives, regardless of
+      // micro-batch slicing / merge order) — which is all the exact
+      // verify pass consumes
+      assert(stream.map(t => (t._1, t._3)) == batch.map(t => (t._1, t._3)))
+      val hour0 = stream.find(_._3 == 20L).get
+      assert(hour0._2.contains("7") && hour0._2.contains("8"),
+        s"MG survival violated in stream sketch: ${hour0._2}")
+      val batch0 = batch.find(_._3 == 20L).get
+      assert(batch0._2.contains("7") && batch0._2.contains("8"),
+        s"MG survival violated in batch sketch: ${batch0._2}")
+    } finally q.stop()
+  }
 }

@@ -136,6 +136,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("window chunking is a single mapper stage (zero exchanges)") {
+    val df = SparkEntry.queries("q178_window_chunks")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("BM25 top-k plans TakeOrdered, filters terms before the shuffle") {
+    val df = SparkEntry.queries("q177_bm25_topk")(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // global top-k must be a TakeOrdered(AndProject), never a full sort
+    assert(p.contains("TakeOrdered"), p)
+    // the query-term IN-filter must sit below the tf aggregation (the
+    // corpus-sized token stream never shuffles unfiltered): the plan
+    // contains the isin filter, and corpus stats ride a broadcast
+    assert(p.contains("w#") && p.contains(" IN (data,join,query,spark)")
+      || p.contains(" IN (data,join,spark,query)"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   /** True iff some Window in the plan is fed (through sort/project
     * wrappers) by an Exchange SinglePartition — the pattern that
     * serializes a data-sized set through one task at scale.
