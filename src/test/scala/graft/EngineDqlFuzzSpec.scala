@@ -132,4 +132,89 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"spark:  ${canon(want).take(3)}")
     }
   }
+
+  test("100 random edge-join compositions: dialect engine == Spark SQL") {
+    // The reference's JOIN surface (edge JOIN vtype ON origin|destin,
+    // sql.tex:2291-2368) composed with projections, filters, and
+    // grouped aggregates — against the explicit ANSI equi-join in
+    // Spark SQL. Two distinct vertex types keep column names unique,
+    // so unqualified scoping (the dialect's model) is unambiguous in
+    // both front-ends.
+    val rnd = new scala.util.Random(9001)
+    val users = (0 until 40).map(i =>
+      (i.toLong, s"u$i", (i % 5).toLong)).toDF("uid", "uname", "ugrp")
+    val items = (0 until 30).map(i =>
+      (i.toLong, s"it$i", math.rint(rnd.nextDouble() * 5000) / 100.0))
+      .toDF("iid", "iname", "price")
+    val edges = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(30).toLong,
+        (1 + rnd.nextInt(9)).toLong,
+        math.rint(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("origin", "destin", "qty", "amt")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz3").toString)
+    eng.script(
+      """create scope fzj;
+        | use fzj;
+        | create type usr (uid uint pk, uname text, ugrp uint);
+        | create type itm (iid uint pk, iname text, price float);
+        | create edge buys (origin usr origin, destin itm destin,
+        |   qty int, amt float)""".stripMargin)
+    eng.attachTable("users_src", users)
+    eng.attachTable("items_src", items)
+    eng.attachTable("edges_src", edges)
+    eng.sql("insert into usr (uid, uname, ugrp) " +
+      "select uid, uname, ugrp from users_src")
+    eng.sql("insert into itm (iid, iname, price) " +
+      "select iid, iname, price from items_src")
+    eng.sql("insert into buys (origin, destin, qty, amt) " +
+      "select origin, destin, qty, amt from edges_src")
+    users.createOrReplaceTempView("usr_v")
+    items.createOrReplaceTempView("itm_v")
+    edges.createOrReplaceTempView("buys_v")
+
+    val projBoth = Seq("uname", "iname", "qty", "amt", "ugrp", "price")
+    val projOrigin = Seq("uname", "ugrp", "qty", "amt", "origin")
+    val wherePool = Seq("", " where qty > 5", " where ugrp = 2",
+      " where qty >= 3 and qty <= 7", " where uname = 'u7'",
+      " where not (qty < 4)")
+    val aggPool = Seq("count(*) as n", "sum(qty) as sq",
+      "min(qty) as mq", "max(qty) as xq")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    for (i <- 0 until 100) {
+      val bothSides = rnd.nextBoolean()
+      val joinDialect =
+        if (bothSides) " join usr on origin join itm on destin"
+        else " join usr on origin"
+      val joinAnsi =
+        if (bothSides) " join usr_v on buys_v.origin = usr_v.uid" +
+          " join itm_v on buys_v.destin = itm_v.iid"
+        else " join usr_v on buys_v.origin = usr_v.uid"
+      val where = pick(if (bothSides) wherePool
+        else wherePool.filterNot(_.contains("price")))
+      val (sel, group) =
+        if (rnd.nextInt(3) == 0) { // grouped aggregate over ugrp
+          val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(2))
+          ((Seq("ugrp") ++ aggs).mkString(", "), " group by ugrp")
+        } else {
+          val pool = if (bothSides) projBoth else projOrigin
+          (rnd.shuffle(pool).take(1 + rnd.nextInt(3)).mkString(", "), "")
+        }
+      val dq = s"select $sel from buys$joinDialect$where$group"
+      val aq = s"select $sel from buys_v$joinAnsi$where$group"
+      val got = eng.sql(dq) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"$dq -> $other")
+      }
+      val want = spark.sql(aq).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map {
+          case d: Double => f"$d%.9f"
+          case v => String.valueOf(v)
+        }).toSeq.sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n$dq\nvs $aq\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
 }
