@@ -71,6 +71,32 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"),
             Dedup.md5Hash60(col("shingle")).as("shingle")),
         maxHamming = 3, bits = 60)),
+    // Chunk-level dedup: md5-fingerprint every 32-token/stride-16
+    // sliding window (the q178 chunking geometry) and report
+    // fingerprints appearing in MORE THAN ONE document — duplication
+    // at retrieval-chunk granularity, which doc-level dedup misses
+    // when a document EMBEDS another (the corpus mutations do exactly
+    // that, so every full chunk of an even doc duplicates). Chunk
+    // construction is row-local; one shuffle on the 16-byte digest.
+    "q181_chunk_dedup" -> ((s, d) => {
+      val chunks = corpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          size(col("w")).cast("long").as("l"))
+        .select(col("doc_id"), col("w"), col("l"),
+          explode(sequence(lit(0L), greatest(lit(0L),
+            graft.functions.NowFunctions.intDiv(
+              col("l") - 32 + 15, lit(16L))))).as("cn"))
+        .select(col("doc_id"), md5(array_join(slice(col("w"),
+          (col("cn") * 16 + 1).cast("int"),
+          least(lit(32L), col("l") - col("cn") * 16).cast("int")), " "))
+          .as("fp"))
+      chunks.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+    }),
     // ORACLE COUPLING (q168, and q153 below): the LSH candidate pass
     // is probabilistically recall-bounded, but the oracle computes
     // exact all-pairs Jaccard; equality holds because this fixture's
@@ -168,6 +194,21 @@ object DedupQueries extends QueryPack {
       s" << ${4 * (15 - i)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q181_chunk_dedup" ->
+      s"""WITH corpus AS ($corpusSql),
+        | d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM corpus),
+        | ch AS (SELECT doc_id, md5(array_to_string(
+        |   w[(cn * 16 + 1):(cn * 16 + least(32, l - cn * 16))], ' '))
+        |    AS fp
+        |  FROM (SELECT doc_id, w, l, UNNEST(generate_series(0,
+        |   greatest(0, (l - 32 + 15) // 16))) AS cn FROM d))
+        | SELECT fp, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        | FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) > 1"""
+        .stripMargin,
     "q43_dedup_simhash" ->
       s"""WITH corpus AS ($corpusSql),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -13,6 +13,43 @@ import graft.functions.VectorOps
 object SimilarityQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hybrid retrieval: BM25 top-50 (lexical leg) + cosine top-50 of
+    // the vec-0 query (vector leg), fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60+rank) — the standard score-free fusion whose
+    // integer ranks make the result engine-reproducible (fused score
+    // is two constant divisions summed in fixed order). The lexical
+    // rank is computed by a 50-row broadcast self-join, NOT a global
+    // window — candidate lists are k-bounded, so the whole fusion is
+    // constant-size work regardless of corpus scale.
+    "q180_hybrid_rrf" -> ((s, d) => {
+      val lex50 = TextAnalysis.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("data", "join", "spark", "query"),
+        k1 = 1.5, b = 0.75, topK = 50)
+      val lexRank = lex50.as("a").join(broadcast(lex50.as("b")),
+          col("b.bm25") > col("a.bm25") ||
+            (col("b.bm25") === col("a.bm25") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1).as("rank_lex"))
+      val emb = Tables.embeddings(s, d)
+      val vecRank = Similarity.bruteForceTopKJoin(emb,
+          emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          "vec_id", "embedding", k = 50)
+        .select(col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("rank_vec"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          round(
+            when(col("rank_lex").isNotNull,
+              lit(1.0) / (col("rank_lex") + 60)).otherwise(lit(0.0)) +
+            when(col("rank_vec").isNotNull,
+              lit(1.0) / (col("rank_vec") + 60)).otherwise(lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     // Exact brute-force top-10 cosine neighbors of vector 0.
     "q46_ann_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -193,6 +230,50 @@ object SimilarityQueries extends QueryPack {
       |   FROM flat GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_hybrid_rrf" ->
+      s"""WITH $flatCte,
+        | toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM dl),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN ('data', 'join', 'spark', 'query') GROUP BY 1, 2),
+        | dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        | bc AS (SELECT tf.doc_id,
+        |   CAST(round(
+        |     ln(1.0 + (CAST(st.n AS DOUBLE) - dft.df + 0.5)
+        |       / (dft.df + 0.5))
+        |     * (tf.tf * 2.5)
+        |     / (tf.tf + 1.5 * (0.25 + 0.75 * ((dl.dl * st.n) / st.tot))),
+        |    9) AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN dft USING (w) JOIN dl USING (doc_id), st),
+        | bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        |  FROM bc GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+        | lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |   ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        |  FROM bm),
+        | dots AS (SELECT f.vec_id, sum(f.x * q.x) AS dp
+        |  FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id = 0
+        |  WHERE f.vec_id <> 0 GROUP BY f.vec_id),
+        | vr AS (SELECT d.vec_id AS doc_id, CAST(row_number() OVER (
+        |   ORDER BY dp / (n.nrm * (SELECT nrm FROM norms nz
+        |     WHERE nz.vec_id = 0)) DESC, d.vec_id ASC) AS BIGINT)
+        |     AS rank_vec
+        |  FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        |  ORDER BY rank_vec LIMIT 50)
+        | SELECT coalesce(lex.doc_id, vr.doc_id) AS doc_id,
+        |  coalesce(rank_lex, 0) AS rank_lex,
+        |  coalesce(rank_vec, 0) AS rank_vec,
+        |  round(
+        |   CASE WHEN rank_lex IS NOT NULL
+        |     THEN CAST(1.0 AS DOUBLE) / (rank_lex + 60) ELSE 0.0 END +
+        |   CASE WHEN rank_vec IS NOT NULL
+        |     THEN CAST(1.0 AS DOUBLE) / (rank_vec + 60) ELSE 0.0 END,
+        |   6) AS rrf
+        | FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.doc_id
+        | ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q135_quantized_ann" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings),
