@@ -112,8 +112,10 @@ object DedupQueries extends QueryPack {
     "q168_source_dup_rate" -> ((s, d) => {
       val pairs = Dedup.minhashNearDupPairs(corpus(s, d), "doc_id",
         "text", shingleN = 3, k = 32, bands = 16, tau = 0.5)
-      val baseIds = pairs.select(col("doc_a").as("id"))
-        .unionAll(pairs.select(col("doc_b").as("id")))
+      // explode, not unionAll-of-two-selects: a union would evaluate
+      // the whole LSH pair subtree twice when the caller runs unsealed
+      val baseIds = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
         .select(when(col("id") >= 10000L, col("id") - 10000L)
           .otherwise(col("id")).as("doc_id"))
         .distinct()

@@ -200,8 +200,13 @@ object Graph {
                    seeds: DataFrame, seedCol: String,
                    maxHops: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+    // symmetrize by in-row explode (one evaluation of the edge
+    // subtree), not unionAll-of-two-selects (two) — edge frames are
+    // often expensive aggregates (co-occurrence graphs)
+    val sym = edges.select(explode(array(
+        struct(col(src).as("u"), col(dst).as("v")),
+        struct(col(dst).as("u"), col(src).as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint()
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var visited = seeds.select(col(seedCol).as("v")).distinct()
@@ -257,10 +262,12 @@ object Graph {
                   wCol: String, seeds: DataFrame, seedCol: String,
                   maxHops: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges
-      .select(col(src).as("u"), col(dst).as("v"), col(wCol).as("w"))
-      .unionAll(edges
-        .select(col(dst).as("u"), col(src).as("v"), col(wCol).as("w")))
+    // in-row symmetrization — see bfsDistances for why not unionAll
+    val sym = edges.select(explode(array(
+        struct(col(src).as("u"), col(dst).as("v"), col(wCol).as("w")),
+        struct(col(dst).as("u"), col(src).as("v"), col(wCol).as("w"))))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
       .localCheckpoint()
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var dist = seeds.select(col(seedCol).as("v")).distinct()

@@ -86,8 +86,12 @@ object GraphQueries extends QueryPack {
     "q145_pagerank" -> ((s, d) => {
       val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_suppkey", minShared = 10L)
-      val e = co.select(col("d_a").as("u"), col("d_b").as("v"))
-        .unionAll(co.select(col("d_b").as("u"), col("d_a").as("v")))
+      // symmetrize by in-row explode, not unionAll-of-two-selects —
+      // a union would evaluate the whole co-occurrence aggregate twice
+      val e = co.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
       Graph.pageRankInt(e, "u", "v", iters = 3)
         .select(col("v").as("suppkey"), col("rank"))
     }),
