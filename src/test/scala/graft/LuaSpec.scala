@@ -279,6 +279,68 @@ class LuaSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.procPath")
   }
 
+  test("400 random arithmetic expressions: interpreter == independent eval") {
+    // Differential fuzz of the expression grammar (lexer, parser
+    // precedence/associativity, int/float subtype rules): random
+    // expression TREES are rendered to Lua source with explicit
+    // structure-revealing parens removed only where precedence should
+    // reconstruct them, then evaluated by the interpreter AND by a
+    // direct Scala walk of the same tree. Integer ops only (+ - * //
+    // % with unary minus) so expected values are exact.
+    val rnd = new scala.util.Random(31337)
+    sealed trait E
+    case class Num(v: Long) extends E
+    case class Bin(op: String, l: E, r: E) extends E
+    case class Neg(e: E) extends E
+    def gen(depth: Int): E =
+      if (depth == 0) Num(rnd.nextInt(19).toLong - 9)
+      else rnd.nextInt(6) match {
+        case 0 => Num(rnd.nextInt(199).toLong - 99)
+        case 5 => Neg(gen(depth - 1))
+        case _ => Bin(Seq("+", "-", "*", "//", "%")(rnd.nextInt(5)),
+          gen(depth - 1), gen(depth - 1))
+      }
+    // Lua 5.3 integer semantics: // floors, % is floored remainder
+    def ev(e: E): Option[Long] = e match {
+      case Num(v) => Some(v)
+      case Neg(x) => ev(x).map(v => -v)
+      case Bin(op, l, r) =>
+        for (a <- ev(l); b <- ev(r);
+             v <- op match {
+               case "+" => Some(a + b)
+               case "-" => Some(a - b)
+               case "*" => Some(a * b)
+               case "//" => if (b == 0) None else Some(Math.floorDiv(a, b))
+               case "%" => if (b == 0) None else Some(Math.floorMod(a, b))
+             }) yield v
+    }
+    def render(e: E): String = e match {
+      case Num(v) if v < 0 => s"($v)"
+      case Num(v) => v.toString
+      case Neg(x) => s"-(${render(x)})"
+      case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
+    }
+    var checked = 0
+    for (_ <- 0 until 400) {
+      val e = gen(3)
+      ev(e).foreach { want => // skip div-by-zero trees
+        val src = s"return ${render(e)}"
+        val got = Lua.run(src, Lua.Interp.stdEnv())
+        assert(got == Seq(Lua.LInt(want)), s"$src: got $got want $want")
+        checked += 1
+      }
+    }
+    assert(checked > 300, s"only $checked trees were evaluable")
+    // precedence without parens: * and // and % bind over + -,
+    // left-assoc at equal level (Lua 5.3 §3.4.8)
+    assert(Lua.run("return 2 + 3 * 4 - 10 // 3 % 2",
+      Lua.Interp.stdEnv()) == Seq(Lua.LInt(13)))
+    assert(Lua.run("return 100 - 10 - 5 - 1", Lua.Interp.stdEnv()) ==
+      Seq(Lua.LInt(84)))
+    assert(Lua.run("return 7 // 2 // 2", Lua.Interp.stdEnv()) ==
+      Seq(Lua.LInt(1)))
+  }
+
   test("lua runtime errors surface as USRERR statuses, not crashes") {
     val procDir = Files.createTempDirectory("lua-procs2")
     Files.writeString(procDir.resolve("bad.lua"),
