@@ -73,13 +73,28 @@ class Server(spark: org.apache.spark.sql.SparkSession, root: String,
     try {
       var line = in.readLine()
       var open = true
+      // row framing mode: text (TSV lines, default) or the reference's
+      // binary typed-row frames (row.c:138-207) — per-session toggle,
+      // wire-level like quit/exit, so it never reaches the parser
+      var binary = false
       while (open && line != null && running) {
         val stmt = line.trim.stripSuffix(";").trim
         if (stmt.equalsIgnoreCase("quit") || stmt.equalsIgnoreCase("exit")) {
           out.println("+ok bye"); out.flush()
           open = false
+        } else if (stmt.equalsIgnoreCase("mode binary") ||
+            stmt.equalsIgnoreCase("mode text")) {
+          binary = stmt.toLowerCase.endsWith("binary")
+          out.println(s"+ok mode ${if (binary) "binary" else "text"}")
+          out.flush()
+          line = in.readLine()
         } else {
-          if (stmt.nonEmpty) { respond(eng, stmt, out); out.flush() }
+          if (stmt.nonEmpty) {
+            if (binary) Wire.respondBinary(eng, stmt, out,
+              sock.getOutputStream)
+            else respond(eng, stmt, out)
+            out.flush()
+          }
           line = in.readLine()
         }
       }
@@ -127,6 +142,82 @@ private[engine] object Wire {
   def esc(s: String): String = s
     .replace("\\", "\\\\").replace("\t", "\\t")
     .replace("\r", "\\r").replace("\n", "\\n")
+
+  // ── binary typed-row framing ──────────────────────────────────────
+  // The reference's row projection frames every field as
+  // [1-byte type tag][value] with rows terminated by '\n'
+  // (src/nowdb/query/row.c:138-207; tags types.h:89-99): TEXT(1) is a
+  // NUL-terminated string, BOOL(9) one byte, NOTHING(0) one zero
+  // byte, and all numerics 8 little-endian bytes (TIME(3) ns stamps,
+  // FLOAT(4) IEEE doubles, INT(5)/UINT(6) int64). Head frames
+  // (+ok/-err/+cursor/+batch) stay text lines in both modes — only
+  // the rows after a +batch head switch representation, so a client
+  // upgrades by reading N structured rows instead of N lines.
+  private val TagNothing = 0.toByte
+  private val TagText = 1.toByte
+  private val TagTime = 3.toByte
+  private val TagFloat = 4.toByte
+  private val TagInt = 5.toByte
+  private val TagBool = 9.toByte
+
+  def respondBinary(eng: Engine, stmt: String, out: PrintWriter,
+                    raw: java.io.OutputStream): Unit =
+    try eng.sql(stmt) match {
+      case Batch(rows, schema, more) =>
+        out.println(s"+batch ${rows.length} ${if (more) 1 else 0}")
+        out.println("#" + schema.fieldNames.map(esc).mkString("\t"))
+        out.flush() // order the text head before the raw frames
+        val bb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bos = new java.io.BufferedOutputStream(raw)
+        def num(tag: Byte, v: Long): Unit = {
+          bos.write(tag.toInt)
+          bb.clear(); bb.putLong(v)
+          bos.write(bb.array(), 0, 8)
+        }
+        rows.foreach { r =>
+          schema.indices.foreach { i =>
+            if (r.isNullAt(i)) { bos.write(TagNothing.toInt); bos.write(0) }
+            else r.get(i) match {
+              case l: java.lang.Long => num(TagInt, l)
+              case n: java.lang.Integer => num(TagInt, n.longValue)
+              case d: java.lang.Double =>
+                bos.write(TagFloat.toInt)
+                bb.clear(); bb.putDouble(d)
+                bos.write(bb.array(), 0, 8)
+              case b: java.lang.Boolean =>
+                bos.write(TagBool.toInt); bos.write(if (b) 1 else 0)
+              case t: java.sql.Timestamp => // ns since epoch, TIME tag
+                num(TagTime, Math.floorDiv(t.getTime, 1000L) *
+                  1000000000L + t.getNanos.toLong)
+              case other => // TEXT: NUL-terminated UTF-8
+                bos.write(TagText.toInt)
+                bos.write(String.valueOf(other)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                bos.write(0)
+            }
+          }
+          bos.write('\n'.toInt)
+        }
+        bos.flush()
+      case other => // non-row results frame identically in both modes
+        respondResult(other, eng, out)
+    } catch {
+      case e: Exception =>
+        out.println(s"-err ${esc(String.valueOf(e.getMessage))}")
+    }
+
+  private def respondResult(res: Result, eng: Engine,
+                            out: PrintWriter): Unit = res match {
+    case Status(true, m) =>
+      out.println(if (m.isEmpty) "+ok" else s"+ok ${esc(m)}")
+    case Status(false, m) => out.println(s"-err ${esc(m)}")
+    case Report(loaded, errors) => out.println(s"+report $loaded $errors")
+    case Rows(df) => out.println(s"+cursor ${eng.openCursor(df)}")
+    case CursorRef(id) => out.println(s"+cursor $id")
+    case b: Batch => // unreachable from respondBinary (matched above)
+      out.println(s"+batch ${b.rows.length} ${if (b.more) 1 else 0}")
+  }
 }
 
 /** Standalone daemon entry — the counterpart of the reference's

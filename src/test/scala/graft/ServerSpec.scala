@@ -149,6 +149,79 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("binary row mode frames fetch batches as typed [tag][value] rows") {
+    // reference wire parity: row.c:138-207 frames each field as
+    // [1-byte type tag][value] (TEXT NUL-terminated, numerics 8 LE
+    // bytes, null = tag 0 + zero byte), '\n' after each row; head
+    // frames stay text lines. A raw-socket client drives the mode
+    // switch and parses the frames back to the text-mode values.
+    val root = Files.createTempDirectory("server-bin").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 3).start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      def send(stmt: String): String = {
+        w.println(stmt); w.flush(); readLine()
+      }
+      assert(readLine().startsWith("+ok")) // greeting
+      assert(send("create scope binw").startsWith("+ok"))
+      assert(send("use binw").startsWith("+ok"))
+      assert(send("create type m (id uint pk, name text, score float, " +
+        "flag bool)").startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag) " +
+        "(1, 'alpha', 2.5, true)").startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag) " +
+        "(2, 'beta', -0.75, false)").startsWith("+ok"))
+      assert(send("insert into m (id, score) (3, 9.0)")
+        .startsWith("+ok")) // name/flag null
+      assert(send("mode binary") == "+ok mode binary")
+      val cur = send("select id, name, score, flag from m").split(" ")(1)
+      val head = send(s"fetch $cur")
+      assert(head.startsWith("+batch 3"), head)
+      assert(readLine().startsWith("#id")) // header line stays text
+      def leLong(): Long = {
+        val b = new Array[Byte](8); in.readFully(b)
+        java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      }
+      def readField(): Any = in.read() match {
+        case 0 => assert(in.read() == 0); null
+        case 1 => // NUL-terminated text
+          val sb = new java.io.ByteArrayOutputStream()
+          var c = in.read()
+          while (c != 0) { sb.write(c); c = in.read() }
+          new String(sb.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        case 4 => java.lang.Double.longBitsToDouble(leLong())
+        case 5 | 6 | 2 | 3 => leLong()
+        case 9 => in.read() == 1
+        case t => fail(s"unknown tag $t")
+      }
+      val rows = (1 to 3).map { _ =>
+        val r = (1 to 4).map(_ => readField())
+        assert(in.read() == '\n') // row terminator
+        r
+      }.sortBy(_.head.asInstanceOf[Long])
+      assert(rows(0) == Seq(1L, "alpha", 2.5, true))
+      assert(rows(1) == Seq(2L, "beta", -0.75, false))
+      assert(rows(2) == Seq(3L, null, 9.0, null))
+      // non-row frames stay text; mode switches back cleanly
+      assert(send("mode text") == "+ok mode text")
+      assert(send("select id from m").startsWith("+cursor"))
+      w.println("quit"); w.flush()
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("the Lua wire client (clients/nowlua.lua) drives a full session") {
     // Run the REAL client file through the embedded Lua interpreter,
     // with its injected transport bound to java sockets — the same
