@@ -16,6 +16,7 @@ SELECT through the server-side cursor (fetch/close) and yields tuples
 of strings (None for NULL).
 """
 import socket
+import struct
 
 
 def _unesc(cell):
@@ -42,16 +43,21 @@ class WireError(Exception):
 class Connection:
     def __init__(self, host="127.0.0.1", port=55505, timeout=120):
         self._sock = socket.create_connection((host, port), timeout)
-        self._r = self._sock.makefile("r", encoding="utf-8", newline="\n")
+        # read side is BINARY so the same buffered stream can carry
+        # text head lines and (in `mode binary`) typed row frames
+        self._r = self._sock.makefile("rb")
         self._w = self._sock.makefile("w", encoding="utf-8", newline="\n")
-        greeting = self._r.readline()
+        greeting = self._readline()
         if not greeting.startswith("+ok"):
             raise WireError("bad greeting: %r" % greeting)
+
+    def _readline(self):
+        return self._r.readline().decode("utf-8")
 
     def _send(self, stmt):
         self._w.write(stmt.replace("\n", " ") + "\n")
         self._w.flush()
-        head = self._r.readline()
+        head = self._readline()
         if not head:
             raise WireError("server closed the connection")
         return head.rstrip("\n")
@@ -88,12 +94,12 @@ class Connection:
                 if not batch.startswith("+batch"):
                     raise WireError("expected batch, got %r" % batch)
                 _, n, more_flag = batch.split(" ")
-                header = self._r.readline().rstrip("\n")
+                header = self._readline().rstrip("\n")
                 self.columns = [_unesc(c) for c in
                                 header.lstrip("#").split("\t")]
                 rows_left = int(n)
                 while rows_left > 0:
-                    line = self._r.readline().rstrip("\n")
+                    line = self._readline().rstrip("\n")
                     rows_left -= 1
                     yield tuple(_unesc(c) for c in line.split("\t"))
                 more = more_flag == "1"
@@ -104,11 +110,92 @@ class Connection:
             # pins a persisted frame until closed
             if more or rows_left:
                 for _ in range(rows_left):
-                    self._r.readline()
+                    self._readline()
                 try:
                     self._send("close " + cur)
                 except (WireError, OSError):
                     pass
+
+    def _read_binary_field(self):
+        """One [tag][value] field of the reference's binary row format
+        (row.c framing): NOTHING(0)+zero byte -> None, TEXT(1) is
+        NUL-terminated UTF-8, DATE(2)/TIME(3)/INT(5)/UINT(6) are
+        8-byte little-endian int64 (TIME in ns since epoch), FLOAT(4)
+        an LE double, BOOL(9) one byte."""
+        tag = self._r.read(1)[0]
+        if tag == 0:
+            self._r.read(1)
+            return None
+        if tag == 1:
+            out = bytearray()
+            c = self._r.read(1)
+            while c != b"\x00":
+                out += c
+                c = self._r.read(1)
+            return out.decode("utf-8")
+        if tag in (2, 3, 5, 6):
+            return struct.unpack("<q", self._r.read(8))[0]
+        if tag == 4:
+            return struct.unpack("<d", self._r.read(8))[0]
+        if tag == 9:
+            return self._r.read(1) == b"\x01"
+        raise WireError("unknown type tag %d" % tag)
+
+    def query_binary(self, stmt):
+        """Run a SELECT with the server in `mode binary`: yields one
+        tuple of TYPED values (int/float/bool/str/None) per row —
+        the reference client's typed-field view instead of TSV
+        strings. Switches the session mode around the query."""
+        ok, msg = self.execute("mode binary")
+        if not ok:
+            raise WireError("mode binary refused: %s" % msg)
+        head = self._send(stmt)
+        if head.startswith("-err"):
+            self.execute("mode text")
+            raise WireError(head[4:].strip())
+        if not head.startswith("+cursor"):
+            self.execute("mode text")
+            raise WireError("expected cursor, got %r" % head)
+        cur = head.split(" ")[1]
+        more = True
+        rows_left = 0
+        ncols = 0
+        try:
+            while more:
+                batch = self._send("fetch " + cur)
+                if not batch.startswith("+batch"):
+                    raise WireError("expected batch, got %r" % batch)
+                _, n, more_flag = batch.split(" ")
+                header = self._readline().rstrip("\n")
+                self.columns = [_unesc(c) for c in
+                                header.lstrip("#").split("\t")]
+                ncols = len(self.columns)
+                rows_left = int(n)
+                while rows_left > 0:
+                    row = tuple(self._read_binary_field()
+                                for _ in range(ncols))
+                    if self._r.read(1) != b"\n":
+                        raise WireError("missing row terminator")
+                    rows_left -= 1
+                    yield row
+                more = more_flag == "1"
+        finally:
+            # abandoned early: drain the partial batch field-by-field
+            # so the wire stays in sync, release the cursor, and
+            # restore text mode for subsequent statements
+            for _ in range(rows_left):
+                for _ in range(ncols):
+                    self._read_binary_field()
+                self._r.read(1)
+            if more or rows_left:
+                try:
+                    self._send("close " + cur)
+                except (WireError, OSError):
+                    pass
+            try:
+                self.execute("mode text")
+            except (WireError, OSError):
+                pass
 
     def close(self):
         try:

@@ -87,6 +87,11 @@ class ServerSpec extends AnyFunSuite {
            |        assert ok, msg
            |    rows = sorted(c.query("select id, nm from g"))
            |    assert c.columns == ["id", "nm"], c.columns
+           |    # binary mode: same rows, typed (int, str) — and the
+           |    # session drops back to text mode afterwards
+           |    brows = sorted(c.query_binary("select id, nm from g"))
+           |    assert brows == [(int(a), b) for a, b in rows], brows
+           |    assert sorted(c.query("select id, nm from g")) == rows
            |    for r in rows:
            |        print(r[0] + "," + r[1])
            |""".stripMargin
