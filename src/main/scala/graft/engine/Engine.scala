@@ -487,10 +487,13 @@ class Engine(val spark: SparkSession, root: String,
     val (kind, name) = s.resolve(target).getOrElse(
       return Status(ok = false, s"unknown table $target"))
     val props = s.propsOf(name)
+    // field-list-less `INSERT INTO t VALUES (…)` (reference
+    // nowdbsql.y:312): values map positionally onto the full model
+    val colsEff = if (cols.isEmpty) props.map(_.name) else cols
     val byName = props.map(p => p.name.toLowerCase -> p).toMap
-    val colProps = cols.map(c => byName.getOrElse(c.toLowerCase,
+    val colProps = colsEff.map(c => byName.getOrElse(c.toLowerCase,
       return Status(ok = false, s"unknown column $c in $name")))
-    if (cols.size != vals.size)
+    if (colsEff.size != vals.size)
       return Status(ok = false, "column/value count mismatch")
 
     // evaluate value expressions (constants) with time coercion
@@ -631,6 +634,15 @@ class Engine(val spark: SparkSession, root: String,
     val s = scope
     val (kind, name) = s.resolve(ld.target).getOrElse(
       return Status(ok = false, s"unknown table ${ld.target}"))
+    // AS-clause guard: the declared layout must match what the
+    // catalog resolved ("vertex"/"type" for types, "edge" for edges,
+    // or the type name itself)
+    ld.asKind.foreach { k =>
+      val okAs = k == kind || (k == "vertex" && kind == "type") ||
+        k == name.toLowerCase
+      if (!okAs) return Status(ok = false,
+        s"LOAD AS $k does not match $kind $name")
+    }
     val props = s.propsOf(name)
     // header=true also for "ignore": the first line is skipped either
     // way; "ignore" just maps columns positionally instead of by name.

@@ -77,10 +77,15 @@ object Ast {
   case class InsertSelect(target: String, cols: Seq[String],
                           select: SelectStmt) extends Statement
   /** format ∈ csv (reference loader.c) | json (JSONL superset — the
-    * lingua franca of training-data corpora; by-name field mapping) */
+    * lingua franca of training-data corpora; by-name field mapping).
+    * `asKind` is the reference's `AS vertex|edge|<typename>` clause
+    * (nowdbsql.y:287-295): a layout declaration the engine VALIDATES
+    * against the resolved target (kind resolution itself is
+    * catalog-driven here, so the clause is a guard, not a mode). */
   case class LoadStmt(path: String, target: String, header: String,
                       errorsFile: Option[String],
-                      format: String = "csv") extends Statement
+                      format: String = "csv",
+                      asKind: Option[String] = None) extends Statement
   /** Declared-only in the reference (stmt.c:2449-2470 "not yet
     * implemented"; DELETE semantics documented sql.tex:2017-2034) —
     * implemented natively here. */

@@ -328,6 +328,15 @@ object Parser {
   private def insert(p: P): Statement = {
     p.expectKw("into")
     val target = p.ident()
+    // reference form without a field list (nowdbsql.y:312): values
+    // map positionally onto the target's full model
+    if (p.takeKw("values")) {
+      p.expectSym("(")
+      val vals = ArrayBuffer(expr(p))
+      while (p.takeSym(",")) vals += expr(p)
+      p.expectSym(")")
+      return InsertStmt(target, Nil, vals.toSeq)
+    }
     p.expectSym("(")
     val cols = ArrayBuffer(p.ident())
     while (p.takeSym(",")) cols += p.ident()
@@ -355,11 +364,14 @@ object Parser {
       if (format != "csv" && format != "json")
         throw ParseError(s"unsupported LOAD format '$format'", p.pos)
     }
+    // reference `AS vertex|edge|<typename>` layout clause
+    // (nowdbsql.y:287-295) — validated against the catalog in Engine
+    val asKind = if (p.takeKw("as")) Some(p.ident().toLowerCase) else None
     var errs: Option[String] = None
     if (p.takeKw("set")) {
       p.expectKw("errors"); p.expectSym("="); errs = Some(p.string())
     }
-    LoadStmt(path, target, header, errs, format)
+    LoadStmt(path, target, header, errs, format, asKind)
   }
 
   private def exec(p: P): Statement = {

@@ -247,6 +247,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rep match { case Report(3, 1) => true; case other => false })
     val got = rows(eng.sql("select name from client where id >= 10"))
     assert(got.length == 3)
+    // reference AS-clause: matching layout accepted, mismatch refused
+    val csv2 = Files.createTempFile("load-as", ".csv")
+    Files.writeString(csv2, "id,name\n20,Alice\n")
+    assert(eng.sql(s"load '${csv2}' into client use header as vertex")
+      match { case Report(1, 0) => true; case _ => false })
+    eng.sql(s"load '${csv2}' into client use header as edge") match {
+      case Status(false, msg) => assert(msg.contains("does not match"))
+      case other => fail(s"expected AS-mismatch error, got $other")
+    }
+  }
+
+  test("INSERT without a field list maps values onto the full model") {
+    ok(eng.sql("create type widget (id uint pk, label text, w float)"))
+    ok(eng.sql("insert into widget values (1, 'ok', 2.5)"))
+    val got = rows(eng.sql("select id, label, w from widget"))
+    assert(got.length == 1 && got(0).getLong(0) == 1L &&
+      got(0).getString(1) == "ok" && got(0).getDouble(2) == 2.5)
+    // wrong arity is a clean error, not a partial row
+    assert(eng.sql("insert into widget values (2, 'short')") match {
+      case Status(false, m) => m.contains("mismatch")
+      case _ => false
+    })
   }
 
   test("JSONL LOAD maps by name, types per row, reports corrupt lines") {
