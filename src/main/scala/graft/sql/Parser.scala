@@ -237,11 +237,17 @@ object Parser {
         var pk = false
         if (p.takeKw("pk")) pk = true
         else if (p.takeKw("primary")) { p.expectKw("key"); pk = true }
-        val stamp = p.takeKw("stamp")
+        // `pk inc` is parsed by the reference but functionally inert
+        // there too (stmt.c:505-507 re-affirms pk and discards inc)
+        if (pk) p.takeKw("inc")
+        val stamp = p.takeKw("stamp") || p.takeKw("timestamp")
         props += PropDef(pn, pt, pk, stamp)
         more = p.takeSym(",")
       }
       p.expectSym(")")
+      // reference storage_clause `storage = <name>` — storages are
+      // physical-placement no-ops here (parquet under the scope dir)
+      if (p.takeKw("storage")) { p.expectSym("="); p.ident() }
       CreateType(name, props.toSeq, ine)
     } else if (p.takeKw("edge")) {
       val name = p.ident()
@@ -256,12 +262,12 @@ object Parser {
         if (p.takeKw("origin")) { origin = p.ident(); p.takeKw("origin") }
         else if (p.takeKw("destin")) { destin = p.ident(); p.takeKw("destin") }
         else if (p.isKw("stamp")) {
-          // `stamp time [stamp]` — a stamped edge
+          // `stamp time [stamp|timestamp]` — a stamped edge
           p.takeKw("stamp")
           val t = p.ident().toLowerCase
           if (t != "time" && t != "date")
             throw ParseError("stamp must be time/date", p.pos)
-          p.takeKw("stamp")
+          if (!p.takeKw("stamp")) p.takeKw("timestamp")
           stamped = true
         } else {
           val pn = p.ident()
@@ -273,6 +279,7 @@ object Parser {
         more = p.takeSym(",")
       }
       p.expectSym(")")
+      if (p.takeKw("storage")) { p.expectSym("="); p.ident() } // no-op
       if (origin == null || destin == null)
         throw ParseError("edge needs origin and destin", p.pos)
       CreateEdge(name, origin, destin, stamped, payload.toSeq, ine)

@@ -258,6 +258,18 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("reference DDL decorations parse: pk inc, timestamp, storage=") {
+    // all three are accepted-and-inert in the reference too
+    // (stmt.c:505-507 discards INC; storage placement is physical)
+    ok(eng.sql("create type acct2 (id uint pk inc, label text) " +
+      "storage = mystore"))
+    ok(eng.sql("insert into acct2 (id, label) (1, 'x')"))
+    assert(rows(eng.sql("select id from acct2")).length == 1)
+    ok(eng.sql("create type ev2 (id uint pk, at time timestamp)"))
+    val d = rows(eng.sql("desc ev2"))
+    assert(d.exists(r => r.getString(0) == "at" && r.getBoolean(3)))
+  }
+
   test("INSERT without a field list maps values onto the full model") {
     ok(eng.sql("create type widget (id uint pk, label text, w float)"))
     ok(eng.sql("insert into widget values (1, 'ok', 2.5)"))
