@@ -883,7 +883,28 @@ class Engine(val spark: SparkSession, root: String,
     sel.limit.fold(base)(n => base.limit(n.toInt))
   }
 
-  private def buildSelectNoLimit(sel: SelectStmt): DataFrame = {
+  private def buildSelectNoLimit(sel0: SelectStmt): DataFrame = {
+    // Reference field keyword TIMESTAMP (nowdbsql.y `field ::=
+    // TIMESTAMP`): on a stamped edge without a literal `timestamp`
+    // column, the name resolves to the stamp column — same mapping
+    // the legacy context INSERT applies on the way in.
+    val sel = sel0.from match {
+      case Some(t) if isStampedEdge(t) &&
+          !tableDf(t).columns.exists(_.equalsIgnoreCase("timestamp")) =>
+        val m: Map[String, Expr] = Map("timestamp" -> Field("stamp"))
+        def rf(f: Field): Field =
+          if (f.qualifier.isEmpty && f.name.equalsIgnoreCase("timestamp"))
+            Field("stamp")
+          else f
+        sel0.copy(
+          items = sel0.items.map(it =>
+            it.copy(expr = substAliases(it.expr, m))),
+          where = sel0.where.map(substAliases(_, m)),
+          having = sel0.having.map(substAliases(_, m)),
+          groupBy = sel0.groupBy.map(rf),
+          orderBy = sel0.orderBy.map { case (f, a) => (rf(f), a) })
+      case _ => sel0
+    }
     // SELECT without FROM: one constant row (stmt.c:1398-1463)
     if (sel.from.isEmpty) {
       val cols = sel.items.zipWithIndex.map { case (it, i) =>

@@ -68,7 +68,7 @@ object Parser {
       else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (Seq("!=", "<>", "<=", ">=").contains(two)) { out += TSym(two, i); i += 2 }
-        else if ("(),;.=<>+-*/%^".indexOf(c) >= 0) { out += TSym(c.toString, i); i += 1 }
+        else if ("(),;.=<>+-*/%^:".indexOf(c) >= 0) { out += TSym(c.toString, i); i += 1 }
         else throw ParseError(s"unexpected character '$c'", i)
       }
     }
@@ -258,20 +258,22 @@ object Parser {
       var stamped = false
       val payload = ArrayBuffer.empty[PropDef]
       var more = true
+      // Role markers follow the reference's edge_field_decl grammar:
+      // `<name> <vertextype> origin|destin` marks the role (the field
+      // name is free — the wire/query name stays origin/destin, which
+      // is also how the reference's field keywords address them), and
+      // `<name> time|date stamp|timestamp` marks the stamp.
+      val destinKws = Set("destin", "dest", "destination")
       while (more) {
-        if (p.takeKw("origin")) { origin = p.ident(); p.takeKw("origin") }
-        else if (p.takeKw("destin")) { destin = p.ident(); p.takeKw("destin") }
-        else if (p.isKw("stamp")) {
-          // `stamp time [stamp|timestamp]` — a stamped edge
-          p.takeKw("stamp")
-          val t = p.ident().toLowerCase
-          if (t != "time" && t != "date")
-            throw ParseError("stamp must be time/date", p.pos)
-          if (!p.takeKw("stamp")) p.takeKw("timestamp")
+        val pn = p.ident()
+        val pt = p.ident().toLowerCase
+        if (p.takeKw("origin")) origin = pt
+        else if (destinKws.exists(p.takeKw)) destin = pt
+        else if ((pt == "time" || pt == "date") &&
+            (p.takeKw("stamp") || p.takeKw("timestamp")
+              || pn.equalsIgnoreCase("stamp"))) {
           stamped = true
         } else {
-          val pn = p.ident()
-          val pt = p.ident().toLowerCase
           if (!nowTypes(pt)) throw ParseError(s"unknown type $pt", p.pos)
           p.takeKw("weight") // historical role marker, ignored
           payload += PropDef(pn, pt, pk = false, stamp = false)
@@ -427,6 +429,12 @@ object Parser {
     val joins = ArrayBuffer.empty[JoinClause]
     if (p.takeKw("from")) {
       from = Some(p.ident())
+      // reference `alias:table` form (nowdbsql.y:1089): the first
+      // identifier was the alias, the real table follows the colon
+      if (p.takeSym(":")) {
+        fromAlias = from
+        from = Some(p.ident())
+      }
       // A clause keyword after the table name is never an alias
       // (LIMIT/HAVING are this dialect's supersets, so they must be
       // excluded here too or `SELECT a FROM t LIMIT 5` parses the
@@ -440,9 +448,13 @@ object Parser {
         var alias: Option[String] = None
         if (!p.isKw("on") && p.cur.isInstanceOf[TId]) alias = Some(p.ident())
         p.expectKw("on")
-        val f = p.ident().toLowerCase
-        if (f != "origin" && f != "destin")
-          throw ParseError("edge join must be ON origin|destin", p.pos)
+        // reference lexer folds DESTIN/DEST/DESTINATION to one token
+        val f = p.ident().toLowerCase match {
+          case "origin" => "origin"
+          case "destin" | "dest" | "destination" => "destin"
+          case _ =>
+            throw ParseError("edge join must be ON origin|destin", p.pos)
+        }
         joins += JoinClause(t, f, alias)
       }
     }

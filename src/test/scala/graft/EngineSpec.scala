@@ -270,6 +270,27 @@ class EngineSpec extends AnyFunSuite {
     assert(d.exists(r => r.getString(0) == "at" && r.getBoolean(3)))
   }
 
+  test("reference edge/query forms: free role names, dest alias, a:t, timestamp field") {
+    // edge roles with free field names (edge_field_decl: `name type
+    // ORIGIN|DESTINATION`), queried through the canonical names
+    ok(eng.sql("create type city (cid uint pk, cname text)"))
+    ok(eng.sql("create edge flight (src city origin, " +
+      "dst city destination, at time timestamp, dist int)"))
+    ok(eng.sql("insert into flight (origin, destin, stamp, dist) " +
+      "(1, 2, '2024-03-01T10:00:00', 500)"))
+    // `timestamp` as a field keyword resolves to the stamp column
+    val t = rows(eng.sql(
+      "select timestamp, dist from flight where timestamp >= " +
+        "'2024-03-01'"))
+    assert(t.length == 1 && t(0).getLong(1) == 500L)
+    // alias:table FROM form + ON destination spelling
+    ok(eng.sql("insert into city (cid, cname) (1, 'rome')"))
+    ok(eng.sql("insert into city (cid, cname) (2, 'oslo')"))
+    val j = rows(eng.sql(
+      "select cname, dist from f:flight join city on destination"))
+    assert(j.length == 1 && j(0).getString(0) == "oslo")
+  }
+
   test("INSERT without a field list maps values onto the full model") {
     ok(eng.sql("create type widget (id uint pk, label text, w float)"))
     ok(eng.sql("insert into widget values (1, 'ok', 2.5)"))
