@@ -55,6 +55,10 @@ object SqlQueries extends QueryPack {
         | from events where event_type in ('click', 'view')""".stripMargin),
     // SELECT without FROM: constants, ^ as power
     "q67_sql_const" -> q("select 3*2^2 as v, pi() as pi"),
+    // declared-only fns implemented natively: n-th root + century
+    "q182_sql_root_century" -> q(
+      """select event_id, round(root(value, 3), 6) as r3,
+        | century(ts) as c from events where user_id = 3""".stripMargin),
     // QUOT: `/` on int operands is the integer quotient
     // (fun/expr.c:1842,2228-2233); float operand → double division
     "q75_sql_intdiv" -> q(
@@ -118,6 +122,11 @@ object SqlQueries extends QueryPack {
         | FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
     "q67_sql_const" ->
       "SELECT CAST(12.0 AS DOUBLE) AS v, pi() AS pi",
+    "q182_sql_root_century" ->
+      """SELECT event_id,
+        | round(pow(value, CAST(1.0 AS DOUBLE) / 3), 6) AS r3,
+        | century(ts) AS c
+        | FROM events WHERE user_id = 3""".stripMargin,
     "q75_sql_intdiv" ->
       """SELECT l_orderkey, l_partkey // 7 AS q, l_partkey % 7 AS r,
         |  l_quantity / 7 AS fq

@@ -99,11 +99,11 @@ object ExprBuilder {
       case "toint" | "touint" | "totime" | "year" | "month" | "mday" |
            "wday" | "yday" | "hour" | "minute" | "second" | "milli" |
            "micro" | "nano" | "now" | "dawn" | "dusk" | "epoch" |
-           "bin" | "length" | "pos" => Some("int")
+           "bin" | "length" | "pos" | "century" => Some("int")
       // floor/ceil return long here (Spark semantics, also what the
       // differential fuzzer's interpreter implements)
       case "floor" | "ceil" => Some("int")
-      case "tofloat" | "pi" | "e" | "log" | "sin" | "sine" | "cos" |
+      case "tofloat" | "pi" | "e" | "log" | "root" | "sin" | "sine" | "cos" |
            "cosine" | "tan" | "tangent" | "asin" | "arcsine" | "arcsin" |
            "acos" | "arccosine" | "arccos" | "atan" | "arctangent" |
            "arctan" | "sinh" | "cosh" | "tanh" | "asinh" | "acosh" |
@@ -213,10 +213,21 @@ object ExprBuilder {
       case "totext" => a(0).cast("string")
       // math (expr.h:431-435; log is ln)
       case "log" => NowFunctions.ln(a(0))
+      // declared-only in the reference (expr.c:2244 not_supp):
+      // n-th root, root(x, n) = x^(1/n); root(x) = sqrt
+      case "root" =>
+        if (args.length > 1)
+          pow(a(0), lit(1.0) / a(1).cast("double"))
+        else sqrt(a(0))
       case "abs" => abs(a(0))
       case "ceil" => ceil(a(0))
       case "floor" => floor(a(0))
-      case "round" => round(a(0))
+      case "round" => // 2-arg scale form is a documented superset
+        if (args.length > 1) args(1) match {
+          case Lit(n: Long, _) => round(a(0), n.toInt)
+          case _ =>
+            throw new IllegalArgumentException("round(x, <int literal>)")
+        } else round(a(0))
       // trig + aliases (expr.h:436-447, names expr.c:2787-2816)
       case "sin" => sin(a(0));   case "sine" => sin(a(0))
       case "cos" => cos(a(0));   case "cosine" => cos(a(0))
@@ -232,6 +243,10 @@ object ExprBuilder {
       case "pi" => lit(math.Pi)
       case "e" => lit(math.E)
       // time parts over ns stamps (expr.h:479-490)
+      // declared-only in the reference (expr.c:2327 not_supp):
+      // Postgres/DuckDB convention, CE years: 2024 → 21
+      case "century" =>
+        ((NowFunctions.yearOfNs(t(0)) - 1) / lit(100L) + 1).cast("long")
       case "year" => NowFunctions.yearOfNs(t(0))
       case "month" => NowFunctions.monthOfNs(t(0))
       case "mday" => NowFunctions.mdayNs(t(0))
