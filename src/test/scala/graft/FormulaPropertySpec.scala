@@ -37,6 +37,10 @@ class FormulaPropertySpec extends AnyFunSuite {
         f <- Gen.oneOf("abs", "floor", "ceil", "sin", "cos")
         a <- genExpr(depth - 1)
       } yield FnCall(f, Seq(a))),
+      1 -> (for { // root(|x|, n) keeps the domain real
+        a <- genExpr(depth - 1)
+        n <- Gen.choose(2L, 4L)
+      } yield FnCall("root", Seq(FnCall("abs", Seq(a)), Lit(n, "uint")))),
       1 -> genExpr(depth - 1).map(x => UnOp("-", x)))
 
   private def render(e: Expr): String = e match {
@@ -69,7 +73,7 @@ class FormulaPropertySpec extends AnyFunSuite {
         case "*" => l * r
         case "/" => l / r // QUOT: integer quotient, truncating like C
         case "%" => l % r
-        case "^" => math.pow(l.toDouble, r.toDouble)
+        case "^" => StrictMath.pow(l.toDouble, r.toDouble) // Spark Pow codegen uses StrictMath
       }
       case (x, y) =>
         val (l, r) = (toD(x), toD(y))
@@ -79,7 +83,7 @@ class FormulaPropertySpec extends AnyFunSuite {
           case "*" => l * r
           case "/" => l / r
           case "%" => l % r
-          case "^" => math.pow(l, r)
+          case "^" => StrictMath.pow(l, r)
         }
     }
     case FnCall(f, Seq(a)) => ev(a) match {
@@ -100,6 +104,10 @@ class FormulaPropertySpec extends AnyFunSuite {
         case "sin" => math.sin(toD(v))
         case "cos" => math.cos(toD(v))
       }
+    }
+    case FnCall("root", Seq(a, Lit(n: Long, _))) => ev(a) match {
+      case null => null
+      case v => StrictMath.pow(toD(v), 1.0 / n.toDouble)
     }
     case other => fail(s"uninterpretable $other")
   }
