@@ -274,6 +274,36 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Pseudo-relevance feedback (RM3-shaped) query expansion: run
+    * [[bm25TopK]], mine the `nExpand` most frequent terms of the
+    * top-`fbDocs` documents (longer than 3 chars, excluding the
+    * original query terms; count-desc/term-asc deterministic), and
+    * re-run BM25 with the expanded term set. The classic two-pass
+    * retrieval composition (Lavrenko & Croft relevance models,
+    * public) — recall grows because the feedback docs vote for the
+    * corpus's own vocabulary.
+    *
+    * The feedback mining collects `nExpand` strings to the driver — a
+    * k-bounded scalar probe (the only way to parameterize the second
+    * pass's term filter), NOT a data-sized collect; both BM25 passes
+    * keep their query-term-filtered, broadcast-stats scale shape. */
+  def bm25Expanded(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], fbDocs: Int = 10,
+                   nExpand: Int = 5, k1: Double = 1.5, b: Double = 0.75,
+                   topK: Int = 20): DataFrame = {
+    val first = bm25TopK(docs, idCol, textCol, queryTerms, k1, b, fbDocs)
+    val fb = first.select(col("doc_id"))
+    val expansion = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .filter(length(col("w")) > 3 && !col("w").isin(queryTerms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, idCol, textCol, queryTerms ++ expansion, k1, b, topK)
+  }
+
   /** Overlapping sliding-window chunking — the RAG / context-window
     * preparation step: split each document's token stream into
     * `window`-token chunks starting every `stride` tokens (stride <

@@ -29,6 +29,14 @@ object TextQueries extends QueryPack {
     "q178_window_chunks" -> ((s, d) =>
       TextAnalysis.windowChunks(Tables.documents(s, d), "doc_id", "text",
         window = 32, stride = 16)),
+    // Pseudo-relevance-feedback expansion: top-10 BM25 docs vote 5
+    // expansion terms, second BM25 pass over the expanded set. The
+    // oracle re-mines the identical term set (count-desc/term-asc),
+    // so the whole two-pass composition is value-checked.
+    "q183_bm25_prf" -> ((s, d) =>
+      TextAnalysis.bm25Expanded(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("data", "join", "spark", "query"),
+        fbDocs = 10, nExpand = 5, k1 = 1.5, b = 0.75, topK = 20)),
     // Inter-document duplication rate: per document, the fraction of
     // its distinct word-5-grams that occur in at least one OTHER
     // document — the corpus-QA memorization-risk stat (high-overlap
@@ -225,6 +233,46 @@ object TextQueries extends QueryPack {
         | SELECT doc_id, count(*) AS n_terms,
         |  round(CAST(sum(c) AS DOUBLE), 6) AS bm25
         | FROM c GROUP BY doc_id
+        | ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q183_bm25_prf" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | orig AS (SELECT unnest(['data', 'join', 'spark', 'query'])
+        |   AS w),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM dl),
+        | tf1 AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN (SELECT w FROM orig) GROUP BY 1, 2),
+        | df1 AS (SELECT w, count(*) AS df FROM tf1 GROUP BY 1),
+        | c1 AS (SELECT tf1.doc_id,
+        |   CAST(round(
+        |     ln(1.0 + (CAST(st.n AS DOUBLE) - df1.df + 0.5)
+        |       / (df1.df + 0.5))
+        |     * (tf1.tf * 2.5)
+        |     / (tf1.tf + 1.5 * (0.25 + 0.75 * ((dl.dl * st.n) / st.tot))),
+        |    9) AS DECIMAL(28,12)) AS c
+        |  FROM tf1 JOIN df1 USING (w) JOIN dl USING (doc_id), st),
+        | fb AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS s
+        |  FROM c1 GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 10),
+        | expt AS (SELECT t.w FROM toks t JOIN fb USING (doc_id)
+        |  WHERE length(t.w) > 3 AND t.w NOT IN (SELECT w FROM orig)
+        |  GROUP BY t.w ORDER BY count(*) DESC, t.w ASC LIMIT 5),
+        | qset AS (SELECT w FROM orig UNION ALL SELECT w FROM expt),
+        | tf2 AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN (SELECT w FROM qset) GROUP BY 1, 2),
+        | df2 AS (SELECT w, count(*) AS df FROM tf2 GROUP BY 1),
+        | c2 AS (SELECT tf2.doc_id,
+        |   CAST(round(
+        |     ln(1.0 + (CAST(st.n AS DOUBLE) - df2.df + 0.5)
+        |       / (df2.df + 0.5))
+        |     * (tf2.tf * 2.5)
+        |     / (tf2.tf + 1.5 * (0.25 + 0.75 * ((dl.dl * st.n) / st.tot))),
+        |    9) AS DECIMAL(28,12)) AS c
+        |  FROM tf2 JOIN df2 USING (w) JOIN dl USING (doc_id), st)
+        | SELECT doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        | FROM c2 GROUP BY doc_id
         | ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q178_window_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,

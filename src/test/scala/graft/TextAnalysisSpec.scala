@@ -142,6 +142,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0)._2 == score(3, 6) && got(1)._2 == score(1, 8))
   }
 
+  test("bm25Expanded: feedback terms recall docs the raw query misses") {
+    val docs = Seq(
+      (1L, "spark engine tuning with catalyst optimizer rules"),
+      (2L, "spark catalyst optimizer internals and codegen stages"),
+      (3L, "catalyst optimizer deep dive without the s-word"),
+      (4L, "gardening tips for small balconies and pots")
+    ).toDF("doc_id", "text")
+    val raw = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("spark"), topK = 10).collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 2L)) // doc 3 invisible to the raw query
+    val exp = TextAnalysis.bm25Expanded(docs, "doc_id", "text",
+      Seq("spark"), fbDocs = 2, nExpand = 2, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    // docs 1,2 vote for catalyst/optimizer → doc 3 now retrieved
+    assert(exp.contains(3L) && !exp.contains(4L))
+  }
+
   test("windowChunks: spans tile with overlap, short docs get one chunk") {
     val docs = Seq(
       (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 tokens
