@@ -97,6 +97,52 @@ object DedupQueries extends QueryPack {
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
     }),
+    // Sketch calibration: precision/recall of SimHash banding against
+    // EXACT Jaccard-≥0.7 ground truth, per hamming threshold 1..3 —
+    // the measurement that picks a production hamming cutoff (how
+    // much precision does each extra bit of tolerance spend for how
+    // much recall?). h ≤ 3 < 4 chunks keeps the pigeonhole candidate
+    // join EXHAUSTIVE at every grid point, so the numbers are exact
+    // properties of the sketch, not of the bucketing. All ingredients
+    // (md5-family simhash, exact Jaccard) are oracle-recomputable.
+    "q184_simhash_calibration" -> ((s, d) => {
+      // calibrate on the even-id slice: every planted near-dup pair
+      // survives (mutated ids are base+10000, still even) while the
+      // all-pairs truth leg halves — the curve is about the SKETCH,
+      // not the corpus size, so the smaller sample changes nothing
+      // methodologically and keeps this two-full-pass eval cheap
+      val c = corpus(s, d).filter(col("doc_id") % 2 === 0)
+      val sh = Dedup.wordShingles(c, "doc_id", "text", 3)
+        .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("shingle"))
+      val sim = Dedup.simhashNearDupPairsFrom(sh, maxHamming = 3, bits = 60)
+      // truth feeds BOTH the corpus-wide count and the per-pair join —
+      // persist it or the whole exact-Jaccard pass runs twice when
+      // the caller disables the operators' eager seal (Bench does)
+      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
+          n = 3, tau = 0.7)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val grid = sim
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .select(explode(sequence(greatest(col("hamming"), lit(1L)),
+          lit(3L))).as("max_hamming"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .groupBy(col("max_hamming"))
+        .agg(count(lit(1)).as("n_detected"), sum(col("t")).as("tp"))
+      s.range(1, 4).select(col("id").as("max_hamming"))
+        .join(grid, Seq("max_hamming"), "left")
+        .crossJoin(broadcast(nTruth))
+        .select(col("max_hamming"),
+          coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          col("n_truth"),
+          round(when(coalesce(col("n_detected"), lit(0L)) > 0,
+            coalesce(col("tp"), lit(0L)).cast("double") /
+              col("n_detected")).otherwise(lit(0.0)), 6).as("precision"),
+          round(coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_truth"), 6).as("recall"))
+    }),
     // ORACLE COUPLING (q168, and q153 below): the LSH candidate pass
     // is probabilistically recall-bounded, but the oracle computes
     // exact all-pairs Jaccard; equality holds because this fixture's
@@ -196,6 +242,56 @@ object DedupQueries extends QueryPack {
       s" << ${4 * (15 - i)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q184_simhash_calibration" ->
+      s"""WITH corpus0 AS ($corpusSql),
+        | corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT doc_id, $md5Hex60Sql AS h FROM hm),
+        | bits AS (SELECT doc_id, b, (h >> b) & 1 AS bit
+        |  FROM hh, UNNEST(generate_series(0, 59)) AS g(b)),
+        | cnt AS (SELECT doc_id, b, CAST(sum(bit) AS BIGINT) AS c,
+        |   count(*) AS n FROM bits GROUP BY 1, 2),
+        | sig AS (SELECT doc_id, CAST(sum(
+        |   CASE WHEN 2*c > n THEN (1::BIGINT << b) ELSE 0 END)
+        |   AS BIGINT) AS sg FROM cnt GROUP BY doc_id),
+        | simp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |   CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sg, b.sg)) <= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | truth AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.7),
+        | nt AS (SELECT count(*) AS n_truth FROM truth),
+        | marked AS (SELECT s.hamming,
+        |   CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END AS t
+        |  FROM simp s LEFT JOIN truth t
+        |   ON s.da = t.da AND s.db = t.db),
+        | grid AS (SELECT g.h AS max_hamming, count(*) AS n_detected,
+        |   CAST(sum(m.t) AS BIGINT) AS tp
+        |  FROM marked m,
+        |   UNNEST(generate_series(greatest(m.hamming, 1), 3)) AS g(h)
+        |  GROUP BY 1)
+        | SELECT hs.h AS max_hamming,
+        |  coalesce(n_detected, 0) AS n_detected,
+        |  coalesce(tp, 0) AS tp, nt.n_truth,
+        |  round(CASE WHEN coalesce(n_detected, 0) > 0
+        |    THEN CAST(coalesce(tp, 0) AS DOUBLE) / n_detected
+        |    ELSE 0.0 END, 6) AS precision,
+        |  round(CAST(coalesce(tp, 0) AS DOUBLE) / nt.n_truth, 6)
+        |    AS recall
+        | FROM (SELECT unnest(generate_series(1, 3)) AS h) hs
+        | LEFT JOIN grid ON hs.h = grid.max_hamming, nt""".stripMargin,
     "q181_chunk_dedup" ->
       s"""WITH corpus AS ($corpusSql),
         | d AS (SELECT doc_id, string_split(text, ' ') AS w,
