@@ -136,11 +136,12 @@ function now.connect(host, port)
         local more = true
         return function()
           idx = idx + 1
-          if batch[idx] == nil then
+          -- keep fetching while pages come back empty with more=1
+          -- (an empty non-final page must not truncate the stream)
+          while batch[idx] == nil do
             if not more then return nil end
             batch, self.columns, more = read_batch(self.id)
             idx = 1
-            if batch[1] == nil then return nil end
           end
           return batch[idx]
         end

@@ -95,8 +95,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Verbose record first (full query names, for humans and
-    // BENCH_LOCAL archives) …
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BENCH_LOCAL archives). "per_query_*" metric names (not a
+    // "total" prefix): exactly ONE line in the whole output carries
+    // metric=total — the final total-only line — so any consumer
+    // keying or substring-matching on it can never double-count.
+    println(f"""{"metric":"per_query_full","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // … then a COMPACT line (qNN keys) as the final stdout line: the
     // driver keeps only the last ~2000 chars of output, and the
     // verbose line with ~90 full names (~2700 chars) gets its head cut
@@ -107,7 +110,7 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"per_query_compact","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     // At 170+ queries even the compact line outgrew the driver's
     // ~2000-char tail window (r5 recorded parsed:null). Final line is
     // therefore total-only — always a complete object inside the tail.

@@ -434,11 +434,25 @@ class Engine(val spark: SparkSession, root: String,
         throw new IllegalArgumentException(s"unknown table $table"))
       val props = s.propsOf(name)
       val dir = s.tableDir(name)
-      if (Files.exists(dir)) {
-        if (isStampedEdge(name)) spark.read.parquet(dir.toString)
-        else spark.read.schema(Catalog.schemaOf(props)).parquet(dir.toString)
-      } else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], Catalog.schemaOf(props))
+      val df0 =
+        if (Files.exists(dir)) {
+          if (isStampedEdge(name)) spark.read.parquet(dir.toString)
+          else spark.read.schema(Catalog.schemaOf(props))
+            .parquet(dir.toString)
+        } else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], Catalog.schemaOf(props))
+      // tag time/date columns in the schema METADATA: ns stamps are
+      // plain longs in Spark, and this marker is what lets the binary
+      // wire mode frame them with the reference's TIME tag instead of
+      // INT (Wire.respondBinary). Metadata rides attribute references
+      // through projections/aliases, so plain `select stamp` keeps it.
+      props.filter(p => p.typ == "time" || p.typ == "date")
+        .foldLeft(df0) { (df, p) =>
+          if (df.columns.contains(p.name))
+            df.withMetadata(p.name, new org.apache.spark.sql.types
+              .MetadataBuilder().putString("graft.nowType", p.typ).build())
+          else df
+        }
     })
 
   /** Serialize all writers of one table across sessions — the same

@@ -117,15 +117,6 @@ private[engine] object Wire {
 
   def respond(eng: Engine, stmt: String, out: PrintWriter): Unit =
     try eng.sql(stmt) match {
-      case Status(true, m) =>
-        out.println(if (m.isEmpty) "+ok" else s"+ok ${esc(m)}")
-      case Status(false, m) => out.println(s"-err ${esc(m)}")
-      case Report(loaded, errors) => out.println(s"+report $loaded $errors")
-      case Rows(df) =>
-        // every remote result is a cursor (reference sendCursor,
-        // ifc/nowdb.c:1185): the client decides the paging cadence
-        out.println(s"+cursor ${eng.openCursor(df)}")
-      case CursorRef(id) => out.println(s"+cursor $id")
       case Batch(rows, schema, more) =>
         out.println(s"+batch ${rows.length} ${if (more) 1 else 0}")
         out.println("#" + schema.fieldNames.map(esc).mkString("\t"))
@@ -134,6 +125,7 @@ private[engine] object Wire {
             if (r.isNullAt(i)) "\\N" else esc(String.valueOf(r.get(i)))
           }.mkString("\t"))
         }
+      case other => respondResult(other, eng, out)
     } catch {
       case e: Exception =>
         out.println(s"-err ${esc(String.valueOf(e.getMessage))}")
@@ -175,11 +167,17 @@ private[engine] object Wire {
           bb.clear(); bb.putLong(v)
           bos.write(bb.array(), 0, 8)
         }
+        // engine time/date columns are ns LONGS in Spark — the schema
+        // metadata marker from Engine.tableDf decides TIME vs INT
+        val timeCol = schema.fields.map(f =>
+          f.metadata.contains("graft.nowType") &&
+            Set("time", "date")(f.metadata.getString("graft.nowType")))
         rows.foreach { r =>
           schema.indices.foreach { i =>
             if (r.isNullAt(i)) { bos.write(TagNothing.toInt); bos.write(0) }
             else r.get(i) match {
-              case l: java.lang.Long => num(TagInt, l)
+              case l: java.lang.Long =>
+                num(if (timeCol(i)) TagTime else TagInt, l)
               case n: java.lang.Integer => num(TagInt, n.longValue)
               case d: java.lang.Double =>
                 bos.write(TagFloat.toInt)
@@ -207,15 +205,20 @@ private[engine] object Wire {
         out.println(s"-err ${esc(String.valueOf(e.getMessage))}")
     }
 
+  /** Head-frame formatting shared by BOTH wire modes — one source of
+    * truth for every non-row-data frame. */
   private def respondResult(res: Result, eng: Engine,
                             out: PrintWriter): Unit = res match {
     case Status(true, m) =>
       out.println(if (m.isEmpty) "+ok" else s"+ok ${esc(m)}")
     case Status(false, m) => out.println(s"-err ${esc(m)}")
     case Report(loaded, errors) => out.println(s"+report $loaded $errors")
-    case Rows(df) => out.println(s"+cursor ${eng.openCursor(df)}")
+    case Rows(df) =>
+      // every remote result is a cursor (reference sendCursor,
+      // ifc/nowdb.c:1185): the client decides the paging cadence
+      out.println(s"+cursor ${eng.openCursor(df)}")
     case CursorRef(id) => out.println(s"+cursor $id")
-    case b: Batch => // unreachable from respondBinary (matched above)
+    case b: Batch => // callers frame Batch themselves (mode-specific)
       out.println(s"+batch ${b.rows.length} ${if (b.more) 1 else 0}")
   }
 }

@@ -117,7 +117,11 @@ object DedupQueries extends QueryPack {
       val sim = Dedup.simhashNearDupPairsFrom(sh, maxHamming = 3, bits = 60)
       // truth feeds BOTH the corpus-wide count and the per-pair join —
       // persist it or the whole exact-Jaccard pass runs twice when
-      // the caller disables the operators' eager seal (Bench does)
+      // the caller disables the operators' eager seal (Bench does).
+      // Lifecycle follows the sealResult convention: the persisted
+      // block is released by ContextCleaner once the returned frame
+      // (whose plan pins the InMemoryRelation) is dropped; sealed
+      // callers (Verify) additionally clearCache per query.
       val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
           n = 3, tau = 0.7)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))

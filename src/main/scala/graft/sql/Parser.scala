@@ -263,15 +263,25 @@ object Parser {
       // name is free — the wire/query name stays origin/destin, which
       // is also how the reference's field keywords address them), and
       // `<name> time|date stamp|timestamp` marks the stamp.
-      val destinKws = Set("destin", "dest", "destination")
+      val destinKws = Seq("destin", "dest", "destination")
       while (more) {
         val pn = p.ident()
+        val pnl = pn.toLowerCase
         val pt = p.ident().toLowerCase
+        // explicit role/stamp markers first; the two-token forms
+        // (`origin client`, `stamp time` — FIXTURES.md:45,98) fall
+        // back to the field NAME carrying the role
         if (p.takeKw("origin")) origin = pt
         else if (destinKws.exists(p.takeKw)) destin = pt
-        else if ((pt == "time" || pt == "date") &&
-            (p.takeKw("stamp") || p.takeKw("timestamp")
-              || pn.equalsIgnoreCase("stamp"))) {
+        else if (p.takeKw("stamp") || p.takeKw("timestamp")) {
+          if (pt != "time" && pt != "date")
+            throw ParseError("stamp must be time/date", p.pos)
+          stamped = true
+        } else if (pnl == "origin") origin = pt
+        else if (destinKws.contains(pnl)) destin = pt
+        else if (pnl == "stamp") {
+          if (pt != "time" && pt != "date")
+            throw ParseError("stamp must be time/date", p.pos)
           stamped = true
         } else {
           if (!nowTypes(pt)) throw ParseError(s"unknown type $pt", p.pos)

@@ -190,8 +190,7 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
         if (bothSides) " join usr_v on buys_v.origin = usr_v.uid" +
           " join itm_v on buys_v.destin = itm_v.iid"
         else " join usr_v on buys_v.origin = usr_v.uid"
-      val where = pick(if (bothSides) wherePool
-        else wherePool.filterNot(_.contains("price")))
+      val where = pick(wherePool) // pool references edge+origin cols only
       val (sel, group) =
         if (rnd.nextInt(3) == 0) { // grouped aggregate over ugrp
           val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(2))

@@ -291,6 +291,20 @@ class EngineSpec extends AnyFunSuite {
     assert(j.length == 1 && j(0).getString(0) == "oslo")
   }
 
+  test("edge DDL two-token role form parses; mistyped stamp errors") {
+    ok(eng.sql("create type pt2 (id uint pk)"))
+    // FIXTURES.md:98 form — role carried by the field name alone
+    ok(eng.sql("create edge rel2 (origin pt2, destin pt2, weight uint)"))
+    val d = rows(eng.sql("desc rel2")).map(_.getString(0)).toSeq
+    assert(d == Seq("origin", "destin", "weight"))
+    // a stamp declared with a non-time type must fail loudly, not
+    // silently create an unstamped edge with a 'stamp' payload column
+    eng.sql("create edge bad2 (origin pt2, destin pt2, stamp uint)") match {
+      case Status(false, m) => assert(m.contains("stamp must be time/date"))
+      case other => fail(s"expected stamp type error, got $other")
+    }
+  }
+
   test("INSERT without a field list maps values onto the full model") {
     ok(eng.sql("create type widget (id uint pk, label text, w float)"))
     ok(eng.sql("insert into widget values (1, 'ok', 2.5)"))

@@ -151,8 +151,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // the query-term IN-filter must sit below the tf aggregation (the
     // corpus-sized token stream never shuffles unfiltered): the plan
     // contains the isin filter, and corpus stats ride a broadcast
-    assert(p.contains("w#") && p.contains(" IN (data,join,query,spark)")
-      || p.contains(" IN (data,join,spark,query)"), p)
+    assert(p.contains("w#") && (p.contains(" IN (data,join,query,spark)")
+      || p.contains(" IN (data,join,spark,query)")), p)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p)
   }

@@ -181,24 +181,27 @@ class ServerSpec extends AnyFunSuite {
       assert(send("create scope binw").startsWith("+ok"))
       assert(send("use binw").startsWith("+ok"))
       assert(send("create type m (id uint pk, name text, score float, " +
-        "flag bool)").startsWith("+ok"))
-      assert(send("insert into m (id, name, score, flag) " +
-        "(1, 'alpha', 2.5, true)").startsWith("+ok"))
-      assert(send("insert into m (id, name, score, flag) " +
-        "(2, 'beta', -0.75, false)").startsWith("+ok"))
+        "flag bool, at time)").startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag, at) " +
+        "(1, 'alpha', 2.5, true, '2024-03-01T10:00:00')")
+        .startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag, at) " +
+        "(2, 'beta', -0.75, false, '2024-03-02T11:00:00')")
+        .startsWith("+ok"))
       assert(send("insert into m (id, score) (3, 9.0)")
-        .startsWith("+ok")) // name/flag null
+        .startsWith("+ok")) // name/flag/at null
       assert(send("mode binary") == "+ok mode binary")
       val cur = send("select id, name, score, flag from m").split(" ")(1)
       val head = send(s"fetch $cur")
       assert(head.startsWith("+batch 3"), head)
       assert(readLine().startsWith("#id")) // header line stays text
+      var lastTag = -1
       def leLong(): Long = {
         val b = new Array[Byte](8); in.readFully(b)
         java.nio.ByteBuffer.wrap(b)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
       }
-      def readField(): Any = in.read() match {
+      def readField(): Any = { lastTag = in.read(); lastTag match {
         case 0 => assert(in.read() == 0); null
         case 1 => // NUL-terminated text
           val sb = new java.io.ByteArrayOutputStream()
@@ -210,7 +213,7 @@ class ServerSpec extends AnyFunSuite {
         case 5 | 6 | 2 | 3 => leLong()
         case 9 => in.read() == 1
         case t => fail(s"unknown tag $t")
-      }
+      } }
       val rows = (1 to 3).map { _ =>
         val r = (1 to 4).map(_ => readField())
         assert(in.read() == '\n') // row terminator
@@ -219,6 +222,17 @@ class ServerSpec extends AnyFunSuite {
       assert(rows(0) == Seq(1L, "alpha", 2.5, true))
       assert(rows(1) == Seq(2L, "beta", -0.75, false))
       assert(rows(2) == Seq(3L, null, 9.0, null))
+      // engine time columns (ns longs in Spark) carry the TIME tag
+      // via the schema metadata marker, not the INT tag
+      val cur2 = send("select at from m where id = 1").split(" ")(1)
+      assert(send(s"fetch $cur2").startsWith("+batch 1"))
+      readLine() // header
+      val at = readField()
+      assert(lastTag == 3, s"time column framed with tag $lastTag")
+      assert(at.asInstanceOf[Long] ==
+        java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond *
+          1000000000L)
+      assert(in.read() == '\n')
       // non-row frames stay text; mode switches back cleanly
       assert(send("mode text") == "+ok mode text")
       assert(send("select id from m").startsWith("+cursor"))

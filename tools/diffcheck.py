@@ -87,9 +87,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: no output parquet")
             n_fail += 1
             continue
-        got_rel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [d[0] for d in got_rel.description]
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = list(got_rel.columns)
+        got_types = [str(t) for t in got_rel.types]
         got = got_rel.fetchall()
         if name not in oracles:
             print(f"-     {name}: no oracle ({len(got)} rows)")
@@ -104,9 +104,6 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        got_types = [str(t)
-                     for t in con.sql(
-                         f"SELECT * FROM read_parquet({files!r})").types]
         tm = type_mismatch(got_types, got_cols, exp_types, exp_cols)
         if tm:
             print(f"FAIL  {name}: col {tm[0]} type class "
