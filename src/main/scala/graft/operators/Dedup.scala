@@ -135,6 +135,46 @@ object Dedup {
         org.apache.spark.sql.types.LongType) col("shingle")
     else xxhash64(col("shingle"))
 
+  /** MinHash signatures over an ARITHMETIC hash family — the
+    * q80-KMV trick applied to MinHash: mh_i = min over shingles of
+    * ((h mod 10^9+7)·(2654435761+2i) + 97531·i) mod 999999999989.
+    * Unlike the xxhash64 family ([[minHashSignatures]], the
+    * production default), every term here is plain modular int64
+    * arithmetic that ANY engine reproduces bit-for-bit — which makes
+    * the LSH pipeline itself differentially testable (candidate sets
+    * compared against a SQL recompute), not just its verified output.
+    * Products stay ≤ ~2.7e18 < 2^63: exact in both engines. Expects
+    * long `shingle` features (e.g. [[md5Hash60]]). */
+  def minHashSignaturesArith(shingles: DataFrame, k: Int): DataFrame = {
+    val h1 = pmod(col("shingle"), lit(1000000007L))
+    shingles.groupBy(col("doc_id"))
+      .agg(min(pmod(h1 * lit(2654435761L), lit(999999999989L))).as("mh0"),
+        (1 until k).map(i =>
+          min(pmod(h1 * lit(2654435761L + 2L * i) + lit(97531L * i),
+            lit(999999999989L))).as(s"mh$i")): _*)
+  }
+
+  /** LSH band candidates from [[minHashSignaturesArith]] signatures,
+    * joining on the RAW r-tuple of minima per band (no band hash —
+    * keeps the join key engine-reproducible). r = k/bands. */
+  def lshCandidatePairsArith(sigs: DataFrame, k: Int,
+                             bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until r).map(j => col(s"mh${b * r + j}").as(s"m$j")): _*)
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.bb") === col("b.bb")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH banding: split the k-wide signature into `bands` bands of
     * `r` rows, hash each band, and emit candidate pairs of documents
     * sharing any (band, hash) bucket. Join key is (band, 64-bit hash):

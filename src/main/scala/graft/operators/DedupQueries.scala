@@ -147,6 +147,37 @@ object DedupQueries extends QueryPack {
           round(coalesce(col("tp"), lit(0L)).cast("double") /
             col("n_truth"), 6).as("recall"))
     }),
+    // LSH banding S-curve: empirical candidate recall of a k=8,
+    // 4-band×2-row MinHash banding per Jaccard decile, against exact
+    // pairs ≥ 0.4 — the measurement behind every "how many bands do I
+    // need" decision. Uses the ARITHMETIC signature family, so the
+    // DuckDB oracle recomputes the ACTUAL signatures, buckets, and
+    // candidate set bit-for-bit: this is a differential check of the
+    // LSH pipeline itself, not (like q42) of its verified output
+    // under a recall assumption.
+    "q185_lsh_scurve" -> ((s, d) => {
+      val c = corpus(s, d).filter(col("doc_id") % 2 === 0)
+      val shl = Dedup.wordShingles(c, "doc_id", "text", 3)
+        .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("shingle"))
+      // signature frame feeds both sides of the bucket self-join
+      val sig = Dedup.minHashSignaturesArith(shl, k = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidatePairsArith(sig, k = 8, bands = 4)
+        .withColumn("hit", lit(1L))
+      // truth feeds the bucket counts AND the join (q184 lifecycle)
+      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
+          n = 3, tau = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+            .as("j_bucket"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("n_caught"))
+        .select(col("j_bucket"), col("n_truth"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }),
     // ORACLE COUPLING (q168, and q153 below): the LSH candidate pass
     // is probabilistically recall-bounded, but the oracle computes
     // exact all-pairs Jaccard; equality holds because this fixture's
@@ -246,6 +277,47 @@ object DedupQueries extends QueryPack {
       s" << ${4 * (15 - i)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q185_lsh_scurve" ->
+      s"""WITH corpus0 AS ($corpusSql),
+        | corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT doc_id, $md5Hex60Sql AS h FROM hm),
+        | h1 AS (SELECT doc_id, h % 1000000007 AS h1 FROM hh),
+        | mins AS (SELECT doc_id, i,
+        |   min((h1 * (2654435761 + 2*i) + 97531*i) % 999999999989)
+        |     AS mh
+        |  FROM h1, UNNEST(generate_series(0, 7)) AS g(i)
+        |  GROUP BY 1, 2),
+        | bands AS (SELECT doc_id, i // 2 AS b,
+        |   max(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |   max(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |  FROM mins GROUP BY 1, 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.b = b.b
+        |   AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | tr AS (SELECT da, db,
+        |   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        | bk AS (SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS jb,
+        |   CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM tr t LEFT JOIN cand c ON t.da = c.da AND t.db = c.db)
+        | SELECT jb AS j_bucket, count(*) AS n_truth,
+        |  CAST(sum(hit) AS BIGINT) AS n_caught,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+        | FROM bk GROUP BY jb""".stripMargin,
     "q184_simhash_calibration" ->
       s"""WITH corpus0 AS ($corpusSql),
         | corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
