@@ -160,10 +160,13 @@ class Connection:
         more = True
         rows_left = 0
         ncols = 0
+        desynced = False
         try:
             while more:
                 batch = self._send("fetch " + cur)
                 if not batch.startswith("+batch"):
+                    # text head consumed in full — the stream is still
+                    # in sync, normal recovery below applies
                     raise WireError("expected batch, got %r" % batch)
                 _, n, more_flag = batch.split(" ")
                 header = self._readline().rstrip("\n")
@@ -172,30 +175,43 @@ class Connection:
                 ncols = len(self.columns)
                 rows_left = int(n)
                 while rows_left > 0:
-                    row = tuple(self._read_binary_field()
-                                for _ in range(ncols))
-                    if self._r.read(1) != b"\n":
-                        raise WireError("missing row terminator")
+                    try:
+                        row = tuple(self._read_binary_field()
+                                    for _ in range(ncols))
+                        if self._r.read(1) != b"\n":
+                            raise WireError("missing row terminator")
+                    except WireError:
+                        # a framing error mid-row leaves the stream
+                        # position unknowable: any further round-trip
+                        # (drain/close/mode text) could block on a
+                        # readline until the socket timeout. Fail
+                        # fast: mark broken, tear the socket down.
+                        desynced = True
+                        raise
                     rows_left -= 1
                     yield row
                 more = more_flag == "1"
         finally:
-            # abandoned early: drain the partial batch field-by-field
-            # so the wire stays in sync, release the cursor, and
-            # restore text mode for subsequent statements
-            for _ in range(rows_left):
-                for _ in range(ncols):
-                    self._read_binary_field()
-                self._r.read(1)
-            if more or rows_left:
+            if desynced:
+                self._sock.close()  # connection is unusable
+            else:
+                # abandoned early: drain the partial batch
+                # field-by-field so the wire stays in sync, release
+                # the cursor, and restore text mode for subsequent
+                # statements
+                for _ in range(rows_left):
+                    for _ in range(ncols):
+                        self._read_binary_field()
+                    self._r.read(1)
+                if more or rows_left:
+                    try:
+                        self._send("close " + cur)
+                    except (WireError, OSError):
+                        pass
                 try:
-                    self._send("close " + cur)
+                    self.execute("mode text")
                 except (WireError, OSError):
                     pass
-            try:
-                self.execute("mode text")
-            except (WireError, OSError):
-                pass
 
     def close(self):
         try:

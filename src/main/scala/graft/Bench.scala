@@ -112,9 +112,19 @@ object Bench {
     }.mkString("{", ",", "}")
     println(f"""{"metric":"per_query_compact","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     // At 170+ queries even the compact line outgrew the driver's
-    // ~2000-char tail window (r5 recorded parsed:null). Final line is
-    // therefore total-only — always a complete object inside the tail.
+    // ~2000-char tail window (r5 recorded parsed:null). The total-only
+    // line is always a complete object inside the tail.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // … and a SLOWEST-15 line last (~350 chars): with the full maps
+    // overflowing the tail window, driver-side regressions in the
+    // heavy queries were invisible (r6 finding) — this line always
+    // carries every query that matters (none outside the top 15 has
+    // ever exceeded 1 s). `value` repeats the total so a last-line
+    // JSON consumer still reads the headline number.
+    val top = results.sortBy(-_._2).take(15).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"slowest","value":$total%.3f,"unit":"sec","top":$top,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -892,8 +892,57 @@ class Engine(val spark: SparkSession, root: String,
   private def orderCols(ob: Seq[(Ast.Field, Boolean)]): Seq[Column] =
     ob.map { case (f, a) => if (a) asc(f.name) else desc(f.name) }
 
+  /** Typing context for a whole select: from-table columns bare and
+    * alias-qualified, edge-joined vertex columns qualified only —
+    * exactly the map buildSelectNoLimit assembles inline. */
+  private def selectCtx(sel: SelectStmt): ExprBuilder.Ctx =
+    sel.from match {
+      case None => Map.empty
+      case Some(fromName) =>
+        val fromAlias = sel.fromAlias.getOrElse(fromName)
+        val base0 = typeCtx(fromName)
+        // the TIMESTAMP field keyword resolves to the stamp column on
+        // stamped edges (buildSelectNoLimit's rewrite) — type it too
+        val base =
+          if (isStampedEdge(fromName) && !base0.contains("timestamp"))
+            base0 ++ base0.get("stamp").map("timestamp" -> _)
+          else base0
+        base ++ base.map { case (k, v) =>
+          s"${fromAlias.toLowerCase}.$k" -> v } ++
+          sel.joins.flatMap { j =>
+            val vAlias = j.alias.getOrElse(j.typeName)
+            typeCtx(j.typeName).map { case (k, v) =>
+              s"${vAlias.toLowerCase}.$k" -> v }
+          }
+    }
+
+  /** Re-attach the `graft.nowType` marker to COMPUTED time-typed
+    * output columns. Schema metadata only rides plain attribute
+    * references through a plan, so `max(at)` or `at + 1` would reach
+    * the binary wire untagged and frame as INT(5) — the reference
+    * tags by the resolved expression type (query/row.c:138-207), so
+    * computed time values must stay TIME(3). Plain fields and `*`
+    * keep their scan-attached metadata and are skipped. */
+  private def tagTimeItems(df: DataFrame, sel: SelectStmt): DataFrame = {
+    lazy val ctx = selectCtx(sel)
+    sel.items.zipWithIndex.foldLeft(df) { case (d, (it, i)) =>
+      it.expr match {
+        case _: Field | _: Star => d // attribute refs carry metadata
+        case e => ExprBuilder.timeKind(e, ctx) match {
+          case Some(k) =>
+            val nm = it.alias.getOrElse(defaultName(e, i))
+            if (d.columns.contains(nm))
+              d.withMetadata(nm, new org.apache.spark.sql.types
+                .MetadataBuilder().putString("graft.nowType", k).build())
+            else d
+          case None => d
+        }
+      }
+    }
+  }
+
   private[engine] def buildSelect(sel: SelectStmt): DataFrame = {
-    val base = buildSelectNoLimit(sel)
+    val base = tagTimeItems(buildSelectNoLimit(sel), sel)
     sel.limit.fold(base)(n => base.limit(n.toInt))
   }
 
@@ -931,9 +980,8 @@ class Engine(val spark: SparkSession, root: String,
     val fromName = sel.from.get
     val fromAlias = sel.fromAlias.getOrElse(fromName)
     var df = tableDf(fromName).as(fromAlias)
-    var ctx: Map[String, String] = typeCtx(fromName) ++
-      typeCtx(fromName).map { case (k, v) =>
-        s"${fromAlias.toLowerCase}.$k" -> v }
+    // one source of truth with tagTimeItems' typing pass
+    val ctx: Map[String, String] = selectCtx(sel)
 
     // edge-joins (sql.tex:2291-2368): inner equi-join edge.origin|destin
     // against the vertex type's pk; broadcast the vertex side — the
@@ -947,8 +995,6 @@ class Engine(val spark: SparkSession, root: String,
       df = df.join(broadcast(vdf),
         col(s"$fromAlias.${j.onField}") === col(s"$vAlias.${vt.pk.name}"),
         "inner")
-      ctx ++= typeCtx(j.typeName).map { case (k, v) =>
-        s"${vAlias.toLowerCase}.$k" -> v }
     }
 
     val where = sel.where.map(w => ExprBuilder.build(w, ctx))

@@ -376,7 +376,23 @@ object Dedup {
     val vocab = sh.select("shingle").distinct().count()
     // both branches seal: the caller's frame carries no cached legs
     if (vocab <= denseVocabLimit) sealResult(densePairs(sh, vocab.toInt, tau), sh)
-    else prefixFilteredPairs(sh, tau) // seals internally (releases sh too)
+    else prefixFilteredPairs(sh, tau, releaseToo = Seq(sh))
+  }
+
+  /** [[ngramJaccardPairs]] over an ALREADY-SHINGLED distinct
+    * (doc_id, shingle: long) frame — the entry point for callers
+    * that derive sketch AND exact-truth legs from ONE shared shingle
+    * pass (the q184/q185 sketch calibrations: SimHash / MinHash
+    * signatures and the exact-Jaccard ground truth walk the same
+    * shingle set, and re-shingling internally would repeat the whole
+    * tokenize + explode pass over the corpus). The caller owns `sh`'s
+    * persistence lifecycle; only internal legs are persisted and
+    * released here. */
+  def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
+                            denseVocabLimit: Int = 4096): DataFrame = {
+    val vocab = sh.select("shingle").distinct().count()
+    if (vocab <= denseVocabLimit) sealResult(densePairs(sh, vocab.toInt, tau))
+    else prefixFilteredPairs(sh, tau, releaseToo = Nil)
   }
 
   /** Dense regime: broadcast bitsets, distributed all-pairs sweep. */
@@ -425,8 +441,12 @@ object Dedup {
     }.toDF("doc_a", "doc_b", "jaccard")
   }
 
-  /** Sparse regime: prefix-filtered candidate join + exact verify. */
-  private def prefixFilteredPairs(sh: DataFrame, tau: Double): DataFrame = {
+  /** Sparse regime: prefix-filtered candidate join + exact verify.
+    * `releaseToo`: caller-persisted legs to free with the seal (the
+    * docs-entry path hands its own shingle frame; the From-entry path
+    * leaves the caller-owned frame alone). */
+  private def prefixFilteredPairs(sh: DataFrame, tau: Double,
+                                  releaseToo: Seq[DataFrame]): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // global shingle frequency → rarity rank within each document
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -442,9 +462,9 @@ object Dedup {
         && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .distinct()
-    // releases the caller-persisted `sh` leg along with `ranked`
+    // releases `ranked` plus whatever shingle legs the caller handed
     sealResult(jaccardVerify(cand, sh).filter(col("jaccard") >= tau),
-      ranked, sh)
+      (ranked +: releaseToo): _*)
   }
 
   /** Exact n-gram CONTAINMENT pairs: ordered (doc_a, doc_b) with
@@ -486,16 +506,20 @@ object Dedup {
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .distinct()
     // Size-pair pruning before the exact-verify legs: the overlap i is
-    // bounded by |Sb|, and C(a→b) ≥ tau needs i ≥ ⌈tau·|Sa|⌉, so any
-    // candidate with |Sb| < ⌈tau·|Sa|⌉ can never verify — drop it now
+    // bounded by |Sb|, and C(a→b) ≥ tau needs i/|Sa| ≥ tau, so any
+    // candidate with |Sb|/|Sa| < tau can never verify — drop it now
     // instead of paying two shingle-table joins to learn the same.
+    // The predicate is the verify filter with i replaced by its upper
+    // bound szb — same division, same rounding path — so the prune is
+    // monotone-safe by construction (no ceil()-vs-division float
+    // discrepancy can drop a verifiable pair).
     // Carrying sza through also retires the post-aggregate size join.
     val candSized = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
         Seq("doc_b"))
-      .filter(col("szb") >= ceil(col("sza") * lit(tau)))
+      .filter(col("szb").cast("double") / col("sza") >= tau)
       .select(col("doc_a"), col("doc_b"), col("sza"))
     val inter = candSized
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

@@ -41,6 +41,46 @@ object DedupQueries extends QueryPack {
       | SELECT doc_id + 10000 AS doc_id, text || ' zq0 zq1 zq2' AS text
       | FROM documents WHERE doc_id % 2 = 0""".stripMargin
 
+  /** ABSOLUTE-BOUNDED calibration sample (q184/q185): the `CalibDocs`
+    * base documents with the smallest md5(decimal id string), plus
+    * their planted mutations. A fixed SIZE, not a fixed fraction —
+    * the exact-Jaccard truth leg of a sketch calibration costs
+    * O(sample²) candidate work, so an id-parity or modulus sample
+    * (which keeps half the corpus) would grow linearly with corpus
+    * size and turn "measure the sketch" into a corpus-scale dedup
+    * run at 100 TB; hash-rank top-K keeps the measurement cost
+    * constant forever. md5 of the id is the selection key because
+    * DuckDB recomputes it bit-identically (md5(doc_id::VARCHAR)),
+    * the rank cut is a TakeOrdered (never a full sort), and the
+    * uniform hash makes the sample unbiased. Selection is by BASE
+    * id (mutation ids fold back first), so every planted near-dup
+    * pair enters or leaves the sample as a unit — the truth and
+    * sketch legs always see whole pairs. */
+  private val CalibDocs = 400
+
+  private def calibCorpus(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id").as("base_id"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("base_id")).limit(CalibDocs)
+      .select(col("base_id"))
+    corpus(s, d)
+      .withColumn("base_id", when(col("doc_id") >= 10000L,
+        col("doc_id") - 10000L).otherwise(col("doc_id")))
+      .join(broadcast(ids), Seq("base_id"))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** DuckDB form of [[calibCorpus]] — expects `corpus0` bound to
+    * [[corpusSql]]; yields a `corpus` CTE with the identical rows. */
+  private val calibCorpusSql =
+    s"""samp AS (SELECT doc_id AS base_id FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $CalibDocs),
+      | corpus AS (SELECT c.doc_id, c.text FROM corpus0 c
+      |  JOIN samp s ON (CASE WHEN c.doc_id >= 10000
+      |   THEN c.doc_id - 10000 ELSE c.doc_id END) = s.base_id)"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: shuffle digests, keep min id. On the derived corpus
     // every text is still unique (mutations differ) — so run it on a
@@ -106,24 +146,28 @@ object DedupQueries extends QueryPack {
     // properties of the sketch, not of the bucketing. All ingredients
     // (md5-family simhash, exact Jaccard) are oracle-recomputable.
     "q184_simhash_calibration" -> ((s, d) => {
-      // calibrate on the even-id slice: every planted near-dup pair
-      // survives (mutated ids are base+10000, still even) while the
-      // all-pairs truth leg halves — the curve is about the SKETCH,
-      // not the corpus size, so the smaller sample changes nothing
-      // methodologically and keeps this two-full-pass eval cheap
-      val c = corpus(s, d).filter(col("doc_id") % 2 === 0)
+      // calibrate on the hash-rank bounded sample (calibCorpus): the
+      // curve is a property of the SKETCH, not the corpus size, so a
+      // fixed-size unbiased sample changes nothing methodologically
+      // while capping the exact-truth leg at O(CalibDocs²) forever
+      val c = calibCorpus(s, d)
+      // ONE shingle pass feeds both the SimHash leg and the exact
+      // truth leg (persisted; ngramJaccardPairsFrom leaves caller-
+      // owned frames alone) — re-shingling per leg would repeat the
+      // tokenize+explode pass over the sample
       val sh = Dedup.wordShingles(c, "doc_id", "text", 3)
         .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sim = Dedup.simhashNearDupPairsFrom(sh, maxHamming = 3, bits = 60)
       // truth feeds BOTH the corpus-wide count and the per-pair join —
       // persist it or the whole exact-Jaccard pass runs twice when
       // the caller disables the operators' eager seal (Bench does).
       // Lifecycle follows the sealResult convention: the persisted
-      // block is released by ContextCleaner once the returned frame
-      // (whose plan pins the InMemoryRelation) is dropped; sealed
-      // callers (Verify) additionally clearCache per query.
-      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
-          n = 3, tau = 0.7)
+      // blocks (truth AND sh) are released by ContextCleaner once the
+      // returned frame (whose plan pins the InMemoryRelations) is
+      // dropped; sealed callers (Verify) additionally clearCache per
+      // query.
+      val truth = Dedup.ngramJaccardPairsFrom(sh, tau = 0.7)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -149,24 +193,25 @@ object DedupQueries extends QueryPack {
     }),
     // LSH banding S-curve: empirical candidate recall of a k=8,
     // 4-band×2-row MinHash banding per Jaccard decile, against exact
-    // pairs ≥ 0.4 — the measurement behind every "how many bands do I
+    // pairs ≥ 0.5 — the measurement behind every "how many bands do I
     // need" decision. Uses the ARITHMETIC signature family, so the
     // DuckDB oracle recomputes the ACTUAL signatures, buckets, and
     // candidate set bit-for-bit: this is a differential check of the
     // LSH pipeline itself, not (like q42) of its verified output
     // under a recall assumption.
     "q185_lsh_scurve" -> ((s, d) => {
-      val c = corpus(s, d).filter(col("doc_id") % 2 === 0)
+      // hash-rank bounded sample + one shared shingle pass (q184 note)
+      val c = calibCorpus(s, d)
       val shl = Dedup.wordShingles(c, "doc_id", "text", 3)
         .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // signature frame feeds both sides of the bucket self-join
       val sig = Dedup.minHashSignaturesArith(shl, k = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.lshCandidatePairsArith(sig, k = 8, bands = 4)
         .withColumn("hit", lit(1L))
       // truth feeds the bucket counts AND the join (q184 lifecycle)
-      val truth = Dedup.ngramJaccardPairs(c, "doc_id", "text",
-          n = 3, tau = 0.5)
+      val truth = Dedup.ngramJaccardPairsFrom(shl, tau = 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       truth.join(cand, Seq("doc_a", "doc_b"), "left")
         .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
@@ -279,7 +324,7 @@ object DedupQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "q185_lsh_scurve" ->
       s"""WITH corpus0 AS ($corpusSql),
-        | corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
+        | $calibCorpusSql,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,
@@ -320,7 +365,7 @@ object DedupQueries extends QueryPack {
         | FROM bk GROUP BY jb""".stripMargin,
     "q184_simhash_calibration" ->
       s"""WITH corpus0 AS ($corpusSql),
-        | corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
+        | $calibCorpusSql,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,

@@ -188,6 +188,79 @@ object EngineQueries extends QueryPack {
         descKnows
       import s.implicits._
       rows.toDF("kind", "name", "pos")
+    }),
+    // Stored-procedure round-trip: CREATE PROCEDURE + EXEC of the
+    // manual's Lua trapezoid-integral example (reference
+    // doc/manual/luaemb.tex:585-620) — parse → proc lookup →
+    // interpreter → RE-ENTRANT engine SQL (an ordered, period-bounded
+    // edge scan paged through a cursor) → makeresult row, once per
+    // sensor. Values stay in the exact-int64 domain inside the fold
+    // ((stamp-gap ns) × integer reading sums far below 2^63 on a
+    // 30-day window) with ONE float division at the end, so the
+    // DuckDB oracle (a lag-window recompute straight from parquet)
+    // matches bit-for-bit — the whole proc pipeline is value-checked,
+    // not just "a proc ran".
+    "q186_proc_exec" -> ((s, d) => {
+      val procDir = Files.createTempDirectory("graft-q186-procs")
+      // the doc's integral shape: fold consecutive (stamp, value)
+      // rows into sum((t_i - t_{i-1}) * y_i), report in per-hour units
+      Files.writeString(procDir.resolve("calcmod.lua"),
+        """function integral(k, t0, t1)
+          |  local stmt = string.format(
+          |    [[select stamp, value from obs
+          |       where origin = %d
+          |         and stamp >= %d and stamp < %d
+          |       order by stamp]], k, t0, t1)
+          |  local cur = nowdb.execute(stmt)
+          |  local x_1 = 0
+          |  local x_2 = 0
+          |  local x = 0
+          |  local first = true
+          |  for row in cur.rows() do
+          |    if not first then x_1 = x_2 end
+          |    x_2 = row.field(0)
+          |    if not first then
+          |      local d = x_2 - x_1
+          |      local y = row.field(1)
+          |      x = x + d * y
+          |    else
+          |      first = false
+          |    end
+          |  end
+          |  cur.release()
+          |  return nowdb.makeresult(nowdb.FLOAT, x / nowdb.hour)
+          |end
+          |""".stripMargin)
+      s.conf.set("spark.graft.procPath", procDir.toString)
+      val eng = freshEngine(s)
+      eng.script(
+        """create scope procscope;
+          | use procscope;
+          | create type sensor (id uint pk);
+          | create edge obs (origin sensor origin, destin sensor destin,
+          |   stamp time stamp, value uint)""".stripMargin)
+        .foreach(require(_, "q186 ddl"))
+      // feed the stamped edge from the driver's events table: ns
+      // stamps floored to µs alignment (DuckDB reads the ns parquet
+      // timestamps at µs precision, so sub-µs digits must not enter
+      // the fold), integer readings (round keeps the Lua fold exact)
+      eng.attachTable("evsrc", Tables.events(s, d)
+        .filter(col("user_id") < 5)
+        .select(col("user_id").as("uid"), col("event_id").as("eid"),
+          (col("ts") - col("ts") % 1000).as("stamp"),
+          round(col("value")).cast("long").as("val")))
+      require(eng.sql("insert into obs (origin, destin, stamp, value) " +
+        "select uid, eid, stamp, val from evsrc"), "q186 insert-select")
+      require(eng.sql("create procedure calcmod.integral() language lua"),
+        "q186 create procedure")
+      val rows = (0L until 5L).map { k =>
+        eng.sql(s"exec integral($k, 0, 4102444800000000000)") match {
+          case Rows(df) => (k, df.collect()(0).getDouble(0))
+          case other => sys.error(s"q186 exec integral($k) failed: $other")
+        }
+      }
+      import s.implicits._
+      rows.toDF("origin", "integral_vh")
     })
   )
 
@@ -219,6 +292,27 @@ object EngineQueries extends QueryPack {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(max(l_orderkey) AS BIGINT) AS last_key
         | FROM q GROUP BY 1""".stripMargin,
+    "q186_proc_exec" ->
+      // lag-window recompute of the proc's trapezoid fold: the inner
+      // sum is exact BIGINT (ns gaps × integer readings), the single
+      // final division is the same one IEEE op the Lua proc performs
+      // (int sum → double, / 3600e9 ns-per-hour) — bit-exact parity
+      """WITH ks AS (SELECT unnest(generate_series(0, 4)) AS origin),
+        | src AS (SELECT user_id AS origin,
+        |   epoch_us(ts) * 1000 AS stamp,
+        |   CAST(round(value) AS BIGINT) AS val
+        |  FROM events WHERE user_id < 5),
+        | lg AS (SELECT origin, stamp, val,
+        |   lag(stamp) OVER (PARTITION BY origin ORDER BY stamp) AS prev
+        |  FROM src),
+        | agg AS (SELECT origin, sum(CASE WHEN prev IS NULL THEN 0
+        |   ELSE (stamp - prev) * val END) AS x
+        |  FROM lg GROUP BY origin)
+        | SELECT k.origin,
+        |  CAST(coalesce(a.x, 0) AS DOUBLE) / 3600000000000.0
+        |    AS integral_vh
+        | FROM ks k LEFT JOIN agg a ON k.origin = a.origin"""
+        .stripMargin,
     "q176_ddl_catalog" ->
       """SELECT kind, name, CAST(pos AS BIGINT) AS pos FROM (VALUES
         |  ('type', 'person', 0),

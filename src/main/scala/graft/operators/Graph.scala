@@ -330,6 +330,11 @@ object Graph {
       .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v")).localCheckpoint()
+    // CONVERGENCE-COLLECT CONTRACT (same as pageRank's dangling-mass
+    // broadcast): this collect() returns exactly ONE aggregate row per
+    // iteration — a scalar driver probe, never data-sized. The loop
+    // cost is maxIter single-row fetches, independent of graph size;
+    // do not imitate this shape for anything that scales with |V|.
     def compSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))

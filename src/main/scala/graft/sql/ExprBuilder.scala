@@ -126,6 +126,39 @@ object ExprBuilder {
     case _ => None
   }
 
+  /** Static NoWDB TIME/DATE kind of an expression: Some("time"|"date")
+    * when the expression's resolved type is a timestamp, None
+    * otherwise. The reference tags wire rows by the resolved
+    * expression type (query/row.c:138-207 over fun/expr typing), so
+    * `max(at)` or `at + 1` frame as TIME there — this analyzer lets
+    * the engine re-attach the `graft.nowType` schema marker to
+    * COMPUTED columns, whose Spark metadata would otherwise be lost
+    * (metadata only rides plain attribute references). Mirrors
+    * [[numKind]]'s carry rules: aggregates and `abs/just/coal` carry
+    * the input kind; `+`/`-` over a time operand stay in the stamp
+    * domain (reference arithmetic is plain int64 ns); `*`/`/`/`%`/`^`
+    * leave it. */
+  private[graft] def timeKind(e: Expr, ctx: Ctx): Option[String] = e match {
+    case f: Field =>
+      ctx.get(fieldKey(f)).orElse(ctx.get(f.name.toLowerCase))
+        .filter(t => t == "time" || t == "date")
+    case FnCall("totime" | "now" | "dawn" | "dusk" | "epoch", _) =>
+      Some("time")
+    case FnCall("min" | "max" | "sum" | "mode" | "spread" | "abs" |
+                "just", args) =>
+      args.headOption.flatMap(timeKind(_, ctx))
+    case FnCall("coal" | "coalesce", args) =>
+      val ks = args.map(timeKind(_, ctx))
+      if (ks.nonEmpty && ks.forall(_.isDefined)) ks.head else None
+    case BinOp("+" | "-", l, r) =>
+      timeKind(l, ctx).orElse(timeKind(r, ctx))
+    case UnOp("-", x) => timeKind(x, ctx)
+    case CaseExpr(branches, other) =>
+      val ks = (branches.map(_._2) ++ other.toSeq).map(timeKind(_, ctx))
+      if (ks.nonEmpty && ks.forall(_.isDefined)) ks.head else None
+    case _ => None
+  }
+
   def build(e: Expr, ctx: Ctx = Map.empty): Column = e match {
     case Lit(null, _) => lit(null)
     case Lit(v, _) => lit(v)

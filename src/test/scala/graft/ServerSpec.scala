@@ -233,6 +233,28 @@ class ServerSpec extends AnyFunSuite {
         java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond *
           1000000000L)
       assert(in.read() == '\n')
+      // COMPUTED time values frame as TIME too: schema metadata only
+      // rides plain column refs, so the engine re-tags expression
+      // outputs from their resolved NoWDB type (reference row.c tags
+      // by expression type — max(at) and at+1 are TIME there, not INT)
+      val cur3 = send("select max(at) as mx from m").split(" ")(1)
+      assert(send(s"fetch $cur3").startsWith("+batch 1"))
+      readLine() // header
+      val mx = readField()
+      assert(lastTag == 3, s"max(at) framed with tag $lastTag")
+      assert(mx.asInstanceOf[Long] ==
+        java.time.Instant.parse("2024-03-02T11:00:00Z").getEpochSecond *
+          1000000000L)
+      assert(in.read() == '\n')
+      val cur4 = send("select at + 1 from m where id = 1").split(" ")(1)
+      assert(send(s"fetch $cur4").startsWith("+batch 1"))
+      readLine() // header
+      val atPlus = readField()
+      assert(lastTag == 3, s"at+1 framed with tag $lastTag")
+      assert(atPlus.asInstanceOf[Long] ==
+        java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond *
+          1000000000L + 1L)
+      assert(in.read() == '\n')
       // non-row frames stay text; mode switches back cleanly
       assert(send("mode text") == "+ok mode text")
       assert(send("select id from m").startsWith("+cursor"))
