@@ -314,6 +314,60 @@ object TextAnalysis {
     * Output: (doc_id, chunk_no, start_tok, n_toks, first_tok,
     * last_tok) — span coordinates plus boundary tokens so chunk
     * placement is value-checkable without shipping chunk text. */
+  /** Repetition profile (the Gopher corpus-quality repetition rules,
+    * Rae et al. 2021 — public paper — adapted to word n-grams): per
+    * document, the fraction of n-gram OCCURRENCES that repeat an
+    * earlier occurrence (`dup_frac` = 1 − distinct/total) and the
+    * share of the single most frequent n-gram (`top_frac`), plus a
+    * `flagged` verdict at `tau`. Boilerplate, scraper loops, and
+    * keyword-stuffed spam all light up on these two numbers while
+    * ordinary prose stays near zero — the standard pre-training
+    * filter that inter-document dedup cannot express (the repetition
+    * is INSIDE one document).
+    *
+    * Physical shape: ZERO shuffles. The n-grams, their sort, and a
+    * run-length walk over the sorted array (distinct count + longest
+    * run = most frequent gram, since equal grams are adjacent after
+    * the sort) are per-row array ops inside one projection — at
+    * 100 TB this runs at scan speed, embarrassingly parallel, and
+    * composes with any downstream filter pushdown. `tau` defaults to
+    * 0.125: exactly binary-representable, so the flag compares
+    * identically in any engine. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double = 0.125): DataFrame = {
+    val grams = when(size(words(col(textCol))) >= n,
+      array_sort(transform(
+        sequence(lit(1), size(words(col(textCol))) - (n - 1)),
+        i => array_join(slice(words(col(textCol)), i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // fold state: (prev gram, current run, max run, distinct count);
+    // prev starts NULL so the first gram always opens a new run (an
+    // empty-string sentinel would merge with genuinely empty grams
+    // from doubled separators)
+    val walk = aggregate(col("gs"),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("mx"), lit(0L).as("nd")),
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc("mx"), run).as("mx"),
+          when(g === acc("prev"), acc("nd")).otherwise(acc("nd") + 1)
+            .as("nd"))
+      })
+    docs.select(col(idCol).as("doc_id"), grams.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("total"),
+        walk.as("st"))
+      .select(col("doc_id"), col("total"),
+        col("st.nd").as("n_distinct"), col("st.mx").as("top_count"),
+        when(col("total") > 0, (col("total") - col("st.nd"))
+          .cast("double") / col("total")).otherwise(lit(0.0))
+          .as("dup_frac"),
+        when(col("total") > 0,
+          col("st.mx").cast("double") / col("total")).otherwise(lit(0.0))
+          .as("top_frac"))
+      .withColumn("flagged", col("dup_frac") > lit(tau))
+  }
+
   def windowChunks(docs: DataFrame, idCol: String, textCol: String,
                    window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride,

@@ -29,6 +29,12 @@ object TextQueries extends QueryPack {
     "q178_window_chunks" -> ((s, d) =>
       TextAnalysis.windowChunks(Tables.documents(s, d), "doc_id", "text",
         window = 32, stride = 16)),
+    // Gopher-style intra-document repetition: duplicate trigram
+    // fraction + most-frequent-trigram share per doc, flag > 0.125.
+    // Zero-shuffle row-local profile; exact integer-ratio oracle.
+    "q187_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, d), "doc_id",
+        "text", n = 3)),
     // Pseudo-relevance-feedback expansion: top-10 BM25 docs vote 5
     // expansion terms, second BM25 pass over the expanded set. The
     // oracle re-mines the identical term set (count-desc/term-asc),
@@ -213,6 +219,33 @@ object TextQueries extends QueryPack {
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q187_repetition" ->
+      // grams are NON-distinct here (occurrence counts, not set
+      // identity); single integer-ratio divisions are bit-exact
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | grams AS (SELECT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | per AS (SELECT doc_id, g, count(*) AS c FROM grams
+        |  GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |   count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+        |  FROM per GROUP BY 1)
+        | SELECT d.doc_id, coalesce(a.total, 0) AS total,
+        |  coalesce(a.n_distinct, 0) AS n_distinct,
+        |  coalesce(a.top_count, 0) AS top_count,
+        |  CASE WHEN a.total > 0
+        |   THEN CAST(a.total - a.n_distinct AS DOUBLE) / a.total
+        |   ELSE 0.0 END AS dup_frac,
+        |  CASE WHEN a.total > 0
+        |   THEN CAST(a.top_count AS DOUBLE) / a.total
+        |   ELSE 0.0 END AS top_frac,
+        |  coalesce(CAST(a.total - a.n_distinct AS DOUBLE) / a.total
+        |   > 0.125, false) AS flagged
+        | FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+        .stripMargin,
     "q177_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
         |   unnest(string_split(text, ' ')) AS w FROM documents),

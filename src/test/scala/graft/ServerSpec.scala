@@ -108,6 +108,39 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("the C client (clients/nowc.c) drives a full session") {
+    // Compile the REAL client + demo with gcc and run it against a
+    // live server: reference-API-shaped calls (nowclient.h:254-291
+    // surface — connect/exec/result/cursor/row accessors) over this
+    // engine's wire, covering DDL, inserts with nulls, a paged typed
+    // cursor (page size 3 forces 3 batches over 8 rows), the
+    // computed-TIME tag (max(at)), mid-stream cursor abandon, error
+    // details, and the ISO time helpers. Exit 0 + marker = pass.
+    assume(
+      try new ProcessBuilder("gcc", "--version").start()
+        .waitFor(10, TimeUnit.SECONDS)
+      catch { case _: java.io.IOException => false },
+      "gcc not available")
+    val root = Files.createTempDirectory("server-nowc").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 3).start()
+    try {
+      val bin = Files.createTempFile("nowc-demo", "")
+      val cc = new ProcessBuilder("gcc", "-Wall", "-O2", "-o",
+        bin.toString, "clients/nowc_demo.c", "clients/nowc.c")
+        .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+        .redirectErrorStream(true).start()
+      val ccOut = new String(cc.getInputStream.readAllBytes(), "UTF-8")
+      assert(cc.waitFor(60, TimeUnit.SECONDS), "gcc timed out")
+      assert(cc.exitValue() == 0, s"gcc failed:\n$ccOut")
+      val p = new ProcessBuilder(bin.toString, srv.boundPort.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, TimeUnit.SECONDS), "client timed out")
+      assert(p.exitValue() == 0, s"client failed:\n$out")
+      assert(out.contains("NOWC DEMO OK"), out)
+    } finally srv.stop()
+  }
+
   test("PK race over the socket: exactly one winner per id") {
     val root = Files.createTempDirectory("server-race").toString
     val srv = new Server(spark, root, port = 0).start()

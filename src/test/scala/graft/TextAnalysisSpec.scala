@@ -37,6 +37,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       (5L, 0L, 11L, 12L, 5L)))
   }
 
+  test("repetitionProfile: hand-counted dup/top fractions, flag at tau") {
+    val corpus = Seq(
+      // "a b c" ×4 overlapping-free repeats: 10 words → 8 trigrams:
+      // [a b c, b c a, c a b] ×2 + [a b c, b c END...]: count exactly
+      (1L, "a b c a b c a b c a"),
+      (2L, "all these words differ pairwise so nothing repeats"),
+      (3L, "xy zz") // < 3 words → zero grams, zero fractions
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(corpus, "doc_id", "text",
+        n = 3, tau = 0.125)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: grams = abc,bca,cab,abc,bca,cab,abc,bca → total 8,
+    // distinct 3 (abc×3, bca×3, cab×2), top 3
+    assert(got(1L).getLong(1) == 8L && got(1L).getLong(2) == 3L)
+    assert(got(1L).getLong(3) == 3L)
+    assert(got(1L).getDouble(4) == 5.0 / 8.0) // dup_frac
+    assert(got(1L).getDouble(5) == 3.0 / 8.0) // top_frac
+    assert(got(1L).getBoolean(6)) // 0.625 > 0.125
+    // doc 2: 8 words → 6 distinct trigrams, nothing repeats
+    assert(got(2L).getLong(1) == 6L && got(2L).getLong(2) == 6L)
+    assert(got(2L).getDouble(4) == 0.0 && !got(2L).getBoolean(6))
+    // doc 3: no grams at all — zero counts, zero fractions, unflagged
+    assert(got(3L).getLong(1) == 0L && got(3L).getDouble(4) == 0.0)
+    assert(!got(3L).getBoolean(6))
+  }
+
   test("frequentNgrams counts overlapping bigrams, freq-desc/gram-asc") {
     val out = TextAnalysis.frequentNgrams(docs, "text", n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
