@@ -142,6 +142,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("repetition profile is a single mapper stage (zero exchanges)") {
+    // the Gopher-rule filter must run at scan speed: grams, sort, and
+    // run-length walk are per-row array ops — any Exchange here would
+    // turn a map-only corpus pass into a corpus-wide shuffle at 100 TB
+    val df = SparkEntry.queries("q187_repetition")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"repetition must not shuffle:\n$p")
+  }
+
   test("BM25 top-k plans TakeOrdered, filters terms before the shuffle") {
     val df = SparkEntry.queries("q177_bm25_topk")(spark, sf)
     df.collect() // finalize AQE
