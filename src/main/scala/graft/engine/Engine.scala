@@ -931,7 +931,10 @@ class Engine(val spark: SparkSession, root: String,
         case e => ExprBuilder.timeKind(e, ctx) match {
           case Some(k) =>
             val nm = it.alias.getOrElse(defaultName(e, i))
-            if (d.columns.contains(nm))
+            // exactly-once guard: withMetadata on a duplicated output
+            // name (select max(at) as x, min(at) as x) would throw an
+            // ambiguity error — such a column stays untagged instead
+            if (d.columns.count(_ == nm) == 1)
               d.withMetadata(nm, new org.apache.spark.sql.types
                 .MetadataBuilder().putString("graft.nowType", k).build())
             else d

@@ -243,9 +243,15 @@ object EngineQueries extends QueryPack {
       // feed the stamped edge from the driver's events table: ns
       // stamps floored to µs alignment (DuckDB reads the ns parquet
       // timestamps at µs precision, so sub-µs digits must not enter
-      // the fold), integer readings (round keeps the Lua fold exact)
+      // the fold), integer readings (round keeps the Lua fold exact).
+      // Bounded fixture — 3 sensors over the first 10 UTC days
+      // (1704931200e9 ns = 2024-01-11): the cost of this query is
+      // engine machinery (a hive-partitioned edge write + one
+      // period-pruned scan per EXEC), all fixed-size by construction,
+      // not data volume
       eng.attachTable("evsrc", Tables.events(s, d)
-        .filter(col("user_id") < 5)
+        .filter(col("user_id") < 3 &&
+          col("ts") < 1704931200000000000L)
         .select(col("user_id").as("uid"), col("event_id").as("eid"),
           (col("ts") - col("ts") % 1000).as("stamp"),
           round(col("value")).cast("long").as("val")))
@@ -253,7 +259,7 @@ object EngineQueries extends QueryPack {
         "select uid, eid, stamp, val from evsrc"), "q186 insert-select")
       require(eng.sql("create procedure calcmod.integral() language lua"),
         "q186 create procedure")
-      val rows = (0L until 5L).map { k =>
+      val rows = (0L until 3L).map { k =>
         eng.sql(s"exec integral($k, 0, 4102444800000000000)") match {
           case Rows(df) => (k, df.collect()(0).getDouble(0))
           case other => sys.error(s"q186 exec integral($k) failed: $other")
@@ -297,11 +303,12 @@ object EngineQueries extends QueryPack {
       // sum is exact BIGINT (ns gaps × integer readings), the single
       // final division is the same one IEEE op the Lua proc performs
       // (int sum → double, / 3600e9 ns-per-hour) — bit-exact parity
-      """WITH ks AS (SELECT unnest(generate_series(0, 4)) AS origin),
+      """WITH ks AS (SELECT unnest(generate_series(0, 2)) AS origin),
         | src AS (SELECT user_id AS origin,
         |   epoch_us(ts) * 1000 AS stamp,
         |   CAST(round(value) AS BIGINT) AS val
-        |  FROM events WHERE user_id < 5),
+        |  FROM events WHERE user_id < 3
+        |   AND ts < TIMESTAMP '2024-01-11 00:00:00'),
         | lg AS (SELECT origin, stamp, val,
         |   lag(stamp) OVER (PARTITION BY origin ORDER BY stamp) AS prev
         |  FROM src),

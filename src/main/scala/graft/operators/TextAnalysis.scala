@@ -314,6 +314,41 @@ object TextAnalysis {
     * Output: (doc_id, chunk_no, start_tok, n_toks, first_tok,
     * last_tok) — span coordinates plus boundary tokens so chunk
     * placement is value-checkable without shipping chunk text. */
+  /** PII scrubbing: count and redact e-mail addresses, IPv4
+    * addresses, and international-format phone numbers — the
+    * compliance pass every web-scale training corpus runs before
+    * anything else sees the text. Row-local regexes (counts from
+    * `regexp_extract_all`, redaction by three sequential
+    * `regexp_replace`es), so the scrub runs at scan speed with zero
+    * shuffles at any corpus size.
+    *
+    * The patterns deliberately use only syntax with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (DuckDB, Go): character
+    * classes, bounded repetition, `\b` — no backreferences or
+    * lookaround, so greedy leftmost matching agrees engine-for-engine
+    * and the oracle check is exact on both counts and redacted text.
+    * Replacement order (e-mail → phone → IPv4) is part of the
+    * contract: an e-mail's host part could otherwise be bitten by the
+    * broader patterns. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipv4Re, "<IP>").as("clean_text"))
+
   /** Repetition profile (the Gopher corpus-quality repetition rules,
     * Rae et al. 2021 — public paper — adapted to word n-grams): per
     * document, the fraction of n-gram OCCURRENCES that repeat an

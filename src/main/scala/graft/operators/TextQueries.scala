@@ -35,6 +35,22 @@ object TextQueries extends QueryPack {
     "q187_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "doc_id",
         "text", n = 3)),
+    // PII scrub over a deterministically planted corpus (the driver
+    // documents contain no natural PII — checked): counts + redacted
+    // text, oracle-exact because the regex subset means Java and RE2
+    // match identically.
+    "q188_pii_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact bob@example.com or x@y.org")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" from 192.168.3.44")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" call +1-555-013-4567")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.piiScrub(planted, "doc_id", "text")
+    }),
     // Pseudo-relevance-feedback expansion: top-10 BM25 docs vote 5
     // expansion terms, second BM25 pass over the expanded set. The
     // oracle re-mines the identical term set (count-desc/term-asc),
@@ -219,6 +235,34 @@ object TextQueries extends QueryPack {
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q188_pii_scrub" ->
+      // same planted corpus, same patterns; DuckDB needs the 'g'
+      // flag (regexp_replace defaults to first-match-only, Spark
+      // always replaces all)
+      """WITH planted AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |   THEN ' contact bob@example.com or x@y.org' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |   THEN ' from 192.168.3.44' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0
+        |   THEN ' call +1-555-013-4567' ELSE '' END AS text
+        | FROM documents)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |   '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |   AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |   '<EMAIL>', 'g'),
+        |   '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |   AS clean_text
+        | FROM planted""".stripMargin,
     "q187_repetition" ->
       // grams are NON-distinct here (occurrence counts, not set
       // identity); single integer-ratio divisions are bit-exact

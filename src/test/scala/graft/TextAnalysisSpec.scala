@@ -37,6 +37,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       (5L, 0L, 11L, 12L, 5L)))
   }
 
+  test("piiScrub counts and redacts emails, phones, IPv4 in order") {
+    val corpus = Seq(
+      (1L, "mail a.b-c@sub.example.org and d@e.io for 10.0.0.1 now"),
+      (2L, "call +1-555-013-4567 or +44-201-555-0199 today"),
+      (3L, "versions 1.2 and 3.4.5 are not 192.168.001.255 alone"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 2 && got(1L).getLong(3) == 1)
+    assert(got(1L).getString(4) ==
+      "mail <EMAIL> and <EMAIL> for <IP> now")
+    assert(got(2L).getLong(2) == 2)
+    assert(got(2L).getString(4) == "call <PHONE> or <PHONE> today")
+    // dotted versions do NOT count as IPs (need 4 octets); a real
+    // 4-octet dotted quad does, even zero-padded
+    assert(got(3L).getLong(3) == 1)
+    assert(got(3L).getString(4) ==
+      "versions 1.2 and 3.4.5 are not <IP> alone")
+    assert(got(4L).getLong(1) == 0 && got(4L).getLong(2) == 0 &&
+      got(4L).getLong(3) == 0)
+    assert(got(4L).getString(4) == "nothing sensitive here at all")
+  }
+
   test("repetitionProfile: hand-counted dup/top fractions, flag at tau") {
     val corpus = Seq(
       // "a b c" ×4 overlapping-free repeats: 10 words → 8 trigrams:
