@@ -34,6 +34,29 @@ class EngineQueriesSpec extends AnyFunSuite {
     assert(got.last.getLong(1) <= 256L)
   }
 
+  test("q186 proc EXEC integral matches a lag-window recompute") {
+    val got = EngineQueries.queries("q186_proc_exec")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.events(spark, d)
+      .filter(col("user_id") < 3 && col("ts") < 1704931200000000000L)
+      .select(col("user_id"), (col("ts") - col("ts") % 1000).as("stamp"),
+        round(col("value")).cast("long").as("val"))
+    val w = Window.partitionBy("user_id").orderBy("stamp")
+    val exp = src.withColumn("prev", lag(col("stamp"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum((col("stamp") - col("prev")) * col("val"))
+        .cast("double") / 3600000000000.0).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the Lua cursor fold and the window recompute run the same
+    // exact-int64 sum and one final double division — equality is
+    // strict, not tolerance-based
+    exp.foreach { case (k, v) => assert(got(k) == v, s"origin $k") }
+  }
+
   test("q176 DDL catalog reflects create/drop and DESC order") {
     val got = EngineQueries.queries("q176_ddl_catalog")(spark, d)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
