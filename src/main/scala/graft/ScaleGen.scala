@@ -89,7 +89,18 @@ object ScaleGen {
         split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
     })
     write("embeddings", reps(Tables.embeddings(spark, src)) { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + i * VEC)
+      // rotate each vector by i positions: replicas of one vector are
+      // then near-orthogonal (random components), so cross-replica
+      // cosine near-dup pairs don't exist — verbatim replication
+      // would plant K·(K−1)/2 exact duplicates per vector and blow
+      // the LSH bucket join up by K² (measured: 11× growth for 10×
+      // data on the embedding near-dup query before this fix)
+      val shifted = df.withColumn("vec_id", col("vec_id") + i * VEC)
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        concat(slice(col("embedding"), lit(i + 1),
+            size(col("embedding")) - i),
+          slice(col("embedding"), lit(1), lit(i))))
     })
     spark.stop()
   }

@@ -28,7 +28,8 @@ object SparkEntry {
     BehaviorQueries,
     CurationQueries,
     TimeSeriesQueries,
-    EngineQueries
+    EngineQueries,
+    LinkageQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
