@@ -87,6 +87,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(3L).getBoolean(6))
   }
 
+  test("repetitionProfile fuzz: 300 random docs == direct recount") {
+    // differential check of the sorted-array run-length walk against
+    // a plain Scala recount over the same token streams — small
+    // vocabularies force heavy repetition, so run/max/distinct
+    // transitions all get exercised (incl. all-same and all-distinct)
+    val rnd = new scala.util.Random(424242)
+    val docs = (0 until 300).map { i =>
+      val vocab = 1 + rnd.nextInt(6) // 1..6 distinct words
+      val len = rnd.nextInt(12)      // 0..11 words (incl. < n)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(vocab)}")
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val grams =
+        if (text.isEmpty || ws.length < 2) Seq.empty
+        else ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val exp = (grams.size.toLong, counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max.toLong)
+      assert(got(id) == exp, s"doc $id '$text'")
+    }
+  }
+
   test("frequentNgrams counts overlapping bigrams, freq-desc/gram-asc") {
     val out = TextAnalysis.frequentNgrams(docs, "text", n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
