@@ -513,41 +513,50 @@ object Dedup {
     * doc id; nothing quadratic materializes. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, tau: Double): DataFrame = {
-    // probe prefix, index, and both verify legs all walk the shingles
+    // ONE globally-df-ranked shingle frame feeds the probe prefix,
+    // the indexed side, and both verify legs (the window pass was
+    // always paid for the prefix — persisting it WITH ranks makes the
+    // positional filter free and retires the former size joins)
     val sh = wordShingleHashes(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefix = sh.join(freq, "shingle")
+    val ranked = sh.join(freq, "shingle")
       .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("shingle").asc)))
       .join(sizes, "doc_id")
+      .select(col("doc_id"), col("shingle"), col("rk"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
-      .select(col("doc_id"), col("shingle"))
+    // Candidate prunes AT GENERATION (before the distinct shuffle —
+    // the spill-bearing stage at scale; same rationale as
+    // prefixFilteredPairs):
+    //  - SIZE: the overlap o is bounded by |Sb| and C(a→b) ≥ tau
+    //    needs o/|Sa| ≥ tau, so |Sb|/|Sa| < tau can never verify.
+    //    The predicate is the verify filter with o replaced by its
+    //    upper bound — same division, same rounding path, so the
+    //    prune is monotone-safe (no ceil-vs-division discrepancy).
+    //  - POSITIONAL: a match at (rank i in a, rank j in b) bounds
+    //    o ≤ 1 + min(|Sa|−i, |Sb|−j). Sound per-row: common shingles
+    //    are ordered consistently in both docs (same global (df,
+    //    shingle) order), the containment prefix theorem puts the
+    //    FIRST common shingle inside a's prefix (b side is whole), so
+    //    the pair's first generated row carries a valid bound and
+    //    later rows only remove duplicates.
     val cand = prefix.as("sa")
-      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+      .join(ranked.as("sb"), col("sa.shingle") === col("sb.shingle")
         && col("sa.doc_id") =!= col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .filter(col("sb.sz").cast("double") / col("sa.sz") >= tau)
+      .filter((lit(1L) + least(col("sa.sz") - col("sa.rk"),
+          col("sb.sz") - col("sb.rk"))).cast("double")
+        >= lit(tau) * col("sa.sz"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"),
+        col("sa.sz").as("sza"))
       .distinct()
-    // Size-pair pruning before the exact-verify legs: the overlap i is
-    // bounded by |Sb|, and C(a→b) ≥ tau needs i/|Sa| ≥ tau, so any
-    // candidate with |Sb|/|Sa| < tau can never verify — drop it now
-    // instead of paying two shingle-table joins to learn the same.
-    // The predicate is the verify filter with i replaced by its upper
-    // bound szb — same division, same rounding path — so the prune is
-    // monotone-safe by construction (no ceil()-vs-division float
-    // discrepancy can drop a verifiable pair).
-    // Carrying sza through also retires the post-aggregate size join.
-    val candSized = cand
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+    val inter = cand
+      .join(ranked.select(col("doc_id").as("doc_a"), col("shingle")),
         Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
-        Seq("doc_b"))
-      .filter(col("szb").cast("double") / col("sza") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("sza"))
-    val inter = candSized
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+      .join(ranked.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"), col("sza"))
       .agg(count(lit(1)).as("i"))
@@ -555,7 +564,7 @@ object Dedup {
       .filter(col("i").cast("double") / col("sza") >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / col("sza"), 6).as("containment"))
-    sealResult(res, sh)
+    sealResult(res, ranked)
   }
 
   /** Near-duplicate CLUSTERS from a near-dup pair set: connected
