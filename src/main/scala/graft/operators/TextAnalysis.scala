@@ -314,6 +314,29 @@ object TextAnalysis {
     * Output: (doc_id, chunk_no, start_tok, n_toks, first_tok,
     * last_tok) — span coordinates plus boundary tokens so chunk
     * placement is value-checkable without shipping chunk text. */
+  /** Category blocklist filter — the policy/safety screen stage of a
+    * training pipeline: per document, OCCURRENCE counts of each
+    * category's term list (word-level exact matches, so "assassin"
+    * does not hit a "class" list — the scunthorpe failure substring
+    * matching has) and a keep/drop verdict at `maxHits` total.
+    * Term lists ride as literal IN-sets inside one projection —
+    * zero shuffles, scan speed at any corpus size. Realistic category
+    * lists (10²–10⁴ terms) fit the plan comfortably; a full lexicon
+    * beyond that belongs in the broadcast-join form
+    * ([[decontaminate]]'s shape) instead of a literal. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      categories: Seq[(String, Seq[String])],
+                      maxHits: Long = 0L): DataFrame = {
+    val w = words(col(textCol))
+    val catCols = categories.map { case (name, terms) =>
+      size(filter(w, x => x.isin(terms: _*))).cast("long").as(s"n_$name")
+    }
+    val counted = docs.select(col(idCol).as("doc_id") +: catCols: _*)
+    val total = categories.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    counted.withColumn("n_total", total)
+      .withColumn("keep", col("n_total") <= maxHits)
+  }
+
   /** PII scrubbing: count and redact e-mail addresses, IPv4
     * addresses, and international-format phone numbers — the
     * compliance pass every web-scale training corpus runs before

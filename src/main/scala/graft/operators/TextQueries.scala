@@ -35,6 +35,15 @@ object TextQueries extends QueryPack {
     "q187_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "doc_id",
         "text", n = 3)),
+    // Category blocklist screen: word-exact occurrence counts per
+    // category (terms drawn from the corpus's real vocabulary so the
+    // counts are non-trivial), keep verdict at <= 2 total hits.
+    "q190_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id",
+        "text", Seq(
+          "slowness" -> Seq("slow", "lag", "stall"),
+          "competitor" -> Seq("spark", "flink", "trino")),
+        maxHits = 2L)),
     // PII scrub over a deterministically planted corpus (the driver
     // documents contain no natural PII — checked): counts + redacted
     // text, oracle-exact because the regex subset means Java and RE2
@@ -235,6 +244,25 @@ object TextQueries extends QueryPack {
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q190_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['slow', 'lag', 'stall'], x)))
+        |   AS BIGINT) AS n_slowness,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['spark', 'flink', 'trino'], x)))
+        |   AS BIGINT) AS n_competitor,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['slow', 'lag', 'stall'], x)))
+        |   + len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['spark', 'flink', 'trino'], x)))
+        |   AS BIGINT) AS n_total,
+        |  len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['slow', 'lag', 'stall'], x)))
+        |   + len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['spark', 'flink', 'trino'], x)))
+        |   <= 2 AS keep
+        | FROM documents""".stripMargin,
     "q188_pii_scrub" ->
       // same planted corpus, same patterns; DuckDB needs the 'g'
       // flag (regexp_replace defaults to first-match-only, Spark

@@ -37,6 +37,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       (5L, 0L, 11L, 12L, 5L)))
   }
 
+  test("blocklistFilter counts occurrences word-exact per category") {
+    val corpus = Seq(
+      (1L, "slow slow lag means slowness but slower is not counted"),
+      (2L, "spark and flink and spark again"),
+      (3L, "clean text entirely")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(corpus, "doc_id", "text",
+        Seq("perf" -> Seq("slow", "lag"), "tools" -> Seq("spark", "flink")),
+        maxHits = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // word-exact: "slowness"/"slower" do NOT hit (no substring match)
+    assert(got(1L) == (3L, 0L, 3L, false))
+    assert(got(2L) == (0L, 3L, 3L, false))
+    assert(got(3L) == (0L, 0L, 0L, true))
+  }
+
   test("piiScrub counts and redacts emails, phones, IPv4 in order") {
     val corpus = Seq(
       (1L, "mail a.b-c@sub.example.org and d@e.io for 10.0.0.1 now"),
