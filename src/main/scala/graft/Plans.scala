@@ -77,7 +77,16 @@ object Plans {
         "sequence explode, ZERO exchanges"),
       "q179_window_heavy_hitters" -> ("windowed Misra-Gries sketch " +
         "(mergeable streaming state) + exact verify join of " +
-        "cap-bounded candidates"))
+        "cap-bounded candidates"),
+      "q184_simhash_calibration" -> ("sketch calibration on the " +
+        "hash-rank BOUNDED sample (TakeOrdered cut, broadcast ids): " +
+        "cost is constant in corpus size"),
+      "q187_repetition" -> ("Gopher repetition profile: per-row gram " +
+        "sort + run-length fold, ZERO exchanges"),
+      "q188_pii_scrub" -> ("PII scrub: per-row regex count + redact, " +
+        "ZERO exchanges"),
+      "q189_fuzzy_link" -> ("blocked fuzzy linkage: suffix-key " +
+        "equi-join bounds candidates, codegen'd Levenshtein verify"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

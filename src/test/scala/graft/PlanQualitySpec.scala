@@ -151,6 +151,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"repetition must not shuffle:\n$p")
   }
 
+  test("PII scrub and blocklist screen are map-only (zero exchanges)") {
+    // both are per-row regex/IN-set projections — the compliance and
+    // policy passes must cost one corpus scan at 100 TB, nothing more
+    Seq("q188_pii_scrub", "q190_blocklist").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
   test("BM25 top-k plans TakeOrdered, filters terms before the shuffle") {
     val df = SparkEntry.queries("q177_bm25_topk")(spark, sf)
     df.collect() // finalize AQE
