@@ -267,6 +267,88 @@ object EngineQueries extends QueryPack {
       }
       import s.implicits._
       rows.toDF("origin", "integral_vh")
+    }),
+    // Python-proc round-trip — the out-of-process half of §2.10
+    // (ProcBridge: python3 subprocess + loopback socket serving the
+    // INVOKING session): CREATE PROCEDURE + EXEC with an argv-bound
+    // arg, re-entrant SQL paged through the text wire, integer-only
+    // aggregation in the proc (no float stringification on the
+    // stdout row path), result re-typed by the wrapper. The oracle
+    // recomputes the rollup straight from parquet.
+    "q191_pyproc_exec" -> ((s, d) => {
+      val procDir = Files.createTempDirectory("graft-q191-procs")
+      Files.writeString(procDir.resolve("pymod.py"),
+        """import os, socket, sys
+          |
+          |def connect():
+          |    sk = socket.create_connection(
+          |        (os.environ["GRAFT_HOST"], int(os.environ["GRAFT_PORT"])))
+          |    f = sk.makefile("rw", newline="\n")
+          |    f.readline()  # +ok greeting
+          |    return f
+          |
+          |def send(f, stmt):
+          |    f.write(stmt + "\n"); f.flush()
+          |    head = f.readline().rstrip("\n")
+          |    if head.startswith("+batch"):
+          |        _, n, more = head.split(" ")
+          |        f.readline()  # header line
+          |        rows = [f.readline().rstrip("\n") for _ in range(int(n))]
+          |        return head, rows, more == "1"
+          |    return head, [], False
+          |
+          |def nkstats(maxnk):
+          |    f = connect()
+          |    head, _, _ = send(f, "select id, nk from acct")
+          |    assert head.startswith("+cursor"), head
+          |    cur = head.split(" ")[1]
+          |    agg = {}
+          |    more = True
+          |    while more:
+          |        _, rows, more = send(f, "fetch " + cur)
+          |        for line in rows:
+          |            i, nk = [int(x) for x in line.split("\t")]
+          |            if nk < maxnk:
+          |                n, sm = agg.get(nk, (0, 0))
+          |                agg[nk] = (n + 1, sm + i)
+          |    send(f, "quit")
+          |    print("#nk\tn\tsum_id")
+          |    for nk in sorted(agg):
+          |        print("%d\t%d\t%d" % (nk, agg[nk][0], agg[nk][1]))
+          |
+          |if __name__ == "__main__":
+          |    globals()[sys.argv[1]](*[int(a) for a in sys.argv[2:]])
+          |""".stripMargin)
+      s.conf.set("spark.graft.procPath", procDir.toString)
+      val eng = freshEngine(s, pageSize = 64)
+      eng.script(
+        """create scope pyscope;
+          | use pyscope;
+          | create type acct (id uint pk, nk uint)""".stripMargin)
+        .foreach(require(_, "q191 ddl"))
+      eng.attachTable("custsrc", Tables.customer(s, d)
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_nationkey")))
+      require(eng.sql("insert into acct (id, nk) " +
+        "select c_custkey, c_nationkey from custsrc"), "q191 insert")
+      require(eng.sql("create procedure pymod.nkstats() language python"),
+        "q191 create procedure")
+      val rows = eng.sql("exec nkstats(25)") match {
+        case Rows(df) => df.collect().map(r => (r.getString(0).toLong,
+          r.getString(1).toLong, r.getString(2).toLong)).toSeq
+        case other => sys.error(s"q191 exec failed: $other")
+      }
+      import s.implicits._
+      rows.toDF("nk", "n", "sum_id")
+    }),
+    // version() — constant, therefore DuckDB-recomputable after all:
+    // routed through a real engine session (parse → const select).
+    "q192_version" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.sql("select version() as v") match {
+        case Rows(df) => df
+        case other => sys.error(s"q192 failed: $other")
+      }
     })
   )
 
@@ -298,6 +380,14 @@ object EngineQueries extends QueryPack {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(max(l_orderkey) AS BIGINT) AS last_key
         | FROM q GROUP BY 1""".stripMargin,
+    "q191_pyproc_exec" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |  count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_id
+        | FROM customer
+        | WHERE c_custkey < 300 AND c_nationkey < 25
+        | GROUP BY 1""".stripMargin,
+    "q192_version" -> "SELECT 'graft-1.0' AS v",
     "q186_proc_exec" ->
       // lag-window recompute of the proc's trapezoid fold: the inner
       // sum is exact BIGINT (ns gaps × integer readings), the single
