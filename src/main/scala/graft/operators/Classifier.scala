@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed TRAINING of a linear text classifier — the
+  * quality/language screening model a curation pipeline fits on its
+  * own corpus (fastText-style linear over hashed bag-of-words), in a
+  * form whose training run is BIT-REPRODUCIBLE and therefore
+  * differentially checkable against an independent engine:
+  *
+  * Batch perceptron (Rosenblatt's rule applied full-batch): per
+  * iteration, every misclassified document contributes `y·x` to the
+  * weight delta. The delta is a SUM of integer feature vectors — a
+  * commutative, associative aggregation — so unlike SGD the result is
+  * independent of row order and partitioning, and every engine that
+  * sums the same integers gets the same model. Features are hashed
+  * word counts (portable md5-derived buckets) plus a bias; weights,
+  * margins, and updates all stay in exact int64.
+  *
+  * Scale shape: the feature frame (doc, bucket, count) is computed
+  * once and persisted; each iteration is ONE margin aggregation
+  * keyed by doc (map-side combined) and one delta aggregation keyed
+  * by bucket. The model itself (dims+1 longs) is bounded driver
+  * state broadcast back as a plan literal — the standard contract
+  * for linear models (same bounded-scalar rule as
+  * Graph.connectedComponents' convergence probe: O(dims), never
+  * data-sized). Margin sums stay far inside int64: counts ≤ doc
+  * length, weights bounded by iters · Σ|docs| · max-count. */
+object Classifier {
+
+  /** Train `iters` full-batch perceptron passes; returns one tall
+    * frame: ("miscl", it, 0, n) training-curve rows (misclassified
+    * count measured with the weights ENTERING iteration `it`) and
+    * ("w", iters, j, w_j) final-model rows for every bucket
+    * 0..dims (dims = bias). `label` must evaluate to +1 / −1. */
+  def batchPerceptron(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column, dims: Int,
+                      iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = pmod(Dedup.md5Hash60(col("word")), lit(dims.toLong))
+    val feat = docs
+      .select(col(idCol).as("doc_id"), label.cast("long").as("y"),
+        explode(split(col(textCol), " ")).as("word"))
+      .select(col("doc_id"), col("y"), bucket.as("j"))
+      .groupBy(col("doc_id"), col("y"), col("j"))
+      .agg(count(lit(1)).as("c"))
+      .unionAll(docs.select(col(idCol).as("doc_id"),
+        label.cast("long").as("y"), lit(dims.toLong).as("j"),
+        lit(1L).as("c")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array.fill(dims + 1)(0L)
+    val curve = Array.newBuilder[(Long, Long)]
+    for (it <- 1 to iters) {
+      // margin per doc under the CURRENT model (weights ride the plan
+      // as a literal array — no join for a dims-sized lookup)
+      val margins = feat
+        .withColumn("t", col("c") *
+          element_at(lit(w), (col("j") + 1).cast("int")))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("t")).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val miscl = margins.filter(col("y") * col("m") <= 0)
+        .select(col("doc_id"), col("y"))
+      curve += ((it.toLong, miscl.count()))
+      // order-free integer delta; ≤ dims+1 rows back to the driver
+      val delta = feat.join(miscl.select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("j")).agg(sum(col("y") * col("c")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      margins.unpersist(blocking = false)
+      w = w.indices.map(j => w(j) + delta.getOrElse(j.toLong, 0L)).toArray
+    }
+    feat.unpersist(blocking = false)
+    val rows =
+      curve.result().map { case (it, n) => ("miscl", it, 0L, n) } ++
+        w.indices.map(j => ("w", iters.toLong, j.toLong, w(j)))
+    rows.toSeq.toDF("kind", "it", "j", "val")
+  }
+}

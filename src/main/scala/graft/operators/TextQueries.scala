@@ -35,6 +35,24 @@ object TextQueries extends QueryPack {
     "q187_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "doc_id",
         "text", n = 3)),
+    // Distributed classifier TRAINING, differentially checked: 3
+    // full-batch perceptron passes on hashed bag-of-words. The task
+    // is a PLANTED lexical rule (docs with id%3==0 carry a repeated
+    // marker token; the base corpus's vocabulary is label-free by
+    // construction — all 31 words appear in every class — so the
+    // planted token is the only real signal): the trainer must drive
+    // the curve 500 → 79 → 0 and recover the separating feature.
+    // All-integer order-free updates make the training run
+    // bit-reproducible — the oracle re-trains the same model in SQL
+    // and must land on identical weights and curve.
+    "q193_perceptron" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      Classifier.batchPerceptron(planted, "doc_id", "text",
+        when(col("doc_id") % 3 === 0, 1L).otherwise(-1L),
+        dims = 256, iters = 3)
+    }),
     // Category blocklist screen: word-exact occurrence counts per
     // category (terms drawn from the corpus's real vocabulary so the
     // counts are non-trivial), keep verdict at <= 2 total hits.
@@ -243,7 +261,61 @@ object TextQueries extends QueryPack {
   private val profileValues = TextAnalysis.langProfiles
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
+  /** Base-16 parse of md5-hex digits 1..15 over column alias `m`
+    * (mirrors Dedup.md5Hash60; DuckDB has no hex→int cast). */
+  private val wordHash60Sql: String = (1 to 15).map(i =>
+    s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT" +
+      s" << ${4 * (15 - i)})").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q193_perceptron" ->
+      // the full 3-iteration training unrolled: w0 = 0 makes every
+      // doc misclassified in pass 1; each pass = margins under the
+      // entering weights → misclassified set → integer delta. All
+      // sums BIGINT-exact, so weights must match bit-for-bit.
+      s"""WITH docs AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS y,
+        |   text || CASE WHEN doc_id % 3 = 0
+        |    THEN '${" zzflag" * 10}' ELSE '' END AS text
+        |  FROM documents),
+        | toks AS (SELECT doc_id, y,
+        |   unnest(string_split(text, ' ')) AS word FROM docs),
+        | hm AS (SELECT doc_id, y, md5(word) AS m FROM toks),
+        | hb AS (SELECT doc_id, y, ($wordHash60Sql) % 256 AS j FROM hm),
+        | feat AS (SELECT doc_id, y, j, count(*) AS c FROM hb
+        |   GROUP BY 1, 2, 3
+        |  UNION ALL SELECT doc_id, y, 256, 1 FROM docs),
+        | js AS (SELECT unnest(generate_series(0, 256)) AS j),
+        | n1 AS (SELECT count(*) AS n FROM docs),
+        | w1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w FROM feat
+        |  GROUP BY j),
+        | m2 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w1.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w1 ON f.j = w1.j GROUP BY 1, 2),
+        | mc2 AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+        | n2 AS (SELECT count(*) AS n FROM mc2),
+        | d2 AS (SELECT f.j, CAST(sum(f.y * f.c) AS BIGINT) AS d
+        |  FROM feat f JOIN mc2 USING (doc_id) GROUP BY f.j),
+        | w2 AS (SELECT js.j,
+        |   coalesce(w1.w, 0) + coalesce(d2.d, 0) AS w
+        |  FROM js LEFT JOIN w1 ON js.j = w1.j
+        |   LEFT JOIN d2 ON js.j = d2.j),
+        | m3 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w2.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w2 ON f.j = w2.j GROUP BY 1, 2),
+        | mc3 AS (SELECT doc_id FROM m3 WHERE y * m <= 0),
+        | n3 AS (SELECT count(*) AS n FROM mc3),
+        | d3 AS (SELECT f.j, CAST(sum(f.y * f.c) AS BIGINT) AS d
+        |  FROM feat f JOIN mc3 USING (doc_id) GROUP BY f.j),
+        | w3 AS (SELECT js.j, w2.w + coalesce(d3.d, 0) AS w
+        |  FROM js LEFT JOIN w2 ON js.j = w2.j
+        |   LEFT JOIN d3 ON js.j = d3.j)
+        | SELECT 'miscl' AS kind, CAST(1 AS BIGINT) AS it,
+        |   CAST(0 AS BIGINT) AS j, CAST(n AS BIGINT) AS val FROM n1
+        | UNION ALL SELECT 'miscl', 2, 0, CAST(n AS BIGINT) FROM n2
+        | UNION ALL SELECT 'miscl', 3, 0, CAST(n AS BIGINT) FROM n3
+        | UNION ALL SELECT 'w', 3, CAST(j AS BIGINT),
+        |   CAST(w AS BIGINT) FROM w3""".stripMargin,
     "q190_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '),

@@ -37,6 +37,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       (5L, 0L, 11L, 12L, 5L)))
   }
 
+  test("batchPerceptron recovers a planted rule and converges to 0") {
+    import graft.operators.Classifier
+    val corpus = (0 until 60).map { i =>
+      val base = s"alpha beta gamma w$i common words here"
+      (i.toLong, if (i % 2 == 0) s"$base zzmark zzmark zzmark zzmark"
+                 else base)
+    }.toDF("doc_id", "text")
+    val out = Classifier.batchPerceptron(corpus, "doc_id", "text",
+        when(col("doc_id") % 2 === 0, 1L).otherwise(-1L),
+        dims = 64, iters = 4)
+      .collect()
+    val curve = out.filter(_.getString(0) == "miscl")
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(curve(1L) == 60L) // zero weights: everything misclassified
+    assert(curve(4L) == 0L, s"did not converge: $curve")
+    // the heaviest positive weight sits on the planted marker's bucket
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("zzmark".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val markBucket = java.lang.Long.parseLong(md, 16) % 64
+    val weights = out.filter(_.getString(0) == "w")
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(weights.maxBy(_._2)._1 == markBucket,
+      s"marker bucket $markBucket, weights ${weights.toSeq.sortBy(-_._2).take(3)}")
+  }
+
   test("blocklistFilter counts occurrences word-exact per category") {
     val corpus = Seq(
       (1L, "slow slow lag means slowness but slower is not counted"),
