@@ -77,4 +77,27 @@ object Classifier {
         w.indices.map(j => ("w", iters.toLong, j.toLong, w(j)))
     rows.toSeq.toDF("kind", "it", "j", "val")
   }
+
+  /** Score documents with a fixed model (the apply half of the
+    * train→apply loop): per doc, the exact integer margin under
+    * `weights` and the sign prediction (margin > 0 → +1, else −1 —
+    * the tie lands negative on BOTH sides of a differential check
+    * because the margin itself is exact). Same hashed-count feature
+    * map as [[batchPerceptron]]; one doc-keyed aggregation. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                weights: Array[Long], dims: Int): DataFrame = {
+    val bucket = pmod(Dedup.md5Hash60(col("word")), lit(dims.toLong))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .select(col("doc_id"), bucket.as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .unionAll(docs.select(col(idCol).as("doc_id"),
+        lit(dims.toLong).as("j"), lit(1L).as("c")))
+      .withColumn("t", col("c") *
+        element_at(lit(weights), (col("j") + 1).cast("int")))
+      .groupBy(col("doc_id")).agg(sum(col("t")).as("margin"))
+      .withColumn("pred",
+        when(col("margin") > 0, 1L).otherwise(lit(-1L)))
+  }
 }

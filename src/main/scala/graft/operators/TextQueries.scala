@@ -53,6 +53,25 @@ object TextQueries extends QueryPack {
         when(col("doc_id") % 3 === 0, 1L).otherwise(-1L),
         dims = 256, iters = 3)
     }),
+    // The apply half: train (as q193), collect the bounded model,
+    // score the corpus with it, emit the confusion matrix. On the
+    // separable planted task the matrix must be perfectly diagonal —
+    // and the oracle re-derives it through its own retrained model.
+    "q194_perceptron_eval" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptron(planted, "doc_id",
+          "text", label, dims = 256, iters = 3)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      Classifier.scoreWith(planted, "doc_id", "text", w, dims = 256)
+        .join(planted.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+        .groupBy(col("y"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // Category blocklist screen: word-exact occurrence counts per
     // category (terms drawn from the corpus's real vocabulary so the
     // counts are non-trivial), keep verdict at <= 2 total hits.
@@ -267,13 +286,12 @@ object TextQueries extends QueryPack {
     s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT" +
       s" << ${4 * (15 - i)})").mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
-    "q193_perceptron" ->
-      // the full 3-iteration training unrolled: w0 = 0 makes every
-      // doc misclassified in pass 1; each pass = margins under the
-      // entering weights → misclassified set → integer delta. All
-      // sums BIGINT-exact, so weights must match bit-for-bit.
-      s"""WITH docs AS (SELECT doc_id,
+  /** Shared training CTEs for q193/q194: the full 3-iteration batch
+    * perceptron unrolled — w0 = 0 makes every doc misclassified in
+    * pass 1; each pass = margins under the entering weights →
+    * misclassified set → integer delta. All sums BIGINT-exact. */
+  private lazy val perceptronCtes: String =
+    s"""docs AS (SELECT doc_id,
         |   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS y,
         |   text || CASE WHEN doc_id % 3 = 0
         |    THEN '${" zzflag" * 10}' ELSE '' END AS text
@@ -309,13 +327,29 @@ object TextQueries extends QueryPack {
         |  FROM feat f JOIN mc3 USING (doc_id) GROUP BY f.j),
         | w3 AS (SELECT js.j, w2.w + coalesce(d3.d, 0) AS w
         |  FROM js LEFT JOIN w2 ON js.j = w2.j
-        |   LEFT JOIN d3 ON js.j = d3.j)
+        |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q193_perceptron" ->
+      s"""WITH $perceptronCtes
         | SELECT 'miscl' AS kind, CAST(1 AS BIGINT) AS it,
         |   CAST(0 AS BIGINT) AS j, CAST(n AS BIGINT) AS val FROM n1
         | UNION ALL SELECT 'miscl', 2, 0, CAST(n AS BIGINT) FROM n2
         | UNION ALL SELECT 'miscl', 3, 0, CAST(n AS BIGINT) FROM n3
         | UNION ALL SELECT 'w', 3, CAST(j AS BIGINT),
         |   CAST(w AS BIGINT) FROM w3""".stripMargin,
+    "q194_perceptron_eval" ->
+      // score every doc under the RETRAINED w3 and cross-tab against
+      // the true labels — exact integer margins, sign tie → −1 on
+      // both engines
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2)
+        | SELECT CAST(y AS BIGINT) AS y,
+        |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+        |  count(*) AS n
+        | FROM m4 GROUP BY 1, 2""".stripMargin,
     "q190_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '),
