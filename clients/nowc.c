@@ -19,6 +19,9 @@ struct nowdb_con_t {
   int   sock;
   FILE *in;     /* buffered reader over sock (lines AND row bytes) */
   int   binary; /* 1 after a successful "mode binary" switch        */
+  int   broken; /* 1 after a framing desync: stream position is
+                   unknowable, so no further round-trips (same fail-
+                   fast contract as pynow.py's desynced flag)        */
 };
 
 typedef struct {
@@ -73,11 +76,18 @@ char nowdb_client_close(void) { return 1; }
 
 static int nowc_readline(nowdb_con_t con, char *buf, size_t max) {
   size_t n = 0;
-  int c;
-  while ((c = fgetc(con->in)) != EOF && c != '\n')
+  int c, truncated = 0;
+  while ((c = fgetc(con->in)) != EOF && c != '\n') {
     if (n + 1 < max) buf[n++] = (char) c;
+    else truncated = 1; /* rest of the line is consumed, not stored */
+  }
   buf[n] = 0;
-  return (c == EOF && n == 0) ? NOWDB_ERR_NOREAD : NOWDB_OK;
+  if (c == EOF && n == 0) return NOWDB_ERR_NOREAD;
+  /* a truncated head/header would be PARSED wrong (e.g. an
+   * undercounted "#a\tb" column list desyncs every following binary
+   * row) — fail the frame instead of mis-parsing it */
+  if (truncated) return NOWDB_ERR_PROTO;
+  return NOWDB_OK;
 }
 
 static int nowc_writeline(nowdb_con_t con, const char *s) {
@@ -155,7 +165,7 @@ static nowdb_result_t nowc_mkres(nowdb_con_t con) {
 
 int nowdb_exec_statement(nowdb_con_t con, char *statement,
                          nowdb_result_t *res) {
-  if (con == NULL) return NOWDB_ERR_NOCON;
+  if (con == NULL || con->broken) return NOWDB_ERR_NOCON;
   int rc = nowc_writeline(con, statement);
   if (rc != NOWDB_OK) return rc;
   char line[4096];
@@ -251,8 +261,14 @@ static int nowc_read_batch(nowdb_cursor_t cur) {
   int n = 0, more = 0;
   if (sscanf(line, "+batch %d %d", &n, &more) != 2)
     return NOWDB_ERR_PROTO;
+  /* from here on a failure leaves unread row bytes on the wire: the
+   * stream position is unknowable, so mark the connection broken
+   * (fail fast; no recovery round-trips) — pynow.py's contract */
   rc = nowc_readline(con, line, sizeof line); /* "#a\tb" header */
-  if (rc != NOWDB_OK || line[0] != '#') return NOWDB_ERR_PROTO;
+  if (rc != NOWDB_OK || line[0] != '#') {
+    con->broken = 1;
+    return NOWDB_ERR_PROTO;
+  }
   int ncols = 1;
   for (const char *p = line; *p != 0; p++) if (*p == '\t') ncols++;
   nowc_batch_free(&cur->batch);
@@ -265,23 +281,23 @@ static int nowc_read_batch(nowdb_cursor_t cur) {
     for (int cix = 0; cix < ncols; cix++) {
       nowc_field_t *f = &cur->batch.cells[r * ncols + cix];
       int tag = fgetc(con->in);
-      if (tag == EOF) return NOWDB_ERR_NOREAD;
+      if (tag == EOF) { con->broken = 1; return NOWDB_ERR_NOREAD; }
       f->typ = tag;
       switch (tag) {
         case NOWDB_TYP_NOTHING:
-          if (fgetc(con->in) == EOF) return NOWDB_ERR_NOREAD;
+          if (fgetc(con->in) == EOF) { con->broken = 1; return NOWDB_ERR_NOREAD; }
           break;
         case NOWDB_TYP_TEXT: {
           size_t cap = 64, len = 0;
           char *s = malloc(cap);
-          if (s == NULL) return NOWDB_ERR_NOMEM;
+          if (s == NULL) { con->broken = 1; return NOWDB_ERR_NOMEM; }
           int ch;
           while ((ch = fgetc(con->in)) != 0) {
-            if (ch == EOF) { free(s); return NOWDB_ERR_NOREAD; }
+            if (ch == EOF) { free(s); con->broken = 1; return NOWDB_ERR_NOREAD; }
             if (len + 1 >= cap) {
               cap *= 2;
               char *t = realloc(s, cap);
-              if (t == NULL) { free(s); return NOWDB_ERR_NOMEM; }
+              if (t == NULL) { free(s); con->broken = 1; return NOWDB_ERR_NOMEM; }
               s = t;
             }
             s[len++] = (char) ch;
@@ -292,7 +308,7 @@ static int nowc_read_batch(nowdb_cursor_t cur) {
         }
         case NOWDB_TYP_BOOL: {
           int ch = fgetc(con->in);
-          if (ch == EOF) return NOWDB_ERR_NOREAD;
+          if (ch == EOF) { con->broken = 1; return NOWDB_ERR_NOREAD; }
           f->v.b = (char)(ch != 0);
           break;
         }
@@ -301,21 +317,22 @@ static int nowc_read_batch(nowdb_cursor_t cur) {
         case NOWDB_TYP_INT:
         case NOWDB_TYP_UINT: {
           int64_t v;
-          if (nowc_le64(con, &v) != NOWDB_OK) return NOWDB_ERR_NOREAD;
+          if (nowc_le64(con, &v) != NOWDB_OK) { con->broken = 1; return NOWDB_ERR_NOREAD; }
           f->v.l = v;
           break;
         }
         case NOWDB_TYP_FLOAT: {
           int64_t v;
-          if (nowc_le64(con, &v) != NOWDB_OK) return NOWDB_ERR_NOREAD;
+          if (nowc_le64(con, &v) != NOWDB_OK) { con->broken = 1; return NOWDB_ERR_NOREAD; }
           memcpy(&f->v.d, &v, 8);
           break;
         }
         default:
+          con->broken = 1;
           return NOWDB_ERR_PROTO;
       }
     }
-    if (fgetc(con->in) != '\n') return NOWDB_ERR_PROTO;
+    if (fgetc(con->in) != '\n') { con->broken = 1; return NOWDB_ERR_PROTO; }
   }
   cur->more = more;
   if (more == 0) cur->eof = 1; /* server auto-closed at last batch */
@@ -341,6 +358,7 @@ int nowdb_cursor_open(nowdb_result_t res, nowdb_cursor_t *cur) {
 
 int nowdb_cursor_fetch(nowdb_cursor_t cur) {
   if (cur == NULL) return NOWDB_ERR_INVALID;
+  if (cur->con->broken) return NOWDB_ERR_NOCON;
   if (cur->eof && cur->more == 0) return NOWDB_ERR_EOF;
   return nowc_read_batch(cur);
 }
@@ -368,7 +386,9 @@ uint64_t nowdb_cursor_id(nowdb_cursor_t cur) {
 
 int nowdb_cursor_close(nowdb_cursor_t cur) {
   if (cur == NULL) return NOWDB_ERR_INVALID;
-  if (!cur->eof) { /* abandoned mid-stream: release server side */
+  if (!cur->eof && !cur->con->broken) {
+    /* abandoned mid-stream: release server side (skipped on a
+     * desynced connection — no recovery round-trips) */
     char cmd[64];
     snprintf(cmd, sizeof cmd, "close %lu", (unsigned long) cur->id);
     if (nowc_writeline(cur->con, cmd) == NOWDB_OK) {
@@ -424,11 +444,17 @@ int nowdb_time_parse(const char *buf, const char *frm, nowdb_time_t *t) {
   (void) frm; /* both standard formats are recognized by shape */
   struct tm tm;
   memset(&tm, 0, sizeof tm);
-  int y, mo, d, h = 0, mi = 0, s = 0;
-  int n = sscanf(buf, "%d-%d-%dT%d:%d:%d", &y, &mo, &d, &h, &mi, &s);
-  if (n != 6) {
-    n = sscanf(buf, "%d-%d-%d", &y, &mo, &d);
-    if (n != 3) return NOWDB_ERR_INVALID;
+  int y, mo, d, h = 0, mi = 0, s = 0, used = -1;
+  /* %n + full-length check: a near-miss like "…T10:30" or a space
+   * separator must ERROR, not silently parse as midnight of the
+   * leading date (the date-only fallback would otherwise accept any
+   * string with a date prefix and drop the time of day) */
+  int n = sscanf(buf, "%d-%d-%dT%d:%d:%d%n", &y, &mo, &d, &h, &mi, &s,
+                 &used);
+  if (n != 6 || used < 0 || buf[used] != 0) {
+    used = -1;
+    n = sscanf(buf, "%d-%d-%d%n", &y, &mo, &d, &used);
+    if (n != 3 || used < 0 || buf[used] != 0) return NOWDB_ERR_INVALID;
     h = mi = s = 0;
   }
   tm.tm_year = y - 1900; tm.tm_mon = mo - 1; tm.tm_mday = d;

@@ -64,11 +64,22 @@ object ScaleGen {
       df.withColumn("o_orderkey", col("o_orderkey") + i * ORD)
         .withColumn("o_custkey", col("o_custkey") + i * CUS)
     })
+    // entity NAMES regenerate from the shifted key: replicating them
+    // verbatim would plant K·(K−1)/2 cross-replica exact name
+    // duplicates per entity and inflate any fuzzy-linkage workload
+    // ~K-fold past linear (same artifact class as verbatim document
+    // text / unrotated embeddings)
     write("customer", reps(Tables.customer(spark, src)) { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + i * CUS)
+      val shifted = df.withColumn("c_custkey", col("c_custkey") + i * CUS)
+      if (i == 0) shifted
+      else shifted.withColumn("c_name", concat(lit("Customer#"),
+        lpad(col("c_custkey").cast("string"), 9, "0")))
     })
     write("supplier", reps(Tables.supplier(spark, src)) { (df, i) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + i * SUP)
+      val shifted = df.withColumn("s_suppkey", col("s_suppkey") + i * SUP)
+      if (i == 0) shifted
+      else shifted.withColumn("s_name", concat(lit("Supplier#"),
+        lpad(col("s_suppkey").cast("string"), 9, "0")))
     })
     write("part", reps(Tables.part(spark, src)) { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + i * PRT)

@@ -933,8 +933,10 @@ class Engine(val spark: SparkSession, root: String,
             val nm = it.alias.getOrElse(defaultName(e, i))
             // exactly-once guard: withMetadata on a duplicated output
             // name (select max(at) as x, min(at) as x) would throw an
-            // ambiguity error — such a column stays untagged instead
-            if (d.columns.count(_ == nm) == 1)
+            // ambiguity error — such a column stays untagged instead.
+            // Case-INSENSITIVE, matching Spark's resolver: aliases
+            // X and x collide there even though the strings differ.
+            if (d.columns.count(_.equalsIgnoreCase(nm)) == 1)
               d.withMetadata(nm, new org.apache.spark.sql.types
                 .MetadataBuilder().putString("graft.nowType", k).build())
             else d

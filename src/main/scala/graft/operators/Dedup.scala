@@ -517,7 +517,11 @@ object Dedup {
     // the indexed side, and both verify legs (the window pass was
     // always paid for the prefix — persisting it WITH ranks makes the
     // positional filter free and retires the former size joins)
+    // the raw shingle frame feeds THREE branches of the ranked build
+    // (freq, sizes, the main leg) — persist it or the corpus-wide
+    // tokenize+explode runs three times inside one materialization
     val sh = wordShingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, "shingle")
@@ -564,7 +568,7 @@ object Dedup {
       .filter(col("i").cast("double") / col("sza") >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / col("sza"), 6).as("containment"))
-    sealResult(res, ranked)
+    sealResult(res, ranked, sh)
   }
 
   /** Near-duplicate CLUSTERS from a near-dup pair set: connected

@@ -52,34 +52,39 @@ object DedupQueries extends QueryPack {
     * constant forever. md5 of the id is the selection key because
     * DuckDB recomputes it bit-identically (md5(doc_id::VARCHAR)),
     * the rank cut is a TakeOrdered (never a full sort), and the
-    * uniform hash makes the sample unbiased. Selection is by BASE
-    * id (mutation ids fold back first), so every planted near-dup
-    * pair enters or leaves the sample as a unit — the truth and
-    * sketch legs always see whole pairs. */
+    * uniform hash makes the sample unbiased. Mutations are derived
+    * FROM the sampled base docs, so every planted near-dup pair
+    * enters or leaves the sample as a unit — the truth and sketch
+    * legs always see whole pairs. */
   private val CalibDocs = 400
 
   private def calibCorpus(s: SparkSession, d: String): DataFrame = {
-    val ids = Tables.documents(s, d)
-      .select(col("doc_id").as("base_id"),
+    // sample FIRST, then derive the planted mutations from the
+    // sampled base docs — the same construction as corpus() applied
+    // to the bounded sample. Pair-unit preservation holds BY
+    // CONSTRUCTION (a mutation exists iff its base was sampled), for
+    // any base-id range: no fold-by-threshold (which silently
+    // misclassified ids ≥ 10000, e.g. ScaleGen replica corpora) and
+    // no corpus-scale membership join.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
         md5(col("doc_id").cast("string")).as("hk"))
-      .orderBy(col("hk"), col("base_id")).limit(CalibDocs)
-      .select(col("base_id"))
-    corpus(s, d)
-      .withColumn("base_id", when(col("doc_id") >= 10000L,
-        col("doc_id") - 10000L).otherwise(col("doc_id")))
-      .join(broadcast(ids), Seq("base_id"))
+      .orderBy(col("hk"), col("doc_id")).limit(CalibDocs)
       .select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 2 === 0).select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
   }
 
-  /** DuckDB form of [[calibCorpus]] — expects `corpus0` bound to
-    * [[corpusSql]]; yields a `corpus` CTE with the identical rows. */
+  /** DuckDB form of [[calibCorpus]] — standalone CTE pair yielding
+    * the identical `corpus` rows. */
   private val calibCorpusSql =
-    s"""samp AS (SELECT doc_id AS base_id FROM documents
+    s"""samp AS (SELECT doc_id, text FROM documents
       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $CalibDocs),
-      | corpus AS (SELECT c.doc_id, c.text FROM corpus0 c
-      |  JOIN samp s ON (CASE WHEN c.doc_id >= 10000
-      |   THEN c.doc_id - 10000 ELSE c.doc_id END) = s.base_id)"""
-      .stripMargin
+      | corpus AS (SELECT doc_id, text FROM samp
+      |  UNION ALL SELECT doc_id + 10000 AS doc_id,
+      |   text || ' zq0 zq1 zq2' AS text
+      |  FROM samp WHERE doc_id % 2 = 0)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: shuffle digests, keep min id. On the derived corpus
@@ -317,14 +322,13 @@ object DedupQueries extends QueryPack {
   /** Base-16 parse of md5-hex digits 1..15 as explicit shift-add terms
     * (DuckDB has no hex→int cast; 15 digits stay inside BIGINT —
     * mirrors [[Dedup.md5Hash60]]'s conv(substring(md5,1,15),16,10)). */
-  private val md5Hex60Sql: String = (1 to 15).map(i =>
+  private[operators] val md5Hex60Sql: String = (1 to 15).map(i =>
     s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT" +
       s" << ${4 * (15 - i)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q185_lsh_scurve" ->
-      s"""WITH corpus0 AS ($corpusSql),
-        | $calibCorpusSql,
+      s"""WITH $calibCorpusSql,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,
@@ -364,8 +368,7 @@ object DedupQueries extends QueryPack {
         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
         | FROM bk GROUP BY jb""".stripMargin,
     "q184_simhash_calibration" ->
-      s"""WITH corpus0 AS ($corpusSql),
-        | $calibCorpusSql,
+      s"""WITH $calibCorpusSql,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,

@@ -46,7 +46,9 @@ object Linkage {
 
   /** Last-`n`-characters block key — survives any edit that happens
     * before the suffix (the common case for id-like names whose tails
-    * are the high-entropy part). */
+    * are the high-entropy part). Names shorter than `n` key on the
+    * whole string (start clamps to 1 — Spark and DuckDB disagree on
+    * substr with start < 1, so the clamp is part of the contract). */
   def suffixKey(n: Int): Column => Column =
-    name => name.substr(length(name) - (n - 1), lit(n))
+    name => name.substr(greatest(lit(1), length(name) - (n - 1)), lit(n))
 }

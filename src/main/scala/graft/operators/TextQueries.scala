@@ -280,11 +280,10 @@ object TextQueries extends QueryPack {
   private val profileValues = TextAnalysis.langProfiles
     .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }.mkString(",")
 
-  /** Base-16 parse of md5-hex digits 1..15 over column alias `m`
-    * (mirrors Dedup.md5Hash60; DuckDB has no hex→int cast). */
-  private val wordHash60Sql: String = (1 to 15).map(i =>
-    s"((strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::BIGINT" +
-      s" << ${4 * (15 - i)})").mkString(" + ")
+  /** Base-16 parse of md5-hex digits 1..15 over column alias `m` —
+    * ONE definition shared with the dedup pack (DedupQueries), so
+    * the two oracles can never drift from Dedup.md5Hash60. */
+  private val wordHash60Sql: String = DedupQueries.md5Hex60Sql
 
   /** Shared training CTEs for q193/q194: the full 3-iteration batch
     * perceptron unrolled — w0 = 0 makes every doc misclassified in
