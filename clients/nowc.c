@@ -74,7 +74,14 @@ char nowdb_client_close(void) { return 1; }
 
 /* ── line i/o ───────────────────────────────────────────────────── */
 
-static int nowc_readline(nowdb_con_t con, char *buf, size_t max) {
+/* allow_trunc: the stream is consumed to the newline either way, so
+ * truncation never desyncs — but a truncated "#a\tb" BATCH HEADER
+ * would be parsed into an undercounted column list and desync every
+ * following binary row, so the batch path passes 0 (fail the frame);
+ * status/greeting lines pass 1 (a long "-err ..." detail is merely
+ * truncated, not mis-parsed). */
+static int nowc_readline_ex(nowdb_con_t con, char *buf, size_t max,
+                            int allow_trunc) {
   size_t n = 0;
   int c, truncated = 0;
   while ((c = fgetc(con->in)) != EOF && c != '\n') {
@@ -83,11 +90,12 @@ static int nowc_readline(nowdb_con_t con, char *buf, size_t max) {
   }
   buf[n] = 0;
   if (c == EOF && n == 0) return NOWDB_ERR_NOREAD;
-  /* a truncated head/header would be PARSED wrong (e.g. an
-   * undercounted "#a\tb" column list desyncs every following binary
-   * row) — fail the frame instead of mis-parsing it */
-  if (truncated) return NOWDB_ERR_PROTO;
+  if (truncated && !allow_trunc) return NOWDB_ERR_PROTO;
   return NOWDB_OK;
+}
+
+static int nowc_readline(nowdb_con_t con, char *buf, size_t max) {
+  return nowc_readline_ex(con, buf, max, 1);
 }
 
 static int nowc_writeline(nowdb_con_t con, const char *s) {
@@ -261,22 +269,34 @@ static int nowc_read_batch(nowdb_cursor_t cur) {
   int n = 0, more = 0;
   if (sscanf(line, "+batch %d %d", &n, &more) != 2)
     return NOWDB_ERR_PROTO;
+  if (n < 0 || more < 0) return NOWDB_ERR_PROTO;
   /* from here on a failure leaves unread row bytes on the wire: the
    * stream position is unknowable, so mark the connection broken
    * (fail fast; no recovery round-trips) — pynow.py's contract */
-  rc = nowc_readline(con, line, sizeof line); /* "#a\tb" header */
+  rc = nowc_readline_ex(con, line, sizeof line, 0); /* "#a\tb" header */
   if (rc != NOWDB_OK || line[0] != '#') {
     con->broken = 1;
     return NOWDB_ERR_PROTO;
   }
   int ncols = 1;
   for (const char *p = line; *p != 0; p++) if (*p == '\t') ncols++;
+  /* n and ncols are server-controlled: bound the product in wide
+   * arithmetic (an int overflow here would under-allocate and the
+   * row loop would write past the buffer) */
+  if ((long long) n * ncols > 50000000LL) {
+    con->broken = 1; /* rows are unread either way */
+    return NOWDB_ERR_PROTO;
+  }
   nowc_batch_free(&cur->batch);
   cur->batch.ncols = ncols;
   cur->batch.nrows = n;
   cur->batch.cur = -1;
-  cur->batch.cells = calloc((size_t)(n * ncols), sizeof(nowc_field_t));
-  if (n > 0 && cur->batch.cells == NULL) return NOWDB_ERR_NOMEM;
+  cur->batch.cells = calloc((size_t) n * (size_t) ncols,
+                            sizeof(nowc_field_t));
+  if (n > 0 && cur->batch.cells == NULL) {
+    con->broken = 1; /* header consumed, n rows unread */
+    return NOWDB_ERR_NOMEM;
+  }
   for (int r = 0; r < n; r++) {
     for (int cix = 0; cix < ncols; cix++) {
       nowc_field_t *f = &cur->batch.cells[r * ncols + cix];
@@ -449,10 +469,21 @@ int nowdb_time_parse(const char *buf, const char *frm, nowdb_time_t *t) {
    * separator must ERROR, not silently parse as midnight of the
    * leading date (the date-only fallback would otherwise accept any
    * string with a date prefix and drop the time of day) */
+  int64_t frac = 0;
   int n = sscanf(buf, "%d-%d-%dT%d:%d:%d%n", &y, &mo, &d, &h, &mi, &s,
                  &used);
+  if (n == 6 && used > 0 && buf[used] == '.') {
+    /* optional fractional seconds, 1..9 digits, ns resolution */
+    int i = used + 1, digits = 0;
+    while (digits < 9 && buf[i] >= '0' && buf[i] <= '9') {
+      frac = frac * 10 + (buf[i] - '0'); i++; digits++;
+    }
+    if (digits == 0) return NOWDB_ERR_INVALID;
+    while (digits < 9) { frac *= 10; digits++; }
+    used = i;
+  }
   if (n != 6 || used < 0 || buf[used] != 0) {
-    used = -1;
+    used = -1; frac = 0;
     n = sscanf(buf, "%d-%d-%d%n", &y, &mo, &d, &used);
     if (n != 3 || used < 0 || buf[used] != 0) return NOWDB_ERR_INVALID;
     h = mi = s = 0;
@@ -461,7 +492,7 @@ int nowdb_time_parse(const char *buf, const char *frm, nowdb_time_t *t) {
   tm.tm_hour = h; tm.tm_min = mi; tm.tm_sec = s;
   time_t es = timegm(&tm);
   if (es == (time_t) -1) return NOWDB_ERR_INVALID;
-  *t = (nowdb_time_t) es * 1000000000LL;
+  *t = (nowdb_time_t) es * 1000000000LL + frac;
   return NOWDB_OK;
 }
 

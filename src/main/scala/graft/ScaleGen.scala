@@ -72,14 +72,14 @@ object ScaleGen {
     write("customer", reps(Tables.customer(spark, src)) { (df, i) =>
       val shifted = df.withColumn("c_custkey", col("c_custkey") + i * CUS)
       if (i == 0) shifted
-      else shifted.withColumn("c_name", concat(lit("Customer#"),
-        lpad(col("c_custkey").cast("string"), 9, "0")))
+      else shifted.withColumn("c_name", // format_string never truncates
+        format_string("Customer#%09d", col("c_custkey")))
     })
     write("supplier", reps(Tables.supplier(spark, src)) { (df, i) =>
       val shifted = df.withColumn("s_suppkey", col("s_suppkey") + i * SUP)
       if (i == 0) shifted
-      else shifted.withColumn("s_name", concat(lit("Supplier#"),
-        lpad(col("s_suppkey").cast("string"), 9, "0")))
+      else shifted.withColumn("s_name",
+        format_string("Supplier#%09d", col("s_suppkey")))
     })
     write("part", reps(Tables.part(spark, src)) { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + i * PRT)

@@ -27,13 +27,17 @@ import graft.functions.VectorOps
   */
 object DedupQueries extends QueryPack {
 
-  /** documents ∪ near-duplicate mutations of the even-id half. */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  /** docs ∪ near-duplicate mutations of their even-id half — ONE
+    * definition of the planted-mutation scheme (id + 10000, three
+    * appended OOV words), shared by the full corpus and the bounded
+    * calibration sample so the two can never drift. */
+  private def corpusFrom(docs: DataFrame): DataFrame =
     docs.unionAll(docs.filter(col("doc_id") % 2 === 0).select(
       (col("doc_id") + 10000L).as("doc_id"),
       concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
-  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    corpusFrom(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -71,9 +75,7 @@ object DedupQueries extends QueryPack {
         md5(col("doc_id").cast("string")).as("hk"))
       .orderBy(col("hk"), col("doc_id")).limit(CalibDocs)
       .select(col("doc_id"), col("text"))
-    base.unionAll(base.filter(col("doc_id") % 2 === 0).select(
-      (col("doc_id") + 10000L).as("doc_id"),
-      concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+    corpusFrom(base)
   }
 
   /** DuckDB form of [[calibCorpus]] — standalone CTE pair yielding

@@ -38,9 +38,11 @@ object LinkageQueries extends QueryPack {
         |     AS dname
         |  FROM customer),
         | db AS (SELECT did, dname,
-        |   substr(dname, length(dname) - 3, 4) AS bk FROM dirty),
+        |   substr(dname, greatest(1, length(dname) - 3), 4) AS bk
+        |  FROM dirty),
         | cb AS (SELECT c_custkey AS cid, c_name AS cname,
-        |   substr(c_name, length(c_name) - 3, 4) AS bk FROM customer)
+        |   substr(c_name, greatest(1, length(c_name) - 3), 4) AS bk
+        |  FROM customer)
         | SELECT did AS dirty_id, cid AS clean_id,
         |  CAST(levenshtein(dname, cname) AS BIGINT) AS dist
         | FROM db JOIN cb USING (bk)
