@@ -14,6 +14,40 @@ class EventStreamsSpec extends AnyFunSuite {
                  v: Double = 1.0): Event =
     Event(id, tsSec * 1000000000L, user, typ, v, "{}")
 
+  test("curation screens run unchanged under readStream (batch parity)") {
+    // the round-7 screens (PII scrub, repetition profile, blocklist)
+    // are STATELESS projections, so the ingest pipeline can run them
+    // on the live stream with zero code changes — prove it on a real
+    // memory stream against the batch result, including that the
+    // streaming plan needs no watermark/state
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "mail a.b@ex.org or c@d.io from 10.0.0.7"),
+      (2L, "call +1-555-013-4567 twice +1-555-013-4567"),
+      (3L, "the the the cat cat sat"),
+      (4L, "nothing to redact here"))
+    val streamed = graft.operators.TextAnalysis.piiScrub(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = streamed.writeStream.format("memory").queryName("scrub_par")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_par").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val want = graft.operators.TextAnalysis.piiScrub(
+          docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == want)
+      assert(got.exists(_._5.contains("<PHONE> twice <PHONE>")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg emits finalized windows after watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
