@@ -20,6 +20,11 @@ object Tables {
     // the engine's time model (SURVEY §7.3: stamp = LongType ns, the
     // reference stores int64 ns, types/time.h:27-37).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamps WITHOUT the UTC-adjusted flag read as TimestampType
+    // (stored µs = UTC epoch µs, no session-timezone math) — so
+    // unix_micros() below is byte-identical to DuckDB's epoch_us()
+    // on the same file, independent of the host timezone
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -30,7 +35,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** events with the repo-wide stamp contract: `ts` = ns-since-epoch
+    * LongType (SURVEY §7.3 — the reference's int64-ns time model).
+    * Early testdata generations shipped ts as parquet TIMESTAMP(NANOS)
+    * (read as the long directly via nanosAsLong); current generations
+    * ship µs TIMESTAMP. For the latter, wrapping the column in
+    * `unix_micros(ts) * 1000` would satisfy the contract but strip
+    * parquet predicate pushdown from EVERY period filter in the suite
+    * (a filter over an arithmetic expression never reaches the scan) —
+    * at 100 TB that is the difference between pruning a day and
+    * scanning a decade. So the loader lands a ONE-TIME normalized
+    * ns-long copy per sf dir (the bronze→silver landing step any
+    * lakehouse ingestion performs) under java.io.tmpdir and reads
+    * that: scans keep native long pushdown, every consumer keeps the
+    * exact ns contract. Values are instant-identical to the source
+    * (µs→ns is ×1000), so DuckDB oracles reading the ORIGINAL file
+    * via epoch_us/epoch_ns agree bit-for-bit. Per-JVM directory ⇒ no
+    * cross-process write races; ~1 s once per JVM at sf0.1. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
+        val dest = normalizedEvents.computeIfAbsent(key, _ => {
+          val base = java.nio.file.Files.createTempDirectory(
+            s"graft-events-ns-")
+          import org.apache.spark.sql.functions._
+          raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+            .write.mode("overwrite").parquet(base.toString)
+          base.toString
+        })
+        s.read.parquet(dest)
+    }
+  }
+
+  private val normalizedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** events with `ts` (ns long) plus a derived µs TimestampType column
     * `ts_utc` for window/partition-pruning use. */
@@ -43,7 +84,11 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view (used by the SQL front-end and
-    * ad-hoc `spark.sql` queries). */
+    * ad-hoc `spark.sql` queries). events goes through [[events]] so the
+    * view keeps the ns-long stamp contract. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -310,4 +310,57 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(n / threshDenom))
   }
+
+  // ---- join-size estimation: KMV key-domain sampling ----
+
+  /** Estimate |A ⨝ B| on an integer key WITHOUT executing the join —
+    * the cardinality statistic a planner needs before committing to a
+    * shuffle strategy at 100 TB (broadcast vs SMJ vs pre-partition),
+    * and exactly what a per-key frequency join would cost too much to
+    * answer. Method (KMV domain sampling — the join-size analog of
+    * Bar-Yossef et al.'s distinct-count KMV): the bottom-k sketch of
+    * the UNION key domain picks a uniform k-key sample; both sides
+    * are counted ONLY on sampled keys (a θ-threshold filter BEFORE
+    * any shuffle, so the aggregate state is ≤ k keys however large
+    * the inputs); the sampled frequency product Σ cntA·cntB is scaled
+    * by D̂_union/k. Below k distinct keys the sample is the whole
+    * domain and the estimate is exact. The [[sampleHash]] family
+    * makes every step — kth-smallest hash, θ-filter, scale factor —
+    * recomputable bit-for-bit by an external engine (q197's oracle).
+    * One row: (j_samp, n_sample_keys, est_join_rows). Accuracy is the
+    * usual KMV O(1/√k) *for the sampled mass*; heavy-key skew
+    * concentrates variance, so planners should read it as an
+    * order-of-magnitude signal (and k up if it matters). */
+  def joinSizeEstimate(a: DataFrame, aKey: String,
+                       b: DataFrame, bKey: String, k: Int): DataFrame = {
+    val spark = a.sparkSession
+    val sk = kmvSketchAggArith(spark, k)
+    val keys = a.select(col(aKey).as("key"))
+      .unionAll(b.select(col(bKey).as("key")))
+    // 1-row sketch summary: sample size + inclusion threshold θ
+    val skRow = keys.agg(sk(col("key")).as("sk"))
+      .select(size(col("sk")).as("n_sk"),
+        element_at(col("sk"), size(col("sk"))).as("theta"))
+    // per-side counts restricted to sampled keys: the θ filter runs
+    // map-side against a broadcast scalar, so the groupBy shuffles
+    // ≤ k keys regardless of input size
+    def sideCounts(df: DataFrame, key: String, out: String) =
+      df.crossJoin(broadcast(skRow.select(col("theta"))))
+        .filter(sampleHash(col(key)) <= col("theta"))
+        .groupBy(col(key).as("key"))
+        .agg(count(lit(1)).as(out))
+    val j = sideCounts(a, aKey, "ca")
+      .join(sideCounts(b, bKey, "cb"), "key")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("j_samp"))
+    j.crossJoin(broadcast(skRow))
+      .select(col("j_samp"),
+        col("n_sk").cast("long").as("n_sample_keys"),
+        when(col("n_sk") < k, col("j_samp").cast("double"))
+          .otherwise(round(
+            col("j_samp") *
+              (lit((k - 1).toDouble) /
+                (col("theta").cast("double") / lit(sampleHashSpace)))
+              / lit(k.toDouble), 2))
+          .as("est_join_rows"))
+  }
 }

@@ -341,6 +341,65 @@ object EngineQueries extends QueryPack {
       import s.implicits._
       rows.toDF("nk", "n", "sum_id")
     }),
+    // LOCK/UNLOCK value check — the last §2.11 surface that had only
+    // spec coverage: 3 concurrent sessions (own Engine each, shared
+    // catalog root — the reference's multi-client shape, nowdbd one
+    // session per connection) each run 4 read→increment cycles on a
+    // shared counter table, every cycle bracketed by LOCK … FOR
+    // WRITING / UNLOCK. The SELECT and the copy-on-write UPDATE are
+    // deliberately separate statements: WITHOUT the user lock two
+    // sessions can both read v=x and both write x+1 (the engine's
+    // internal table lock only serializes the writes, not the
+    // read-modify-write cycle), so the observed-value multiset would
+    // collapse. With correct lock semantics the 12 observations are
+    // exactly {0..11} and the final counter is 12 — which is the
+    // constant sequence the oracle emits. Cost is fixed-size session
+    // machinery (12 tiny COW rewrites), independent of sf.
+    "q195_lock_serialized" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-q195-root").toString
+      val setup = new Engine(s, root)
+      setup.script(
+        """create scope lkscope;
+          | use lkscope;
+          | create type ctr (id uint pk, v uint);
+          | create lock serctr""".stripMargin)
+        .foreach(require(_, "q195 ddl"))
+      require(setup.sql("insert into ctr (id, v) (0, 0)"), "q195 seed")
+      val nSessions = 3; val nIncr = 4
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val sessions = (0 until nSessions).map { _ =>
+        new Thread(() => try {
+          val eng = new Engine(s, root)
+          try {
+            require(eng.sql("use lkscope"), "q195 use")
+            (0 until nIncr).foreach { _ =>
+              require(eng.sql(
+                "lock serctr for writing set timeout = 120000"),
+                "q195 lock")
+              val o = eng.sql("select v from ctr") match {
+                case Rows(df) => df.collect()(0).getLong(0)
+                case other => sys.error(s"q195 read failed: $other")
+              }
+              require(eng.sql("update ctr set v = v + 1 where id = 0"),
+                "q195 incr")
+              require(eng.sql("unlock serctr"), "q195 unlock")
+              observed.add(o)
+            }
+          } finally eng.closeSession()
+        } catch { case t: Throwable => failed.compareAndSet(null, t) })
+      }
+      sessions.foreach(_.start())
+      sessions.foreach(_.join())
+      if (failed.get() != null) throw failed.get()
+      val fin = setup.sql("select v from ctr") match {
+        case Rows(df) => df.collect()(0).getLong(0)
+        case other => sys.error(s"q195 final read failed: $other")
+      }
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      (observed.asScala.toSeq :+ fin).sorted.toDF("obs_v")
+    }),
     // version() — constant, therefore DuckDB-recomputable after all:
     // routed through a real engine session (parse → const select).
     "q192_version" -> ((s, d) => {
@@ -388,6 +447,11 @@ object EngineQueries extends QueryPack {
         | WHERE c_custkey < 300 AND c_nationkey < 25
         | GROUP BY 1""".stripMargin,
     "q192_version" -> "SELECT 'graft-1.0' AS v",
+    // serialized counter: 12 lock-bracketed increments observe exactly
+    // 0..11, final read = 12 — any lost update breaks the sequence
+    "q195_lock_serialized" ->
+      """SELECT CAST(unnest(generate_series(0, 12)) AS BIGINT)
+        |  AS obs_v""".stripMargin,
     "q186_proc_exec" ->
       // lag-window recompute of the proc's trapezoid fold: the inner
       // sum is exact BIGINT (ns gaps × integer readings), the single

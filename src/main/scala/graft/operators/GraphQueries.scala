@@ -95,6 +95,18 @@ object GraphQueries extends QueryPack {
       Graph.pageRankInt(e, "u", "v", iters = 3)
         .select(col("v").as("suppkey"), col("rank"))
     }),
+    // k-core of the supplier co-occurrence graph (q104's edge set):
+    // 6 synchronous peeling rounds at k=3 — vertices in bot-ring /
+    // long-tail shells peel away round by round, the dense
+    // collaboration core survives with its in-core degree. Fixed
+    // rounds keep the DAG replayable by the oracle stage-for-stage;
+    // see Graph.kCore's scaladoc for the convergence-probe variant.
+    "q196_kcore" -> ((s, d) => {
+      val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 30L)
+      Graph.kCore(e, "d_a", "d_b", k = 3, rounds = 6)
+        .select(col("vertex").as("suppkey"), col("core_deg"))
+    }),
     "q105_khop_reach" -> ((s, d) => {
       val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select(col("c_custkey"))
@@ -211,6 +223,28 @@ object GraphQueries extends QueryPack {
         |   FROM i2 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
         |   GROUP BY g.v) sc ON verts.v = sc.v)
         | SELECT v AS suppkey, CAST(rank AS BIGINT) AS rank FROM i3""".stripMargin,
+    // 6 unrolled peeling stages, each the exact relational twin of a
+    // Graph.kCore round (degree ≥ 3 survivor set, both endpoints
+    // semi-filtered)
+    "q196_kcore" -> {
+      val peel = (1 to 6).map { r =>
+        s"""a$r AS (SELECT u FROM g${r - 1} GROUP BY u
+           |  HAVING count(*) >= 3),
+           | g$r AS (SELECT g.u, g.v FROM g${r - 1} g
+           |  WHERE g.u IN (SELECT u FROM a$r)
+           |    AND g.v IN (SELECT u FROM a$r))""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH co AS (
+         |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+         |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+         |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+         |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 30),
+         | g0 AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+         | $peel
+         | SELECT u AS suppkey, count(*) AS core_deg
+         | FROM g6 GROUP BY u""".stripMargin
+    },
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer
         |   WHERE c_nationkey = 0),

@@ -42,7 +42,16 @@ object SketchQueries extends QueryPack {
       Sketches.exactHeavyHitters(
         Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("w")),
-        "w", threshDenom = 1000L, cap = 2000))
+        "w", threshDenom = 1000L, cap = 2000)),
+    // |orders ⨝ lineitem| on orderkey WITHOUT running the join: a
+    // k=512 KMV sample of the union key domain, per-side counts only
+    // on sampled keys, Σ cntA·cntB scaled by D̂/k — the pre-shuffle
+    // cardinality signal a planner wants at 100 TB. Arithmetic hash ⇒
+    // the oracle recomputes sample, θ, and estimate bit-for-bit.
+    "q197_join_size_estimate" -> ((s, d) =>
+      Sketches.joinSizeEstimate(
+        Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey", k = 512))
   )
 
   val oracles: Map[String, String] = Map(
@@ -53,6 +62,35 @@ object SketchQueries extends QueryPack {
         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
         | SELECT w, CAST(c AS BIGINT) AS cnt FROM cnt, tot
         | WHERE c > n // 1000""".stripMargin,
+    // the estimator replayed relationally: distinct union-domain
+    // hashes → kth smallest = θ → per-side counts on keys ≤ θ →
+    // Σ ca·cb scaled by ((k−1)/(θ/space))/k, identical op order
+    "q197_join_size_estimate" ->
+      """WITH keys AS (SELECT o_orderkey AS key FROM orders
+        |   UNION ALL SELECT l_orderkey FROM lineitem),
+        | h AS (SELECT DISTINCT
+        |   (key % 1000000007) * 2654435761 % 999999999989 AS h
+        |  FROM keys),
+        | ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rk,
+        |   count(*) OVER () AS n FROM h),
+        | th AS (SELECT max(CASE WHEN rk = least(n, 512) THEN h END)
+        |    AS theta, max(least(n, 512)) AS n_sk FROM ranked),
+        | ca AS (SELECT o_orderkey AS key, count(*) AS ca
+        |  FROM orders, th
+        |  WHERE (o_orderkey % 1000000007) * 2654435761 % 999999999989
+        |    <= th.theta GROUP BY 1),
+        | cb AS (SELECT l_orderkey AS key, count(*) AS cb
+        |  FROM lineitem, th
+        |  WHERE (l_orderkey % 1000000007) * 2654435761 % 999999999989
+        |    <= th.theta GROUP BY 1),
+        | j AS (SELECT CAST(coalesce(sum(ca.ca * cb.cb), 0) AS BIGINT)
+        |    AS j_samp FROM ca JOIN cb USING (key))
+        | SELECT j_samp, CAST(n_sk AS BIGINT) AS n_sample_keys,
+        |  CASE WHEN n_sk < 512 THEN CAST(j_samp AS DOUBLE)
+        |   ELSE round(j_samp * (511.0 /
+        |     (CAST(theta AS DOUBLE) / 999999999989.0)) / 512.0, 2)
+        |  END AS est_join_rows
+        | FROM j, th""".stripMargin,
     "q80_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |   (user_id % 1000000007) * 2654435761 % 999999999989 AS h

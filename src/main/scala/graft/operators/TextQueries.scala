@@ -267,6 +267,84 @@ object TextQueries extends QueryPack {
     "q89_frequent_ngrams" -> ((s, d) =>
       TextAnalysis.frequentNgrams(Tables.documents(s, d), "text",
         n = 2, k = 20)),
+    // Interpolated bigram-LM cross-entropy per doc — q114's unigram
+    // scorer upgraded to the conditional form perplexity filtering
+    // actually uses (CCNet-style): p(w2|w1) = λ·c2/c1(w1) +
+    // (1−λ)·c1(w2)/T with λ=0.75, trained on the full corpus. Every
+    // count is integer; bigrams are generated ROW-LOCALLY from the
+    // token array (one explode, no positional self-join); per-doc
+    // bigram multiset collapses first (bid), so the LM joins run on
+    // distinct (doc, w1, w2) triples, and the global bigram table
+    // derives from bid in the same pass. Word-keyed shuffles
+    // throughout — the 100 TB shape for LM scoring.
+    "q198_bigram_xent" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = docs.select(explode(col("w")).as("wd"))
+        .groupBy(col("wd")).agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum(col("c1")).as("t"))
+      val bid = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .groupBy(col("doc_id"), col("b.w1").as("w1"),
+          col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("nd"))
+      val big = bid.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("nd")).as("c2"))
+      bid.join(big, Seq("w1", "w2"))
+        .join(uni.select(col("wd").as("w1"), col("c1").as("c1w1")), "w1")
+        .join(uni.select(col("wd").as("w2"), col("c1").as("c1w2")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("nd"),
+          log(lit(0.75) *
+              (col("c2").cast("double") / col("c1w1").cast("double"))
+            + lit(0.25) *
+              (col("c1w2").cast("double") / col("t").cast("double")))
+            .as("lnp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nd")).cast("long").as("n_bigrams"),
+          sum(col("nd") * col("lnp")).as("sl"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("sl") / col("n_bigrams"), 6).as("xent_nats"))
+    }),
+    // Zipf power-law fit of the corpus word-frequency distribution:
+    // OLS slope/intercept of ln(freq) vs ln(rank) over the top 1000
+    // words — the standard corpus-health fingerprint (natural text
+    // ≈ −1; template/boilerplate corpora flatten, spam steepens).
+    // Ranking is Rank.distributedRank (range-partitioned, NO
+    // single-partition window); the regression runs on ×10⁶-quantized
+    // integer logs so every power sum is exact (the only doubles are
+    // one log per word and the final two divisions, both mirrored
+    // verbatim by the oracle).
+    "q199_zipf_slope" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val q = Rank
+        .distributedRank(wf, Seq(col("f").desc, col("word").asc), s)
+        .filter(col("rk") <= 1000)
+        .select(
+          round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      q.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("cxy",
+          (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+            .cast("double"))
+        .withColumn("cxx",
+          (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+            .cast("double"))
+        .select(col("n").cast("long").as("n_words"),
+          round(col("cxy") / col("cxx"), 6).as("slope"),
+          round((col("sy").cast("double")
+              - col("cxy") / col("cxx") * col("sx").cast("double"))
+            / (col("n") * lit(1000000.0)), 6).as("intercept"))
+    }),
     // Stratified deterministic sampling: src0-src4 at 5%, rest at 20%.
     "q74_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id",
@@ -329,6 +407,52 @@ object TextQueries extends QueryPack {
         |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same λ-interpolated formula, same op order: ln(0.75·(c2/c1w1)
+    // + 0.25·(c1w2/T)); counts BIGINT, one double log per triple,
+    // 6-dp round absorbs the Σ(nd·lnp) summation-order ulps
+    // HUGEINT power sums of the same ×10⁶-quantized logs; identical
+    // double formula (cxy/cxx, then the intercept unscale by n·10⁶)
+    "q199_zipf_slope" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS f FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        | ranked AS (SELECT f,
+        |   row_number() OVER (ORDER BY f DESC, word ASC) AS rk FROM wf),
+        | q AS (SELECT
+        |   CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |   CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE rk <= 1000),
+        | s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x * y) AS sxy, sum(x * x) AS sxx FROM q),
+        | c AS (SELECT n, sx, sy,
+        |   CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+        |   CAST(n * sxx - sx * sx AS DOUBLE) AS cxx FROM s)
+        | SELECT CAST(n AS BIGINT) AS n_words,
+        |  round(cxy / cxx, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - cxy / cxx * CAST(sx AS DOUBLE))
+        |    / (n * 1000000.0), 6) AS intercept
+        | FROM c""".stripMargin,
+    "q198_bigram_xent" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | uni AS (SELECT wd, count(*) AS c1 FROM (
+        |    SELECT unnest(w) AS wd FROM toks) GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+        | bid AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+        |    count(*) AS nd
+        |   FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+        |   GROUP BY 1, 2, 3),
+        | big AS (SELECT w1, w2, sum(nd) AS c2 FROM bid GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, nd,
+        |    ln(0.75 * (CAST(c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+        |     + 0.25 * (CAST(u2.c1 AS DOUBLE) / CAST(t AS DOUBLE)))
+        |      AS lnp
+        |   FROM bid JOIN big USING (w1, w2)
+        |   JOIN uni u1 ON bid.w1 = u1.wd
+        |   JOIN uni u2 ON bid.w2 = u2.wd, tot)
+        | SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+        |  round(-sum(nd * lnp) / sum(nd), 6) AS xent_nats
+        | FROM sc GROUP BY doc_id""".stripMargin,
     "q193_perceptron" ->
       s"""WITH $perceptronCtes
         | SELECT 'miscl' AS kind, CAST(1 AS BIGINT) AS it,

@@ -182,4 +182,25 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(hub - (0.03 + 0.85 * (4 * leaf + hub / 5))) < 1e-3)
     assert(math.abs(leaf - (0.03 + 0.85 * (hub / 5))) < 1e-3)
   }
+
+  test("kCore peels shells iteratively, keeps the dense core") {
+    // triangle {1,2,3} + a tail 3-4-5-6 hanging off it: the 2-core is
+    // exactly the triangle, but only ITERATIVE peeling finds it — the
+    // tail peels one link per round (6 first, then 5, then 4), so a
+    // single degree-filter pass would wrongly keep 4 and 5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core2 = Graph.kCore(g, "s", "d", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core anywhere in that graph: everything peels to empty
+    assert(Graph.kCore(g, "s", "d", k = 3, rounds = 4).isEmpty)
+    // K4 + pendant: 3-core = the K4 with full in-core degrees; dup
+    // edges and orientation must not inflate degrees
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L), (13L, 12L), (13L, 14L)).toDF("s", "d")
+    val core3 = Graph.kCore(k4, "s", "d", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
 }

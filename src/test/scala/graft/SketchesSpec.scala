@@ -126,6 +126,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(m1("big") >= 600 - bound && m2("big") >= 600 - bound)
   }
 
+  test("joinSizeEstimate is exact below k and tracks the true size above") {
+    // domain (75 keys) below k=512: the sample is the whole domain, so
+    // the estimate must equal the exact join size: keys 26..50 overlap,
+    // each 1×2 ⇒ 50 rows
+    val a = (1L to 50L).toDF("ka")
+    val b = (26L to 75L).flatMap(x => Seq(x, x)).toDF("kb")
+    val r = Sketches.joinSizeEstimate(a, "ka", b, "kb", k = 512).collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 75L)
+    assert(r.getDouble(2) == 50.0)
+    // 20k-key full overlap, count 1×1: true size 20000; k=256 KMV
+    // sampling error is O(1/√k) ≈ 6% σ — assert a generous 4σ band
+    val big = (1L to 20000L).toDF("k")
+    val est = Sketches.joinSizeEstimate(big, "k", big, "k", k = 256)
+      .collect()(0).getDouble(2)
+    assert(est > 15000 && est < 25000, s"est=$est")
+  }
+
   test("exactHeavyHitters equals the brute-force count filter") {
     val rnd = new scala.util.Random(3)
     val words = rnd.shuffle(
