@@ -137,21 +137,27 @@ object Dedup {
 
   /** MinHash signatures over an ARITHMETIC hash family — the
     * q80-KMV trick applied to MinHash: mh_i = min over shingles of
-    * ((h mod 10^9+7)·(2654435761+2i) + 97531·i) mod 999999999989.
-    * Unlike the xxhash64 family ([[minHashSignatures]], the
-    * production default), every term here is plain modular int64
+    * ((h mod 10^9+7)·(2654435761 + 700000001·i) + 97531·i) mod
+    * 999999999989. Unlike the xxhash64 family ([[minHashSignatures]],
+    * the production default), every term here is plain modular int64
     * arithmetic that ANY engine reproduces bit-for-bit — which makes
     * the LSH pipeline itself differentially testable (candidate sets
     * compared against a SQL recompute), not just its verified output.
-    * Products stay ≤ ~2.7e18 < 2^63: exact in both engines. Expects
-    * long `shingle` features (e.g. [[md5Hash60]]). */
+    * The multiplier STRIDE matters: an earlier `+2i` family left the
+    * k multipliers nearly identical, so one shingle tended to win
+    * every minimum — collapsing the signature to a single draw and
+    * the band-collision probability far below the J^r model the
+    * S-curve assumes. Stride 7e8+1 keeps products ≤ ~1.0000007e9 ×
+    * 7.555e9 ≈ 7.56e18 < 2^63 for k ≤ 8: exact in both engines.
+    * Expects long `shingle` features (e.g. [[md5Hash60]]). */
   def minHashSignaturesArith(shingles: DataFrame, k: Int): DataFrame = {
+    require(k <= 8, s"k=$k: stride family is overflow-proven for k <= 8")
     val h1 = pmod(col("shingle"), lit(1000000007L))
     shingles.groupBy(col("doc_id"))
       .agg(min(pmod(h1 * lit(2654435761L), lit(999999999989L))).as("mh0"),
         (1 until k).map(i =>
-          min(pmod(h1 * lit(2654435761L + 2L * i) + lit(97531L * i),
-            lit(999999999989L))).as(s"mh$i")): _*)
+          min(pmod(h1 * lit(2654435761L + 700000001L * i)
+            + lit(97531L * i), lit(999999999989L))).as(s"mh$i")): _*)
   }
 
   /** LSH band candidates from [[minHashSignaturesArith]] signatures,
@@ -315,6 +321,90 @@ object Dedup {
     * engines (16 digits could set the sign bit). */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // ---- streaming-safe incremental near-dup screen ------------------
+
+  /** Map-only per-row projection for the incremental screen: doc →
+    * (doc_id, sh_arr, bbs) where sh_arr is the distinct md5-60 shingle
+    * hash array, and bbs the `bands` LSH band r-tuples over the
+    * ARITHMETIC minhash family (identical values to
+    * [[minHashSignaturesArith]] — min over a set is the same whether
+    * folded in-row or via groupBy, so the q200 oracle recomputes these
+    * relationally). Everything is a projection — no explode/groupBy —
+    * which is what makes the pipeline legal on an unaggregated STREAM:
+    * signatures fold over the in-row array with transform/array_min.
+    * Docs with < n words carry no shingles and are dropped (parity
+    * with [[wordShingles]]). */
+  def rowLocalBandProject(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val ws = split(col(textCol), " ")
+    val shArr = array_distinct(transform(
+      sequence(lit(1), size(ws) - (shingleN - 1)),
+      i => md5Hash60(array_join(slice(ws, i, lit(shingleN)), " "))))
+    // Same stride-700000001 family as minHashSignaturesArith (see its
+    // scaladoc for why the multiplier stride is load-bearing): the
+    // in-row fold below produces BIT-IDENTICAL minima to the groupBy
+    // form, so batch indexes and streaming probes interoperate.
+    val sig = (0 until k).map { i =>
+      array_min(transform(col("sh_arr"), h =>
+        pmod(pmod(h, lit(1000000007L))
+            * lit(2654435761L + 700000001L * i)
+          + lit(97531L * i), lit(999999999989L))))
+    }
+    val bbs = array((0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until r).map(j => col(s"mh${b * r + j}").as(s"m$j")): _*)
+    }: _*)
+    docs
+      .filter(size(ws) >= shingleN) // sequence(1,0) would run backwards
+      .select(col(idCol).as("doc_id"), shArr.as("sh_arr"))
+      .select(col("doc_id") +: col("sh_arr") +:
+        sig.zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+      .select(col("doc_id"), col("sh_arr"), bbs.as("bbs"))
+  }
+
+  /** Incremental near-dup screen of `incoming` docs against a `base`
+    * corpus — the STREAMING formulation of [[minhashNearDupPairsCross]]:
+    * the base side is a precomputed static bucket/shingle index; the
+    * incoming side is the map-only [[rowLocalBandProject]]; candidates
+    * come from a stream-static equi-join on band r-tuples and are
+    * verified row-locally (array_intersect on the two in-row shingle
+    * arrays — no shingle-set join). NOTHING here aggregates across
+    * incoming rows, so under readStream the same function screens each
+    * micro-batch exactly-once with ZERO streaming state beyond the
+    * join's static side (DedupSpec proves batch⇌incremental parity).
+    * At 100 TB: base buckets are a bucketed table re-read per batch;
+    * incoming work is proportional to the batch, not the corpus.
+    * Output: (doc_new, doc_base, inter_sz, union_sz, jaccard ≥ tau). */
+  def streamNearDupScreen(incoming: DataFrame, base: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                          tau: Double = 0.5): DataFrame = {
+    val baseP = rowLocalBandProject(base, idCol, textCol, shingleN, k, bands)
+      .select(col("doc_id").as("doc_base"), col("sh_arr").as("base_sh"),
+        explode(col("bbs")).as("bb"))
+    val incP = rowLocalBandProject(incoming, idCol, textCol, shingleN,
+        k, bands)
+      .select(col("doc_id").as("doc_new"), col("sh_arr").as("new_sh"),
+        explode(col("bbs")).as("bb"))
+    val cand = incP.join(baseP, "bb")
+      // same-pair hits from multiple shared bands are identical rows;
+      // dropDuplicates on the pair keys is deterministic here
+      .dropDuplicates("doc_new", "doc_base")
+    cand
+      .withColumn("inter_sz",
+        size(array_intersect(col("new_sh"), col("base_sh"))).cast("long"))
+      .withColumn("union_sz",
+        (size(col("new_sh")) + size(col("base_sh"))).cast("long")
+          - col("inter_sz"))
+      .withColumn("jaccard",
+        col("inter_sz").cast("double") / col("union_sz"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_new"), col("doc_base"), col("inter_sz"),
+        col("union_sz"), col("jaccard"))
+  }
 
   /** SimHash near-dup pairs: pigeonhole banding — hamming ≤ maxHamming
     * (< #chunks) implies at least one equal 16-bit chunk, so candidates

@@ -99,6 +99,24 @@ object DedupQueries extends QueryPack {
           (col("doc_id") + 20000L).as("doc_id"), col("text")))
       Dedup.exact(withCopies, "doc_id", "text")
     }),
+    // Streaming-safe incremental near-dup screen: the planted
+    // mutations (id ≥ 10000) are the "incoming batch", originals the
+    // static base. The whole incoming pipeline is map-only (row-local
+    // shingles → in-row arithmetic minhash fold → band tuples) + one
+    // stream-static band join + row-local verify — ZERO streaming
+    // state, so the same function screens live micro-batches
+    // exactly-once (DedupSpec proves batch⇌incremental parity). The
+    // oracle recomputes shingles, signatures, buckets, candidates,
+    // and Jaccard relationally — min over a set is fold-order-free.
+    "q200_stream_neardup_screen" -> ((s, d) => {
+      val c = corpus(s, d)
+      Dedup.streamNearDupScreen(
+          c.filter(col("doc_id") >= 10000L),
+          c.filter(col("doc_id") < 10000L),
+          "doc_id", "text", shingleN = 3, k = 8, bands = 4, tau = 0.5)
+        .select(col("doc_new"), col("doc_base"), col("inter_sz"),
+          col("union_sz"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     // MinHash(k=32) + LSH(16 bands × 2) + exact-Jaccard verify.
     "q42_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
@@ -329,6 +347,45 @@ object DedupQueries extends QueryPack {
       s" << ${4 * (15 - i)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q185's arithmetic-family recompute, restricted to
+    // incoming(≥10000) × base(<10000) candidates + exact Jaccard
+    "q200_stream_neardup_screen" ->
+      s"""WITH corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT DISTINCT doc_id, $md5Hex60Sql AS h FROM hm),
+        | h1 AS (SELECT doc_id, h % 1000000007 AS h1 FROM hh),
+        | mins AS (SELECT doc_id, i,
+        |   min((h1 * (2654435761 + 700000001*i) + 97531*i)
+        |     % 999999999989) AS mh
+        |  FROM h1, UNNEST(generate_series(0, 7)) AS g(i)
+        |  GROUP BY 1, 2),
+        | bandsv AS (SELECT doc_id, i // 2 AS b,
+        |   max(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |   max(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |  FROM mins GROUP BY 1, 2),
+        | cand AS (SELECT DISTINCT n.doc_id AS doc_new,
+        |   bs.doc_id AS doc_base
+        |  FROM bandsv n JOIN bandsv bs ON n.b = bs.b
+        |   AND n.m0 = bs.m0 AND n.m1 = bs.m1
+        |  WHERE n.doc_id >= 10000 AND bs.doc_id < 10000),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
+        | inter AS (SELECT c.doc_new, c.doc_base, count(*) AS iv
+        |  FROM cand c JOIN hh a ON a.doc_id = c.doc_new
+        |  JOIN hh b ON b.doc_id = c.doc_base AND b.h = a.h
+        |  GROUP BY 1, 2)
+        | SELECT i.doc_new, i.doc_base, CAST(iv AS BIGINT) AS inter_sz,
+        |  CAST(sa.n + sb.n - iv AS BIGINT) AS union_sz,
+        |  round(CAST(iv AS DOUBLE) / (sa.n + sb.n - iv), 6) AS jaccard
+        | FROM inter i JOIN sizes sa ON i.doc_new = sa.doc_id
+        | JOIN sizes sb ON i.doc_base = sb.doc_id
+        | WHERE CAST(iv AS DOUBLE) / (sa.n + sb.n - iv) >= 0.5"""
+        .stripMargin,
     "q185_lsh_scurve" ->
       s"""WITH $calibCorpusSql,
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -341,7 +398,7 @@ object DedupQueries extends QueryPack {
         | hh AS (SELECT doc_id, $md5Hex60Sql AS h FROM hm),
         | h1 AS (SELECT doc_id, h % 1000000007 AS h1 FROM hh),
         | mins AS (SELECT doc_id, i,
-        |   min((h1 * (2654435761 + 2*i) + 97531*i) % 999999999989)
+        |   min((h1 * (2654435761 + 700000001*i) + 97531*i) % 999999999989)
         |     AS mh
         |  FROM h1, UNNEST(generate_series(0, 7)) AS g(i)
         |  GROUP BY 1, 2),

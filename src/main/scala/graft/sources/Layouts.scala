@@ -42,6 +42,44 @@ object Layouts {
         && col("ts") >= fromNs && col("ts") < untilNs) // row-group stats
   }
 
+  /** Compact a small-file parquet directory into ~`targetBytes` files
+    * — the OPTIMIZE / bin-packing maintenance every streaming or
+    * micro-batch ingestion needs: a sink writing every trigger leaves
+    * thousands of KB-sized files per day, and at 100 TB the resulting
+    * file-listing + task-per-file overhead dominates scan time long
+    * before data volume does. Sizing comes from the actual on-disk
+    * bytes (not a row-count guess, which misestimates wide/narrow
+    * schemas); the rewrite is one round-robin repartition — no key
+    * assumption, pure coalescing. Optionally `sortWithinBy` re-sorts
+    * rows inside each output file so min/max row-group stats stay
+    * selective after the merge (compaction that destroys clustering
+    * trades one problem for another). Returns (files_before,
+    * files_after, bytes). Atomicity at cluster scale comes from the
+    * table format's commit protocol; here the rewrite lands in
+    * `outPath` and the swap is the caller's rename. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        outPath: String, targetBytes: Long,
+                        sortWithinBy: Seq[String] = Nil): (Long, Long, Long) = {
+    val fs = new java.io.File(path)
+    val parts = Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    val bytes = parts.map(_.length()).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val df = spark.read.parquet(path)
+    // plain bin-packing = round-robin; clustered compaction = range
+    // repartition + in-partition sort, so output files own DISJOINT
+    // key ranges (overlapping ranges would defeat min/max skipping)
+    val packed =
+      if (sortWithinBy.isEmpty) df.repartition(nOut.toInt)
+      else df.repartitionByRange(nOut.toInt, sortWithinBy.map(col): _*)
+        .sortWithinPartitions(sortWithinBy.map(col): _*)
+    packed.write.mode("overwrite").parquet(outPath)
+    val outParts = Option(new java.io.File(outPath).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet") && f.isFile)
+    (parts.length.toLong, outParts.toLong, bytes)
+  }
+
   /** 16-bit Morton spread: insert a zero bit between every bit of the
     * low 16 bits (classic magic-number shifts — constant-folded,
     * codegen'd, no UDF). */

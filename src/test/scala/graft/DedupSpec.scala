@@ -190,6 +190,40 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // verified pairs carry no false positives
   }
 
+  test("streamNearDupScreen runs unchanged under readStream (batch parity)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val incoming = Seq(
+      // near-dup of docs 1/2 (shares their shingle set + extras)
+      (101L, "the quick brown fox jumps over the lazy dog tonight " +
+        "extra words here"),
+      (102L, "totally novel text with no overlap whatsoever in any shingle"))
+    def screen(inc: org.apache.spark.sql.DataFrame) =
+      Dedup.streamNearDupScreen(inc, docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, tau = 0.5)
+    val input = MemoryStream[(Long, String)]
+    val q = screen(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nds_par")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming.take(1): _*)
+      q.processAllAvailable()
+      input.addData(incoming.drop(1): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val got = spark.table("nds_par").collect().map(key).toSet
+      val want = screen(incoming.toDF("doc_id", "text"))
+        .collect().map(key).toSet
+      assert(got == want && got.nonEmpty)
+      // the planted near-dup hits both identical base docs; the novel
+      // doc hits nothing
+      assert(got.exists(p => p._1 == 101L && p._2 == 1L))
+      assert(got.exists(p => p._1 == 101L && p._2 == 2L))
+      assert(!got.exists(_._1 == 102L))
+    } finally q.stop()
+  }
+
   test("nearDupClusters: union-find and distributed paths agree") {
     // chain 1-2-3-4 (transitive), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),

@@ -71,6 +71,41 @@ class LayoutsSpec extends AnyFunSuite {
     assert(avgWidth(zdir, "l_suppkey") < 0.6, s"suppkey ${avgWidth(zdir, "l_suppkey")}")
   }
 
+  test("compaction bin-packs small files and preserves data + stats") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("compact-src").toString
+    val outDir = Files.createTempDirectory("compact-out").toString
+    // simulate a micro-batch sink's damage: 64 tiny files
+    val rows = (1L to 20000L).map(i => (i, i % 97, s"payload-$i"))
+      .toDF("id", "k", "s")
+    rows.repartition(64).write.mode("overwrite").parquet(srcDir)
+    val srcFiles = new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    assert(srcFiles.length == 64)
+    val bytes = srcFiles.map(_.length()).sum
+    val target = bytes / 4 // expect ~4-5 output files
+    val (before, after, reported) =
+      Layouts.compactSmallFiles(spark, srcDir, outDir, target,
+        sortWithinBy = Seq("id"))
+    assert(before == 64 && reported == bytes)
+    assert(after <= 6, s"expected <=6 packed files, got $after")
+    // data survives exactly
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 20000)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0)
+      == (20000L * 20001L) / 2)
+    // sortWithinBy keeps per-file min/max id ranges narrow: disjoint
+    // non-overlapping ranges ⇒ row-group skipping stays selective
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file ranges overlap: $hi1 >= $lo2")
+      case _ => ()
+    }
+  }
+
   test("same-bucketing tables join with zero exchange") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
