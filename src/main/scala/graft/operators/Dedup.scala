@@ -382,18 +382,47 @@ object Dedup {
                           idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                           tau: Double = 0.5): DataFrame = {
-    val baseP = rowLocalBandProject(base, idCol, textCol, shingleN, k, bands)
-      .select(col("doc_id").as("doc_base"), col("sh_arr").as("base_sh"),
-        explode(col("bbs")).as("bb"))
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    // The static index is BATCH machinery, so it takes the exploded
+    // path: md5Hash60 over an exploded shingle column runs inside
+    // whole-stage codegen, while the same hash inside a transform()
+    // lambda (the row-local form) is evaluated interpreted per
+    // element — on a corpus-sized base that difference dominates the
+    // whole screen. Values are identical either way (min over the
+    // same set; arrays compared as sets), so streaming probes built
+    // row-locally interoperate bit-for-bit. Persisted once: it feeds
+    // the bucket join and the array fetch (and amortizes across
+    // micro-batches in a live stream).
+    val baseSh = wordShingles(base, idCol, textCol, shingleN)
+      .select(col("doc_id"), md5Hash60(col("shingle")).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until r).map(j => col(s"mh${b * r + j}").as(s"m$j")): _*)
+    }
+    // the base side of the bucket join is SLIM (id + band tuple): at
+    // 100 TB the index dominates the join, and shipping every base
+    // doc's shingle array 4× through the bucket shuffle (the naive
+    // carry-everything form) costs more than the whole screen — base
+    // arrays re-attach per candidate PAIR instead, after dedup. The
+    // incoming side keeps its array in-row: that is bounded by the
+    // micro-batch, and re-deriving it would need a stream-self-join.
+    val baseBuckets = minHashSignaturesArith(baseSh, k)
+      .select(col("doc_id").as("doc_base"),
+        explode(array(bandCols: _*)).as("bb"))
+    val baseArr = baseSh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("base_sh"))
+      .select(col("doc_id").as("doc_base"), col("base_sh"))
     val incP = rowLocalBandProject(incoming, idCol, textCol, shingleN,
         k, bands)
       .select(col("doc_id").as("doc_new"), col("sh_arr").as("new_sh"),
         explode(col("bbs")).as("bb"))
-    val cand = incP.join(baseP, "bb")
+    val cand = incP.join(baseBuckets, "bb")
       // same-pair hits from multiple shared bands are identical rows;
       // dropDuplicates on the pair keys is deterministic here
       .dropDuplicates("doc_new", "doc_base")
-    cand
+    val out = cand.join(baseArr, "doc_base") // stream-static re-attach
       .withColumn("inter_sz",
         size(array_intersect(col("new_sh"), col("base_sh"))).cast("long"))
       .withColumn("union_sz",
@@ -404,6 +433,10 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_new"), col("doc_base"), col("inter_sz"),
         col("union_sz"), col("jaccard"))
+    // a streaming result cannot be eagerly sealed (no count()); its
+    // static index blocks are reclaimed by ContextCleaner when the
+    // query drops — batch callers get the standard seal/release
+    if (incoming.isStreaming) out else sealResult(out, baseSh)
   }
 
   /** SimHash near-dup pairs: pigeonhole banding — hamming ≤ maxHamming

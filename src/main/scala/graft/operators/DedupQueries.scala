@@ -99,20 +99,28 @@ object DedupQueries extends QueryPack {
           (col("doc_id") + 20000L).as("doc_id"), col("text")))
       Dedup.exact(withCopies, "doc_id", "text")
     }),
-    // Streaming-safe incremental near-dup screen: the planted
-    // mutations (id ≥ 10000) are the "incoming batch", originals the
-    // static base. The whole incoming pipeline is map-only (row-local
-    // shingles → in-row arithmetic minhash fold → band tuples) + one
-    // stream-static band join + row-local verify — ZERO streaming
-    // state, so the same function screens live micro-batches
-    // exactly-once (DedupSpec proves batch⇌incremental parity). The
-    // oracle recomputes shingles, signatures, buckets, candidates,
-    // and Jaccard relationally — min over a set is fold-order-free.
+    // Streaming-safe incremental near-dup screen: one MICRO-BATCH of
+    // arriving docs (bounded hash-rank sample of planted mutations —
+    // micro-batches are fixed-size by nature, and the row-local
+    // probe's interpreted in-row fold is priced per BATCH, never per
+    // corpus) screened against the full static base index. The
+    // incoming pipeline is map-only (row-local shingles → in-row
+    // arithmetic minhash fold → band tuples) + one stream-static band
+    // join + row-local verify — ZERO streaming state, so the same
+    // function screens live micro-batches exactly-once (DedupSpec
+    // proves batch⇌incremental parity). The oracle recomputes
+    // shingles, signatures, buckets, candidates, and Jaccard
+    // relationally — min over a set is fold-order-free.
     "q200_stream_neardup_screen" -> ((s, d) => {
-      val c = corpus(s, d)
-      Dedup.streamNearDupScreen(
-          c.filter(col("doc_id") >= 10000L),
-          c.filter(col("doc_id") < 10000L),
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .orderBy(col("hk"), col("doc_id")).limit(500)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text"))
+      Dedup.streamNearDupScreen(batch,
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", shingleN = 3, k = 8, bands = 4, tau = 0.5)
         .select(col("doc_new"), col("doc_base"), col("inter_sz"),
           col("union_sz"), round(col("jaccard"), 6).as("jaccard"))
@@ -350,7 +358,12 @@ object DedupQueries extends QueryPack {
     // q185's arithmetic-family recompute, restricted to
     // incoming(≥10000) × base(<10000) candidates + exact Jaccard
     "q200_stream_neardup_screen" ->
-      s"""WITH corpus AS ($corpusSql),
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 500),
+        | corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000 AS doc_id,
+        |   text || ' zq0 zq1 zq2' AS text FROM samp),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,

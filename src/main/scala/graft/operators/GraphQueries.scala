@@ -95,15 +95,23 @@ object GraphQueries extends QueryPack {
       Graph.pageRankInt(e, "u", "v", iters = 3)
         .select(col("v").as("suppkey"), col("rank"))
     }),
-    // k-core of the supplier co-occurrence graph (q104's edge set):
-    // 6 synchronous peeling rounds at k=3 — vertices in bot-ring /
-    // long-tail shells peel away round by round, the dense
-    // collaboration core survives with its in-core degree. Fixed
-    // rounds keep the DAG replayable by the oracle stage-for-stage;
-    // see Graph.kCore's scaladoc for the convergence-probe variant.
+    // k-core of the TOP-2000-heaviest-edge supplier co-occurrence
+    // graph: an absolute shared-count cut cannot serve every scale
+    // (co-occurrence mass dilutes as the supplier domain grows — ≥10
+    // leaves a forest at sf0.1, while sf0.01 is a near-clique), so
+    // the graph is the K heaviest edges by (shared, pair-id) — a
+    // total order, so the edge set is deterministic, its SIZE is
+    // scale-stable, and the cut is a TakeOrdered (never a global
+    // sort). 6 synchronous peeling rounds at k=3: long-tail shells
+    // peel away round by round, the dense collaboration core survives
+    // with its in-core degree. Fixed rounds keep the DAG replayable
+    // by the oracle stage-for-stage; see Graph.kCore's scaladoc for
+    // the convergence-probe variant.
     "q196_kcore" -> ((s, d) => {
       val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
-        "l_orderkey", "l_suppkey", minShared = 30L)
+          "l_orderkey", "l_suppkey", minShared = 2L)
+        .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+        .limit(2000)
       Graph.kCore(e, "d_a", "d_b", k = 3, rounds = 6)
         .select(col("vertex").as("suppkey"), col("core_deg"))
     }),
@@ -225,22 +233,28 @@ object GraphQueries extends QueryPack {
         | SELECT v AS suppkey, CAST(rank AS BIGINT) AS rank FROM i3""".stripMargin,
     // 6 unrolled peeling stages, each the exact relational twin of a
     // Graph.kCore round (degree ≥ 3 survivor set, both endpoints
-    // semi-filtered)
+    // semi-filtered). Every stage CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs, and with each g_r referencing g_{r-1} three times
+    // the inlined chain re-expands the co-occurrence join 3^6 times —
+    // enough to overflow temp disk at sf0.1 before ever finishing.
     "q196_kcore" -> {
       val peel = (1 to 6).map { r =>
-        s"""a$r AS (SELECT u FROM g${r - 1} GROUP BY u
+        s"""a$r AS MATERIALIZED (SELECT u FROM g${r - 1} GROUP BY u
            |  HAVING count(*) >= 3),
-           | g$r AS (SELECT g.u, g.v FROM g${r - 1} g
+           | g$r AS MATERIALIZED (SELECT g.u, g.v FROM g${r - 1} g
            |  WHERE g.u IN (SELECT u FROM a$r)
            |    AND g.v IN (SELECT u FROM a$r))""".stripMargin
       }.mkString(",\n ")
-      s"""WITH co AS (
-         |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      s"""WITH co0 AS MATERIALIZED (
+         |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
          |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
          |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
          |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 30),
-         | g0 AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         | co AS MATERIALIZED (SELECT u, v FROM co0
+         |  ORDER BY shared DESC, u, v LIMIT 2000),
+         | g0 AS MATERIALIZED (SELECT u, v FROM co
+         |  UNION ALL SELECT v, u FROM co),
          | $peel
          | SELECT u AS suppkey, count(*) AS core_deg
          | FROM g6 GROUP BY u""".stripMargin

@@ -122,6 +122,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  test("bigram LM reuses the per-doc bigram exchange for the global table") {
+    // bid (doc,w1,w2 counts) feeds BOTH the global bigram aggregate
+    // and the scoring join; the plan must compute its shuffle once
+    // (ReusedExchange), not tokenize + explode the corpus twice
+    val df = SparkEntry.queries("q198_bigram_xent")(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"expected the bid exchange to be reused:\n$p")
+  }
+
+  test("streaming near-dup screen keeps base arrays out of the bucket join") {
+    // the bucket join's base side must be slim (id + band tuple):
+    // shingle arrays may only enter the plan in the per-pair
+    // re-attach join AFTER candidate dedup — an array-typed join
+    // input on the bucket side would ship every base doc's shingles
+    // 4× through the shuffle at 100 TB
+    val df = SparkEntry.queries("q200_stream_neardup_screen")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("base_sh"), s"expected a base_sh re-attach join:\n$p")
+    // no operator row may carry a band tuple AND the base shingle
+    // array together — that is exactly the carry-everything shape
+    val mixed = p.linesIterator
+      .filter(l => l.contains("bb#") && l.contains("base_sh")).toSeq
+    assert(mixed.isEmpty,
+      s"band-join rows carrying base_sh:\n${mixed.mkString("\n")}")
+  }
+
   test("triangle count plans no cartesian product") {
     val df = SparkEntry.queries("q104_triangles")(spark, sf)
     df.collect() // finalize AQE
