@@ -419,4 +419,45 @@ object Graph {
     g.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("vertex"), col("core_deg"))
   }
+
+  /** Synchronous WEIGHTED label propagation (community detection over
+    * an undirected weighted edge list): from label(v) = v, every round
+    * each vertex adopts the neighbor label with the largest incident
+    * weight sum — ties broken toward the SMALLER label, so with
+    * integer weights every round is a pure function of the previous
+    * one and an external engine replays the whole run stage-for-stage
+    * (q201's oracle). Each round costs one edge join + one (v, label)
+    * weight aggregate + one argmax reduce — all vertex-keyed
+    * shuffles, lineage cut per round; communities emerge in a handful
+    * of rounds on modular graphs. `rounds` is FIXED for oracle
+    * parity; a production variant probes label churn (one-row
+    * aggregate, see connectedComponents' convergence-collect
+    * contract) and stops early. Output: (vertex, label). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       wCol: String, rounds: Int): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col(src).as("u"), col(dst).as("v"), col(wCol).as("w")),
+        struct(col(dst).as("u"), col(src).as("v"), col(wCol).as("w"))))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      // argmax via struct max: (weight sum, −label) orders first by
+      // ws descending, then by label ASCENDING — the deterministic
+      // tie-break the oracle mirrors with ORDER BY ws DESC, lbl ASC
+      labels = sym
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl"))
+        .agg(sum(col("w")).as("ws"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("ws"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels.select(col("v").as("vertex"), col("lbl").as("label"))
+  }
 }

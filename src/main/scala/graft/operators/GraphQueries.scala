@@ -115,6 +115,20 @@ object GraphQueries extends QueryPack {
       Graph.kCore(e, "d_a", "d_b", k = 3, rounds = 6)
         .select(col("vertex").as("suppkey"), col("core_deg"))
     }),
+    // Weighted label-propagation communities on q196's top-2000-edge
+    // supplier graph (weight = shared-order count), 4 synchronous
+    // rounds, smaller-label tie-break — integer weights + a total tie
+    // order make every round deterministic, so the oracle unrolls the
+    // identical 4 stages. Output: each supplier's community label.
+    "q201_label_propagation" -> ((s, d) => {
+      val e = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey", minShared = 2L)
+        .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+        .limit(2000)
+      Graph.labelPropagation(e, "d_a", "d_b", "shared", rounds = 4)
+        .select(col("vertex").as("suppkey"),
+          col("label").cast("long").as("community"))
+    }),
     "q105_khop_reach" -> ((s, d) => {
       val seed = Tables.customer(s, d).filter(col("c_nationkey") === 0)
         .select(col("c_custkey"))
@@ -258,6 +272,32 @@ object GraphQueries extends QueryPack {
          | $peel
          | SELECT u AS suppkey, count(*) AS core_deg
          | FROM g6 GROUP BY u""".stripMargin
+    },
+    // 4 unrolled LPA stages; argmax = row_number over (ws DESC, lbl
+    // ASC) — the relational twin of Spark's max(struct(ws, −lbl))
+    "q201_label_propagation" -> {
+      val stages = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (SELECT v, lbl FROM (
+           |  SELECT g.v, l.lbl, sum(g.w) AS ws,
+           |    row_number() OVER (PARTITION BY g.v
+           |      ORDER BY sum(g.w) DESC, l.lbl ASC) AS rk
+           |  FROM g JOIN l${r - 1} l ON g.u = l.v
+           |  GROUP BY g.v, l.lbl) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH co0 AS MATERIALIZED (
+         |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
+         |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+         |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+         |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         | co AS MATERIALIZED (SELECT u, v, shared AS w FROM co0
+         |  ORDER BY shared DESC, u, v LIMIT 2000),
+         | g AS MATERIALIZED (SELECT u, v, w FROM co
+         |  UNION ALL SELECT v, u, w FROM co),
+         | l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl FROM g),
+         | $stages
+         | SELECT v AS suppkey, CAST(lbl AS BIGINT) AS community
+         | FROM l4""".stripMargin
     },
     "q105_khop_reach" ->
       """WITH seed AS (SELECT c_custkey FROM customer

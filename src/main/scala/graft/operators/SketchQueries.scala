@@ -43,6 +43,18 @@ object SketchQueries extends QueryPack {
         Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("w")),
         "w", threshDenom = 1000L, cap = 2000)),
+    // Per-source vocabulary-size estimate over STRING keys: words
+    // bridge into the arithmetic KMV family via their md5-60 hash
+    // (Dedup.md5Hash60 — oracle-recomputable, unlike xxhash64), so
+    // the bounded-state sketch pipeline covers text keys with an
+    // exact DuckDB recompute. k=256 ⇒ ≤2 KB state per source however
+    // large the corpus — the 100 TB path for per-domain vocab stats.
+    "q202_vocab_kmv" -> ((s, d) =>
+      Sketches.approxDistinctByKey(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .select(col("source"), Dedup.md5Hash60(col("w")).as("wid")),
+        Seq("source"), "wid", k = 256, arithHash = true)),
     // |orders ⨝ lineitem| on orderkey WITHOUT running the join: a
     // k=512 KMV sample of the union key domain, per-side counts only
     // on sampled keys, Σ cntA·cntB scaled by D̂/k — the pre-shuffle
@@ -62,6 +74,24 @@ object SketchQueries extends QueryPack {
         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
         | SELECT w, CAST(c AS BIGINT) AS cnt FROM cnt, tot
         | WHERE c > n // 1000""".stripMargin,
+    // q80's ranked-minima recompute over the md5-60 word hash
+    "q202_vocab_kmv" -> {
+      val md5Sql = DedupQueries.md5Hex60Sql
+      s"""WITH w0 AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | hm AS (SELECT source, md5(w) AS m FROM w0),
+        | hh AS (SELECT DISTINCT source,
+        |   (($md5Sql) % 1000000007) * 2654435761 % 999999999989 AS h
+        |  FROM hm),
+        | ranked AS (SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+        |   count(*) OVER (PARTITION BY source) AS cnt FROM hh)
+        | SELECT source,
+        |  CASE WHEN max(cnt) < 256 THEN CAST(max(cnt) AS DOUBLE)
+        |   ELSE round(255.0 / (CAST(max(CASE WHEN rk = 256 THEN h END)
+        |     AS DOUBLE) / 999999999989.0), 2) END AS approx_distinct
+        | FROM ranked GROUP BY source""".stripMargin
+    },
     // the estimator replayed relationally: distinct union-domain
     // hashes → kth smallest = θ → per-side counts on keys ≤ θ →
     // Σ ca·cb scaled by ((k−1)/(θ/space))/k, identical op order

@@ -183,6 +183,20 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(leaf - (0.03 + 0.85 * (hub / 5))) < 1e-3)
   }
 
+  test("labelPropagation separates weakly-bridged communities") {
+    // two triangles (internal weight 10) joined by a weight-1 bridge
+    // 3—4: after 4 synchronous rounds each triangle converges to its
+    // own min label and the bridge never flips either side
+    val g = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("s", "d", "w")
+    val got = Graph.labelPropagation(g, "s", "d", "w", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(got).toSet == Set(1L))
+    assert(Seq(4L, 5L, 6L).map(got).toSet == Set(4L))
+  }
+
   test("kCore peels shells iteratively, keeps the dense core") {
     // triangle {1,2,3} + a tail 3-4-5-6 hanging off it: the 2-core is
     // exactly the triangle, but only ITERATIVE peeling finds it — the
