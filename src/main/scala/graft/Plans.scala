@@ -86,7 +86,22 @@ object Plans {
       "q188_pii_scrub" -> ("PII scrub: per-row regex count + redact, " +
         "ZERO exchanges"),
       "q189_fuzzy_link" -> ("blocked fuzzy linkage: suffix-key " +
-        "equi-join bounds candidates, codegen'd Levenshtein verify"))
+        "equi-join bounds candidates, codegen'd Levenshtein verify"),
+      "q196_kcore" -> ("k-core peeling on the top-2000-edge graph: " +
+        "TakeOrdered edge cut, then per-round degree agg + two " +
+        "semi-joins, lineage cut per round"),
+      "q197_join_size_estimate" -> ("KMV join-size estimate: 1-row " +
+        "sketch broadcast, theta-filter BEFORE the k-bounded " +
+        "aggregate — never the join itself"),
+      "q198_bigram_xent" -> ("bigram LM: row-local bigram explode, " +
+        "per-doc multiset collapses first, global table derives from " +
+        "the SAME exchange (ReusedExchange)"),
+      "q200_stream_neardup_screen" -> ("streaming near-dup screen: " +
+        "slim band-bucket join (no array payload), per-pair array " +
+        "re-attach AFTER candidate dedup, row-local verify"),
+      "q201_label_propagation" -> ("label propagation: 4 unrolled " +
+        "edge-join + weight-agg + argmax rounds on the " +
+        "scale-constant top-2000-edge graph"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

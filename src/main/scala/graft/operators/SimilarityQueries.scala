@@ -89,6 +89,33 @@ object SimilarityQueries extends QueryPack {
     // Hard-negative mining: top-5 most-similar DIFFERENT-label
     // vectors per query — the contrastive-training pair generator
     // (Similarity.hardNegatives scaladoc for the scale shape).
+    // Deterministic RANDOM negative sampling — the in-batch
+    // complement to q147's hard negatives for contrastive training
+    // pairs: every 50th doc draws 4 negatives from the corpus via
+    // the arithmetic sample hash over (query-id, slot) mapped into a
+    // dense 0..N-1 corpus index (Rank.distributedRank — no
+    // single-partition window). Pure projections + one equi-join on
+    // the index: at 100 TB this is a hash join against the corpus
+    // index table, never a random-access lookup. Accidental
+    // self-draws are filtered identically on both sides.
+    "q203_negative_sampling" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val idx = Rank.distributedRank(docs, Seq(col("doc_id").asc), s)
+        .select(col("doc_id").as("neg_doc_id"),
+          (col("rk") - 1L).as("neg_idx"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val draws = Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"),
+          col("nd"))
+        .select(col("doc_id"), col("j"),
+          pmod(graft.functions.Sketches.sampleHash(
+            col("doc_id") * 4 + col("j")), col("nd")).as("neg_idx"))
+      draws.join(idx, "neg_idx")
+        .filter(col("neg_doc_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("j"), col("neg_doc_id"))
+    }),
     "q147_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5L),
@@ -353,6 +380,19 @@ object SimilarityQueries extends QueryPack {
         | SELECT query_id, vec_id, round(c, 6) AS cosine,
         |  CAST(rk AS BIGINT) AS rank
         | FROM ranked WHERE rk <= 3""".stripMargin,
+    "q203_negative_sampling" ->
+      """WITH idx AS (SELECT doc_id AS neg_doc_id,
+        |   row_number() OVER (ORDER BY doc_id) - 1 AS neg_idx
+        |  FROM documents),
+        | n AS (SELECT count(*) AS nd FROM documents),
+        | draws AS (SELECT doc_id, j,
+        |   ((doc_id * 4 + j) % 1000000007) * 2654435761
+        |     % 999999999989 % nd AS neg_idx
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |   UNNEST(generate_series(0, 3)) AS t(j), n)
+        | SELECT d.doc_id, CAST(d.j AS BIGINT) AS j, i.neg_doc_id
+        | FROM draws d JOIN idx i ON d.neg_idx = i.neg_idx
+        | WHERE i.neg_doc_id <> d.doc_id""".stripMargin,
     "q147_hard_negatives" ->
       s"""WITH $flatCte,
         | lab AS (SELECT vec_id, label FROM embeddings),
