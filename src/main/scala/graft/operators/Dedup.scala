@@ -338,6 +338,10 @@ object Dedup {
   def rowLocalBandProject(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    // same overflow bound as minHashSignaturesArith: past k=8 the
+    // stride multipliers push h1·a_i over 2^63 and the fold would
+    // silently wrap into a DIFFERENT family than the batch index
+    require(k <= 8, s"k=$k: stride family is overflow-proven for k <= 8")
     val r = k / bands
     val ws = split(col(textCol), " ")
     val shArr = array_distinct(transform(
@@ -401,27 +405,41 @@ object Dedup {
       struct(lit(b).as("band") +:
         (0 until r).map(j => col(s"mh${b * r + j}").as(s"m$j")): _*)
     }
-    // the base side of the bucket join is SLIM (id + band tuple): at
+    // the base side of the bucket join is SLIM (id + band tuples): at
     // 100 TB the index dominates the join, and shipping every base
     // doc's shingle array 4× through the bucket shuffle (the naive
     // carry-everything form) costs more than the whole screen — base
-    // arrays re-attach per candidate PAIR instead, after dedup. The
-    // incoming side keeps its array in-row: that is bounded by the
-    // micro-batch, and re-deriving it would need a stream-self-join.
+    // arrays re-attach per candidate PAIR instead. The bands×r-long
+    // `bbs` tuple array (fixed ~tens of bytes) DOES ride along on
+    // both sides: it powers the zero-state pair dedup below. The
+    // incoming side keeps its shingle array in-row: that is bounded
+    // by the micro-batch, and re-deriving it would need a
+    // stream-self-join.
     val baseBuckets = minHashSignaturesArith(baseSh, k)
       .select(col("doc_id").as("doc_base"),
-        explode(array(bandCols: _*)).as("bb"))
+        array(bandCols: _*).as("base_bbs"))
+      .select(col("doc_base"), col("base_bbs"),
+        explode(col("base_bbs")).as("bb"))
     val baseArr = baseSh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("base_sh"))
       .select(col("doc_id").as("doc_base"), col("base_sh"))
     val incP = rowLocalBandProject(incoming, idCol, textCol, shingleN,
         k, bands)
       .select(col("doc_id").as("doc_new"), col("sh_arr").as("new_sh"),
-        explode(col("bbs")).as("bb"))
+        col("bbs"), explode(col("bbs")).as("bb"))
+    // Pair dedup WITHOUT state: a pair sharing several bands produces
+    // one joined row per shared band — keep only the row whose band
+    // is the FIRST match of the two band arrays (row-local zip, no
+    // aggregation). A streaming dropDuplicates here would plan a
+    // StreamingDeduplicate whose store retains every pair ever seen
+    // (unbounded growth AND wrong semantics for re-ingested docs:
+    // later re-sends would be suppressed by old state); this filter
+    // keeps the screen genuinely stateless and per-batch exact.
     val cand = incP.join(baseBuckets, "bb")
-      // same-pair hits from multiple shared bands are identical rows;
-      // dropDuplicates on the pair keys is deterministic here
-      .dropDuplicates("doc_new", "doc_base")
+      .filter(col("bb.band") + 1 === array_position(
+        zip_with(col("bbs"), col("base_bbs"), (a, b) => a === b),
+        lit(true)))
+      .select(col("doc_new"), col("new_sh"), col("doc_base"))
     val out = cand.join(baseArr, "doc_base") // stream-static re-attach
       .withColumn("inter_sz",
         size(array_intersect(col("new_sh"), col("base_sh"))).cast("long"))

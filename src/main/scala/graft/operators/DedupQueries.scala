@@ -117,7 +117,10 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("text"),
           md5(col("doc_id").cast("string")).as("hk"))
         .orderBy(col("hk"), col("doc_id")).limit(500)
-        .select((col("doc_id") + 10000L).as("doc_id"),
+        // +1e9 offset (not the corpus() +10000 convention): batch ids
+        // must never collide with REAL base ids on corpora whose id
+        // domain exceeds 10000 (ScaleGen replicas start at 20000)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text"))
       Dedup.streamNearDupScreen(batch,
           Tables.documents(s, d).select(col("doc_id"), col("text")),
@@ -356,13 +359,13 @@ object DedupQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     // q185's arithmetic-family recompute, restricted to
-    // incoming(≥10000) × base(<10000) candidates + exact Jaccard
+    // incoming(≥1e9) × base(<1e9) candidates + exact Jaccard
     "q200_stream_neardup_screen" ->
       s"""WITH samp AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 2 = 0
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 500),
         | corpus AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000 AS doc_id,
+        |  UNION ALL SELECT doc_id + 1000000000 AS doc_id,
         |   text || ' zq0 zq1 zq2' AS text FROM samp),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM corpus),
@@ -386,7 +389,7 @@ object DedupQueries extends QueryPack {
         |   bs.doc_id AS doc_base
         |  FROM bandsv n JOIN bandsv bs ON n.b = bs.b
         |   AND n.m0 = bs.m0 AND n.m1 = bs.m1
-        |  WHERE n.doc_id >= 10000 AND bs.doc_id < 10000),
+        |  WHERE n.doc_id >= 1000000000 AND bs.doc_id < 1000000000),
         | sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
         | inter AS (SELECT c.doc_new, c.doc_base, count(*) AS iv
         |  FROM cand c JOIN hh a ON a.doc_id = c.doc_new

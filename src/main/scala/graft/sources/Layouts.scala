@@ -60,10 +60,18 @@ object Layouts {
   def compactSmallFiles(spark: SparkSession, path: String,
                         outPath: String, targetBytes: Long,
                         sortWithinBy: Seq[String] = Nil): (Long, Long, Long) = {
-    val fs = new java.io.File(path)
-    val parts = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
-    val bytes = parts.map(_.length()).sum
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    // RECURSIVE listing, matching what spark.read.parquet actually
+    // loads — a top-level-only walk would report 0 bytes for a
+    // hive-partitioned layout (date=*/part-*.parquet) and funnel the
+    // whole table through one task
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .toArray
+    val bytes = parts.map(java.nio.file.Files.size(_)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val df = spark.read.parquet(path)
     // plain bin-packing = round-robin; clustered compaction = range

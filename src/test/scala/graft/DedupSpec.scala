@@ -221,6 +221,17 @@ class DedupSpec extends AnyFunSuite {
       assert(got.exists(p => p._1 == 101L && p._2 == 1L))
       assert(got.exists(p => p._1 == 101L && p._2 == 2L))
       assert(!got.exists(_._1 == 102L))
+      // ZERO-STATE contract: re-ingesting a doc in a later batch must
+      // re-emit its pairs (a stateful cross-batch dedup would
+      // suppress them — and grow its store forever)
+      val before = spark.table("nds_par").collect()
+        .count(r => r.getLong(0) == 101L)
+      input.addData(incoming.take(1): _*)
+      q.processAllAvailable()
+      val after = spark.table("nds_par").collect()
+        .count(r => r.getLong(0) == 101L)
+      assert(after == 2 * before,
+        s"re-sent doc must re-emit: before=$before after=$after")
     } finally q.stop()
   }
 
