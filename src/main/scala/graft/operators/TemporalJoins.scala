@@ -65,6 +65,54 @@ object TemporalJoins {
         right.columns.map(c => col(s"__m.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Nearest-neighbor as-of join: each left row matched to the
+    * CLOSEST right row of the same key within `tolerance` (ns/units
+    * of the time columns) — the sensor-fusion variant of [[asofJoin]]
+    * (backward-only "latest ≤ t" misses a reading 1 ms in the future
+    * when the previous one is minutes stale). Ties (equidistant
+    * backward/forward) resolve BACKWARD, so the operator degrades to
+    * plain as-of semantics as tolerance shrinks. Same tagged-union
+    * shape as [[asofJoin]]: the backward (last right ≤ t) and forward
+    * (first right ≥ t) candidates come from two window functions over
+    * the SAME (key; time, side) sort — one shuffle for the whole
+    * operator, no join, and the pick is row-local. Same determinism
+    * contract: (key, rightTime) must be unique on the right. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  tolerance: Column,
+                  rightPrefix: String = "r_"): DataFrame = {
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val l = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+    // right rows at equal time sort first (side 0 < 1): they land in
+    // the BACKWARD frame at distance 0 and win any tie
+    val ord = Seq(col("__t"), col("__side"))
+    val wB = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val db = col("__t") - col(s"__b.$rightTime")
+    val df = col(s"__f.$rightTime") - col("__t")
+    val picked = l.unionAll(r)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__n",
+        when(col("__f").isNull ||
+          (col("__b").isNotNull && db <= df), col("__b"))
+          .otherwise(col("__f")))
+      .filter(col("__n").isNotNull &&
+        abs(col("__t") - col(s"__n.$rightTime")) <= tolerance)
+    picked.select(
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.map(c => col(s"__n.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Point-in-interval join: rows of `points` matched to every row of
     * `intervals` with lo ≤ p < hi (half-open). Interval columns appear
     * prefixed with `intervalPrefix`. `binWidth` should be on the order

@@ -26,6 +26,28 @@ object TemporalQueries extends QueryPack {
           NowFunctions.intDiv(col("ts") - col("v_ts"), lit(1000000000L))
             .as("lag_s"))
     }),
+    // Nearest-view lookup within ±30 min of each click (backward on
+    // ties) — q76's sensor-fusion twin: a view 1 s in the future
+    // beats one 20 min stale. Distance is emitted as |Δ| seconds +
+    // a direction flag (signed division on negatives would hit
+    // floor-vs-trunc divergence between engines). One shuffle: both
+    // direction candidates ride the same (user; ts, side) sort.
+    "q204_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      TemporalJoins.asofNearest(clicks, views, "user_id", "ts", "ts",
+          tolerance = lit(1800000000000L), rightPrefix = "v_")
+        .select(col("event_id").as("click_id"),
+          col("v_view_id").as("view_id"),
+          NowFunctions.intDiv(abs(col("ts") - col("v_ts")),
+            lit(1000000000L)).as("dist_s"),
+          when(col("v_ts") <= col("ts"), lit("b")).otherwise(lit("f"))
+            .as("dir"))
+    }),
     // Overlapping price bands × lineitem: per-band count and exact sum.
     // Bands overlap (4500 step, 7000 width), so no aligned-bucket
     // rewrite applies — this exercises the real interval-join path.
@@ -53,6 +75,40 @@ object TemporalQueries extends QueryPack {
         |  (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000000000 AS lag_s
         | FROM c ASOF JOIN v
         |   ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    // both direction candidates via DuckDB's two ASOF directions,
+    // identical nearest/tie pick (db <= df → backward), ±30 min gate
+    "q204_asof_nearest" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |   FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        | c AS (SELECT user_id, ts, event_id FROM events
+        |   WHERE event_type = 'click'),
+        | b AS (SELECT c.event_id, c.user_id, c.ts,
+        |   v.ts AS bts, v.view_id AS bid
+        |  FROM c ASOF LEFT JOIN v
+        |   ON c.user_id = v.user_id AND c.ts >= v.ts),
+        | f AS (SELECT c.event_id, v.ts AS fts, v.view_id AS fid
+        |  FROM c ASOF LEFT JOIN v
+        |   ON c.user_id = v.user_id AND c.ts <= v.ts),
+        | j AS (SELECT b.event_id, b.ts, bts, bid, fts, fid
+        |  FROM b JOIN f ON b.event_id = f.event_id),
+        | p AS (SELECT event_id, ts,
+        |   CASE WHEN fid IS NULL OR (bid IS NOT NULL AND
+        |     epoch_ns(ts) - epoch_ns(bts)
+        |       <= epoch_ns(fts) - epoch_ns(ts))
+        |    THEN bid ELSE fid END AS view_id,
+        |   CASE WHEN fid IS NULL OR (bid IS NOT NULL AND
+        |     epoch_ns(ts) - epoch_ns(bts)
+        |       <= epoch_ns(fts) - epoch_ns(ts))
+        |    THEN epoch_ns(ts) - epoch_ns(bts)
+        |    ELSE epoch_ns(fts) - epoch_ns(ts) END AS dist_ns,
+        |   CASE WHEN fid IS NULL OR (bid IS NOT NULL AND
+        |     epoch_ns(ts) - epoch_ns(bts)
+        |       <= epoch_ns(fts) - epoch_ns(ts))
+        |    THEN 'b' ELSE 'f' END AS dir
+        |  FROM j WHERE bid IS NOT NULL OR fid IS NOT NULL)
+        | SELECT event_id AS click_id, view_id,
+        |  dist_ns // 1000000000 AS dist_s, dir
+        | FROM p WHERE dist_ns <= 1800000000000""".stripMargin,
     "q77_range_join" ->
       """WITH bands AS (SELECT i AS band_id, i * 4500.0 AS lo,
         |   i * 4500.0 + 7000.0 AS hi

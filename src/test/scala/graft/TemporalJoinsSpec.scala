@@ -34,6 +34,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Set(1L)) // trade at 90 is 80 ticks past quote 10 → dropped
   }
 
+  test("asofNearest picks the closer side, backward on ties, bounded") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 100L, 2.0),
+      ("B", 500L, 9.0)
+    ).toDF("sym", "t", "px")
+    val trades = Seq(
+      ("A", 12L, 200L),  // b=10 (d2) vs f=100 (d88) → backward 1.0
+      ("A", 60L, 201L),  // b=10 (d50) vs f=100 (d40) → forward 2.0
+      ("A", 55L, 202L),  // d45/d45 tie → backward 1.0
+      ("A", 9L, 203L),   // no backward → forward 10 (d1) → 1.0
+      ("A", 10L, 204L),  // exact hit → dist 0 backward
+      ("B", 900L, 205L), // b=500 d400 > tol 300 → dropped
+      ("C", 1L, 206L)    // no key match → dropped
+    ).toDF("sym", "t", "trade_id")
+    val got = TemporalJoins.asofNearest(trades, quotes, "sym", "t", "t",
+        tolerance = lit(300L), rightPrefix = "q_")
+      .select($"trade_id", $"q_px", $"q_t").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(
+      200L -> (1.0, 10L), 201L -> (2.0, 100L), 202L -> (1.0, 10L),
+      203L -> (1.0, 10L), 204L -> (1.0, 10L)))
+  }
+
   test("asofJoin matches a naive per-row reference on 500 random rows") {
     val rnd = new scala.util.Random(1234)
     val quotes = (0 until 200).map { i =>
