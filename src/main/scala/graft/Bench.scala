@@ -99,7 +99,31 @@ object Bench {
     // "total" prefix): exactly ONE line in the whole output carries
     // metric=total — the final total-only line — so any consumer
     // keying or substring-matching on it can never double-count.
-    println(f"""{"metric":"per_query_full","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"per_query_full","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver keeps only a ~2000-char tail of stdout, which at 200+
+    // queries truncates every per-query map (r7 verdict: 67 queries
+    // unregressable). Durable channel: land the FULL record plus the
+    // run environment (disk free / heap / cpus — suite-order artifacts
+    // like r7's spill cascade are diagnosable only with these) as a
+    // file in the repo working tree, where the next round commits it.
+    try {
+      val rt = Runtime.getRuntime
+      val disk = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      val env = f"""{"cpus":${rt.availableProcessors()},""" +
+        f""""max_heap_mb":${rt.maxMemory() / 1048576},""" +
+        f""""tmp_free_gb":${disk.getFreeSpace / 1e9}%.1f,""" +
+        f""""tmp_total_gb":${disk.getTotalSpace / 1e9}%.1f,""" +
+        f""""reps":$reps,"warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}"}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL_LATEST.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        fullLine.dropRight(1) + s""","env":$env}\n""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-record write skipped: $e")
+    }
     // … then a COMPACT line (qNN keys) as the final stdout line: the
     // driver keeps only the last ~2000 chars of output, and the
     // verbose line with ~90 full names (~2700 chars) gets its head cut

@@ -59,15 +59,52 @@ object Tables {
       case _ =>
         val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
         val dest = normalizedEvents.computeIfAbsent(key, _ => {
-          val base = java.nio.file.Files.createTempDirectory(
-            s"graft-events-ns-")
-          import org.apache.spark.sql.functions._
-          raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
-            .write.mode("overwrite").parquet(base.toString)
-          base.toString
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          // DETERMINISTIC landing path keyed by (dataset path, source
+          // mtime, source size): reruns in fresh JVMs reuse the copy
+          // instead of leaking a new one per run, and regenerating the
+          // source parquet changes the fingerprint so the cache can
+          // never serve stale data. Stale siblings (old fingerprints of
+          // the same dataset) are swept on the way in.
+          val src = Paths.get(d, "events.parquet")
+          val fp =
+            if (Files.isRegularFile(src))
+              s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}"
+            else "na"
+          val stem = "graft-events-ns-" +
+            Integer.toHexString(key.hashCode).reverse.padTo(8, '0').reverse
+          val tmpRoot = Paths.get(
+            System.getProperty("java.io.tmpdir", "/tmp"))
+          val target = tmpRoot.resolve(s"$stem-$fp")
+          Option(tmpRoot.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith(stem + "-") &&
+              f.getName != target.getFileName.toString)
+            .foreach(deleteRecursively)
+          // _SUCCESS gates reuse: a crashed half-write never satisfies
+          // it, and the write-to-scratch + atomic-move publish means a
+          // concurrent process either wins the move or adopts the
+          // winner's copy — no process ever reads a directory mid-write
+          if (!Files.exists(target.resolve("_SUCCESS"))) {
+            deleteRecursively(target.toFile)
+            val scratch = Files.createTempDirectory(tmpRoot, stem + "-wip-")
+            import org.apache.spark.sql.functions._
+            raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+              .write.mode("overwrite").parquet(scratch.toString)
+            try Files.move(scratch, target, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileSystemException =>
+              deleteRecursively(scratch.toFile) // lost the race; theirs is complete
+            }
+          }
+          target.toString
         })
         s.read.parquet(dest)
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private val normalizedEvents =

@@ -338,9 +338,14 @@ object Sketches {
     val keys = a.select(col(aKey).as("key"))
       .unionAll(b.select(col(bKey).as("key")))
     // 1-row sketch summary: sample size + inclusion threshold θ
+    // empty inputs ⇒ empty sketch array; element_at(arr, 0) is a
+    // runtime error ("SQL array indices start at 1"), so θ goes null
+    // on n_sk=0 — the null θ filters every row out of sideCounts and
+    // the final estimate degrades to (0, 0, 0.0) instead of throwing
     val skRow = keys.agg(sk(col("key")).as("sk"))
       .select(size(col("sk")).as("n_sk"),
-        element_at(col("sk"), size(col("sk"))).as("theta"))
+        when(size(col("sk")) > 0,
+          element_at(col("sk"), size(col("sk")))).as("theta"))
     // per-side counts restricted to sampled keys: the θ filter runs
     // map-side against a broadcast scalar, so the groupBy shuffles
     // ≤ k keys regardless of input size

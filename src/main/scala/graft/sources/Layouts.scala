@@ -66,11 +66,16 @@ object Layouts {
     // hive-partitioned layout (date=*/part-*.parquet) and funnel the
     // whole table through one task
     import scala.jdk.CollectionConverters._
-    val parts = java.nio.file.Files
-      .walk(java.nio.file.Paths.get(path)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") &&
-        java.nio.file.Files.isRegularFile(p))
-      .toArray
+    // Files.walk holds directory handles open until the stream is
+    // closed — materialize inside Using so repeated compactions don't
+    // leak file descriptors
+    val parts = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))) { st =>
+      st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .toArray
+    }
     val bytes = parts.map(java.nio.file.Files.size(_)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val df = spark.read.parquet(path)

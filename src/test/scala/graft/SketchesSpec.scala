@@ -141,6 +141,14 @@ class SketchesSpec extends AnyFunSuite {
     val est = Sketches.joinSizeEstimate(big, "k", big, "k", k = 256)
       .collect()(0).getDouble(2)
     assert(est > 15000 && est < 25000, s"est=$est")
+    // empty inputs: the KMV sketch is an empty array; θ must go null
+    // (not element_at(arr, 0), which throws) and the estimate degrade
+    // to (0, 0, 0.0)
+    val e = Sketches.joinSizeEstimate(
+      a.filter("ka < 0"), "ka", b.filter("kb < 0"), "kb", k = 64)
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L &&
+      e.getDouble(2) == 0.0, e.toString)
   }
 
   test("exactHeavyHitters equals the brute-force count filter") {
