@@ -235,6 +235,57 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDupScreen soak: 100 micro-batches, zero state, flat latency") {
+    // The screen's scale contract is ZERO streaming state (row-local
+    // band projection + stream-static join): a hidden stateful
+    // operator would grow its store monotonically over a long-running
+    // ingest and eventually OOM the cluster. Soak 100 micro-batches
+    // and read the engine's own telemetry: no stateOperators entry may
+    // ever appear, and per-batch wall time must not trend upward.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.streamNearDupScreen(
+        input.toDF().toDF("doc_id", "text"), docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, tau = 0.5)
+      .writeStream.format("memory").queryName("nds_soak")
+      .outputMode("append").start()
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      (1 to 100).foreach { i =>
+        // alternate a near-dup hit and a novel doc so every batch
+        // exercises both the match and no-match paths
+        val doc =
+          if (i % 2 == 0)
+            (1000L + i, "the quick brown fox jumps over the lazy dog " +
+              s"tonight extra words $i")
+          else (1000L + i, s"totally novel text number $i with no " +
+            "overlap whatsoever in any shingle")
+        val t0 = System.nanoTime()
+        input.addData(doc)
+        q.processAllAvailable()
+        batchMs += (System.nanoTime() - t0) / 1e6
+        val p = q.lastProgress
+        if (p != null)
+          assert(p.stateOperators.isEmpty ||
+            p.stateOperators.forall(s => s.numRowsTotal == 0),
+            s"batch $i grew streaming state: ${p.json}")
+      }
+      // every soak batch with a hit produced rows; novel ones didn't
+      val hits = spark.table("nds_soak").collect()
+      assert(hits.nonEmpty && hits.forall(_.getLong(0) % 2 == 0))
+      // flat latency: the mean of the last third must not exceed 2×
+      // the mean of the first third (state growth or plan-cache decay
+      // shows up as a monotonic upward trend; JIT only helps the tail)
+      val third = batchMs.size / 3
+      val head = batchMs.take(third).sum / third
+      val tail = batchMs.takeRight(third).sum / third
+      assert(tail <= 2.0 * head,
+        f"latency trend: first-third mean $head%.0f ms → " +
+          f"last-third mean $tail%.0f ms")
+    } finally q.stop()
+  }
+
   test("nearDupClusters: union-find and distributed paths agree") {
     // chain 1-2-3-4 (transitive), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
