@@ -317,6 +317,10 @@ object ExprBuilder {
       })
       case "length" => length(a(0)).cast("long")
       case "strcat" => concat(args.map(x => build(x, ctx)): _*)
+      // declared-only superset: code-point → string (complements the
+      // reference's literal escapes \n \r \t, nowdbsql.l:182-190, for
+      // characters those can't spell)
+      case "chr" => chr(a(0))
       case "pos" => (instr(a(0), args(1) match {
         case Lit(s: String, _) => s
         case _ => throw new IllegalArgumentException("pos needle")

@@ -55,10 +55,25 @@ object Parser {
         out += TNum(input.substring(s, i), s)
       }
       else if (c == '\'') {
+        // string literal: '' doubling plus the reference's backslash
+        // escapes \' \\ \n \r \t (nowdbsql.l:182-190 ESTRING rules) —
+        // over the line-oriented wire protocol these are the ONLY way
+        // to put a control character into a TEXT value
         val s = i; i += 1
         val sb = new StringBuilder
         while (i < n && !(peek() == '\'' && peek(1) != '\'')) {
           if (peek() == '\'' && peek(1) == '\'') { sb += '\''; i += 2 }
+          else if (peek() == '\\' && i + 1 < n) {
+            peek(1) match {
+              case '\'' => sb += '\''
+              case '\\' => sb += '\\'
+              case 'n' => sb += '\n'
+              case 'r' => sb += '\r'
+              case 't' => sb += '\t'
+              case o => sb += '\\'; sb += o // unknown escape kept raw
+            }
+            i += 2
+          }
           else { sb += peek(); i += 1 }
         }
         if (i >= n) throw ParseError("unterminated string", s)

@@ -296,6 +296,86 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("binary frames match committed golden bytes (wire-golden.txt)") {
+    // The existing binary-mode test decodes frames with its own
+    // reader, which would pass even if encoder and decoder shared a
+    // misreading of the reference framing. This test removes that
+    // blind spot: the expected bytes are LITERAL hex fixtures
+    // committed under src/test/resources, derived by hand from
+    // row.c:138-207 + types.h:89-99 (struct.pack, not this repo's
+    // code), and the server's raw socket output must equal them
+    // byte-for-byte.
+    val fixtures = new String(
+      getClass.getClassLoader.getResourceAsStream("wire-golden.txt")
+        .readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(k, v) = l.split("\\s+"); k -> v }.toMap
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val root = Files.createTempDirectory("server-golden").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 8).start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      def send(stmt: String): String = { w.println(stmt); w.flush(); readLine() }
+      assert(readLine().startsWith("+ok"))
+      assert(send("create scope goldenw").startsWith("+ok"))
+      assert(send("use goldenw").startsWith("+ok"))
+      assert(send("create type m (id uint pk, name text, score float, " +
+        "flag bool, at time)").startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag, at) " +
+        "(1, 'alpha', 2.5, true, '2024-03-01T10:00:00')").startsWith("+ok"))
+      assert(send("insert into m (id, name, score, flag, at) " +
+        "(2, 'beta', -0.75, false, '2024-03-02T11:00:00')").startsWith("+ok"))
+      assert(send("insert into m (id, score) (3, 9.0)").startsWith("+ok"))
+      assert(send("mode binary") == "+ok mode binary")
+      // one row per fetch (WHERE pk) ⇒ the frame bytes are fully
+      // deterministic; read exactly fixture-length bytes and compare
+      def goldenCheck(sql: String, name: String): Unit = {
+        val want = unhex(fixtures(name))
+        val cur = send(sql).split(" ")(1)
+        assert(send(s"fetch $cur").startsWith("+batch 1"), name)
+        readLine() // '#' header line stays text in binary mode
+        val got = new Array[Byte](want.length)
+        var off = 0
+        while (off < want.length) {
+          val k = in.read(got, off, want.length - off)
+          assert(k > 0, s"$name: stream ended at $off"); off += k
+        }
+        assert(java.util.Arrays.equals(got, want),
+          s"$name mismatch:\n  want ${want.map("%02x".format(_)).mkString}" +
+            s"\n  got  ${got.map("%02x".format(_)).mkString}")
+        assert(send(s"close $cur").startsWith("+ok"))
+      }
+      goldenCheck("select id, name, score, flag, at from m where id = 1",
+        "row1")
+      goldenCheck("select id, name, score, flag, at from m where id = 2",
+        "row2")
+      goldenCheck("select id, name, score, flag, at from m where id = 3",
+        "row3") // NULL fields: tag 0x00 + one zero byte
+      goldenCheck("select max(at) as mx from m", "max_at") // computed TIME
+      // TEXT with embedded tab/quotes/newline (via the reference's \t
+      // \n literal escapes, nowdbsql.l:182-190): binary mode carries
+      // control characters RAW — NUL is the only delimiter
+      assert(send("create type raw (id uint pk, body text)")
+        .startsWith("+ok"))
+      assert(send("insert into raw (id, body) " +
+        """(1, 'tab\there "quoted" and\nnewline')""").startsWith("+ok"))
+      goldenCheck("select body from raw where id = 1", "esc_text")
+      w.println("quit"); w.flush(); sock.close()
+    } finally srv.stop()
+  }
+
   test("the Lua wire client (clients/nowlua.lua) drives a full session") {
     // Run the REAL client file through the embedded Lua interpreter,
     // with its injected transport bound to java sockets — the same
