@@ -108,6 +108,94 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("julia client (clients/nowjl.jl) drives a full session") {
+    // The reference ships a Julia binding (julia/now.jl: connect/
+    // execute/iterate, typed fields, onerow/onevalue, fillsql).
+    // clients/nowjl.jl mirrors that API over this engine's wire; run
+    // the REAL client file under julia when available (the binary
+    // framing it decodes is pinned by the golden-byte fixtures above,
+    // so this test adds the client's own parse/iterate logic).
+    assume(
+      try new ProcessBuilder("julia", "--version").start()
+        .waitFor(30, TimeUnit.SECONDS)
+      catch { case _: java.io.IOException => false },
+      "julia not available")
+    val root = Files.createTempDirectory("server-jl").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 2).start()
+    try {
+      val jl =
+        s"""include(joinpath("clients", "nowjl.jl"))
+           |using .NoW
+           |using Dates
+           |withconnection("127.0.0.1", "${srv.boundPort}") do con
+           |  execute(con, "create scope jlw")
+           |  execute(con, "use jlw")
+           |  execute(con, "create type g (id uint pk, nm text, " *
+           |    "sc float, ok bool, at time)")
+           |  for i in 1:5
+           |    execute(con, "insert into g (id, nm, sc, ok, at) " *
+           |      "($$i, 'n$$i', $$i.5, true, '2024-03-0$$(i)T10:00:00')")
+           |  end
+           |  execute(con, "insert into g (id) (6)")  # nm/sc/ok/at null
+           |  # typed iteration via the internal row view (pageSize=2
+           |  # forces paging through 3+ fetches)
+           |  n = 0
+           |  for row in execute(con, "select id, nm, sc, ok, at from g")
+           |    n += 1
+           |    t0, id = tfield(row, 0)
+           |    @assert t0 == NoW.INT && id isa Int64
+           |    if id <= 5
+           |      @assert field(row, 1) == "n$$id"
+           |      @assert tfield(row, 2)[1] == NoW.FLOAT
+           |      @assert field(row, 3) === true
+           |      @assert tfield(row, 4)[1] == NoW.TIME
+           |      @assert now2date(field(row, 4)) == Dates.Date(2024, 3, id)
+           |    else
+           |      @assert field(row, 1) === nothing  # NULL text
+           |      @assert field(row, 3) === nothing  # NULL bool
+           |    end
+           |    @assert fieldcount(row) == 5
+           |  end
+           |  @assert n == 6
+           |  # asarray + early abandon: release(res) drains the
+           |  # half-read batch and closes the cursor, keeping the
+           |  # wire in sync (no generator-finally in Julia)
+           |  res = execute(con, "select id from g") |> asarray
+           |  for row in res
+           |    @assert row isa Vector{Any}
+           |    break
+           |  end
+           |  release(res)
+           |  @assert onevalue(con, "select count(*) as c from g") == 6
+           |  r = onerow(con, "select min(id) as lo, max(id) as hi from g")
+           |  @assert r == Any[1, 6]
+           |  m = fillsql(con, "select id, sc from g",
+           |              count = "select count(*) as c from g")
+           |  @assert size(m) == (6, 2)
+           |  nt = loadsql(con, "select id, nm from g", limit = 3)
+           |  @assert keys(nt) == (:id, :nm) && length(nt.id) == 3
+           |  # errors surface as DBError and the session survives
+           |  caught = false
+           |  try execute(con, "select nope from nowhere")
+           |  catch e; caught = e isa DBError end
+           |  @assert caught
+           |  @assert onevalue(con, "select 1 + 1 as two") == 2
+           |  println("NOWJL DEMO OK")
+           |end
+           |""".stripMargin
+      val f = Files.createTempFile("nowjl-drive", ".jl")
+      Files.writeString(f, jl)
+      val p = new ProcessBuilder("julia", "--startup-file=no",
+        f.toString)
+        .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(300, TimeUnit.SECONDS), "client timed out")
+      assert(p.exitValue() == 0, s"client failed:\n$out")
+      assert(out.contains("NOWJL DEMO OK"), out)
+    } finally srv.stop()
+  }
+
   test("the C client (clients/nowc.c) drives a full session") {
     // Compile the REAL client + demo with gcc and run it against a
     // live server: reference-API-shaped calls (nowclient.h:254-291
