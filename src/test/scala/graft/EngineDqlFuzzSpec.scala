@@ -216,4 +216,99 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"spark:  ${canon(want).take(3)}")
     }
   }
+
+  test("100 random ALIASED joins with having/order/limit: engine == Spark SQL") {
+    // The alias surface the plain join fuzzer doesn't reach: the
+    // reference's `alias:table` FROM form (nowdbsql.y:1089) and join
+    // aliases (`join usr u on origin`), alias-qualified projections /
+    // filters / group keys, plus the HAVING / ORDER BY / LIMIT tails
+    // on joined queries. LIMIT only appears on grouped queries where
+    // the full ORDER BY key (ugrp) is unique, so prefixes are
+    // deterministic in both engines.
+    val rnd = new scala.util.Random(31337)
+    val users = (0 until 40).map(i =>
+      (i.toLong, s"u$i", (i % 5).toLong)).toDF("uid", "uname", "ugrp")
+    val items = (0 until 30).map(i =>
+      (i.toLong, s"it$i", math.rint(rnd.nextDouble() * 5000) / 100.0))
+      .toDF("iid", "iname", "price")
+    val edges = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(30).toLong,
+        (1 + rnd.nextInt(9)).toLong,
+        math.rint(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("origin", "destin", "qty", "amt")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz4").toString)
+    eng.script(
+      """create scope fza;
+        | use fza;
+        | create type usr (uid uint pk, uname text, ugrp uint);
+        | create type itm (iid uint pk, iname text, price float);
+        | create edge buys (origin usr origin, destin itm destin,
+        |   qty int, amt float)""".stripMargin)
+    eng.attachTable("users_src", users)
+    eng.attachTable("items_src", items)
+    eng.attachTable("edges_src", edges)
+    eng.sql("insert into usr (uid, uname, ugrp) " +
+      "select uid, uname, ugrp from users_src")
+    eng.sql("insert into itm (iid, iname, price) " +
+      "select iid, iname, price from items_src")
+    eng.sql("insert into buys (origin, destin, qty, amt) " +
+      "select origin, destin, qty, amt from edges_src")
+    users.createOrReplaceTempView("usr_v")
+    items.createOrReplaceTempView("itm_v")
+    edges.createOrReplaceTempView("buys_v")
+
+    val projPool = Seq("u.uname", "u.ugrp", "e.qty", "e.amt",
+      "i.iname", "i.price")
+    val wherePool = Seq("", " where e.qty > 5", " where u.ugrp = 2",
+      " where e.qty >= 3 and i.price < 40.0", " where u.uname = 'u7'",
+      " where not (e.amt < 30.0)")
+    val aggPool = Seq("count(*) as n", "sum(e.qty) as sq",
+      "min(i.price) as mp", "max(e.amt) as xa")
+    val havingPool = Seq("", " having n > 3", " having u.ugrp >= 1",
+      " having n > 1 and u.ugrp <> 3")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    for (i <- 0 until 100) {
+      // dialect FROM: plain alias or the reference's alias:table form
+      val fromDialect =
+        if (rnd.nextBoolean()) "e:buys" else "buys e"
+      val joinDialect = " join usr u on origin join itm i on destin"
+      val joinAnsi = " join usr_v u on e.origin = u.uid" +
+        " join itm_v i on e.destin = i.iid"
+      val where = pick(wherePool)
+      val grouped = rnd.nextInt(2) == 0
+      val (sel, group, having, tail) =
+        if (grouped) {
+          val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(2))
+          val hv = pick(havingPool
+            .filter(h => !h.contains(" n ") || aggs.exists(_.endsWith("as n"))))
+          val t = rnd.nextInt(3) match {
+            case 0 => s" order by u.ugrp limit ${1 + rnd.nextInt(4)}"
+            case 1 => " order by u.ugrp desc"
+            case _ => ""
+          }
+          ((Seq("u.ugrp") ++ aggs).mkString(", "), " group by u.ugrp", hv, t)
+        } else {
+          val t = if (rnd.nextBoolean()) " order by e.amt desc" else ""
+          (rnd.shuffle(projPool).take(1 + rnd.nextInt(3)).mkString(", "),
+            "", "", t)
+        }
+      val dq = s"select $sel from $fromDialect$joinDialect" +
+        s"$where$group$having$tail"
+      val aq = s"select $sel from buys_v e$joinAnsi$where$group$having$tail"
+      val got = eng.sql(dq) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"$dq -> $other")
+      }
+      val want = spark.sql(aq).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map {
+          case d: Double => f"$d%.9f"
+          case v => String.valueOf(v)
+        }).toSeq.sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n$dq\nvs $aq\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
 }
