@@ -101,7 +101,14 @@ object Plans {
         "re-attach AFTER candidate dedup, row-local verify"),
       "q201_label_propagation" -> ("label propagation: 4 unrolled " +
         "edge-join + weight-agg + argmax rounds on the " +
-        "scale-constant top-2000-edge graph"))
+        "scale-constant top-2000-edge graph"),
+      "q205_epoch_shuffle" -> ("deterministic epoch shuffle: " +
+        "distributed rank over (epoch, knuth-hash, id) — range " +
+        "exchange + pid-partitioned row_number, NO single-partition " +
+        "window"),
+      "q206_token_budget" -> ("token-budget selection: two-pass " +
+        "partitioned prefix sum in quality order + broadcast 1-row " +
+        "budget scalar"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -501,10 +501,100 @@ object CurationQueries extends QueryPack {
               col("word_chars") <= lit(10) * col("n_words") &&
               lit(100) * col("n_stop") >= col("n_words"), 1L)
             .otherwise(0L)).as("n_pass"))
+    }),
+    // Deterministic 2-epoch training shuffle: every document gets a
+    // per-epoch position (Knuth-hash order, epoch mixed in) and a
+    // round-robin shard of 8 — reproducible and resumable because no
+    // RNG state exists. Scale: one distributedRank (range exchange +
+    // per-partition windows); never a single-partition funnel.
+    "q205_epoch_shuffle" -> ((s, d) =>
+      TrainingOrder.epochShuffle(Tables.documents(s, d), "doc_id",
+        epochs = 2, shards = 8, s)),
+    // Quality-ordered token-budget selection: fill a 25%-of-corpus
+    // token budget with the best documents first (inclusive running
+    // sum ≤ budget). distributedPrefixSum carries partition totals —
+    // the classic two-pass scan, no global window.
+    "q206_token_budget" -> ((s, d) =>
+      TrainingOrder.tokenBudgetSelect(Tables.documents(s, d), "doc_id",
+        "text", num = 1L, den = 4L, s)),
+    // Cross-language duplicate audit: rolling-hash fingerprints that
+    // appear under more than one language tag — upstream of language-
+    // stratified sampling, where one translated/copied doc counted in
+    // two strata double-weights its content. The corpus is salted
+    // with verbatim copies of every 7th doc under a synthetic 'xx'
+    // tag so the duplicate groups exist by construction (q85's
+    // derivation pattern). Hash-shuffle on the 8-byte fingerprint;
+    // output bounded by duplicate groups.
+    "q207_crosslang_dup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          lit("xx").as("lang"), col("text")))
+      corpus
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.docHash(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n_langs") > 1)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q205_epoch_shuffle" ->
+      """WITH e AS (SELECT CAST(0 AS BIGINT) AS epoch
+        |   UNION ALL SELECT CAST(1 AS BIGINT)),
+        | x AS (SELECT epoch, doc_id,
+        |   (doc_id * ((2654435761 + 700000001 * epoch) % 1000000007))
+        |     % 1000000007 AS h
+        |  FROM documents CROSS JOIN e),
+        | p AS (SELECT epoch, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY epoch
+        |     ORDER BY h, doc_id) AS BIGINT) AS pos
+        |  FROM x)
+        | SELECT epoch, doc_id, pos,
+        |  CAST((pos - 1) % 8 AS BIGINT) AS shard FROM p""".stripMargin,
+    "q206_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |   round(CAST(
+        |    CASE WHEN len(string_split(text, ' ')) >= 10
+        |     THEN 0.4 ELSE 0.0 END
+        |    + CASE WHEN len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('a','the','of','and','in','to','is'))) > 0
+        |     THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN (length(text)
+        |        - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |        * 10 < length(text)
+        |     THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS quality
+        |  FROM documents),
+        | b AS (SELECT CAST(sum(toks) * 1 // 4 AS BIGINT) AS budget FROM t),
+        | c AS (SELECT doc_id, quality, toks,
+        |   CAST(sum(toks) OVER (ORDER BY quality DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run
+        |  FROM t)
+        | SELECT doc_id, quality, toks, run FROM c, b
+        | WHERE run <= budget""".stripMargin,
+    "q207_crosslang_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, 'xx' AS lang, text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        | dh AS (SELECT doc_id, lang,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |     generate_series(1, length(text)),
+        |     i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |  FROM corpus)
+        | SELECT fp, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        | FROM dh GROUP BY fp HAVING count(DISTINCT lang) > 1""".stripMargin,
     "q170_lang_source_matrix" ->
       """WITH cells AS (SELECT source, lang, count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

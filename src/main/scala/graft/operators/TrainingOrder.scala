@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-run ordering operators: the two corpus-wide orderings a
+  * large-scale LM training pipeline computes after curation —
+  * deterministic multi-epoch shuffles and quality-ordered token-budget
+  * selection.
+  *
+  * Both are global total orders over 10⁸⁺ documents at 100 TB, which
+  * is exactly the shape Spark's `Window.orderBy` (no partition) gets
+  * wrong — an `Exchange SinglePartition` funnel. Both operators
+  * therefore ride [[Rank.distributedRank]] /
+  * [[Rank.distributedPrefixSum]]: range-repartition on the order key,
+  * per-partition local work, a partitions-sized carry table. One
+  * extra exchange, full cluster parallelism, no driver-era
+  * bottleneck.
+  *
+  * Determinism is load-bearing (a re-run must produce the identical
+  * shuffle so training is reproducible and resumable): the shuffle
+  * key is the multiplicative hash
+  * `(id · ((2654435761 + 700000001·epoch) mod 1e9+7)) mod 1e9+7` —
+  * pure 64-bit integer arithmetic, bit-identical in any engine (the
+  * DuckDB oracle recomputes it verbatim), no RNG state anywhere.
+  * Two traps the spec pins down (both the same defect class the
+  * round-7 MinHash family repair fixed): the epoch must vary the
+  * MULTIPLIER, not an additive offset (`+ c·epoch` shifts every key
+  * by one constant, preserving the permutation except at modulus
+  * wraps), and the multiplier stride must be LARGE relative to the
+  * modulus (a small stride perturbs keys by ≪ the typical gap
+  * between sorted hash values, again preserving the order — observed
+  * verbatim with stride 40503 over a 97-doc fixture).
+  */
+object TrainingOrder {
+
+  private val M = 1000000007L
+
+  /** Deterministic per-epoch permutation of `idCol`: for each epoch
+    * `0 until epochs`, every document gets a 1-based position `pos`
+    * in that epoch's shuffle order and a round-robin `shard` in
+    * `0 until shards`. Epochs decorrelate because the hash mixes the
+    * epoch number into the multiplier stream; position assignment is
+    * one distributedRank over (epoch, hash, id).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+                   shards: Int, spark: SparkSession): DataFrame = {
+    require(epochs > 0 && shards > 0, "epochs and shards must be positive")
+    val id = col(idCol)
+    val exploded = docs.select(id)
+      .select(id, explode(array((0 until epochs).map(e =>
+        lit(e.toLong)): _*)).as("epoch"))
+      .withColumn("h",
+        (id * ((lit(2654435761L) + lit(700000001L) * col("epoch"))
+          % lit(M))) % lit(M))
+    val ranked = Rank.distributedRank(exploded,
+      Seq(col("epoch"), col("h"), id), spark, withTotal = true)
+    // rk is global over all epochs; each epoch holds exactly
+    // n_total/epochs rows, so the in-epoch position is an offset
+    // subtraction — no second ranking pass
+    // n_total = epochs · |docs| exactly, so the quotient is integral
+    ranked.select(col("epoch"), id,
+        (col("rk") - col("epoch") * (col("n_total") / epochs))
+          .cast("long").as("pos"))
+      .withColumn("shard", (col("pos") - 1) % shards)
+  }
+
+  /** Quality-ordered token-budget selection: take documents in
+    * (quality desc, id) order while the inclusive running token sum
+    * stays within `num/den` of the corpus total — "fill a 25% token
+    * budget with the best documents first". Output: the selected
+    * documents with their quality, token count, and running total.
+    *
+    * The running sum is [[Rank.distributedPrefixSum]] (two-pass
+    * carry), the budget a broadcast 1-row scalar: two exchanges
+    * total, both keyed — nothing single-partition, nothing collected.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        num: Long, den: Long,
+                        spark: SparkSession): DataFrame = {
+    require(num > 0 && den > 0, "budget fraction must be positive")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.qualityExpr(col(textCol)).as("quality"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val order = Seq(col("quality").desc, col("doc_id"))
+    val run = Rank.distributedPrefixSum(scored, order, col("toks"), spark)
+    val budget = scored.agg(
+      (sum(col("toks")) * num / den).cast("long").as("budget"))
+    run.crossJoin(broadcast(budget))
+      .filter(col("run") <= col("budget"))
+      .select(col("doc_id"), col("quality"), col("toks"),
+        col("run").cast("long").as("run"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingOrder
+
+class TrainingOrderSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("epochShuffle: each epoch is a permutation, epochs decorrelate") {
+    val docs = (0L until 97L).toDF("doc_id")
+    val out = TrainingOrder.epochShuffle(docs, "doc_id",
+      epochs = 3, shards = 4, spark).cache()
+    try {
+      // every epoch holds positions exactly 1..N (a permutation)
+      (0 to 2).foreach { e =>
+        val pos = out.filter(col("epoch") === e).select("pos")
+          .as[Long].collect().sorted
+        assert(pos.toSeq == (1L to 97L), s"epoch $e not a permutation")
+      }
+      // determinism: a second evaluation is bit-identical
+      val again = TrainingOrder.epochShuffle(docs, "doc_id",
+        epochs = 3, shards = 4, spark)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+      // epochs are different orders (the hash mixes the epoch in):
+      // doc order in epoch 0 != epoch 1
+      val o0 = out.filter(col("epoch") === 0).orderBy("pos")
+        .select("doc_id").as[Long].collect().toSeq
+      val o1 = out.filter(col("epoch") === 1).orderBy("pos")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(o0 != o1, "epoch orders identical — epoch not mixed in")
+      // shards are round-robin over positions: balanced to ±1
+      val sizes = out.filter(col("epoch") === 0).groupBy("shard")
+        .count().select("count").as[Long].collect()
+      assert(sizes.max - sizes.min <= 1)
+    } finally { out.unpersist(); () }
+  }
+
+  test("tokenBudgetSelect: quality-prefix under the budget, never over") {
+    val docs = (0 until 60).map { i =>
+      // three quality tiers via doc length / stopword presence
+      val words =
+        if (i % 3 == 0) Seq.fill(30)("the quick fox").mkString(" ")
+        else if (i % 3 == 1) Seq.fill(12)("zz qq").mkString(" ")
+        else "short"
+      (i.toLong, words)
+    }.toDF("doc_id", "text")
+    val sel = TrainingOrder.tokenBudgetSelect(docs, "doc_id", "text",
+      num = 1L, den = 4L, spark).collect()
+    val total = docs.select(
+      sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    val budget = total / 4
+    assert(sel.nonEmpty)
+    assert(sel.map(_.getAs[Long]("toks")).sum <= budget)
+    assert(sel.map(_.getAs[Long]("run")).max <= budget)
+    // selection is a prefix of the (quality desc, id) order: the
+    // worst selected quality ≥ best unselected quality (ties broken
+    // by id, so compare on the pair)
+    val selIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    val all = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityExpr(col("text")).as("q"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("q")))
+    val ordered = all.sortBy { case (id, q) => (-q, id) }.map(_._1)
+    val k = sel.length
+    assert(ordered.take(k).toSet == selIds,
+      "selected set is not the top-k prefix of the quality order")
+  }
+}
