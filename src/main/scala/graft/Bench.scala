@@ -139,13 +139,15 @@ object Bench {
     // ~2000-char tail window (r5 recorded parsed:null). The total-only
     // line is always a complete object inside the tail.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    // … and a SLOWEST-15 line last (~350 chars): with the full maps
-    // overflowing the tail window, driver-side regressions in the
-    // heavy queries were invisible (r6 finding) — this line always
-    // carries every query that matters (none outside the top 15 has
-    // ever exceeded 1 s). `value` repeats the total so a last-line
-    // JSON consumer still reads the headline number.
-    val top = results.sortBy(-_._2).take(15).map { case (k, v) =>
+    // … and a SLOWEST-40 line last (~600 chars, fits the tail window
+    // together with the total line): with the full maps overflowing
+    // the tail window, driver-side regressions in the heavy queries
+    // were invisible (r6 finding) — 40 entries reach below the 1 s
+    // mark, so every query that could regress past 2 s is always in
+    // the driver record (the complete map lands in
+    // BENCH_FULL_LATEST.json). `value` repeats the total so a
+    // last-line JSON consumer still reads the headline number.
+    val top = results.sortBy(-_._2).take(40).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
     }.mkString("{", ",", "}")
     println(f"""{"metric":"slowest","value":$total%.3f,"unit":"sec","top":$top,"n_queries":${results.size},"sf":"$sfDir"}""")

@@ -37,16 +37,25 @@ object Rank {
                       spark: SparkSession,
                       withTotal: Boolean = false): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // PERSIST the ranged frame: spark_partition_id() is tagged
+    // nondeterministic, which defeats ReuseExchange (`sameResult` is
+    // false for two instances of this subplan), so without the cache
+    // mark every consumer leg below — the window, the sizes table,
+    // both sides of the triangle join — would rescan the input and
+    // re-run the range exchange (measured: 4 scans + 4 exchanges,
+    // ~2× wall on a corpus-sized input). The cache block is slim
+    // (order keys + payload), spills to disk at scale, and is freed
+    // by ContextCleaner when the returned frame is dropped — the
+    // same leg discipline as Dedup.sealResult's unsealed path.
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Window partitioned by __pid: one task per range partition, full
     // cluster parallelism (the exchange it introduces is hash-by-pid,
     // not SinglePartition).
     val wp = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = parted.withColumn("__lrk", row_number().over(wp))
     // Offsets: #partitions rows — bounded by cluster config, not data.
-    // Sizes aggregate over `parted` (not `local`) so both sides sit on
-    // the SAME range exchange and ReuseExchange scans the input once.
     // Cumulated via a triangle self-join (32×32 at most) rather than a
     // global window, so NO plan produced here contains an
     // Exchange SinglePartition feeding a Window (PlanQualitySpec
@@ -69,15 +78,28 @@ object Rank {
     * `sum().over(Window.orderBy(...))` global window.
     */
   def distributedPrefixSum(df: DataFrame, order: Seq[Column],
-                           value: Column, spark: SparkSession): DataFrame = {
+                           value: Column, spark: SparkSession,
+                           withTotal: Boolean = false): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persisted for the same ReuseExchange-defeat reason as
+    // distributedRank above
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wp = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(value).over(wp))
     val sums = parted.groupBy(col("__pid")).agg(sum(value).as("__n"))
-    local.join(broadcast(cumulate(sums)), "__pid")
+    // withTotal ⇒ a constant `total` column (global value sum) derived
+    // from the SAME partition-sums frame — callers needing a fraction
+    // of the total (budget cuts) would otherwise re-scan the input
+    // with its full projection cost just to sum one column
+    val offsets =
+      if (withTotal)
+        cumulate(sums).crossJoin(broadcast(
+          sums.agg(sum(col("__n")).as("total"))))
+      else cumulate(sums)
+    local.join(broadcast(offsets), "__pid")
       .withColumn("run", col("__off") + col("__run"))
       .drop("__pid", "__run", "__off")
   }

@@ -83,11 +83,13 @@ object TrainingOrder {
       TextAnalysis.qualityExpr(col(textCol)).as("quality"),
       TextAnalysis.wsTokens(col(textCol)).as("toks"))
     val order = Seq(col("quality").desc, col("doc_id"))
-    val run = Rank.distributedPrefixSum(scored, order, col("toks"), spark)
-    val budget = scored.agg(
-      (sum(col("toks")) * num / den).cast("long").as("budget"))
-    run.crossJoin(broadcast(budget))
-      .filter(col("run") <= col("budget"))
+    // withTotal: the budget comes from the prefix-sum's own partition
+    // totals — a separate agg over `scored` would re-scan the corpus
+    // and re-pay the regex-heavy quality projection (measured 2× at
+    // the 10× decade)
+    val run = Rank.distributedPrefixSum(scored, order, col("toks"),
+      spark, withTotal = true)
+    run.filter(col("run") <= (col("total") * num / den).cast("long"))
       .select(col("doc_id"), col("quality"), col("toks"),
         col("run").cast("long").as("run"))
   }
