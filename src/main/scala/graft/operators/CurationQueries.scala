@@ -540,6 +540,30 @@ object CurationQueries extends QueryPack {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .filter(col("n_langs") > 1)
+    }),
+    // Acceptance-hash mixture resampling: downsample every language
+    // stratum toward the smallest one by a row-local hash test
+    // (accept iff hash mod n_stratum < target) — the O(1)-per-row,
+    // join-one-tiny-table counterpart of q141's rank-prefix budget
+    // (no sort, no rank state: the form that also works in a
+    // streaming ingest). Expected stratum size = target (hash-
+    // uniform), the smallest stratum is kept verbatim. Scale shape:
+    // one count-by-lang agg broadcast back, row-local accept, one
+    // final tiny agg.
+    "q208_mix_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val target = counts.agg(min(col("n_docs")).as("target"))
+      val sampled = docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .filter(((col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+          % col("n_docs") < col("target"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      counts.crossJoin(broadcast(target))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("target"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
     })
   )
 
@@ -595,6 +619,18 @@ object CurationQueries extends QueryPack {
         |  count(DISTINCT lang) AS n_langs,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         | FROM dh GROUP BY fp HAVING count(DISTINCT lang) > 1""".stripMargin,
+    "q208_mix_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs
+        |  FROM documents GROUP BY lang),
+        | t AS (SELECT min(n_docs) AS target FROM c),
+        | a AS (SELECT d.lang, count(*) AS n_sampled
+        |  FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |  WHERE ((d.doc_id * 2654435761) % 1000000007) % c.n_docs
+        |    < t.target
+        |  GROUP BY d.lang)
+        | SELECT c.lang, c.n_docs, t.target,
+        |  COALESCE(a.n_sampled, 0) AS n_sampled
+        | FROM c CROSS JOIN t LEFT JOIN a USING (lang)""".stripMargin,
     "q170_lang_source_matrix" ->
       """WITH cells AS (SELECT source, lang, count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
