@@ -108,7 +108,17 @@ object Plans {
         "window"),
       "q206_token_budget" -> ("token-budget selection: two-pass " +
         "partitioned prefix sum in quality order + broadcast 1-row " +
-        "budget scalar"))
+        "budget scalar"),
+      "q209_ccnet_buckets" -> ("CCNet perplexity terciles: histogram " +
+        "quantiles per lang (bins = distinct rounded scores, no " +
+        "per-lang sort of the corpus), broadcast thresholds, " +
+        "row-local bucket assign"),
+      "q210_semantic_dedup" -> ("SemDeDup: persisted IVF assignment, " +
+        "within-cluster pair equi-join on centroid_id (never " +
+        "all-pairs), row-local cosine verify"),
+      "q211_cluster_sample" -> ("cluster-balanced √n sampling: " +
+        "bounded per-cluster hash-order window + broadcast quota " +
+        "table"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

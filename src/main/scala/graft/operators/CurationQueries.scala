@@ -564,6 +564,56 @@ object CurationQueries extends QueryPack {
         .join(sampled, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("target"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+    // CCNet-style perplexity bucketing (Wenzek et al.): score every
+    // doc with the corpus unigram LM (q114's cross-entropy), then
+    // split each language into head/middle/tail terciles — the
+    // standard "keep the head, drop the tail" quality gate for web
+    // corpora. The terciles come from a per-lang HISTOGRAM of the
+    // 3-decimal-rounded score, not a per-lang sort: a
+    // Window.partitionBy(lang).orderBy(score) row_number would sort a
+    // whole language (≈ the whole corpus for English) in one task
+    // funnel, while the histogram is bounded by DISTINCT rounded
+    // scores per lang (≤ a few thousand bins), so the threshold scan
+    // is constant-size no matter how many docs feed it. Bucket
+    // assignment is then a row-local compare against two broadcast
+    // thresholds. Tercile rule, integer-exact in both engines:
+    // t1 = min bin with 3·cum ≥ n, t2 = min bin with 3·cum ≥ 2n.
+    "q209_ccnet_buckets" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(words(col("text"))).as("w"))
+      val lm = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val lmT = lm.agg(sum(col("cw")).as("t"))
+      val lmP = lm.crossJoin(broadcast(lmT))
+        .select(col("w"),
+          log(col("cw").cast("double") / col("t").cast("double"))
+            .as("lnp"))
+      val scored = toks.join(broadcast(lmP), "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nw"), sum(col("lnp")).as("sl"))
+        .select(col("doc_id"), col("lang"),
+          round(-col("sl") / col("nw"), 3).as("x"))
+      val hist = scored.groupBy(col("lang"), col("x"))
+        .agg(count(lit(1)).as("nb"))
+      val wcum = Window.partitionBy(col("lang")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val th = hist.withColumn("cumn", sum(col("nb")).over(wcum))
+        .join(broadcast(tot), "lang")
+        .groupBy(col("lang"))
+        .agg(min(when(col("cumn") * 3 >= col("n"), col("x"))).as("t1"),
+          min(when(col("cumn") * 3 >= col("n") * 2, col("x"))).as("t2"))
+      scored.join(broadcast(th), "lang")
+        .select(col("lang"),
+          when(col("x") <= col("t1"), lit("head"))
+            .when(col("x") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"),
+          col("x"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(min(col("x")), 3).as("min_xent"),
+          round(max(col("x")), 3).as("max_xent"))
     })
   )
 
@@ -910,6 +960,35 @@ object CurationQueries extends QueryPack {
         | FROM documents
         | ORDER BY ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
         |     / 1000004.0) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
-        | LIMIT 20""".stripMargin
+        | LIMIT 20""".stripMargin,
+    "q209_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | lm AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        | lmp AS (SELECT w,
+        |   ln(CAST(cw AS DOUBLE) / CAST(sum(cw) OVER () AS DOUBLE))
+        |     AS lnp
+        |  FROM lm),
+        | scored AS (SELECT doc_id, lang,
+        |   round(-sum(lnp) / count(*), 3) AS x
+        |  FROM toks JOIN lmp USING (w) GROUP BY doc_id, lang),
+        | hist AS (SELECT lang, x, count(*) AS nb
+        |  FROM scored GROUP BY 1, 2),
+        | tot AS (SELECT lang, count(*) AS n FROM scored GROUP BY 1),
+        | cum AS (SELECT lang, x, sum(nb) OVER (PARTITION BY lang
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cumn
+        |  FROM hist),
+        | th AS (SELECT c.lang,
+        |   min(CASE WHEN cumn * 3 >= n THEN x END) AS t1,
+        |   min(CASE WHEN cumn * 3 >= n * 2 THEN x END) AS t2
+        |  FROM cum c JOIN tot USING (lang) GROUP BY 1)
+        | SELECT s.lang,
+        |  CASE WHEN x <= t1 THEN 'head'
+        |       WHEN x <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(x), 3) AS min_xent, round(max(x), 3) AS max_xent
+        | FROM scored s JOIN th ON s.lang = th.lang
+        | GROUP BY 1, 2""".stripMargin
   )
 }

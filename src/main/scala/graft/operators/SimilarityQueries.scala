@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -245,6 +246,75 @@ object SimilarityQueries extends QueryPack {
           coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)) / 10.0, 6)
             .as("recall_at_10"))
+    }),
+    // SemDeDup (Abbas et al.): semantic dedup = cluster the embedding
+    // space coarsely, then pairwise-cosine ONLY within each cluster
+    // and drop every vector that has a smaller-id neighbor above the
+    // threshold. The cluster stage is what makes the quadratic
+    // tractable at scale: pair work is Σ |cluster|², and nlist grows
+    // with the corpus so cluster sizes stay bounded — the pair join
+    // is a shuffle-equi-join on centroid_id, never all-pairs. The
+    // keep/drop rule (survive iff no smaller-id duplicate) is
+    // order-free and engine-reproducible; the threshold compares the
+    // ROUNDED cosine so both engines agree at the boundary. τ=0.3 is
+    // calibrated to this corpus's geometry (max pair cosine ≈0.46,
+    // p99 ≈0.29 — real SemDeDup corpora sit near 0.95+).
+    "q210_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity
+        .ivfAssign(emb, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cos = VectorOps.nativeCosine(s)
+      val a = assigned.select(col("centroid_id"),
+        col("vec_id").as("va"), col("v").as("xa"))
+      val b = assigned.select(col("centroid_id"),
+        col("vec_id").as("vb"), col("v").as("xb"))
+      val dropped = a.join(b, Seq("centroid_id"))
+        .filter(col("va") < col("vb"))
+        .filter(round(cos(col("xa"), col("xb")), 6) >= 0.3)
+        .select(col("centroid_id"), col("vb").as("vec_id"))
+        .distinct()
+      assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .join(dropped.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("nd")), Seq("centroid_id"), "left")
+        .select(col("centroid_id"), col("n_vecs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+    }),
+    // Cluster-balanced diversity sampling (the DataComp/DoReMi-family
+    // selection move): after coarse clustering, take ceil(√n) docs per
+    // cluster by deterministic hash order — dense modes contribute
+    // sublinearly, rare modes survive whole, and the pick is
+    // reproducible across engines and runs (no RNG: Knuth-hash order,
+    // vec_id tie-break). The per-cluster row_number window is bounded
+    // because nlist scales with the corpus (same contract as IVF);
+    // quotas are a broadcast of |nlist| rows.
+    "q211_cluster_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity
+        .ivfAssign(emb, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val quota = assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("n"),
+          ceil(sqrt(col("n").cast("double"))).cast("long").as("quota"))
+      val w = Window.partitionBy(col("centroid_id"))
+        .orderBy(col("h"), col("vec_id"))
+      val picked = assigned
+        .select(col("centroid_id"), col("vec_id"),
+          ((col("vec_id") * 2654435761L) % 1000000007L).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(quota), "centroid_id")
+        .filter(col("rk") <= col("quota"))
+      picked.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("vec_id")).as("first_pick"))
+        .join(broadcast(quota), Seq("centroid_id"))
+        .select(col("centroid_id"), col("n"), col("quota"),
+          col("n_sampled"), col("first_pick"))
     })
   )
 
@@ -255,6 +325,25 @@ object SimilarityQueries extends QueryPack {
       |   FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
       | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
       |   FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** IVF(nlist=16) coarse assignment recomputed from first principles
+    * (centroids = first 16 vectors by id, max-cosine assignment,
+    * centroid_id tie-break) — the shared oracle leg for the SemDeDup
+    * and cluster-sampling queries; mirrors q47's structure. Requires
+    * [[flatCte]] in the same WITH. */
+  private val assignCte =
+    """asims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+      |    sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
+      |   FROM flat f
+      |   JOIN flat c ON f.i = c.i AND c.vec_id < 16
+      |   JOIN norms nf ON f.vec_id = nf.vec_id
+      |   JOIN norms nc ON c.vec_id = nc.vec_id
+      |   GROUP BY f.vec_id, c.vec_id),
+      | assigned AS (SELECT vec_id, centroid_id FROM (
+      |   SELECT vec_id, centroid_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rk
+      |   FROM asims) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q180_hybrid_rrf" ->
@@ -603,6 +692,52 @@ object SimilarityQueries extends QueryPack {
         |   AS t(i))
         | SELECT label, dim,
         |  round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS centroid
-        | FROM flat GROUP BY label, dim""".stripMargin
+        | FROM flat GROUP BY label, dim""".stripMargin,
+    "q210_semantic_dedup" ->
+      s"""WITH $flatCte,
+        | $assignCte,
+        | pairs AS (SELECT a.centroid_id, a.vec_id AS va,
+        |    b.vec_id AS vb
+        |   FROM assigned a JOIN assigned b
+        |     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+        | cosp AS (SELECT p.centroid_id, p.va, p.vb,
+        |    round(sum(fa.x * fb.x) / (max(na.nrm) * max(nb.nrm)), 6)
+        |      AS c
+        |   FROM pairs p
+        |   JOIN flat fa ON fa.vec_id = p.va
+        |   JOIN flat fb ON fb.vec_id = p.vb AND fb.i = fa.i
+        |   JOIN norms na ON na.vec_id = p.va
+        |   JOIN norms nb ON nb.vec_id = p.vb
+        |   GROUP BY 1, 2, 3),
+        | dropped AS (SELECT DISTINCT centroid_id, vb AS vec_id
+        |   FROM cosp WHERE c >= 0.3),
+        | nv AS (SELECT centroid_id, count(*) AS n_vecs
+        |   FROM assigned GROUP BY 1),
+        | nd AS (SELECT centroid_id, count(*) AS nd
+        |   FROM dropped GROUP BY 1)
+        | SELECT nv.centroid_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dropped,
+        |  CAST(n_vecs - coalesce(nd, 0) AS BIGINT) AS n_kept
+        | FROM nv LEFT JOIN nd USING (centroid_id)""".stripMargin,
+    "q211_cluster_sample" ->
+      s"""WITH $flatCte,
+        | $assignCte,
+        | quota AS (SELECT centroid_id, count(*) AS n,
+        |    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+        |      AS quota
+        |   FROM assigned GROUP BY 1),
+        | ranked AS (SELECT centroid_id, vec_id,
+        |    row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id)
+        |      AS rk
+        |   FROM assigned),
+        | picked AS (SELECT r.centroid_id, r.vec_id
+        |   FROM ranked r JOIN quota q ON r.centroid_id = q.centroid_id
+        |   WHERE r.rk <= q.quota)
+        | SELECT q.centroid_id, CAST(q.n AS BIGINT) AS n, q.quota,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  min(p.vec_id) AS first_pick
+        | FROM quota q JOIN picked p ON q.centroid_id = p.centroid_id
+        | GROUP BY q.centroid_id, q.n, q.quota""".stripMargin
   )
 }
