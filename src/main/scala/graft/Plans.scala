@@ -118,7 +118,10 @@ object Plans {
         "all-pairs), row-local cosine verify"),
       "q211_cluster_sample" -> ("cluster-balanced √n sampling: " +
         "bounded per-cluster hash-order window + broadcast quota " +
-        "table"))
+        "table"),
+      "q212_clip_filter" -> ("CLIP-score pair filter: row-local " +
+        "feature-hash text encode, (doc,dim) long-form dot product, " +
+        "one pairing join — no dense-vector UDF, no all-pairs"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -152,6 +152,58 @@ object MultimodalQueries extends QueryPack {
         .select(col("id_a"), col("id_b"),
           bit_count(col("ha") bitwiseXOR col("hb")).cast("long").as("dist"))
         .filter(col("dist") <= 3)
+    }),
+    // LAION-style CLIP-score pair filter: every (caption, image
+    // embedding) pair scored by cosine, kept iff score ≥ τ — THE
+    // web-scale image-text curation gate (LAION-400M was built with
+    // exactly this shape). The CLIP text tower is the stubbed piece:
+    // a deterministic 64-dim feature-hash encoder (md5-60 word hash →
+    // dim = h&63, sign = bit 6) stands in, so the oracle recomputes
+    // the entire score bit-for-bit; the image tower is the embeddings
+    // table keyed by doc_id. Everything else is the production
+    // plumbing at its real scale shape: row-local encode, (doc,dim)
+    // long-form dot product (never a dense-vector UDF), one pairing
+    // join on doc_id, per-source keep/drop report with unpaired docs
+    // surfaced by the left join. τ=0.05 is calibrated to the stub
+    // encoder's score spread (quartiles ±0.09, symmetric about 0).
+    "q212_clip_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = Dedup.md5Hash60(col("w"))
+      val tv = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("source"),
+          (h bitwiseAND lit(63L)).as("dim"),
+          when((shiftright(h, 6) bitwiseAND lit(1L)) === 0L, lit(1L))
+            .otherwise(lit(-1L)).as("sgn"))
+        .groupBy(col("doc_id"), col("source"), col("dim"))
+        .agg(sum(col("sgn")).as("tv"))
+      val tn = tv.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("tv") * col("tv"))).as("tnrm"))
+      val img = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"),
+          posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(col("doc_id"), col("dim0").cast("long").as("dim"),
+          col("xf").cast("double").as("ix"))
+      val inrm = img.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("ix") * col("ix"))).as("inrm"))
+      val dot = tv.join(img, Seq("doc_id", "dim"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("tv") * col("ix")).as("dp"))
+      val score = dot.join(tn, "doc_id").join(inrm, "doc_id")
+        .select(col("doc_id"), col("source"),
+          round(col("dp") / (col("tnrm") * col("inrm")), 6).as("sc"))
+      val paired = score.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sc") >= 0.05, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          round(min(col("sc")), 6).as("min_score"),
+          round(max(col("sc")), 6).as("max_score"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(paired, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("min_score"), col("max_score"))
     })
   )
 
@@ -312,6 +364,47 @@ object MultimodalQueries extends QueryPack {
         |  round(CAST(sum(fmax) AS DOUBLE) / count(*), 6) AS mean_max,
         |  round(CAST(sum(fhash) AS DOUBLE) / count(*) / 1000000007.0, 6)
         |    AS mean_hash_norm
-        | FROM fr GROUP BY media_id""".stripMargin
+        | FROM fr GROUP BY media_id""".stripMargin,
+    "q212_clip_filter" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | hm AS (SELECT doc_id, source, md5(w) AS m FROM toks),
+        | hh AS (SELECT doc_id, source,
+        |   ${DedupQueries.md5Hex60Sql} AS h FROM hm),
+        | tv AS (SELECT doc_id, source, h & 63 AS dim,
+        |    CAST(sum(CASE WHEN (h >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS tv
+        |   FROM hh GROUP BY 1, 2, 3),
+        | tn AS (SELECT doc_id, sqrt(sum(tv * tv)) AS tnrm
+        |   FROM tv GROUP BY 1),
+        | img AS (SELECT vec_id AS doc_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(CAST(embedding AS DOUBLE[])[i] AS DOUBLE) AS ix
+        |   FROM embeddings,
+        |    UNNEST(generate_series(1,
+        |      len(CAST(embedding AS DOUBLE[])))) AS t(i)),
+        | inrm AS (SELECT doc_id, sqrt(sum(ix * ix)) AS inrm
+        |   FROM img GROUP BY 1),
+        | dot AS (SELECT t.doc_id, t.source, sum(t.tv * i.ix) AS dp
+        |   FROM tv t JOIN img i
+        |     ON t.doc_id = i.doc_id AND t.dim = i.dim
+        |   GROUP BY 1, 2),
+        | score AS (SELECT d.doc_id, d.source,
+        |    round(dp / (tn.tnrm * inrm.inrm), 6) AS sc
+        |   FROM dot d JOIN tn ON d.doc_id = tn.doc_id
+        |   JOIN inrm ON d.doc_id = inrm.doc_id),
+        | paired AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN sc >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    round(min(sc), 6) AS min_score,
+        |    round(max(sc), 6) AS max_score
+        |   FROM score GROUP BY 1),
+        | totals AS (SELECT source, count(*) AS n_docs
+        |   FROM documents GROUP BY 1)
+        | SELECT t.source, t.n_docs,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  min_score, max_score
+        | FROM totals t LEFT JOIN paired p
+        |   ON t.source = p.source""".stripMargin
   )
 }
