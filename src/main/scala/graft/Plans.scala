@@ -121,7 +121,10 @@ object Plans {
         "table"),
       "q212_clip_filter" -> ("CLIP-score pair filter: row-local " +
         "feature-hash text encode, (doc,dim) long-form dot product, " +
-        "one pairing join — no dense-vector UDF, no all-pairs"))
+        "one pairing join — no dense-vector UDF, no all-pairs"),
+      "q213_dsir_weights" -> ("DSIR importance weights: two " +
+        "vocab-bounded LM broadcasts off one token stream, per-doc " +
+        "fold, TakeOrdered cut — no global sort"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

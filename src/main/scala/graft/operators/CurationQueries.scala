@@ -614,6 +614,44 @@ object CurationQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           round(min(col("x")), 3).as("min_xent"),
           round(max(col("x")), 3).as("max_xent"))
+    }),
+    // DSIR importance weights (Xie et al., "Data Selection via
+    // Importance Resampling"): score every raw doc by its
+    // Laplace-smoothed log-likelihood ratio between a TARGET-domain
+    // LM (here: the lang='en' stratum) and the RAW-pool LM, then take
+    // the top-30 — the published cheap proxy for "select web data
+    // that looks like the high-quality target". Both LMs are
+    // vocab-bounded broadcasts off the same token stream; the per-doc
+    // fold is one shuffle on doc_id; the cut is a TakeOrdered, never
+    // a global sort. Ranking compares the 6-decimal ROUNDED weight
+    // (doc_id tie-break) so the boundary is engine-stable.
+    "q213_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("w"))
+      val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val tgt = docs.filter(col("lang") === "en")
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val lm = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+      val totals = lm.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+        count(lit(1)).as("v"))
+      val lnr = lm.crossJoin(broadcast(totals))
+        .select(col("w"),
+          (log((col("ct") + 1).cast("double")
+              / (col("tt") + col("v")).cast("double"))
+            - log((col("cr") + 1).cast("double")
+              / (col("tr") + col("v")).cast("double"))).as("lr"))
+      toks.join(broadcast(lnr), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("lr")).as("slr"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("slr") / col("n_words"), 6).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id").asc)
+        .limit(30)
     })
   )
 
@@ -989,6 +1027,27 @@ object CurationQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  round(min(x), 3) AS min_xent, round(max(x), 3) AS max_xent
         | FROM scored s JOIN th ON s.lang = th.lang
-        | GROUP BY 1, 2""".stripMargin
+        | GROUP BY 1, 2""".stripMargin,
+    "q213_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | raw AS (SELECT w, count(*) AS cr FROM toks GROUP BY 1),
+        | tgtc AS (SELECT w, count(*) AS ct FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE lang = 'en') GROUP BY 1),
+        | lm AS (SELECT r.w, cr, coalesce(ct, 0) AS ct
+        |  FROM raw r LEFT JOIN tgtc USING (w)),
+        | tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v
+        |  FROM lm),
+        | lnr AS (SELECT w,
+        |   ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+        |   - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)) AS lr
+        |  FROM lm CROSS JOIN tot)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(sum(lr) / count(*), 6) AS dsir_weight
+        | FROM toks JOIN lnr USING (w)
+        | GROUP BY doc_id
+        | ORDER BY round(sum(lr) / count(*), 6) DESC, doc_id
+        | LIMIT 30""".stripMargin
   )
 }

@@ -352,7 +352,23 @@ object TextQueries extends QueryPack {
           rates = Map("src0" -> 5, "src1" -> 5, "src2" -> 5,
             "src3" -> 5, "src4" -> 5),
           defaultPct = 20)
-        .groupBy(col("source")).agg(count(lit(1)).as("kept")))
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))),
+    // Language-tag audit: confusion matrix of DECLARED lang vs the
+    // n-gram-profile PREDICTION — the standard pre-flight before
+    // trusting per-lang strata (mixture weights, CCNet terciles,
+    // stratified splits all key on the tag; a mislabeled stratum
+    // silently poisons them). Prediction is the row-local q49
+    // argmax expression, so the whole audit is one projection + one
+    // (lang, pred_lang)-keyed aggregate — 25 output rows max at any
+    // corpus scale, zero joins.
+    "q214_lang_mismatch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.langPredExpr(col("text")).as("pred_lang"),
+          col("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).as("first_doc")))
   )
 
   private val profileValues = TextAnalysis.langProfiles
@@ -876,6 +892,19 @@ object TextQueries extends QueryPack {
       """SELECT source, count(*) AS kept FROM documents
         | WHERE (doc_id * 2654435761) % 100 < (CASE WHEN source IN
         |  ('src0','src1','src2','src3','src4') THEN 5 ELSE 20 END)
-        | GROUP BY source""".stripMargin
+        | GROUP BY source""".stripMargin,
+    "q214_lang_mismatch" ->
+      s"""WITH profile(lang, tg) AS (VALUES $profileValues),
+        | sc AS (SELECT d.doc_id, d.lang AS decl, p.lang AS plang,
+        |   sum((length(d.text) - length(replace(d.text, p.tg, '')))
+        |       // length(p.tg)) AS score
+        |  FROM documents d CROSS JOIN profile p GROUP BY 1, 2, 3),
+        | ranked AS (SELECT doc_id, decl, plang, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+        |  FROM sc)
+        | SELECT decl AS lang, plang AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        | FROM ranked WHERE rk = 1 GROUP BY 1, 2""".stripMargin
   )
 }
