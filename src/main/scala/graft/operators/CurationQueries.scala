@@ -652,7 +652,18 @@ object CurationQueries extends QueryPack {
           round(col("slr") / col("n_words"), 6).as("dsir_weight"))
         .orderBy(col("dsir_weight").desc, col("doc_id").asc)
         .limit(30)
-    })
+    }),
+    // UniMax language-capped sampling (Chung et al. 2023): waterfill
+    // a 160%-of-corpus token budget smallest-language-first with a
+    // 2-epoch cap — on this corpus the cap binds for every language
+    // but English (each gets its 2 full epochs), and English absorbs
+    // the released remainder as 1 full epoch + a partial prefix. The
+    // waterfill is integer-exact over an L-row driver table; the
+    // partial-epoch document count rides one distributedPrefixSum
+    // (see TrainingOrder.unimaxCap for the 100 TB shape).
+    "q215_unimax_cap" -> ((s, d) =>
+      TrainingOrder.unimaxCap(Tables.documents(s, d), "doc_id", "lang",
+        "text", budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L, s))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1048,6 +1059,42 @@ object CurationQueries extends QueryPack {
         | FROM toks JOIN lnr USING (w)
         | GROUP BY doc_id
         | ORDER BY round(sum(lr) / count(*), 6) DESC, doc_id
-        | LIMIT 30""".stripMargin
+        | LIMIT 30""".stripMargin,
+    "q215_unimax_cap" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |   (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        | l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(toks) AS BIGINT) AS lang_toks FROM t GROUP BY lang),
+        | o AS (SELECT lang, n_docs, lang_toks,
+        |   CAST(row_number() OVER (ORDER BY lang_toks, lang)
+        |     AS BIGINT) AS rn,
+        |   CAST(count(*) OVER () AS BIGINT) AS nl,
+        |   CAST(sum(lang_toks) OVER () * 8 // 5 AS BIGINT) AS budget
+        |  FROM l),
+        | r AS (
+        |  SELECT rn, lang, n_docs, lang_toks, nl,
+        |    least(2 * lang_toks, budget // nl) AS alloc,
+        |    budget - least(2 * lang_toks, budget // nl) AS brem
+        |   FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.lang, o.n_docs, o.lang_toks, o.nl,
+        |    least(2 * o.lang_toks, r.brem // (o.nl - o.rn + 1)),
+        |    r.brem - least(2 * o.lang_toks, r.brem // (o.nl - o.rn + 1))
+        |   FROM o JOIN r ON o.rn = r.rn + 1),
+        | a AS (SELECT lang, n_docs, lang_toks,
+        |   CAST(alloc AS BIGINT) AS alloc,
+        |   CAST(alloc // lang_toks AS BIGINT) AS full_epochs,
+        |   CAST(alloc % lang_toks AS BIGINT) AS partial_toks FROM r),
+        | run AS (SELECT lang, doc_id, toks,
+        |   CAST(sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS rt FROM t)
+        | SELECT a.lang, a.n_docs, a.lang_toks, a.alloc, a.full_epochs,
+        |  a.partial_toks,
+        |  CAST(sum(CASE WHEN run.rt <= a.partial_toks THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_partial_docs
+        | FROM a JOIN run ON a.lang = run.lang
+        | GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   )
 }

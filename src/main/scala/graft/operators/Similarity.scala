@@ -358,4 +358,59 @@ object Similarity {
     val assigned = ivfAssign(emb, idCol, vecCol, cents)
     ivfSearch(assigned, cents, query, nprobe, k)
   }
+
+  /** Greedy k-center coreset (Gonzalez's farthest-first traversal,
+    * the classic 2-approximation): seed with the smallest id, then
+    * repeat "pick the point farthest from its nearest chosen center"
+    * k−1 times — the standard coverage-maximizing selection for data
+    * pruning / coreset distillation (pick the k exemplars that cover
+    * the embedding space, dense modes represented once).
+    *
+    * Scale shape: each selection step is one full scan — a row-local
+    * min over ≤k BROADCAST center vectors, then a top-1 reduce
+    * (TakeOrdered, per-partition heads merged) — so the loop is k−1
+    * linear passes and the driver only ever holds the k chosen
+    * vectors. Distances are EXACT integer L2² over round(x·10⁶)
+    * fixed-point coordinates: no float accumulation order anywhere,
+    * so the argmax (and the DuckDB oracle's) is bit-deterministic.
+    * Ties: the smaller vec_id wins selection; a point assigns to the
+    * earliest-selected of equally-near centers.
+    *
+    * Returns one row per center: selection rank, the center's id,
+    * its cluster population, and the cluster radius (max L2² of its
+    * members — rank-1's radius bounds the k-center objective).
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val qv = emb.select(col(idCol).as("vec_id"),
+        transform(toDoubleVec(col(vecCol)),
+          x => round(x * 1000000).cast("long")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2To(center: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedlit(center),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    def vecOf(id: Long): Seq[Long] =
+      qv.filter(col("vec_id") === id).head().getSeq[Long](1)
+    val seedId = qv.agg(min(col("vec_id"))).head().getLong(0)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (seedId, vecOf(seedId)))
+    while (centers.length < k) {
+      val mind = centers.map(c => d2To(c._2)).reduce(least(_, _))
+      val far = qv.select(col("vec_id"), mind.as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1).head()
+      centers += ((far.getLong(0), vecOf(far.getLong(0))))
+    }
+    // assignment: one row-local array_min over (d², rank, id) structs
+    // — struct ordering gives "min distance, tie → earliest center";
+    // no join, the centers ride along as literals
+    val slots = centers.zipWithIndex.map { case ((cid, cv), i) =>
+      struct(d2To(cv).as("d"), lit(i + 1L).as("r"), lit(cid).as("cid"))
+    }
+    qv.select(col("vec_id"), array_min(array(slots.toSeq: _*)).as("p"))
+      .select(col("p.r").as("center_rank"),
+        col("p.cid").as("center_vec_id"), col("p.d").as("d"))
+      .groupBy(col("center_rank"), col("center_vec_id"))
+      .agg(count(lit(1)).as("n_points"), max(col("d")).as("max_d2"))
+  }
 }

@@ -315,6 +315,66 @@ object SimilarityQueries extends QueryPack {
         .join(broadcast(quota), Seq("centroid_id"))
         .select(col("centroid_id"), col("n"), col("quota"),
           col("n_sampled"), col("first_pick"))
+    }),
+    // Greedy k-center coreset (farthest-first traversal) over the
+    // embeddings: the k=4 exemplars that cover the space, with
+    // cluster populations and radii. Selection is k−1 scan+top-1
+    // passes over broadcast centers; distances are exact integer L2²
+    // (fixed-point ×10⁶), so selection, assignment, and the oracle's
+    // chained-CTE recomputation agree bit-for-bit.
+    "q216_kcenter_coreset" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 4)),
+    // Margin-based bitext mining (Artetxe & Schwenk): across two
+    // strata (label 0 = "source", label 1 = "target"), score each
+    // cross pair by cosine relative to the mean of both endpoints'
+    // k=4 nearest neighbors — margin = 2k·cos(x,y)/(Σtopk(x)+Σtopk(y))
+    // — and keep each source's best target when the margin clears
+    // 1.02. The margin criterion is THE published fix for hubness
+    // (absolute-cosine mining drowns in hub vectors). Determinism:
+    // cosines collapse to integer micro-units once (round ×10⁶), so
+    // every rank, top-k sum, and the final margin (one int/int
+    // division, rounded) is engine-exact. Scale shape: the stratum
+    // cross product is the exact-verification form — production runs
+    // the identical margin arithmetic on IVF shortlists (q47's
+    // layout) with the query stratum batched and broadcast, the same
+    // contract as q48's batch brute force.
+    "q217_margin_bitext" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.filter(col("label") === 0)
+        .select(col("vec_id").as("src_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("xv"))
+      val b = emb.filter(col("label") === 1)
+        .select(col("vec_id").as("tgt_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("yv"))
+      val cos = VectorOps.nativeCosine(s)
+      val k = 4
+      val pairs = a.crossJoin(broadcast(b))
+        .select(col("src_id"), col("tgt_id"),
+          round(cos(col("xv"), col("yv")) * 1000000)
+            .cast("long").as("ci"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wx = Window.partitionBy(col("src_id"))
+        .orderBy(col("ci").desc, col("tgt_id").asc)
+      val sx = pairs.withColumn("rk", row_number().over(wx))
+        .filter(col("rk") <= k)
+        .groupBy(col("src_id")).agg(sum(col("ci")).as("sx"))
+      val wy = Window.partitionBy(col("tgt_id"))
+        .orderBy(col("ci").desc, col("src_id").asc)
+      val sy = pairs.withColumn("rk", row_number().over(wy))
+        .filter(col("rk") <= k)
+        .groupBy(col("tgt_id")).agg(sum(col("ci")).as("sy"))
+      val margins = pairs
+        .join(broadcast(sx), "src_id").join(broadcast(sy), "tgt_id")
+        .select(col("src_id"), col("tgt_id"), col("ci"),
+          round((col("ci") * (2 * k)).cast("double")
+            / (col("sx") + col("sy")).cast("double"), 6).as("margin"))
+      val wbest = Window.partitionBy(col("src_id"))
+        .orderBy(col("margin").desc, col("tgt_id").asc)
+      margins.withColumn("rk", row_number().over(wbest))
+        .filter(col("rk") === 1 && col("margin") >= 1.02)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("ci") / 1000000.0, 6).as("cosine"), col("margin"))
     })
   )
 
@@ -738,6 +798,86 @@ object SimilarityQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_sampled,
         |  min(p.vec_id) AS first_pick
         | FROM quota q JOIN picked p ON q.centroid_id = p.centroid_id
-        | GROUP BY q.centroid_id, q.n, q.quota""".stripMargin
+        | GROUP BY q.centroid_id, q.n, q.quota""".stripMargin,
+    "q216_kcenter_coreset" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | qf AS (SELECT vec_id, i,
+        |   CAST(round(v[i] * 1000000) AS BIGINT) AS q
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | c1 AS (SELECT min(vec_id) AS cid FROM base),
+        | d1 AS (SELECT p.vec_id,
+        |   CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d
+        |  FROM qf p JOIN c1 ON true JOIN qf c ON c.vec_id = c1.cid
+        |   AND p.i = c.i
+        |  GROUP BY p.vec_id),
+        | c2 AS (SELECT vec_id AS cid FROM d1
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        | d2 AS (SELECT p.vec_id, least(d1.d,
+        |   CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT)) AS d
+        |  FROM qf p JOIN c2 ON true JOIN qf c ON c.vec_id = c2.cid
+        |   AND p.i = c.i
+        |  JOIN d1 ON d1.vec_id = p.vec_id
+        |  GROUP BY p.vec_id, d1.d),
+        | c3 AS (SELECT vec_id AS cid FROM d2
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        | d3 AS (SELECT p.vec_id, least(d2.d,
+        |   CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT)) AS d
+        |  FROM qf p JOIN c3 ON true JOIN qf c ON c.vec_id = c3.cid
+        |   AND p.i = c.i
+        |  JOIN d2 ON d2.vec_id = p.vec_id
+        |  GROUP BY p.vec_id, d2.d),
+        | c4 AS (SELECT vec_id AS cid FROM d3
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        | cent AS (SELECT 1 AS r, cid FROM c1
+        |  UNION ALL SELECT 2, cid FROM c2
+        |  UNION ALL SELECT 3, cid FROM c3
+        |  UNION ALL SELECT 4, cid FROM c4),
+        | dist AS (SELECT p.vec_id, ct.r, ct.cid,
+        |   CAST(sum((p.q - cf.q) * (p.q - cf.q)) AS BIGINT) AS d
+        |  FROM qf p CROSS JOIN cent ct
+        |  JOIN qf cf ON cf.vec_id = ct.cid AND cf.i = p.i
+        |  GROUP BY 1, 2, 3),
+        | pick AS (SELECT vec_id, r, cid, d,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d, r) AS rk
+        |  FROM dist)
+        | SELECT CAST(r AS BIGINT) AS center_rank, cid AS center_vec_id,
+        |  count(*) AS n_points, CAST(max(d) AS BIGINT) AS max_d2
+        | FROM pick WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    "q217_margin_bitext" ->
+      """WITH base AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | flat AS (SELECT vec_id, label, i, v[i] AS x
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n
+        |  FROM flat GROUP BY 1),
+        | dots AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |   sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i
+        |   AND a.label = 0 AND b.label = 1
+        |  GROUP BY 1, 2),
+        | ci AS (SELECT src_id, tgt_id,
+        |   CAST(round(dp / (na.n * nb.n) * 1000000) AS BIGINT) AS ci
+        |  FROM dots JOIN nrm na ON na.vec_id = src_id
+        |  JOIN nrm nb ON nb.vec_id = tgt_id),
+        | sx AS (SELECT src_id, CAST(sum(ci) AS BIGINT) AS sx FROM (
+        |   SELECT src_id, ci, row_number() OVER (PARTITION BY src_id
+        |     ORDER BY ci DESC, tgt_id) AS rk FROM ci)
+        |  WHERE rk <= 4 GROUP BY 1),
+        | sy AS (SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS sy FROM (
+        |   SELECT tgt_id, ci, row_number() OVER (PARTITION BY tgt_id
+        |     ORDER BY ci DESC, src_id) AS rk FROM ci)
+        |  WHERE rk <= 4 GROUP BY 1),
+        | m AS (SELECT c.src_id, c.tgt_id, c.ci,
+        |   round(CAST(8 * c.ci AS DOUBLE)
+        |     / CAST(sx.sx + sy.sy AS DOUBLE), 6) AS margin
+        |  FROM ci c JOIN sx ON c.src_id = sx.src_id
+        |  JOIN sy ON c.tgt_id = sy.tgt_id),
+        | best AS (SELECT src_id, tgt_id, ci, margin,
+        |   row_number() OVER (PARTITION BY src_id
+        |     ORDER BY margin DESC, tgt_id) AS rk FROM m)
+        | SELECT src_id, tgt_id, round(ci / 1000000.0, 6) AS cosine,
+        |  margin
+        | FROM best WHERE rk = 1 AND margin >= 1.02""".stripMargin
   )
 }

@@ -93,4 +93,78 @@ object TrainingOrder {
       .select(col("doc_id"), col("quality"), col("toks"),
         col("run").cast("long").as("run"))
   }
+
+  /** UniMax language-capped budget allocation (Chung et al. 2023):
+    * distribute a corpus-level token budget across languages by the
+    * smallest-first waterfill — each language's quota is an equal
+    * share of what remains, capped at `maxEpochs` passes over that
+    * language; small languages that can't absorb their share release
+    * it to the larger ones. The published fix for both failure modes
+    * of temperature sampling (low-resource languages over-epoched
+    * into memorization, high-resource ones starved).
+    *
+    * Output, one row per language: the doc/token inventory, the
+    * allocated budget, how many FULL epochs that buys, the leftover
+    * partial-epoch token count, and how many documents the partial
+    * epoch admits (deterministic Knuth-hash order, inclusive running
+    * sum ≤ partial — the same prefix rule as [[tokenBudgetSelect]]).
+    *
+    * Scale shape: the language table is bounded by the number of
+    * languages (≈200 for any real multilingual corpus), so the
+    * sequential waterfill is a driver-side O(L log L) loop — the same
+    * bounded-collect class as the perceptron's dims-sized model. The
+    * per-document partial prefix is ONE [[Rank.distributedPrefixSum]]
+    * ordered language-major: the in-language running sum is the
+    * global running sum minus the token mass of lexicographically
+    * earlier languages (a broadcast L-row table), so a dominant
+    * language (English ≈ half of any web corpus) still spreads across
+    * range partitions instead of funneling into one per-language
+    * window task. All budget arithmetic is 64-bit integer — the
+    * allocation is bit-identical in any engine.
+    */
+  def unimaxCap(docs: DataFrame, idCol: String, langCol: String,
+                textCol: String, budgetNum: Long, budgetDen: Long,
+                maxEpochs: Long, spark: SparkSession): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && maxEpochs > 0,
+      "budget fraction and epoch cap must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"),
+        TextAnalysis.wsTokens(col(textCol)).cast("long").as("toks"))
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(M))
+    val langRows = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("lang_toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val budget = langRows.map(_._3).sum * budgetNum / budgetDen
+    var brem = budget
+    var lrem = langRows.length.toLong
+    val alloc = langRows.sortBy { case (l, _, t) => (t, l) }.map {
+      case (l, nd, lt) =>
+        val a = math.min(maxEpochs * lt, brem / lrem)
+        brem -= a
+        lrem -= 1
+        (l, nd, lt, a, a / lt, a % lt)
+    }
+    import spark.implicits._
+    val allocDf = alloc.toSeq.toDF("lang", "n_docs", "lang_toks",
+      "alloc", "full_epochs", "partial_toks")
+    // token mass of lexicographically earlier languages — the carry
+    // that turns the single global prefix sum into per-language runs
+    val lexBase = alloc.sortBy(_._1)
+      .scanLeft(("", 0L)) { case ((_, acc), (l, _, lt, _, _, _)) =>
+        (l, acc + lt)
+      }
+    val baseDf = lexBase.sliding(2).collect {
+      case Array((_, acc), (l, _)) => (l, acc)
+    }.toSeq.toDF("lang", "base")
+    val run = Rank.distributedPrefixSum(toks,
+      Seq(col("lang"), col("h"), col("doc_id")), col("toks"), spark)
+    run.join(broadcast(baseDf), "lang")
+      .join(broadcast(allocDf), "lang")
+      .groupBy(col("lang"), col("n_docs"), col("lang_toks"),
+        col("alloc"), col("full_epochs"), col("partial_toks"))
+      .agg(sum(when(col("run") - col("base") <= col("partial_toks"), 1L)
+        .otherwise(0L)).cast("long").as("n_partial_docs"))
+  }
 }

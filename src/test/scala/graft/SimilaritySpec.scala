@@ -295,4 +295,41 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     assert(a.sameElements(b))
   }
+
+  test("kCenterCoreset matches a brute-force greedy recompute; radius shrinks with k") {
+    val spark0 = TestSpark.spark
+    val emb = Tables.embeddings(spark0, TestSpark.sfDir)
+    // independent scala recompute of the farthest-first traversal on
+    // the same fixed-point integer coordinates
+    val pts = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => BigDecimal(x.toDouble * 1000000) // HALF_UP = Spark round()
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def greedy(k: Int): Seq[Long] = {
+      val centers = scala.collection.mutable.ArrayBuffer(pts.head._1)
+      while (centers.length < k) {
+        val cvs = centers.map(c => pts.find(_._1 == c).get._2)
+        val far = pts.map { case (id, v) => (id, cvs.map(d2(v, _)).min) }
+          .maxBy { case (id, d) => (d, -id) }
+        centers += far._1
+      }
+      centers.toSeq
+    }
+    def radius(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(_.getAs[Long]("max_d2")).max
+    val out4 = Similarity.kCenterCoreset(emb, "vec_id", "embedding", 4)
+      .collect()
+    assert(out4.sortBy(_.getAs[Long]("center_rank"))
+      .map(_.getAs[Long]("center_vec_id")).toSeq == greedy(4),
+      "selection diverges from the brute-force greedy order")
+    assert(out4.map(_.getAs[Long]("n_points")).sum == pts.length,
+      "every point assigned exactly once")
+    val out2 = Similarity.kCenterCoreset(emb, "vec_id", "embedding", 2)
+      .collect()
+    assert(radius(out4) <= radius(out2),
+      "coverage radius must not grow with more centers")
+  }
 }

@@ -66,4 +66,56 @@ class TrainingOrderSpec extends AnyFunSuite {
     assert(ordered.take(k).toSet == selIds,
       "selected set is not the top-k prefix of the quality order")
   }
+
+  test("unimaxCap: budget conserved, epoch cap honored, prefix exact") {
+    val docs = (0 until 80).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 10 match {
+        case n if n < 6 => 0 // aa dominates
+        case n if n < 9 => 1
+        case _          => 2
+      })
+      (i.toLong, lang, Seq.fill(3 + i % 7)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = TrainingOrder.unimaxCap(docs, "doc_id", "lang", "text",
+      budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L, spark).collect()
+    assert(out.length == 3)
+    val total = out.map(_.getAs[Long]("lang_toks")).sum
+    val budget = total * 8 / 5
+    // conservation: never over budget; cap: never over 2 epochs/lang
+    assert(out.map(_.getAs[Long]("alloc")).sum <= budget)
+    out.foreach { r =>
+      assert(r.getAs[Long]("alloc") <=
+        2L * r.getAs[Long]("lang_toks"))
+      assert(r.getAs[Long]("full_epochs") ==
+        r.getAs[Long]("alloc") / r.getAs[Long]("lang_toks"))
+      assert(r.getAs[Long]("partial_toks") ==
+        r.getAs[Long]("alloc") % r.getAs[Long]("lang_toks"))
+    }
+    // the waterfill's point: some capped language exists alongside a
+    // budget-bound one on this skewed fixture
+    assert(out.exists(_.getAs[Long]("full_epochs") == 2L))
+    assert(out.exists(_.getAs[Long]("full_epochs") < 2L))
+    // partial prefix recomputed brute-force per language
+    val toks = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      (r.getAs[String]("lang"), id,
+        r.getAs[String]("text").split(" ").length.toLong,
+        id * 2654435761L % 1000000007L)
+    }
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val partial = r.getAs[Long]("partial_toks")
+      val inLang = toks.filter(_._1 == lang).sortBy(t => (t._4, t._2))
+      val runs = inLang.scanLeft(0L)(_ + _._3).drop(1)
+      assert(r.getAs[Long]("n_partial_docs") ==
+        runs.count(_ <= partial).toLong, s"partial prefix wrong for $lang")
+    }
+    // a budget ≥ E×corpus caps EVERY language at exactly E epochs
+    val capped = TrainingOrder.unimaxCap(docs, "doc_id", "lang", "text",
+      budgetNum = 3L, budgetDen = 1L, maxEpochs = 2L, spark).collect()
+    capped.foreach { r =>
+      assert(r.getAs[Long]("full_epochs") == 2L &&
+        r.getAs[Long]("partial_toks") == 0L)
+    }
+  }
 }
