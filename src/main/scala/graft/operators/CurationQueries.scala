@@ -663,7 +663,15 @@ object CurationQueries extends QueryPack {
     // (see TrainingOrder.unimaxCap for the 100 TB shape).
     "q215_unimax_cap" -> ((s, d) =>
       TrainingOrder.unimaxCap(Tables.documents(s, d), "doc_id", "lang",
-        "text", budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L, s))
+        "text", budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L, s)),
+    // Size-balanced training shards: longest-first rank dealt
+    // round-robin over 8 shards (order-free LPT analog) — the
+    // anti-straggler sharding for data-parallel training. One
+    // distributedRank + a row-local modulus (see
+    // TrainingOrder.balancedShards for the scale argument).
+    "q218_balanced_shards" -> ((s, d) =>
+      TrainingOrder.balancedShards(Tables.documents(s, d), "doc_id",
+        "text", shards = 8, s))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1095,6 +1103,18 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(CASE WHEN run.rt <= a.partial_toks THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_partial_docs
         | FROM a JOIN run ON a.lang = run.lang
-        | GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+        | GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "q218_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        | r AS (SELECT doc_id, toks,
+        |   CAST(row_number() OVER (ORDER BY toks DESC, doc_id)
+        |    AS BIGINT) AS rk FROM t)
+        | SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_toks,
+        |  CAST(min(toks) AS BIGINT) AS min_toks,
+        |  CAST(max(toks) AS BIGINT) AS max_toks
+        | FROM r GROUP BY 1""".stripMargin
   )
 }

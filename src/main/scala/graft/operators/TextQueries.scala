@@ -134,6 +134,90 @@ object TextQueries extends QueryPack {
           round(sum(col("n_dup")).cast("double") /
             sum(col("n_grams")), 6).as("dup_rate"))
     }),
+    // Novelty-decay curve: per doc-id decile (ingest-order proxy),
+    // the fraction of distinct word-5-grams making their corpus-wide
+    // FIRST appearance there — the corpus-health curve that shows a
+    // crawl going stale (novelty sinking toward boilerplate). Shape:
+    // q124's single-exchange gram window, but carrying min(doc_id)
+    // instead of count — first-occurrence attribution without a
+    // self-join; decile cut is an integral DIV against one broadcast
+    // max-id scalar, so no rank pass at all.
+    "q219_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.wordShingles(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 5)
+      val w = Window.partitionBy(col("shingle"))
+      val perDoc = sh.withColumn("mind", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("g"),
+          sum(when(col("mind") === col("doc_id"), 1L).otherwise(0L))
+            .as("v"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      docs.select(col("doc_id")).crossJoin(broadcast(mx))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          least(lit(9L), expr("(doc_id * 10) DIV (mx + 1)"))
+            .cast("long").as("decile"),
+          coalesce(col("g"), lit(0L)).as("g"),
+          coalesce(col("v"), lit(0L)).as("v"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("g")).cast("long").as("n_grams"),
+          sum(col("v")).cast("long").as("n_novel"),
+          round(sum(col("v")).cast("double") / sum(col("g")), 6)
+            .as("novelty_rate"))
+    }),
+    // Difficulty-based data pruning (the EL2N/forgetting-score move:
+    // drop the easiest examples, keep the hard ones that carry the
+    // training signal): train q193's perceptron, score the corpus
+    // with the collected (dims-bounded) model, and per class prune
+    // the 30% of CORRECTLY-classified docs with the largest |margin|
+    // — most-confident = easiest. Integer margins make every rank and
+    // the prune boundary engine-exact; the per-class margin rank is a
+    // distributedRank with a classes-sized base subtract, not a
+    // per-class window (two classes would mean two window tasks).
+    "q220_difficulty_prune" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptron(planted, "doc_id",
+          "text", label, dims = 256, iters = 3)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val wts = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val scored = Classifier
+        .scoreWith(planted, "doc_id", "text", wts, dims = 256)
+        .join(planted.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val correct = scored.filter(col("pred") === col("y"))
+        .select(col("doc_id"), col("y"), abs(col("margin")).as("am"))
+      // class inventory: a #classes-sized frame; base offsets via the
+      // same triangle cumulate as Rank (no collect, no extra job —
+      // the whole prune is one lazy DAG over the persisted scores)
+      val counts = correct.groupBy(col("y")).agg(count(lit(1)).as("nc"))
+      val quotaDf = counts.as("a")
+        .join(counts.as("b"), col("b.y") < col("a.y"), "left")
+        .groupBy(col("a.y").as("y"), col("a.nc").as("nc"))
+        .agg(coalesce(sum(col("b.nc")), lit(0L)).as("base"))
+        .select(col("y"), col("base"),
+          expr("(nc * 3) DIV 10").as("quota"))
+      val pruned = Rank
+        .distributedRank(correct,
+          Seq(col("y"), col("am").desc, col("doc_id")), s)
+        .join(broadcast(quotaDf), "y")
+        .filter(col("rk") - col("base") <= col("quota"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("np"), min(col("am")).as("mc"))
+      scored.groupBy(col("y"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .join(pruned, Seq("y"), "left")
+        .select(col("y"), col("n_docs"), col("n_correct"),
+          coalesce(col("np"), lit(0L)).as("n_pruned"),
+          coalesce(col("mc"), lit(0L)).as("margin_cut"))
+    }),
     // Quality scoring: word/char/stopword/punct features + score.
     "q50_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -655,6 +739,56 @@ object TextQueries extends QueryPack {
         |    AS dup_rate
         | FROM documents d JOIN per USING (doc_id)
         | GROUP BY d.source""".stripMargin,
+    "q219_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     || ' ' || w[i+4] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | firsts AS (SELECT s, min(doc_id) AS mind FROM sh GROUP BY 1),
+        | per AS (SELECT doc_id, count(*) AS g,
+        |   CAST(sum(CASE WHEN f.mind = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v
+        |  FROM sh JOIN firsts f USING (s) GROUP BY doc_id),
+        | mx AS (SELECT max(doc_id) AS m FROM documents)
+        | SELECT CAST(least(9, (d.doc_id * 10) // (m + 1)) AS BIGINT)
+        |   AS decile,
+        |  count(*) AS n_docs,
+        |  CAST(sum(coalesce(g, 0)) AS BIGINT) AS n_grams,
+        |  CAST(sum(coalesce(v, 0)) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(coalesce(v, 0)) AS DOUBLE)
+        |    / sum(coalesce(g, 0)), 6) AS novelty_rate
+        | FROM documents d CROSS JOIN mx
+        | LEFT JOIN per ON d.doc_id = per.doc_id
+        | GROUP BY 1""".stripMargin,
+    "q220_difficulty_prune" ->
+      // same retrained w3 as q193/q194; prune = per-class top-30% of
+      // correct docs by |margin| (integer, doc_id tie) — the rank,
+      // the 3n//10 quota, and the cut margin are all integer-exact
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, y, m,
+        |   CASE WHEN m > 0 THEN 1 ELSE -1 END AS pred, abs(m) AS am
+        |  FROM m4),
+        | corr AS (SELECT doc_id, y, am,
+        |   row_number() OVER (PARTITION BY y
+        |     ORDER BY am DESC, doc_id) AS rk,
+        |   count(*) OVER (PARTITION BY y) AS nc
+        |  FROM sc WHERE pred = y),
+        | pruned AS (SELECT y, CAST(count(*) AS BIGINT) AS np,
+        |   CAST(min(am) AS BIGINT) AS mc
+        |  FROM corr WHERE rk <= 3 * nc // 10 GROUP BY 1)
+        | SELECT CAST(sc.y AS BIGINT) AS y, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sc.pred = sc.y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(coalesce(max(p.np), 0) AS BIGINT) AS n_pruned,
+        |  CAST(coalesce(max(p.mc), 0) AS BIGINT) AS margin_cut
+        | FROM sc LEFT JOIN pruned p ON sc.y = p.y
+        | GROUP BY sc.y""".stripMargin,
     "q49_lang_id" ->
       s"""WITH profile(lang, tg) AS (VALUES $profileValues),
         | sc AS (SELECT d.doc_id, p.lang,

@@ -94,6 +94,33 @@ object TrainingOrder {
         col("run").cast("long").as("run"))
   }
 
+  /** Size-balanced training shards: rank documents longest-first
+    * (token count desc, id tie-break), deal round-robin across
+    * `shards` — the order-free cousin of LPT (longest-processing-time
+    * first) scheduling. Dealing by sorted rank guarantees every shard
+    * gets one document from each length class of `shards` consecutive
+    * ranks, so shard token totals differ by at most one document per
+    * class — the property that keeps data-parallel training steps
+    * from straggling on one fat shard. Unlike true LPT (assign to
+    * least-loaded, inherently sequential), the rank deal is one
+    * [[Rank.distributedRank]] plus a row-local modulus — fully
+    * parallel, deterministic, engine-reproducible. Returns per-shard
+    * accounting (population, token total, min/max doc length).
+    */
+  def balancedShards(docs: DataFrame, idCol: String, textCol: String,
+                     shards: Int, spark: SparkSession): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wsTokens(col(textCol)).cast("long").as("toks"))
+    Rank.distributedRank(scored,
+        Seq(col("toks").desc, col("doc_id")), spark)
+      .withColumn("shard", (col("rk") - 1) % shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("shard_toks"),
+        min(col("toks")).as("min_toks"), max(col("toks")).as("max_toks"))
+  }
+
   /** UniMax language-capped budget allocation (Chung et al. 2023):
     * distribute a corpus-level token budget across languages by the
     * smallest-first waterfill — each language's quota is an equal

@@ -118,4 +118,30 @@ class TrainingOrderSpec extends AnyFunSuite {
         r.getAs[Long]("partial_toks") == 0L)
     }
   }
+
+  test("balancedShards: ±1 doc balance, token spread bounded by one length class") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(1 + (i * 7) % 40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TrainingOrder.balancedShards(docs, "doc_id", "text",
+      shards = 8, spark).collect()
+    assert(out.length == 8)
+    val nd = out.map(_.getAs[Long]("n_docs"))
+    assert(nd.sum == 100 && nd.max - nd.min <= 1)
+    // the round-robin deal over the sorted order bounds shard token
+    // spread: ⌈n/shards⌉ deal rounds, each contributing ≤ (round max −
+    // round min) spread; recompute that bound brute-force
+    val lens = docs.collect()
+      .map(r => (r.getAs[String]("text").split(" ").length.toLong,
+        r.getAs[Long]("doc_id")))
+      .sortBy { case (t, id) => (-t, id) }.map(_._1)
+    // complete rounds spread ≤ max−min; the partial last round gives
+    // some shards nothing, so it contributes up to its max
+    val bound = lens.grouped(8)
+      .map(g => if (g.length == 8) g.max - g.min else g.max).sum
+    val tk = out.map(_.getAs[Long]("shard_toks"))
+    assert(tk.max - tk.min <= bound,
+      s"token spread ${tk.max - tk.min} exceeds deal bound $bound")
+    assert(tk.sum == lens.sum)
+  }
 }
