@@ -671,7 +671,48 @@ object CurationQueries extends QueryPack {
     // TrainingOrder.balancedShards for the scale argument).
     "q218_balanced_shards" -> ((s, d) =>
       TrainingOrder.balancedShards(Tables.documents(s, d), "doc_id",
-        "text", shards = 8, s))
+        "text", shards = 8, s)),
+    // Length-binned batching audit: docs bucketed to the next
+    // power-of-two token length (the dynamic-batching bins that keep
+    // padding bounded at 2×), with per-bin padding-waste accounting —
+    // the number a batching layer tunes against. Row-local CASE
+    // chain + one agg: zero exchanges beyond the groupBy.
+    "q222_length_bins" -> ((s, d) => {
+      val toks = TextAnalysis.wsTokens(col("text")).cast("long")
+      val bin = when(toks <= 16L, 16L).when(toks <= 32L, 32L)
+        .when(toks <= 64L, 64L).when(toks <= 128L, 128L)
+        .when(toks <= 256L, 256L).when(toks <= 512L, 512L)
+        .otherwise(1024L)
+      Tables.documents(s, d)
+        .select(bin.as("bin"), toks.as("toks"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("sum_toks"))
+        .select(col("bin"), col("n_docs"), col("sum_toks"),
+          (col("bin") * col("n_docs") - col("sum_toks")).as("padding"),
+          round((col("bin") * col("n_docs") - col("sum_toks"))
+            .cast("double") / (col("bin") * col("n_docs")), 6)
+            .as("waste_rate"))
+    }),
+    // Deterministic stratified 5-fold assignment (hash-mod folds
+    // inside each language stratum) + the balance audit: per
+    // (lang, fold), the signed deviation 5·n_fold − n_lang that a
+    // fair split keeps within ±5·(fold imbalance). The eval-infra
+    // counterpart of q153's leakage split: every doc gets a fold,
+    // reproducibly, with no RNG and no rank pass — one row-local
+    // hash + two keyed aggs, stratum counts broadcast back.
+    "q223_stratified_kfold" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        (((col("doc_id") * lit(2654435761L)) % lit(1000000007L)) % 5L)
+          .as("fold"))
+      val strata = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      docs.groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(strata), "lang")
+        .select(col("lang"), col("fold"), col("n_docs"), col("n_lang"),
+          (col("n_docs") * 5L - col("n_lang")).as("deviation"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1115,6 +1156,31 @@ object CurationQueries extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_toks,
         |  CAST(min(toks) AS BIGINT) AS min_toks,
         |  CAST(max(toks) AS BIGINT) AS max_toks
-        | FROM r GROUP BY 1""".stripMargin
+        | FROM r GROUP BY 1""".stripMargin,
+    "q222_length_bins" ->
+      """WITH t AS (SELECT
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        | b AS (SELECT toks, CASE WHEN toks <= 16 THEN 16
+        |   WHEN toks <= 32 THEN 32 WHEN toks <= 64 THEN 64
+        |   WHEN toks <= 128 THEN 128 WHEN toks <= 256 THEN 256
+        |   WHEN toks <= 512 THEN 512 ELSE 1024 END AS bin FROM t),
+        | g AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |   CAST(sum(toks) AS BIGINT) AS sum_toks FROM b GROUP BY 1)
+        | SELECT bin, n_docs, sum_toks,
+        |  CAST(bin * n_docs - sum_toks AS BIGINT) AS padding,
+        |  round(CAST(bin * n_docs - sum_toks AS DOUBLE)
+        |    / (bin * n_docs), 6) AS waste_rate
+        | FROM g""".stripMargin,
+    "q223_stratified_kfold" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   CAST(((doc_id * 2654435761) % 1000000007) % 5 AS BIGINT)
+        |    AS fold FROM documents),
+        | s AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY 1)
+        | SELECT d.lang, fold, count(*) AS n_docs,
+        |  CAST(max(n_lang) AS BIGINT) AS n_lang,
+        |  CAST(count(*) * 5 - max(n_lang) AS BIGINT) AS deviation
+        | FROM d JOIN s ON d.lang = s.lang
+        | GROUP BY 1, 2""".stripMargin
   )
 }

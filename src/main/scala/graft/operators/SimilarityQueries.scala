@@ -375,6 +375,43 @@ object SimilarityQueries extends QueryPack {
         .filter(col("rk") === 1 && col("margin") >= 1.02)
         .select(col("src_id"), col("tgt_id"),
           round(col("ci") / 1000000.0, 6).as("cosine"), col("margin"))
+    }),
+    // Embedding OOD screen: per-label diagonal Mahalanobis distance
+    // (per-dimension mean/variance, +1 regularizer) with a fixed 2·d
+    // flag threshold — the cheap outlier gate run before training to
+    // drop mis-embedded or out-of-distribution rows. Moments come
+    // from EXACT integer sums of ×10⁶-quantized coordinates (one
+    // label×dim-bounded agg), so mean/variance are single-operation
+    // doubles both engines reproduce; the per-vector distance rounds
+    // at 6 dp (q148's discipline). Shape: one explode + two keyed
+    // aggs, moments broadcast back — no windows, no collect.
+    "q221_ood_outliers" -> ((s, d) => {
+      val dims = 16
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(VectorOps.toDoubleVec(col("embedding"))))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          round(col("col") * 1000000).cast("long").as("q"))
+      val mom = flat.groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .select(col("label"), col("i"),
+          (col("s").cast("double") / col("n")).as("mu"),
+          ((col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n")) / col("n")).as("v2"))
+      val md = flat.join(broadcast(mom), Seq("label", "i"))
+        .select(col("vec_id"), col("label"),
+          ((col("q").cast("double") - col("mu"))
+            * (col("q").cast("double") - col("mu"))
+            / (col("v2") + 1.0)).as("t"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(col("t")), 6).as("md"))
+      md.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("md") > 2.0 * dims, 1L).otherwise(0L))
+            .as("n_out"),
+          round(max(col("md")), 6).as("max_md"))
     })
   )
 
@@ -878,6 +915,29 @@ object SimilarityQueries extends QueryPack {
         |     ORDER BY margin DESC, tgt_id) AS rk FROM m)
         | SELECT src_id, tgt_id, round(ci / 1000000.0, 6) AS cosine,
         |  margin
-        | FROM best WHERE rk = 1 AND margin >= 1.02""".stripMargin
+        | FROM best WHERE rk = 1 AND margin >= 1.02""".stripMargin,
+    "q221_ood_outliers" ->
+      """WITH base AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | flat AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS i,
+        |   CAST(round(v[i] * 1000000) AS BIGINT) AS q
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | mom AS (SELECT label, i, count(*) AS n,
+        |   CAST(sum(q) AS BIGINT) AS s,
+        |   CAST(sum(q * q) AS BIGINT) AS ss FROM flat GROUP BY 1, 2),
+        | mo2 AS (SELECT label, i, CAST(s AS DOUBLE) / n AS mu,
+        |   (CAST(ss AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS v2
+        |  FROM mom),
+        | md AS (SELECT vec_id, f.label,
+        |   round(sum((CAST(q AS DOUBLE) - mu) * (CAST(q AS DOUBLE) - mu)
+        |     / (v2 + 1.0)), 6) AS md
+        |  FROM flat f JOIN mo2 m ON f.label = m.label AND f.i = m.i
+        |  GROUP BY 1, 2)
+        | SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN md > 32.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out,
+        |  round(max(md), 6) AS max_md
+        | FROM md GROUP BY 1""".stripMargin
   )
 }
