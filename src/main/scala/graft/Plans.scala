@@ -124,7 +124,26 @@ object Plans {
         "one pairing join — no dense-vector UDF, no all-pairs"),
       "q213_dsir_weights" -> ("DSIR importance weights: two " +
         "vocab-bounded LM broadcasts off one token stream, per-doc " +
-        "fold, TakeOrdered cut — no global sort"))
+        "fold, TakeOrdered cut — no global sort"),
+      "q215_unimax_cap" -> ("UniMax budget waterfill: L-bounded " +
+        "driver allocation broadcast back; partial-epoch prefix = " +
+        "ONE distributed prefix sum ordered language-major (no " +
+        "per-language window)"),
+      "q216_kcenter_coreset" -> ("greedy k-center: broadcast-center " +
+        "scans, row-local struct array_min assignment — no join, no " +
+        "shuffle beyond the final 4-row agg"),
+      "q217_margin_bitext" -> ("margin bitext mining: broadcast " +
+        "target stratum, persisted integer-cosine pairs feed both " +
+        "top-k legs and the margin join"),
+      "q219_ngram_novelty" -> ("novelty curve: single-exchange gram " +
+        "window carrying min(doc_id); decile via broadcast max-id " +
+        "scalar — no rank pass"),
+      "q220_difficulty_prune" -> ("difficulty pruning: persisted " +
+        "scores feed correct-filter, lazy triangle-cumulate class " +
+        "bases, and the final accounting — one training run, no " +
+        "count collect"),
+      "q221_ood_outliers" -> ("OOD screen: one explode, label×dim " +
+        "moment agg broadcast back, keyed distance agg — no window"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -412,6 +412,151 @@ object SimilarityQueries extends QueryPack {
           sum(when(col("md") > 2.0 * dims, 1L).otherwise(0L))
             .as("n_out"),
           round(max(col("md")), 6).as("max_md"))
+    }),
+    // Multi-probe LSH (Lv et al.): probe the query's hyperplane
+    // bucket PLUS every Hamming-1 neighbor (flip one sign bit) — the
+    // published recall-vs-tables trade: one index, 1+bits probes.
+    // Buckets are EXACT: md5-sign hyperplanes dotted against ×10⁶
+    // integer coordinates (sign of an integer sum), so Spark and the
+    // oracle agree bit-for-bit on every bucket and probe. Per query:
+    // candidate counts at probe depth 0 vs 1 and whether the probed
+    // best cosine equals the brute-force best — the recall evidence.
+    // Scale: buckets = one explode + two keyed aggs (sign matrix is
+    // a 256-row broadcast); probes explode the QUERY side only;
+    // candidate join is bucket-equi, never all-pairs.
+    "q225_multiprobe_lsh" -> ((s, d) => {
+      val bits = 8
+      val emb = Tables.embeddings(s, d)
+      val flat = emb.select(col("vec_id"),
+          posexplode(VectorOps.toDoubleVec(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col") * 1000000).cast("long").as("q"))
+      val signs = s.range(2).select(col("id").as("band"))
+        .crossJoin(s.range(bits).select(col("id").as("j")))
+        .crossJoin(s.range(16).select(col("id").as("i")))
+        .select(col("band"), col("j"), col("i"),
+          when(substring(md5(concat_ws("_", col("band"), col("j"),
+              col("i"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+            .otherwise(lit(-1L)).as("sgn"))
+      val buckets = flat.join(broadcast(signs), Seq("i"))
+        .groupBy(col("vec_id"), col("band"), col("j"))
+        .agg(sum(col("sgn") * col("q")).as("sd"))
+        .groupBy(col("vec_id"), col("band"))
+        .agg(sum(when(col("sd") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(0L)).as("bk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = buckets.filter(col("vec_id") < 8)
+        .crossJoin(broadcast(s.range(bits + 1).select(col("id").as("pr"))))
+        .select(col("vec_id").as("qid"), col("band"), col("pr"),
+          when(col("pr") === 0, col("bk"))
+            .otherwise(expr(
+              "bk ^ shiftleft(CAST(1 AS BIGINT), CAST(pr - 1 AS INT))"))
+            .as("bkp"))
+      val cand = probes
+        .join(buckets.select(col("vec_id").as("cid"), col("band"),
+          col("bk").as("bkp")), Seq("band", "bkp"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(min(col("pr")).as("minpr"))
+      val v = emb.select(col("vec_id"),
+        VectorOps.toDoubleVec(col("embedding")).as("v"))
+      val cos = VectorOps.nativeCosine(s)
+      val probeAgg = cand
+        .join(v.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+        .join(v.select(col("vec_id").as("cid"), col("v").as("cv")), "cid")
+        .select(col("qid"), col("minpr"),
+          round(cos(col("qv"), col("cv")) * 1000000).cast("long")
+            .as("ci"))
+        .groupBy(col("qid"))
+        .agg(sum(when(col("minpr") === 0, 1L).otherwise(0L))
+          .as("n_cand0"),
+          count(lit(1)).as("n_cand"), max(col("ci")).as("pci"))
+      val exact = v
+        .crossJoin(broadcast(v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(cos(col("v"), col("qv")) * 1000000).cast("long")
+            .as("ci"))
+        .groupBy(col("qid")).agg(max(col("ci")).as("exact_best_ci"))
+      exact.join(probeAgg, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_cand0"), lit(0L)).as("n_cand0"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("pci"), lit(-1000001L)).as("probe_best_ci"),
+          col("exact_best_ci"),
+          (coalesce(col("pci"), lit(-1000001L))
+            === col("exact_best_ci")).as("hit"))
+    }),
+    // Product quantization with asymmetric-distance scoring (Jégou
+    // et al.): 4 subspaces × first-16-by-id codebooks, nearest-
+    // codeword codes, per-query distance tables, ADC top-10 vs the
+    // exact integer-L2² top-10 → recall@10 per query. EVERYTHING is
+    // exact 64-bit integer arithmetic on ×10⁶ coordinates — codes,
+    // tables, ranks, and the oracle agree bit-for-bit. The 100 TB
+    // point is memory traffic: 4 bytes of code per vector instead of
+    // 64 of floats, queries ride a 384-row broadcast table; the scan
+    // is one equi-join + keyed agg, no all-pairs beyond the bounded
+    // query batch.
+    "q226_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val flat = emb.select(col("vec_id"),
+          posexplode(VectorOps.toDoubleVec(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col") * 1000000).cast("long").as("q"))
+        .select(col("vec_id"), expr("i DIV 4").as("sub"),
+          (col("i") % 4).as("pos"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = flat.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cw"), col("sub"), col("pos"),
+          col("q").as("cq"))
+      val subDist = flat.join(broadcast(cb), Seq("sub", "pos"))
+        .groupBy(col("vec_id"), col("sub"), col("cw"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
+          .as("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codes = subDist
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("cw"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cw").as("cw"))
+      val dtab = subDist.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("sub"), col("cw"),
+          col("d2").as("qd2"))
+      val approx = codes.join(broadcast(dtab), Seq("sub", "cw"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qd2")).as("ad"))
+      val wa = Window.partitionBy(col("qid"))
+        .orderBy(col("ad").asc, col("vec_id").asc)
+      val atop = approx.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qflat = flat.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("sub"), col("pos"),
+          col("q").as("qq"))
+      val ex = flat.join(broadcast(qflat), Seq("sub", "pos"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum((col("q") - col("qq")) * (col("q") - col("qq")))
+          .as("ed"))
+      val we = Window.partitionBy(col("qid"))
+        .orderBy(col("ed").asc, col("vec_id").asc)
+      val etop = ex.withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      etop.groupBy(col("qid"))
+        .agg(min(col("ed")).as("exact_best"))
+        .join(atop.groupBy(col("qid")).agg(min(col("ad")).as("adc_best")),
+          "qid")
+        .join(etop.select(col("qid"), col("vec_id"))
+          .join(atop.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("r10")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("r10"), lit(0L)).as("recall10"),
+          col("adc_best"), col("exact_best"))
     })
   )
 
@@ -938,6 +1083,121 @@ object SimilarityQueries extends QueryPack {
         |  CAST(sum(CASE WHEN md > 32.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_out,
         |  round(max(md), 6) AS max_md
-        | FROM md GROUP BY 1""".stripMargin
+        | FROM md GROUP BY 1""".stripMargin,
+    "q225_multiprobe_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | flat AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, v[i] AS x,
+        |   CAST(round(v[i] * 1000000) AS BIGINT) AS q
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | signs AS (SELECT band, j, i,
+        |   CASE WHEN substring(md5(band || '_' || j || '_' || i), 1, 1)
+        |     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END
+        |    AS sgn
+        |  FROM UNNEST(generate_series(0, 1)) b(band),
+        |   UNNEST(generate_series(0, 7)) jj(j),
+        |   UNNEST(generate_series(0, 15)) ii(i)),
+        | bsum AS (SELECT f.vec_id, s.band, s.j,
+        |   CAST(sum(s.sgn * f.q) AS BIGINT) AS sd
+        |  FROM flat f JOIN signs s ON f.i = s.i GROUP BY 1, 2, 3),
+        | bkt AS (SELECT vec_id, band,
+        |   CAST(sum(CASE WHEN sd > 0
+        |     THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS bk
+        |  FROM bsum GROUP BY 1, 2),
+        | probes AS (SELECT b.vec_id AS qid, b.band, pr,
+        |   CASE WHEN pr = 0 THEN b.bk
+        |    ELSE xor(b.bk, CAST(1 AS BIGINT) << CAST(pr - 1 AS INT))
+        |   END AS bkp
+        |  FROM bkt b, UNNEST(generate_series(0, 8)) p(pr)
+        |  WHERE b.vec_id < 8),
+        | cand AS (SELECT qid, c.vec_id AS cid,
+        |   CAST(min(pr) AS BIGINT) AS minpr
+        |  FROM probes JOIN bkt c
+        |   ON c.band = probes.band AND c.bk = probes.bkp
+        |  WHERE c.vec_id <> qid GROUP BY 1, 2),
+        | nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n
+        |  FROM flat GROUP BY 1),
+        | cci AS (SELECT cand.qid, cand.cid, cand.minpr,
+        |   CAST(round(sum(fa.x * fb.x)
+        |     / (na.n * nb.n) * 1000000) AS BIGINT) AS ci
+        |  FROM cand
+        |  JOIN flat fa ON fa.vec_id = cand.qid
+        |  JOIN flat fb ON fb.vec_id = cand.cid AND fb.i = fa.i
+        |  JOIN nrm na ON na.vec_id = cand.qid
+        |  JOIN nrm nb ON nb.vec_id = cand.cid
+        |  GROUP BY 1, 2, 3, na.n, nb.n),
+        | pa AS (SELECT qid,
+        |   CAST(sum(CASE WHEN minpr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_cand0,
+        |   count(*) AS n_cand, max(ci) AS pci FROM cci GROUP BY 1),
+        | eci AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |   CAST(round(sum(fa.x * fb.x)
+        |     / (na.n * nb.n) * 1000000) AS BIGINT) AS ci
+        |  FROM base q JOIN base c ON c.vec_id <> q.vec_id
+        |  JOIN flat fa ON fa.vec_id = q.vec_id
+        |  JOIN flat fb ON fb.vec_id = c.vec_id AND fb.i = fa.i
+        |  JOIN nrm na ON na.vec_id = q.vec_id
+        |  JOIN nrm nb ON nb.vec_id = c.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY 1, 2, na.n, nb.n),
+        | ex AS (SELECT qid, max(ci) AS exact_best_ci
+        |  FROM eci GROUP BY 1)
+        | SELECT ex.qid, CAST(coalesce(pa.n_cand0, 0) AS BIGINT)
+        |   AS n_cand0,
+        |  CAST(coalesce(pa.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(pa.pci, -1000001) AS BIGINT) AS probe_best_ci,
+        |  ex.exact_best_ci,
+        |  coalesce(pa.pci, -1000001) = ex.exact_best_ci AS hit
+        | FROM ex LEFT JOIN pa ON ex.qid = pa.qid""".stripMargin,
+    "q226_pq_adc" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | flat AS (SELECT vec_id, CAST((i - 1) // 4 AS BIGINT) AS sub,
+        |   CAST((i - 1) % 4 AS BIGINT) AS pos,
+        |   CAST(round(v[i] * 1000000) AS BIGINT) AS q
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | cb AS (SELECT vec_id AS cw, sub, pos, q AS cq FROM flat
+        |  WHERE vec_id < 16),
+        | sd AS (SELECT f.vec_id, f.sub, cb.cw,
+        |   CAST(sum((f.q - cb.cq) * (f.q - cb.cq)) AS BIGINT) AS d2
+        |  FROM flat f JOIN cb ON f.sub = cb.sub AND f.pos = cb.pos
+        |  GROUP BY 1, 2, 3),
+        | codes AS (SELECT vec_id, sub, cw FROM (
+        |   SELECT vec_id, sub, cw, row_number() OVER (
+        |     PARTITION BY vec_id, sub ORDER BY d2, cw) AS rk FROM sd)
+        |  WHERE rk = 1),
+        | dtab AS (SELECT vec_id AS qid, sub, cw, d2 AS qd2 FROM sd
+        |  WHERE vec_id < 6),
+        | approx AS (SELECT dtab.qid, codes.vec_id,
+        |   CAST(sum(dtab.qd2) AS BIGINT) AS ad
+        |  FROM codes JOIN dtab ON codes.sub = dtab.sub
+        |   AND codes.cw = dtab.cw
+        |  WHERE codes.vec_id <> dtab.qid GROUP BY 1, 2),
+        | atop AS (SELECT qid, vec_id, ad FROM (
+        |   SELECT qid, vec_id, ad, row_number() OVER (
+        |     PARTITION BY qid ORDER BY ad, vec_id) AS rk FROM approx)
+        |  WHERE rk <= 10),
+        | exd AS (SELECT q.qid, f.vec_id,
+        |   CAST(sum((f.q - q.qq) * (f.q - q.qq)) AS BIGINT) AS ed
+        |  FROM flat f JOIN (SELECT vec_id AS qid, sub, pos, q AS qq
+        |    FROM flat WHERE vec_id < 6) q
+        |   ON f.sub = q.sub AND f.pos = q.pos
+        |  WHERE f.vec_id <> q.qid GROUP BY 1, 2),
+        | etop AS (SELECT qid, vec_id, ed FROM (
+        |   SELECT qid, vec_id, ed, row_number() OVER (
+        |     PARTITION BY qid ORDER BY ed, vec_id) AS rk FROM exd)
+        |  WHERE rk <= 10),
+        | hits AS (SELECT e.qid,
+        |   CAST(count(*) AS BIGINT) AS r10
+        |  FROM etop e JOIN atop a
+        |   ON e.qid = a.qid AND e.vec_id = a.vec_id GROUP BY 1)
+        | SELECT e.qid, CAST(coalesce(max(h.r10), 0) AS BIGINT)
+        |   AS recall10,
+        |  CAST(min(a.ad) AS BIGINT) AS adc_best,
+        |  CAST(min(e.ed) AS BIGINT) AS exact_best
+        | FROM etop e JOIN atop a ON a.qid = e.qid
+        | LEFT JOIN hits h ON h.qid = e.qid
+        | GROUP BY 1""".stripMargin
   )
 }

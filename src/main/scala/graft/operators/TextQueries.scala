@@ -218,6 +218,31 @@ object TextQueries extends QueryPack {
           coalesce(col("np"), lit(0L)).as("n_pruned"),
           coalesce(col("mc"), lit(0L)).as("margin_cut"))
     }),
+    // Uncertainty-sampling batch selection (active learning's core
+    // loop: send the examples the model is LEAST sure about to the
+    // labelers): score the corpus with the cheap one-iteration proxy
+    // model (the standard practice — the acquisition model need not
+    // be the final model) and take the 40 smallest |margin|. Integer
+    // margins, TakeOrdered cut — no global sort; one training pass,
+    // one scoring pass.
+    "q224_uncertainty_batch" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptron(planted, "doc_id",
+          "text", label, dims = 256, iters = 1)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val wts = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      Classifier.scoreWith(planted, "doc_id", "text", wts, dims = 256)
+        .join(planted.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+        .select(col("doc_id"), col("y"), col("pred"), col("margin"),
+          abs(col("margin")).as("am"))
+        .orderBy(col("am").asc, col("doc_id").asc)
+        .limit(40)
+        .select(col("doc_id"), col("y"), col("pred"), col("margin"))
+    }),
     // Quality scoring: word/char/stopword/punct features + score.
     "q50_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
@@ -789,6 +814,16 @@ object TextQueries extends QueryPack {
         |  CAST(coalesce(max(p.mc), 0) AS BIGINT) AS margin_cut
         | FROM sc LEFT JOIN pruned p ON sc.y = p.y
         | GROUP BY sc.y""".stripMargin,
+    "q224_uncertainty_batch" ->
+      // m2 in the shared CTEs IS the one-iteration proxy model's
+      // margin (scores under w1); smallest |m| first, doc_id ties
+      s"""WITH $perceptronCtes
+        | SELECT doc_id, CAST(y AS BIGINT) AS y,
+        |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+        |  m AS margin
+        | FROM m2
+        | ORDER BY abs(m), doc_id
+        | LIMIT 40""".stripMargin,
     "q49_lang_id" ->
       s"""WITH profile(lang, tg) AS (VALUES $profileValues),
         | sc AS (SELECT d.doc_id, p.lang,
