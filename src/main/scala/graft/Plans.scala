@@ -143,7 +143,13 @@ object Plans {
         "bases, and the final accounting — one training run, no " +
         "count collect"),
       "q221_ood_outliers" -> ("OOD screen: one explode, label×dim " +
-        "moment agg broadcast back, keyed distance agg — no window"))
+        "moment agg broadcast back, keyed distance agg — no window"),
+      "q225_multiprobe_lsh" -> ("multi-probe LSH: persisted exact " +
+        "integer buckets, query-side-only probe explode, " +
+        "bucket-equi candidate join — never all-pairs"),
+      "q226_pq_adc" -> ("PQ/ADC: persisted sub-distance frame feeds " +
+        "codes AND query tables; 384-row broadcast distance table; " +
+        "per-query windows bounded by the query batch"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
