@@ -712,6 +712,50 @@ object CurationQueries extends QueryPack {
         .join(broadcast(strata), "lang")
         .select(col("lang"), col("fold"), col("n_docs"), col("n_lang"),
           (col("n_docs") * 5L - col("n_lang")).as("deviation"))
+    }),
+    // Curation-cascade funnel: the four standard gates (min length,
+    // stopword presence, symbol ratio, mean word length) applied in
+    // pipeline order, with per-stage pass/reject and cumulative
+    // survival — the observability table every production curation
+    // run publishes next to its output. One row-local projection +
+    // ONE aggregate; the 4-row funnel is exploded from the single
+    // aggregate row, so the corpus is scanned exactly once.
+    "q229_curation_funnel" -> ((s, d) => {
+      val t = col("text")
+      val w = split(t, " ")
+      val nw = size(w).cast("long")
+      val nc = length(t).cast("long")
+      val stp = size(filter(w, x => x.isInCollection(
+        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
+      val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+        .cast("long")
+      val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+      val g = Tables.documents(s, d).select(
+        (nw >= 10).as("s1"), (stp > 0).as("s2"),
+        (punct * 10 < nc).as("s3"),
+        (alpha >= nw * 3 && alpha <= nw * 10).as("s4"))
+      g.agg(count(lit(1)).as("n0"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("s1") && col("s2") && col("s3"), 1L)
+            .otherwise(0L)).as("c3"),
+          sum(when(col("s1") && col("s2") && col("s3") && col("s4"), 1L)
+            .otherwise(0L)).as("c4"))
+        .select(explode(array(
+          struct(lit(1L).as("stage"), lit("min_words").as("gate"),
+            col("n0").as("n_in"), col("c1").as("n_pass")),
+          struct(lit(2L).as("stage"), lit("stopword").as("gate"),
+            col("c1").as("n_in"), col("c2").as("n_pass")),
+          struct(lit(3L).as("stage"), lit("symbol_ratio").as("gate"),
+            col("c2").as("n_in"), col("c3").as("n_pass")),
+          struct(lit(4L).as("stage"), lit("word_len").as("gate"),
+            col("c3").as("n_in"), col("c4").as("n_pass")))).as("t"),
+          col("n0"))
+        .select(col("t.stage").as("stage"), col("t.gate").as("gate"),
+          col("t.n_in").as("n_in"), col("t.n_pass").as("n_pass"),
+          (col("t.n_in") - col("t.n_pass")).as("n_reject"),
+          round(col("t.n_pass").cast("double") / col("n0"), 6)
+            .as("survival"))
     })
   )
 
@@ -1181,6 +1225,41 @@ object CurationQueries extends QueryPack {
         |  CAST(max(n_lang) AS BIGINT) AS n_lang,
         |  CAST(count(*) * 5 - max(n_lang) AS BIGINT) AS deviation
         | FROM d JOIN s ON d.lang = s.lang
-        | GROUP BY 1, 2""".stripMargin
+        | GROUP BY 1, 2""".stripMargin,
+    "q229_curation_funnel" ->
+      """WITH f AS (SELECT
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(length(text) AS BIGINT) AS nc,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp,
+        |   CAST(length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS punct,
+        |   CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |    AS BIGINT) AS alpha
+        |  FROM documents),
+        | g AS (SELECT nw >= 10 AS s1, stp > 0 AS s2,
+        |   punct * 10 < nc AS s3,
+        |   alpha >= nw * 3 AND alpha <= nw * 10 AS s4 FROM f),
+        | a AS (SELECT count(*) AS n0,
+        |   CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |   CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS c2,
+        |   CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS c3,
+        |   CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS c4
+        |  FROM g)
+        | SELECT CAST(1 AS BIGINT) AS stage, 'min_words' AS gate,
+        |  CAST(n0 AS BIGINT) AS n_in, c1 AS n_pass,
+        |  CAST(n0 - c1 AS BIGINT) AS n_reject,
+        |  round(CAST(c1 AS DOUBLE) / n0, 6) AS survival FROM a
+        | UNION ALL SELECT 2, 'stopword', c1, c2, c1 - c2,
+        |  round(CAST(c2 AS DOUBLE) / n0, 6) FROM a
+        | UNION ALL SELECT 3, 'symbol_ratio', c2, c3, c2 - c3,
+        |  round(CAST(c3 AS DOUBLE) / n0, 6) FROM a
+        | UNION ALL SELECT 4, 'word_len', c3, c4, c3 - c4,
+        |  round(CAST(c4 AS DOUBLE) / n0, 6) FROM a""".stripMargin
   )
 }

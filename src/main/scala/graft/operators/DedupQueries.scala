@@ -347,6 +347,34 @@ object DedupQueries extends QueryPack {
           slice(col("embedding"), 2, 63)).as("embedding"))
       Dedup.embeddingNearDupPairs(emb.unionAll(mutated), "vec_id",
         "embedding", tau = 0.99, bands = 16, bitsPerBand = 8)
+    }),
+    // LSH candidate-pair budget WITHOUT running the pair join: per
+    // band, Σ n·(n−1)/2 over bucket populations — the pre-join
+    // estimate that tells a planner (and an operator author) whether
+    // the band parameters will explode before any shuffle of pairs
+    // happens (q197's pre-join cardinality signal, specialized to
+    // LSH). One explode + two keyed aggs over the same row-local band
+    // projection the streaming screen uses; integer-exact.
+    "q228_lsh_pair_budget" -> ((s, d) => {
+      val sh = Dedup.wordShingles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", 3)
+        .select(col("doc_id"),
+          Dedup.md5Hash60(col("shingle")).as("shingle"))
+      val sig = Dedup.minHashSignaturesArith(sh, k = 8)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"), col(s"mh${b * 2}").as("m0"),
+          col(s"mh${b * 2 + 1}").as("m1"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("t"))
+        .groupBy(col("t.band").as("band"), col("t.m0").as("m0"),
+          col("t.m1").as("m1"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("(n * (n - 1)) DIV 2")).cast("long")
+            .as("n_cand_pairs"),
+          max(col("n")).as("max_bucket"))
     })
   )
 
@@ -685,6 +713,31 @@ object DedupQueries extends QueryPack {
         | FROM dots
         | JOIN norms na ON id_a = na.vec_id
         | JOIN norms nb ON id_b = nb.vec_id
-        | WHERE dp / (na.nrm * nb.nrm) >= 0.99""".stripMargin
+        | WHERE dp / (na.nrm * nb.nrm) >= 0.99""".stripMargin,
+    "q228_lsh_pair_budget" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT DISTINCT doc_id, $md5Hex60Sql AS h FROM hm),
+        | h1 AS (SELECT doc_id, h % 1000000007 AS h1 FROM hh),
+        | mins AS (SELECT doc_id, i,
+        |   min((h1 * (2654435761 + 700000001*i) + 97531*i)
+        |     % 999999999989) AS mh
+        |  FROM h1, UNNEST(generate_series(0, 7)) AS g(i)
+        |  GROUP BY 1, 2),
+        | bandsv AS (SELECT doc_id, i // 2 AS b,
+        |   max(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |   max(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |  FROM mins GROUP BY 1, 2),
+        | bucket AS (SELECT b, m0, m1, count(*) AS n
+        |  FROM bandsv GROUP BY 1, 2, 3)
+        | SELECT CAST(b AS BIGINT) AS band, count(*) AS n_buckets,
+        |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+        |  CAST(max(n) AS BIGINT) AS max_bucket
+        | FROM bucket GROUP BY 1""".stripMargin
   )
 }

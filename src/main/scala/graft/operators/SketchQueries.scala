@@ -63,7 +63,39 @@ object SketchQueries extends QueryPack {
     "q197_join_size_estimate" -> ((s, d) =>
       Sketches.joinSizeEstimate(
         Tables.orders(s, d), "o_orderkey",
-        Tables.lineitem(s, d), "l_orderkey", k = 512))
+        Tables.lineitem(s, d), "l_orderkey", k = 512)),
+    // Count-min sketch (Cormode & Muthukrishnan) over the word
+    // stream: 4 rows × 1024 md5-hashed cells — a fixed 4096-counter
+    // mergeable summary however large the corpus (map-side combine
+    // into cells; at 100 TB the sketch IS the shuffle). Point
+    // estimates for the exact top-20 words vs their true counts show
+    // the signature one-sided error: est ≥ exact always, overcount =
+    // colliding mass. md5-60 cell hashing ⇒ the oracle rebuilds the
+    // identical sketch and estimates, integer-exact.
+    "q227_countmin_words" -> ((s, d) => {
+      val width = 1024L
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = s.range(4).select(col("id").as("r"))
+      def cellId = pmod(
+        Dedup.md5Hash60(concat_ws("_", col("r"), col("word"))),
+        lit(width))
+      val cells = wc.crossJoin(broadcast(rows))
+        .select(col("r"), cellId.as("cid"), col("c"))
+        .groupBy(col("r"), col("cid"))
+        .agg(sum(col("c")).as("cell"))
+      wc.orderBy(col("c").desc, col("word").asc).limit(20)
+        .crossJoin(broadcast(rows))
+        .select(col("word"), col("c"), col("r"), cellId.as("cid"))
+        .join(broadcast(cells), Seq("r", "cid"))
+        .groupBy(col("word"), col("c"))
+        .agg(min(col("cell")).cast("long").as("est"))
+        .select(col("word"), col("c").cast("long").as("exact"),
+          col("est"), (col("est") - col("c")).cast("long")
+            .as("overcount"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +195,28 @@ object SketchQueries extends QueryPack {
         |    6) AS p90,
         |  round(max(CASE WHEN p = 0.99 THEN vlo + frac * (vhi - vlo) END),
         |    6) AS p99
-        | FROM agg GROUP BY grp""".stripMargin
+        | FROM agg GROUP BY grp""".stripMargin,
+    "q227_countmin_words" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH wc AS (SELECT w AS word, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        | rows4 AS (SELECT CAST(r AS BIGINT) AS r
+        |  FROM UNNEST(generate_series(0, 3)) t(r)),
+        | hm AS (SELECT word, c, r,
+        |   md5(CAST(r AS VARCHAR) || '_' || word) AS m
+        |  FROM wc CROSS JOIN rows4),
+        | cellids AS (SELECT word, c, r, ($h60) % 1024 AS cid FROM hm),
+        | cells AS (SELECT r, cid, CAST(sum(c) AS BIGINT) AS cell
+        |  FROM cellids GROUP BY 1, 2),
+        | top AS (SELECT word, c FROM wc
+        |  ORDER BY c DESC, word LIMIT 20)
+        | SELECT t.word, CAST(t.c AS BIGINT) AS exact,
+        |  CAST(min(cells.cell) AS BIGINT) AS est,
+        |  CAST(min(cells.cell) - t.c AS BIGINT) AS overcount
+        | FROM top t JOIN cellids ci ON ci.word = t.word
+        | JOIN cells ON cells.r = ci.r AND cells.cid = ci.cid
+        | GROUP BY t.word, t.c""".stripMargin
+    }
   )
 }
