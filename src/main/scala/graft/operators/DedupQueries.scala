@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -375,6 +376,30 @@ object DedupQueries extends QueryPack {
           sum(expr("(n * (n - 1)) DIV 2")).cast("long")
             .as("n_cand_pairs"),
           max(col("n")).as("max_bucket"))
+    }),
+    // Memorization-canary pairs: 5-grams occurring in EXACTLY two
+    // documents corpus-wide pin those two docs together — shared
+    // low-frequency spans are the memorization-risk evidence BELOW
+    // the near-dup threshold (an LM that regurgitates one doc leaks
+    // the other). Same single-exchange gram window as q124/q219, but
+    // keeping k=2 grams and folding them into per-pair counts; top-20
+    // most-entangled pairs via TakeOrdered. The gram window key is
+    // near-uniform; the pair agg is bounded by rare-gram mass.
+    "q231_canary_pairs" -> ((s, d) => {
+      val sh = Dedup.wordShingles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", 5)
+      val w = Window.partitionBy(col("shingle"))
+      sh.withColumn("k", count(lit(1)).over(w))
+        .filter(col("k") === 2)
+        .groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("doc_a"),
+          max(col("doc_id")).as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_rare"))
+        .orderBy(col("n_shared_rare").desc, col("doc_a").asc,
+          col("doc_b").asc)
+        .limit(20)
     })
   )
 
@@ -738,6 +763,22 @@ object DedupQueries extends QueryPack {
         | SELECT CAST(b AS BIGINT) AS band, count(*) AS n_buckets,
         |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
         |  CAST(max(n) AS BIGINT) AS max_bucket
-        | FROM bucket GROUP BY 1""".stripMargin
+        | FROM bucket GROUP BY 1""".stripMargin,
+    "q231_canary_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |     || ' ' || w[i+4] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | cnt AS (SELECT s, count(*) AS k FROM sh GROUP BY 1),
+        | pairs AS (SELECT sh.s, min(doc_id) AS doc_a,
+        |   max(doc_id) AS doc_b
+        |  FROM sh JOIN cnt ON sh.s = cnt.s WHERE k = 2
+        |  GROUP BY sh.s)
+        | SELECT doc_a, doc_b, count(*) AS n_shared_rare
+        | FROM pairs GROUP BY 1, 2
+        | ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin
   )
 }

@@ -150,6 +150,59 @@ object GraphQueries extends QueryPack {
         .crossJoin(o1.agg(count(lit(1)).as("n_orders_1hop")))
         .crossJoin(s2.agg(count(lit(1)).as("n_suppliers_2hop")))
         .crossJoin(c3.agg(count(lit(1)).as("n_customers_3hop")))
+    }),
+    // Wedge-sampled triangle estimation (Seshadhri et al.): accept
+    // ~1/8 of wedges by an arithmetic hash on (center, a, b), check
+    // closure exactly on the accepted wedges only, scale by
+    // W/(3·sampled) — the estimator that replaces the full triangle
+    // join when only the COUNT is needed. Acceptance is evaluated
+    // INSIDE the per-vertex wedge lambda, so rejected wedges never
+    // leave the row, let alone the executor; the exact count (q104's
+    // oriented join) rides along for the error check. All integer
+    // until the final rounded ratio.
+    "q230_wedge_triangles" -> ((s, d) => {
+      // q196's scale-stable graph: top-2000 heaviest edges — an
+      // absolute shared-count cut is either a near-clique (sf0.01)
+      // or an empty forest (sf0.1); the K-heaviest cut keeps real
+      // triangle structure at every SF
+      val g = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey", minShared = 2L)
+        .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+        .limit(2000)
+        .select(col("d_a"), col("d_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = g.select(col("d_a").as("c"), col("d_b").as("n"))
+        .unionAll(g.select(col("d_b").as("c"), col("d_a").as("n")))
+      val M = 1000000007L
+      val adj = und.groupBy(col("c"))
+        .agg(sort_array(collect_set(col("n"))).as("ns"))
+        .select(col("c"), size(col("ns")).cast("long").as("deg"),
+          filter(flatten(transform(col("ns"), (x, i) =>
+            transform(
+              slice(col("ns"), i + lit(2), size(col("ns")) - i - 1),
+              y => struct(x.as("a"), y.as("b"))))),
+            p => pmod(pmod(col("c") * lit(1000003L)
+                + p.getField("a"), lit(M)) * lit(1000003L)
+              + p.getField("b"), lit(M)) % 8 === 0).as("ws"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = adj.agg(
+        sum(expr("(deg * (deg - 1)) DIV 2")).cast("long")
+          .as("n_wedges"))
+      val cl = adj.select(explode(col("ws")).as("p"))
+        .select(col("p.a").cast("long").as("a"),
+          col("p.b").cast("long").as("b"))
+        .join(g.select(col("d_a").as("a"), col("d_b").as("b"),
+          lit(1L).as("closed")), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(coalesce(col("closed"), lit(0L))).cast("long")
+            .as("n_closed"))
+      cl.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(
+          Graph.triangleCount(g, "d_a", "d_b")))
+        .select(col("n_wedges"), col("n_sampled"), col("n_closed"),
+          round(col("n_closed").cast("double") * col("n_wedges")
+            / (col("n_sampled") * 3), 6).as("est_triangles"),
+          col("n_triangles").as("exact_triangles"))
     })
   )
 
@@ -312,6 +365,38 @@ object GraphQueries extends QueryPack {
         | SELECT (SELECT count(*) FROM seed) AS n_seed,
         |  (SELECT count(*) FROM o1) AS n_orders_1hop,
         |  (SELECT count(*) FROM s2) AS n_suppliers_2hop,
-        |  (SELECT count(*) FROM c3) AS n_customers_3hop""".stripMargin
+        |  (SELECT count(*) FROM c3) AS n_customers_3hop""".stripMargin,
+    "q230_wedge_triangles" ->
+      """WITH be AS (SELECT DISTINCT l_orderkey AS s, l_suppkey AS d
+        |   FROM lineitem),
+        | g0 AS (SELECT x.d AS u, y.d AS v, count(*) AS shared
+        |  FROM be x JOIN be y ON x.s = y.s AND x.d < y.d
+        |  GROUP BY x.d, y.d HAVING count(*) >= 2),
+        | g AS (SELECT u, v FROM g0
+        |  ORDER BY shared DESC, u, v LIMIT 2000),
+        | und AS (SELECT u AS c, v AS n FROM g
+        |  UNION ALL SELECT v, u FROM g),
+        | deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dg
+        |  FROM und GROUP BY 1),
+        | tot AS (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT)
+        |   AS n_wedges FROM deg),
+        | wed AS (SELECT a.n AS a, a.c AS c, b.n AS b
+        |  FROM und a JOIN und b ON a.c = b.c AND a.n < b.n),
+        | samp AS (SELECT a, c, b FROM wed
+        |  WHERE ((((c * 1000003 + a) % 1000000007) * 1000003 + b)
+        |    % 1000000007) % 8 = 0),
+        | cl AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+        |   CAST(sum(CASE WHEN gg.u IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_closed
+        |  FROM samp LEFT JOIN g gg
+        |   ON gg.u = samp.a AND gg.v = samp.b),
+        | ex AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM g e1 JOIN g e2 ON e1.v = e2.u
+        |  JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v)
+        | SELECT n_wedges, n_sampled, n_closed,
+        |  round(CAST(n_closed AS DOUBLE) * n_wedges
+        |    / (n_sampled * 3), 6) AS est_triangles,
+        |  n_triangles AS exact_triangles
+        | FROM cl, tot, ex""".stripMargin
   )
 }
