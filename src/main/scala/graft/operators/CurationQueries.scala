@@ -756,6 +756,87 @@ object CurationQueries extends QueryPack {
           (col("t.n_in") - col("t.n_pass")).as("n_reject"),
           round(col("t.n_pass").cast("double") / col("n0"), 6)
             .as("survival"))
+    }),
+    // Filter-bias audit: the q229 cascade's end-to-end pass rate PER
+    // LANGUAGE vs the corpus rate — the published failure mode of
+    // quality filtering (gates calibrated on English silently gut
+    // low-resource strata; Dodge et al.'s C4 audit made this a
+    // standard pre-flight). Row-local gates + one keyed agg + one
+    // broadcast corpus-rate scalar.
+    "q232_filter_bias" -> ((s, d) => {
+      val t = col("text")
+      val w = split(t, " ")
+      val nw = size(w).cast("long")
+      val nc = length(t).cast("long")
+      val stp = size(filter(w, x => x.isInCollection(
+        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
+      val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+        .cast("long")
+      val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+      val g = Tables.documents(s, d).select(col("lang"),
+        (nw >= 10 && stp > 0 && punct * 10 < nc
+          && alpha >= nw * 3 && alpha <= nw * 10).as("pass"))
+      val per = g.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      val overall = per.agg(
+        (sum(col("n_pass")).cast("double") / sum(col("n_docs")))
+          .as("corpus_rate"))
+      per.crossJoin(broadcast(overall))
+        .select(col("lang"), col("n_docs"), col("n_pass"),
+          round(col("n_pass").cast("double") / col("n_docs"), 6)
+            .as("pass_rate"),
+          round(col("n_pass").cast("double") / col("n_docs")
+            - col("corpus_rate"), 6).as("bias_vs_corpus"))
+    }),
+    // Selection-signal agreement: Spearman rank correlation between
+    // the quality score and the DSIR importance weight — "do my two
+    // selection signals rank the corpus the same way?" is the audit
+    // that decides whether stacking them adds signal or redundancy.
+    // Both rankings are total orders (doc_id tie-break), so Σd² is an
+    // exact integer and ρ = 1 − 6Σd²/(n(n²−1)) one deterministic
+    // double expression. Two distributedRank passes, no global
+    // window, nothing collected.
+    "q233_selection_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("w"))
+      val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val tgt = docs.filter(col("lang") === "en")
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val lm = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+      val totals = lm.agg(sum(col("cr")).as("tr"),
+        sum(col("ct")).as("tt"), count(lit(1)).as("v"))
+      val lnr = lm.crossJoin(broadcast(totals))
+        .select(col("w"),
+          (log((col("ct") + 1).cast("double")
+              / (col("tt") + col("v")).cast("double"))
+            - log((col("cr") + 1).cast("double")
+              / (col("tr") + col("v")).cast("double"))).as("lr"))
+      val dsir = toks.join(broadcast(lnr), "w")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("lr")) / count(lit(1)), 6).as("dw"))
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("q"))
+        .join(dsir, "doc_id")
+      val rq = Rank.distributedRank(scored,
+        Seq(col("q").desc, col("doc_id")), s)
+        .withColumnRenamed("rk", "rq")
+      val rd = Rank.distributedRank(rq,
+        Seq(col("dw").desc, col("doc_id")), s)
+        .withColumnRenamed("rk", "rd")
+      rd.select(((col("rq") - col("rd"))
+          * (col("rq") - col("rd"))).as("d2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2")).cast("long").as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+            / (col("n").cast("double")
+              * (col("n").cast("double") * col("n").cast("double")
+                - 1.0)), 6).as("spearman_rho"))
     })
   )
 
@@ -1260,6 +1341,74 @@ object CurationQueries extends QueryPack {
         | UNION ALL SELECT 3, 'symbol_ratio', c2, c3, c2 - c3,
         |  round(CAST(c3 AS DOUBLE) / n0, 6) FROM a
         | UNION ALL SELECT 4, 'word_len', c3, c4, c3 - c4,
-        |  round(CAST(c4 AS DOUBLE) / n0, 6) FROM a""".stripMargin
+        |  round(CAST(c4 AS DOUBLE) / n0, 6) FROM a""".stripMargin,
+    "q232_filter_bias" ->
+      """WITH f AS (SELECT lang,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(length(text) AS BIGINT) AS nc,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp,
+        |   CAST(length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS punct,
+        |   CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |    AS BIGINT) AS alpha
+        |  FROM documents),
+        | g AS (SELECT lang, nw >= 10 AND stp > 0 AND punct * 10 < nc
+        |   AND alpha >= nw * 3 AND alpha <= nw * 10 AS pass FROM f),
+        | per AS (SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass FROM g GROUP BY 1),
+        | o AS (SELECT CAST(sum(n_pass) AS DOUBLE)
+        |    / CAST(sum(n_docs) AS DOUBLE) AS corpus_rate FROM per)
+        | SELECT lang, n_docs, n_pass,
+        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate,
+        |  round(CAST(n_pass AS DOUBLE) / n_docs - corpus_rate, 6)
+        |    AS bias_vs_corpus
+        | FROM per CROSS JOIN o""".stripMargin,
+    "q233_selection_agreement" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | raw AS (SELECT w, count(*) AS cr FROM toks GROUP BY 1),
+        | tgtc AS (SELECT w, count(*) AS ct FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents WHERE lang = 'en') GROUP BY 1),
+        | lm AS (SELECT r.w, cr, coalesce(ct, 0) AS ct
+        |  FROM raw r LEFT JOIN tgtc USING (w)),
+        | tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v
+        |  FROM lm),
+        | lnr AS (SELECT w,
+        |   ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+        |   - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)) AS lr
+        |  FROM lm CROSS JOIN tot),
+        | dsir AS (SELECT doc_id, round(sum(lr) / count(*), 6) AS dw
+        |  FROM toks JOIN lnr USING (w) GROUP BY doc_id),
+        | q AS (SELECT doc_id, round(CAST(
+        |   CASE WHEN len(string_split(text, ' ')) >= 10
+        |    THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('a','the','of','and','in','to','is'))) > 0
+        |    THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN (length(text)
+        |       - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       * 10 < length(text)
+        |    THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS qs
+        |  FROM documents),
+        | r AS (SELECT q.doc_id,
+        |   CAST(row_number() OVER (ORDER BY qs DESC, q.doc_id)
+        |    AS BIGINT) AS rq,
+        |   CAST(row_number() OVER (ORDER BY dw DESC, q.doc_id)
+        |    AS BIGINT) AS rd
+        |  FROM q JOIN dsir ON q.doc_id = dsir.doc_id),
+        | a AS (SELECT count(*) AS n,
+        |   CAST(sum((rq - rd) * (rq - rd)) AS BIGINT) AS sum_d2
+        |  FROM r)
+        | SELECT n, sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+        |    AS spearman_rho
+        | FROM a""".stripMargin
   )
 }

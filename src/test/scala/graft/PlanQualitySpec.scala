@@ -245,4 +245,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"single-partition-fed Window in: ${offenders.mkString(", ")}")
   }
+
+  test("multi-probe LSH candidate join is bucket-equi, never cartesian") {
+    val df = SparkEntry.queries("q225_multiprobe_lsh")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BroadcastNestedLoopJoins allowed are the bounded
+    // crossJoins (probe range, query stratum) — candidate matching
+    // itself must hash-join on (band, bucket)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join found for bucket matching:\n$p")
+  }
+
+  test("OOD screen broadcasts the label×dim moment table") {
+    val df = SparkEntry.queries("q221_ood_outliers")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("wedge sampling filters acceptance in-row (pre-explode)") {
+    // the hash-acceptance must run inside the per-vertex lambda so
+    // rejected wedges never reach the closure join: the plan's
+    // Generate(explode) input already carries the filtered array
+    val df = SparkEntry.queries("q230_wedge_triangles")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("filter(flatten(transform") ||
+      p.contains("Generate explode"), p)
+  }
 }
