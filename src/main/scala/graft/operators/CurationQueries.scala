@@ -837,6 +837,29 @@ object CurationQueries extends QueryPack {
             / (col("n").cast("double")
               * (col("n").cast("double") * col("n").cast("double")
                 - 1.0)), 6).as("spearman_rho"))
+    }),
+    // Quality-gate Pareto curve: surviving doc/token fraction at each
+    // quality threshold — the tuning table behind every "keep the
+    // head" cut (how many tokens does tightening the gate actually
+    // cost?). One scan, thresholds exploded from a 6-row broadcast;
+    // the rounded score makes every boundary compare engine-stable.
+    "q235_quality_pareto" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d).select(
+        TextAnalysis.qualityExpr(col("text")).as("q"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("toks"))
+      val thDf = Seq(0.0, 0.3, 0.4, 0.6, 0.7, 1.0).toDF("th")
+      scored.crossJoin(broadcast(thDf))
+        .groupBy(col("th"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("q") >= col("th"), 1L).otherwise(0L)).as("nk"),
+          sum(col("toks")).cast("long").as("tt"),
+          sum(when(col("q") >= col("th"), col("toks")).otherwise(0L))
+            .cast("long").as("tk"))
+        .select(col("th"), col("nk").as("n_docs_kept"),
+          col("tk").as("toks_kept"),
+          round(col("nk").cast("double") / col("nd"), 6).as("doc_frac"),
+          round(col("tk").cast("double") / col("tt"), 6).as("tok_frac"))
     })
   )
 
@@ -1409,6 +1432,32 @@ object CurationQueries extends QueryPack {
         |    / (CAST(n AS DOUBLE)
         |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
         |    AS spearman_rho
-        | FROM a""".stripMargin
+        | FROM a""".stripMargin,
+    "q235_quality_pareto" ->
+      """WITH t AS (SELECT round(CAST(
+        |   CASE WHEN len(string_split(text, ' ')) >= 10
+        |    THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('a','the','of','and','in','to','is'))) > 0
+        |    THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN (length(text)
+        |       - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       * 10 < length(text)
+        |    THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS q,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        | th AS (SELECT CAST(unnest([0.0, 0.3, 0.4, 0.6, 0.7, 1.0])
+        |   AS DOUBLE) AS th),
+        | g AS (SELECT th, count(*) AS nd,
+        |   CAST(sum(CASE WHEN q >= th THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nk,
+        |   CAST(sum(toks) AS BIGINT) AS tt,
+        |   CAST(sum(CASE WHEN q >= th THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tk
+        |  FROM t CROSS JOIN th GROUP BY 1)
+        | SELECT th, nk AS n_docs_kept, tk AS toks_kept,
+        |  round(CAST(nk AS DOUBLE) / nd, 6) AS doc_frac,
+        |  round(CAST(tk AS DOUBLE) / tt, 6) AS tok_frac
+        | FROM g""".stripMargin
   )
 }

@@ -490,6 +490,33 @@ object SimilarityQueries extends QueryPack {
           (coalesce(col("pci"), lit(-1000001L))
             === col("exact_best_ci")).as("hit"))
     }),
+    // Cluster-purity audit: label distribution inside each IVF
+    // cluster — majority fraction + entropy, the standard clustering-
+    // quality scan run before trusting cluster-balanced sampling
+    // (q211) or SemDeDup (q210) with curation decisions. One
+    // assignment pass + two keyed aggs; entropy from integer counts,
+    // one log per (cluster, label) — engine-stable at 6 dp.
+    "q234_cluster_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity
+        .ivfAssign(emb, "vec_id", "embedding", cents)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val cl = assigned.groupBy(col("centroid_id"), col("label"))
+        .agg(count(lit(1)).as("nl"))
+      val tot = cl.groupBy(col("centroid_id"))
+        .agg(sum(col("nl")).cast("long").as("n"))
+      cl.join(broadcast(tot), "centroid_id")
+        .groupBy(col("centroid_id"), col("n"))
+        .agg(max(col("nl")).cast("long").as("n_majority"),
+          round(-sum((col("nl").cast("double") / col("n"))
+            * log(col("nl").cast("double") / col("n"))), 6)
+            .as("entropy"))
+        .select(col("centroid_id"), col("n"), col("n_majority"),
+          round(col("n_majority").cast("double") / col("n"), 6)
+            .as("purity"),
+          col("entropy"))
+    }),
     // Product quantization with asymmetric-distance scoring (Jégou
     // et al.): 4 subspaces × first-16-by-id codebooks, nearest-
     // codeword codes, per-query distance tables, ADC top-10 vs the
@@ -1084,6 +1111,22 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q234_cluster_purity" ->
+      s"""WITH $flatCte,
+        | $assignCte,
+        | lab AS (SELECT a.centroid_id, e.label
+        |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
+        | cl AS (SELECT centroid_id, label, count(*) AS nl
+        |  FROM lab GROUP BY 1, 2),
+        | tot AS (SELECT centroid_id, CAST(sum(nl) AS BIGINT) AS n
+        |  FROM cl GROUP BY 1)
+        | SELECT cl.centroid_id, max(tot.n) AS n,
+        |  CAST(max(nl) AS BIGINT) AS n_majority,
+        |  round(CAST(max(nl) AS DOUBLE) / max(tot.n), 6) AS purity,
+        |  round(-sum((CAST(nl AS DOUBLE) / tot.n)
+        |    * ln(CAST(nl AS DOUBLE) / tot.n)), 6) AS entropy
+        | FROM cl JOIN tot ON cl.centroid_id = tot.centroid_id
+        | GROUP BY cl.centroid_id""".stripMargin,
     "q225_multiprobe_lsh" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings),
