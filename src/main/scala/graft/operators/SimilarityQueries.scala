@@ -490,6 +490,42 @@ object SimilarityQueries extends QueryPack {
           (coalesce(col("pci"), lit(-1000001L))
             === col("exact_best_ci")).as("hit"))
     }),
+    // IVF nprobe tuning curve: recall@10 vs brute force at probe
+    // depths 1/2/4/8 — the recall-vs-work frontier an ANN deployment
+    // tunes against (probing d of 16 cells scans ≈ d/16 of the
+    // corpus). One assignment pass and one brute-force baseline are
+    // SHARED across the four probe depths (persisted); each depth
+    // adds only its probe-cell filter + rank. The 4-row output is
+    // anchored on a broadcast grid so a zero-recall depth still
+    // reports.
+    "q236_nprobe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5L)
+      val brute = Similarity.bruteForceTopKJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val assigned = Similarity
+        .ivfAssign(emb, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val runs = Seq(1, 2, 4, 8).map { np =>
+        Similarity.ivfSearchBatch(assigned, cents, queries,
+            "vec_id", "embedding", nprobe = np, k = 10)
+          .select(lit(np.toLong).as("nprobe"), col("query_id"),
+            col("vec_id"))
+      }.reduce(_ unionAll _)
+      val hits = runs
+        .join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+      Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)) / 50.0, 6)
+            .as("recall_at_10"))
+    }),
     // Cluster-purity audit: label distribution inside each IVF
     // cluster — majority fraction + entropy, the standard clustering-
     // quality scan run before trusting cluster-balanced sampling
@@ -1111,6 +1147,55 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q236_nprobe_sweep" ->
+      s"""WITH $flatCte,
+        | dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(f.x * q.x)
+        |    AS dp
+        |   FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id < 5
+        |   WHERE f.vec_id <> q.vec_id GROUP BY q.vec_id, f.vec_id),
+        | scored AS (SELECT query_id, d.vec_id,
+        |   dp / (nf.nrm * nq.nrm) AS c
+        |  FROM dots d
+        |  JOIN norms nf ON d.vec_id = nf.vec_id
+        |  JOIN norms nq ON d.query_id = nq.vec_id),
+        | brute AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id, row_number() OVER (
+        |     PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |   FROM scored) WHERE rk <= 10),
+        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
+        |  FROM flat f
+        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
+        |  JOIN norms nf ON f.vec_id = nf.vec_id
+        |  JOIN norms nc ON c.vec_id = nc.vec_id
+        |  GROUP BY f.vec_id, c.vec_id),
+        | assigned AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT vec_id, centroid_id, row_number() OVER (
+        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims) WHERE rk = 1),
+        | nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+        | probed AS (SELECT n.np, p.vec_id AS query_id, p.centroid_id
+        |  FROM (SELECT vec_id, centroid_id, row_number() OVER (
+        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+        |   FROM sims WHERE vec_id < 5) p CROSS JOIN nps n
+        |  WHERE p.rk <= n.np),
+        | ivf AS (SELECT np, query_id, vec_id FROM (
+        |   SELECT p.np, p.query_id, a.vec_id, row_number() OVER (
+        |     PARTITION BY p.np, p.query_id
+        |     ORDER BY s.c DESC, a.vec_id) AS rk
+        |   FROM probed p
+        |   JOIN assigned a ON a.centroid_id = p.centroid_id
+        |   JOIN scored s ON s.query_id = p.query_id
+        |    AND s.vec_id = a.vec_id
+        |   WHERE a.vec_id <> p.query_id) WHERE rk <= 10),
+        | hits AS (SELECT np, count(*) AS h FROM ivf i
+        |  WHERE EXISTS (SELECT 1 FROM brute b
+        |   WHERE b.query_id = i.query_id AND b.vec_id = i.vec_id)
+        |  GROUP BY np)
+        | SELECT n.np AS nprobe,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.h, 0) / 50.0, 6) AS recall_at_10
+        | FROM nps n LEFT JOIN hits h ON h.np = n.np""".stripMargin,
     "q234_cluster_purity" ->
       s"""WITH $flatCte,
         | $assignCte,
