@@ -204,6 +204,35 @@ object MultimodalQueries extends QueryPack {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           col("min_score"), col("max_score"))
+    }),
+    // Shot-boundary detection: a cut where a sampled frame's feature
+    // sum jumps >20% from its predecessor (the stub analog of
+    // histogram-difference shot detection); segments = running sum of
+    // cut flags. Per-media windows are bounded by media length (the
+    // q151 VAD contract); frame features ride the same one-pass
+    // extractor as q119. Output: shots, longest shot, mean length
+    // per video.
+    "q237_shot_boundaries" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fr = Multimodal.frameFeatures(media(s, d, "video"),
+        frameBytes = 16, everyNth = 2).toDF()
+      val wSeq = Window.partitionBy(col("media_id"))
+        .orderBy(col("frame_no"))
+      val shots = fr
+        .withColumn("prev", lag(col("fsum"), 1).over(wSeq))
+        .withColumn("b", when(col("prev").isNotNull &&
+          abs(col("fsum") - col("prev")) * 5 > col("prev"), 1L)
+          .otherwise(0L))
+        .withColumn("shot", sum(col("b")).over(wSeq
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("media_id"), col("shot"))
+        .agg(count(lit(1)).as("len"))
+      shots.groupBy(col("media_id"))
+        .agg((max(col("shot")) + 1).cast("long").as("n_shots"),
+          sum(col("len")).cast("long").as("n_frames"),
+          max(col("len")).cast("long").as("longest_shot"),
+          round(sum(col("len")).cast("double")
+            / (max(col("shot")) + 1), 6).as("mean_shot_len"))
     })
   )
 
@@ -405,6 +434,31 @@ object MultimodalQueries extends QueryPack {
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
         |  min_score, max_score
         | FROM totals t LEFT JOIN paired p
-        |   ON t.source = p.source""".stripMargin
+        |   ON t.source = p.source""".stripMargin,
+    "q237_shot_boundaries" ->
+      s"""WITH ${cpCte(2)},
+        | fr AS (SELECT doc_id AS media_id,
+        |   CAST((i - 1) // 16 AS INT) AS frame_no,
+        |   CAST(sum(p) AS BIGINT) AS fsum
+        |  FROM b GROUP BY doc_id, (i - 1) // 16
+        |  HAVING ((i - 1) // 16) % 2 = 0),
+        | lg AS (SELECT media_id, frame_no, fsum,
+        |   lag(fsum) OVER (PARTITION BY media_id ORDER BY frame_no)
+        |    AS prev FROM fr),
+        | bb AS (SELECT media_id, frame_no,
+        |   CASE WHEN prev IS NOT NULL AND abs(fsum - prev) * 5 > prev
+        |    THEN 1 ELSE 0 END AS b FROM lg),
+        | sh AS (SELECT media_id, frame_no,
+        |   CAST(sum(b) OVER (PARTITION BY media_id ORDER BY frame_no
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS shot FROM bb),
+        | seg AS (SELECT media_id, shot, count(*) AS len
+        |  FROM sh GROUP BY 1, 2)
+        | SELECT media_id, CAST(max(shot) + 1 AS BIGINT) AS n_shots,
+        |  CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(max(len) AS BIGINT) AS longest_shot,
+        |  round(CAST(sum(len) AS DOUBLE) / (max(shot) + 1), 6)
+        |    AS mean_shot_len
+        | FROM seg GROUP BY 1""".stripMargin
   )
 }

@@ -477,7 +477,51 @@ object TextQueries extends QueryPack {
           col("doc_id"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
-          min(col("doc_id")).as("first_doc")))
+          min(col("doc_id")).as("first_doc"))),
+    // RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    // maximal stopword-delimited word runs; each word scores
+    // deg/freq over the candidate set (deg = Σ phrase lengths it
+    // appears in, co-occurrence degree incl. self), a phrase scores
+    // the sum of its words, top-15 DISTINCT phrases corpus-wide.
+    // Shape: phrase ids from a per-doc prefix sum over stopword
+    // flags (per-doc window, doc-bounded), word stats one keyed agg
+    // broadcast back, cut TakeOrdered. The 6-dp-rounded score makes
+    // the rank boundary engine-stable.
+    "q238_rake_keyphrases" -> ((s, d) => {
+      val stops = Seq("a", "the", "of", "and", "in", "to", "is")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"),
+          when(col("col").isInCollection(stops), 1L).otherwise(0L)
+            .as("st"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrases = toks
+        .withColumn("pid", sum(col("st")).over(wDoc))
+        .filter(col("st") === 0)
+        .groupBy(col("doc_id"), col("pid"))
+        // sort_array over (pos, w) structs: collect_list alone has no
+        // order guarantee across shuffles
+        .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"),
+            col("w")))), p => p.getField("w"))).as("phrase"),
+          count(lit(1)).as("plen"))
+      val words = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      val wstat = words.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"),
+          (col("deg").cast("double") / col("freq")).as("ws"))
+      phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).cast("long").as("n_occurrences"))
+        .select(col("phrase"), col("n_occurrences"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(broadcast(wstat), "w")
+        .groupBy(col("phrase"), col("n_occurrences"))
+        .agg(round(sum(col("ws")), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase").asc)
+        .limit(15)
+    })
   )
 
   private val profileValues = TextAnalysis.langProfiles
@@ -814,6 +858,35 @@ object TextQueries extends QueryPack {
         |  CAST(coalesce(max(p.mc), 0) AS BIGINT) AS margin_cut
         | FROM sc LEFT JOIN pruned p ON sc.y = p.y
         | GROUP BY sc.y""".stripMargin,
+    "q238_rake_keyphrases" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |   FROM documents),
+        | toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   ws[i] AS w,
+        |   CASE WHEN ws[i] IN ('a','the','of','and','in','to','is')
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
+        | pidd AS (SELECT doc_id, pos, w, st,
+        |   sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM toks),
+        | phrases AS (SELECT doc_id, pid,
+        |   string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |   count(*) AS plen
+        |  FROM pidd WHERE st = 0 GROUP BY 1, 2),
+        | words AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w
+        |  FROM phrases),
+        | wstat AS (SELECT w, CAST(sum(plen) AS DOUBLE) / count(*) AS ws
+        |  FROM words GROUP BY 1),
+        | dp AS (SELECT phrase, CAST(count(*) AS BIGINT)
+        |    AS n_occurrences FROM phrases GROUP BY 1),
+        | pw AS (SELECT phrase, n_occurrences,
+        |   unnest(string_split(phrase, ' ')) AS w FROM dp),
+        | sc AS (SELECT phrase, n_occurrences,
+        |   round(sum(ws), 6) AS score
+        |  FROM pw JOIN wstat USING (w) GROUP BY 1, 2)
+        | SELECT phrase, n_occurrences, score FROM sc
+        | ORDER BY score DESC, phrase LIMIT 15""".stripMargin,
     "q224_uncertainty_batch" ->
       // m2 in the shared CTEs IS the one-iteration proxy model's
       // margin (scores under w1); smallest |m| first, doc_id ties
