@@ -860,6 +860,36 @@ object CurationQueries extends QueryPack {
           col("tk").as("toks_kept"),
           round(col("nk").cast("double") / col("nd"), 6).as("doc_frac"),
           round(col("tk").cast("double") / col("tt"), 6).as("tok_frac"))
+    }),
+    // Poisson bootstrap (the distributed bootstrap: per replica each
+    // row gets an independent Poisson(1) weight, so resampling is
+    // row-local and mergeable — no with-replacement shuffle): 16
+    // deterministic replicas of the mean quality score, weights from
+    // an integer hash pushed through the Poisson(1) inverse CDF
+    // (literal ×10⁴ thresholds, identical in both engines). The
+    // replica spread IS the standard error of the corpus-mean metric
+    // — eval infra for every curation dashboard number. One scan,
+    // replicas exploded from a 16-row broadcast.
+    "q240_poisson_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityExpr(col("text")).as("q"))
+      val reps = (0L until 16L).toDF("rep")
+      val u = (col("doc_id") * lit(2654435761L)
+        + col("rep") * lit(700000001L)) % lit(1000000007L) % 10000L
+      val wgt = when(u < 3679L, 0L).when(u < 7358L, 1L)
+        .when(u < 9197L, 2L).when(u < 9810L, 3L)
+        .when(u < 9963L, 4L).otherwise(5L)
+      // quality is a multiple of 0.1 — scale to ×10 integers so the
+      // weighted sum is EXACT (a corpus-sized double sum is
+      // accumulation-order-dependent across engines)
+      scored.crossJoin(broadcast(reps))
+        .select(col("rep"), wgt.as("w"),
+          round(col("q") * 10).cast("long").as("qi"))
+        .groupBy(col("rep"))
+        .agg(sum(col("w")).cast("long").as("n_eff"),
+          round(sum(col("w") * col("qi")).cast("double")
+            / (sum(col("w")) * 10).cast("double"), 6).as("mean_q"))
     })
   )
 
@@ -1458,6 +1488,34 @@ object CurationQueries extends QueryPack {
         | SELECT th, nk AS n_docs_kept, tk AS toks_kept,
         |  round(CAST(nk AS DOUBLE) / nd, 6) AS doc_frac,
         |  round(CAST(tk AS DOUBLE) / tt, 6) AS tok_frac
-        | FROM g""".stripMargin
+        | FROM g""".stripMargin,
+    "q240_poisson_bootstrap" ->
+      """WITH t AS (SELECT doc_id, round(CAST(
+        |   CASE WHEN len(string_split(text, ' ')) >= 10
+        |    THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('a','the','of','and','in','to','is'))) > 0
+        |    THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN (length(text)
+        |       - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       * 10 < length(text)
+        |    THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS q
+        |  FROM documents),
+        | reps AS (SELECT CAST(unnest(generate_series(0, 15))
+        |   AS BIGINT) AS rep),
+        | wts AS (SELECT rep, q,
+        |   (doc_id * 2654435761 + rep * 700000001)
+        |     % 1000000007 % 10000 AS u
+        |  FROM t CROSS JOIN reps),
+        | ww AS (SELECT rep, CAST(round(q * 10) AS BIGINT) AS qi,
+        |   CAST(CASE
+        |   WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |   WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |   WHEN u < 9963 THEN 4 ELSE 5 END AS BIGINT) AS w
+        |  FROM wts)
+        | SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  round(CAST(sum(w * qi) AS DOUBLE)
+        |    / CAST(sum(w) * 10 AS DOUBLE), 6) AS mean_q
+        | FROM ww GROUP BY rep""".stripMargin
   )
 }

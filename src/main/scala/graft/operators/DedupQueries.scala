@@ -377,6 +377,49 @@ object DedupQueries extends QueryPack {
             .as("n_cand_pairs"),
           max(col("n")).as("max_bucket"))
     }),
+    // LSH banding auto-tuner: for every (bands, r) split of the k=8
+    // signature, the analytic S-curve threshold (1/b)^(1/r) AND the
+    // measured bucket census (pair budget, hottest bucket) from ONE
+    // shared signature frame — the table a planner reads to pick the
+    // banding for a target Jaccard. Band keys are an order-weighted
+    // integer fold of the r minima (row-local from the wide signature
+    // columns, no per-config explode of the corpus); q228's census
+    // follows per config.
+    "q239_lsh_tuner" -> ((s, d) => {
+      val sh = Dedup.wordShingles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", 3)
+        .select(col("doc_id"),
+          Dedup.md5Hash60(col("shingle")).as("shingle"))
+      val sig = Dedup.minHashSignaturesArith(sh, k = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val M = 1000000007L
+      val pow31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+        887503681L, 512557306L) // 31^7 % M
+      val configs = Seq((2, 4), (4, 2), (8, 1))
+      val rows = configs.map { case (b, r) =>
+        val slots = (0 until b).map { band =>
+          val key = (0 until r).map(p =>
+            pmod(col(s"mh${band * r + p}"), lit(M)) * lit(pow31(p)))
+            .reduce(_ + _) % lit(M)
+          struct(lit(b.toLong).as("bands"), lit(r.toLong).as("r"),
+            lit(band.toLong).as("band"), key.as("key"))
+        }
+        sig.select(col("doc_id"), explode(array(slots: _*)).as("t"))
+          .select(col("t.bands").as("bands"), col("t.r").as("r"),
+            col("t.band").as("band"), col("t.key").as("key"))
+      }.reduce(_ unionAll _)
+      rows.groupBy(col("bands"), col("r"), col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("bands"), col("r"))
+        .agg(sum(expr("(n * (n - 1)) DIV 2")).cast("long")
+          .as("n_cand_pairs"),
+          max(col("n")).as("max_bucket"))
+        .select(col("bands"), col("r"),
+          round(pow(lit(1.0) / col("bands"), lit(1.0) / col("r")), 6)
+            .as("analytic_tau"),
+          col("n_cand_pairs"), col("max_bucket"))
+    }),
     // Memorization-canary pairs: 5-grams occurring in EXACTLY two
     // documents corpus-wide pin those two docs together — shared
     // low-frequency spans are the memorization-risk evidence BELOW
@@ -764,6 +807,37 @@ object DedupQueries extends QueryPack {
         |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
         |  CAST(max(n) AS BIGINT) AS max_bucket
         | FROM bucket GROUP BY 1""".stripMargin,
+    "q239_lsh_tuner" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        | hh AS (SELECT DISTINCT doc_id, $md5Hex60Sql AS h FROM hm),
+        | h1 AS (SELECT doc_id, h % 1000000007 AS h1 FROM hh),
+        | mins AS (SELECT doc_id, i,
+        |   min((h1 * (2654435761 + 700000001*i) + 97531*i)
+        |     % 999999999989) AS mh
+        |  FROM h1, UNNEST(generate_series(0, 7)) AS g(i)
+        |  GROUP BY 1, 2),
+        | cfg AS (SELECT * FROM (VALUES (CAST(2 AS BIGINT),
+        |   CAST(4 AS BIGINT)), (4, 2), (8, 1)) c(bands, r)),
+        | keys AS (SELECT cfg.bands, cfg.r, mins.doc_id,
+        |   CAST(i // cfg.r AS BIGINT) AS band,
+        |   CAST(sum((mh % 1000000007) * CASE i % cfg.r
+        |     WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+        |     WHEN 3 THEN 29791 END) % 1000000007 AS BIGINT) AS key
+        |  FROM mins CROSS JOIN cfg
+        |  GROUP BY 1, 2, 3, 4),
+        | census AS (SELECT bands, r, band, key, count(*) AS n
+        |  FROM keys GROUP BY 1, 2, 3, 4)
+        | SELECT bands, r,
+        |  round(pow(1.0 / bands, 1.0 / r), 6) AS analytic_tau,
+        |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+        |  CAST(max(n) AS BIGINT) AS max_bucket
+        | FROM census GROUP BY 1, 2""".stripMargin,
     "q231_canary_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM documents),
