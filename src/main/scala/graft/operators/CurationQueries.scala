@@ -870,6 +870,74 @@ object CurationQueries extends QueryPack {
     // replica spread IS the standard error of the corpus-mean metric
     // — eval infra for every curation dashboard number. One scan,
     // replicas exploded from a 16-row broadcast.
+    // Temperature-scaled mixture weights (the mT5/multilingual
+    // standard: wᵢ ∝ nᵢ^α, α=0.5 — between proportional α=1 and
+    // uniform α=0): per source, the sampled share at temperature vs
+    // natural share, plus the deterministic hash-acceptance count
+    // that realizes it (accept iff hash % n_source < target). The
+    // α-power and share normalization are single double ops on exact
+    // integer counts; targets floor to integers so the acceptance
+    // test is engine-exact. Source table is bounded (≈20), broadcast
+    // back — one count agg + one row-local accept + one final agg.
+    "q241_temperature_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(col("n_docs")).cast("long").as("n_total"),
+        sum(sqrt(col("n_docs").cast("double"))).as("z"))
+      val shares = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_total"),
+          // round BEFORE the target multiply: floor of an unrounded
+          // share × n_total sits on an ulp boundary engines disagree on
+          round(sqrt(col("n_docs").cast("double")) / col("z"), 6)
+            .as("temp_share"))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6)
+            .as("nat_share"),
+          col("temp_share"),
+          floor(col("temp_share") * col("n_total").cast("double"))
+            .cast("long").as("target"))
+      val accepted = docs.join(broadcast(shares), "source")
+        .filter(((col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+          % col("n_docs") < col("target"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      shares.join(accepted, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("nat_share"),
+          col("temp_share"), col("target"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+    // Paired gate comparison (McNemar): when swapping quality gate A
+    // (stopword presence) for gate B (min 50 words), the discordant
+    // counts n01/n10 and the χ² statistic (b−c)²/(b+c) decide whether
+    // the swap CHANGES the kept set significantly or just relabels
+    // the same docs — the eval-significance test behind every filter
+    // A/B. Integer counts, one row-local projection + one agg; the
+    // zero-discordance corner returns 0 instead of dividing by zero.
+    "q242_gate_mcnemar" -> ((s, d) => {
+      val t = col("text")
+      val w = split(t, " ")
+      val nw = size(w).cast("long")
+      val stp = size(filter(w, x => x.isInCollection(
+        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
+      val g = Tables.documents(s, d).select(
+        (stp > 0).as("ga"), (nw >= 50L).as("gb"))
+      g.agg(count(lit(1)).as("n"),
+          sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L))
+            .as("n00"),
+          sum(when(!col("ga") && col("gb"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("ga") && !col("gb"), 1L).otherwise(0L))
+            .as("n10"))
+        .select(col("n"), col("n11"), col("n00"), col("n01"),
+          col("n10"),
+          when(col("n01") + col("n10") === 0, lit(0.0))
+            .otherwise(round(((col("n01") - col("n10"))
+              * (col("n01") - col("n10"))).cast("double")
+              / (col("n01") + col("n10")).cast("double"), 6))
+            .as("mcnemar_chi2"))
+    }),
     "q240_poisson_bootstrap" -> ((s, d) => {
       import s.implicits._
       val scored = Tables.documents(s, d).select(col("doc_id"),
@@ -1489,6 +1557,50 @@ object CurationQueries extends QueryPack {
         |  round(CAST(nk AS DOUBLE) / nd, 6) AS doc_frac,
         |  round(CAST(tk AS DOUBLE) / tt, 6) AS tok_frac
         | FROM g""".stripMargin,
+    "q241_temperature_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |   FROM documents GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |   sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM c),
+        | sh AS (SELECT source, n_docs, n_total,
+        |   round(CAST(n_docs AS DOUBLE) / n_total, 6) AS nat_share,
+        |   round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS temp_share
+        |  FROM c CROSS JOIN tot),
+        | sh2 AS (SELECT source, n_docs, nat_share, temp_share,
+        |   CAST(floor(temp_share * CAST(n_total AS DOUBLE)) AS BIGINT)
+        |    AS target FROM sh),
+        | acc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+        |  FROM documents d JOIN sh2 ON d.source = sh2.source
+        |  WHERE (d.doc_id * 2654435761) % 1000000007 % sh2.n_docs
+        |    < sh2.target
+        |  GROUP BY 1)
+        | SELECT sh2.source, sh2.n_docs, sh2.nat_share, sh2.temp_share,
+        |  sh2.target, CAST(coalesce(acc.n_sampled, 0) AS BIGINT)
+        |    AS n_sampled
+        | FROM sh2 LEFT JOIN acc ON sh2.source = acc.source""".stripMargin,
+    "q242_gate_mcnemar" ->
+      """WITH f AS (SELECT
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp
+        |  FROM documents),
+        | g AS (SELECT stp > 0 AS ga, nw >= 50 AS gb FROM f),
+        | a AS (SELECT count(*) AS n,
+        |   CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n11,
+        |   CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n00,
+        |   CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n01,
+        |   CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n10
+        |  FROM g)
+        | SELECT n, n11, n00, n01, n10,
+        |  CASE WHEN n01 + n10 = 0 THEN 0.0
+        |   ELSE round(CAST((n01 - n10) * (n01 - n10) AS DOUBLE)
+        |    / CAST(n01 + n10 AS DOUBLE), 6) END AS mcnemar_chi2
+        | FROM a""".stripMargin,
     "q240_poisson_bootstrap" ->
       """WITH t AS (SELECT doc_id, round(CAST(
         |   CASE WHEN len(string_split(text, ' ')) >= 10
