@@ -490,6 +490,41 @@ object SimilarityQueries extends QueryPack {
           (coalesce(col("pci"), lit(-1000001L))
             === col("exact_best_ci")).as("hit"))
     }),
+    // Hubness audit (Radovanović et al.): in high dimensions a few
+    // "hub" vectors appear in everyone's top-k — the pathology that
+    // breaks absolute-cosine mining and motivates q217's margin.
+    // Over a deterministic ~8% hash sample (bounded all-pairs), each
+    // vector's in-degree in the sample's top-3 graph; output = the
+    // in-degree histogram + its max — a skewed tail is the hubness
+    // signature. Integer micro-cosines make every rank exact; the
+    // zero-in-degree bucket is anchored by a left join.
+    "q243_hubness_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val samp = emb
+        .filter((col("vec_id") * lit(2654435761L)) % lit(1000000007L)
+          % 12 === 0)
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding"))
+          .as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cos = VectorOps.nativeCosine(s)
+      val pairs = samp.select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(samp.select(col("vec_id").as("cid"),
+          col("v").as("cv"))))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(cos(col("qv"), col("cv")) * 1000000).cast("long")
+            .as("ci"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("ci").desc, col("cid").asc)
+      val indeg = pairs.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .groupBy(col("cid")).agg(count(lit(1)).as("indeg"))
+      samp.select(col("vec_id").as("cid"))
+        .join(indeg, Seq("cid"), "left")
+        .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .groupBy(col("indeg"))
+        .agg(count(lit(1)).as("n_vecs"))
+    }),
     // IVF nprobe tuning curve: recall@10 vs brute force at probe
     // depths 1/2/4/8 — the recall-vs-work frontier an ANN deployment
     // tunes against (probing d of 16 cells scans ≈ d/16 of the
@@ -1147,6 +1182,32 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q243_hubness_audit" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings
+        |  WHERE (vec_id * 2654435761) % 1000000007 % 12 = 0),
+        | flat AS (SELECT vec_id, i, v[i] AS x
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n
+        |  FROM flat GROUP BY 1),
+        | ci AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   CAST(round(sum(fa.x * fb.x) / (na.n * nb.n) * 1000000)
+        |    AS BIGINT) AS ci
+        |  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        |  JOIN flat fa ON fa.vec_id = a.vec_id
+        |  JOIN flat fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        |  JOIN nrm na ON na.vec_id = a.vec_id
+        |  JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  GROUP BY 1, 2, na.n, nb.n),
+        | top3 AS (SELECT cid FROM (
+        |   SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |     ORDER BY ci DESC, cid) AS rk FROM ci) WHERE rk <= 3),
+        | indeg AS (SELECT cid, CAST(count(*) AS BIGINT) AS indeg
+        |  FROM top3 GROUP BY 1)
+        | SELECT CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg,
+        |  count(*) AS n_vecs
+        | FROM base b LEFT JOIN indeg i ON b.vec_id = i.cid
+        | GROUP BY 1""".stripMargin,
     "q236_nprobe_sweep" ->
       s"""WITH $flatCte,
         | dots AS (SELECT q.vec_id AS query_id, f.vec_id, sum(f.x * q.x)
