@@ -20,6 +20,23 @@ object CurationQueries extends QueryPack {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Shared row-local gate features for the curation cascade
+    * (q229 funnel / q232 bias audit / q242 McNemar use one
+    * definition; each oracle re-inlines the same SQL by design —
+    * the SQL text IS the per-query differential contract). */
+  private def gateFeats: (Column, Column, Column, Column, Column) = {
+    val t = col("text")
+    val w = split(t, " ")
+    val nw = size(w).cast("long")
+    val nc = length(t).cast("long")
+    val stp = size(filter(w, x => x.isInCollection(
+      Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
+    val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+      .cast("long")
+    val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+    (nw, nc, stp, punct, alpha)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Edit-distance near-dup names, blocked by (p_type, length band).
     // Canonicalize to DISTINCT (type, name) groups FIRST: the 20k-part
@@ -675,7 +692,10 @@ object CurationQueries extends QueryPack {
     // Length-binned batching audit: docs bucketed to the next
     // power-of-two token length (the dynamic-batching bins that keep
     // padding bounded at 2×), with per-bin padding-waste accounting —
-    // the number a batching layer tunes against. Row-local CASE
+    // the number a batching layer tunes against. The 1024 bin is the
+    // MAX context: longer docs truncate there, so per-row padding is
+    // greatest(bin − toks, 0) — the bin·n − Σtoks shortcut goes
+    // NEGATIVE for over-long docs (review finding). Row-local CASE
     // chain + one agg: zero exchanges beyond the groupBy.
     "q222_length_bins" -> ((s, d) => {
       val toks = TextAnalysis.wsTokens(col("text")).cast("long")
@@ -684,15 +704,16 @@ object CurationQueries extends QueryPack {
         .when(toks <= 256L, 256L).when(toks <= 512L, 512L)
         .otherwise(1024L)
       Tables.documents(s, d)
-        .select(bin.as("bin"), toks.as("toks"))
+        .select(bin.as("bin"), toks.as("toks"),
+          greatest(bin - toks, lit(0L)).as("pad"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("toks")).cast("long").as("sum_toks"))
+          sum(col("toks")).cast("long").as("sum_toks"),
+          sum(col("pad")).cast("long").as("padding"))
         .select(col("bin"), col("n_docs"), col("sum_toks"),
-          (col("bin") * col("n_docs") - col("sum_toks")).as("padding"),
-          round((col("bin") * col("n_docs") - col("sum_toks"))
-            .cast("double") / (col("bin") * col("n_docs")), 6)
-            .as("waste_rate"))
+          col("padding"),
+          round(col("padding").cast("double")
+            / (col("bin") * col("n_docs")), 6).as("waste_rate"))
     }),
     // Deterministic stratified 5-fold assignment (hash-mod folds
     // inside each language stratum) + the balance audit: per
@@ -721,15 +742,7 @@ object CurationQueries extends QueryPack {
     // ONE aggregate; the 4-row funnel is exploded from the single
     // aggregate row, so the corpus is scanned exactly once.
     "q229_curation_funnel" -> ((s, d) => {
-      val t = col("text")
-      val w = split(t, " ")
-      val nw = size(w).cast("long")
-      val nc = length(t).cast("long")
-      val stp = size(filter(w, x => x.isInCollection(
-        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
-      val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-        .cast("long")
-      val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+      val (nw, nc, stp, punct, alpha) = gateFeats
       val g = Tables.documents(s, d).select(
         (nw >= 10).as("s1"), (stp > 0).as("s2"),
         (punct * 10 < nc).as("s3"),
@@ -764,15 +777,7 @@ object CurationQueries extends QueryPack {
     // standard pre-flight). Row-local gates + one keyed agg + one
     // broadcast corpus-rate scalar.
     "q232_filter_bias" -> ((s, d) => {
-      val t = col("text")
-      val w = split(t, " ")
-      val nw = size(w).cast("long")
-      val nc = length(t).cast("long")
-      val stp = size(filter(w, x => x.isInCollection(
-        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
-      val punct = nc - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-        .cast("long")
-      val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+      val (nw, nc, stp, punct, alpha) = gateFeats
       val g = Tables.documents(s, d).select(col("lang"),
         (nw >= 10 && stp > 0 && punct * 10 < nc
           && alpha >= nw * 3 && alpha <= nw * 10).as("pass"))
@@ -828,11 +833,16 @@ object CurationQueries extends QueryPack {
       val rd = Rank.distributedRank(rq,
         Seq(col("dw").desc, col("doc_id")), s)
         .withColumnRenamed("rk", "rd")
+      // sum as DECIMAL(38,0): Σd² grows ~n³/6 for weakly correlated
+      // rankings, past int64 at a few million docs — a silent Spark
+      // wrap vs a DuckDB HUGEINT-cast error (review finding)
       rd.select(((col("rq") - col("rd"))
-          * (col("rq") - col("rd"))).as("d2"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("d2")).cast("long").as("sum_d2"))
-        .select(col("n"), col("sum_d2"),
+          * (col("rq") - col("rd")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+        .select(col("n"),
+          col("sum_d2").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)).as("sum_d2"),
           round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
             / (col("n").cast("double")
               * (col("n").cast("double") * col("n").cast("double")
@@ -861,15 +871,6 @@ object CurationQueries extends QueryPack {
           round(col("nk").cast("double") / col("nd"), 6).as("doc_frac"),
           round(col("tk").cast("double") / col("tt"), 6).as("tok_frac"))
     }),
-    // Poisson bootstrap (the distributed bootstrap: per replica each
-    // row gets an independent Poisson(1) weight, so resampling is
-    // row-local and mergeable — no with-replacement shuffle): 16
-    // deterministic replicas of the mean quality score, weights from
-    // an integer hash pushed through the Poisson(1) inverse CDF
-    // (literal ×10⁴ thresholds, identical in both engines). The
-    // replica spread IS the standard error of the corpus-mean metric
-    // — eval infra for every curation dashboard number. One scan,
-    // replicas exploded from a 16-row broadcast.
     // Temperature-scaled mixture weights (the mT5/multilingual
     // standard: wᵢ ∝ nᵢ^α, α=0.5 — between proportional α=1 and
     // uniform α=0): per source, the sampled share at temperature vs
@@ -902,10 +903,15 @@ object CurationQueries extends QueryPack {
         .filter(((col("doc_id") * lit(2654435761L)) % lit(1000000007L))
           % col("n_docs") < col("target"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      // an up-weighted source's target can EXCEED its inventory —
+      // acceptance then keeps the whole source (n_sampled = n_docs)
+      // and the realized share falls short until the sampler repeats
+      // docs; needs_repetition surfaces exactly that (review finding)
       shares.join(accepted, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("nat_share"),
           col("temp_share"), col("target"),
-          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          (col("target") > col("n_docs")).as("needs_repetition"))
     }),
     // Paired gate comparison (McNemar): when swapping quality gate A
     // (stopword presence) for gate B (min 50 words), the discordant
@@ -915,11 +921,7 @@ object CurationQueries extends QueryPack {
     // A/B. Integer counts, one row-local projection + one agg; the
     // zero-discordance corner returns 0 instead of dividing by zero.
     "q242_gate_mcnemar" -> ((s, d) => {
-      val t = col("text")
-      val w = split(t, " ")
-      val nw = size(w).cast("long")
-      val stp = size(filter(w, x => x.isInCollection(
-        Seq("a", "the", "of", "and", "in", "to", "is")))).cast("long")
+      val (nw, _, stp, _, _) = gateFeats
       val g = Tables.documents(s, d).select(
         (stp > 0).as("ga"), (nw >= 50L).as("gb"))
       g.agg(count(lit(1)).as("n"),
@@ -938,6 +940,15 @@ object CurationQueries extends QueryPack {
               / (col("n01") + col("n10")).cast("double"), 6))
             .as("mcnemar_chi2"))
     }),
+    // Poisson bootstrap (the distributed bootstrap: per replica each
+    // row gets an independent Poisson(1) weight, so resampling is
+    // row-local and mergeable — no with-replacement shuffle): 16
+    // deterministic replicas of the mean quality score, weights from
+    // an integer hash pushed through the Poisson(1) inverse CDF
+    // (literal ×10⁴ thresholds, identical in both engines). The
+    // replica spread IS the standard error of the corpus-mean metric
+    // — eval infra for every curation dashboard number. One scan,
+    // replicas exploded from a 16-row broadcast.
     "q240_poisson_bootstrap" -> ((s, d) => {
       import s.implicits._
       val scored = Tables.documents(s, d).select(col("doc_id"),
@@ -1412,11 +1423,12 @@ object CurationQueries extends QueryPack {
         |   WHEN toks <= 128 THEN 128 WHEN toks <= 256 THEN 256
         |   WHEN toks <= 512 THEN 512 ELSE 1024 END AS bin FROM t),
         | g AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
-        |   CAST(sum(toks) AS BIGINT) AS sum_toks FROM b GROUP BY 1)
-        | SELECT bin, n_docs, sum_toks,
-        |  CAST(bin * n_docs - sum_toks AS BIGINT) AS padding,
-        |  round(CAST(bin * n_docs - sum_toks AS DOUBLE)
-        |    / (bin * n_docs), 6) AS waste_rate
+        |   CAST(sum(toks) AS BIGINT) AS sum_toks,
+        |   CAST(sum(greatest(bin - toks, 0)) AS BIGINT) AS padding
+        |  FROM b GROUP BY 1)
+        | SELECT bin, n_docs, sum_toks, padding,
+        |  round(CAST(padding AS DOUBLE) / (bin * n_docs), 6)
+        |    AS waste_rate
         | FROM g""".stripMargin,
     "q223_stratified_kfold" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -1523,7 +1535,7 @@ object CurationQueries extends QueryPack {
         |    AS BIGINT) AS rd
         |  FROM q JOIN dsir ON q.doc_id = dsir.doc_id),
         | a AS (SELECT count(*) AS n,
-        |   CAST(sum((rq - rd) * (rq - rd)) AS BIGINT) AS sum_d2
+        |   CAST(sum((rq - rd) * (rq - rd)) AS DECIMAL(38,0)) AS sum_d2
         |  FROM r)
         | SELECT n, sum_d2,
         |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
@@ -1576,7 +1588,8 @@ object CurationQueries extends QueryPack {
         |  GROUP BY 1)
         | SELECT sh2.source, sh2.n_docs, sh2.nat_share, sh2.temp_share,
         |  sh2.target, CAST(coalesce(acc.n_sampled, 0) AS BIGINT)
-        |    AS n_sampled
+        |    AS n_sampled,
+        |  sh2.target > sh2.n_docs AS needs_repetition
         | FROM sh2 LEFT JOIN acc ON sh2.source = acc.source""".stripMargin,
     "q242_gate_mcnemar" ->
       """WITH f AS (SELECT

@@ -390,16 +390,17 @@ object Similarity {
     def d2To(center: Seq[Long]): Column =
       aggregate(zip_with(col("q"), typedlit(center),
         (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-    def vecOf(id: Long): Seq[Long] =
-      qv.filter(col("vec_id") === id).head().getSeq[Long](1)
-    val seedId = qv.agg(min(col("vec_id"))).head().getLong(0)
+    // each selection step is ONE top-1 scan carrying the vector
+    // along — a separate fetch-by-id would re-scan the corpus per
+    // step (review finding)
+    val seed = qv.orderBy(col("vec_id").asc).limit(1).head()
     val centers = scala.collection.mutable.ArrayBuffer(
-      (seedId, vecOf(seedId)))
+      (seed.getLong(0), seed.getSeq[Long](1)))
     while (centers.length < k) {
       val mind = centers.map(c => d2To(c._2)).reduce(least(_, _))
-      val far = qv.select(col("vec_id"), mind.as("d"))
+      val far = qv.select(col("vec_id"), col("q"), mind.as("d"))
         .orderBy(col("d").desc, col("vec_id").asc).limit(1).head()
-      centers += ((far.getLong(0), vecOf(far.getLong(0))))
+      centers += ((far.getLong(0), far.getSeq[Long](1)))
     }
     // assignment: one row-local array_min over (d², rank, id) structs
     // — struct ordering gives "min distance, tie → earliest center";

@@ -493,18 +493,22 @@ object SimilarityQueries extends QueryPack {
     // Hubness audit (Radovanović et al.): in high dimensions a few
     // "hub" vectors appear in everyone's top-k — the pathology that
     // breaks absolute-cosine mining and motivates q217's margin.
-    // Over a deterministic ~8% hash sample (bounded all-pairs), each
-    // vector's in-degree in the sample's top-3 graph; output = the
-    // in-degree histogram + its max — a skewed tail is the hubness
-    // signature. Integer micro-cosines make every rank exact; the
-    // zero-in-degree bucket is anchored by a left join.
+    // Over a FIXED-SIZE hash-order sample (TakeOrdered 500 — a
+    // fraction-of-corpus sample would make the all-pairs quadratic
+    // in the corpus again; review finding), each vector's in-degree
+    // in the sample's top-3 graph; output = the in-degree histogram —
+    // a skewed tail is the hubness signature. Integer micro-cosines
+    // make every rank exact; the zero-in-degree bucket is anchored
+    // by a left join.
     "q243_hubness_audit" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val samp = emb
-        .filter((col("vec_id") * lit(2654435761L)) % lit(1000000007L)
-          % 12 === 0)
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding"))
-          .as("v"))
+          .as("v"),
+          ((col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+            .as("h"))
+        .orderBy(col("h").asc, col("vec_id").asc).limit(500)
+        .select(col("vec_id"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cos = VectorOps.nativeCosine(s)
       val pairs = samp.select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1185,7 +1189,8 @@ object SimilarityQueries extends QueryPack {
     "q243_hubness_audit" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings
-        |  WHERE (vec_id * 2654435761) % 1000000007 % 12 = 0),
+        |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+        |  LIMIT 500),
         | flat AS (SELECT vec_id, i, v[i] AS x
         |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
         | nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n

@@ -273,7 +273,9 @@ class PlanQualitySpec extends AnyFunSuite {
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("filter(flatten(transform") ||
-      p.contains("Generate explode"), p)
+    // the acceptance filter must appear INSIDE the projected array
+    // expression (pre-explode) — matching any Generate would pass
+    // even after a regression that explodes first and filters after
+    assert(p.contains("filter(flatten(transform"), p)
   }
 }
