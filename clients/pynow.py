@@ -117,28 +117,34 @@ class Connection:
                     pass
 
     def _read_binary_field(self):
+        """One [tag][value] field, value only (see _read_binary_tagged)."""
+        return self._read_binary_tagged()[1]
+
+    def _read_binary_tagged(self):
         """One [tag][value] field of the reference's binary row format
-        (row.c framing): NOTHING(0)+zero byte -> None, TEXT(1) is
-        NUL-terminated UTF-8, DATE(2)/TIME(3)/INT(5)/UINT(6) are
-        8-byte little-endian int64 (TIME in ns since epoch), FLOAT(4)
-        an LE double, BOOL(9) one byte."""
+        (row.c framing), returned as (tag, value): NOTHING(0)+zero
+        byte -> None, TEXT(1) is NUL-terminated UTF-8, DATE(2)/
+        TIME(3)/INT(5)/UINT(6) are 8-byte little-endian int64 (TIME
+        in ns since epoch), FLOAT(4) an LE double, BOOL(9) one byte.
+        The tag is what lets a typed layer (nowapi's PEP-249 cursor)
+        convert DATE/TIME to datetime without parsing SQL."""
         tag = self._r.read(1)[0]
         if tag == 0:
             self._r.read(1)
-            return None
+            return tag, None
         if tag == 1:
             out = bytearray()
             c = self._r.read(1)
             while c != b"\x00":
                 out += c
                 c = self._r.read(1)
-            return out.decode("utf-8")
+            return tag, out.decode("utf-8")
         if tag in (2, 3, 5, 6):
-            return struct.unpack("<q", self._r.read(8))[0]
+            return tag, struct.unpack("<q", self._r.read(8))[0]
         if tag == 4:
-            return struct.unpack("<d", self._r.read(8))[0]
+            return tag, struct.unpack("<d", self._r.read(8))[0]
         if tag == 9:
-            return self._r.read(1) == b"\x01"
+            return tag, self._r.read(1) == b"\x01"
         raise WireError("unknown type tag %d" % tag)
 
     def query_binary(self, stmt):

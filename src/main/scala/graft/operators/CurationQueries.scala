@@ -815,15 +815,22 @@ object CurationQueries extends QueryPack {
           coalesce(col("ct"), lit(0L)).as("ct"))
       val totals = lm.agg(sum(col("cr")).as("tr"),
         sum(col("ct")).as("tt"), count(lit(1)).as("v"))
+      // Integer micro-unit log-ratios: the per-word double ln is
+      // quantized to 1e-6 units ONCE, then every downstream sum is
+      // over longs — order-free in Spark and bit-identical in DuckDB.
+      // Summing raw doubles here made the rank key flip on 6th-decimal
+      // rounding boundaries between engines (r8 q233 hash mismatch).
       val lnr = lm.crossJoin(broadcast(totals))
         .select(col("w"),
-          (log((col("ct") + 1).cast("double")
+          round((log((col("ct") + 1).cast("double")
               / (col("tt") + col("v")).cast("double"))
             - log((col("cr") + 1).cast("double")
-              / (col("tr") + col("v")).cast("double"))).as("lr"))
+              / (col("tr") + col("v")).cast("double"))) * 1e6)
+            .cast("long").as("lri"))
       val dsir = toks.join(broadcast(lnr), "w")
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("lr")) / count(lit(1)), 6).as("dw"))
+        .agg((sum(col("lri")).cast("double") / count(lit(1)))
+          .as("dw"))
       val scored = docs.select(col("doc_id"),
           TextAnalysis.qualityExpr(col("text")).as("q"))
         .join(dsir, "doc_id")
@@ -1511,11 +1518,13 @@ object CurationQueries extends QueryPack {
         |  FROM raw r LEFT JOIN tgtc USING (w)),
         | tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v
         |  FROM lm),
-        | lnr AS (SELECT w,
-        |   ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
-        |   - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)) AS lr
+        | lnr AS (SELECT w, CAST(round(
+        |   (ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+        |    - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)))
+        |   * 1e6) AS BIGINT) AS lri
         |  FROM lm CROSS JOIN tot),
-        | dsir AS (SELECT doc_id, round(sum(lr) / count(*), 6) AS dw
+        | dsir AS (SELECT doc_id,
+        |   CAST(sum(lri) AS DOUBLE) / count(*) AS dw
         |  FROM toks JOIN lnr USING (w) GROUP BY doc_id),
         | q AS (SELECT doc_id, round(CAST(
         |   CASE WHEN len(string_split(text, ' ')) >= 10

@@ -509,15 +509,33 @@ object Dedup {
     * Both paths produce identical results. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double,
-                        denseVocabLimit: Int = 4096): DataFrame = {
+                        denseVocabLimit: Int = 4096,
+                        denseBudgetBytes: Long = 512L * 1024 * 1024)
+      : DataFrame = {
     // both regimes walk the shingle set repeatedly (vocab probe +
     // either the bitset build or prefix-rank/verify legs)
     val sh = wordShingleHashes(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = sh.select("shingle").distinct().count()
     // both branches seal: the caller's frame carries no cached legs
-    if (vocab <= denseVocabLimit) sealResult(densePairs(sh, vocab.toInt, tau), sh)
+    if (denseFits(sh, denseVocabLimit, denseBudgetBytes))
+      sealResult(densePairs(sh, tau), sh)
     else prefixFilteredPairs(sh, tau, releaseToo = Seq(sh))
+  }
+
+  /** Regime probe: dense is chosen only when the vocabulary is small
+    * AND the full doc×vocab bitset table fits the broadcast budget —
+    * a billion-doc corpus with a tiny shingle vocabulary (short
+    * codes/IDs) must DEGRADE to the sparse path, not error (the
+    * budget used to be a hard `require` inside the dense builder).
+    * One aggregation answers both counts. */
+  private def denseFits(sh: DataFrame, denseVocabLimit: Int,
+                        denseBudgetBytes: Long): Boolean = {
+    val r = sh.agg(countDistinct(col("shingle")).as("v"),
+      countDistinct(col("doc_id")).as("nd")).collect()(0)
+    val vocab = r.getLong(0)
+    val ndocs = r.getLong(1)
+    val words = (vocab + 63) / 64
+    vocab <= denseVocabLimit && ndocs * words * 8 < denseBudgetBytes
   }
 
   /** [[ngramJaccardPairs]] over an ALREADY-SHINGLED distinct
@@ -530,20 +548,24 @@ object Dedup {
     * persistence lifecycle; only internal legs are persisted and
     * released here. */
   def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
-                            denseVocabLimit: Int = 4096): DataFrame = {
-    val vocab = sh.select("shingle").distinct().count()
-    if (vocab <= denseVocabLimit) sealResult(densePairs(sh, vocab.toInt, tau))
+                            denseVocabLimit: Int = 4096,
+                            denseBudgetBytes: Long = 512L * 1024 * 1024)
+      : DataFrame = {
+    if (denseFits(sh, denseVocabLimit, denseBudgetBytes))
+      sealResult(densePairs(sh, tau))
     else prefixFilteredPairs(sh, tau, releaseToo = Nil)
   }
 
-  /** Dense regime: broadcast bitsets, distributed all-pairs sweep. */
-  private def densePairs(sh: DataFrame, vocab: Int,
-                         tau: Double): DataFrame = {
+  /** Dense regime: broadcast bitsets, distributed all-pairs sweep.
+    * Only reachable through [[denseFits]], which has already bounded
+    * vocab and the doc×vocab bitset table. */
+  private def densePairs(sh: DataFrame, tau: Double): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val shingleIdx = sh.select("shingle").distinct().orderBy("shingle")
       .collect().map(_.getLong(0)).zipWithIndex.toMap
     val idxB = spark.sparkContext.broadcast(shingleIdx)
+    val vocab = shingleIdx.size
     val words = (vocab + 63) / 64
     val docBits = sh.select(col("doc_id").cast("long"), col("shingle"))
       .as[(Long, Long)]

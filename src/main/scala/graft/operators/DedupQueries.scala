@@ -395,7 +395,7 @@ object DedupQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val M = 1000000007L
       val pow31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
-        887503681L, 512557306L) // 31^7 % M
+        887503681L, 512613922L) // 31^j % M, j = 0..7 (r <= 8)
       val configs = Seq((2, 4), (4, 2), (8, 1))
       val rows = configs.map { case (b, r) =>
         val slots = (0 until b).map { band =>
@@ -828,7 +828,10 @@ object DedupQueries extends QueryPack {
         |   CAST(i // cfg.r AS BIGINT) AS band,
         |   CAST(sum((mh % 1000000007) * CASE i % cfg.r
         |     WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
-        |     WHEN 3 THEN 29791 END) % 1000000007 AS BIGINT) AS key
+        |     WHEN 3 THEN 29791 WHEN 4 THEN 923521
+        |     WHEN 5 THEN 28629151 WHEN 6 THEN 887503681
+        |     WHEN 7 THEN 512613922 END) % 1000000007
+        |    AS BIGINT) AS key
         |  FROM mins CROSS JOIN cfg
         |  GROUP BY 1, 2, 3, 4),
         | census AS (SELECT bands, r, band, key, count(*) AS n

@@ -200,8 +200,12 @@ object GraphQueries extends QueryPack {
         .crossJoin(broadcast(
           Graph.triangleCount(g, "d_a", "d_b")))
         .select(col("n_wedges"), col("n_sampled"), col("n_closed"),
-          round(col("n_closed").cast("double") * col("n_wedges")
-            / (col("n_sampled") * 3), 6).as("est_triangles"),
+          // zero hash-accepted wedges ⇒ Spark NULL vs DuckDB nan on
+          // the 0/0 — pin the degenerate estimate to 0 on both sides
+          when(col("n_sampled") === 0, lit(0.0))
+            .otherwise(round(col("n_closed").cast("double")
+              * col("n_wedges") / (col("n_sampled") * 3), 6))
+            .as("est_triangles"),
           col("n_triangles").as("exact_triangles"))
     })
   )
@@ -394,8 +398,9 @@ object GraphQueries extends QueryPack {
         |  FROM g e1 JOIN g e2 ON e1.v = e2.u
         |  JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v)
         | SELECT n_wedges, n_sampled, n_closed,
-        |  round(CAST(n_closed AS DOUBLE) * n_wedges
-        |    / (n_sampled * 3), 6) AS est_triangles,
+        |  CASE WHEN n_sampled = 0 THEN 0.0
+        |   ELSE round(CAST(n_closed AS DOUBLE) * n_wedges
+        |    / (n_sampled * 3), 6) END AS est_triangles,
         |  n_triangles AS exact_triangles
         | FROM cl, tot, ex""".stripMargin
   )

@@ -367,8 +367,13 @@ object SimilarityQueries extends QueryPack {
       val margins = pairs
         .join(broadcast(sx), "src_id").join(broadcast(sy), "tgt_id")
         .select(col("src_id"), col("tgt_id"), col("ci"),
-          round((col("ci") * (2 * k)).cast("double")
-            / (col("sx") + col("sy")).cast("double"), 6).as("margin"))
+          // sx+sy can cancel to 0 on degenerate corpora; Spark would
+          // yield NULL while DuckDB yields ±inf — pin both to 0
+          // (which the >= 1.02 gate then drops) for engine parity.
+          when(col("sx") + col("sy") === 0, lit(0.0))
+            .otherwise(round((col("ci") * (2 * k)).cast("double")
+              / (col("sx") + col("sy")).cast("double"), 6))
+            .as("margin"))
       val wbest = Window.partitionBy(col("src_id"))
         .orderBy(col("margin").desc, col("tgt_id").asc)
       margins.withColumn("rk", row_number().over(wbest))
@@ -1153,8 +1158,9 @@ object SimilarityQueries extends QueryPack {
         |     ORDER BY ci DESC, src_id) AS rk FROM ci)
         |  WHERE rk <= 4 GROUP BY 1),
         | m AS (SELECT c.src_id, c.tgt_id, c.ci,
-        |   round(CAST(8 * c.ci AS DOUBLE)
-        |     / CAST(sx.sx + sy.sy AS DOUBLE), 6) AS margin
+        |   CASE WHEN sx.sx + sy.sy = 0 THEN 0.0
+        |    ELSE round(CAST(8 * c.ci AS DOUBLE)
+        |     / CAST(sx.sx + sy.sy AS DOUBLE), 6) END AS margin
         |  FROM ci c JOIN sx ON c.src_id = sx.src_id
         |  JOIN sy ON c.tgt_id = sy.tgt_id),
         | best AS (SELECT src_id, tgt_id, ci, margin,

@@ -49,9 +49,9 @@ object TextQueries extends QueryPack {
       val planted = Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"), when(col("doc_id") % 3 === 0,
           lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
-      Classifier.batchPerceptron(planted, "doc_id", "text",
+      Classifier.batchPerceptronCached(planted, "doc_id", "text",
         when(col("doc_id") % 3 === 0, 1L).otherwise(-1L),
-        dims = 256, iters = 3)
+        dims = 256, iters = 3, cacheKey = s"$d:planted-zzflag", s)
     }),
     // The apply half: train (as q193), collect the bounded model,
     // score the corpus with it, emit the confusion matrix. On the
@@ -62,8 +62,9 @@ object TextQueries extends QueryPack {
         concat(col("text"), when(col("doc_id") % 3 === 0,
           lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
       val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
-      val trained = Classifier.batchPerceptron(planted, "doc_id",
-          "text", label, dims = 256, iters = 3)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
         .filter(col("kind") === "w")
         .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
       val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
@@ -164,8 +165,11 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("g")).cast("long").as("n_grams"),
           sum(col("v")).cast("long").as("n_novel"),
-          round(sum(col("v")).cast("double") / sum(col("g")), 6)
-            .as("novelty_rate"))
+          // a decile whose docs are all <5 words has zero 5-grams:
+          // Spark NULL vs DuckDB nan on 0/0 — pin to 0 on both sides
+          when(sum(col("g")) === 0, lit(0.0))
+            .otherwise(round(sum(col("v")).cast("double")
+              / sum(col("g")), 6)).as("novelty_rate"))
     }),
     // Difficulty-based data pruning (the EL2N/forgetting-score move:
     // drop the easiest examples, keep the hard ones that carry the
@@ -181,8 +185,9 @@ object TextQueries extends QueryPack {
         concat(col("text"), when(col("doc_id") % 3 === 0,
           lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
       val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
-      val trained = Classifier.batchPerceptron(planted, "doc_id",
-          "text", label, dims = 256, iters = 3)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
         .filter(col("kind") === "w")
         .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
       val wts = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
@@ -230,8 +235,9 @@ object TextQueries extends QueryPack {
         concat(col("text"), when(col("doc_id") % 3 === 0,
           lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
       val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
-      val trained = Classifier.batchPerceptron(planted, "doc_id",
-          "text", label, dims = 256, iters = 1)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 1,
+          cacheKey = s"$d:planted-zzflag", s)
         .filter(col("kind") === "w")
         .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
       val wts = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
@@ -827,8 +833,9 @@ object TextQueries extends QueryPack {
         |  count(*) AS n_docs,
         |  CAST(sum(coalesce(g, 0)) AS BIGINT) AS n_grams,
         |  CAST(sum(coalesce(v, 0)) AS BIGINT) AS n_novel,
-        |  round(CAST(sum(coalesce(v, 0)) AS DOUBLE)
-        |    / sum(coalesce(g, 0)), 6) AS novelty_rate
+        |  CASE WHEN sum(coalesce(g, 0)) = 0 THEN 0.0
+        |   ELSE round(CAST(sum(coalesce(v, 0)) AS DOUBLE)
+        |    / sum(coalesce(g, 0)), 6) END AS novelty_rate
         | FROM documents d CROSS JOIN mx
         | LEFT JOIN per ON d.doc_id = per.doc_id
         | GROUP BY 1""".stripMargin,

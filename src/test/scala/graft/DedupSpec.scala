@@ -144,6 +144,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("small-vocab corpus over the bitset budget degrades to the " +
+      "sparse path with identical pairs") {
+    // vocab is tiny (dense-eligible on the vocab test alone), but a
+    // 1-byte broadcast budget forces the regime probe to route the
+    // corpus through prefixFilteredPairs — it must not error (the old
+    // hard `require`) and must produce the dense path's exact result.
+    def run(budget: Long) = Dedup.ngramJaccardPairs(docs, "doc_id",
+        "text", 2, 0.3, denseBudgetBytes = budget)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val dense = run(512L * 1024 * 1024)
+    val sparse = run(1L)
+    assert(sparse.keySet == dense.keySet)
+    dense.foreach { case (k, v) => assert(math.abs(sparse(k) - v) < 1e-9) }
+  }
+
   test("embedding near-dup pairs via hyperplane LSH + exact cosine") {
     val base = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(16) { j => // deterministic hash-mixed

@@ -108,6 +108,100 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("PEP-249 layer (clients/nowapi.py) drives a DB-API session") {
+    // The reference ships pynow/nowapi.py (DB-API 2.0 connection +
+    // cursor over the raw client); clients/nowapi.py mirrors that
+    // surface over pynow. This leg exercises the spec contract:
+    // %-format parameters (incl. None→NULL and datetime→ns stamp),
+    // description-after-execute with wire type codes, fetchone/
+    // fetchmany/fetchall, dict/tuple row formats, iteration,
+    // server-paged fetching (pageSize=2 forces multi-batch), cursor
+    // close releasing the server cursor, and DatabaseError on bad SQL.
+    assume(
+      try new ProcessBuilder("python3", "--version").start()
+        .waitFor(10, TimeUnit.SECONDS)
+      catch { case _: java.io.IOException => false },
+      "python3 not available")
+    val root = Files.createTempDirectory("server-nowapi").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 2).start()
+    try {
+      val py =
+        s"""import sys
+           |sys.path.insert(0, "clients")
+           |import nowapi
+           |from datetime import datetime, timezone
+           |assert nowapi.apilevel == "2.0"
+           |with nowapi.connect("127.0.0.1", ${srv.boundPort}) as con:
+           |    cur = con.cursor()
+           |    cur.execute("create scope papi")
+           |    cur.execute("use papi")
+           |    cur.execute(
+           |        "create type g (id uint pk, nm text, at time)")
+           |    stamp = nowapi.Timestamp(2024, 3, 5, 10, 0, 0)
+           |    for i in range(5):
+           |        cur.execute("insert into g (id, nm, at) " +
+           |                    "(%s, '%s', %s)", (i, "n%d" % i, stamp))
+           |    cur.execute("insert into g (id, nm, at) (9, %s, %s)",
+           |                (None, None))
+           |    # description available right after execute, names from
+           |    # the server header, type codes from the wire tags
+           |    cur.execute("select id, nm, at from g where id < %s", (9,))
+           |    names = [d[0] for d in cur.description]
+           |    assert names == ["id", "nm", "at"], names
+           |    tags = [d[1] for d in cur.description]
+           |    assert tags == [6, 1, 3] or tags == [5, 1, 3], tags
+           |    rows = cur.fetchall()
+           |    assert len(rows) == 5 and cur.rowcount == 5
+           |    assert sorted(r["id"] for r in rows) == list(range(5))
+           |    # DATE/TIME wire tags convert to tz-aware datetimes
+           |    assert all(r["at"] == stamp for r in rows), rows[0]
+           |    # NULL row round-trips as None values
+           |    cur.execute("select nm, at from g where id = 9")
+           |    r9 = cur.fetchone()
+           |    assert r9 == {"nm": None, "at": None}, r9
+           |    assert cur.fetchone() is None
+           |    # tuplerow + fetchmany paging (pageSize=2 -> 3 batches)
+           |    cur.setRowFormat(nowapi.tuplerow)
+           |    cur.execute("select id from g where id < 5")
+           |    got = []
+           |    while True:
+           |        m = cur.fetchmany(2)
+           |        if m is None:
+           |            break
+           |        got.extend(m)
+           |    assert sorted(got) == [(i,) for i in range(5)], got
+           |    # connection-level convenience + iteration protocol
+           |    seen = sorted(row["id"] for row in
+           |                  con.execute("select id from g"))
+           |    assert seen == [0, 1, 2, 3, 4, 9], seen
+           |    # early close releases the server cursor mid-page
+           |    cur.setRowFormat(nowapi.dictrow)
+           |    cur.execute("select id from g")
+           |    one = cur.fetchone()
+           |    assert one is not None
+           |    cur.close()
+           |    # errors surface as DatabaseError, session stays usable
+           |    try:
+           |        cur.execute("select nope from missing_table")
+           |        raise AssertionError("expected DatabaseError")
+           |    except nowapi.DatabaseError:
+           |        pass
+           |    cur.execute("select count(*) as n from g")
+           |    assert cur.fetchone()["n"] == 6
+           |    print("nowapi-ok")
+           |""".stripMargin
+      val f = Files.createTempFile("nowapi-drive", ".py")
+      Files.writeString(f, py)
+      val p = new ProcessBuilder("python3", f.toString)
+        .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, TimeUnit.SECONDS), "client timed out")
+      assert(p.exitValue() == 0, s"client failed:\n$out")
+      assert(out.trim.endsWith("nowapi-ok"), out)
+    } finally srv.stop()
+  }
+
   test("julia client (clients/nowjl.jl) drives a full session") {
     // The reference ships a Julia binding (julia/now.jl: connect/
     // execute/iterate, typed fields, onerow/onevalue, fillsql).
