@@ -280,6 +280,39 @@ object Similarity {
     cents
   }
 
+  /** [[kmeansRefine]] with the per-dimension mean computed from
+    * INTEGER MICRO-UNITS: component = Σ round(x·10⁶) / (n·10⁶). Sums
+    * of longs are order-free and the final division is one IEEE op on
+    * exact integers, so the refined centroids are bit-identical not
+    * just across partitionings but across ENGINES — the variant the
+    * oracle-checked IVF queries use (a DECIMAL mean is Spark-exact
+    * but DuckDB's decimal division rounds differently). Same shape
+    * and cost as [[kmeansRefine]]. */
+  def kmeansRefineMicro(emb: DataFrame, idCol: String, vecCol: String,
+                        init: DataFrame, iters: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    var cents = init
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, "vec_id", "v", cents)
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(round(col("col") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("pos"),
+          (col("sq").cast("double")
+            / (col("n").cast("double") * lit(1e6))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv_new"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
   /** Assign every vector to its nearest centroid (max cosine,
     * centroid_id as tie-break). Broadcast the centroid table; one pass
     * over the corpus, no shuffle. At scale, persist the result
@@ -353,8 +386,12 @@ object Similarity {
     * pack; real pipelines persist the assignment). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], nlist: Int, nprobe: Int,
-              k: Int): DataFrame = {
-    val cents = centroids(emb, idCol, vecCol, nlist)
+              k: Int, refineIters: Int = 0): DataFrame = {
+    val seed = centroids(emb, idCol, vecCol, nlist)
+    val cents =
+      if (refineIters > 0)
+        kmeansRefineMicro(emb, idCol, vecCol, seed, refineIters)
+      else seed
     val assigned = ivfAssign(emb, idCol, vecCol, cents)
     ivfSearch(assigned, cents, query, nprobe, k)
   }

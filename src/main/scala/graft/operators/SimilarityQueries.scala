@@ -13,6 +13,17 @@ import graft.functions.VectorOps
   */
 object SimilarityQueries extends QueryPack {
 
+  /** The shared IVF quantizer for the query pack: first-16-by-id seed
+    * + ONE Lloyd round with integer-micro-unit means
+    * ([[Similarity.kmeansRefineMicro]]) — refined enough that recall
+    * numbers are honest (the raw first-n seed made the nprobe curves
+    * measure a degenerate quantizer), and engine-exact so every
+    * oracle recomputes the identical centroids. */
+  private def refined16(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Similarity.kmeansRefineMicro(emb, "vec_id", "embedding",
+      Similarity.centroids(emb, "vec_id", "embedding", 16), iters = 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Hybrid retrieval: BM25 top-50 (lexical leg) + cosine top-50 of
     // the vec-0 query (vector leg), fused by reciprocal-rank fusion
@@ -67,7 +78,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0).map(_.toDouble)
       Similarity.ivfTopK(emb, "vec_id", "embedding", q,
-        nlist = 16, nprobe = 4, k = 10)
+        nlist = 16, nprobe = 4, k = 10, refineIters = 1)
     }),
     // Batch ANN: top-3 neighbors for each of the first 5 vectors.
     "q48_ann_batch" -> ((s, d) => {
@@ -182,7 +193,7 @@ object SimilarityQueries extends QueryPack {
     "q157_ivf_balance" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-        Similarity.centroids(emb, "vec_id", "embedding", 16))
+        refined16(emb))
       val total = assigned.agg(count(lit(1)).as("n_total"))
       assigned.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vectors"))
@@ -232,7 +243,7 @@ object SimilarityQueries extends QueryPack {
       val brute = Similarity.bruteForceTopKJoin(emb, queries,
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("vec_id"))
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val cents = refined16(emb)
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
         cents)
       val ivf = Similarity.ivfSearchBatch(assigned, cents, queries,
@@ -261,7 +272,7 @@ object SimilarityQueries extends QueryPack {
     // p99 ≈0.29 — real SemDeDup corpora sit near 0.95+).
     "q210_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val cents = refined16(emb)
       val assigned = Similarity
         .ivfAssign(emb, "vec_id", "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -293,7 +304,7 @@ object SimilarityQueries extends QueryPack {
     // quotas are a broadcast of |nlist| rows.
     "q211_cluster_sample" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val cents = refined16(emb)
       val assigned = Similarity
         .ivfAssign(emb, "vec_id", "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -550,7 +561,7 @@ object SimilarityQueries extends QueryPack {
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val cents = refined16(emb)
       val assigned = Similarity
         .ivfAssign(emb, "vec_id", "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -578,7 +589,7 @@ object SimilarityQueries extends QueryPack {
     // one log per (cluster, label) — engine-stable at 6 dp.
     "q234_cluster_purity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val cents = refined16(emb)
       val assigned = Similarity
         .ivfAssign(emb, "vec_id", "embedding", cents)
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
@@ -680,14 +691,47 @@ object SimilarityQueries extends QueryPack {
     * centroid_id tie-break) — the shared oracle leg for the SemDeDup
     * and cluster-sampling queries; mirrors q47's structure. Requires
     * [[flatCte]] in the same WITH. */
+  /** IVF(nlist=16) assignment recomputed from first principles with
+    * the SAME one-round integer-micro-unit Lloyd refinement as
+    * [[refined16]]: seed = first 16 vectors by id, assign to max-
+    * cosine seed, per-dimension mean = sum(round(x*1e6) longs) /
+    * (n*1e6) (order-free, engine-exact), empty cells keep their seed,
+    * then the final assignment against the refined centroids.
+    * Provides `asims` (every vector x refined centroid cosine) and
+    * `assigned`. Requires [[flatCte]] in the same WITH. */
   private val assignCte =
-    """asims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
+    """seedc AS (SELECT vec_id AS centroid_id, i, x
+      |   FROM flat WHERE vec_id < 16),
+      | s0sims AS (SELECT f.vec_id, c.centroid_id,
       |    sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
       |   FROM flat f
-      |   JOIN flat c ON f.i = c.i AND c.vec_id < 16
+      |   JOIN seedc c ON f.i = c.i
       |   JOIN norms nf ON f.vec_id = nf.vec_id
-      |   JOIN norms nc ON c.vec_id = nc.vec_id
-      |   GROUP BY f.vec_id, c.vec_id),
+      |   JOIN norms nc ON c.centroid_id = nc.vec_id
+      |   GROUP BY f.vec_id, c.centroid_id),
+      | assigned0 AS (SELECT vec_id, centroid_id FROM (
+      |   SELECT vec_id, centroid_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rk
+      |   FROM s0sims) WHERE rk = 1),
+      | cmeans AS (SELECT a.centroid_id, f.i,
+      |    CAST(sum(CAST(round(f.x * 1e6) AS BIGINT)) AS DOUBLE)
+      |      / (count(*) * 1e6) AS x
+      |   FROM assigned0 a JOIN flat f ON a.vec_id = f.vec_id
+      |   GROUP BY 1, 2),
+      | cents1 AS (SELECT sc.centroid_id, sc.i,
+      |    coalesce(m.x, sc.x) AS x
+      |   FROM seedc sc LEFT JOIN cmeans m
+      |    ON sc.centroid_id = m.centroid_id AND sc.i = m.i),
+      | cnorms AS (SELECT centroid_id, sqrt(sum(x * x)) AS nrm
+      |   FROM cents1 GROUP BY 1),
+      | asims AS (SELECT f.vec_id, c.centroid_id,
+      |    sum(f.x * c.x) / (max(nf.nrm) * max(cn.nrm)) AS sim
+      |   FROM flat f
+      |   JOIN cents1 c ON f.i = c.i
+      |   JOIN norms nf ON f.vec_id = nf.vec_id
+      |   JOIN cnorms cn ON c.centroid_id = cn.centroid_id
+      |   GROUP BY f.vec_id, c.centroid_id),
       | assigned AS (SELECT vec_id, centroid_id FROM (
       |   SELECT vec_id, centroid_id,
       |    row_number() OVER (PARTITION BY vec_id
@@ -774,20 +818,8 @@ object SimilarityQueries extends QueryPack {
         | FROM scored ORDER BY rank LIMIT 10""".stripMargin,
     "q47_ann_ivf" ->
       s"""WITH $flatCte,
-        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
-        |   sum(f.x * c.x) /
-        |    (max(nf.nrm) * max(nc.nrm)) AS sim
-        |  FROM flat f
-        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
-        |  JOIN norms nf ON f.vec_id = nf.vec_id
-        |  JOIN norms nc ON c.vec_id = nc.vec_id
-        |  GROUP BY f.vec_id, c.vec_id),
-        | assigned AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT vec_id, centroid_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims) WHERE rk = 1),
-        | probed AS (SELECT centroid_id FROM sims
+        | $assignCte,
+        | probed AS (SELECT centroid_id FROM asims
         |   WHERE vec_id = 0 ORDER BY sim DESC, centroid_id LIMIT 4),
         | cand AS (SELECT a.vec_id FROM assigned a
         |   JOIN probed p ON a.centroid_id = p.centroid_id)
@@ -868,21 +900,11 @@ object SimilarityQueries extends QueryPack {
         |   SELECT query_id, vec_id, row_number() OVER (
         |     PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
         |   FROM scored) WHERE rk <= 10),
-        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
-        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
-        |  FROM flat f
-        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
-        |  JOIN norms nf ON f.vec_id = nf.vec_id
-        |  JOIN norms nc ON c.vec_id = nc.vec_id
-        |  GROUP BY f.vec_id, c.vec_id),
-        | assigned AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT vec_id, centroid_id, row_number() OVER (
-        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims) WHERE rk = 1),
+        | $assignCte,
         | probed AS (SELECT vec_id AS query_id, centroid_id FROM (
         |   SELECT vec_id, centroid_id, row_number() OVER (
         |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims WHERE vec_id < 5) WHERE rk <= 4),
+        |   FROM asims WHERE vec_id < 5) WHERE rk <= 4),
         | ivf AS (SELECT query_id, vec_id FROM (
         |   SELECT p.query_id, a.vec_id, row_number() OVER (
         |     PARTITION BY p.query_id ORDER BY s.c DESC, a.vec_id) AS rk
@@ -972,18 +994,7 @@ object SimilarityQueries extends QueryPack {
         | LEFT JOIN hits h ON q.vec_id = h.query_id""".stripMargin,
     "q157_ivf_balance" ->
       s"""WITH $flatCte,
-        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
-        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
-        |  FROM flat f
-        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
-        |  JOIN norms nf ON f.vec_id = nf.vec_id
-        |  JOIN norms nc ON c.vec_id = nc.vec_id
-        |  GROUP BY f.vec_id, c.vec_id),
-        | assigned AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT vec_id, centroid_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims) WHERE rk = 1),
+        | $assignCte,
         | t AS (SELECT count(*) AS n_total FROM assigned)
         | SELECT centroid_id, count(*) AS n_vectors,
         |  round(count(*) * 16.0 / t.n_total, 6) AS balance
@@ -1234,22 +1245,12 @@ object SimilarityQueries extends QueryPack {
         |   SELECT query_id, vec_id, row_number() OVER (
         |     PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
         |   FROM scored) WHERE rk <= 10),
-        | sims AS (SELECT f.vec_id, c.vec_id AS centroid_id,
-        |   sum(f.x * c.x) / (max(nf.nrm) * max(nc.nrm)) AS sim
-        |  FROM flat f
-        |  JOIN flat c ON f.i = c.i AND c.vec_id < 16
-        |  JOIN norms nf ON f.vec_id = nf.vec_id
-        |  JOIN norms nc ON c.vec_id = nc.vec_id
-        |  GROUP BY f.vec_id, c.vec_id),
-        | assigned AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT vec_id, centroid_id, row_number() OVER (
-        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims) WHERE rk = 1),
+        | $assignCte,
         | nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
         | probed AS (SELECT n.np, p.vec_id AS query_id, p.centroid_id
         |  FROM (SELECT vec_id, centroid_id, row_number() OVER (
         |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
-        |   FROM sims WHERE vec_id < 5) p CROSS JOIN nps n
+        |   FROM asims WHERE vec_id < 5) p CROSS JOIN nps n
         |  WHERE p.rk <= n.np),
         | ivf AS (SELECT np, query_id, vec_id FROM (
         |   SELECT p.np, p.query_id, a.vec_id, row_number() OVER (

@@ -296,6 +296,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("kmeansRefineMicro ascends the objective and is partition-invariant") {
+    // the engine-exact variant (integer micro-unit means) the IVF
+    // query pack runs on: same ascent property as kmeansRefine, and
+    // the micro-quantized means must also be bit-identical across
+    // partitionings (they are sums of longs)
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val cos = graft.functions.VectorOps.nativeCosine(spark)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .join(broadcast(cents), "centroid_id")
+        .agg(avg(cos(col("v"), col("cv")))).collect()(0).getDouble(0)
+    val firstN = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val refined = Similarity.kmeansRefineMicro(emb, "vec_id",
+      "embedding", firstN, iters = 1)
+    assert(objective(refined) > objective(firstN))
+    val refined2 = Similarity.kmeansRefineMicro(
+      emb.repartition(7), "vec_id", "embedding", firstN, iters = 1)
+    val a = refined.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = refined2.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b))
+  }
+
   test("kCenterCoreset matches a brute-force greedy recompute; radius shrinks with k") {
     val spark0 = TestSpark.spark
     val emb = Tables.embeddings(spark0, TestSpark.sfDir)
