@@ -516,6 +516,66 @@ object SimilarityQueries extends QueryPack {
     // a skewed tail is the hubness signature. Integer micro-cosines
     // make every rank exact; the zero-in-degree bucket is anchored
     // by a left join.
+    // Matryoshka truncation audit (Kusupati et al.: MRL embeddings
+    // are served at truncated dimensionality to cut index cost —
+    // before shipping a truncated index, measure how much retrieval
+    // survives the cut): top-1 neighbor per query at full dim (16)
+    // and truncated prefixes (8, 4), with a match-vs-full flag and
+    // the achieved cosine. EVERYTHING rides exact integers: ×10⁶
+    // coordinates, long dots and norms-squared per (dims, vec), and
+    // the ranking key is the ×10⁶-rounded cosine — engine-exact ranks
+    // (q217's discipline). Shape: one flat pass reused across the
+    // 3-row dims grid; candidate work = query-batch × corpus keyed
+    // aggs (q48's contract), never corpus × corpus; the (dims, query)
+    // windows are 15 bounded groups.
+    "q244_matryoshka" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val flat = emb.select(col("vec_id"),
+          posexplode(VectorOps.toDoubleVec(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col") * 1000000).cast("long").as("q"))
+      val dimsDf = Seq(16L, 8L, 4L).toDF("dims")
+      val fd = flat.crossJoin(broadcast(dimsDf))
+        .filter(col("i") < col("dims"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ss = fd.groupBy(col("dims"), col("vec_id"))
+        .agg(sum(col("q") * col("q")).as("ss"))
+      val qflat = fd.filter(col("vec_id") < 5)
+        .select(col("dims"), col("vec_id").as("qid"), col("i"),
+          col("q").as("qq"))
+      val dots = fd.join(broadcast(qflat), Seq("dims", "i"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("dims"), col("qid"), col("vec_id"))
+        .agg(sum(col("q") * col("qq")).as("dot"))
+      val sc = dots
+        .join(ss.select(col("dims"), col("vec_id"),
+          col("ss").as("ssv")), Seq("dims", "vec_id"))
+        .join(broadcast(ss.filter(col("vec_id") < 5)
+          .select(col("dims"), col("vec_id").as("qid"),
+            col("ss").as("ssq"))), Seq("dims", "qid"))
+        .select(col("dims"), col("qid"), col("vec_id"),
+          // all-zero truncated prefixes make a 0 norm: pin the
+          // cosine to 0 instead of Spark-NULL/DuckDB-nan
+          when(col("ssv") === 0 || col("ssq") === 0, lit(0L))
+            .otherwise(round(col("dot").cast("double")
+              / (sqrt(col("ssv").cast("double"))
+                * sqrt(col("ssq").cast("double"))) * 1e6)
+              .cast("long")).as("ci"))
+      val w = Window.partitionBy(col("dims"), col("qid"))
+        .orderBy(col("ci").desc, col("vec_id").asc)
+      val top1 = sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dims"), col("qid").as("query_id"),
+          col("vec_id").as("top1_id"),
+          round(col("ci") / 1000000.0, 6).as("cosine"))
+      val full = top1.filter(col("dims") === 16)
+        .select(col("query_id"), col("top1_id").as("full_id"))
+      top1.join(broadcast(full), Seq("query_id"))
+        .select(col("dims"), col("query_id"), col("top1_id"),
+          col("cosine"),
+          (col("top1_id") === col("full_id")).as("match_full"))
+    }),
     "q243_hubness_audit" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val samp = emb
@@ -1203,6 +1263,41 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q244_matryoshka" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |   FROM embeddings),
+        | mflat AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |   CAST(round(v[i] * 1e6) AS BIGINT) AS q
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | dimsg AS (SELECT CAST(unnest([16, 8, 4]) AS BIGINT) AS dims),
+        | fd AS (SELECT dims, vec_id, i, q
+        |  FROM mflat CROSS JOIN dimsg WHERE i < dims),
+        | ssq AS (SELECT dims, vec_id, CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM fd GROUP BY 1, 2),
+        | dots AS (SELECT f.dims, qf.vec_id AS qid, f.vec_id,
+        |   CAST(sum(f.q * qf.q) AS BIGINT) AS dot
+        |  FROM fd f JOIN fd qf ON f.dims = qf.dims AND f.i = qf.i
+        |   AND qf.vec_id < 5 AND f.vec_id <> qf.vec_id
+        |  GROUP BY 1, 2, 3),
+        | sc AS (SELECT d.dims, d.qid, d.vec_id,
+        |   CASE WHEN sv.ss = 0 OR sq.ss = 0 THEN 0
+        |    ELSE CAST(round(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(sv.ss AS DOUBLE))
+        |        * sqrt(CAST(sq.ss AS DOUBLE))) * 1e6) AS BIGINT)
+        |    END AS ci
+        |  FROM dots d
+        |  JOIN ssq sv ON d.dims = sv.dims AND d.vec_id = sv.vec_id
+        |  JOIN ssq sq ON d.dims = sq.dims AND d.qid = sq.vec_id),
+        | top1 AS (SELECT dims, qid AS query_id, vec_id AS top1_id,
+        |   round(ci / 1000000.0, 6) AS cosine
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY dims, qid
+        |     ORDER BY ci DESC, vec_id) AS rk FROM sc) WHERE rk = 1),
+        | fullt AS (SELECT query_id, top1_id AS full_id
+        |  FROM top1 WHERE dims = 16)
+        | SELECT t.dims, t.query_id, t.top1_id, t.cosine,
+        |  t.top1_id = f.full_id AS match_full
+        | FROM top1 t JOIN fullt f ON t.query_id = f.query_id"""
+        .stripMargin,
     "q243_hubness_audit" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings

@@ -143,6 +143,172 @@ object TextQueries extends QueryPack {
     // instead of count — first-occurrence attribution without a
     // self-join; decile cut is an integral DIV against one broadcast
     // max-id scalar, so no rank pass at all.
+    // Corpus-drift monitor: Jensen–Shannon divergence between the
+    // unigram distributions of the first and second corpus half
+    // (doc-id order = ingest-order proxy) — the drift stat a crawl
+    // pipeline alarms on (distribution shift between snapshots).
+    // Exact integer counts per side; per-word JS terms are doubles
+    // from exact ints, quantized to 1e-9 units BEFORE the vocab sum
+    // (order-free long sum — the q233 lesson applied from day one).
+    // Shape: one token pass, one vocab-keyed agg, scalar totals
+    // broadcast back; no windows.
+    "q245_unigram_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val toks = docs.crossJoin(broadcast(mx))
+        .select((col("doc_id") * 2 <= col("mx")).as("isa"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+      val cnt = toks.groupBy(col("w")).agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.agg(sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"),
+        count(lit(1)).as("v"))
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val m = (pa + pb) / lit(2.0)
+      cnt.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"), col("v"),
+          round((when(col("ca") > 0, pa * log(pa / m)).otherwise(lit(0.0))
+            + when(col("cb") > 0, pb * log(pb / m)).otherwise(lit(0.0)))
+            * 1e9).cast("long").as("ti"))
+        .groupBy(col("na"), col("nb"), col("v"))
+        .agg(round(sum(col("ti")).cast("double") / 2e9, 6)
+          .as("js_divergence"))
+        .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+          col("v").as("vocab"), col("js_divergence"))
+    }),
+    // k-anonymity-style rare-combination audit: how many documents
+    // sit in metadata cells (lang × source × 50-word length bin)
+    // with fewer than k members — the dataset-card privacy/outlier
+    // stat (a cell of 1 is a re-identifiable or mis-tagged doc).
+    // One scan + one cell agg; the k grid is a 3-row broadcast.
+    "q246_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("size(split(text, ' ')) DIV 50").cast("long")
+            .as("len_bin"))
+        .groupBy(col("lang"), col("source"), col("len_bin"))
+        .agg(count(lit(1)).as("n"))
+      val ks = Seq(2L, 5L, 10L).toDF("k")
+      cells.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L))
+            .as("n_cells_below"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .cast("long").as("n_docs_below"))
+    }),
+    // Tokenizer fertility by language: chars per (BPE-estimate)
+    // token and tokens per word — the cross-language tokenizer-
+    // parity audit (a language with 2× fertility pays 2× context
+    // budget per sentence; the standard multilingual-pipeline gate).
+    // Exact long sums; each ratio is ONE division of exact ints.
+    "q247_fertility" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("lang"), length(t).cast("long").as("nc"),
+          TextAnalysis.wsTokens(t).as("ws"),
+          TextAnalysis.bpeEst(t).as("bp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).cast("long").as("n_chars"),
+          sum(col("ws")).cast("long").as("ws_tokens"),
+          sum(col("bp")).cast("long").as("bpe_est"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("ws_tokens"), col("bpe_est"),
+          when(col("bpe_est") === 0, lit(0.0))
+            .otherwise(round(col("n_chars").cast("double")
+              / col("bpe_est"), 6)).as("chars_per_token"),
+          when(col("ws_tokens") === 0, lit(0.0))
+            .otherwise(round(col("bpe_est").cast("double")
+              / col("ws_tokens"), 6)).as("tokens_per_word"))
+    }),
+    // Distinct-2 lexical diversity per source (Li et al.'s
+    // distinct-n): distinct word bigrams / total word bigrams — the
+    // cheap mode-collapse / boilerplate detector (templated sources
+    // score low). In-row bigram generation (zero extra scans), one
+    // bigram-keyed agg per source; exact integer ratio.
+    "q248_distinct_ngrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = docs
+        .select(col("source"), TextAnalysis.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("b"))
+      bg.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("b")).as("n_distinct"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(round(col("n_distinct").cast("double")
+              / col("n_bigrams"), 6)).as("distinct_ratio"))
+    }),
+    // Template/boilerplate detection by shared document PREFIX: docs
+    // opening with the same first-8-word prefix are template families
+    // (crawl headers, generated pages) that near-dup thresholds can
+    // miss when bodies diverge. Planted: every 13th doc gets a fixed
+    // header (the corpus itself has unique openings), so the query
+    // must recover exactly that family plus any natural ones. Prefix
+    // key agg + TakeOrdered-20; string/integer exact.
+    "q249_template_prefixes" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(when(col("doc_id") % 13 === 0,
+            lit("common header boilerplate template alpha beta gamma delta "))
+          .otherwise(lit("")), col("text")).as("text"))
+      val w = TextAnalysis.words(col("text"))
+      docs.filter(size(w) >= 8)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(w, 1, 8)).as("prefix"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix").asc)
+        .limit(20)
+    }),
+    // Bigram conditional entropy H(w₂|w₁) per source — the corpus
+    // "entropy rate" proxy (low = predictable/templated text, high =
+    // diverse prose; the complement of q248's distinct-ratio, scored
+    // in bits of actual predictability). Terms −(c₁₂/N)·ln(c₁₂/c₁)
+    // are doubles from exact integer counts, quantized to 1e-9 units
+    // before the order-free long sum (q245's discipline). Shape: one
+    // bigram pass, two keyed aggs + a first-word join, no windows.
+    "q250_bigram_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = docs
+        .select(col("source"), TextAnalysis.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) as w1, " +
+            "element_at(w, i + 1) as w2))")).as("p"))
+        .select(col("source"), col("p.w1").as("w1"),
+          col("p.w2").as("w2"))
+      val c12 = bg.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("source"), col("w1"))
+        .agg(sum(col("c12")).cast("long").as("c1"))
+      val tot = c12.groupBy(col("source"))
+        .agg(sum(col("c12")).cast("long").as("n"),
+          count(lit(1)).as("n_pairs"))
+      c12.join(c1, Seq("source", "w1"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("n"), col("n_pairs"),
+          round(-(col("c12").cast("double") / col("n"))
+            * log(col("c12").cast("double") / col("c1")) * 1e9)
+            .cast("long").as("ti"))
+        .groupBy(col("source"), col("n"), col("n_pairs"))
+        .agg(round(sum(col("ti")).cast("double") / 1e9, 6)
+          .as("cond_entropy"))
+        .select(col("source"), col("n").as("n_bigrams"),
+          col("n_pairs").as("n_distinct_pairs"), col("cond_entropy"))
+    }),
     "q219_ngram_novelty" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = Dedup.wordShingles(
@@ -814,6 +980,112 @@ object TextQueries extends QueryPack {
         |    AS dup_rate
         | FROM documents d JOIN per USING (doc_id)
         | GROUP BY d.source""".stripMargin,
+    "q249_template_prefixes" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |   CASE WHEN doc_id % 13 = 0 THEN 'common header boilerplate '
+        |     || 'template alpha beta gamma delta ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        | p AS (SELECT doc_id, source,
+        |   array_to_string(string_split(text, ' ')[1:8], ' ')
+        |     AS prefix
+        |  FROM planted WHERE len(string_split(text, ' ')) >= 8)
+        | SELECT prefix, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS first_doc
+        | FROM p GROUP BY 1 HAVING count(*) >= 2
+        | ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
+    "q250_bigram_entropy" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+        |   FROM documents),
+        | bg AS (SELECT source, w[i] AS w1, w[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        | c12 AS (SELECT source, w1, w2, count(*) AS c12
+        |  FROM bg GROUP BY 1, 2, 3),
+        | c1 AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1, 2),
+        | tot AS (SELECT source, CAST(sum(c12) AS BIGINT) AS n,
+        |   count(*) AS n_pairs FROM c12 GROUP BY 1),
+        | terms AS (SELECT c.source, tot.n, tot.n_pairs,
+        |   CAST(round(-(CAST(c.c12 AS DOUBLE) / tot.n)
+        |     * ln(CAST(c.c12 AS DOUBLE) / c1.c1) * 1e9) AS BIGINT)
+        |     AS ti
+        |  FROM c12 c
+        |  JOIN c1 ON c.source = c1.source AND c.w1 = c1.w1
+        |  JOIN tot ON c.source = tot.source)
+        | SELECT source, n AS n_bigrams, n_pairs AS n_distinct_pairs,
+        |  round(CAST(sum(ti) AS DOUBLE) / 1e9, 6) AS cond_entropy
+        | FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    "q245_unigram_drift" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        | toks AS (SELECT d.doc_id * 2 <= mx.mx AS isa,
+        |   unnest(string_split(text, ' ')) AS w
+        |  FROM documents d CROSS JOIN mx),
+        | cnt AS (SELECT w,
+        |   CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |   CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM toks GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |   CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM cnt),
+        | terms AS (SELECT na, nb, v, CAST(round((
+        |   CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+        |     * ln((CAST(ca AS DOUBLE) / na)
+        |       / ((CAST(ca AS DOUBLE) / na
+        |          + CAST(cb AS DOUBLE) / nb) / 2.0)) ELSE 0.0 END
+        |   + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+        |     * ln((CAST(cb AS DOUBLE) / nb)
+        |       / ((CAST(ca AS DOUBLE) / na
+        |          + CAST(cb AS DOUBLE) / nb) / 2.0)) ELSE 0.0 END)
+        |   * 1e9) AS BIGINT) AS ti
+        |  FROM cnt CROSS JOIN tot)
+        | SELECT na AS n_tokens_a, nb AS n_tokens_b, v AS vocab,
+        |  round(CAST(sum(ti) AS DOUBLE) / 2e9, 6) AS js_divergence
+        | FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    "q246_k_anonymity" ->
+      """WITH cells AS (SELECT lang, source,
+        |   CAST(len(string_split(text, ' ')) // 50 AS BIGINT)
+        |     AS len_bin, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        | ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+        | SELECT k, count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_below,
+        |  CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_below
+        | FROM cells CROSS JOIN ks GROUP BY k""".stripMargin,
+    "q247_fertility" ->
+      """WITH f AS (SELECT lang,
+        |   CAST(length(text) AS BIGINT) AS nc,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |   CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+        |     AS bp
+        |  FROM documents),
+        | agg AS (SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(nc) AS BIGINT) AS n_chars,
+        |   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |   CAST(sum(bp) AS BIGINT) AS bpe_est
+        |  FROM f GROUP BY 1)
+        | SELECT lang, n_docs, n_chars, ws_tokens, bpe_est,
+        |  CASE WHEN bpe_est = 0 THEN 0.0
+        |   ELSE round(CAST(n_chars AS DOUBLE) / bpe_est, 6) END
+        |    AS chars_per_token,
+        |  CASE WHEN ws_tokens = 0 THEN 0.0
+        |   ELSE round(CAST(bpe_est AS DOUBLE) / ws_tokens, 6) END
+        |    AS tokens_per_word
+        | FROM agg""".stripMargin,
+    "q248_distinct_ngrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+        |   FROM documents),
+        | bg AS (SELECT source, w[i] || ' ' || w[i+1] AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2)
+        | SELECT source, count(*) AS n_bigrams,
+        |  count(DISTINCT b) AS n_distinct,
+        |  CASE WHEN count(*) = 0 THEN 0.0
+        |   ELSE round(CAST(count(DISTINCT b) AS DOUBLE)
+        |    / count(*), 6) END AS distinct_ratio
+        | FROM bg GROUP BY source""".stripMargin,
     "q219_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |   FROM documents),
