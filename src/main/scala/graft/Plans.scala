@@ -149,7 +149,17 @@ object Plans {
         "bucket-equi candidate join — never all-pairs"),
       "q226_pq_adc" -> ("PQ/ADC: persisted sub-distance frame feeds " +
         "codes AND query tables; 384-row broadcast distance table; " +
-        "per-query windows bounded by the query batch"))
+        "per-query windows bounded by the query batch"),
+      "q244_matryoshka" -> ("matryoshka audit: ONE persisted flat " +
+        "pass × 3-row dims grid, broadcast query stratum, keyed " +
+        "integer dot aggs, 15 bounded (dims,query) windows"),
+      "q245_unigram_drift" -> ("JS drift: one token pass, " +
+        "vocab-keyed count agg, 1-row totals broadcast, " +
+        "1e-9-quantized long term sum — order-free"),
+      "q250_bigram_entropy" -> ("bigram conditional entropy: " +
+        "row-local bigram explode, (source,w1,w2) agg feeds " +
+        "(source,w1) margin via second agg, broadcast totals, " +
+        "quantized long term sum"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
