@@ -104,7 +104,47 @@ object StreamingQueries extends QueryPack {
     // exact by the MG guarantee (cap 64 ≥ denom 50).
     "q179_window_heavy_hitters" -> ((s, d) =>
       EventStreams.windowHeavyHitters(ev(s, d), "1 day",
-        threshDenom = 50L, cap = 64))
+        threshDenom = 50L, cap = 64)),
+    // Streaming drift monitor: per tumbling day, JS divergence of the
+    // window's event-type mix against a static reference mix — the
+    // per-window twin of q245's corpus drift (a feed whose type mix
+    // walks away from the reference is the first sign of an upstream
+    // break). Production shape: the windowed count agg runs
+    // incrementally (watermark-pruned state, q53's machinery); the
+    // JS scoring joins each closed window against the broadcast
+    // reference in foreachBatch (two chained aggs don't fit one
+    // unified streaming query). Terms quantized to 1e-9 integer
+    // units before the order-free type sum (q245's discipline).
+    "q251_stream_drift" -> ((s, d) => {
+      val win = ev(s, d)
+        .groupBy(window(col("ts_utc"), "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cw"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("cw"))
+      val ref = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cr"))
+      val refTot = ref.agg(sum(col("cr")).cast("long").as("nr"))
+      val winTot = win.groupBy(col("w_start"))
+        .agg(sum(col("cw")).cast("long").as("nw"))
+      val joined = winTot.crossJoin(broadcast(ref))
+        .crossJoin(broadcast(refTot))
+        .join(win, Seq("w_start", "event_type"), "left")
+        .select(col("w_start"), col("nw"),
+          coalesce(col("cw"), lit(0L)).as("cw"), col("cr"), col("nr"))
+      val pa = col("cw").cast("double") / col("nw")
+      val pb = col("cr").cast("double") / col("nr")
+      val m = (pa + pb) / lit(2.0)
+      joined.select(col("w_start"), col("nw"),
+          round((when(col("cw") > 0, pa * log(pa / m))
+            .otherwise(lit(0.0)) + pb * log(pb / m)) * 1e9)
+            .cast("long").as("ti"))
+        .groupBy(col("w_start"), col("nw"))
+        .agg(round(sum(col("ti")).cast("double") / 2e9, 6)
+          .as("js_vs_reference"))
+        .select(col("w_start"), col("nw").as("n_events"),
+          col("js_vs_reference"))
+    })
   )
 
   private val gapUs = 7200000000L // 2 hours in µs
@@ -170,6 +210,34 @@ object StreamingQueries extends QueryPack {
         |   (SELECT count(*) FROM s1) AS users
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
+    "q251_stream_drift" ->
+      """WITH ref AS (SELECT event_type, count(*) AS cr
+        |   FROM events GROUP BY 1),
+        | rt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM ref),
+        | win AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |    AS w_start, event_type, count(*) AS cw
+        |  FROM events GROUP BY 1, 2),
+        | wt AS (SELECT w_start, CAST(sum(cw) AS BIGINT) AS nw
+        |  FROM win GROUP BY 1),
+        | g AS (SELECT wt.w_start, wt.nw, coalesce(win.cw, 0) AS cw,
+        |   ref.cr, rt.nr
+        |  FROM wt CROSS JOIN ref CROSS JOIN rt
+        |  LEFT JOIN win ON win.w_start = wt.w_start
+        |   AND win.event_type = ref.event_type),
+        | terms AS (SELECT w_start, nw, CAST(round((
+        |   CASE WHEN cw > 0 THEN (CAST(cw AS DOUBLE) / nw)
+        |     * ln((CAST(cw AS DOUBLE) / nw)
+        |       / ((CAST(cw AS DOUBLE) / nw
+        |          + CAST(cr AS DOUBLE) / nr) / 2.0)) ELSE 0.0 END
+        |   + (CAST(cr AS DOUBLE) / nr)
+        |     * ln((CAST(cr AS DOUBLE) / nr)
+        |       / ((CAST(cw AS DOUBLE) / nw
+        |          + CAST(cr AS DOUBLE) / nr) / 2.0))) * 1e9)
+        |   AS BIGINT) AS ti
+        |  FROM g)
+        | SELECT w_start, nw AS n_events,
+        |  round(CAST(sum(ti) AS DOUBLE) / 2e9, 6) AS js_vs_reference
+        | FROM terms GROUP BY 1, 2""".stripMargin,
     "q53_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
         |  event_type,
