@@ -93,6 +93,33 @@ object DedupQueries extends QueryPack {
     // Exact dedup: shuffle digests, keep min id. On the derived corpus
     // every text is still unique (mutations differ) — so run it on a
     // corpus that also duplicates some texts verbatim.
+    // Deletion-sweep propagation (right-to-be-forgotten over a
+    // deduped corpus): when source documents are deleted, every
+    // exact-dup group whose SURVIVOR died must promote its next
+    // member, and groups whose members all died must purge their
+    // derived rows — the operational sweep any GDPR/takedown request
+    // triggers against the q41 survivor map. Deletion list planted
+    // (doc_id % 41), corpus salted with q41's copies so promotions
+    // actually occur. One scan + one fingerprint-keyed agg; output
+    // bounded by affected groups.
+    "q252_deletion_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      val g = corpus.select(md5(col("text")).as("fp"), col("doc_id"),
+        (col("doc_id") % 41 === 0).as("deleted"))
+      g.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("old_keep"),
+          count(lit(1)).as("n_members"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+          coalesce(min(when(!col("deleted"), col("doc_id"))),
+            lit(-1L)).as("new_keep"))
+        .filter(col("n_deleted") > 0)
+        .select(col("fp"), col("old_keep"), col("n_members"),
+          col("n_deleted"), col("new_keep"),
+          (col("new_keep") === -1L).as("fully_purged"),
+          (col("new_keep") =!= col("old_keep")).as("survivor_changed"))
+    }),
     "q41_dedup_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withCopies = docs.unionAll(
@@ -623,6 +650,25 @@ object DedupQueries extends QueryPack {
         |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         | WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin,
+    "q252_deletion_sweep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        | g AS (SELECT md5(text) AS fp, doc_id,
+        |   doc_id % 41 = 0 AS deleted FROM corpus),
+        | agg AS (SELECT fp, min(doc_id) AS old_keep,
+        |   count(*) AS n_members,
+        |   CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_deleted,
+        |   coalesce(min(CASE WHEN NOT deleted THEN doc_id END), -1)
+        |     AS new_keep
+        |  FROM g GROUP BY 1)
+        | SELECT fp, old_keep, n_members, n_deleted, new_keep,
+        |  new_keep = -1 AS fully_purged,
+        |  new_keep <> old_keep AS survivor_changed
+        | FROM agg WHERE n_deleted > 0""".stripMargin,
     "q41_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
