@@ -741,6 +741,47 @@ object CurationQueries extends QueryPack {
     // run publishes next to its output. One row-local projection +
     // ONE aggregate; the 4-row funnel is exploded from the single
     // aggregate row, so the corpus is scanned exactly once.
+    // Gate one-out ablation: for each of the 4 quality conditions,
+    // how many docs fail it at all and how many it UNIQUELY kills
+    // (pass the other three, fail this one) — the attribution table
+    // that tells a pipeline owner which gate to tune when the funnel
+    // (q229) shows over-rejection; sequential funnel counts can't
+    // separate "this gate is strict" from "an earlier gate already
+    // took the blame". One scan, ONE aggregate, 4-row explode.
+    "q255_gate_ablation" -> ((s, d) => {
+      val (nw, nc, stp, punct, alpha) = gateFeats
+      val g = Tables.documents(s, d).select(
+        (nw >= 10).as("s1"), (stp > 0).as("s2"),
+        (punct * 10 < nc).as("s3"),
+        (alpha >= nw * 3 && alpha <= nw * 10).as("s4"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      g.agg(count(lit(1)).as("n0"),
+          cnt(col("s1") && col("s2") && col("s3") && col("s4"))
+            .as("nall"),
+          cnt(!col("s1")).as("f1"), cnt(!col("s2")).as("f2"),
+          cnt(!col("s3")).as("f3"), cnt(!col("s4")).as("f4"),
+          cnt(!col("s1") && col("s2") && col("s3") && col("s4"))
+            .as("u1"),
+          cnt(col("s1") && !col("s2") && col("s3") && col("s4"))
+            .as("u2"),
+          cnt(col("s1") && col("s2") && !col("s3") && col("s4"))
+            .as("u3"),
+          cnt(col("s1") && col("s2") && col("s3") && !col("s4"))
+            .as("u4"))
+        .select(explode(array(
+          struct(lit("min_words").as("gate"), col("f1").as("n_fail"),
+            col("u1").as("n_unique_kill")),
+          struct(lit("stopword").as("gate"), col("f2").as("n_fail"),
+            col("u2").as("n_unique_kill")),
+          struct(lit("symbol_ratio").as("gate"), col("f3").as("n_fail"),
+            col("u3").as("n_unique_kill")),
+          struct(lit("word_len").as("gate"), col("f4").as("n_fail"),
+            col("u4").as("n_unique_kill")))).as("r"),
+          col("n0").as("n_docs"), col("nall").as("n_pass_all"))
+        .select(col("r.gate").as("gate"), col("r.n_fail").as("n_fail"),
+          col("r.n_unique_kill").as("n_unique_kill"), col("n_docs"),
+          col("n_pass_all"))
+    }),
     "q229_curation_funnel" -> ((s, d) => {
       val (nw, nc, stp, punct, alpha) = gateFeats
       val g = Tables.documents(s, d).select(
@@ -1447,6 +1488,49 @@ object CurationQueries extends QueryPack {
         |  CAST(count(*) * 5 - max(n_lang) AS BIGINT) AS deviation
         | FROM d JOIN s ON d.lang = s.lang
         | GROUP BY 1, 2""".stripMargin,
+    "q255_gate_ablation" ->
+      """WITH f AS (SELECT
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(length(text) AS BIGINT) AS nc,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp,
+        |   CAST(length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS punct,
+        |   CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |    AS BIGINT) AS alpha
+        |  FROM documents),
+        | g AS (SELECT nw >= 10 AS s1, stp > 0 AS s2,
+        |   punct * 10 < nc AS s3,
+        |   alpha >= nw * 3 AND alpha <= nw * 10 AS s4 FROM f),
+        | a AS (SELECT count(*) AS n0,
+        |   CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS nall,
+        |   CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f1,
+        |   CAST(sum(CASE WHEN NOT s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f2,
+        |   CAST(sum(CASE WHEN NOT s3 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f3,
+        |   CAST(sum(CASE WHEN NOT s4 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f4,
+        |   CAST(sum(CASE WHEN NOT s1 AND s2 AND s3 AND s4
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |   CAST(sum(CASE WHEN s1 AND NOT s2 AND s3 AND s4
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |   CAST(sum(CASE WHEN s1 AND s2 AND NOT s3 AND s4
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |   CAST(sum(CASE WHEN s1 AND s2 AND s3 AND NOT s4
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS u4
+        |  FROM g)
+        | SELECT 'min_words' AS gate, f1 AS n_fail,
+        |  u1 AS n_unique_kill, CAST(n0 AS BIGINT) AS n_docs,
+        |  nall AS n_pass_all FROM a
+        | UNION ALL SELECT 'stopword', f2, u2, n0, nall FROM a
+        | UNION ALL SELECT 'symbol_ratio', f3, u3, n0, nall FROM a
+        | UNION ALL SELECT 'word_len', f4, u4, n0, nall FROM a"""
+        .stripMargin,
     "q229_curation_funnel" ->
       """WITH f AS (SELECT
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

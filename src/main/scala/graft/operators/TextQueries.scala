@@ -247,6 +247,76 @@ object TextQueries extends QueryPack {
             .otherwise(round(col("n_distinct").cast("double")
               / col("n_bigrams"), 6)).as("distinct_ratio"))
     }),
+    // Model inspection: the top-5 |weight| feature buckets of the
+    // trained quality classifier, each with its top-3 member words by
+    // corpus frequency — "what did the model actually learn?" is the
+    // audit run before trusting a learned gate with curation (here it
+    // must surface the planted zzflag bucket at rank 1). Reuses the
+    // memoized training run; the word→bucket map is the trainer's own
+    // md5 hash, so the oracle reproduces it exactly. 5-row broadcast
+    // join + a 5-group bounded window.
+    "q253_model_inspect" -> ((s, d) => {
+      import s.implicits._
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w").filter(col("j") < 256)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      val top = trained.filter(_._2 != 0L)
+        .sortBy { case (j, wt) => (-math.abs(wt), j) }.take(5)
+      val topDf = broadcast(top.toSeq.toDF("j", "weight"))
+      val words = planted
+        .select(explode(split(col("text"), " ")).as("word"))
+        .select(col("word"),
+          pmod(Dedup.md5Hash60(col("word")), lit(256L)).as("j"))
+        .join(topDf, "j")
+        .groupBy(col("j"), col("weight"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("j"))
+        .orderBy(col("n").desc, col("word").asc)
+      words.withColumn("word_rank", row_number().over(w))
+        .filter(col("word_rank") <= 3)
+        .select(col("j"), col("weight"), col("word"), col("n"),
+          col("word_rank").cast("long").as("word_rank"))
+    }),
+    // Margin-calibration reliability curve: bin the scored corpus by
+    // |margin| octile (integer bins off a broadcast max — DIV on
+    // non-negative ints, so Spark's truncation and DuckDB's floor
+    // agree) and report accuracy per confidence bin — does the
+    // model's confidence proxy actually order its reliability? The
+    // accept/reject audit before using margins for difficulty
+    // pruning (q220) or uncertainty sampling (q224).
+    "q254_margin_calibration" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val wts = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val scored = Classifier
+        .scoreWith(planted, "doc_id", "text", wts, dims = 256)
+        .join(planted.select(col("doc_id"), label.as("y")),
+          Seq("doc_id"))
+      val amax = scored.agg(max(abs(col("margin"))).as("amax"))
+      scored.crossJoin(broadcast(amax))
+        .select(least(lit(7L),
+            expr("(abs(margin) * 8) DIV (amax + 1)")).as("bin"),
+          (col("pred") === col("y")).as("ok"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("bin"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 6)
+            .as("accuracy"))
+    }),
     // Template/boilerplate detection by shared document PREFIX: docs
     // opening with the same first-8-word prefix are template families
     // (crawl headers, generated pages) that near-dup thresholds can
@@ -980,6 +1050,42 @@ object TextQueries extends QueryPack {
         |    AS dup_rate
         | FROM documents d JOIN per USING (doc_id)
         | GROUP BY d.source""".stripMargin,
+    "q253_model_inspect" ->
+      // same retrained w3; top-5 nonzero |w| buckets below the bias,
+      // member words re-bucketed through the trainer's own md5 hash
+      s"""WITH $perceptronCtes,
+        | topb AS (SELECT CAST(j AS BIGINT) AS j,
+        |   CAST(w AS BIGINT) AS weight FROM w3
+        |  WHERE j < 256 AND w <> 0
+        |  ORDER BY abs(w) DESC, j LIMIT 5),
+        | wmap AS (SELECT word, ($wordHash60Sql) % 256 AS j
+        |  FROM (SELECT word, md5(word) AS m FROM toks)),
+        | wc AS (SELECT t.j, t.weight, w.word, count(*) AS n
+        |  FROM wmap w JOIN topb t ON w.j = t.j GROUP BY 1, 2, 3),
+        | rkd AS (SELECT *, row_number() OVER (PARTITION BY j
+        |    ORDER BY n DESC, word) AS word_rank FROM wc)
+        | SELECT j, weight, word, n,
+        |  CAST(word_rank AS BIGINT) AS word_rank
+        | FROM rkd WHERE word_rank <= 3""".stripMargin,
+    "q254_margin_calibration" ->
+      // q220's m4/sc scoring off the shared retrained w3, then
+      // octile bins of |margin| against the broadcast max — all
+      // non-negative integer DIV, floor == truncation
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, y, m,
+        |   CASE WHEN m > 0 THEN 1 ELSE -1 END AS pred, abs(m) AS am
+        |  FROM m4),
+        | amax AS (SELECT max(am) AS amax FROM sc),
+        | b AS (SELECT least(7, (am * 8) // (amax + 1)) AS bin,
+        |   CASE WHEN pred = y THEN 1 ELSE 0 END AS ok
+        |  FROM sc CROSS JOIN amax)
+        | SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(ok) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy
+        | FROM b GROUP BY 1""".stripMargin,
     "q249_template_prefixes" ->
       """WITH planted AS (SELECT doc_id, source,
         |   CASE WHEN doc_id % 13 = 0 THEN 'common header boilerplate '
