@@ -24,6 +24,72 @@ object MultimodalQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Manifest over the opaque binary column: sizes + digests.
+    // Audio near-dup via landmark fingerprints (the Wang/Shazam
+    // constellation idea in deterministic integer form): windowed
+    // energies → local maxima (peaks) → fingerprint = (band₁, band₂,
+    // Δt) of consecutive peak pairs (fan-out 2) with per-clip
+    // relative energy bands — then clips sharing ≥5 distinct
+    // fingerprints are duplicate/edit suspects. The corpus is salted
+    // with tail-edited copies (leading windows identical), which the
+    // matcher must recover. Everything is exact int64: energies,
+    // bands (×64 DIV (max+1) — non-negative, floor==truncation),
+    // hashes; the match join is fingerprint-equi, never all-pairs.
+    // Scale: fingerprints per clip ≈ #peaks·2, the join key is a
+    // 17-bit-entropy int — at 100 TB add a (band₁) prefilter bucket
+    // exactly like the LSH band joins.
+    "q256_audio_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sp = s; import sp.implicits._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      val salted = base.unionAll(base.filter(col("doc_id") % 6 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(expr(
+            "substring(text, 1, greatest(0, length(text) - 40))"),
+            lit("Y" * 40)).as("text")))
+      val en = Multimodal.audioEnergy(
+        salted.select(col("doc_id").as("media_id"),
+          lit("audio").as("kind"), lit("wav").as("fmt"),
+          col("text").cast("binary").as("content"))
+          .as[Multimodal.MediaRecord],
+        windowSamples = 32).toDF()
+      val wn = Window.partitionBy(col("media_id"))
+        .orderBy(col("window_no"))
+      val peaks = en
+        .withColumn("pl", lag(col("energy"), 1, -1L).over(wn))
+        .withColumn("pr", lead(col("energy"), 1, -1L).over(wn))
+        .filter(col("energy") > col("pl") && col("energy") > col("pr"))
+        .select(col("media_id"), col("window_no"), col("energy"))
+      val emax = peaks.groupBy(col("media_id"))
+        .agg(max(col("energy")).as("emax"))
+      val banded = peaks.join(broadcast(emax), "media_id")
+        .select(col("media_id"), col("window_no"),
+          expr("(energy * 64) DIV (emax + 1)").as("eb"))
+      val wp = Window.partitionBy(col("media_id"))
+        .orderBy(col("window_no"))
+      val fp = Seq(1, 2).map { k =>
+        banded
+          .withColumn("w2", lead(col("window_no"), k).over(wp))
+          .withColumn("eb2", lead(col("eb"), k).over(wp))
+          .filter(col("w2").isNotNull
+            && col("w2") - col("window_no") <= 16)
+          .select(col("media_id"),
+            ((col("eb") * 64 + col("eb2")) * 32
+              + least(lit(31), col("w2") - col("window_no")))
+              .as("fp"))
+      }.reduce(_ unionAll _).distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp")
+            && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("n_shared").desc, col("media_a").asc,
+          col("media_b").asc)
+        .limit(20)
+    }),
     "q57_media_manifest" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .select(col("media_id"), col("kind"), col("fmt"),
@@ -248,6 +314,56 @@ object MultimodalQueries extends QueryPack {
       |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q256_audio_fingerprint" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |   substr(text, 1, greatest(0, length(text) - 40))
+        |     || repeat('Y', 40) AS text
+        |  FROM documents WHERE doc_id % 6 = 1),
+        | cp AS (SELECT doc_id, text,
+        |   unnest(generate_series(1, length(text))) AS i FROM corpus),
+        | b AS (SELECT doc_id, i,
+        |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp),
+        | en AS (SELECT doc_id AS media_id,
+        |   CAST((i - 1) // 32 AS BIGINT) AS window_no,
+        |   CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy
+        |  FROM b GROUP BY 1, 2),
+        | pk AS (SELECT media_id, window_no, energy FROM (
+        |   SELECT media_id, window_no, energy,
+        |    coalesce(lag(energy) OVER w, -1) AS pl,
+        |    coalesce(lead(energy) OVER w, -1) AS pr
+        |   FROM en WINDOW w AS (PARTITION BY media_id
+        |     ORDER BY window_no))
+        |  WHERE energy > pl AND energy > pr),
+        | emax AS (SELECT media_id, max(energy) AS emax
+        |  FROM pk GROUP BY 1),
+        | banded AS (SELECT pk.media_id, window_no,
+        |   (energy * 64) // (emax + 1) AS eb
+        |  FROM pk JOIN emax ON pk.media_id = emax.media_id),
+        | l1 AS (SELECT media_id, window_no, eb,
+        |   lead(window_no, 1) OVER w AS w2, lead(eb, 1) OVER w AS eb2,
+        |   lead(window_no, 2) OVER w AS w3, lead(eb, 2) OVER w AS eb3
+        |  FROM banded WINDOW w AS (PARTITION BY media_id
+        |    ORDER BY window_no)),
+        | fps AS (
+        |  SELECT DISTINCT media_id,
+        |    (eb * 64 + eb2) * 32 + least(31, w2 - window_no) AS fp
+        |   FROM l1 WHERE w2 IS NOT NULL AND w2 - window_no <= 16
+        |  UNION
+        |  SELECT media_id,
+        |    (eb * 64 + eb3) * 32 + least(31, w3 - window_no) AS fp
+        |   FROM l1 WHERE w3 IS NOT NULL AND w3 - window_no <= 16),
+        | m AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |   count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp
+        |   AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        | SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared
+        | FROM m WHERE n_shared >= 5
+        | ORDER BY n_shared DESC, media_a, media_b LIMIT 20"""
+        .stripMargin,
     "q132_phash_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
