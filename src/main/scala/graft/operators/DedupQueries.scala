@@ -93,6 +93,44 @@ object DedupQueries extends QueryPack {
     // Exact dedup: shuffle digests, keep min id. On the derived corpus
     // every text is still unique (mutations differ) — so run it on a
     // corpus that also duplicates some texts verbatim.
+    // Transitive decontamination: benchmark contamination propagates
+    // through NEAR-DUP CLUSTERS, not just direct matches — if
+    // benchmark doc A near-dups B and B near-dups C, C must be
+    // flagged even when J(A,C) is below threshold (the documented
+    // GPT-3/Llama decontamination gap: dropping only direct matches
+    // leaves paraphrase chains in). Salt: two mutation generations
+    // (+6 and +12 marker words) put A~B and B~C above τ=0.85 while
+    // mid-length docs' A~C falls below it — chain-only linkage the
+    // cluster pass must close. High τ keeps every true pair far up
+    // the 16×2 LSH S-curve (miss ~1e-9), so the exact oracle's
+    // recursive-reachability recompute matches deterministically.
+    "q257_transitive_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mark6 = " zx1 zx2 zx3 zx4 zx5 zx6"
+      val mark12 = mark6 + " zx7 zx8 zx9 zx10 zx11 zx12"
+      val cor = docs
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(col("text"), lit(mark6)).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000L).as("doc_id"),
+            concat(col("text"), lit(mark12)).as("text")))
+      val pairs = Dedup.minhashNearDupPairs(cor, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.85)
+      val comp = Dedup.nearDupClusters(pairs)
+      val seeds = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"))
+      val cont = comp.join(seeds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      comp.join(broadcast(cont), Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"),
+          when(col("doc_id") % 29 === 0 && col("doc_id") < 20000, 1L)
+            .otherwise(0L).as("is_seed"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("is_seed")).as("n_seeds"),
+          sum(lit(1L) - col("is_seed")).as("n_flagged"))
+    }),
     // Deletion-sweep propagation (right-to-be-forgotten over a
     // deduped corpus): when source documents are deleted, every
     // exact-dup group whose SURVIVOR died must promote its next
@@ -650,6 +688,53 @@ object DedupQueries extends QueryPack {
         |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         | WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin,
+    "q257_transitive_decontamination" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |   text || ' zx1 zx2 zx3 zx4 zx5 zx6' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id,
+        |   text || ' zx1 zx2 zx3 zx4 zx5 zx6'
+        |     || ' zx7 zx8 zx9 zx10 zx11 zx12' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh
+        |  GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |   count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.85),
+        | edges AS (SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        | walk(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v),
+        | comp AS (SELECT v AS doc_id, min(r) AS cluster_id
+        |  FROM walk GROUP BY v),
+        | cont AS (SELECT DISTINCT cluster_id FROM comp
+        |  JOIN (SELECT doc_id FROM documents WHERE doc_id % 29 = 0) s
+        |   USING (doc_id)),
+        | f AS (SELECT comp.cluster_id,
+        |   CASE WHEN comp.doc_id % 29 = 0 AND comp.doc_id < 20000
+        |    THEN 1 ELSE 0 END AS is_seed
+        |  FROM comp JOIN cont ON comp.cluster_id = cont.cluster_id)
+        | SELECT cluster_id, count(*) AS n_members,
+        |  CAST(sum(is_seed) AS BIGINT) AS n_seeds,
+        |  CAST(sum(1 - is_seed) AS BIGINT) AS n_flagged
+        | FROM f GROUP BY 1""".stripMargin,
     "q252_deletion_sweep" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
