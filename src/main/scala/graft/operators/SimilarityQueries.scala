@@ -516,6 +516,60 @@ object SimilarityQueries extends QueryPack {
     // a skewed tail is the hubness signature. Integer micro-cosines
     // make every rank exact; the zero-in-degree bucket is anchored
     // by a left join.
+    // Incremental IVF maintenance: assign an ARRIVING batch (q45's
+    // mutated copies) to the EXISTING refined quantizer and compare
+    // per-cell population growth and mean assigned cosine against the
+    // base corpus — the staleness dashboard that decides when to
+    // retrain a deployed index (a cell ballooning or its assignment
+    // quality sagging = the quantizer no longer fits the data).
+    // Means are exact-integer micro-cosine sums / counts; cells the
+    // new batch misses report zeros, not NULLs. One assignment pass
+    // per side against broadcast centroids, nlist-bounded output.
+    "q258_ivf_maintenance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = refined16(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newBatch = emb
+        .select(col("vec_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("embedding"))
+        .filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val cos = VectorOps.nativeCosine(s)
+      def quality(assigned: DataFrame) = assigned
+        .join(broadcast(cents), "centroid_id")
+        .select(col("centroid_id"),
+          round(cos(col("v"), col("cv")) * 1e6).cast("long").as("ci"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"), sum(col("ci")).as("sc"))
+      val base = quality(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", cents))
+        .select(col("centroid_id"), col("n").as("nb"),
+          col("sc").as("scb"))
+      val fresh = quality(
+        Similarity.ivfAssign(newBatch, "vec_id", "embedding", cents))
+        .select(col("centroid_id"), col("n").as("nn"),
+          col("sc").as("scn"))
+      base.join(fresh, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nn"), lit(0L)).as("n_new"),
+          coalesce(col("scb"), lit(0L)).as("scb"),
+          coalesce(col("scn"), lit(0L)).as("scn"))
+        .select(col("centroid_id"), col("n_base"), col("n_new"),
+          when(col("n_base") === 0, lit(0.0))
+            .otherwise(round(col("n_new").cast("double")
+              / col("n_base"), 6)).as("growth"),
+          when(col("n_base") === 0, lit(0.0))
+            .otherwise(round(col("scb").cast("double")
+              / (col("n_base").cast("double") * 1e6), 6))
+            .as("mean_cos_base"),
+          when(col("n_new") === 0, lit(0.0))
+            .otherwise(round(col("scn").cast("double")
+              / (col("n_new").cast("double") * 1e6), 6))
+            .as("mean_cos_new"))
+    }),
     // Matryoshka truncation audit (Kusupati et al.: MRL embeddings
     // are served at truncated dimensionality to cut index cost —
     // before shipping a truncated index, measure how much retrieval
@@ -1263,6 +1317,53 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q258_ivf_maintenance" ->
+      s"""WITH $flatCte,
+        | $assignCte,
+        | bq AS (SELECT a.centroid_id,
+        |   CAST(round(s.sim * 1e6) AS BIGINT) AS ci
+        |  FROM assigned a JOIN asims s
+        |   ON a.vec_id = s.vec_id AND a.centroid_id = s.centroid_id),
+        | base_q AS (SELECT centroid_id, count(*) AS nb,
+        |   CAST(sum(ci) AS BIGINT) AS scb FROM bq GROUP BY 1),
+        | nb0 AS (SELECT vec_id + 10000 AS vec_id,
+        |   list_concat([v[1] * 1.2], v[2:]) AS v
+        |  FROM base WHERE vec_id % 2 = 0),
+        | nflat AS (SELECT vec_id, i, v[i] AS x
+        |  FROM nb0, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | nnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM nflat GROUP BY 1),
+        | nsims AS (SELECT f.vec_id, c.centroid_id,
+        |   sum(f.x * c.x) / (max(nf.nrm) * max(cn.nrm)) AS sim
+        |  FROM nflat f JOIN cents1 c ON f.i = c.i
+        |  JOIN nnorm nf ON f.vec_id = nf.vec_id
+        |  JOIN cnorms cn ON c.centroid_id = cn.centroid_id
+        |  GROUP BY 1, 2),
+        | nassigned AS (SELECT vec_id, centroid_id, sim FROM (
+        |   SELECT vec_id, centroid_id, sim, row_number() OVER (
+        |     PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+        |     AS rk FROM nsims) WHERE rk = 1),
+        | new_q AS (SELECT centroid_id, count(*) AS nn,
+        |   CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS BIGINT)
+        |     AS scn
+        |  FROM nassigned GROUP BY 1),
+        | j AS (SELECT coalesce(b.centroid_id, n.centroid_id)
+        |    AS centroid_id,
+        |   coalesce(nb, 0) AS n_base, coalesce(nn, 0) AS n_new,
+        |   coalesce(scb, 0) AS scb, coalesce(scn, 0) AS scn
+        |  FROM base_q b FULL OUTER JOIN new_q n
+        |   ON b.centroid_id = n.centroid_id)
+        | SELECT centroid_id, n_base, n_new,
+        |  CASE WHEN n_base = 0 THEN 0.0
+        |   ELSE round(CAST(n_new AS DOUBLE) / n_base, 6) END
+        |    AS growth,
+        |  CASE WHEN n_base = 0 THEN 0.0
+        |   ELSE round(CAST(scb AS DOUBLE)
+        |    / (CAST(n_base AS DOUBLE) * 1e6), 6) END AS mean_cos_base,
+        |  CASE WHEN n_new = 0 THEN 0.0
+        |   ELSE round(CAST(scn AS DOUBLE)
+        |    / (CAST(n_new AS DOUBLE) * 1e6), 6) END AS mean_cos_new
+        | FROM j""".stripMargin,
     "q244_matryoshka" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |   FROM embeddings),

@@ -247,6 +247,34 @@ object TextQueries extends QueryPack {
             .otherwise(round(col("n_distinct").cast("double")
               / col("n_bigrams"), 6)).as("distinct_ratio"))
     }),
+    // Padding-waste audit: per source, the compute cost of NOT
+    // packing at context 2048 — one-doc-per-sequence pads every
+    // example to the context, while q86's concat packing needs only
+    // ceil(Σtokens/ctx) sequences; this table (pad fraction,
+    // truncation count, packing gain) is the justification line in
+    // every "why we pack" design doc. All exact long arithmetic from
+    // one scan + one agg; capped tokens = least(toks, ctx).
+    "q259_padding_waste" -> ((s, d) => {
+      val ctx = 2048L
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("toks"), lit(ctx))).cast("long").as("capped"),
+          sum(when(col("toks") > ctx, 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(col("toks")).cast("long").as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("n_truncated"),
+          col("total_tokens"),
+          round(lit(1.0) - col("capped").cast("double")
+            / (col("n_docs") * ctx), 6).as("pad_frac_unpacked"),
+          expr("(total_tokens + 2047) DIV 2048").cast("long")
+            .as("n_seqs_packed"),
+          round(col("n_docs").cast("double")
+            / expr("(total_tokens + 2047) DIV 2048").cast("double"), 6)
+            .as("packing_gain"))
+    }),
     // Model inspection: the top-5 |weight| feature buckets of the
     // trained quality classifier, each with its top-3 member words by
     // corpus frequency — "what did the model actually learn?" is the
@@ -1050,6 +1078,25 @@ object TextQueries extends QueryPack {
         |    AS dup_rate
         | FROM documents d JOIN per USING (doc_id)
         | GROUP BY d.source""".stripMargin,
+    "q259_padding_waste" ->
+      """WITH f AS (SELECT source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        | a AS (SELECT source, count(*) AS n_docs,
+        |   CAST(sum(least(toks, 2048)) AS BIGINT) AS capped,
+        |   CAST(sum(CASE WHEN toks > 2048 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_truncated,
+        |   CAST(sum(toks) AS BIGINT) AS total_tokens
+        |  FROM f GROUP BY 1)
+        | SELECT source, n_docs, n_truncated, total_tokens,
+        |  round(1.0 - CAST(capped AS DOUBLE) / (n_docs * 2048), 6)
+        |    AS pad_frac_unpacked,
+        |  CAST((total_tokens + 2047) // 2048 AS BIGINT)
+        |    AS n_seqs_packed,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    / CAST((total_tokens + 2047) // 2048 AS DOUBLE), 6)
+        |    AS packing_gain
+        | FROM a""".stripMargin,
     "q253_model_inspect" ->
       // same retrained w3; top-5 nonzero |w| buckets below the bias,
       // member words re-bucketed through the trainer's own md5 hash
