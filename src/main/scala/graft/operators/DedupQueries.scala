@@ -93,6 +93,32 @@ object DedupQueries extends QueryPack {
     // Exact dedup: shuffle digests, keep min id. On the derived corpus
     // every text is still unique (mutations differ) — so run it on a
     // corpus that also duplicates some texts verbatim.
+    // Survivor-quality regret: the min-id survivor policy (q81) is
+    // the industry default because it's order-free — but is it
+    // keeping the BEST copy? Per near-dup cluster: the survivor's
+    // quality score vs the cluster's best, and the regret — the table
+    // that decides whether to upgrade to quality-argmax survivors
+    // (worth a second shuffle only if regret is material). Quality is
+    // the rounded 6-dp gate score, so comparisons are engine-exact;
+    // cluster recompute is q81's machinery.
+    "q260_survivor_quality" -> ((s, d) => {
+      val cor = corpus(s, d)
+      val comp = Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(cor, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, tau = 0.5))
+      val scored = cor.select(col("doc_id"),
+        TextAnalysis.qualityExpr(col("text")).as("qs"))
+      comp.join(scored, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("doc_id") === col("cluster_id"), col("qs")))
+            .as("survivor_q"),
+          max(col("qs")).as("best_q"))
+        .select(col("cluster_id"), col("n_members"),
+          col("survivor_q"), col("best_q"),
+          round(col("best_q") - col("survivor_q"), 6).as("regret"),
+          (col("best_q") > col("survivor_q")).as("suboptimal"))
+    }),
     // Transitive decontamination: benchmark contamination propagates
     // through NEAR-DUP CLUSTERS, not just direct matches — if
     // benchmark doc A near-dups B and B near-dups C, C must be
@@ -688,6 +714,53 @@ object DedupQueries extends QueryPack {
         |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         | WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin,
+    "q260_survivor_quality" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh
+        |  GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |   count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | edges AS (SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        | walk(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v),
+        | comp AS (SELECT v AS doc_id, min(r) AS cluster_id
+        |  FROM walk GROUP BY v),
+        | q AS (SELECT doc_id, round(CAST(
+        |   CASE WHEN len(string_split(text, ' ')) >= 10
+        |    THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('a','the','of','and','in','to','is'))) > 0
+        |    THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN (length(text)
+        |       - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       * 10 < length(text)
+        |    THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS qs
+        |  FROM corpus)
+        | SELECT cluster_id, count(*) AS n_members,
+        |  max(CASE WHEN comp.doc_id = cluster_id THEN qs END)
+        |    AS survivor_q,
+        |  max(qs) AS best_q,
+        |  round(max(qs) - max(CASE WHEN comp.doc_id = cluster_id
+        |    THEN qs END), 6) AS regret,
+        |  max(qs) > max(CASE WHEN comp.doc_id = cluster_id
+        |    THEN qs END) AS suboptimal
+        | FROM comp JOIN q ON comp.doc_id = q.doc_id
+        | GROUP BY cluster_id""".stripMargin,
     "q257_transitive_decontamination" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
