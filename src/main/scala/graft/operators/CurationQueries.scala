@@ -741,6 +741,26 @@ object CurationQueries extends QueryPack {
     // run publishes next to its output. One row-local projection +
     // ONE aggregate; the 4-row funnel is exploded from the single
     // aggregate row, so the corpus is scanned exactly once.
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES, the distributed-reservoir standard): key = u^(1/w) per
+    // doc, top-k by key — here rank on the monotone-equivalent
+    // ln(u)/w, quantized to 1e-9 integer units so the rank is
+    // engine-exact; u comes from the Knuth id-hash (reproducible,
+    // no RNG), w from the quality score (1..11) — quality-weighted
+    // selection whose sample is identical on every engine, run, and
+    // partitioning. TakeOrdered-50, no global sort.
+    "q261_weighted_sample" -> ((s, d) => {
+      val qs = TextAnalysis.qualityExpr(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (round(qs * 10).cast("long") + 1).as("weight"),
+          ((col("doc_id") * 2654435761L) % 1000000007L).as("h"))
+        .select(col("doc_id"), col("weight"),
+          round(log((col("h") + 1).cast("double") / 1000000008.0)
+            / col("weight") * 1e9).cast("long").as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(50)
+    }),
     // Gate one-out ablation: for each of the 4 quality conditions,
     // how many docs fail it at all and how many it UNIQUELY kills
     // (pass the other three, fail this one) — the attribution table
@@ -1488,6 +1508,25 @@ object CurationQueries extends QueryPack {
         |  CAST(count(*) * 5 - max(n_lang) AS BIGINT) AS deviation
         | FROM d JOIN s ON d.lang = s.lang
         | GROUP BY 1, 2""".stripMargin,
+    "q261_weighted_sample" ->
+      """WITH q AS (SELECT doc_id, round(CAST(
+        |   CASE WHEN len(string_split(text, ' ')) >= 10
+        |    THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('a','the','of','and','in','to','is'))) > 0
+        |    THEN 0.3 ELSE 0.0 END
+        |   + CASE WHEN (length(text)
+        |       - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       * 10 < length(text)
+        |    THEN 0.3 ELSE 0.0 END AS DOUBLE), 6) AS qs
+        |  FROM documents),
+        | w AS (SELECT doc_id,
+        |   CAST(round(qs * 10) AS BIGINT) + 1 AS weight,
+        |   (doc_id * 2654435761) % 1000000007 AS h FROM q)
+        | SELECT doc_id, weight,
+        |  CAST(round(ln((h + 1) / 1000000008.0) / weight * 1e9)
+        |    AS BIGINT) AS es_key
+        | FROM w ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
     "q255_gate_ablation" ->
       """WITH f AS (SELECT
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
