@@ -159,7 +159,16 @@ object Plans {
       "q250_bigram_entropy" -> ("bigram conditional entropy: " +
         "row-local bigram explode, (source,w1,w2) agg feeds " +
         "(source,w1) margin via second agg, broadcast totals, " +
-        "quantized long term sum"))
+        "quantized long term sum"),
+      "q256_audio_fingerprint" -> ("audio landmark dedup: " +
+        "mapPartitions energy decode, per-clip peak windows, " +
+        "fingerprint-equi self-join — never all-pairs"),
+      "q257_transitive_decontamination" -> ("contamination through " +
+        "near-dup clusters: LSH band join + adaptive " +
+        "union-find/min-label components, seed semi-joins"),
+      "q258_ivf_maintenance" -> ("incremental IVF health: three " +
+        "corpus×nlist broadcast passes (Lloyd round + two " +
+        "assignments), nlist-bounded full-outer summary"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
