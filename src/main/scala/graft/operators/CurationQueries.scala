@@ -988,6 +988,42 @@ object CurationQueries extends QueryPack {
     // the same docs — the eval-significance test behind every filter
     // A/B. Integer counts, one row-local projection + one agg; the
     // zero-discordance corner returns 0 instead of dividing by zero.
+    // Chance-corrected gate agreement (Cohen's κ): q242's McNemar
+    // asks whether two gates DIFFER systematically; κ asks whether
+    // their raw agreement beats what their marginals produce by
+    // chance — the stat that separates "two gates agree because both
+    // pass almost everything" from real signal overlap. κ = (p₀−pₑ)/
+    // (1−pₑ) with p₀, pₑ single divisions of exact integer counts;
+    // pₑ=1 (both gates constant) pins κ to 0 on both engines.
+    "q263_gate_kappa" -> ((s, d) => {
+      val (nw, _, stp, _, _) = gateFeats
+      val g = Tables.documents(s, d).select(
+        (stp > 0).as("ga"), (nw >= 50L).as("gb"))
+      g.agg(count(lit(1)).as("n"),
+          sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L))
+            .as("n00"),
+          sum(when(!col("ga") && col("gb"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("ga") && !col("gb"), 1L).otherwise(0L))
+            .as("n10"))
+        .select(col("n"), col("n11"), col("n00"), col("n01"),
+          col("n10"),
+          round((col("n11") + col("n00")).cast("double") / col("n"), 6)
+            .as("p_obs"), {
+          val pe = ((col("n11") + col("n10"))
+              * (col("n11") + col("n01"))
+            + (col("n00") + col("n01")) * (col("n00") + col("n10")))
+            .cast("double") / (col("n") * col("n")).cast("double")
+          val po = (col("n11") + col("n00")).cast("double") / col("n")
+          when(col("n") * col("n") ===
+              (col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n00") + col("n01")) * (col("n00") + col("n10")),
+            lit(0.0))
+            .otherwise(round((po - pe) / (lit(1.0) - pe), 6))
+            .as("kappa")
+        })
+    }),
     "q242_gate_mcnemar" -> ((s, d) => {
       val (nw, _, stp, _, _) = gateFeats
       val g = Tables.documents(s, d).select(
@@ -1508,6 +1544,36 @@ object CurationQueries extends QueryPack {
         |  CAST(count(*) * 5 - max(n_lang) AS BIGINT) AS deviation
         | FROM d JOIN s ON d.lang = s.lang
         | GROUP BY 1, 2""".stripMargin,
+    "q263_gate_kappa" ->
+      """WITH f AS (SELECT
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp
+        |  FROM documents),
+        | g AS (SELECT stp > 0 AS ga, nw >= 50 AS gb FROM f),
+        | a AS (SELECT count(*) AS n,
+        |   CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n11,
+        |   CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n00,
+        |   CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n01,
+        |   CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n10
+        |  FROM g)
+        | SELECT n, n11, n00, n01, n10,
+        |  round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_obs,
+        |  CASE WHEN n * n = (n11 + n10) * (n11 + n01)
+        |    + (n00 + n01) * (n00 + n10) THEN 0.0
+        |   ELSE round((CAST(n11 + n00 AS DOUBLE) / n
+        |     - CAST((n11 + n10) * (n11 + n01)
+        |       + (n00 + n01) * (n00 + n10) AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE))
+        |    / (1.0 - CAST((n11 + n10) * (n11 + n01)
+        |       + (n00 + n01) * (n00 + n10) AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)), 6) END AS kappa
+        | FROM a""".stripMargin,
     "q261_weighted_sample" ->
       """WITH q AS (SELECT doc_id, round(CAST(
         |   CASE WHEN len(string_split(text, ' ')) >= 10

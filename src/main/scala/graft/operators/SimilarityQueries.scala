@@ -516,6 +516,35 @@ object SimilarityQueries extends QueryPack {
     // a skewed tail is the hubness signature. Integer micro-cosines
     // make every rank exact; the zero-in-degree bucket is anchored
     // by a left join.
+    // Quantizer-churn estimate: how many vectors change cells when
+    // the seed quantizer is replaced by the Lloyd-refined one — the
+    // REINDEX COST estimate a serving team reads before rolling a
+    // retrained IVF index (churn ≈ fraction of the persisted layout
+    // that must physically move; q258 tells you WHEN to retrain, this
+    // tells you what the retrain costs). Per retained cell: stayers,
+    // arrivals, departures; both assignments are one corpus×nlist
+    // broadcast pass each, output nlist-bounded.
+    "q262_quantizer_churn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val seed = Similarity.centroids(emb, "vec_id", "embedding", 16)
+      val a0 = Similarity.ivfAssign(emb, "vec_id", "embedding", seed)
+        .select(col("vec_id"), col("centroid_id").as("c0"))
+      val a1 = Similarity.ivfAssign(emb, "vec_id", "embedding",
+          Similarity.kmeansRefineMicro(emb, "vec_id", "embedding",
+            seed, iters = 1))
+        .select(col("vec_id"), col("centroid_id").as("c1"))
+      a0.join(a1, "vec_id")
+        .groupBy(col("c1").as("centroid_id"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("c0") === col("c1"), 1L).otherwise(0L))
+            .as("n_stay"),
+          sum(when(col("c0") =!= col("c1"), 1L).otherwise(0L))
+            .as("n_arrived"))
+        .select(col("centroid_id"), col("n_after"), col("n_stay"),
+          col("n_arrived"),
+          round(col("n_arrived").cast("double") / col("n_after"), 6)
+            .as("churn_in_frac"))
+    }),
     // Incremental IVF maintenance: assign an ARRIVING batch (q45's
     // mutated copies) to the EXISTING refined quantizer and compare
     // per-cell population growth and mean assigned cosine against the
@@ -1317,6 +1346,22 @@ object SimilarityQueries extends QueryPack {
         |    AS n_out,
         |  round(max(md), 6) AS max_md
         | FROM md GROUP BY 1""".stripMargin,
+    "q262_quantizer_churn" ->
+      // assignCte carries BOTH generations: assigned0 (seed) and
+      // assigned (refined) — churn is one join over them
+      s"""WITH $flatCte,
+        | $assignCte,
+        | j AS (SELECT a1.centroid_id AS centroid_id,
+        |   CASE WHEN a0.centroid_id = a1.centroid_id
+        |    THEN 1 ELSE 0 END AS stay
+        |  FROM assigned0 a0 JOIN assigned a1
+        |   ON a0.vec_id = a1.vec_id)
+        | SELECT centroid_id, count(*) AS n_after,
+        |  CAST(sum(stay) AS BIGINT) AS n_stay,
+        |  CAST(sum(1 - stay) AS BIGINT) AS n_arrived,
+        |  round(CAST(sum(1 - stay) AS DOUBLE) / count(*), 6)
+        |    AS churn_in_frac
+        | FROM j GROUP BY 1""".stripMargin,
     "q258_ivf_maintenance" ->
       s"""WITH $flatCte,
         | $assignCte,
