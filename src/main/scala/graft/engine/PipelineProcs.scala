@@ -90,5 +90,45 @@ object PipelineProcs {
         df.filter(col(id) === lng(args(3))), id, vc, id, vc,
         k = lng(args(4)).toInt))
     })
+    // near-dup clusters + min-id survivors:
+    // (table, idCol, textCol, tau) → (doc_id, cluster_id)
+    e.registerProcedure("dedup_clusters", (eng, args) => {
+      need(args, 4, "dedup_clusters(table, idCol, textCol, tau)")
+      val Seq(t, id, tx) = args.take(3).map(str)
+      Rows(Dedup.nearDupClusters(Dedup.minhashNearDupPairs(
+        eng.tableDf(t), id, tx,
+        shingleN = 3, k = 32, bands = 16, tau = dbl(args(3)))))
+    })
+    // transitive decontamination: flag every member of any near-dup
+    // cluster containing a seed row from `seedTable.seedIdCol`
+    // (q257's semantics over scope tables)
+    e.registerProcedure("decontaminate", (eng, args) => {
+      need(args, 6, "decontaminate(table, idCol, textCol, tau, " +
+        "seedTable, seedIdCol)")
+      val Seq(t, id, tx) = args.take(3).map(str)
+      import org.apache.spark.sql.functions.col
+      val comp = Dedup.nearDupClusters(Dedup.minhashNearDupPairs(
+        eng.tableDf(t), id, tx,
+        shingleN = 3, k = 32, bands = 16, tau = dbl(args(3))))
+      val seeds = eng.tableDf(str(args(4)))
+        .select(col(str(args(5))).as("doc_id"))
+      val cont = comp.join(seeds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      Rows(comp.join(cont, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"), col("cluster_id")))
+    })
+    // deterministic weighted sample (Efraimidis–Spirakis, q261's
+    // quantized-key form with uniform weights): (table, idCol, k)
+    e.registerProcedure("sample_topk", (eng, args) => {
+      need(args, 3, "sample_topk(table, idCol, k)")
+      import org.apache.spark.sql.functions._
+      val id = str(args(1))
+      Rows(eng.tableDf(str(args(0)))
+        .withColumn("es_key",
+          (col(id) * 2654435761L) % 1000000007L)
+        .orderBy(col("es_key").asc, col(id).asc)
+        .limit(lng(args(2)).toInt)
+        .drop("es_key"))
+    })
   }
 }

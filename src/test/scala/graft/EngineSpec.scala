@@ -481,6 +481,24 @@ class EngineSpec extends AnyFunSuite {
         assert(!ok && msg.contains("dedup_near(table, idCol, textCol, tau)"))
       case other => fail(s"expected arity error status, got $other")
     }
+    // clusters + min-id survivor labels over the same corpus
+    val cl = rows(eng.sql(
+      "exec dedup_clusters('pdocs', 'doc_id', 'text', 0.5)"))
+    assert(cl.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+    // transitive decontamination: seed hits doc 2 → its whole
+    // cluster (1 and 2) is flagged, the unrelated doc 3 is not
+    val seeds = Seq(Tuple1(2L)).toDF("sid")
+    eng.attachTable("pseeds", seeds)
+    val deco = rows(eng.sql("exec decontaminate('pdocs', 'doc_id', " +
+      "'text', 0.5, 'pseeds', 'sid')"))
+    assert(deco.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // deterministic hash-order sample: same ids every run
+    val s1 = rows(eng.sql("exec sample_topk('pdocs', 'doc_id', 2)"))
+      .map(_.getLong(0))
+    val s2 = rows(eng.sql("exec sample_topk('pdocs', 'doc_id', 2)"))
+      .map(_.getLong(0))
+    assert(s1.length == 2 && s1.sameElements(s2))
   }
 
   test("drop and if-exists behavior") {
