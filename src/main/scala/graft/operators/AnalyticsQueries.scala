@@ -275,6 +275,40 @@ object AnalyticsQueries extends QueryPack {
           col("monetary_d").cast("string").cast("double").as("monetary"),
           rScore.as("r_score"), fScore.as("f_score"), mScore.as("m_score"),
           (rScore * 100 + fScore * 10 + mScore).as("rfm_segment"))
+    }),
+    // CDC snapshot diff: reconcile two snapshots of a PK'd table into
+    // the insert/update/delete/unchanged change set — the standard
+    // warehouse reconciliation op (one PK full outer join; at 100 TB
+    // both snapshots bucket on the PK so the join co-locates without a
+    // shuffle, sources/Layouts.scala). Change detection compares one
+    // md5-60 ROW FINGERPRINT per side, not columns pairwise — O(1) per
+    // row however wide the table, and the fingerprint scan is the only
+    // full-payload read. Snapshot B derives deterministically from A
+    // (doc_id%23=5 deleted, %17=3 re-sourced, %29=7 cloned to a
+    // shifted id), so the oracle rebuilds the identical B.
+    "q265_snapshot_diff" -> ((s, d) => {
+      def fp(df: DataFrame, n: String): DataFrame =
+        df.select(col("doc_id"),
+          Dedup.md5Hash60(concat_ws("|", col("text"), col("lang"),
+            col("source"), col("n_chars").cast("string"))).as(n))
+      val a = Tables.documents(s, d)
+      val bBase = a.filter(pmod(col("doc_id"), lit(23L)) =!= 5L)
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(17L)) === 3L, lit("migrated"))
+            .otherwise(col("source")))
+      val bIns = a.filter(pmod(col("doc_id"), lit(29L)) === 7L)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("source", lit("backfill"))
+      fp(a, "fa").join(fp(bBase.unionByName(bIns), "fb"),
+          Seq("doc_id"), "full_outer")
+        .select(when(col("fa").isNull, lit("insert"))
+            .when(col("fb").isNull, lit("delete"))
+            .when(col("fa") =!= col("fb"), lit("update"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          col("doc_id"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_checksum"))
     })
   )
 
@@ -452,6 +486,36 @@ object AnalyticsQueries extends QueryPack {
         |   AS signup,
         | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
         |   AS view
-        | FROM events GROUP BY 1""".stripMargin
+        | FROM events GROUP BY 1""".stripMargin,
+    // snapshot B rebuilt by the same deterministic derivation, change
+    // classes from the same md5-60 row fingerprints
+    "q265_snapshot_diff" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH b AS (
+        |  SELECT doc_id, text, lang,
+        |   CASE WHEN doc_id % 17 = 3 THEN 'migrated' ELSE source END
+        |    AS source, n_chars
+        |  FROM documents WHERE doc_id % 23 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, 'backfill', n_chars
+        |  FROM documents WHERE doc_id % 29 = 7),
+        | ha AS (SELECT doc_id, md5(text || '|' || lang || '|'
+        |   || source || '|' || CAST(n_chars AS VARCHAR)) AS m
+        |  FROM documents),
+        | fa AS (SELECT doc_id, ($h60) AS fa FROM ha),
+        | hb AS (SELECT doc_id, md5(text || '|' || lang || '|'
+        |   || source || '|' || CAST(n_chars AS VARCHAR)) AS m FROM b),
+        | fb AS (SELECT doc_id, ($h60) AS fb FROM hb),
+        | j AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        |   fa.fa, fb.fb
+        |  FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id)
+        | SELECT CASE WHEN fa IS NULL THEN 'insert'
+        |   WHEN fb IS NULL THEN 'delete'
+        |   WHEN fa <> fb THEN 'update'
+        |   ELSE 'unchanged' END AS change_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        | FROM j GROUP BY 1""".stripMargin
+    }
   )
 }

@@ -1073,6 +1073,179 @@ object CurationQueries extends QueryPack {
         .agg(sum(col("w")).cast("long").as("n_eff"),
           round(sum(col("w") * col("qi")).cast("double")
             / (sum(col("w")) * 10).cast("double"), 6).as("mean_q"))
+    }),
+    // Split-conformal calibration (Vovk; the distribution-free
+    // coverage recipe every LLM eval stack now ships): hash-split the
+    // corpus 50/50, take the ⌈(n+1)(1−α)⌉-th smallest nonconformity
+    // score on the calibration half as the threshold q̂, then measure
+    // empirical coverage {s ≤ q̂} on the held-out half — finite-sample
+    // guaranteed ≥ 1−α. Nonconformity = 1 − quality (rounded, so the
+    // order statistic is engine-exact); the quantile is ONE
+    // distributedRank pass (no global window), the threshold row
+    // broadcasts, coverage is one scan. α = 0.1.
+    "q266_conformal_calibration" -> ((s, d) => {
+      val sc0 = Tables.documents(s, d).select(col("doc_id"),
+        round(lit(1.0) - TextAnalysis.qualityExpr(col("text")), 6)
+          .as("s"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+          .as("h"))
+      val cal = sc0.filter(pmod(col("h"), lit(2L)) === 0L)
+        .select(col("doc_id"), col("s"))
+      val tst = sc0.filter(pmod(col("h"), lit(2L)) =!= 0L)
+        .select(col("s"))
+      val ranked = Rank.distributedRank(cal,
+        Seq(col("s").asc, col("doc_id").asc), s, withTotal = true)
+      val thr = ranked.select(col("rk"), col("s"), col("n_total"),
+          least(call_function("div",
+            (col("n_total") + 1L) * 9L + 9L, lit(10L)),
+            col("n_total")).as("k"))
+        .filter(col("rk") === col("k"))
+        .select(col("n_total").as("n_calib"), col("k"),
+          col("s").as("q_hat"))
+      tst.crossJoin(broadcast(thr))
+        .agg(max(col("n_calib")).as("n_calib"), max(col("k")).as("k"),
+          max(col("q_hat")).as("q_hat"), count(lit(1)).as("n_test"),
+          sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("n_calib"), col("k"), col("q_hat"), col("n_test"),
+          col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test"), 6)
+            .as("coverage"))
+    }),
+    // Domain reweighting by excess loss (the DoReMi shape, Xie et al.
+    // 2023, reduced to its deterministic skeleton): per-domain mean
+    // unigram surprisal in integer micro-nats is the loss signal;
+    // three mirror-descent steps upweight domains with above-average
+    // loss (w ← w·exp(η·excess), renormalized to Σ=10⁶ integer
+    // micro-units each step). All corpus-sized sums are over longs
+    // (the q233 discipline); the per-step state is one K-row frame
+    // (K = #domains) with scalar crossJoins, so the iteration cost is
+    // independent of corpus size — the loss pass is the only scan.
+    "q267_domain_reweight" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tot = wc.agg(sum(col("cw")).as("t"))
+      val nll = wc.crossJoin(broadcast(tot))
+        .select(col("w"),
+          round(-log(col("cw").cast("double") / col("t").cast("double"))
+            * 1e6).cast("long").as("nl"))
+      val d0 = toks.join(broadcast(nll), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("nl")).as("snl"))
+        .select(col("source"), col("n_toks"),
+          call_function("div", col("snl"), col("n_toks")).as("ld"))
+        .withColumn("w0", lit(1000000L))
+      def step(cur: DataFrame, wPrev: String, wNext: String)
+          : DataFrame = {
+        val bar = cur.agg(call_function("div",
+          sum(col(wPrev) * col("ld")), sum(col(wPrev))).as("lbar"))
+        val up = cur.crossJoin(broadcast(bar))
+          .withColumn("raw", round(col(wPrev).cast("double")
+            * exp(lit(0.1) * (col("ld") - col("lbar")).cast("double")
+              / lit(1e6))).cast("long"))
+        val sr = up.agg(sum(col("raw")).as("sraw"))
+        up.crossJoin(broadcast(sr))
+          .withColumn(wNext, call_function("div",
+            col("raw") * lit(1000000L), col("sraw")))
+          .drop("raw", "lbar", "sraw")
+      }
+      val d3 = step(step(step(d0, "w0", "w1"), "w1", "w2"), "w2", "w3")
+      d3.select(col("source"), col("n_toks"),
+        col("ld").as("loss_micronats"), col("w1"), col("w2"),
+        col("w3"))
+    }),
+    // Decision stump sweep (the weak learner under every boosting
+    // curation classifier, and the one-feature baseline a fastText-
+    // style gate should beat): exhaustively score all 40 candidate
+    // (feature, threshold, polarity) stumps against the lang='en'
+    // label in ONE aggregate — 80 conditional integer sums over a
+    // single scan, zero row explosion (the q255 shape), so candidate
+    // count scales the agg width, never the shuffle. The argmin is a
+    // same-row least() over the sums; every candidate row carries its
+    // exact error so the readout doubles as the margin table.
+    "q268_decision_stump" -> ((s, d) => {
+      val (nw, nc, stp, punct, _) = gateFeats
+      val featCols = Seq("n_words" -> nw, "n_chars" -> nc,
+        "n_stop" -> stp, "n_punct" -> punct)
+      val ths = Map(
+        "n_words" -> Seq(5L, 10L, 20L, 40L, 80L),
+        "n_chars" -> Seq(50L, 100L, 200L, 400L, 800L),
+        "n_stop" -> Seq(0L, 1L, 2L, 4L, 8L),
+        "n_punct" -> Seq(0L, 2L, 5L, 10L, 20L))
+      val cands = featCols.map(_._1)
+        .flatMap(f => ths(f).map(t => (f, t)))
+      val base = Tables.documents(s, d).select(
+        (Seq((col("lang") === "en").as("y"))
+          ++ featCols.map { case (n, c) => c.as(n) }): _*)
+      val aggs = cands.flatMap { case (f, t) => Seq(
+        sum(when((col(f) > lit(t)) =!= col("y"), 1L).otherwise(0L))
+          .as(s"eg_${f}_$t"),
+        sum(when((col(f) <= lit(t)) =!= col("y"), 1L).otherwise(0L))
+          .as(s"el_${f}_$t")) }
+      val errCols = cands.flatMap { case (f, t) =>
+        Seq(col(s"eg_${f}_$t"), col(s"el_${f}_$t")) }
+      base.agg(count(lit(1)).as("n"), aggs: _*)
+        .withColumn("best_err", least(errCols: _*))
+        .select(explode(array(cands.flatMap { case (f, t) => Seq(
+            struct(lit(f).as("feature"), lit(t).as("threshold"),
+              lit("gt").as("polarity"),
+              col(s"eg_${f}_$t").as("n_err")),
+            struct(lit(f).as("feature"), lit(t).as("threshold"),
+              lit("le").as("polarity"),
+              col(s"el_${f}_$t").as("n_err"))) }: _*)).as("c"),
+          col("n"), col("best_err"))
+        .select(col("c.feature").as("feature"),
+          col("c.threshold").as("threshold"),
+          col("c.polarity").as("polarity"),
+          col("c.n_err").as("n_err"),
+          round(col("c.n_err").cast("double") / col("n"), 6)
+            .as("err_rate"),
+          (col("c.n_err") === col("best_err")).as("is_best"))
+    }),
+    // Per-source Wasserstein-1 distance between the source's doc-
+    // length distribution and the corpus's — the earth-mover
+    // companion to q245's JS drift (JS saturates on disjoint
+    // support; W1 keeps measuring HOW FAR the mass moved, the metric
+    // behind length-based mixture rebalancing). For integer-valued
+    // distributions W1 = Σ |CDFa−CDFc|·Δx over support points, and
+    // every term here is EXACT integer arithmetic — |cumA·N −
+    // cumC·nA|·gap — with one double division at the end, so the
+    // transcendental-free metric cross-checks bit-identically. Grid =
+    // sources × corpus support (K·L rows, both bounded); cumsums are
+    // per-source windows, never single-partition.
+    "q273_length_shift" -> ((s, d) => {
+      val lens = Tables.documents(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val srcTot = lens.groupBy(col("source"))
+        .agg(count(lit(1)).as("na"))
+      val nTot = lens.agg(count(lit(1)).as("n"))
+      val corpusCnt = lens.groupBy(col("len"))
+        .agg(count(lit(1)).as("cc"))
+      val srcCnt = lens.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("ca"))
+      val w = Window.partitionBy(col("source")).orderBy(col("len"))
+      srcTot.select(col("source"))
+        .crossJoin(broadcast(corpusCnt))
+        .join(srcCnt, Seq("source", "len"), "left")
+        .select(col("source"), col("len"),
+          coalesce(col("ca"), lit(0L)).as("ca"), col("cc"))
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumc", sum(col("cc")).over(w))
+        .withColumn("gap", coalesce(lead(col("len"), 1).over(w)
+          - col("len"), lit(0L)))
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("na"), col("n"),
+          (abs(col("cuma") * col("n") - col("cumc") * col("na"))
+            * col("gap")).as("term"))
+        .groupBy(col("source"))
+        .agg(max(col("na")).as("n_docs"), sum(col("term")).as("st"),
+          max(col("n")).as("nn"))
+        .select(col("source"), col("n_docs"),
+          round(col("st").cast("double")
+            / (col("n_docs") * col("nn")).cast("double"), 6)
+            .as("w1_len_shift"))
     })
   )
 
@@ -1839,6 +2012,156 @@ object CurationQueries extends QueryPack {
         | SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
         |  round(CAST(sum(w * qi) AS DOUBLE)
         |    / CAST(sum(w) * 10 AS DOUBLE), 6) AS mean_q
-        | FROM ww GROUP BY rep""".stripMargin
+        | FROM ww GROUP BY rep""".stripMargin,
+    // the split, order statistic, and coverage replayed relationally;
+    // k = ⌈0.9(n+1)⌉ as exact integer arithmetic
+    "q266_conformal_calibration" ->
+      """WITH sc AS (SELECT doc_id,
+        |   round(1.0 - round(CAST(
+        |    CASE WHEN len(string_split(text, ' ')) >= 10
+        |     THEN 0.4 ELSE 0.0 END
+        |    + CASE WHEN len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('a','the','of','and','in','to','is'))) > 0
+        |     THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN (length(text)
+        |        - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |        * 10 < length(text)
+        |     THEN 0.3 ELSE 0.0 END AS DOUBLE), 6), 6) AS s,
+        |   (doc_id * 2654435761) % 1000000007 AS h
+        |  FROM documents),
+        | cal AS (SELECT doc_id, s FROM sc WHERE h % 2 = 0),
+        | tst AS (SELECT s FROM sc WHERE h % 2 <> 0),
+        | r AS (SELECT s,
+        |   CAST(row_number() OVER (ORDER BY s, doc_id) AS BIGINT)
+        |    AS rk,
+        |   CAST(count(*) OVER () AS BIGINT) AS n_calib FROM cal),
+        | thr AS (SELECT n_calib,
+        |   least(((n_calib + 1) * 9 + 9) // 10, n_calib) AS k,
+        |   s AS q_hat FROM r
+        |  WHERE rk = least(((n_calib + 1) * 9 + 9) // 10, n_calib))
+        | SELECT max(t2.n_calib) AS n_calib,
+        |  CAST(max(t2.k) AS BIGINT) AS k, max(t2.q_hat) AS q_hat,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN tst.s <= t2.q_hat THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  round(CAST(sum(CASE WHEN tst.s <= t2.q_hat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS coverage
+        | FROM tst CROSS JOIN thr t2""".stripMargin,
+    // the three mirror-descent steps unrolled as K-row CTE stages,
+    // every corpus-sized sum an exact integer
+    "q267_domain_reweight" ->
+      """WITH toks AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | wc AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM wc),
+        | nll AS (SELECT w, CAST(round(
+        |   -ln(CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS nl FROM wc CROSS JOIN tot),
+        | pd AS (SELECT source, count(*) AS n_toks,
+        |   CAST(sum(nl) AS BIGINT) AS snl
+        |  FROM toks JOIN nll USING (w) GROUP BY 1),
+        | d0 AS (SELECT source, n_toks,
+        |   CAST(snl // n_toks AS BIGINT) AS ld,
+        |   CAST(1000000 AS BIGINT) AS w0 FROM pd),
+        | b1 AS (SELECT CAST(sum(w0 * ld) // sum(w0) AS BIGINT)
+        |   AS lbar FROM d0),
+        | u1 AS (SELECT source, n_toks, ld, CAST(round(
+        |   CAST(w0 AS DOUBLE)
+        |    * exp(0.1 * CAST(ld - lbar AS DOUBLE) / 1e6)) AS BIGINT)
+        |   AS raw FROM d0 CROSS JOIN b1),
+        | s1 AS (SELECT CAST(sum(raw) AS BIGINT) AS sr FROM u1),
+        | d1 AS (SELECT source, n_toks, ld,
+        |   CAST(raw * 1000000 // sr AS BIGINT) AS w1
+        |  FROM u1 CROSS JOIN s1),
+        | b2 AS (SELECT CAST(sum(w1 * ld) // sum(w1) AS BIGINT)
+        |   AS lbar FROM d1),
+        | u2 AS (SELECT source, n_toks, ld, w1, CAST(round(
+        |   CAST(w1 AS DOUBLE)
+        |    * exp(0.1 * CAST(ld - lbar AS DOUBLE) / 1e6)) AS BIGINT)
+        |   AS raw FROM d1 CROSS JOIN b2),
+        | s2 AS (SELECT CAST(sum(raw) AS BIGINT) AS sr FROM u2),
+        | d2 AS (SELECT source, n_toks, ld, w1,
+        |   CAST(raw * 1000000 // sr AS BIGINT) AS w2
+        |  FROM u2 CROSS JOIN s2),
+        | b3 AS (SELECT CAST(sum(w2 * ld) // sum(w2) AS BIGINT)
+        |   AS lbar FROM d2),
+        | u3 AS (SELECT source, n_toks, ld, w1, w2, CAST(round(
+        |   CAST(w2 AS DOUBLE)
+        |    * exp(0.1 * CAST(ld - lbar AS DOUBLE) / 1e6)) AS BIGINT)
+        |   AS raw FROM d2 CROSS JOIN b3),
+        | s3 AS (SELECT CAST(sum(raw) AS BIGINT) AS sr FROM u3),
+        | d3 AS (SELECT source, n_toks, ld, w1, w2,
+        |   CAST(raw * 1000000 // sr AS BIGINT) AS w3
+        |  FROM u3 CROSS JOIN s3)
+        | SELECT source, n_toks, ld AS loss_micronats, w1, w2, w3
+        | FROM d3""".stripMargin,
+    // the 80 conditional sums and the same-row least() argmin,
+    // generated from the identical candidate list
+    "q268_decision_stump" -> {
+      val featSql = Seq(
+        "n_words" -> "len(string_split(text, ' '))",
+        "n_chars" -> "length(text)",
+        "n_stop" -> ("len(list_filter(string_split(text, ' '), " +
+          "w -> w IN ('a','the','of','and','in','to','is')))"),
+        "n_punct" -> ("(length(text) - length(regexp_replace(text, " +
+          "'[^a-z0-9 ]', '', 'g')))"))
+      val ths = Map(
+        "n_words" -> Seq(5L, 10L, 20L, 40L, 80L),
+        "n_chars" -> Seq(50L, 100L, 200L, 400L, 800L),
+        "n_stop" -> Seq(0L, 1L, 2L, 4L, 8L),
+        "n_punct" -> Seq(0L, 2L, 5L, 10L, 20L))
+      val cands = featSql.flatMap { case (f, e) =>
+        ths(f).map(t => (f, e, t)) }
+      val sums = cands.flatMap { case (f, e, t) => Seq(
+        s"CAST(sum(CASE WHEN (($e) > $t) <> y THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS eg_${f}_$t",
+        s"CAST(sum(CASE WHEN (($e) <= $t) <> y THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS el_${f}_$t") }.mkString(",\n  ")
+      val leastArgs = cands.flatMap { case (f, _, t) =>
+        Seq(s"eg_${f}_$t", s"el_${f}_$t") }.mkString(", ")
+      val selects = cands.flatMap { case (f, _, t) => Seq("eg" -> "gt",
+        "el" -> "le").map { case (p, pol) =>
+          s"SELECT '$f' AS feature, CAST($t AS BIGINT) AS threshold," +
+            s" '$pol' AS polarity, ${p}_${f}_$t AS n_err," +
+            s" round(CAST(${p}_${f}_$t AS DOUBLE) / n, 6) AS err_rate," +
+            s" ${p}_${f}_$t = best_err AS is_best FROM m" } }
+        .mkString("\n UNION ALL ")
+      s"""WITH b AS (SELECT (lang = 'en') AS y, text FROM documents),
+         | a AS (SELECT count(*) AS n,
+         |  $sums
+         | FROM b),
+         | m AS (SELECT *, least($leastArgs) AS best_err FROM a)
+         |$selects""".stripMargin
+    },
+    // grid, integer CDF cross-products, and the single division
+    // replayed with DuckDB windows
+    "q273_length_shift" ->
+      """WITH lens AS (SELECT source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        | st AS (SELECT source, count(*) AS na FROM lens GROUP BY 1),
+        | nt AS (SELECT count(*) AS n FROM lens),
+        | cc AS (SELECT len, count(*) AS cc FROM lens GROUP BY 1),
+        | sc AS (SELECT source, len, count(*) AS ca
+        |  FROM lens GROUP BY 1, 2),
+        | grid AS (SELECT st.source, cc.len,
+        |   coalesce(sc.ca, 0) AS ca, cc.cc
+        |  FROM st CROSS JOIN cc LEFT JOIN sc
+        |   ON sc.source = st.source AND sc.len = cc.len),
+        | cum AS (SELECT source, len,
+        |   CAST(sum(ca) OVER (PARTITION BY source ORDER BY len)
+        |    AS BIGINT) AS cuma,
+        |   CAST(sum(cc) OVER (PARTITION BY source ORDER BY len)
+        |    AS BIGINT) AS cumc,
+        |   CAST(coalesce(lead(len) OVER (PARTITION BY source
+        |     ORDER BY len) - len, 0) AS BIGINT) AS gap
+        |  FROM grid),
+        | terms AS (SELECT cum.source, st.na, nt.n,
+        |   abs(cuma * nt.n - cumc * st.na) * gap AS term
+        |  FROM cum JOIN st ON cum.source = st.source CROSS JOIN nt)
+        | SELECT source, CAST(max(na) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE)
+        |    / CAST(max(na) * max(n) AS DOUBLE), 6) AS w1_len_shift
+        | FROM terms GROUP BY 1""".stripMargin
   )
 }

@@ -534,6 +534,83 @@ object DedupQueries extends QueryPack {
         .orderBy(col("n_shared_rare").desc, col("doc_a").asc,
           col("doc_b").asc)
         .limit(20)
+    }),
+    // Blocking-quality audit (record-linkage's standard pair: Elmagarmid
+    // et al.'s reduction ratio + pair completeness): on a deterministic
+    // 250-doc hash-order sample plus planted noisy copies (the q200
+    // idiom), compare the LSH blocker's candidate set against exact
+    // ground truth. Truth = every pair with Jaccard ≥ 0.5, decided by
+    // the INTEGER test 2·|∩| ≥ |∪| so the threshold can't flip between
+    // engines; blocker = the arithmetic MinHash family, k=8 b=4 r=2,
+    // with q239's polynomial band keys. The all-pairs truth pass is
+    // bounded by the sample (this is an audit you run on a slice, not
+    // the corpus — at 100 TB the sample is still 250 docs); the blocker
+    // side is the production bucket join. Complements q239, which
+    // measures cost (candidate volume) but not recall.
+    "q269_blocking_quality" -> ((s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val samp = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(250)
+      val planted = samp.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text"))
+      val corpus = samp.unionByName(planted).persist(lvl)
+      val sh = Dedup.wordShingles(corpus, "doc_id", "text", 3)
+        .select(col("doc_id"),
+          Dedup.md5Hash60(col("shingle")).as("shingle"))
+        .persist(lvl)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val truth = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .filter(col("inter") * 2L >=
+          col("za.sz") + col("zb.sz") - col("inter"))
+        .select(col("doc_a"), col("doc_b")).persist(lvl)
+      val sig = Dedup.minHashSignaturesArith(sh, k = 8)
+      val M = 1000000007L
+      val slots = (0 until 4).map { band =>
+        val key = (pmod(col(s"mh${band * 2}"), lit(M))
+          + pmod(col(s"mh${band * 2 + 1}"), lit(M)) * lit(31L)) % lit(M)
+        struct(lit(band.toLong).as("band"), key.as("key"))
+      }
+      val buckets = sig
+        .select(col("doc_id"), explode(array(slots: _*)).as("t"))
+        .select(col("doc_id"), col("t.band").as("band"),
+          col("t.key").as("key"))
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().persist(lvl)
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(
+          cand.agg(count(lit(1)).as("n_cand_pairs"))))
+        .crossJoin(broadcast(
+          truth.agg(count(lit(1)).as("n_true_pairs"))))
+        .crossJoin(broadcast(truth
+          .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_true_blocked"))))
+        .select(col("n_docs"),
+          call_function("div",
+            col("n_docs") * (col("n_docs") - 1L), lit(2L))
+            .as("n_total_pairs"),
+          col("n_cand_pairs"), col("n_true_pairs"),
+          col("n_true_blocked"),
+          round(lit(1.0) - col("n_cand_pairs").cast("double")
+            / call_function("div",
+              col("n_docs") * (col("n_docs") - 1L), lit(2L))
+              .cast("double"), 6).as("reduction_ratio"),
+          when(col("n_true_pairs") === 0L, lit(1.0))
+            .otherwise(round(col("n_true_blocked").cast("double")
+              / col("n_true_pairs").cast("double"), 6))
+            .as("pair_completeness"))
     })
   )
 
@@ -1060,6 +1137,66 @@ object DedupQueries extends QueryPack {
         |  GROUP BY sh.s)
         | SELECT doc_a, doc_b, count(*) AS n_shared_rare
         | FROM pairs GROUP BY 1, 2
-        | ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin
+        | ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin,
+    // sample + plants + truth + the arithmetic-family blocker all
+    // replayed relationally; the Jaccard threshold is the integer
+    // 2·inter ≥ union test on both sides
+    "q269_blocking_quality" ->
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 250),
+        | corpus AS (SELECT doc_id, text FROM samp
+        |  UNION ALL SELECT doc_id + 1000000000 AS doc_id,
+        |   text || ' zq0 zq1 zq2' AS text
+        |  FROM samp WHERE doc_id % 3 = 0),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM corpus),
+        | shs AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sg
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) t(i)
+        |  WHERE len(w) >= 3),
+        | hm AS (SELECT doc_id, md5(sg) AS m FROM shs),
+        | sh AS (SELECT DISTINCT doc_id, $md5Hex60Sql AS shingle
+        |  FROM hm),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |   AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | truth AS (SELECT doc_a, doc_b FROM it
+        |  JOIN sz za ON it.doc_a = za.doc_id
+        |  JOIN sz zb ON it.doc_b = zb.doc_id
+        |  WHERE 2 * i >= za.sz + zb.sz - i),
+        | h1 AS (SELECT doc_id, shingle % 1000000007 AS h1 FROM sh),
+        | mins AS (SELECT doc_id, i,
+        |   min((h1 * (2654435761 + 700000001 * i) + 97531 * i)
+        |     % 999999999989) AS mh
+        |  FROM h1 CROSS JOIN UNNEST(generate_series(0, 7)) t(i)
+        |  GROUP BY 1, 2),
+        | keys AS (SELECT doc_id, CAST(i // 2 AS BIGINT) AS band,
+        |   CAST(sum((mh % 1000000007)
+        |     * CASE WHEN i % 2 = 0 THEN 1 ELSE 31 END)
+        |    % 1000000007 AS BIGINT) AS key
+        |  FROM mins GROUP BY doc_id, i // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+        |   b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band
+        |   AND a.key = b.key AND a.doc_id < b.doc_id),
+        | nn AS (SELECT count(*) AS n_docs FROM corpus),
+        | nc AS (SELECT count(*) AS n_cand_pairs FROM cand),
+        | nt AS (SELECT count(*) AS n_true_pairs FROM truth),
+        | nb AS (SELECT count(*) AS n_true_blocked FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c
+        |   WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+        | SELECT n_docs,
+        |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
+        |  n_cand_pairs, n_true_pairs, n_true_blocked,
+        |  round(1.0 - CAST(n_cand_pairs AS DOUBLE)
+        |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+        |   AS reduction_ratio,
+        |  CASE WHEN n_true_pairs = 0 THEN 1.0
+        |   ELSE round(CAST(n_true_blocked AS DOUBLE)
+        |     / CAST(n_true_pairs AS DOUBLE), 6) END
+        |   AS pair_completeness
+        | FROM nn CROSS JOIN nc CROSS JOIN nt CROSS JOIN nb""".stripMargin
   )
 }

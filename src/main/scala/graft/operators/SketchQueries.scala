@@ -95,6 +95,59 @@ object SketchQueries extends QueryPack {
         .select(col("word"), col("c").cast("long").as("exact"),
           col("est"), (col("est") - col("c")).cast("long")
             .as("overcount"))
+    }),
+    // HyperLogLog distinct-users per event type (Flajolet et al.
+    // 2007): m=256 registers over the md5-60 hash — register =
+    // h mod 256, rank = trailing zeros of h>>8 plus one (the LSB
+    // variant, because w & -w isolates the low bit as an EXACT power
+    // of two in both engines, so round(log2(·)) is cross-engine
+    // integer-safe where a leading-zero count would need a bit-length
+    // primitive). The harmonic-mean denominator Σ2^-Mj is kept as an
+    // exact integer scaled by 2^53 (≤256·2^53 < 2^62), so the raw
+    // estimate is ONE deterministic double division; linear counting
+    // (v_zero>0 ∧ E≤2.5m) is the only transcendental branch, rounded
+    // to 4 decimals. State: 256 longs per key however large the
+    // corpus — the industry-standard cardinality sketch at 100 TB,
+    // here with an exact oracle because the hash is recomputable.
+    "q264_hll_cardinality" -> ((s, d) => {
+      val m = 256
+      val two53 = 9007199254740992L
+      val ev = Tables.events(s, d)
+      val regs = ev.select(col("event_type"),
+          Dedup.md5Hash60(col("user_id")).as("h"))
+        .select(col("event_type"),
+          pmod(col("h"), lit(m.toLong)).as("reg"),
+          shiftright(col("h"), 8).as("w"))
+        .select(col("event_type"), col("reg"),
+          when(col("w") === 0L, lit(53L))
+            .otherwise(round(log2(col("w").bitwiseAND(-col("w"))
+              .cast("double"))).cast("long") + lit(1L)).as("r"))
+        .groupBy(col("event_type"), col("reg"))
+        .agg(max(col("r")).as("mj"))
+      val stats = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nreg"),
+          sum(pow(lit(2.0), lit(53) - col("mj")).cast("long"))
+            .as("sp"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+      stats.select(col("event_type"),
+          (lit(m.toLong) - col("nreg")).as("v_zero"),
+          (col("sp") + (lit(m.toLong) - col("nreg")) * lit(two53))
+            .as("stot"))
+        .select(col("event_type"), col("v_zero"),
+          (lit(alphaM2) * lit(two53.toDouble)
+            / col("stot").cast("double")).as("e_raw"))
+        .select(col("event_type"), col("v_zero"),
+          round(when(col("v_zero") > 0L && col("e_raw") <= lit(640.0),
+            lit(m.toDouble) * log(lit(m.toDouble)
+              / col("v_zero").cast("double")))
+            .otherwise(col("e_raw")), 4).as("hll_est"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("v_zero"),
+          col("hll_est"),
+          round((col("hll_est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"), 6).as("rel_err"))
     })
   )
 
@@ -217,6 +270,43 @@ object SketchQueries extends QueryPack {
         | FROM top t JOIN cellids ci ON ci.word = t.word
         | JOIN cells ON cells.r = ci.r AND cells.cid = ci.cid
         | GROUP BY t.word, t.c""".stripMargin
+    },
+    // the sketch replayed relationally with the identical integer
+    // discipline: exact 2^53-scaled register sums, one double
+    // division, ln only in the linear-counting branch
+    "q264_hll_cardinality" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH hm AS (SELECT event_type, user_id,
+        |   md5(CAST(user_id AS VARCHAR)) AS m FROM events),
+        | hh AS (SELECT event_type, ($h60) AS h FROM hm),
+        | rg AS (SELECT event_type, h % 256 AS reg, h >> 8 AS w
+        |  FROM hh),
+        | rho AS (SELECT event_type, reg, CASE WHEN w = 0 THEN 53
+        |   ELSE CAST(round(log2(CAST(w & -w AS DOUBLE))) AS BIGINT)
+        |    + 1 END AS r FROM rg),
+        | mr AS (SELECT event_type, reg, max(r) AS mj
+        |  FROM rho GROUP BY 1, 2),
+        | st AS (SELECT event_type, count(*) AS nreg,
+        |   CAST(sum(CAST(power(2, 53 - mj) AS BIGINT)) AS BIGINT)
+        |    AS sp FROM mr GROUP BY 1),
+        | e0 AS (SELECT event_type,
+        |   CAST(256 - nreg AS BIGINT) AS v_zero,
+        |   sp + (256 - nreg) * 9007199254740992 AS stot FROM st),
+        | e1 AS (SELECT event_type, v_zero,
+        |   (0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0)
+        |     * 9007199254740992.0 / CAST(stot AS DOUBLE) AS e_raw
+        |  FROM e0),
+        | est AS (SELECT event_type, v_zero,
+        |   round(CASE WHEN v_zero > 0 AND e_raw <= 640
+        |    THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE e_raw END, 4) AS hll_est FROM e1),
+        | ex AS (SELECT event_type,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        | SELECT e.event_type, x.n_exact, e.v_zero, e.hll_est,
+        |  round((e.hll_est - CAST(x.n_exact AS DOUBLE))
+        |    / CAST(x.n_exact AS DOUBLE), 6) AS rel_err
+        | FROM est e JOIN ex x ON e.event_type = x.event_type""".stripMargin
     }
   )
 }

@@ -791,6 +791,140 @@ object TextQueries extends QueryPack {
         .agg(round(sum(col("ws")), 6).as("score"))
         .orderBy(col("score").desc, col("phrase").asc)
         .limit(15)
+    }),
+    // Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+    // LM built FOR trillion-token corpora precisely because its
+    // unnormalized counts need no smoothing pass): train on a 3/4
+    // hash split, score the held-out quarter per source with the
+    // tri→bi→uni→OOV backoff chain (factor 0.4 per level). Scoring
+    // runs over DISTINCT (source, trigram) TYPES with occurrence
+    // weights — the count-table joins pay type cardinality, not
+    // token count — and every per-position surprisal is quantized to
+    // integer micro-nats before the corpus-sized sum (the q233
+    // discipline). Tier tallies (tri/bi/uni/OOV hits) make the
+    // backoff behavior itself observable.
+    "q270_backoff_lm" -> ((s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), split(col("text"), " ").as("w"),
+        (((col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+          % lit(4L) === 0L).as("is_eval"))
+      val train = docs.filter(!col("is_eval"))
+      def grams(df: DataFrame, n: Int): DataFrame = df
+        .filter(size(col("w")) >= n)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"),
+          col("w"))
+        .select((col("source") +:
+          (0 until n).map(j =>
+            element_at(col("w"), col("i") + lit(j)).as(s"w${j + 1}"))): _*)
+      val tri3 = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3"))
+      val big2 = grams(train, 2).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")).persist(lvl)
+      val uni1 = grams(train, 1).groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1")).persist(lvl)
+      val n1 = uni1.agg(sum(col("c1")).as("nt"))
+      val types = grams(docs.filter(col("is_eval")), 3)
+        .groupBy(col("source"), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("nocc"))
+      val scored = types
+        .join(tri3, Seq("w1", "w2", "w3"), "left")
+        .join(big2.select(col("w1").as("b1"), col("w2").as("b2"),
+          col("c2").as("c2ctx")),
+          col("w1") === col("b1") && col("w2") === col("b2"), "left")
+        .drop("b1", "b2")
+        .join(big2.select(col("w1").as("b1"), col("w2").as("b2"),
+          col("c2").as("c2bg")),
+          col("w2") === col("b1") && col("w3") === col("b2"), "left")
+        .drop("b1", "b2")
+        .join(uni1.select(col("w1").as("u2"), col("c1").as("c1ctx")),
+          col("w2") === col("u2"), "left")
+        .drop("u2")
+        .join(uni1.select(col("w1").as("u1"), col("c1").as("c1w")),
+          col("w3") === col("u1"), "left")
+        .drop("u1")
+        .crossJoin(broadcast(n1))
+        .select(col("source"), col("nocc"),
+          when(col("c3").isNotNull, lit("tri"))
+            .when(col("c2bg").isNotNull, lit("bi"))
+            .when(col("c1w").isNotNull, lit("uni"))
+            .otherwise(lit("oov")).as("tier"),
+          when(col("c3").isNotNull,
+            round(-log(col("c3").cast("double")
+              / col("c2ctx").cast("double")) * 1e6))
+          .when(col("c2bg").isNotNull,
+            round(-log(lit(0.4) * col("c2bg").cast("double")
+              / col("c1ctx").cast("double")) * 1e6))
+          .when(col("c1w").isNotNull,
+            round(-log(lit(0.16) * col("c1w").cast("double")
+              / col("nt").cast("double")) * 1e6))
+          .otherwise(round(-log(lit(0.08)
+            / col("nt").cast("double")) * 1e6))
+          .cast("long").as("m"))
+      scored.groupBy(col("source"))
+        .agg(sum(col("nocc")).as("n_pos"),
+          sum(when(col("tier") === "tri", col("nocc")).otherwise(0L))
+            .as("n_tri"),
+          sum(when(col("tier") === "bi", col("nocc")).otherwise(0L))
+            .as("n_bi"),
+          sum(when(col("tier") === "uni", col("nocc")).otherwise(0L))
+            .as("n_uni"),
+          sum(when(col("tier") === "oov", col("nocc")).otherwise(0L))
+            .as("n_oov"),
+          sum(col("m") * col("nocc")).as("sm"))
+        .select(col("source"), col("n_pos"), col("n_tri"), col("n_bi"),
+          col("n_uni"), col("n_oov"),
+          call_function("div", col("sm"), col("n_pos"))
+            .as("xent_micronats"))
+    }),
+    // Vocabulary Gini coefficient — how concentrated is token mass
+    // over the vocabulary? (The single-number companion to the q199
+    // Zipf fit; a post-dedup corpus drifting toward 1.0 means a few
+    // tokens dominate.) Exact integers end to end: ranks from ONE
+    // distributedRank pass (count asc, word tiebreak — no
+    // single-partition window), Σ rk·c as a long (≤ V·N), then the
+    // textbook G = 2Σrk·c/(V·N) − (V+1)/V as one spelled-out double
+    // expression.
+    "q271_vocab_gini" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      Rank.distributedRank(wc, Seq(col("c").asc, col("w").asc), s,
+          withTotal = true)
+        .agg(max(col("n_total")).as("v_words"),
+          sum(col("c")).as("n_tokens"),
+          sum(col("rk") * col("c")).as("s_rank"))
+        .select(col("v_words"), col("n_tokens"), col("s_rank"),
+          round(lit(2.0) * col("s_rank").cast("double")
+              / (col("v_words") * col("n_tokens")).cast("double")
+            - (col("v_words") + 1L).cast("double")
+              / col("v_words").cast("double"), 6).as("gini"))
+    }),
+    // Chao1 species-richness estimate per source (Chao 1984, the
+    // ecology estimator BigQuery-era corpus audits borrowed for
+    // "how much vocabulary haven't we seen yet"): V̂ = V +
+    // F1(F1−1)/(2(F2+1)) from singleton/doubleton counts — the
+    // bias-corrected form, so the F2=0 corner needs no branch. One
+    // vocab-keyed agg then a source-keyed agg; the per-source state
+    // is three longs however large the corpus.
+    "q272_chao1_richness" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(count(lit(1)).as("v_obs"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+          col("n_tokens"),
+          round(col("v_obs").cast("double")
+            + (col("f1") * (col("f1") - 1L)).cast("double")
+              / (lit(2L) * (col("f2") + 1L)).cast("double"), 4)
+            .as("chao1_est"),
+          round(col("f1").cast("double") / col("v_obs").cast("double"),
+            6).as("singleton_frac"))
     })
   )
 
@@ -1579,6 +1713,97 @@ object TextQueries extends QueryPack {
         | SELECT decl AS lang, plang AS pred_lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS first_doc
-        | FROM ranked WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+        | FROM ranked WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    // train/eval split, count tables, and the backoff CASE chain
+    // replayed relationally; identical micro-nat quantization
+    "q270_backoff_lm" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+        |   ((doc_id * 2654435761) % 1000000007) % 4 = 0 AS is_eval
+        |  FROM documents),
+        | tri3 AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+        |   count(*) AS c3
+        |  FROM d, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE NOT is_eval AND len(w) >= 3 GROUP BY 1, 2, 3),
+        | big2 AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c2
+        |  FROM d, UNNEST(generate_series(1, len(w) - 1)) t(i)
+        |  WHERE NOT is_eval AND len(w) >= 2 GROUP BY 1, 2),
+        | uni1 AS (SELECT w[i] AS w1, count(*) AS c1
+        |  FROM d, UNNEST(generate_series(1, len(w))) t(i)
+        |  WHERE NOT is_eval GROUP BY 1),
+        | n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni1),
+        | types AS (SELECT source, w[i] AS w1, w[i+1] AS w2,
+        |   w[i+2] AS w3, count(*) AS nocc
+        |  FROM d, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE is_eval AND len(w) >= 3 GROUP BY 1, 2, 3, 4),
+        | sc AS (SELECT source, nocc,
+        |   CASE WHEN c3 IS NOT NULL THEN 'tri'
+        |    WHEN bg.c2 IS NOT NULL THEN 'bi'
+        |    WHEN uw.c1 IS NOT NULL THEN 'uni'
+        |    ELSE 'oov' END AS tier,
+        |   CAST(CASE WHEN c3 IS NOT NULL THEN round(
+        |     -ln(CAST(c3 AS DOUBLE) / CAST(cx.c2 AS DOUBLE)) * 1e6)
+        |    WHEN bg.c2 IS NOT NULL THEN round(
+        |     -ln(0.4 * CAST(bg.c2 AS DOUBLE)
+        |       / CAST(uc.c1 AS DOUBLE)) * 1e6)
+        |    WHEN uw.c1 IS NOT NULL THEN round(
+        |     -ln(0.16 * CAST(uw.c1 AS DOUBLE)
+        |       / CAST(nt AS DOUBLE)) * 1e6)
+        |    ELSE round(-ln(0.08 / CAST(nt AS DOUBLE)) * 1e6)
+        |    END AS BIGINT) AS m
+        |  FROM types ty
+        |  LEFT JOIN tri3 ON ty.w1 = tri3.w1 AND ty.w2 = tri3.w2
+        |   AND ty.w3 = tri3.w3
+        |  LEFT JOIN big2 cx ON ty.w1 = cx.w1 AND ty.w2 = cx.w2
+        |  LEFT JOIN big2 bg ON ty.w2 = bg.w1 AND ty.w3 = bg.w2
+        |  LEFT JOIN uni1 uc ON ty.w2 = uc.w1
+        |  LEFT JOIN uni1 uw ON ty.w3 = uw.w1
+        |  CROSS JOIN n1)
+        | SELECT source, CAST(sum(nocc) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN tier = 'tri' THEN nocc ELSE 0 END)
+        |    AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN tier = 'bi' THEN nocc ELSE 0 END)
+        |    AS BIGINT) AS n_bi,
+        |  CAST(sum(CASE WHEN tier = 'uni' THEN nocc ELSE 0 END)
+        |    AS BIGINT) AS n_uni,
+        |  CAST(sum(CASE WHEN tier = 'oov' THEN nocc ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(sum(m * nocc) // sum(nocc) AS BIGINT)
+        |    AS xent_micronats
+        | FROM sc GROUP BY 1""".stripMargin,
+    // rank pass as one window (oracle side may use the global
+    // window the Spark side is forbidden), exact Σ rk·c
+    "q271_vocab_gini" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1),
+        | r AS (SELECT c,
+        |   CAST(row_number() OVER (ORDER BY c, w) AS BIGINT) AS rk
+        |  FROM wc),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS v_words,
+        |   CAST(sum(c) AS BIGINT) AS n_tokens,
+        |   CAST(sum(rk * c) AS BIGINT) AS s_rank FROM r)
+        | SELECT v_words, n_tokens, s_rank,
+        |  round(2.0 * CAST(s_rank AS DOUBLE)
+        |     / CAST(v_words * n_tokens AS DOUBLE)
+        |   - CAST(v_words + 1 AS DOUBLE) / CAST(v_words AS DOUBLE),
+        |   6) AS gini
+        | FROM a""".stripMargin,
+    "q272_chao1_richness" ->
+      """WITH wc AS (SELECT source, w, count(*) AS c FROM (
+        |   SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1, 2),
+        | a AS (SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f1,
+        |   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f2,
+        |   CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM wc GROUP BY 1)
+        | SELECT source, v_obs, f1, f2, n_tokens,
+        |  round(CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |    / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1_est,
+        |  round(CAST(f1 AS DOUBLE) / CAST(v_obs AS DOUBLE), 6)
+        |    AS singleton_frac
+        | FROM a""".stripMargin
   )
 }
