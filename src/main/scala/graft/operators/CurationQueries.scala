@@ -1246,6 +1246,124 @@ object CurationQueries extends QueryPack {
           round(col("st").cast("double")
             / (col("n_docs") * col("nn")).cast("double"), 6)
             .as("w1_len_shift"))
+    }),
+    // Population stability index per event_type between two event
+    // cohorts (event_id parity = the A/B deployment split), the
+    // model-monitoring standard (PSI > 0.25 = retrain): fixed
+    // 50-unit value bins capped at 10, Laplace-smoothed shares so
+    // empty bins need no epsilon clamp, per-bin term rounded to
+    // nano-units and summed as longs — order-free and cross-engine
+    // exact up to the one ln() per bin. Bins with no rows in either
+    // cohort contribute exactly 0 under Laplace, so the absent grid
+    // rows are correct, not missing. At 100 TB: one keyed count agg,
+    // PSI state = 10 longs per event_type.
+    "q274_psi_drift" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        (col("event_id") % 2L === 0L).as("a"),
+        least(floor(col("value") / lit(50.0)), lit(9.0))
+          .cast("long").as("bin"))
+      val binned = e.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      val tot = binned.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      binned.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("na"), col("nb"),
+          ((col("ca") + 1L).cast("double")
+            / (col("na") + 10L).cast("double")).as("pa"),
+          ((col("cb") + 1L).cast("double")
+            / (col("nb") + 10L).cast("double")).as("pb"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+            * 1e9).cast("long").as("tn"))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          round(sum(col("tn")).cast("double") / 1e9, 6).as("psi"))
+    }),
+    // Kolmogorov–Smirnov statistic per source: the source's
+    // doc-length CDF vs the REST of the corpus (leave-one-out, the
+    // honest two-sample form — comparing against a mix that contains
+    // the source dilutes real drift). D = max over the merged length
+    // grid of |cuma·nr − cumr·na| / (na·nr): cumulative counts stay
+    // integers, the cross-multiplied gap is an exact integer max, and
+    // the single division happens once per source. Same
+    // histogram-not-rows window discipline as q273 — the partitioned
+    // cumsum runs over per-source length grids (≤ distinct lengths
+    // rows), never over documents.
+    "q275_ks_length" -> ((s, d) => {
+      val lens = Tables.documents(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val srcTot = lens.groupBy(col("source"))
+        .agg(count(lit(1)).as("na"))
+      val nTot = lens.agg(count(lit(1)).as("n"))
+      val corpusCnt = lens.groupBy(col("len"))
+        .agg(count(lit(1)).as("cc"))
+      val srcCnt = lens.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("ca"))
+      val w = Window.partitionBy(col("source")).orderBy(col("len"))
+      srcTot.select(col("source"))
+        .crossJoin(broadcast(corpusCnt))
+        .join(srcCnt, Seq("source", "len"), "left")
+        .select(col("source"), col("len"),
+          coalesce(col("ca"), lit(0L)).as("ca"), col("cc"))
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumc", sum(col("cc")).over(w))
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("na"), (col("n") - col("na")).as("nr"),
+          abs(col("cuma") * (col("n") - col("na"))
+            - (col("cumc") - col("cuma")) * col("na")).as("gap"))
+        .groupBy(col("source"))
+        .agg(max(col("na")).as("n_docs"), max(col("nr")).as("n_rest"),
+          max(col("gap")).as("mg"))
+        .select(col("source"), col("n_docs"), col("n_rest"),
+          round(col("mg").cast("double")
+            / (col("n_docs") * col("n_rest")).cast("double"), 6)
+            .as("ks_stat"))
+    }),
+    // Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    // 2010, the bitext/domain-adaptation data-selection standard):
+    // score every general-pool doc by per-token H_in − H_gen under
+    // two add-one unigram LMs (in-domain = src0, general = the rest,
+    // shared vocabulary V) — negative score = reads like the target
+    // domain, select it. Per-token log-probs in integer micro-nats,
+    // per-doc sums exact longs, ONE double division per doc rounded
+    // back to micro units — order-free at any corpus size. The LM
+    // joins are vocab-keyed; model state never leaves the executors.
+    "q278_moore_lewis" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+      val lmIn = toks.filter(col("source") === "src0")
+        .groupBy(col("w")).agg(count(lit(1)).as("ci"))
+      val lmGen = toks.filter(col("source") =!= "src0")
+        .groupBy(col("w")).agg(count(lit(1)).as("cg"))
+      val consts = toks.agg(countDistinct(col("w")).as("v"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ni"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("ng"))
+      val perDoc = toks.filter(col("source") =!= "src0")
+        .join(lmIn, Seq("w"), "left")
+        .join(lmGen, Seq("w"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"), col("source"),
+          (round(-log((coalesce(col("ci"), lit(0L)) + 1L)
+              .cast("double") / (col("ni") + col("v")).cast("double"))
+            * 1e6).cast("long")
+          - round(-log((col("cg") + 1L).cast("double")
+              / (col("ng") + col("v")).cast("double"))
+            * 1e6).cast("long")).as("md"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("len"), sum(col("md")).as("sd"))
+        .select(col("source"),
+          round(col("sd").cast("double") / col("len").cast("double"))
+            .cast("long").as("score_micro"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_micro") < 0L, 1L).otherwise(0L))
+            .as("n_selected"),
+          round((sum(col("score_micro")).cast("double")
+            / count(lit(1)).cast("double")) / 1e6, 6)
+            .as("mean_xent_diff"))
     })
   )
 
@@ -2162,6 +2280,85 @@ object CurationQueries extends QueryPack {
         | SELECT source, CAST(max(na) AS BIGINT) AS n_docs,
         |  round(CAST(sum(term) AS DOUBLE)
         |    / CAST(max(na) * max(n) AS DOUBLE), 6) AS w1_len_shift
-        | FROM terms GROUP BY 1""".stripMargin
+        | FROM terms GROUP BY 1""".stripMargin,
+    "q274_psi_drift" ->
+      """WITH e AS (SELECT event_type,
+        |   event_id % 2 = 0 AS a,
+        |   CAST(least(floor("value" / 50.0), 9.0) AS BIGINT) AS bin
+        |  FROM events),
+        | b AS (SELECT event_type, bin,
+        |   sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |   sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        |  FROM e GROUP BY 1, 2),
+        | t AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        |  FROM b GROUP BY 1),
+        | p AS (SELECT b.event_type, t.na, t.nb,
+        |   CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |   CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |  FROM b JOIN t ON b.event_type = t.event_type),
+        | terms AS (SELECT event_type, na, nb,
+        |   CAST(round((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS tn
+        |  FROM p)
+        | SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(tn) AS DOUBLE) / 1e9, 6) AS psi
+        | FROM terms GROUP BY 1""".stripMargin,
+    "q275_ks_length" ->
+      """WITH lens AS (SELECT source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        | st AS (SELECT source, count(*) AS na FROM lens GROUP BY 1),
+        | nt AS (SELECT count(*) AS n FROM lens),
+        | cc AS (SELECT len, count(*) AS cc FROM lens GROUP BY 1),
+        | sc AS (SELECT source, len, count(*) AS ca
+        |  FROM lens GROUP BY 1, 2),
+        | grid AS (SELECT st.source, cc.len,
+        |   coalesce(sc.ca, 0) AS ca, cc.cc
+        |  FROM st CROSS JOIN cc LEFT JOIN sc
+        |   ON sc.source = st.source AND sc.len = cc.len),
+        | cum AS (SELECT source, len,
+        |   CAST(sum(ca) OVER (PARTITION BY source ORDER BY len)
+        |    AS BIGINT) AS cuma,
+        |   CAST(sum(cc) OVER (PARTITION BY source ORDER BY len)
+        |    AS BIGINT) AS cumc
+        |  FROM grid),
+        | gaps AS (SELECT cum.source, st.na, nt.n - st.na AS nr,
+        |   abs(cuma * (nt.n - st.na) - (cumc - cuma) * st.na) AS gap
+        |  FROM cum JOIN st ON cum.source = st.source CROSS JOIN nt)
+        | SELECT source, CAST(max(na) AS BIGINT) AS n_docs,
+        |  CAST(max(nr) AS BIGINT) AS n_rest,
+        |  round(CAST(max(gap) AS DOUBLE)
+        |    / CAST(max(na) * max(nr) AS DOUBLE), 6) AS ks_stat
+        | FROM gaps GROUP BY 1""".stripMargin,
+    "q278_moore_lewis" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | lmin AS (SELECT w, count(*) AS ci FROM toks
+        |  WHERE source = 'src0' GROUP BY 1),
+        | lmgen AS (SELECT w, count(*) AS cg FROM toks
+        |  WHERE source <> 'src0' GROUP BY 1),
+        | consts AS (SELECT count(DISTINCT w) AS v,
+        |   sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ni,
+        |   sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS ng
+        |  FROM toks),
+        | scored AS (SELECT t.doc_id, t.source,
+        |   CAST(round(-ln(CAST(coalesce(lmin.ci, 0) + 1 AS DOUBLE)
+        |      / CAST(c.ni + c.v AS DOUBLE)) * 1e6) AS BIGINT)
+        |   - CAST(round(-ln(CAST(lmgen.cg + 1 AS DOUBLE)
+        |      / CAST(c.ng + c.v AS DOUBLE)) * 1e6) AS BIGINT) AS md
+        |  FROM toks t LEFT JOIN lmin ON t.w = lmin.w
+        |   LEFT JOIN lmgen ON t.w = lmgen.w
+        |   CROSS JOIN consts c
+        |  WHERE t.source <> 'src0'),
+        | perdoc AS (SELECT source,
+        |   CAST(round(CAST(sum(md) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE)) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY doc_id, source)
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score_micro < 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_selected,
+        |  round((CAST(sum(score_micro) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) / 1e6, 6) AS mean_xent_diff
+        | FROM perdoc GROUP BY 1""".stripMargin
   )
 }

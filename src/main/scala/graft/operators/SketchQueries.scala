@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Sketches
@@ -148,6 +149,66 @@ object SketchQueries extends QueryPack {
           col("hll_est"),
           round((col("hll_est") - col("n_exact").cast("double"))
             / col("n_exact").cast("double"), 6).as("rel_err"))
+    }),
+    // Pairwise source-vocabulary similarity matrix from k=128 KMV
+    // sketches (Beyer et al. 2007 bottom-k): per source keep the 128
+    // smallest md5-60 word hashes; for each source pair, J ≈ |bottom-k
+    // of the sketch union present in BOTH sketches| / k — the
+    // "which sources are telling us the same thing" dedup-planning
+    // readout, K² pairs from K·k sketch rows instead of a vocab-sized
+    // join per pair. Exact Jaccard computed alongside as the audit
+    // (word-keyed source-pair co-occurrence, bounded by K² per word)
+    // with the estimator's signed error. The estimate is DETERMINISTIC
+    // (hash order), so the oracle recomputes it exactly.
+    "q279_source_sketch_jaccard" -> ((s, d) => {
+      val k = 128
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sk = words
+        .select(col("source"), Dedup.md5Hash60(col("w")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= k).select(col("source"), col("h"))
+      val srcs = words.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("s1"))
+        .crossJoin(broadcast(srcs.select(col("source").as("s2"))))
+        .filter(col("s1") < col("s2"))
+      val cand = pairs
+        .join(sk.select(col("source").as("s1"), col("h")), Seq("s1"))
+        .select(col("s1"), col("s2"), col("h"),
+          lit(1L).as("ia"), lit(0L).as("ib"))
+        .unionByName(pairs
+          .join(sk.select(col("source").as("s2"), col("h")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("h"),
+            lit(0L).as("ia"), lit(1L).as("ib")))
+        .groupBy(col("s1"), col("s2"), col("h"))
+        .agg(max(col("ia")).as("a"), max(col("ib")).as("b"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      val est = cand.groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("ku"),
+          sum(col("a") * col("b")).as("ik"))
+      val inter = words.select(col("source").as("s1"), col("w"))
+        .join(words.select(col("source").as("s2"), col("w")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("ninter"))
+      val vs = words.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      est.join(inter, Seq("s1", "s2"))
+        .join(broadcast(vs.select(col("source").as("s1"),
+          col("v").as("v1"))), Seq("s1"))
+        .join(broadcast(vs.select(col("source").as("s2"),
+          col("v").as("v2"))), Seq("s2"))
+        .select(col("s1"), col("s2"),
+          round(col("ik").cast("double") / col("ku").cast("double"), 6)
+            .as("j_est"),
+          round(col("ninter").cast("double")
+            / (col("v1") + col("v2") - col("ninter")).cast("double"), 6)
+            .as("j_exact"))
+        .select(col("s1"), col("s2"), col("j_est"), col("j_exact"),
+          round(col("j_est") - col("j_exact"), 6).as("est_err"))
     })
   )
 
@@ -307,6 +368,46 @@ object SketchQueries extends QueryPack {
         |  round((e.hll_est - CAST(x.n_exact AS DOUBLE))
         |    / CAST(x.n_exact AS DOUBLE), 6) AS rel_err
         | FROM est e JOIN ex x ON e.event_type = x.event_type""".stripMargin
+    },
+    "q279_source_sketch_jaccard" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH words AS (SELECT DISTINCT source, w FROM (
+        |   SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents)),
+        | hm AS (SELECT DISTINCT source, ($h60) AS h FROM (
+        |   SELECT source, md5(w) AS m FROM words)),
+        | sk AS (SELECT source, h FROM (SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hm) WHERE rn <= 128),
+        | srcs AS (SELECT DISTINCT source FROM words),
+        | pairs AS (SELECT a.source AS s1, b.source AS s2
+        |  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+        | cand AS (SELECT s1, s2, h, max(ia) AS a, max(ib) AS b FROM (
+        |   SELECT p.s1, p.s2, sk.h, 1 AS ia, 0 AS ib
+        |    FROM pairs p JOIN sk ON sk.source = p.s1
+        |   UNION ALL
+        |   SELECT p.s1, p.s2, sk.h, 0 AS ia, 1 AS ib
+        |    FROM pairs p JOIN sk ON sk.source = p.s2)
+        |  GROUP BY 1, 2, 3),
+        | topk AS (SELECT s1, s2, a, b FROM (SELECT s1, s2, a, b,
+        |   row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+        |  FROM cand) WHERE rn <= 128),
+        | est AS (SELECT s1, s2, count(*) AS ku,
+        |   sum(a * b) AS ik FROM topk GROUP BY 1, 2),
+        | inter AS (SELECT a.source AS s1, b.source AS s2,
+        |   count(*) AS ninter
+        |  FROM words a JOIN words b
+        |   ON a.w = b.w AND a.source < b.source GROUP BY 1, 2),
+        | vs AS (SELECT source, count(*) AS v FROM words GROUP BY 1),
+        | j AS (SELECT e.s1, e.s2,
+        |   round(CAST(ik AS DOUBLE) / CAST(ku AS DOUBLE), 6) AS j_est,
+        |   round(CAST(ninter AS DOUBLE)
+        |     / CAST(v1.v + v2.v - ninter AS DOUBLE), 6) AS j_exact
+        |  FROM est e JOIN inter i ON e.s1 = i.s1 AND e.s2 = i.s2
+        |   JOIN vs v1 ON v1.source = e.s1
+        |   JOIN vs v2 ON v2.source = e.s2)
+        | SELECT s1, s2, j_est, j_exact,
+        |  round(j_est - j_exact, 6) AS est_err FROM j""".stripMargin
     }
   )
 }

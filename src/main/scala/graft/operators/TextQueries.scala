@@ -925,6 +925,84 @@ object TextQueries extends QueryPack {
             .as("chao1_est"),
           round(col("f1").cast("double") / col("v_obs").cast("double"),
             6).as("singleton_frac"))
+    }),
+    // Hill tail-index estimator over the word-frequency distribution
+    // (Hill 1975, the standard heavy-tail exponent): α̂ = k / Σ_{i≤k}
+    // ln(c_i / c_{k+1}) over the k=100 most frequent words — the
+    // power-law check that complements q271's Gini (α̂ near 1 =
+    // Zipfian; large α̂ = thin-tailed, suspicious for natural text).
+    // Head selection is two deterministic TakeOrdered frames (101 and
+    // 100 rows, tie-broken by word) — the boundary word c_{k+1} is
+    // their set difference, broadcast as the one-row reference; no
+    // global window anywhere. Log ratios in integer micro-nats summed
+    // as longs, one division at the end.
+    "q276_hill_tail" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val t101 = wc.orderBy(col("c").desc, col("w").asc).limit(101)
+      val t100 = wc.orderBy(col("c").desc, col("w").asc).limit(100)
+      val ref = t101.join(t100.select(col("w").as("wx")),
+          col("w") === col("wx"), "left_anti")
+        .select(col("c").as("cref"))
+      t100.crossJoin(broadcast(ref))
+        .select(round(log(col("c").cast("double")
+            / col("cref").cast("double")) * 1e6)
+          .cast("long").as("m"), col("cref"))
+        .agg(count(lit(1)).as("k"), max(col("cref")).as("c_ref"),
+          sum(col("m")).as("sm"))
+        .select(col("k"), col("c_ref"),
+          round(col("k").cast("double")
+            / (col("sm").cast("double") / 1e6), 6).as("hill_alpha"))
+    }),
+    // Heaps' law fit (V = K·N^β, Heaps 1978): vocabulary-growth curve
+    // over 20 doc-id-ordered corpus prefixes, log-log OLS for β and K.
+    // β well under 1 = healthy sublinear vocab growth; β near 1 =
+    // boilerplate/IDs flooding the vocabulary. Checkpoint bucket is
+    // exact integer math ((doc_id·20 − mod)/nd — no float division
+    // near bin edges at any corpus size); cumulative token/vocab
+    // counts come from a 20×20 broadcast triangle join, not a global
+    // window; the regression runs on integer micro-nat log points so
+    // Σx, Σxy, Σx² are order-free long sums, two double divisions at
+    // the very end. Vocab arrivals = min(first bucket) per word — one
+    // word-keyed agg however large the corpus.
+    "q277_heaps_fit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val nd = docs.agg((max(col("doc_id")) + 1L).as("nd"))
+      val toks = docs.crossJoin(broadcast(nd))
+        .select(((col("doc_id") * 20L - pmod(col("doc_id") * 20L,
+          col("nd"))) / col("nd")).cast("long").as("b"),
+          explode(col("ws")).as("w"))
+      val perB = toks.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val arrB = toks.groupBy(col("w")).agg(min(col("b")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("vc"))
+      val grid = perB.join(arrB, Seq("b"), "left")
+        .select(col("b"), col("tc"),
+          coalesce(col("vc"), lit(0L)).as("vc"))
+      val g2 = grid.select(col("b").as("bj"), col("tc").as("tcj"),
+        col("vc").as("vcj"))
+      val cum = grid.select(col("b"))
+        .join(broadcast(g2), col("bj") <= col("b"))
+        .groupBy(col("b"))
+        .agg(sum(col("tcj")).as("ct"), sum(col("vcj")).as("cv"))
+      val fit = cum.select(
+          round(log(col("ct").cast("double")) * 1e6).cast("long")
+            .as("mx"),
+          round(log(col("cv").cast("double")) * 1e6).cast("long")
+            .as("my"))
+        .agg(count(lit(1)).as("n_pts"), sum(col("mx")).as("sx"),
+          sum(col("my")).as("sy"), sum(col("mx") * col("my")).as("sxy"),
+          sum(col("mx") * col("mx")).as("sxx"))
+        .select(col("n_pts"), col("sx"), col("sy"),
+          ((col("n_pts") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_pts") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("beta"))
+      fit.select(col("n_pts"), round(col("beta"), 6).as("heaps_beta"),
+        round(exp((col("sy").cast("double") / 1e6
+            - col("beta") * col("sx").cast("double") / 1e6)
+          / col("n_pts").cast("double")), 4).as("heaps_k"))
     })
   )
 
@@ -1804,6 +1882,54 @@ object TextQueries extends QueryPack {
         |    / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1_est,
         |  round(CAST(f1 AS DOUBLE) / CAST(v_obs AS DOUBLE), 6)
         |    AS singleton_frac
-        | FROM a""".stripMargin
+        | FROM a""".stripMargin,
+    "q276_hill_tail" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents) GROUP BY 1),
+        | t101 AS (SELECT w, c FROM wc
+        |  ORDER BY c DESC, w LIMIT 101),
+        | t100 AS (SELECT w, c FROM wc
+        |  ORDER BY c DESC, w LIMIT 100),
+        | ref AS (SELECT c AS cref FROM t101
+        |  WHERE w NOT IN (SELECT w FROM t100)),
+        | m AS (SELECT CAST(round(ln(CAST(t100.c AS DOUBLE)
+        |     / CAST(ref.cref AS DOUBLE)) * 1e6) AS BIGINT) AS m,
+        |   ref.cref
+        |  FROM t100 CROSS JOIN ref)
+        | SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(max(cref) AS BIGINT) AS c_ref,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (CAST(sum(m) AS DOUBLE) / 1e6), 6) AS hill_alpha
+        | FROM m""".stripMargin,
+    "q277_heaps_fit" ->
+      """WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        | toks AS (SELECT (doc_id * 20) // nd AS b,
+        |   unnest(string_split(text, ' ')) AS w
+        |  FROM documents CROSS JOIN nd),
+        | perb AS (SELECT b, count(*) AS tc FROM toks GROUP BY 1),
+        | firstb AS (SELECT w, min(b) AS b FROM toks GROUP BY 1),
+        | arrb AS (SELECT b, count(*) AS vc FROM firstb GROUP BY 1),
+        | grid AS (SELECT perb.b, perb.tc, coalesce(arrb.vc, 0) AS vc
+        |  FROM perb LEFT JOIN arrb ON perb.b = arrb.b),
+        | cum AS (SELECT g.b, sum(j.tc) AS ct, sum(j.vc) AS cv
+        |  FROM grid g JOIN grid j ON j.b <= g.b GROUP BY 1),
+        | pts AS (SELECT
+        |   CAST(round(ln(CAST(ct AS DOUBLE)) * 1e6) AS BIGINT) AS mx,
+        |   CAST(round(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS my
+        |  FROM cum),
+        | s AS (SELECT CAST(count(*) AS BIGINT) AS n_pts,
+        |   CAST(sum(mx) AS BIGINT) AS sx,
+        |   CAST(sum(my) AS BIGINT) AS sy,
+        |   CAST(sum(mx * my) AS BIGINT) AS sxy,
+        |   CAST(sum(mx * mx) AS BIGINT) AS sxx FROM pts),
+        | f AS (SELECT n_pts, sx, sy,
+        |   CAST(n_pts * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_pts * sxx - sx * sx AS DOUBLE) AS beta FROM s)
+        | SELECT n_pts, round(beta, 6) AS heaps_beta,
+        |  round(exp((CAST(sy AS DOUBLE) / 1e6
+        |      - beta * CAST(sx AS DOUBLE) / 1e6)
+        |    / CAST(n_pts AS DOUBLE)), 4) AS heaps_k
+        | FROM f""".stripMargin
   )
 }
