@@ -309,6 +309,36 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("change_type"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("id_checksum"))
+    }),
+    // Benford first-digit audit over order totals (Newcomb 1881 /
+    // Benford 1938 — the fraud/synthetic-data smell test: organic
+    // monetary amounts follow P(d)=log10(1+1/d); flat or spiky digit
+    // histograms flag generated or truncated data). First digit comes
+    // from the CENTS INTEGER rendered as a string — never from
+    // log10(value), whose float boundary at exact powers of ten
+    // misclassifies, and never from double→string casts, which differ
+    // by engine. Per-digit z-score (obs−np)/√(np(1−p)) — |z|>3 on a
+    // big table = investigate. One count agg; 9 rows of state.
+    "q282_benford_audit" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100.0).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0L)
+      val dig = cents
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = dig.agg(sum(col("n_obs")).as("n"))
+      dig.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"), col("n"),
+          (log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0))).as("p"))
+        .select(col("digit"), col("n_obs"),
+          round(col("n").cast("double") * col("p"), 4).as("expected"),
+          round((col("n_obs").cast("double")
+              - col("n").cast("double") * col("p"))
+            / sqrt(col("n").cast("double") * col("p")
+              * (lit(1.0) - col("p"))), 4).as("z_score"))
     })
   )
 
@@ -516,6 +546,22 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         | FROM j GROUP BY 1""".stripMargin
-    }
+    },
+    "q282_benford_audit" ->
+      """WITH cents AS (SELECT CAST(round(o_totalprice * 100.0)
+        |    AS BIGINT) AS cents
+        |  FROM orders WHERE round(o_totalprice * 100.0) > 0),
+        | dig AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit, count(*) AS n_obs
+        |  FROM cents GROUP BY 1),
+        | tot AS (SELECT sum(n_obs) AS n FROM dig),
+        | p AS (SELECT digit, n_obs, n,
+        |   ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p
+        |  FROM dig CROSS JOIN tot)
+        | SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  round(CAST(n AS DOUBLE) * p, 4) AS expected,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |    / sqrt(CAST(n AS DOUBLE) * p * (1.0 - p)), 4) AS z_score
+        | FROM p""".stripMargin
   )
 }

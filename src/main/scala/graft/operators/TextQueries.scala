@@ -1003,6 +1003,80 @@ object TextQueries extends QueryPack {
         round(exp((col("sy").cast("double") / 1e6
             - col("beta") * col("sx").cast("double") / 1e6)
           / col("n_pts").cast("double")), 4).as("heaps_k"))
+    }),
+    // Top-20 PMI collocations (Church & Hanks 1990): adjacent word
+    // pairs with count ≥ 5 ranked by ln(P(xy)/(P(x)P(y))) — the
+    // association-not-frequency complement to q89's raw n-gram counts,
+    // and the standard signal for multiword vocab entries in tokenizer
+    // construction. Counts are exact longs; the PMI ratio is ONE
+    // fixed-order double expression (never an integer product that
+    // could overflow at 10¹³ tokens) rounded to micro-nats; head is a
+    // TakeOrdered-20 tie-broken by pair.
+    "q280_pmi_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("w"))
+      val big = docs.filter(size(col("w")) >= 2)
+        .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"),
+          col("w"))
+        .select(element_at(col("w"), col("i")).as("w1"),
+          element_at(col("w"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      val uni = docs.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val consts = big.agg(sum(col("cxy")).as("nb"))
+        .crossJoin(uni.agg(sum(col("c")).as("nu")))
+      big.filter(col("cxy") >= 5L)
+        .join(uni.select(col("t").as("w1"), col("c").as("c1")),
+          Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("c").as("c2")),
+          Seq("w2"))
+        .crossJoin(broadcast(consts))
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(log(col("cxy").cast("double") * col("nu") / col("nb")
+            * col("nu") / col("c1") / col("c2")) * 1e6)
+            .cast("long").as("pm"))
+        .orderBy(col("pm").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(col("pm").cast("double") / 1e6, 6).as("pmi"))
+    }),
+    // Per-document character-entropy profile aggregated by source
+    // (H = ln n − Σc·ln c / n over the doc's character histogram):
+    // the compression-ratio proxy that needs no codec — template/
+    // boilerplate floods and single-char padding show up as
+    // low-entropy tails long before a gzip pass would. c·ln c terms
+    // carry integer micro-nat factors so the per-doc sum is an exact
+    // long; one division + subtraction per doc. Characters explode to
+    // rows (the honest distributed shape — per-doc state never
+    // leaves the executors), so the scan is O(total chars) with no
+    // skew pitfalls beyond doc length itself.
+    "q281_char_entropy" -> ((s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("source"),
+          expr("substring(text, i, 1)").as("ch"))
+      val perDoc = chars.groupBy(col("doc_id"), col("source"),
+          col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * round(log(col("c").cast("double")) * 1e6)
+            .cast("long")).as("scl"))
+        .select(col("source"),
+          round(log(col("n").cast("double")) * 1e6
+            - col("scl").cast("double") / col("n").cast("double"))
+            .cast("long").as("hm"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum(col("hm")).cast("double")
+            / count(lit(1)).cast("double")) / 1e6, 6)
+            .as("mean_entropy"),
+          round(min(col("hm")).cast("double") / 1e6, 6)
+            .as("min_entropy"),
+          round(max(col("hm")).cast("double") / 1e6, 6)
+            .as("max_entropy"))
     })
   )
 
@@ -1930,6 +2004,48 @@ object TextQueries extends QueryPack {
         |  round(exp((CAST(sy AS DOUBLE) / 1e6
         |      - beta * CAST(sx AS DOUBLE) / 1e6)
         |    / CAST(n_pts AS DOUBLE)), 4) AS heaps_k
-        | FROM f""".stripMargin
+        | FROM f""".stripMargin,
+    "q280_pmi_collocations" ->
+      """WITH docs AS (SELECT string_split(text, ' ') AS w
+        |  FROM documents),
+        | big AS (SELECT w[CAST(i AS INTEGER)] AS w1,
+        |   w[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM docs, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        | cb AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY 1, 2),
+        | uni AS (SELECT t, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS t
+        |   FROM documents) GROUP BY 1),
+        | consts AS (SELECT (SELECT sum(cxy) FROM cb) AS nb,
+        |   (SELECT sum(c) FROM uni) AS nu),
+        | top AS (SELECT cb.w1, cb.w2, cb.cxy,
+        |   CAST(round(ln(CAST(cxy AS DOUBLE) * nu / nb * nu
+        |     / u1.c / u2.c) * 1e6) AS BIGINT) AS pm
+        |  FROM cb JOIN uni u1 ON cb.w1 = u1.t
+        |   JOIN uni u2 ON cb.w2 = u2.t
+        |   CROSS JOIN consts
+        |  WHERE cxy >= 5
+        |  ORDER BY pm DESC, cb.w1, cb.w2 LIMIT 20)
+        | SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+        |  round(CAST(pm AS DOUBLE) / 1e6, 6) AS pmi FROM top""".stripMargin,
+    "q281_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, source,
+        |   substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM documents,
+        |   unnest(generate_series(1, len(text))) AS t(i)),
+        | pc AS (SELECT doc_id, source, ch, count(*) AS c
+        |  FROM ch GROUP BY 1, 2, 3),
+        | pd AS (SELECT source,
+        |   CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1e6
+        |     - CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS hm
+        |  FROM pc GROUP BY doc_id, source)
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(hm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / 1e6, 6) AS mean_entropy,
+        |  round(CAST(min(hm) AS DOUBLE) / 1e6, 6) AS min_entropy,
+        |  round(CAST(max(hm) AS DOUBLE) / 1e6, 6) AS max_entropy
+        | FROM pd GROUP BY 1""".stripMargin
   )
 }
