@@ -1364,6 +1364,52 @@ object CurationQueries extends QueryPack {
           round((sum(col("score_micro")).cast("double")
             / count(lit(1)).cast("double")) / 1e6, 6)
             .as("mean_xent_diff"))
+    }),
+    // Robust outlier screen per event_type: median/MAD z-score
+    // (Hampel: |v − med| > 3·1.4826·MAD), the metric-monitoring
+    // alternative to mean/stddev that one fat-fingered 10⁹ value
+    // can't blind. Two exact-median passes (Spark `median` ≡ DuckDB
+    // `median`, the q20 contract); the threshold comparison is one
+    // fixed-order double expression so both engines agree at the
+    // boundary. Group medians broadcast back — the value column never
+    // shuffles twice.
+    "q283_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(median(col("ad")).as("madv"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("med_value"),
+          round(max(col("madv")), 4).as("mad_value"),
+          sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("madv"),
+            1L).otherwise(0L)).as("n_outliers"))
+    }),
+    // Source-concentration audit per language: Herfindahl–Hirschman
+    // index Σ(c_s/n)² and effective source count n²/Σc² — "is this
+    // language really diverse, or one crawl wearing twenty hats?"
+    // Integer c² sums (exact to ~3·10⁹ docs per language), one
+    // division at the end; K×L rows of state.
+    "q284_source_concentration" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(col("s2").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"), 6)
+            .as("hhi"),
+          round((col("n_docs") * col("n_docs")).cast("double")
+            / col("s2").cast("double"), 4).as("eff_sources"))
     })
   )
 
@@ -2359,6 +2405,34 @@ object CurationQueries extends QueryPack {
         |   AS BIGINT) AS n_selected,
         |  round((CAST(sum(score_micro) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE)) / 1e6, 6) AS mean_xent_diff
-        | FROM perdoc GROUP BY 1""".stripMargin
+        | FROM perdoc GROUP BY 1""".stripMargin,
+    "q283_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |   median("value") AS med FROM events GROUP BY 1),
+        | dev AS (SELECT e.event_type, e."value", med.med,
+        |   abs(e."value" - med.med) AS ad
+        |  FROM events e JOIN med ON e.event_type = med.event_type),
+        | mad AS (SELECT event_type, median(ad) AS madv
+        |  FROM dev GROUP BY 1)
+        | SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(dev.med), 4) AS med_value,
+        |  round(max(mad.madv), 4) AS mad_value,
+        |  CAST(sum(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.madv
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        | FROM dev JOIN mad ON dev.event_type = mad.event_type
+        | GROUP BY 1""".stripMargin,
+    "q284_source_concentration" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        | a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |   CAST(count(*) AS BIGINT) AS n_sources,
+        |   CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1)
+        | SELECT lang, n_docs, n_sources,
+        |  round(CAST(s2 AS DOUBLE)
+        |    / CAST(n_docs * n_docs AS DOUBLE), 6) AS hhi,
+        |  round(CAST(n_docs * n_docs AS DOUBLE)
+        |    / CAST(s2 AS DOUBLE), 4) AS eff_sources
+        | FROM a""".stripMargin
   )
 }

@@ -1077,6 +1077,67 @@ object TextQueries extends QueryPack {
             .as("min_entropy"),
           round(max(col("hm")).cast("double") / 1e6, 6)
             .as("max_entropy"))
+    }),
+    // Retrieval-quality eval: nDCG@10 and high-relevance P@10 for 20
+    // mid-frequency query terms (frequency ranks 11–30, the set
+    // difference of two deterministic TakeOrdered heads) under
+    // single-term BM25 ranking with graded relevance rel=min(tf,3) —
+    // the standard "did length normalization hurt ranking" harness
+    // for the q177 BM25 family, all engine-exact: gains are integer
+    // (2^rel−1 via bit shift), discounts micro-rounded per rank, rank
+    // windows are term-partitioned (posting-list sized, never
+    // global). IDCG ranks the same candidates by relevance, so
+    // nDCG=1 means BM25 recovered the ideal order.
+    "q285_ndcg_eval" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val t70 = wc.orderBy(col("c").desc, col("w").asc).limit(30)
+      val t50 = wc.orderBy(col("c").desc, col("w").asc).limit(10)
+      val qterms = t70.join(t50.select(col("w").as("wx")),
+          col("w") === col("wx"), "left_anti")
+        .select(col("w").as("term"))
+      val tf = toks.join(broadcast(qterms), col("w") === col("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"),
+        sum(col("dl")).as("tot"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dl, Seq("doc_id"))
+        .join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), col("df"),
+          least(col("tf"), lit(3L)).as("rel"),
+          round(log(lit(1.0)
+              + (col("nd").cast("double") - col("df") + lit(0.5))
+                / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.5))
+            / (col("tf") + lit(1.5) * (lit(0.25)
+              + lit(0.75) * ((col("dl") * col("nd")).cast("double")
+                / col("tot")))) * 1e6).cast("long").as("sm"))
+      def dcgOf(df: DataFrame,
+                ord: Seq[org.apache.spark.sql.Column]): DataFrame = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("term")).orderBy(ord: _*)))
+        .filter(col("rn") <= 10)
+        .select(col("term"), col("rel"),
+          round((when(col("rel") === 1L, 1L)
+              .when(col("rel") === 2L, 3L).otherwise(7L))
+            .cast("double")
+            / (log(col("rn").cast("double") + 1.0) / log(lit(2.0)))
+            * 1e6).cast("long").as("g"))
+      val dcg = dcgOf(scored, Seq(col("sm").desc, col("doc_id").asc))
+        .groupBy(col("term"))
+        .agg(sum(col("g")).as("dcg_m"),
+          sum(when(col("rel") >= 2L, 1L).otherwise(0L)).as("n_hi"))
+      val idcg = dcgOf(scored, Seq(col("rel").desc, col("doc_id").asc))
+        .groupBy(col("term")).agg(sum(col("g")).as("idcg_m"))
+      dcg.join(idcg, Seq("term")).join(broadcast(dft), Seq("term"))
+        .select(col("term"), col("df"),
+          round(col("dcg_m").cast("double")
+            / col("idcg_m").cast("double"), 6).as("ndcg_10"),
+          round(col("n_hi").cast("double") / 10.0, 2).as("p10_hi"))
     })
   )
 
@@ -2046,6 +2107,55 @@ object TextQueries extends QueryPack {
         |    / 1e6, 6) AS mean_entropy,
         |  round(CAST(min(hm) AS DOUBLE) / 1e6, 6) AS min_entropy,
         |  round(CAST(max(hm) AS DOUBLE) / 1e6, 6) AS max_entropy
-        | FROM pd GROUP BY 1""".stripMargin
+        | FROM pd GROUP BY 1""".stripMargin,
+    "q285_ndcg_eval" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        | t70 AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 30),
+        | t50 AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT 10),
+        | qt AS (SELECT w AS term FROM t70
+        |  WHERE w NOT IN (SELECT w FROM t50)),
+        | tf AS (SELECT qt.term, t.doc_id, count(*) AS tf
+        |  FROM toks t JOIN qt ON t.w = qt.term GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | stats AS (SELECT count(*) AS nd, sum(dl) AS tot FROM dl),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | scored AS (SELECT tf.term, tf.doc_id, dft.df,
+        |   least(tf.tf, 3) AS rel,
+        |   CAST(round(ln(1.0
+        |      + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |     * (tf.tf * 2.5)
+        |     / (tf.tf + 1.5 * (0.25
+        |       + 0.75 * (CAST(dl.dl * s.nd AS DOUBLE) / s.tot)))
+        |     * 1e6) AS BIGINT) AS sm
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |   JOIN dft ON tf.term = dft.term CROSS JOIN stats s),
+        | rk AS (SELECT term, rel,
+        |   row_number() OVER (PARTITION BY term
+        |    ORDER BY sm DESC, doc_id) AS rn FROM scored),
+        | dg AS (SELECT term,
+        |   CAST(sum(CAST(round(CAST(CASE WHEN rel = 1 THEN 1
+        |      WHEN rel = 2 THEN 3 ELSE 7 END AS DOUBLE)
+        |     / (ln(CAST(rn AS DOUBLE) + 1.0) / ln(2.0)) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS dcg_m,
+        |   CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi
+        |  FROM rk WHERE rn <= 10 GROUP BY 1),
+        | irk AS (SELECT term, rel,
+        |   row_number() OVER (PARTITION BY term
+        |    ORDER BY rel DESC, doc_id) AS rn FROM scored),
+        | ig AS (SELECT term,
+        |   CAST(sum(CAST(round(CAST(CASE WHEN rel = 1 THEN 1
+        |      WHEN rel = 2 THEN 3 ELSE 7 END AS DOUBLE)
+        |     / (ln(CAST(rn AS DOUBLE) + 1.0) / ln(2.0)) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS idcg_m
+        |  FROM irk WHERE rn <= 10 GROUP BY 1)
+        | SELECT dg.term, CAST(dft.df AS BIGINT) AS df,
+        |  round(CAST(dcg_m AS DOUBLE) / CAST(idcg_m AS DOUBLE), 6)
+        |   AS ndcg_10,
+        |  round(CAST(n_hi AS DOUBLE) / 10.0, 2) AS p10_hi
+        | FROM dg JOIN ig ON dg.term = ig.term
+        |  JOIN dft ON dg.term = dft.term""".stripMargin
   )
 }
