@@ -1410,6 +1410,50 @@ object CurationQueries extends QueryPack {
             .as("hhi"),
           round((col("n_docs") * col("n_docs")).cast("double")
             / col("s2").cast("double"), 4).as("eff_sources"))
+    }),
+    // Greedy submodular source selection (Nemhauser et al. 1978
+    // (1−1/e) guarantee): pick 5 sources maximizing marginal distinct
+    // word-BIGRAM coverage — "which five crawls buy the most diverse
+    // corpus" budgeted-acquisition planning, the set-cover
+    // counterpart to q216's k-center (geometry) and q267's DoReMi
+    // (loss). T=5 driver rounds; each round is one count agg + one
+    // bigram-keyed anti-join, covered-set stays DISTRIBUTED (only the
+    // T picks land on the driver). Ties break on source name.
+    "q287_greedy_coverage" -> ((s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"),
+          col("w"))
+        .select(col("source"), concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var remaining = bi
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long)]
+      var cum = 0L
+      for (step <- 1L to 5L) {
+        val top = remaining.groupBy(col("source"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("source").asc).limit(1).collect()
+        if (top.nonEmpty) {
+          val src = top(0).getString(0)
+          val gain = top(0).getLong(1)
+          cum += gain
+          picks += ((step, src, gain, cum))
+          val newCov = bi.filter(col("source") === src)
+            .select(col("g"))
+          remaining = remaining.filter(col("source") =!= src)
+            .join(newCov, Seq("g"), "left_anti")
+        }
+      }
+      bi.unpersist()
+      picks.toSeq
+        .toDF("step", "source", "marginal_gain", "cumulative_coverage")
     })
   )
 
@@ -2433,6 +2477,63 @@ object CurationQueries extends QueryPack {
         |    / CAST(n_docs * n_docs AS DOUBLE), 6) AS hhi,
         |  round(CAST(n_docs * n_docs AS DOUBLE)
         |    / CAST(s2 AS DOUBLE), 4) AS eff_sources
-        | FROM a""".stripMargin
+        | FROM a""".stripMargin,
+    "q287_greedy_coverage" ->
+      """WITH bi AS (SELECT DISTINCT source,
+        |   w[CAST(i AS INTEGER)] || ' '
+        |    || w[CAST(i AS INTEGER) + 1] AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS w
+        |    FROM documents),
+        |   unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        | c1 AS (SELECT source, count(*) AS c FROM bi GROUP BY 1),
+        | p1 AS (SELECT source, c FROM c1
+        |  ORDER BY c DESC, source LIMIT 1),
+        | cov1 AS (SELECT DISTINCT g FROM bi
+        |  WHERE source IN (SELECT source FROM p1)),
+        | c2 AS (SELECT source, count(*) AS c FROM bi
+        |  WHERE source NOT IN (SELECT source FROM p1)
+        |   AND g NOT IN (SELECT g FROM cov1) GROUP BY 1),
+        | p2 AS (SELECT source, c FROM c2
+        |  ORDER BY c DESC, source LIMIT 1),
+        | cov2 AS (SELECT g FROM cov1 UNION SELECT g FROM bi
+        |  WHERE source IN (SELECT source FROM p2)),
+        | c3 AS (SELECT source, count(*) AS c FROM bi
+        |  WHERE source NOT IN (SELECT source FROM p1
+        |    UNION SELECT source FROM p2)
+        |   AND g NOT IN (SELECT g FROM cov2) GROUP BY 1),
+        | p3 AS (SELECT source, c FROM c3
+        |  ORDER BY c DESC, source LIMIT 1),
+        | cov3 AS (SELECT g FROM cov2 UNION SELECT g FROM bi
+        |  WHERE source IN (SELECT source FROM p3)),
+        | c4 AS (SELECT source, count(*) AS c FROM bi
+        |  WHERE source NOT IN (SELECT source FROM p1
+        |    UNION SELECT source FROM p2 UNION SELECT source FROM p3)
+        |   AND g NOT IN (SELECT g FROM cov3) GROUP BY 1),
+        | p4 AS (SELECT source, c FROM c4
+        |  ORDER BY c DESC, source LIMIT 1),
+        | cov4 AS (SELECT g FROM cov3 UNION SELECT g FROM bi
+        |  WHERE source IN (SELECT source FROM p4)),
+        | c5 AS (SELECT source, count(*) AS c FROM bi
+        |  WHERE source NOT IN (SELECT source FROM p1
+        |    UNION SELECT source FROM p2 UNION SELECT source FROM p3
+        |    UNION SELECT source FROM p4)
+        |   AND g NOT IN (SELECT g FROM cov4) GROUP BY 1),
+        | p5 AS (SELECT source, c FROM c5
+        |  ORDER BY c DESC, source LIMIT 1),
+        | cov5 AS (SELECT g FROM cov4 UNION SELECT g FROM bi
+        |  WHERE source IN (SELECT source FROM p5))
+        | SELECT CAST(1 AS BIGINT) AS step, source,
+        |  CAST(c AS BIGINT) AS marginal_gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cov1)
+        |   AS cumulative_coverage FROM p1
+        | UNION ALL SELECT 2, source, CAST(c AS BIGINT),
+        |  (SELECT count(*) FROM cov2) FROM p2
+        | UNION ALL SELECT 3, source, CAST(c AS BIGINT),
+        |  (SELECT count(*) FROM cov3) FROM p3
+        | UNION ALL SELECT 4, source, CAST(c AS BIGINT),
+        |  (SELECT count(*) FROM cov4) FROM p4
+        | UNION ALL SELECT 5, source, CAST(c AS BIGINT),
+        |  (SELECT count(*) FROM cov5) FROM p5""".stripMargin
   )
 }

@@ -1138,6 +1138,53 @@ object TextQueries extends QueryPack {
           round(col("dcg_m").cast("double")
             / col("idcg_m").cast("double"), 6).as("ndcg_10"),
           round(col("n_hi").cast("double") / 10.0, 2).as("p10_hi"))
+    }),
+    // Probability-calibration audit of the q193/q194 classifier:
+    // Brier score + expected calibration error (Naeini et al. 2015,
+    // 10 equal-width confidence bins) for p = σ(margin/20000) against
+    // the planted labels — "the gate says 0.9; is it right 90% of the
+    // time?" The same memoized trained weights as q194 (zero extra
+    // training cost in the suite). Probabilities quantized to
+    // micro-units BEFORE binning and squaring, so bin membership,
+    // Σp, and the Brier terms are integer-exact — the per-bin
+    // |confidence−accuracy| gap is an integer under abs(); the only
+    // doubles are one sigmoid per doc and two final divisions.
+    "q286_calibration" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val scored = Classifier.scoreWith(planted, "doc_id", "text", w,
+          dims = 256)
+        .join(planted.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+          Seq("doc_id"))
+        .select(col("y"),
+          round(lit(1.0) / (lit(1.0)
+            + exp(-col("margin").cast("double") / lit(20000.0)))
+            * 1e6).cast("long").as("pm"))
+      val binned = scored.select(col("y"), col("pm"),
+        least(expr("pm div 100000"), lit(9L)).as("bin"),
+        round((col("pm").cast("double") / 1e6
+            - col("y").cast("double"))
+          * (col("pm").cast("double") / 1e6
+            - col("y").cast("double")) * 1e6).cast("long").as("bt"))
+      binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("nb"), sum(col("pm")).as("sp"),
+          sum(col("y")).as("np"), sum(col("bt")).as("sbt"))
+        .agg(sum(col("nb")).as("n_docs"),
+          round(sum(col("sbt")).cast("double")
+            / sum(col("nb")).cast("double") / 1e6, 6).as("brier"),
+          round(sum(abs(col("sp") - lit(1000000L) * col("np")))
+            .cast("double")
+            / sum(col("nb")).cast("double") / 1e6, 6).as("ece"),
+          count(lit(1)).as("n_bins_used"))
     })
   )
 
@@ -2156,6 +2203,30 @@ object TextQueries extends QueryPack {
         |   AS ndcg_10,
         |  round(CAST(n_hi AS DOUBLE) / 10.0, 2) AS p10_hi
         | FROM dg JOIN ig ON dg.term = ig.term
-        |  JOIN dft ON dg.term = dft.term""".stripMargin
+        |  JOIN dft ON dg.term = dft.term""".stripMargin,
+    "q286_calibration" ->
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | p AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01,
+        |   CAST(round(1.0 / (1.0
+        |     + exp(-CAST(m AS DOUBLE) / 20000.0)) * 1e6) AS BIGINT)
+        |    AS pm
+        |  FROM m4),
+        | b AS (SELECT y01, pm, least(pm // 100000, 9) AS bin,
+        |   CAST(round((CAST(pm AS DOUBLE) / 1e6 - CAST(y01 AS DOUBLE))
+        |     * (CAST(pm AS DOUBLE) / 1e6 - CAST(y01 AS DOUBLE))
+        |     * 1e6) AS BIGINT) AS bt
+        |  FROM p),
+        | g AS (SELECT bin, count(*) AS nb, sum(pm) AS sp,
+        |   sum(y01) AS np, sum(bt) AS sbt FROM b GROUP BY 1)
+        | SELECT CAST(sum(nb) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(sbt) AS DOUBLE)
+        |    / CAST(sum(nb) AS DOUBLE) / 1e6, 6) AS brier,
+        |  round(CAST(sum(abs(sp - 1000000 * np)) AS DOUBLE)
+        |    / CAST(sum(nb) AS DOUBLE) / 1e6, 6) AS ece,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used
+        | FROM g""".stripMargin
   )
 }

@@ -297,6 +297,33 @@ object TimeSeriesQueries extends QueryPack {
           max(col("sd")).as("sd"),
           sum(when(abs(col("value") - col("mu")) > lit(2.0) * col("sd"),
             1L).otherwise(0L)).as("n_outliers"))
+    }),
+    // Theil–Sen robust trend per event_type (Theil 1950/Sen 1968:
+    // median of pairwise slopes — up to 29% contamination cannot move
+    // it, unlike q98's OLS). Full O(n²) pairs are out at any scale,
+    // so this uses the disjoint-pair design (Siegel): pair event i
+    // with event i+n/2 via an EQUI-join on (event_type, shifted id) —
+    // no window, no self-cross; pairs whose partner falls in another
+    // type or lands on an identical stamp drop out. Slopes in integer
+    // micro-units/hour, exact median at the end.
+    "q288_theil_sen" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"), col("ts"), col("value"))
+      val h = ev.agg((count(lit(1)) / 2).cast("long").as("h"))
+      val a = ev.crossJoin(broadcast(h))
+        .select(col("event_type"), (col("event_id") + col("h"))
+          .as("pid"), col("ts").as("t1"), col("value").as("v1"))
+      val b = ev.select(col("event_type"), col("event_id").as("pid"),
+        col("ts").as("t2"), col("value").as("v2"))
+      a.join(b, Seq("event_type", "pid"))
+        .filter(col("t2") =!= col("t1"))
+        .select(col("event_type"),
+          round((col("v2") - col("v1"))
+            / ((col("t2") - col("t1")).cast("double") / lit(3.6e12))
+            * 1e6).cast("long").as("sm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(median(col("sm")) / 1e6, 6).as("ts_slope_per_hr"))
     })
   )
 
@@ -483,6 +510,23 @@ object TimeSeriesQueries extends QueryPack {
         |  CAST(sum(CASE WHEN abs(e.value - st.mu) > 2.0 * st.sd
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         | FROM events e JOIN st USING (event_type)
-        | GROUP BY e.event_type""".stripMargin
+        | GROUP BY e.event_type""".stripMargin,
+    "q288_theil_sen" ->
+      """WITH h AS (SELECT count(*) // 2 AS h FROM events),
+        | a AS (SELECT event_type, event_id + h AS pid,
+        |   epoch_ns(ts) AS t1, "value" AS v1
+        |  FROM events CROSS JOIN h),
+        | b AS (SELECT event_type, event_id AS pid,
+        |   epoch_ns(ts) AS t2, "value" AS v2 FROM events),
+        | p AS (SELECT a.event_type,
+        |   CAST(round((v2 - v1)
+        |     / (CAST(t2 - t1 AS DOUBLE) / 3.6e12) * 1e6) AS BIGINT)
+        |    AS sm
+        |  FROM a JOIN b
+        |   ON a.event_type = b.event_type AND a.pid = b.pid
+        |  WHERE t2 <> t1)
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(median(sm) / 1e6, 6) AS ts_slope_per_hr
+        | FROM p GROUP BY 1""".stripMargin
   )
 }
