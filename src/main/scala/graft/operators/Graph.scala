@@ -185,6 +185,47 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank in exact integer arithmetic (Haveliwala
+    * 2002): identical update to [[pageRankInt]] except the teleport
+    * mass returns ONLY to the seed set (scale/|S| each), so rank
+    * concentrates in the seeds' neighborhoods — the graph-proximity
+    * data-selection primitive (pick training docs "near" a trusted
+    * seed set). Same scale shape: per iteration one keyed contrib
+    * shuffle; the teleport frame is precomputed once and reused, and
+    * all arithmetic is integer div so DuckDB replays it bit-exactly. */
+  def personalizedPageRankInt(edges: DataFrame, src: String,
+      dst: String, seeds: DataFrame, seedCol: String, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("s").as("v"))
+      .unionAll(e.select(col("d").as("v"))).distinct().localCheckpoint()
+    val sd = seeds.select(col(seedCol).as("v")).distinct()
+      .join(verts, Seq("v"), "left_semi")
+    val ns = sd.agg(count(lit(1)).as("n_seeds"))
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val base = verts
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("v"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("v"), (coalesce(col("is_seed"), lit(0L))
+        * idiv(lit(scale), col("n_seeds"))).as("tp"))
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    var ranks = base.select(col("v"), col("tp").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(outDeg, ranks("v") === outDeg("s"))
+        .select(col("s"), idiv(col("rank"), col("deg")).as("c"))
+        .join(e, "s")
+        .groupBy(col("d")).agg(sum(col("c")).as("in_sum"))
+      ranks = base.join(contrib, base("v") === contrib("d"), "left")
+        .select(base("v"),
+          (idiv(lit(15L) * col("tp"), lit(100L)) +
+            idiv(lit(85L) * coalesce(col("in_sum"), lit(0L)),
+              lit(100L))).as("rank"))
+    }
+    ranks
+  }
+
   /** Multi-source BFS hop distances over an undirected edge list:
     * (v, dist) with dist = fewest hops from any seed, bounded by
     * `maxHops`. Frontier-at-a-time expansion — each round is one

@@ -207,6 +207,24 @@ object GraphQueries extends QueryPack {
               * col("n_wedges") / (col("n_sampled") * 3), 6))
             .as("est_triangles"),
           col("n_triangles").as("exact_triangles"))
+    }),
+    // Personalized PageRank from the suppkey%50 seed set over the
+    // supplier co-occurrence graph — graph-proximity data selection
+    // ("docs near trusted seeds"), top-30. Same integer-exact
+    // machinery as q145's global PageRank; only the teleport target
+    // changes, so the two are directly comparable rank-for-rank.
+    "q289_personalized_pagerank" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 10L)
+      val e = co.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val seeds = e.select(col("u")).distinct()
+        .filter(col("u") % 50L === 0L)
+      Graph.personalizedPageRankInt(e, "u", "v", seeds, "u", iters = 3)
+        .orderBy(col("rank").desc, col("v").asc).limit(30)
+        .select(col("v").as("suppkey"), col("rank"))
     })
   )
 
@@ -402,6 +420,36 @@ object GraphQueries extends QueryPack {
         |   ELSE round(CAST(n_closed AS DOUBLE) * n_wedges
         |    / (n_sampled * 3), 6) END AS est_triangles,
         |  n_triangles AS exact_triangles
-        | FROM cl, tot, ex""".stripMargin
+        | FROM cl, tot, ex""".stripMargin,
+    "q289_personalized_pagerank" -> {
+      val iter = (1 to 3).map { r =>
+        s"""i$r AS (SELECT base.v,
+           |   (15 * base.tp) // 100
+           |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+           |  FROM base LEFT JOIN (
+           |   SELECT g.v AS v,
+           |    CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
+           |   FROM i${r - 1} r JOIN deg d ON r.v = d.u
+           |    JOIN g ON g.u = r.v
+           |   GROUP BY g.v) sc ON base.v = sc.v)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | verts AS (SELECT DISTINCT u AS v FROM g),
+        | ns AS (SELECT count(*) AS ns FROM verts WHERE v % 50 = 0),
+        | deg AS (SELECT u, count(*) AS deg FROM g GROUP BY 1),
+        | base AS (SELECT verts.v, CASE WHEN verts.v % 50 = 0
+        |   THEN (SELECT 1000000000000 // ns FROM ns) ELSE 0 END AS tp
+        |  FROM verts),
+        | i0 AS (SELECT v, tp AS rank FROM base),
+        | $iter
+        | SELECT v AS suppkey, CAST(rank AS BIGINT) AS rank
+        | FROM i3 ORDER BY rank DESC, v LIMIT 30""".stripMargin
+    }
   )
 }

@@ -818,6 +818,55 @@ object SimilarityQueries extends QueryPack {
           Seq("qid"), "left")
         .select(col("qid"), coalesce(col("r10"), lit(0L)).as("recall10"),
           col("adc_best"), col("exact_best"))
+    }),
+    // Matryoshka truncation-recall curve (Kusupati et al. 2022): for
+    // 20 query vectors, overlap@10 between full-64-dim cosine top-10
+    // and FIRST-16-dims cosine top-10 — "can we serve retrieval from
+    // a 4× cheaper prefix of the embedding?" Components quantized to
+    // integer micro-units so dots and norms are exact longs; the only
+    // doubles are √·√ and one division, identical IEEE ops in both
+    // engines, so the rank windows (query-partitioned) agree exactly.
+    // One corpus scan scores both widths via conditional sums.
+    "q290_matryoshka_recall" -> ((s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("col").cast("double") * 1e6).cast("long").as("xm"))
+      val norms = flat.groupBy(col("vec_id"))
+        .agg(sum(col("xm") * col("xm")).as("nf"),
+          sum(when(col("i") <= 16, col("xm") * col("xm"))
+            .otherwise(0L)).as("n16"))
+      val qs = flat.filter(col("vec_id") % 25L === 0L)
+        .select(col("vec_id").as("qid"), col("i"), col("xm").as("ym"))
+      val dots = flat.join(broadcast(qs), Seq("i"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("xm") * col("ym")).as("df"),
+          sum(when(col("i") <= 16, col("xm") * col("ym"))
+            .otherwise(0L)).as("d16"))
+      val scored = dots.join(norms, Seq("vec_id"))
+        .join(broadcast(norms.select(col("vec_id").as("qid"),
+          col("nf").as("qnf"), col("n16").as("qn16"))), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          (col("df").cast("double")
+            / (sqrt(col("nf").cast("double"))
+              * sqrt(col("qnf").cast("double")))).as("cf"),
+          (col("d16").cast("double")
+            / (sqrt(col("n16").cast("double"))
+              * sqrt(col("qn16").cast("double")))).as("c16"))
+      def top10(c: String): DataFrame = scored
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("qid"))
+          .orderBy(col(c).desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      top10("cf")
+        .join(top10("c16").withColumn("hit", lit(1L)),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .select(col("qid"), col("n_common"),
+          round(col("n_common").cast("double") / 10.0, 2)
+            .as("recall_at_10"))
     })
   )
 
@@ -1640,6 +1689,43 @@ object SimilarityQueries extends QueryPack {
         |  CAST(min(e.ed) AS BIGINT) AS exact_best
         | FROM etop e JOIN atop a ON a.qid = e.qid
         | LEFT JOIN hits h ON h.qid = e.qid
+        | GROUP BY 1""".stripMargin,
+    "q290_matryoshka_recall" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | flat AS (SELECT vec_id, i,
+        |   CAST(round(v[i] * 1e6) AS BIGINT) AS xm
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | norms AS (SELECT vec_id, sum(xm * xm) AS nf,
+        |   sum(CASE WHEN i <= 16 THEN xm * xm ELSE 0 END) AS n16
+        |  FROM flat GROUP BY 1),
+        | dots AS (SELECT q.vec_id AS qid, f.vec_id,
+        |   sum(f.xm * q.xm) AS df,
+        |   sum(CASE WHEN f.i <= 16 THEN f.xm * q.xm ELSE 0 END) AS d16
+        |  FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id % 25 = 0
+        |  WHERE f.vec_id <> q.vec_id GROUP BY 1, 2),
+        | scored AS (SELECT d.qid, d.vec_id,
+        |   CAST(df AS DOUBLE) / (sqrt(CAST(n.nf AS DOUBLE))
+        |    * sqrt(CAST(qn.nf AS DOUBLE))) AS cf,
+        |   CAST(d16 AS DOUBLE) / (sqrt(CAST(n.n16 AS DOUBLE))
+        |    * sqrt(CAST(qn.n16 AS DOUBLE))) AS c16
+        |  FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        |   JOIN norms qn ON d.qid = qn.vec_id),
+        | tf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY cf DESC, vec_id) AS rk FROM scored)
+        |  WHERE rk <= 10),
+        | t16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY c16 DESC, vec_id) AS rk FROM scored)
+        |  WHERE rk <= 10)
+        | SELECT tf.qid,
+        |  CAST(sum(CASE WHEN t16.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_common,
+        |  round(CAST(sum(CASE WHEN t16.vec_id IS NOT NULL
+        |     THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 2) AS recall_at_10
+        | FROM tf LEFT JOIN t16
+        |  ON tf.qid = t16.qid AND tf.vec_id = t16.vec_id
         | GROUP BY 1""".stripMargin
   )
 }
