@@ -241,6 +241,52 @@ object BehaviorQueries extends QueryPack {
             array_sort(collect_list(struct(col("t"), col("event_id"),
               col("event_type")))),
             e => e.getField("event_type")), " ").as("seq20"))
+    }),
+    // Kaplan–Meier survival curve (Kaplan & Meier 1958) for
+    // days-until-first-error per user: death = first 'error' event,
+    // users who never error are right-censored at their last event —
+    // the churn/TTF estimator an event engine's users expect. S(t) =
+    // Π_{s≤t}(1 − d_s/n_s) over the DAY grid (≤ span days, never
+    // per-row): at-risk and death counts are exact integers, each
+    // ln(1 − d/n) lands in micro-nats, the product is a cumulative
+    // long sum over a ≤31-row broadcast triangle join, exp at the
+    // end. greatest(n−d,1) pins the everyone-dies-on-the-last-day
+    // corner to S=exp(ln(1/n)) on both engines instead of a −inf
+    // overflow (identical arithmetic, documented bias only in that
+    // degenerate final row).
+    "q292_kaplan_meier" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), us(col("ts")).as("t"))
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(col("t")).as("t0"),
+          min(when(col("event_type") === "error", col("t"))).as("te"),
+          max(col("t")).as("tmax"))
+        .select(col("user_id"), col("te").isNotNull.as("died"),
+          call_function("div",
+            coalesce(col("te"), col("tmax")) - col("t0"),
+            lit(usPerDay)).as("dur"))
+      val grid = life.groupBy(col("dur"))
+        .agg(sum(when(col("died"), 1L).otherwise(0L)).as("dd"))
+      val atRisk = life
+        .join(broadcast(grid.select(col("dur").as("t")).distinct()),
+          col("dur") >= col("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_risk"),
+          sum(when(col("died") && col("dur") === col("t"), 1L)
+            .otherwise(0L)).as("d"))
+      val terms = atRisk.select(col("t"), col("n_risk"), col("d"),
+        round(log(greatest(col("n_risk") - col("d"), lit(1L))
+            .cast("double") / col("n_risk").cast("double")) * 1e6)
+          .cast("long").as("lm"))
+      terms.select(col("t").as("tt"))
+        .join(broadcast(terms), col("t") <= col("tt"))
+        .groupBy(col("tt"))
+        .agg(max(when(col("t") === col("tt"), col("n_risk")))
+            .as("n_risk"),
+          max(when(col("t") === col("tt"), col("d"))).as("n_deaths"),
+          sum(col("lm")).as("cl"))
+        .select(col("tt").as("day"), col("n_risk"), col("n_deaths"),
+          round(exp(col("cl").cast("double") / 1e6), 6)
+            .as("survival"))
     })
   )
 
@@ -375,6 +421,28 @@ object BehaviorQueries extends QueryPack {
         |  FROM events)
         | SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
         |  string_agg(event_type, ' ' ORDER BY t, event_id) AS seq20
-        | FROM e WHERE rk <= 20 GROUP BY user_id""".stripMargin
+        | FROM e WHERE rk <= 20 GROUP BY user_id""".stripMargin,
+    "q292_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        | life AS (SELECT user_id,
+        |   min(CASE WHEN event_type = 'error' THEN t END)
+        |    IS NOT NULL AS died,
+        |   (coalesce(min(CASE WHEN event_type = 'error' THEN t END),
+        |     max(t)) - min(t)) // 86400000000 AS dur
+        |  FROM ev GROUP BY 1),
+        | grid AS (SELECT DISTINCT dur AS t FROM life),
+        | ar AS (SELECT g.t, count(*) AS n_risk,
+        |   sum(CASE WHEN l.died AND l.dur = g.t THEN 1 ELSE 0 END)
+        |    AS d
+        |  FROM life l JOIN grid g ON l.dur >= g.t GROUP BY 1),
+        | terms AS (SELECT t, n_risk, d,
+        |   CAST(round(ln(CAST(greatest(n_risk - d, 1) AS DOUBLE)
+        |     / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) AS lm
+        |  FROM ar)
+        | SELECT a.t AS day, CAST(max(a.n_risk) AS BIGINT) AS n_risk,
+        |  CAST(max(a.d) AS BIGINT) AS n_deaths,
+        |  round(exp(CAST(sum(b.lm) AS DOUBLE) / 1e6), 6) AS survival
+        | FROM terms a JOIN terms b ON b.t <= a.t GROUP BY 1""".stripMargin
   )
 }

@@ -28,6 +28,72 @@ object LinkageQueries extends QueryPack {
       Linkage.blockedFuzzyJoin(
         dirty, "id", "name", cust, "c_custkey", "c_name",
         Linkage.suffixKey(4), maxDist = 1)
+    }),
+    // Fellegi–Sunter match/unmatch weights (Fellegi & Sunter 1969,
+    // the probabilistic record-linkage standard): per-field m =
+    // P(agree|match) and u = P(agree|non-match) estimated from
+    // suffix-3-blocked candidate pairs over the dirtied register
+    // (truth = id offset, so m/u are exact, not EM-estimated), with
+    // the log-likelihood agreement/disagreement weights ln(m/u) and
+    // ln((1−m)/(1−u)) a scorer would sum per pair. Laplace +1/+2
+    // keeps the logs finite; each weight is ONE ln over a ratio of
+    // exact integer products. Fields: name-within-1-edit, nationkey
+    // (corrupted on every 3rd dirty row), mktsegment. Block key
+    // cardinality must scale with n in production — the suffix length
+    // is the knob; 3 digits bounds blocks at sf scales.
+    "q291_fellegi_sunter" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val db = cust.select(
+        (col("c_custkey") + 1000000L).as("did"),
+        concat(substring(col("c_name"), 1, 11), lit("X"),
+          substring(col("c_name"), 13, 64)).as("dname"),
+        when(col("c_custkey") % 3 === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("dnat"),
+        col("c_mktsegment").as("dseg"))
+        .withColumn("bk", substring(col("dname"), 16, 3))
+      val cb = cust.select(col("c_custkey").as("cid"),
+        col("c_name").as("cname"), col("c_nationkey").as("cnat"),
+        col("c_mktsegment").as("cseg"))
+        .withColumn("bk", substring(col("cname"), 16, 3))
+      val agg = db.join(cb, Seq("bk"))
+        .select((col("did") - 1000000L === col("cid")).as("mt"),
+          (levenshtein(col("dname"), col("cname")) <= 1).as("an"),
+          (col("dnat") === col("cnat")).as("ana"),
+          (col("dseg") === col("cseg")).as("as_"))
+        .agg(sum(when(col("mt"), 1L).otherwise(0L)).as("nm"),
+          sum(when(!col("mt"), 1L).otherwise(0L)).as("nu"),
+          sum(when(col("mt") && col("an"), 1L).otherwise(0L)).as("m1"),
+          sum(when(!col("mt") && col("an"), 1L).otherwise(0L)).as("u1"),
+          sum(when(col("mt") && col("ana"), 1L).otherwise(0L)).as("m2"),
+          sum(when(!col("mt") && col("ana"), 1L).otherwise(0L))
+            .as("u2"),
+          sum(when(col("mt") && col("as_"), 1L).otherwise(0L))
+            .as("m3"),
+          sum(when(!col("mt") && col("as_"), 1L).otherwise(0L))
+            .as("u3"))
+      agg.select(explode(array(
+          struct(lit("name_lev1").as("field"), col("m1").as("ma"),
+            col("u1").as("ua")),
+          struct(lit("nationkey").as("field"), col("m2").as("ma"),
+            col("u2").as("ua")),
+          struct(lit("mktsegment").as("field"), col("m3").as("ma"),
+            col("u3").as("ua")))).as("f"), col("nm"), col("nu"))
+        .select(col("f.field").as("field"), col("nm"), col("nu"),
+          col("f.ma").as("ma"), col("f.ua").as("ua"))
+        .select(col("field"), col("nm"), col("nu"),
+          round((col("ma") + 1L).cast("double")
+            / (col("nm") + 2L).cast("double"), 6).as("m_prob"),
+          round((col("ua") + 1L).cast("double")
+            / (col("nu") + 2L).cast("double"), 6).as("u_prob"),
+          round(log(((col("ma") + 1L) * (col("nu") + 2L))
+            .cast("double")
+            / ((col("ua") + 1L) * (col("nm") + 2L)).cast("double")),
+            6).as("w_agree"),
+          round(log(((col("nm") - col("ma") + 1L)
+              * (col("nu") + 2L)).cast("double")
+            / ((col("nu") - col("ua") + 1L)
+              * (col("nm") + 2L)).cast("double")), 6).as("w_disagree"))
     })
   )
 
@@ -46,6 +112,48 @@ object LinkageQueries extends QueryPack {
         | SELECT did AS dirty_id, cid AS clean_id,
         |  CAST(levenshtein(dname, cname) AS BIGINT) AS dist
         | FROM db JOIN cb USING (bk)
-        | WHERE levenshtein(dname, cname) <= 1""".stripMargin
+        | WHERE levenshtein(dname, cname) <= 1""".stripMargin,
+    "q291_fellegi_sunter" ->
+      """WITH db AS (SELECT c_custkey + 1000000 AS did,
+        |   substr(c_name, 1, 11) || 'X' || substr(c_name, 13)
+        |    AS dname,
+        |   CASE WHEN c_custkey % 3 = 0 THEN c_nationkey + 1
+        |    ELSE c_nationkey END AS dnat,
+        |   c_mktsegment AS dseg
+        |  FROM customer),
+        | db2 AS (SELECT *, substr(dname, 16, 3) AS bk FROM db),
+        | cb AS (SELECT c_custkey AS cid, c_name AS cname,
+        |   c_nationkey AS cnat, c_mktsegment AS cseg,
+        |   substr(c_name, 16, 3) AS bk FROM customer),
+        | p AS (SELECT did - 1000000 = cid AS mt,
+        |   levenshtein(dname, cname) <= 1 AS an,
+        |   dnat = cnat AS ana, dseg = cseg AS as_
+        |  FROM db2 JOIN cb USING (bk)),
+        | a AS (SELECT
+        |   sum(CASE WHEN mt THEN 1 ELSE 0 END) AS nm,
+        |   sum(CASE WHEN mt THEN 0 ELSE 1 END) AS nu,
+        |   sum(CASE WHEN mt AND an THEN 1 ELSE 0 END) AS m1,
+        |   sum(CASE WHEN NOT mt AND an THEN 1 ELSE 0 END) AS u1,
+        |   sum(CASE WHEN mt AND ana THEN 1 ELSE 0 END) AS m2,
+        |   sum(CASE WHEN NOT mt AND ana THEN 1 ELSE 0 END) AS u2,
+        |   sum(CASE WHEN mt AND as_ THEN 1 ELSE 0 END) AS m3,
+        |   sum(CASE WHEN NOT mt AND as_ THEN 1 ELSE 0 END) AS u3
+        |  FROM p),
+        | f AS (SELECT 'name_lev1' AS field, m1 AS ma, u1 AS ua,
+        |   nm, nu FROM a
+        |  UNION ALL SELECT 'nationkey', m2, u2, nm, nu FROM a
+        |  UNION ALL SELECT 'mktsegment', m3, u3, nm, nu FROM a)
+        | SELECT field, CAST(nm AS BIGINT) AS nm,
+        |  CAST(nu AS BIGINT) AS nu,
+        |  round(CAST(ma + 1 AS DOUBLE) / CAST(nm + 2 AS DOUBLE), 6)
+        |   AS m_prob,
+        |  round(CAST(ua + 1 AS DOUBLE) / CAST(nu + 2 AS DOUBLE), 6)
+        |   AS u_prob,
+        |  round(ln(CAST((ma + 1) * (nu + 2) AS DOUBLE)
+        |    / CAST((ua + 1) * (nm + 2) AS DOUBLE)), 6) AS w_agree,
+        |  round(ln(CAST((nm - ma + 1) * (nu + 2) AS DOUBLE)
+        |    / CAST((nu - ua + 1) * (nm + 2) AS DOUBLE)), 6)
+        |   AS w_disagree
+        | FROM f""".stripMargin
   )
 }

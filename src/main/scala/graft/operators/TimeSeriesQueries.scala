@@ -324,6 +324,41 @@ object TimeSeriesQueries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
           round(median(col("sm")) / 1e6, 6).as("ts_slope_per_hr"))
+    }),
+    // Seasonality strength per event_type: η² of the hour-of-day
+    // profile (between-hour variance / total variance, the one-pass
+    // ANOVA form Σ S_h²/c_h − S²/N over Q − S²/N) — "does this metric
+    // actually have a daily cycle" before anyone fits q138's profile.
+    // Sums and squares ride exact DECIMAL(18,4) products (the q95
+    // moment discipline); per-hour ratio terms are micro-rounded
+    // longs; 24 rows of state per series. Hour comes from exact ns
+    // integer division, never float time math.
+    "q293_seasonality_strength" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (call_function("div", col("ts"), lit(3600000000000L)) % 24)
+          .as("hr"),
+        col("value"))
+      val byHour = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("ch"),
+          sum(col("value").cast(dec)).as("sh"))
+      val tot = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("s"),
+          sum(col("value").cast(dec) * col("value").cast(dec)).as("q"))
+      byHour.select(col("event_type"),
+          round(col("sh").cast("double") * col("sh").cast("double")
+            / col("ch").cast("double") * 1e6).cast("long").as("tm"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("tm")).as("st"), count(lit(1)).as("n_hours"))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_hours"),
+          round(((col("st").cast("double") / 1e6)
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n").cast("double"))
+            / (col("q").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n").cast("double")), 6).as("eta2_hour"))
     })
   )
 
@@ -527,6 +562,33 @@ object TimeSeriesQueries extends QueryPack {
         |  WHERE t2 <> t1)
         | SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
         |  round(median(sm) / 1e6, 6) AS ts_slope_per_hr
-        | FROM p GROUP BY 1""".stripMargin
+        | FROM p GROUP BY 1""".stripMargin,
+    "q293_seasonality_strength" ->
+      """WITH ev AS (SELECT event_type,
+        |   (epoch_ns(ts) // 3600000000000) % 24 AS hr, "value"
+        |  FROM events),
+        | byh AS (SELECT event_type, hr, count(*) AS ch,
+        |   sum(CAST("value" AS DECIMAL(18,4))) AS sh
+        |  FROM ev GROUP BY 1, 2),
+        | tot AS (SELECT event_type, count(*) AS n,
+        |   sum(CAST("value" AS DECIMAL(18,4))) AS s,
+        |   sum(CAST("value" AS DECIMAL(18,4))
+        |     * CAST("value" AS DECIMAL(18,4))) AS q
+        |  FROM ev GROUP BY 1),
+        | terms AS (SELECT event_type,
+        |   CAST(round(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+        |     / CAST(ch AS DOUBLE) * 1e6) AS BIGINT) AS tm
+        |  FROM byh),
+        | st AS (SELECT event_type, CAST(sum(tm) AS BIGINT) AS st,
+        |   count(*) AS n_hours FROM terms GROUP BY 1)
+        | SELECT st.event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n_hours AS BIGINT) AS n_hours,
+        |  round(((CAST(st AS DOUBLE) / 1e6)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |   / (CAST(q AS DOUBLE)
+        |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |       / CAST(n AS DOUBLE)), 6) AS eta2_hour
+        | FROM st JOIN tot ON st.event_type = tot.event_type""".stripMargin
   )
 }
