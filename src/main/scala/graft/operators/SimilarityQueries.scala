@@ -819,15 +819,20 @@ object SimilarityQueries extends QueryPack {
         .select(col("qid"), coalesce(col("r10"), lit(0L)).as("recall10"),
           col("adc_best"), col("exact_best"))
     }),
-    // Matryoshka truncation-recall curve (Kusupati et al. 2022): for
-    // 20 query vectors, overlap@10 between full-64-dim cosine top-10
-    // and FIRST-16-dims cosine top-10 — "can we serve retrieval from
-    // a 4× cheaper prefix of the embedding?" Components quantized to
+    // Two-stage retrieve-then-rerank recall audit — the production
+    // serving architecture q244's truncation ladder motivates: stage
+    // 1 retrieves top-50 candidates by the CHEAP first-16-dims
+    // cosine, stage 2 re-ranks only those 50 by the full-64-dim
+    // cosine; recall@10 against the exact full-corpus top-10 says
+    // whether the two-stage path is lossless (q244 asks "how good is
+    // the prefix alone" — this asks "does a 50-candidate prefix
+    // funnel lose anything AFTER the exact re-rank", the number that
+    // actually sizes the candidate budget). Components quantized to
     // integer micro-units so dots and norms are exact longs; the only
     // doubles are √·√ and one division, identical IEEE ops in both
     // engines, so the rank windows (query-partitioned) agree exactly.
     // One corpus scan scores both widths via conditional sums.
-    "q290_matryoshka_recall" -> ((s, d) => {
+    "q290_two_stage_recall" -> ((s, d) => {
       val flat = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).as("i"),
@@ -854,13 +859,17 @@ object SimilarityQueries extends QueryPack {
           (col("d16").cast("double")
             / (sqrt(col("n16").cast("double"))
               * sqrt(col("qn16").cast("double")))).as("c16"))
-      def top10(c: String): DataFrame = scored
+      def topBy(df: DataFrame, c: String, k: Int): DataFrame = df
         .withColumn("rk", row_number().over(Window
           .partitionBy(col("qid"))
           .orderBy(col(c).desc, col("vec_id").asc)))
-        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
-      top10("cf")
-        .join(top10("c16").withColumn("hit", lit(1L)),
+        .filter(col("rk") <= k).drop("rk")
+      val exact10 = topBy(scored, "cf", 10)
+        .select(col("qid"), col("vec_id"))
+      val twoStage10 = topBy(topBy(scored, "c16", 50), "cf", 10)
+        .select(col("qid"), col("vec_id"))
+      exact10
+        .join(twoStage10.withColumn("hit", lit(1L)),
           Seq("qid", "vec_id"), "left")
         .groupBy(col("qid"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
@@ -1690,7 +1699,7 @@ object SimilarityQueries extends QueryPack {
         | FROM etop e JOIN atop a ON a.qid = e.qid
         | LEFT JOIN hits h ON h.qid = e.qid
         | GROUP BY 1""".stripMargin,
-    "q290_matryoshka_recall" ->
+    "q290_two_stage_recall" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         | flat AS (SELECT vec_id, i,
@@ -1715,9 +1724,13 @@ object SimilarityQueries extends QueryPack {
         |   row_number() OVER (PARTITION BY qid
         |     ORDER BY cf DESC, vec_id) AS rk FROM scored)
         |  WHERE rk <= 10),
+        | cand AS (SELECT qid, vec_id, cf FROM (SELECT qid, vec_id,
+        |   cf, row_number() OVER (PARTITION BY qid
+        |     ORDER BY c16 DESC, vec_id) AS rk FROM scored)
+        |  WHERE rk <= 50),
         | t16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
         |   row_number() OVER (PARTITION BY qid
-        |     ORDER BY c16 DESC, vec_id) AS rk FROM scored)
+        |     ORDER BY cf DESC, vec_id) AS rk FROM cand)
         |  WHERE rk <= 10)
         | SELECT tf.qid,
         |  CAST(sum(CASE WHEN t16.vec_id IS NOT NULL THEN 1 ELSE 0 END)
