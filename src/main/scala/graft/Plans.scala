@@ -168,7 +168,33 @@ object Plans {
         "union-find/min-label components, seed semi-joins"),
       "q258_ivf_maintenance" -> ("incremental IVF health: three " +
         "corpus×nlist broadcast passes (Lloyd round + two " +
-        "assignments), nlist-bounded full-outer summary"))
+        "assignments), nlist-bounded full-outer summary"),
+      "q270_backoff_lm" -> ("stupid-backoff trigram LM: gram-keyed " +
+        "count joins (no corpus² anywhere), persisted bigram/unigram " +
+        "tables reused across the three tiers"),
+      "q279_source_sketch_jaccard" -> ("KMV source-pair similarity: " +
+        "K·k sketch rows fan out to K² pairs via two broadcast " +
+        "pair joins — the vocab never enters the pair join"),
+      "q285_ndcg_eval" -> ("nDCG@10 eval: posting-list partitions " +
+        "only (term-keyed windows), broadcast query terms and " +
+        "1-row corpus stats, both DCG legs off one scored frame"),
+      "q287_greedy_coverage" -> ("greedy submodular coverage: T=5 " +
+        "rounds of count-agg + bigram-keyed anti-join against the " +
+        "persisted DISTINCT bigram frame; covered set never " +
+        "collected"),
+      "q288_theil_sen" -> ("Theil-Sen trend: disjoint pairs via ONE " +
+        "shifted-id equi-join (no window, no n² cross), exact " +
+        "median of integer micro-slopes"),
+      "q289_personalized_pagerank" -> ("personalized PageRank: 3 " +
+        "unrolled integer iterations, teleport frame computed once " +
+        "and reused, per-iteration one keyed contrib shuffle"),
+      "q290_two_stage_recall" -> ("two-stage retrieval audit: one " +
+        "corpus scan scores prefix and full widths via conditional " +
+        "sums; candidate funnel and rerank are query-partitioned " +
+        "windows over ≤50 rows"),
+      "q292_kaplan_meier" -> ("Kaplan-Meier: per-user lifetime agg, " +
+        "day-grid broadcast at-risk join, ≤31-row triangle " +
+        "cumulative product in micro-nats"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
