@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Property checks for the round-9 statistical operators: the suite's
+  * oracle gate proves cross-engine equality; these prove the MATH is
+  * the advertised math on corpora where the answer is known in
+  * closed form. */
+class Round9OpsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("personalized PageRank: mass reaches only the seed's 3-hop " +
+    "neighborhood and global rank order follows hop distance") {
+    // path graph 0-1-2-3-4-5 (undirected), seed = 0, 3 iterations:
+    // teleport replenishes only vertex 0; vertex 4 is 4 hops out so
+    // after 3 iterations it must still hold rank 0, vertex 5 too.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("u", "v")
+    val seeds = Seq(0L).toDF("u")
+    val r = Graph.personalizedPageRankInt(edges, "u", "v", seeds, "u",
+        iters = 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // reachable-within-3-hops vertices hold mass (the walk oscillates
+    // along a path, so hop order, not magnitude order, is the law)
+    assert(r(0L) > 0L && r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    assert(r(4L) == 0L && r(5L) == 0L,
+      "mass cannot outrun the iteration count")
+    // teleport-only-to-seed: total mass stays bounded by scale
+    assert(r.values.sum <= 1000000000000L)
+  }
+
+  test("personalized PageRank with ALL vertices as seeds equals " +
+    "global pageRankInt") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("u", "v")
+    val allSeeds = edges.select(col("u")).distinct()
+    val ppr = Graph.personalizedPageRankInt(edges, "u", "v",
+        allSeeds, "u", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRankInt(edges, "u", "v", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr,
+      "uniform teleport must reduce to the global walk")
+  }
+
+  test("Kaplan-Meier (the q292 shape): survival is non-increasing " +
+    "and matches the closed form on a hand corpus") {
+    // 4 subjects: deaths at day 1 and 2, censored at 2 and 3.
+    // S(1) = 1 - 1/4 = 0.75; S(2) = 0.75 * (1 - 1/3) = 0.5;
+    // S(3): at risk {censor-3}, no death -> stays 0.5.
+    val life = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("dur", "died")
+    val grid = life.select(col("dur").as("t")).distinct()
+    val ar = life.join(broadcast(grid), col("dur") >= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_risk"),
+        sum(when(col("died") && col("dur") === col("t"), 1L)
+          .otherwise(0L)).as("d"))
+    val terms = ar.select(col("t"),
+      round(log(greatest(col("n_risk") - col("d"), lit(1L))
+          .cast("double") / col("n_risk").cast("double")) * 1e6)
+        .cast("long").as("lm"))
+    val s = terms.select(col("t").as("tt"))
+      .join(broadcast(terms), col("t") <= col("tt"))
+      .groupBy(col("tt")).agg(sum(col("lm")).as("cl"))
+      .select(col("tt"), round(exp(col("cl").cast("double") / 1e6), 6)
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s(1L) - 0.75) < 1e-4)
+    assert(math.abs(s(2L) - 0.5) < 1e-4)
+    assert(math.abs(s(3L) - 0.5) < 1e-4)
+    assert(s(1L) >= s(2L) && s(2L) >= s(3L))
+  }
+
+  test("greedy coverage gains are non-increasing (submodularity)") {
+    val r = operators.CurationQueries
+      .queries("q287_greedy_coverage")(spark, "/root/testdata/sf0.001")
+      .orderBy(col("step"))
+      .select(col("marginal_gain")).collect().map(_.getLong(0))
+    assert(r.length >= 2)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"gain grew: $a -> $b")
+    }
+  }
+
+  test("Theil-Sen median slope shrugs off an outlier that drags OLS") {
+    // 20 points on v = 2t (slope 2/unit) + one wild outlier.
+    val base = (0 until 20).map(i => (i.toLong, 2.0 * i))
+    val pts = (base :+ (20L, 1000.0)).toDF("t", "v")
+    val h = pts.count() / 2
+    val a = pts.select(col("t"), col("v"),
+      (col("t") + lit(h)).as("pid"))
+    val b = pts.select(col("t").as("pid"), col("v").as("v2"))
+    val slopes = a.join(b, Seq("pid"))
+      .select(((col("v2") - col("v"))
+        / (col("pid") - col("t")).cast("double")).as("s"))
+    val ts = slopes.agg(median(col("s"))).collect()(0).getDouble(0)
+    assert(math.abs(ts - 2.0) < 0.2,
+      s"median slope $ts should ignore the outlier")
+    val ols = pts.agg(
+      ((count(lit(1)) * sum(col("t") * col("v"))
+        - sum(col("t")) * sum(col("v"))).cast("double")
+        / (count(lit(1)) * sum(col("t") * col("t"))
+          - sum(col("t")) * sum(col("t"))).cast("double")).as("b"))
+      .collect()(0).getDouble(0)
+    assert(ols > 2.5, s"OLS $ols should be dragged by the outlier")
+  }
+}
