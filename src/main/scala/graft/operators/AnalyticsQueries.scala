@@ -339,6 +339,50 @@ object AnalyticsQueries extends QueryPack {
               - col("n").cast("double") * col("p"))
             / sqrt(col("n").cast("double") * col("p")
               * (lit(1.0) - col("p"))), 4).as("z_score"))
+    }),
+    // Simpson's-paradox audit (Simpson 1951): Pearson r of
+    // (discount, quantity) inside every return-flag stratum vs the
+    // pooled corpus — a sign flip between the stratum and the pool is
+    // the aggregation-reversal every per-segment dashboard must warn
+    // about before anyone trusts the pooled trend. Moments ride the
+    // q95 exact-DECIMAL discipline; each r is one fixed-order double
+    // expression over exact sums. Per-group state: five decimals.
+    "q294_simpson_audit" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_discount").cast(dec).as("x"),
+        col("l_quantity").cast(dec).as("y"))
+      def moments(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val g = if (keys.isEmpty) df.groupBy() else
+          df.groupBy(keys.map(col): _*)
+        g.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      }
+      def r(pfx: String): org.apache.spark.sql.Column =
+        round((col(s"${pfx}n").cast("double")
+            * col(s"${pfx}sxy").cast("double")
+          - col(s"${pfx}sx").cast("double")
+            * col(s"${pfx}sy").cast("double"))
+        / sqrt((col(s"${pfx}n").cast("double")
+            * col(s"${pfx}sxx").cast("double")
+          - col(s"${pfx}sx").cast("double")
+            * col(s"${pfx}sx").cast("double"))
+          * (col(s"${pfx}n").cast("double")
+              * col(s"${pfx}syy").cast("double")
+            - col(s"${pfx}sy").cast("double")
+              * col(s"${pfx}sy").cast("double"))), 6)
+      val pooled = moments(li, Nil).select(col("n").as("pn"),
+        col("sx").as("psx"), col("sy").as("psy"),
+        col("sxy").as("psxy"), col("sxx").as("psxx"),
+        col("syy").as("psyy"))
+      moments(li, Seq("l_returnflag")).crossJoin(broadcast(pooled))
+        .select(col("l_returnflag"), col("n"),
+          r("").as("r_group"), r("p").as("r_pooled"))
+        .select(col("l_returnflag"), col("n"), col("r_group"),
+          col("r_pooled"),
+          (col("r_group") * col("r_pooled") < 0.0).as("sign_reversed"))
     })
   )
 
@@ -562,6 +606,35 @@ object AnalyticsQueries extends QueryPack {
         |  round(CAST(n AS DOUBLE) * p, 4) AS expected,
         |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
         |    / sqrt(CAST(n AS DOUBLE) * p * (1.0 - p)), 4) AS z_score
-        | FROM p""".stripMargin
+        | FROM p""".stripMargin,
+    "q294_simpson_audit" ->
+      """WITH li AS (SELECT l_returnflag,
+        |   CAST(l_discount AS DECIMAL(18,4)) AS x,
+        |   CAST(l_quantity AS DECIMAL(18,4)) AS y FROM lineitem),
+        | g AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx,
+        |   sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |   sum(y * y) AS syy FROM li GROUP BY 1),
+        | p AS (SELECT count(*) AS pn, sum(x) AS psx, sum(y) AS psy,
+        |   sum(x * y) AS psxy, sum(x * x) AS psxx,
+        |   sum(y * y) AS psyy FROM li),
+        | rr AS (SELECT g.l_returnflag, g.n,
+        |   round((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+        |     - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+        |    / sqrt((CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+        |      - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+        |     * (CAST(g.n AS DOUBLE) * CAST(g.syy AS DOUBLE)
+        |      - CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE))), 6)
+        |    AS r_group,
+        |   round((CAST(p.pn AS DOUBLE) * CAST(p.psxy AS DOUBLE)
+        |     - CAST(p.psx AS DOUBLE) * CAST(p.psy AS DOUBLE))
+        |    / sqrt((CAST(p.pn AS DOUBLE) * CAST(p.psxx AS DOUBLE)
+        |      - CAST(p.psx AS DOUBLE) * CAST(p.psx AS DOUBLE))
+        |     * (CAST(p.pn AS DOUBLE) * CAST(p.psyy AS DOUBLE)
+        |      - CAST(p.psy AS DOUBLE) * CAST(p.psy AS DOUBLE))), 6)
+        |    AS r_pooled
+        |  FROM g CROSS JOIN p)
+        | SELECT l_returnflag, CAST(n AS BIGINT) AS n, r_group,
+        |  r_pooled, r_group * r_pooled < 0.0 AS sign_reversed
+        | FROM rr""".stripMargin
   )
 }

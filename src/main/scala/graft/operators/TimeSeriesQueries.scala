@@ -359,6 +359,119 @@ object TimeSeriesQueries extends QueryPack {
             / (col("q").cast("double")
               - col("s").cast("double") * col("s").cast("double")
                 / col("n").cast("double")), 6).as("eta2_hour"))
+    }),
+    // 10%-trimmed mean per event_type (the robust-location companion
+    // to q283's MAD spread): exact interpolated P10/P90 thresholds
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, the q166-edges
+    // contract) broadcast back, mean of the kept middle from exact
+    // DECIMAL sums. Two passes over the value column, thresholds are
+    // 2 doubles per group.
+    "q295_trimmed_mean" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"))
+      val th = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.1)).as("t10"),
+          percentile(col("value"), lit(0.9)).as("t90"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("s"))
+      ev.join(broadcast(th), Seq("event_type"))
+        .filter(col("value") >= col("t10")
+          && col("value") <= col("t90"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+          round(max(col("s")).cast("double")
+            / max(col("n")).cast("double"), 6).as("raw_mean"),
+          round(sum(col("value").cast(dec)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+    }),
+    // Fano factor / index of dispersion per event_type (var/mean of
+    // per-hour arrival counts over the DENSE hour grid, empty hours
+    // included — the Poisson-ness gauge: F≈1 memoryless arrivals,
+    // F≫1 bursty, F≪1 regular). The grid is an exact integer
+    // hour-index sequence exploded per type (span-bounded, never
+    // per-event); counts/sums are all integers so variance is exact
+    // until the final division.
+    "q296_fano_dispersion" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        call_function("div", col("ts"), lit(3600000000000L)).as("hb"))
+      val span = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val counts = ev.groupBy(col("event_type"), col("hb"))
+        .agg(count(lit(1)).as("c"))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hb"))
+      grid.join(counts, Seq("event_type", "hb"), "left")
+        .select(col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k_bins"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .select(col("event_type"), col("k_bins"),
+          round(col("sc").cast("double")
+            / col("k_bins").cast("double"), 6).as("mean_per_bin"),
+          round(((col("sc2").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double")
+                / col("k_bins").cast("double"))
+            / (col("k_bins") - 1L).cast("double"))
+            / (col("sc").cast("double")
+              / col("k_bins").cast("double")), 6).as("fano"))
+    }),
+    // Offline changepoint by binary segmentation, one split (the
+    // argmax-SSE-gain complement to q137's online CUSUM alarm): daily
+    // mean value per event_type in integer micro-units, then the
+    // split day minimizing SSE_left+SSE_right via prefix sums over
+    // the ≤span-days grid (a broadcast triangle join, never a
+    // per-event window). Gain = SSE_total − best split cost; the
+    // argmin tie-breaks on the earliest day. Candidate costs are
+    // micro-rounded longs so the argmin is integer-exact.
+    "q297_changepoint" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          call_function("div", col("ts"), lit(86400000000000L))
+            .as("db"), col("value"))
+        .groupBy(col("event_type"), col("db"))
+        .agg(round(sum(col("value").cast(dec)).cast("double")
+            / count(lit(1)).cast("double") * 1e6).cast("long")
+          .as("mu"))
+      val idx = daily.withColumn("i", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("db"))))
+      val tot = idx.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("mu")).as("st"),
+          sum(col("mu") * col("mu")).as("qt"))
+      val pre = idx.select(col("event_type"), col("i").as("j"),
+          col("mu"))
+        .join(idx.select(col("event_type"), col("i"), col("db")),
+          Seq("event_type"))
+        .filter(col("j") <= col("i"))
+        .groupBy(col("event_type"), col("i"), col("db"))
+        .agg(sum(col("mu")).as("sl"), sum(col("mu") * col("mu"))
+          .as("ql"))
+      val costs = pre.join(broadcast(tot), Seq("event_type"))
+        .filter(col("i") >= 2L && col("i") < col("nd"))
+        .select(col("event_type"), col("db"), col("nd"),
+          round(((col("ql").cast("double")
+              - col("sl").cast("double") * col("sl").cast("double")
+                / col("i").cast("double"))
+            + ((col("qt") - col("ql")).cast("double")
+              - (col("st") - col("sl")).cast("double")
+                * (col("st") - col("sl")).cast("double")
+                / (col("nd") - col("i")).cast("double"))) / 1e6)
+            .cast("long").as("cost"),
+          round((col("qt").cast("double")
+            - col("st").cast("double") * col("st").cast("double")
+              / col("nd").cast("double")) / 1e6).cast("long")
+            .as("sse_total"))
+      costs.withColumn("rk", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("cost").asc, col("db").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("nd").as("n_days"),
+          col("db").as("split_day"),
+          round((col("sse_total") - col("cost")).cast("double") / 1e6,
+            4).as("sse_gain_musq"))
     })
   )
 
@@ -589,6 +702,94 @@ object TimeSeriesQueries extends QueryPack {
         |   / (CAST(q AS DOUBLE)
         |     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |       / CAST(n AS DOUBLE)), 6) AS eta2_hour
-        | FROM st JOIN tot ON st.event_type = tot.event_type""".stripMargin
+        | FROM st JOIN tot ON st.event_type = tot.event_type""".stripMargin,
+    "q295_trimmed_mean" ->
+      """WITH th AS (SELECT event_type,
+        |   quantile_cont("value", 0.1) AS t10,
+        |   quantile_cont("value", 0.9) AS t90,
+        |   count(*) AS n,
+        |   sum(CAST("value" AS DECIMAL(18,4))) AS s
+        |  FROM events GROUP BY 1)
+        | SELECT e.event_type, CAST(max(th.n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(CAST(max(th.s) AS DOUBLE)
+        |    / CAST(max(th.n) AS DOUBLE), 6) AS raw_mean,
+        |  round(CAST(sum(CAST(e."value" AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS trimmed_mean
+        | FROM events e JOIN th ON e.event_type = th.event_type
+        | WHERE e."value" >= th.t10 AND e."value" <= th.t90
+        | GROUP BY 1""".stripMargin,
+    "q296_fano_dispersion" ->
+      """WITH ev AS (SELECT event_type,
+        |   epoch_ns(ts) // 3600000000000 AS hb FROM events),
+        | span AS (SELECT min(hb) AS lo, max(hb) AS hi FROM ev),
+        | cnt AS (SELECT event_type, hb, count(*) AS c
+        |  FROM ev GROUP BY 1, 2),
+        | grid AS (SELECT t.event_type, g.hb
+        |  FROM (SELECT DISTINCT event_type FROM cnt) t,
+        |   (SELECT unnest(generate_series(lo, hi)) AS hb
+        |    FROM span) g),
+        | filled AS (SELECT grid.event_type,
+        |   coalesce(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt
+        |   ON grid.event_type = cnt.event_type
+        |    AND grid.hb = cnt.hb),
+        | a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_bins,
+        |   CAST(sum(c) AS BIGINT) AS sc,
+        |   CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM filled GROUP BY 1)
+        | SELECT event_type, k_bins,
+        |  round(CAST(sc AS DOUBLE) / CAST(k_bins AS DOUBLE), 6)
+        |   AS mean_per_bin,
+        |  round(((CAST(sc2 AS DOUBLE)
+        |     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |       / CAST(k_bins AS DOUBLE))
+        |    / CAST(k_bins - 1 AS DOUBLE))
+        |   / (CAST(sc AS DOUBLE) / CAST(k_bins AS DOUBLE)), 6)
+        |   AS fano
+        | FROM a""".stripMargin,
+    "q297_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |   epoch_ns(ts) // 86400000000000 AS db,
+        |   CAST(round(CAST(sum(CAST("value" AS DECIMAL(18,4)))
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS mu
+        |  FROM events GROUP BY 1, 2),
+        | idx AS (SELECT event_type, db, mu,
+        |   CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY db) AS BIGINT) AS i FROM daily),
+        | tot AS (SELECT event_type, count(*) AS nd,
+        |   CAST(sum(mu) AS BIGINT) AS st,
+        |   CAST(sum(mu * mu) AS BIGINT) AS qt
+        |  FROM idx GROUP BY 1),
+        | pre AS (SELECT a.event_type, a.i, a.db,
+        |   CAST(sum(b.mu) AS BIGINT) AS sl,
+        |   CAST(sum(b.mu * b.mu) AS BIGINT) AS ql
+        |  FROM idx a JOIN idx b
+        |   ON a.event_type = b.event_type AND b.i <= a.i
+        |  GROUP BY 1, 2, 3),
+        | costs AS (SELECT p.event_type, p.db, t.nd,
+        |   CAST(round(((CAST(ql AS DOUBLE)
+        |      - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+        |        / CAST(p.i AS DOUBLE))
+        |     + (CAST(t.qt - ql AS DOUBLE)
+        |       - CAST(t.st - sl AS DOUBLE)
+        |         * CAST(t.st - sl AS DOUBLE)
+        |         / CAST(t.nd - p.i AS DOUBLE))) / 1e6) AS BIGINT)
+        |    AS cost,
+        |   CAST(round((CAST(t.qt AS DOUBLE)
+        |     - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+        |       / CAST(t.nd AS DOUBLE)) / 1e6) AS BIGINT)
+        |    AS sse_total
+        |  FROM pre p JOIN tot t ON p.event_type = t.event_type
+        |  WHERE p.i >= 2 AND p.i < t.nd),
+        | best AS (SELECT event_type, nd, db, cost, sse_total,
+        |   row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cost, db) AS rk FROM costs)
+        | SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+        |  db AS split_day,
+        |  round(CAST(sse_total - cost AS DOUBLE) / 1e6, 4)
+        |   AS sse_gain_musq
+        | FROM best WHERE rk = 1""".stripMargin
   )
 }
