@@ -383,6 +383,50 @@ object AnalyticsQueries extends QueryPack {
         .select(col("l_returnflag"), col("n"), col("r_group"),
           col("r_pooled"),
           (col("r_group") * col("r_pooled") < 0.0).as("sign_reversed"))
+    }),
+    // Arbitrary GROUPING SETS (the general form behind q91's ROLLUP /
+    // q92's CUBE): per-flag, per-status, the cross, and the grand
+    // total in ONE pass — Catalyst expands the sets into a single
+    // Expand + aggregate, so the fact table is scanned once, not four
+    // times. The set id is derived from the NULLed-out keys with a
+    // CASE (both key columns are non-null in the data), so the oracle
+    // needs no engine-specific grouping_id() function.
+    "q298_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        | CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |  + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+        |  AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |  AS BIGINT) AS qty_cents
+        | FROM lineitem_gs
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())""".stripMargin)
+    }),
+    // Rolling 24-hour windowed sum per user via a RANGE (event-time
+    // interval) frame — the time-based frame q93's ROWS-based running
+    // totals can't express: each event sums everything in
+    // [ts−24h, ts] regardless of row count. The frame rides the exact
+    // ns-long stamp (never a float time axis); values accumulate in
+    // integer cents so the in-frame sum is exact; the window is
+    // user-partitioned. Reported per user: events, peak rolling sum
+    // and its stamp (earliest on ties).
+    "q299_rolling_range_window" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-86400000000000L, Window.currentRow)
+      val rolled = ev.withColumn("roll", sum(col("cents")).over(w))
+      val peak = rolled.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("roll")).as("peak_cents"))
+      rolled.join(peak, Seq("user_id"))
+        .filter(col("roll") === col("peak_cents"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("peak_cents")).as("peak_cents"),
+          min(col("ts")).as("peak_ts"))
     })
   )
 
@@ -635,6 +679,35 @@ object AnalyticsQueries extends QueryPack {
         |  FROM g CROSS JOIN p)
         | SELECT l_returnflag, CAST(n AS BIGINT) AS n, r_group,
         |  r_pooled, r_group * r_pooled < 0.0 AS sign_reversed
-        | FROM rr""".stripMargin
+        | FROM rr""".stripMargin,
+    "q298_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |  + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+        |  AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |  AS BIGINT) AS qty_cents
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())""".stripMargin,
+    "q299_rolling_range_window" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS t,
+        |   CAST(round("value" * 100.0) AS BIGINT) AS cents
+        |  FROM events),
+        | rolled AS (SELECT user_id, t,
+        |   CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS roll
+        |  FROM ev),
+        | peak AS (SELECT user_id, count(*) AS n_events,
+        |   max(roll) AS peak_cents FROM rolled GROUP BY 1)
+        | SELECT r.user_id, CAST(max(p.n_events) AS BIGINT)
+        |   AS n_events,
+        |  CAST(max(p.peak_cents) AS BIGINT) AS peak_cents,
+        |  CAST(min(r.t) AS BIGINT) AS peak_ts
+        | FROM rolled r JOIN peak p ON r.user_id = p.user_id
+        | WHERE r.roll = p.peak_cents
+        | GROUP BY 1""".stripMargin
   )
 }
