@@ -876,6 +876,81 @@ object SimilarityQueries extends QueryPack {
         .select(col("qid"), col("n_common"),
           round(col("n_common").cast("double") / 10.0, 2)
             .as("recall_at_10"))
+    }),
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998,
+    // λ=0.7): greedily pick 5 of the query's top-20 cosine
+    // candidates maximizing λ·rel − (1−λ)·max-sim-to-selected — the
+    // result-diversification step between retrieval (q46/q290) and
+    // presentation, and the per-query cousin of q216's corpus-level
+    // k-center. Relevances and candidate-pair sims are micro-integer
+    // cosines computed DISTRIBUTED (one broadcast-candidate join,
+    // never corpus²); only the budget-bounded 20-row/380-pair
+    // integer tables reach the driver, where the greedy runs in pure
+    // long arithmetic (scores kept ×10 so λ needs no division) — the
+    // argmax is integer-exact, ties break on vec_id, and the oracle
+    // replays the identical five steps.
+    "q300_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("col").cast("double") * 1e6).cast("long").as("xm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val norms = flat.groupBy(col("vec_id"))
+        .agg(sum(col("xm") * col("xm")).as("nrm"))
+      val qv = flat.filter(col("vec_id") === 0L)
+        .select(col("i"), col("xm").as("qm"))
+      val qn = norms.filter(col("vec_id") === 0L)
+        .select(col("nrm").as("qn"))
+      val cand = flat.filter(col("vec_id") =!= 0L)
+        .join(broadcast(qv), Seq("i"))
+        .groupBy(col("vec_id")).agg(sum(col("xm") * col("qm"))
+          .as("dot"))
+        .join(norms, Seq("vec_id")).crossJoin(broadcast(qn))
+        .select(col("vec_id"),
+          round(col("dot").cast("double")
+            / (sqrt(col("nrm").cast("double"))
+              * sqrt(col("qn").cast("double"))) * 1e6).cast("long")
+            .as("cq"))
+        .orderBy(col("cq").desc, col("vec_id").asc).limit(20)
+      val cf = flat.join(broadcast(cand.select(col("vec_id"))),
+        Seq("vec_id"))
+      val sims = cf.select(col("vec_id").as("iv"), col("i"),
+          col("xm").as("xa"))
+        .join(cf.select(col("vec_id").as("jv"), col("i"),
+          col("xm").as("xb")), Seq("i"))
+        .filter(col("iv") =!= col("jv"))
+        .groupBy(col("iv"), col("jv"))
+        .agg(sum(col("xa") * col("xb")).as("dot"))
+        .join(broadcast(norms.select(col("vec_id").as("iv"),
+          col("nrm").as("na"))), Seq("iv"))
+        .join(broadcast(norms.select(col("vec_id").as("jv"),
+          col("nrm").as("nb"))), Seq("jv"))
+        .select(col("iv"), col("jv"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na").cast("double"))
+              * sqrt(col("nb").cast("double"))) * 1e6).cast("long")
+            .as("sim"))
+      val candArr = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val simMap = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      flat.unpersist()
+      var remaining = candArr.toVector
+      var selected = Vector.empty[(Long, Long, Long, Long)]
+      for (step <- 1 to 5) {
+        val best = remaining.map { case (v, cqv) =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(sl => simMap.getOrElse((v, sl._2), 0L)).max
+          (v, cqv, 7L * cqv - 3L * ms)
+        }.minBy { case (v, _, sc) => (-sc, v) }
+        selected :+= ((step.toLong, best._1, best._2, best._3))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected.toDF("step", "vec_id", "cq", "sc")
+        .select(col("step"), col("vec_id"),
+          round(col("cq").cast("double") / 1e6, 6).as("relevance"),
+          round(col("sc").cast("double") / 1e7, 6).as("mmr_score"))
     })
   )
 
@@ -1739,6 +1814,62 @@ object SimilarityQueries extends QueryPack {
         |     THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 2) AS recall_at_10
         | FROM tf LEFT JOIN t16
         |  ON tf.qid = t16.qid AND tf.vec_id = t16.vec_id
-        | GROUP BY 1""".stripMargin
+        | GROUP BY 1""".stripMargin,
+    "q300_mmr_rerank" -> {
+      val steps = (2 to 5).map { k =>
+        val sel = (1 until k).map(j => s"SELECT vec_id FROM p$j")
+          .mkString(" UNION ALL ")
+        s"""r$k AS (SELECT c.vec_id, c.cq, max(s.sim) AS ms
+           |  FROM cand c JOIN simc s ON s.iv = c.vec_id
+           |   AND s.jv IN ($sel)
+           |  WHERE c.vec_id NOT IN ($sel) GROUP BY 1, 2),
+           | p$k AS (SELECT vec_id, cq, 7 * cq - 3 * ms AS sc
+           |  FROM r$k ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n ")
+      val out = (1 to 5).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, vec_id,
+           | round(CAST(cq AS DOUBLE) / 1e6, 6) AS relevance,
+           | round(CAST(sc AS DOUBLE) / 1e7, 6) AS mmr_score
+           | FROM p$k""".stripMargin).mkString("\n UNION ALL\n ")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | flat AS (SELECT vec_id, i,
+        |   CAST(round(v[i] * 1e6) AS BIGINT) AS xm
+        |  FROM base, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | norms AS (SELECT vec_id, sum(xm * xm) AS nrm
+        |  FROM flat GROUP BY 1),
+        | dots AS (SELECT f.vec_id, sum(f.xm * q.xm) AS dot
+        |  FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id = 0
+        |  WHERE f.vec_id <> 0 GROUP BY 1),
+        | cqt AS (SELECT d.vec_id,
+        |   CAST(round(CAST(dot AS DOUBLE)
+        |     / (sqrt(CAST(n.nrm AS DOUBLE))
+        |       * sqrt(CAST(qn.nrm AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS cq
+        |  FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        |   JOIN norms qn ON qn.vec_id = 0),
+        | cand AS (SELECT vec_id, cq FROM cqt
+        |  ORDER BY cq DESC, vec_id LIMIT 20),
+        | simd AS (SELECT fa.vec_id AS iv, fb.vec_id AS jv,
+        |   sum(fa.xm * fb.xm) AS dot
+        |  FROM flat fa JOIN flat fb
+        |   ON fa.i = fb.i AND fa.vec_id <> fb.vec_id
+        |  WHERE fa.vec_id IN (SELECT vec_id FROM cand)
+        |   AND fb.vec_id IN (SELECT vec_id FROM cand)
+        |  GROUP BY 1, 2),
+        | simc AS (SELECT s.iv, s.jv,
+        |   CAST(round(CAST(dot AS DOUBLE)
+        |     / (sqrt(CAST(na.nrm AS DOUBLE))
+        |       * sqrt(CAST(nb.nrm AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS sim
+        |  FROM simd s JOIN norms na ON s.iv = na.vec_id
+        |   JOIN norms nb ON s.jv = nb.vec_id),
+        | r1 AS (SELECT vec_id, cq, CAST(0 AS BIGINT) AS ms
+        |  FROM cand),
+        | p1 AS (SELECT vec_id, cq, 7 * cq - 3 * ms AS sc
+        |  FROM r1 ORDER BY sc DESC, vec_id LIMIT 1),
+        | $steps
+        | $out""".stripMargin
+    }
   )
 }
