@@ -427,6 +427,41 @@ object AnalyticsQueries extends QueryPack {
         .agg(max(col("n_events")).as("n_events"),
           max(col("peak_cents")).as("peak_cents"),
           min(col("ts")).as("peak_ts"))
+    }),
+    // Market-basket association rules (Agrawal & Srikant 1994
+    // support/confidence/lift): part pairs co-purchased in the same
+    // order, support ≥ 3 baskets, ranked by lift = N·c_xy/(c_x·c_y) —
+    // the data-mining classic the co-occurrence machinery (q70)
+    // counts but never scores. Baskets are ≤7 items so the in-basket
+    // pair fan-out is bounded (≤21 per order, the q70 shape, no
+    // self-join of the fact table at scale beyond the basket-keyed
+    // equi-join); lift is micro-rounded for an integer-exact top-20.
+    "q301_basket_rules" -> ((s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val n = bi.select(col("o")).distinct().agg(count(lit(1)).as("n"))
+      val cx = bi.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = bi.select(col("o"), col("p").as("x"))
+        .join(bi.select(col("o"), col("p").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 3L)
+      pairs
+        .join(cx.select(col("p").as("x"), col("c").as("cx")), Seq("x"))
+        .join(cx.select(col("p").as("y"), col("c").as("cy")), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+          round(col("n").cast("double") * col("cxy")
+            / (col("cx") * col("cy")).cast("double") * 1e6)
+            .cast("long").as("lm"))
+        .orderBy(col("lm").desc, col("x").asc, col("y").asc)
+        .limit(20)
+        .select(col("x").as("part_x"), col("y").as("part_y"),
+          col("cxy").as("support"),
+          round(col("cxy").cast("double") / col("cx").cast("double"),
+            6).as("confidence_xy"),
+          round(col("lm").cast("double") / 1e6, 6).as("lift"))
     })
   )
 
@@ -708,6 +743,27 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(min(r.t) AS BIGINT) AS peak_ts
         | FROM rolled r JOIN peak p ON r.user_id = p.user_id
         | WHERE r.roll = p.peak_cents
-        | GROUP BY 1""".stripMargin
+        | GROUP BY 1""".stripMargin,
+    "q301_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o,
+        |   l_partkey AS p FROM lineitem),
+        | n AS (SELECT count(DISTINCT o) AS n FROM bi),
+        | cx AS (SELECT p, count(*) AS c FROM bi GROUP BY 1),
+        | pairs AS (SELECT a.p AS x, b.p AS y, count(*) AS cxy
+        |  FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        | top AS (SELECT pairs.x, pairs.y, cxy, gx.c AS cx,
+        |   gy.c AS cy,
+        |   CAST(round(CAST(n.n AS DOUBLE) * cxy
+        |     / CAST(gx.c * gy.c AS DOUBLE) * 1e6) AS BIGINT) AS lm
+        |  FROM pairs JOIN cx gx ON pairs.x = gx.p
+        |   JOIN cx gy ON pairs.y = gy.p CROSS JOIN n
+        |  ORDER BY lm DESC, pairs.x, pairs.y LIMIT 20)
+        | SELECT x AS part_x, y AS part_y,
+        |  CAST(cxy AS BIGINT) AS support,
+        |  round(CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE), 6)
+        |   AS confidence_xy,
+        |  round(CAST(lm AS DOUBLE) / 1e6, 6) AS lift
+        | FROM top""".stripMargin
   )
 }

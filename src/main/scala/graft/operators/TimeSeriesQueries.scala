@@ -472,6 +472,58 @@ object TimeSeriesQueries extends QueryPack {
           col("db").as("split_day"),
           round((col("sse_total") - col("cost")).cast("double") / 1e6,
             4).as("sse_gain_musq"))
+    }),
+    // Forecast-baseline evaluation: pinball loss at τ=0.9 and sMAPE
+    // for the two baselines every real forecast must beat — naive
+    // (yesterday's daily mean) and seasonal-naive (same weekday last
+    // week) — the metric harness a forecasting engine ships before
+    // any model. Daily means in integer micro-units; pinball terms
+    // stay ×10-scaled integers (max(9e, −e), no division per row);
+    // sMAPE terms are one guarded division per DAY (values positive
+    // ⇒ denominator > 0), micro-rounded. Self-joins land on the
+    // ≤span-days grid, never on events.
+    "q302_forecast_eval" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          call_function("div", col("ts"), lit(86400000000000L))
+            .as("db"), col("value"))
+        .groupBy(col("event_type"), col("db"))
+        .agg(round(sum(col("value").cast(dec)).cast("double")
+            / count(lit(1)).cast("double") * 1e6).cast("long")
+          .as("mu"))
+      val withF = daily
+        .join(daily.select(col("event_type"), (col("db") + 1L)
+          .as("db"), col("mu").as("f1")), Seq("event_type", "db"))
+        .join(daily.select(col("event_type"), (col("db") + 7L)
+          .as("db"), col("mu").as("f7")), Seq("event_type", "db"))
+      withF.select(col("event_type"),
+          (col("mu") - col("f1")).as("e1"),
+          (col("mu") - col("f7")).as("e7"),
+          col("mu"), col("f1"), col("f7"))
+        .select(col("event_type"),
+          greatest(col("e1") * 9L, -col("e1")).as("pb1"),
+          greatest(col("e7") * 9L, -col("e7")).as("pb7"),
+          round(abs(col("e1")).cast("double") * 2e6
+            / (abs(col("mu")) + abs(col("f1"))).cast("double"))
+            .cast("long").as("sm1"),
+          round(abs(col("e7")).cast("double") * 2e6
+            / (abs(col("mu")) + abs(col("f7"))).cast("double"))
+            .cast("long").as("sm7"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("pb1")).cast("double")
+            / count(lit(1)).cast("double") / 1e7, 6)
+            .as("pinball90_naive"),
+          round(sum(col("pb7")).cast("double")
+            / count(lit(1)).cast("double") / 1e7, 6)
+            .as("pinball90_snaive"),
+          round(sum(col("sm1")).cast("double")
+            / count(lit(1)).cast("double") / 1e6, 6)
+            .as("smape_naive"),
+          round(sum(col("sm7")).cast("double")
+            / count(lit(1)).cast("double") / 1e6, 6)
+            .as("smape_snaive"))
     })
   )
 
@@ -790,6 +842,38 @@ object TimeSeriesQueries extends QueryPack {
         |  db AS split_day,
         |  round(CAST(sse_total - cost AS DOUBLE) / 1e6, 4)
         |   AS sse_gain_musq
-        | FROM best WHERE rk = 1""".stripMargin
+        | FROM best WHERE rk = 1""".stripMargin,
+    "q302_forecast_eval" ->
+      """WITH daily AS (SELECT event_type,
+        |   epoch_ns(ts) // 86400000000000 AS db,
+        |   CAST(round(CAST(sum(CAST("value" AS DECIMAL(18,4)))
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS mu
+        |  FROM events GROUP BY 1, 2),
+        | wf AS (SELECT a.event_type, a.mu - b.mu AS e1,
+        |   a.mu - c.mu AS e7, a.mu, b.mu AS f1, c.mu AS f7
+        |  FROM daily a
+        |   JOIN daily b ON a.event_type = b.event_type
+        |    AND a.db = b.db + 1
+        |   JOIN daily c ON a.event_type = c.event_type
+        |    AND a.db = c.db + 7),
+        | t AS (SELECT event_type,
+        |   greatest(e1 * 9, -e1) AS pb1,
+        |   greatest(e7 * 9, -e7) AS pb7,
+        |   CAST(round(CAST(abs(e1) AS DOUBLE) * 2e6
+        |     / CAST(abs(mu) + abs(f1) AS DOUBLE)) AS BIGINT) AS sm1,
+        |   CAST(round(CAST(abs(e7) AS DOUBLE) * 2e6
+        |     / CAST(abs(mu) + abs(f7) AS DOUBLE)) AS BIGINT) AS sm7
+        |  FROM wf)
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(sum(pb1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e7, 6) AS pinball90_naive,
+        |  round(CAST(sum(pb7) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e7, 6) AS pinball90_snaive,
+        |  round(CAST(sum(sm1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS smape_naive,
+        |  round(CAST(sum(sm7) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS smape_snaive
+        | FROM t GROUP BY 1""".stripMargin
   )
 }
