@@ -427,6 +427,47 @@ object DedupQueries extends QueryPack {
       Dedup.nearDupClusters(
         Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
           shingleN = 3, k = 32, bands = 16, tau = 0.5))),
+    // Cluster-aware train/eval split (the leakage-free folding
+    // WMT/FineWeb-style pipelines require): fold by KNUTH-HASHED
+    // near-dup CLUSTER id, never by doc id, so near-duplicates can
+    // never straddle a split — with the leakage audit run BOTH ways:
+    // cluster folding must show 0 cross-fold near-dup pairs by
+    // construction, while the naive doc-id folding of the same corpus
+    // shows the positive leak count that motivates the operator
+    // (q223's stratified k-fold balances sizes; this one guarantees
+    // independence). Singleton docs are their own cluster.
+    "q304_cluster_split" -> ((s, d) => {
+      val cor = corpus(s, d)
+      val pairs = Dedup.minhashNearDupPairs(cor, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clusters = Dedup.nearDupClusters(pairs)
+      val M = 1000000007L
+      def knuth(c: org.apache.spark.sql.Column) =
+        pmod(pmod(c * lit(2654435761L), lit(M)), lit(5L))
+      val folded = cor.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        .select(col("doc_id"), col("cid"), knuth(col("cid")).as("fold"),
+          knuth(col("doc_id")).as("fold_naive"))
+      val leak = pairs
+        .join(folded.select(col("doc_id").as("doc_a"),
+          col("fold").as("fa"), col("fold_naive").as("na")),
+          Seq("doc_a"))
+        .join(folded.select(col("doc_id").as("doc_b"),
+          col("fold").as("fb"), col("fold_naive").as("nb")),
+          Seq("doc_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L))
+            .as("leak_cluster_split"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+            .as("leak_naive_split"))
+      folded.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cid")).as("n_clusters"))
+        .crossJoin(broadcast(leak))
+    }),
     // Embedding near-dups: hyperplane-LSH buckets + exact cosine ≥ 0.99.
     // Derived corpus: one element of each even-id vector scaled ×1.2.
     "q45_dedup_embedding" -> ((s, d) => {
@@ -1040,6 +1081,52 @@ object DedupQueries extends QueryPack {
         |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v)
         | SELECT v AS doc_id, min(r) AS cluster_id
         | FROM walk GROUP BY v""".stripMargin,
+    "q304_cluster_split" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM corpus),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh
+        |  GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |   count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs0 AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5),
+        | edges AS (SELECT da AS a, db AS b FROM pairs0
+        |  UNION SELECT db, da FROM pairs0),
+        | walk(v, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.v),
+        | clus AS (SELECT v AS doc_id, min(r) AS cluster_id
+        |  FROM walk GROUP BY v),
+        | ff AS (SELECT c.doc_id,
+        |   coalesce(cl.cluster_id, c.doc_id) AS cid,
+        |   ((coalesce(cl.cluster_id, c.doc_id) * 2654435761)
+        |     % 1000000007) % 5 AS fold,
+        |   ((c.doc_id * 2654435761) % 1000000007) % 5 AS fold_naive
+        |  FROM corpus c LEFT JOIN clus cl ON c.doc_id = cl.doc_id),
+        | leak AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+        |   CAST(sum(CASE WHEN a.fold <> b.fold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS leak_cluster_split,
+        |   CAST(sum(CASE WHEN a.fold_naive <> b.fold_naive
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS leak_naive_split
+        |  FROM pairs0 p JOIN ff a ON p.da = a.doc_id
+        |   JOIN ff b ON p.db = b.doc_id)
+        | SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+        |  max(n_dup_pairs) AS n_dup_pairs,
+        |  max(leak_cluster_split) AS leak_cluster_split,
+        |  max(leak_naive_split) AS leak_naive_split
+        | FROM ff CROSS JOIN leak GROUP BY 1""".stripMargin,
     "q45_dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

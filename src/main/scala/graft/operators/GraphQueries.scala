@@ -225,6 +225,41 @@ object GraphQueries extends QueryPack {
       Graph.personalizedPageRankInt(e, "u", "v", seeds, "u", iters = 3)
         .orderBy(col("rank").desc, col("v").asc).limit(30)
         .select(col("v").as("suppkey"), col("rank"))
+    }),
+    // Hub-removal robustness (Albert/Jeong/Barabási 2000: scale-free
+    // graphs shatter under targeted hub attack): giant-component size
+    // before vs after deleting the top-5 degree hubs from the
+    // supplier co-occurrence graph — the "does one crawl hub hold the
+    // whole dedup graph together" audit. Two CC runs (per-round
+    // lineage cuts, q196's graph), hub pick is a TakeOrdered-5;
+    // deletion is two anti-joins, never a rebuild.
+    "q303_hub_robustness" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 10L)
+      val e = co.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val hubs = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u").asc).limit(5)
+        .select(col("u"))
+      def giant(edges: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        Graph.connectedComponents(edges, "u", "v")
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_comps"), max(col("sz")).as("giant"))
+      val e2 = e.join(broadcast(hubs), Seq("u"), "left_anti")
+        .join(broadcast(hubs.select(col("u").as("v"))), Seq("v"),
+          "left_anti")
+      giant(e).select(col("n_comps").as("comps_before"),
+          col("giant").as("giant_before"))
+        .crossJoin(giant(e2).select(col("n_comps").as("comps_after"),
+          col("giant").as("giant_after")))
+        .select(col("comps_before"), col("giant_before"),
+          col("comps_after"), col("giant_after"),
+          round((col("giant_before") - col("giant_after"))
+            .cast("double") / col("giant_before").cast("double"), 6)
+            .as("giant_drop_frac"))
     })
   )
 
@@ -450,6 +485,37 @@ object GraphQueries extends QueryPack {
         | $iter
         | SELECT v AS suppkey, CAST(rank AS BIGINT) AS rank
         | FROM i3 ORDER BY rank DESC, v LIMIT 30""".stripMargin
-    }
+    },
+    "q303_hub_robustness" ->
+      """WITH RECURSIVE co AS MATERIALIZED (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | g AS MATERIALIZED (SELECT u, v FROM co
+        |  UNION ALL SELECT v, u FROM co),
+        | hubs AS MATERIALIZED (SELECT u FROM (
+        |  SELECT u, count(*) AS deg FROM g GROUP BY 1
+        |  ORDER BY deg DESC, u LIMIT 5)),
+        | g2 AS MATERIALIZED (SELECT u, v FROM g
+        |  WHERE u NOT IN (SELECT u FROM hubs)
+        |   AND v NOT IN (SELECT u FROM hubs)),
+        | wb(v, r) AS (SELECT u, u FROM g
+        |  UNION SELECT e.v, w.r FROM wb w JOIN g e ON e.u = w.v),
+        | cb AS (SELECT v, min(r) AS comp FROM wb GROUP BY 1),
+        | sb AS (SELECT comp, count(*) AS sz FROM cb GROUP BY 1),
+        | bb AS (SELECT CAST(count(*) AS BIGINT) AS comps_before,
+        |  CAST(max(sz) AS BIGINT) AS giant_before FROM sb),
+        | wa(v, r) AS (SELECT u, u FROM g2
+        |  UNION SELECT e.v, w.r FROM wa w JOIN g2 e ON e.u = w.v),
+        | ca AS (SELECT v, min(r) AS comp FROM wa GROUP BY 1),
+        | sa AS (SELECT comp, count(*) AS sz FROM ca GROUP BY 1),
+        | ba AS (SELECT CAST(count(*) AS BIGINT) AS comps_after,
+        |  CAST(max(sz) AS BIGINT) AS giant_after FROM sa)
+        | SELECT comps_before, giant_before, comps_after, giant_after,
+        |  round(CAST(giant_before - giant_after AS DOUBLE)
+        |    / CAST(giant_before AS DOUBLE), 6) AS giant_drop_frac
+        | FROM bb CROSS JOIN ba""".stripMargin
   )
 }
