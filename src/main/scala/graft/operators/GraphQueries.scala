@@ -260,6 +260,42 @@ object GraphQueries extends QueryPack {
           round((col("giant_before") - col("giant_after"))
             .cast("double") / col("giant_before").cast("double"), 6)
             .as("giant_drop_frac"))
+    }),
+    // Degree assortativity (Newman 2002: Pearson r of endpoint
+    // degrees over edges — r>0 hubs befriend hubs, r<0 hub-and-spoke;
+    // with q303 it answers WHY the graph shatters or doesn't). All
+    // moments are exact integer sums over the symmetric edge list;
+    // one fixed-order double expression at the end.
+    "q305_assortativity" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 10L)
+      val e = co.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dy")),
+          Seq("v"))
+        .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+          sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m").as("n_edges"),
+          // degenerate regular graph: zero degree variance pins r=0
+          // via an exact integer equality on both engines
+          when(col("m") * col("sxx") === col("sx") * col("sx")
+              || col("m") * col("syy") === col("sy") * col("sy"),
+            lit(0.0))
+          .otherwise(
+            round((col("m").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("m").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("m").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))),
+              6)).as("assortativity"))
     })
   )
 
@@ -516,6 +552,33 @@ object GraphQueries extends QueryPack {
         | SELECT comps_before, giant_before, comps_after, giant_after,
         |  round(CAST(giant_before - giant_after AS DOUBLE)
         |    / CAST(giant_before AS DOUBLE), 6) AS giant_drop_frac
-        | FROM bb CROSS JOIN ba""".stripMargin
+        | FROM bb CROSS JOIN ba""".stripMargin,
+    "q305_assortativity" ->
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | deg AS (SELECT u, count(*) AS deg FROM g GROUP BY 1),
+        | m AS (SELECT count(*) AS m,
+        |   CAST(sum(dx.deg) AS BIGINT) AS sx,
+        |   CAST(sum(dy.deg) AS BIGINT) AS sy,
+        |   CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+        |   CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |   CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+        |  FROM g JOIN deg dx ON g.u = dx.u
+        |   JOIN deg dy ON g.v = dy.u)
+        | SELECT CAST(m AS BIGINT) AS n_edges,
+        |  CASE WHEN m * sxx = sx * sx OR m * syy = sy * sy THEN 0.0
+        |  ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
+        |   AS assortativity
+        | FROM m""".stripMargin
   )
 }

@@ -1185,6 +1185,56 @@ object TextQueries extends QueryPack {
             .cast("double")
             / sum(col("nb")).cast("double") / 1e6, 6).as("ece"),
           count(lit(1)).as("n_bins_used"))
+    }),
+    // Burrows' Delta stylometric distance (Burrows 2002, the
+    // authorship-attribution standard): z-score each source's
+    // relative rate of the 30 most frequent words against the
+    // across-source distribution, Delta(a,b) = mean |z_a − z_b| —
+    // "which sources share a register/template" where the dedup
+    // family asks "which share CONTENT" (q279 measures vocabulary
+    // overlap; this measures function-word STYLE on words everyone
+    // shares). Rates in integer parts-per-billion, variance guard is
+    // an exact integer equality (k·Σf² = (Σf)² ⇒ z pinned to 0 on
+    // both engines), K²·30 grid rows of state.
+    "q306_burrows_delta" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val top30 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30)
+        .select(col("w"))
+      val nt = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("nt"))
+      val rates = toks.join(broadcast(top30), Seq("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val f = nt.select(col("source"), col("nt"))
+        .crossJoin(broadcast(top30))
+        .join(rates, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          round(coalesce(col("c"), lit(0L)).cast("double") * 1e9
+            / col("nt").cast("double")).cast("long").as("fm"))
+      val stats = f.groupBy(col("w"))
+        .agg(count(lit(1)).as("k"), sum(col("fm")).as("sf"),
+          sum(col("fm") * col("fm")).as("sf2"))
+      val z = f.join(broadcast(stats), Seq("w"))
+        .select(col("source"), col("w"),
+          when(col("k") * col("sf2") === col("sf") * col("sf"),
+            lit(0.0))
+          .otherwise((col("fm").cast("double")
+              - col("sf").cast("double") / col("k").cast("double"))
+            / sqrt((col("sf2").cast("double")
+                - col("sf").cast("double") * col("sf").cast("double")
+                  / col("k").cast("double"))
+              / (col("k") - 1L).cast("double"))).as("z"))
+      z.select(col("source").as("s1"), col("w"), col("z").as("za"))
+        .join(z.select(col("source").as("s2"), col("w"),
+          col("z").as("zb")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"),
+          round(abs(col("za") - col("zb")) * 1e6).cast("long").as("t"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("t")).cast("double")
+            / count(lit(1)).cast("double") / 1e6, 4).as("delta"))
     })
   )
 
@@ -2227,6 +2277,39 @@ object TextQueries extends QueryPack {
         |  round(CAST(sum(abs(sp - 1000000 * np)) AS DOUBLE)
         |    / CAST(sum(nb) AS DOUBLE) / 1e6, 6) AS ece,
         |  CAST(count(*) AS BIGINT) AS n_bins_used
-        | FROM g""".stripMargin
+        | FROM g""".stripMargin,
+    "q306_burrows_delta" ->
+      """WITH toks AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | top30 AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks
+        |  GROUP BY 1 ORDER BY c DESC, w LIMIT 30)),
+        | nt AS (SELECT source, count(*) AS nt FROM toks GROUP BY 1),
+        | rates AS (SELECT t.source, t.w, count(*) AS c
+        |  FROM toks t JOIN top30 ON t.w = top30.w GROUP BY 1, 2),
+        | f AS (SELECT nt.source, top30.w,
+        |   CAST(round(CAST(coalesce(r.c, 0) AS DOUBLE) * 1e9
+        |     / CAST(nt.nt AS DOUBLE)) AS BIGINT) AS fm
+        |  FROM nt CROSS JOIN top30
+        |   LEFT JOIN rates r
+        |    ON r.source = nt.source AND r.w = top30.w),
+        | stats AS (SELECT w, count(*) AS k,
+        |   CAST(sum(fm) AS BIGINT) AS sf,
+        |   CAST(sum(fm * fm) AS BIGINT) AS sf2 FROM f GROUP BY 1),
+        | z AS (SELECT f.source, f.w,
+        |   CASE WHEN k * sf2 = sf * sf THEN 0.0
+        |    ELSE (CAST(fm AS DOUBLE)
+        |       - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+        |     / sqrt((CAST(sf2 AS DOUBLE)
+        |         - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)
+        |           / CAST(k AS DOUBLE))
+        |       / CAST(k - 1 AS DOUBLE)) END AS z
+        |  FROM f JOIN stats ON f.w = stats.w),
+        | t AS (SELECT a.source AS s1, b.source AS s2,
+        |   CAST(round(abs(a.z - b.z) * 1e6) AS BIGINT) AS t
+        |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+        | SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(CAST(sum(t) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6, 4) AS delta
+        | FROM t GROUP BY 1, 2""".stripMargin
   )
 }
