@@ -236,10 +236,13 @@ object GraphQueries extends QueryPack {
     "q303_hub_robustness" -> ((s, d) => {
       val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
         "l_orderkey", "l_suppkey", minShared = 10L)
+      // the edge list feeds hub pick + BOTH CC runs — checkpoint it
+      // once or the co-occurrence aggregate re-runs three times
       val e = co.select(explode(array(
           struct(col("d_a").as("u"), col("d_b").as("v")),
           struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
+        .localCheckpoint()
       val hubs = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("u").asc).limit(5)
         .select(col("u"))
