@@ -299,6 +299,47 @@ object GraphQueries extends QueryPack {
               * (col("m").cast("double") * col("syy").cast("double")
                 - col("sy").cast("double") * col("sy").cast("double"))),
               6)).as("assortativity"))
+    }),
+    // Newman modularity (2004) of the supplier-nation partition on
+    // the q305 co-occurrence graph: Q = Σ_c [e_c/m − (d_c/2m)²] —
+    // "do supply communities follow national lines", the partition-
+    // QUALITY score the q196 label-prop / q145-family queries never
+    // emit. Exact integer numerator Qnum = Σ_c (4·m·e_c − d_c²) over
+    // longs (d_c ≤ 2m so d_c² ≤ 4m², no overflow at any SF that fits
+    // a count), one final division Q = Qnum / 4m².
+    "q308_modularity" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minShared = 10L)
+      val nat = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("u"),
+          col("s_nationkey").cast("long").as("nk"))
+      val e = co
+        .join(nat.select(col("u").as("d_a"), col("nk").as("na")),
+          Seq("d_a"))
+        .join(nat.select(col("u").as("d_b"), col("nk").as("nb")),
+          Seq("d_b"))
+      val dbl = e.select(explode(array(
+          struct(col("d_a").as("u"), col("na").as("nk")),
+          struct(col("d_b").as("u"), col("nb").as("nk")))).as("p"))
+        .select(col("p.u").as("u"), col("p.nk").as("nk"))
+      val dc = dbl.groupBy(col("u"), col("nk"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy(col("nk")).agg(sum(col("deg")).as("d_c"))
+      val ec = e.filter(col("na") === col("nb"))
+        .groupBy(col("na").as("nk")).agg(count(lit(1)).as("e_c"))
+      val mf = e.agg(count(lit(1)).as("m"))
+      dc.join(ec, Seq("nk"), "left")
+        .select(col("nk"), col("d_c"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"))
+        .crossJoin(broadcast(mf))
+        .agg(max(col("m")).as("n_edges"),
+          count(lit(1)).as("n_communities"),
+          sum(lit(4L) * col("m") * col("e_c")
+            - col("d_c") * col("d_c")).as("qnum"))
+        .select(col("n_edges"), col("n_communities"),
+          round(col("qnum").cast("double")
+            / (lit(4.0) * col("n_edges").cast("double")
+              * col("n_edges").cast("double")), 6).as("modularity"))
     })
   )
 
@@ -582,6 +623,33 @@ object GraphQueries extends QueryPack {
         |     * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
         |   AS assortativity
-        | FROM m""".stripMargin
+        | FROM m""".stripMargin,
+    "q308_modularity" ->
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | e AS (SELECT co.u, co.v,
+        |   sa.s_nationkey AS na, sb.s_nationkey AS nb
+        |  FROM co JOIN supplier sa ON co.u = sa.s_suppkey
+        |   JOIN supplier sb ON co.v = sb.s_suppkey),
+        | dbl AS (SELECT u, na AS nk FROM e
+        |  UNION ALL SELECT v, nb FROM e),
+        | dc AS (SELECT nk, CAST(count(*) AS BIGINT) AS d_c
+        |  FROM dbl GROUP BY 1),
+        | ec AS (SELECT na AS nk, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM e WHERE na = nb GROUP BY 1),
+        | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        | comm AS (SELECT dc.nk, dc.d_c,
+        |   coalesce(ec.e_c, 0) AS e_c
+        |  FROM dc LEFT JOIN ec ON dc.nk = ec.nk)
+        | SELECT CAST(max(m) AS BIGINT) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_communities,
+        |  round(CAST(sum(4 * m * e_c - d_c * d_c) AS DOUBLE)
+        |   / (4.0 * CAST(max(m) AS DOUBLE)
+        |     * CAST(max(m) AS DOUBLE)), 6) AS modularity
+        | FROM comm CROSS JOIN mm""".stripMargin
   )
 }

@@ -94,6 +94,41 @@ object LinkageQueries extends QueryPack {
               * (col("nu") + 2L)).cast("double")
             / ((col("nu") - col("ua") + 1L)
               * (col("nm") + 2L)).cast("double")), 6).as("w_disagree"))
+    }),
+    // FastSS deletion-neighborhood candidate generation (Bocek et
+    // al. 2007): index every name under itself PLUS each of its
+    // one-character deletions; two strings within edit distance 1
+    // ALWAYS share a key (substitutions meet at the same-position
+    // deletion, insert/delete meet at the shorter string itself) —
+    // the exhaustive-recall guarantee q189's suffix blocking lacks
+    // when the edit lands inside the block key. Candidates = one
+    // variant-keyed equi-join (postings bounded by key frequency,
+    // never all-pairs); verify = row-local levenshtein. Output is
+    // the audit histogram: candidate pairs by TRUE edit distance,
+    // showing how many same-key collisions the verify step prunes
+    // (shared deletions at different positions can be distance 2).
+    "q309_fastss_candidates" -> ((s, d) => {
+      val names = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("w"))
+      val vars = names.select(col("id"), col("w"),
+          explode(sequence(lit(0), length(col("w")))).as("p"))
+        .select(col("id"), col("w"),
+          when(col("p") === 0, col("w"))
+            .otherwise(concat(
+              expr("substr(w, 1, p - 1)"),
+              expr("substr(w, p + 1)"))).as("vk"))
+        .select(col("id"), col("w"), col("vk")).distinct()
+      val cand = vars.join(
+          vars.select(col("id").as("id2"), col("w").as("w2"),
+            col("vk")),
+          Seq("vk"))
+        .filter(col("id") < col("id2"))
+        .select(col("id"), col("id2"), col("w"), col("w2")).distinct()
+      cand.select(levenshtein(col("w"), col("w2")).cast("long")
+          .as("edit_dist"))
+        .groupBy(col("edit_dist"))
+        .agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -154,6 +189,20 @@ object LinkageQueries extends QueryPack {
         |  round(ln(CAST((nm - ma + 1) * (nu + 2) AS DOUBLE)
         |    / CAST((nu - ua + 1) * (nm + 2) AS DOUBLE)), 6)
         |   AS w_disagree
-        | FROM f""".stripMargin
+        | FROM f""".stripMargin,
+    "q309_fastss_candidates" ->
+      """WITH names AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |   c_name AS w FROM customer),
+        | vars AS (SELECT DISTINCT id, w,
+        |   CASE WHEN p = 0 THEN w
+        |   ELSE substr(w, 1, p - 1) || substr(w, p + 1) END AS vk
+        |  FROM names,
+        |   LATERAL (SELECT unnest(generate_series(0, length(w)))
+        |     AS p)),
+        | cand AS (SELECT DISTINCT a.id, b.id AS id2, a.w, b.w AS w2
+        |  FROM vars a JOIN vars b ON a.vk = b.vk AND a.id < b.id)
+        | SELECT CAST(levenshtein(w, w2) AS BIGINT) AS edit_dist,
+        |  count(*) AS n_pairs
+        | FROM cand GROUP BY 1""".stripMargin
   )
 }

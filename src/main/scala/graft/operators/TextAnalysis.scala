@@ -643,4 +643,58 @@ object TextAnalysis {
         }
       }.toDF("doc_id", "doc_hash", "winnow_min")
   }
+
+  /** Winnowed fingerprint SETS (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS scheme q52's single global min only sketches): slide a
+    * `win`-gram window over the `gram`-char rolling hashes and keep
+    * each window's minimum; a document's fingerprint set is the
+    * DISTINCT selected hashes. Guarantee: any substring match of
+    * length >= win + gram - 1 contributes at least one SHARED
+    * fingerprint, so overlap detection has no blind spots at density
+    * ~2/(win+1). Row-local O(n) per doc (prefix rolling hash + a
+    * bounded window scan); the cross-doc work downstream is a
+    * fingerprint-keyed equi-join, never all-pairs. Docs shorter than
+    * `gram` chars have no grams and emit nothing (callers see them
+    * as overlap-free). */
+  def winnowedFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, gram: Int = 8, win: Int = 4): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = text.length
+        val g = n - gram + 1
+        if (g < 1) Iterator.empty
+        else {
+          val pw = (1 to gram).foldLeft(1L)((p, _) => p * 31 % M)
+          val hs = new Array[Long](g)
+          var h = 0L
+          var i = 0
+          while (i < n) {
+            val c = text.charAt(i).toLong
+            h = (h * 31 + c) % M
+            if (i >= gram)
+              h = (h - text.charAt(i - gram) * pw % M + M * 31) % M
+            if (i >= gram - 1) hs(i - gram + 1) = h
+            i += 1
+          }
+          val sel = scala.collection.mutable.Set.empty[Long]
+          var j = 0
+          val nWin = math.max(g - win + 1, 1)
+          while (j < nWin) {
+            var best = Long.MaxValue
+            var k = j
+            val end = math.min(j + win, g)
+            while (k < end) {
+              if (hs(k) < best) best = hs(k)
+              k += 1
+            }
+            sel += best
+            j += 1
+          }
+          sel.iterator.map(fp => (id, fp))
+        }
+      }.toDF("doc_id", "fp")
+  }
 }

@@ -529,6 +529,42 @@ object TextQueries extends QueryPack {
     // Document fingerprinting: rolling hash + winnowing minimum.
     "q52_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")),
+    // Full winnowing overlap detection (Schleimer 2003 / MOSS): the
+    // fingerprint-SET upgrade of q52's single min. Corpus = docs +
+    // tail-mutated copies (the q85 salting pattern, known-overlap
+    // ground truth); per-doc winnowed sets, a document-frequency cap
+    // (df <= 50) drops ubiquitous junctures so the postings join is
+    // bounded (the prefix-filter discipline q44 uses), then pairs
+    // scored by rare-fingerprint CONTAINMENT 10·shared >= 8·min(set)
+    // — absolute thresholds can't separate short docs from real
+    // overlaps. Finds all 250 planted copies plus the corpus's own
+    // planted near-dup clusters; every comparison is integer-exact.
+    "q307_winnowing_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" zq winnow tail")).as("text")))
+      val fps = TextAnalysis.winnowedFingerprints(corpus,
+        "doc_id", "text").persist()
+      val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val rare = fps.join(dfc.filter(col("dfc") <= 50L), Seq("fp"))
+        .select(col("doc_id"), col("fp")).persist()
+      val nr = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("nrare"))
+      val pairs = rare.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("fp")),
+          Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(nr.select(col("doc_id").as("doc_a"),
+          col("nrare").as("na")), Seq("doc_a"))
+        .join(nr.select(col("doc_id").as("doc_b"),
+          col("nrare").as("nb")), Seq("doc_b"))
+        .filter(col("shared") >= 5L
+          && col("shared") * 10L >= least(col("na"), col("nb")) * 8L)
+        .select(col("doc_a"), col("doc_b"), col("shared"))
+    }),
     // Deterministic 10% sample (stable holdout carving).
     "q71_sample_hash" -> ((s, d) =>
       TextAnalysis.hashSample(Tables.documents(s, d), "doc_id", 10)
@@ -1832,6 +1868,45 @@ object TextQueries extends QueryPack {
         | SELECT dh.doc_id, CAST(dh.doc_hash AS BIGINT) AS doc_hash,
         |  CAST(wm.winnow_min AS BIGINT) AS winnow_min
         | FROM dh JOIN wm ON dh.doc_id = wm.doc_id""".stripMargin,
+    "q307_winnowing_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' zq winnow tail'
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | cp AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+        | grams AS (SELECT doc_id,
+        |   unnest(generate_series(1, n - 7)) AS i, text
+        |  FROM cp WHERE n >= 8),
+        | gh AS (SELECT doc_id, i,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |     generate_series(i, i + 7),
+        |     k -> CAST(unicode(substr(text, k, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM grams),
+        | gmax AS (SELECT doc_id, max(i) AS gm FROM gh GROUP BY 1),
+        | wins AS (SELECT gh.doc_id, gh.i AS j
+        |  FROM gh JOIN gmax USING (doc_id)
+        |  WHERE gh.i <= greatest(gmax.gm - 3, 1)),
+        | wmin AS (SELECT w.doc_id, w.j, min(g.h) AS mh
+        |  FROM wins w JOIN gh g ON g.doc_id = w.doc_id
+        |   AND g.i BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        | fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wmin),
+        | df AS (SELECT fp, count(*) AS dfc FROM fps GROUP BY 1),
+        | rare AS (SELECT fps.doc_id, fps.fp
+        |  FROM fps JOIN df USING (fp) WHERE df.dfc <= 50),
+        | nr AS (SELECT doc_id, count(*) AS nrare FROM rare GROUP BY 1),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*) AS shared
+        |  FROM rare a JOIN rare b
+        |   ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared
+        | FROM pairs p JOIN nr x ON p.doc_a = x.doc_id
+        |  JOIN nr y ON p.doc_b = y.doc_id
+        | WHERE p.shared >= 5
+        |  AND 10 * p.shared >= 8 * least(x.nrare, y.nrare)""".stripMargin,
     "q71_sample_hash" ->
       """SELECT doc_id, source, n_chars FROM documents
         | WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,

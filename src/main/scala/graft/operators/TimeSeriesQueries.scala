@@ -524,6 +524,56 @@ object TimeSeriesQueries extends QueryPack {
           round(sum(col("sm7")).cast("double")
             / count(lit(1)).cast("double") / 1e6, 6)
             .as("smape_snaive"))
+    }),
+    // Sample autocorrelation of the hourly arrival-count series per
+    // event_type at lags 1, 2 and 24 (the Box–Jenkins identification
+    // stat; lag-24 is the daily-cycle signature q293's between-hour
+    // eta^2 can only aggregate, and the memorylessness complement to
+    // q296's Fano factor). Pearson r over (c_t, c_{t+k}) pairs on the
+    // DENSE hour grid (empty hours count 0, exactly q296's grid);
+    // counts are integers so all five moments are exact longs, one
+    // fixed-order double per (type, lag), and the zero-variance
+    // corner is pinned to 0 by an integer equality on both engines.
+    "q310_hourly_acf" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        call_function("div", col("ts"), lit(3600000000000L)).as("hb"))
+      val span = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val counts = ev.groupBy(col("event_type"), col("hb"))
+        .agg(count(lit(1)).as("c"))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hb"))
+      val filled = grid.join(counts, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), col("hb"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val lags = s.range(1).select(
+        explode(array(lit(1L), lit(2L), lit(24L))).as("lag"))
+      val x = filled.crossJoin(broadcast(lags))
+        .select(col("event_type"), col("lag"),
+          (col("hb") + col("lag")).as("hb2"), col("c").as("cx"))
+      val y = filled.select(col("event_type"), col("hb").as("hb2"),
+        col("c").as("cy"))
+      x.join(y, Seq("event_type", "hb2"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("cx")).as("sx"),
+          sum(col("cy")).as("sy"),
+          sum(col("cx") * col("cy")).as("sxy"),
+          sum(col("cx") * col("cx")).as("sxx"),
+          sum(col("cy") * col("cy")).as("syy"))
+        .select(col("event_type"), col("lag"),
+          col("n").as("n_pairs"),
+          when(col("n") * col("sxx") === col("sx") * col("sx")
+              || col("n") * col("syy") === col("sy") * col("sy"),
+            lit(0.0))
+          .otherwise(
+            round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))),
+              6)).as("acf"))
     })
   )
 
@@ -874,6 +924,44 @@ object TimeSeriesQueries extends QueryPack {
         |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS smape_naive,
         |  round(CAST(sum(sm7) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS smape_snaive
-        | FROM t GROUP BY 1""".stripMargin
+        | FROM t GROUP BY 1""".stripMargin,
+    "q310_hourly_acf" ->
+      """WITH ev AS (SELECT event_type,
+        |   epoch_ns(ts) // 3600000000000 AS hb FROM events),
+        | span AS (SELECT min(hb) AS lo, max(hb) AS hi FROM ev),
+        | cnt AS (SELECT event_type, hb, count(*) AS c
+        |  FROM ev GROUP BY 1, 2),
+        | grid AS (SELECT t.event_type, g.hb
+        |  FROM (SELECT DISTINCT event_type FROM cnt) t,
+        |   (SELECT unnest(generate_series(lo, hi)) AS hb
+        |    FROM span) g),
+        | filled AS (SELECT grid.event_type, grid.hb,
+        |   coalesce(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt
+        |   ON grid.event_type = cnt.event_type AND grid.hb = cnt.hb),
+        | lags AS (SELECT unnest([1, 2, 24]) AS lag),
+        | pairs AS (SELECT x.event_type, l.lag,
+        |   x.c AS cx, y.c AS cy
+        |  FROM filled x CROSS JOIN lags l
+        |  JOIN filled y ON y.event_type = x.event_type
+        |   AND y.hb = x.hb + l.lag),
+        | m AS (SELECT event_type, lag, count(*) AS n,
+        |   CAST(sum(cx) AS BIGINT) AS sx,
+        |   CAST(sum(cy) AS BIGINT) AS sy,
+        |   CAST(sum(cx * cy) AS BIGINT) AS sxy,
+        |   CAST(sum(cx * cx) AS BIGINT) AS sxx,
+        |   CAST(sum(cy * cy) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        | SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |  CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0.0
+        |  ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
+        |   AS acf
+        | FROM m""".stripMargin
   )
 }

@@ -296,4 +296,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 1L, 17L, 24L, "w17", "w40")))
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a", "c")))
   }
+
+  test("winnowedFingerprints: exact window minima + the MOSS guarantee") {
+    val M = 1000000007L
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % M)
+    val txt = "the cat and the dog sat in the garden of the house to rest"
+    // independent reimplementation: min of every 4-hash window
+    val hs = (0 to txt.length - 8).map(i => poly(txt.substring(i, i + 8)))
+    val exp = (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).toSet
+    val got = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).collect().map(_.getLong(1)).toSet
+    assert(got == exp)
+    // guarantee: two docs sharing a substring of length >= win+gram-1
+    // (= 11 chars) must share at least one selected fingerprint
+    val pair = Seq(
+      (10L, "aaaa SHARED-CHUNK zzzz junk tail one"),
+      (11L, "bbqq pref SHARED-CHUNK other suffix!")
+    ).toDF("doc_id", "text")
+    val sets = TextAnalysis.winnowedFingerprints(pair, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((sets(10L) intersect sets(11L)).nonEmpty)
+    // sub-gram docs emit nothing rather than a partial hash
+    val tiny = Seq((12L, "short")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowedFingerprints(tiny, "doc_id", "text")
+      .count() == 0L)
+  }
 }
