@@ -287,6 +287,65 @@ object BehaviorQueries extends QueryPack {
         .select(col("tt").as("day"), col("n_risk"), col("n_deaths"),
           round(exp(col("cl").cast("double") / 1e6), 6)
             .as("survival"))
+    }),
+    // CUPED variance reduction (Deng et al. 2013, the industry A/B
+    // standard): per-user pre-period (days 1–15) and post-period
+    // (days 16–30) value sums; θ = cov(pre,post)/var(pre) and the
+    // achievable variance reduction ρ² tell the experimenter how
+    // much smaller the post-metric variance gets after regressing
+    // out the pre-period covariate. Per-user sums go through
+    // DECIMAL(18,4) then centi-unit longs (doubles never
+    // accumulate), so the five moments are exact integers; the two
+    // outputs are fixed-order doubles with an integer zero-variance
+    // guard. Scales as two keyed aggs — per-user state is two longs.
+    "q314_cuped" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ev = Tables.events(s, d).select(col("user_id"),
+        call_function("div", col("ts"), lit(86400000000000L))
+          .as("db"), col("value"))
+      val lo = ev.agg(min(col("db")).as("lo"))
+      val per = ev.crossJoin(broadcast(lo))
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("db") < col("lo") + 15L,
+              col("value").cast(dec)).otherwise(lit(0).cast(dec)))
+            .cast("double") * 100).cast("long").as("pre"),
+          round(sum(when(col("db") >= col("lo") + 15L,
+              col("value").cast(dec)).otherwise(lit(0).cast(dec)))
+            .cast("double") * 100).cast("long").as("post"))
+      val dg = org.apache.spark.sql.types.DecimalType(38, 0)
+      per.agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+          sum(col("post")).as("sq"),
+          sum(col("pre") * col("pre")).as("spp"),
+          sum(col("pre") * col("post")).as("spq"),
+          sum(col("post") * col("post")).as("sqq"))
+        .select(col("n").as("n_users"),
+          // n·spp can pass 2^63 — the exact-equality guards run in
+          // DECIMAL(38,0) (HUGEINT on the oracle side)
+          when(col("n").cast(dg) * col("spp").cast(dg)
+              === col("sp").cast(dg) * col("sp").cast(dg),
+            lit(0.0))
+          .otherwise(round(
+            (col("n").cast("double") * col("spq").cast("double")
+              - col("sp").cast("double") * col("sq").cast("double"))
+            / (col("n").cast("double") * col("spp").cast("double")
+              - col("sp").cast("double") * col("sp").cast("double")),
+            6)).as("theta"),
+          when(col("n").cast(dg) * col("spp").cast(dg)
+              === col("sp").cast(dg) * col("sp").cast(dg)
+              || col("n").cast(dg) * col("sqq").cast(dg)
+              === col("sq").cast(dg) * col("sq").cast(dg),
+            lit(0.0))
+          .otherwise(round(
+            (col("n").cast("double") * col("spq").cast("double")
+              - col("sp").cast("double") * col("sq").cast("double"))
+            * (col("n").cast("double") * col("spq").cast("double")
+              - col("sp").cast("double") * col("sq").cast("double"))
+            / ((col("n").cast("double") * col("spp").cast("double")
+              - col("sp").cast("double") * col("sp").cast("double"))
+              * (col("n").cast("double") * col("sqq").cast("double")
+                - col("sq").cast("double") * col("sq").cast("double"))),
+            6)).as("var_reduction"))
     })
   )
 
@@ -443,6 +502,49 @@ object BehaviorQueries extends QueryPack {
         | SELECT a.t AS day, CAST(max(a.n_risk) AS BIGINT) AS n_risk,
         |  CAST(max(a.d) AS BIGINT) AS n_deaths,
         |  round(exp(CAST(sum(b.lm) AS DOUBLE) / 1e6), 6) AS survival
-        | FROM terms a JOIN terms b ON b.t <= a.t GROUP BY 1""".stripMargin
+        | FROM terms a JOIN terms b ON b.t <= a.t GROUP BY 1""".stripMargin,
+    "q314_cuped" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_ns(ts) // 86400000000000 AS db, "value"
+        |  FROM events),
+        | lo AS (SELECT min(db) AS lo FROM ev),
+        | per AS (SELECT user_id,
+        |   CAST(round(CAST(sum(CASE WHEN db < lo + 15
+        |     THEN CAST("value" AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100)
+        |    AS BIGINT) AS pre,
+        |   CAST(round(CAST(sum(CASE WHEN db >= lo + 15
+        |     THEN CAST("value" AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100)
+        |    AS BIGINT) AS post
+        |  FROM ev CROSS JOIN lo GROUP BY 1),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pre) AS BIGINT) AS sp,
+        |   CAST(sum(post) AS BIGINT) AS sq,
+        |   CAST(sum(pre * pre) AS BIGINT) AS spp,
+        |   CAST(sum(pre * post) AS BIGINT) AS spq,
+        |   CAST(sum(post * post) AS BIGINT) AS sqq
+        |  FROM per)
+        | SELECT n AS n_users,
+        |  CASE WHEN CAST(n AS HUGEINT) * spp = CAST(sp AS HUGEINT) * sp
+        |  THEN 0.0
+        |  ELSE round((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 6) END
+        |   AS theta,
+        |  CASE WHEN CAST(n AS HUGEINT) * spp = CAST(sp AS HUGEINT) * sp
+        |   OR CAST(n AS HUGEINT) * sqq = CAST(sq AS HUGEINT) * sq
+        |  THEN 0.0
+        |  ELSE round((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+        |   * (CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+        |   / ((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))), 6) END
+        |   AS var_reduction
+        | FROM m""".stripMargin
   )
 }

@@ -1454,6 +1454,89 @@ object CurationQueries extends QueryPack {
       bi.unpersist()
       picks.toSeq
         .toDF("step", "source", "marginal_gain", "cumulative_coverage")
+    }),
+    // Mann–Whitney U rank-sum test (1947): do src0 and src1 draw
+    // doc lengths from the same distribution — the NONPARAMETRIC
+    // complement to q275's KS statistic (U also gives a z against
+    // the normal approximation, with the textbook tie correction).
+    // Ranking never touches rows: lengths collapse to a value-level
+    // count table, average ranks come from cumulative counts via a
+    // broadcast triangle join over that ≤|distinct lengths| table
+    // (the q292 pattern — no global Window anywhere), and doubled
+    // ranks (2·cb + t + 1) keep every tie-averaged rank an exact
+    // integer. One fixed-order double for z at the end.
+    "q312_mann_whitney" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("t1"))
+      val cum = vc
+        .join(broadcast(vc.select(col("v").as("u"), col("t").as("tu"))),
+          col("u") < col("v"), "left")
+        .groupBy(col("v"), col("t"), col("t1"))
+        .agg(coalesce(sum(col("tu")), lit(0L)).as("cb"))
+      cum.agg(
+          sum(col("t1")).as("n1"),
+          sum(col("t") - col("t1")).as("n2"),
+          sum(col("t1") * (col("cb") * 2L + col("t") + 1L)).as("r1x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        .select(col("n1"), col("n2"),
+          ((col("r1x2") - col("n1") * (col("n1") + 1L))
+            .cast("double") / 2.0).as("u1"),
+          when((col("n1") + col("n2")) * (col("n1") + col("n2") + 1L)
+              * (col("n1") + col("n2") - 1L) === col("ties"), lit(0.0))
+          .otherwise(round(
+            ((col("r1x2") - col("n1") * (col("n1") + 1L)
+              - col("n1") * col("n2")).cast("double") / 2.0)
+            / sqrt((col("n1") * col("n2")).cast("double")
+              * (((col("n1") + col("n2") + 1L) * (col("n1") + col("n2"))
+                  * (col("n1") + col("n2") - 1L) - col("ties"))
+                .cast("double"))
+              / (lit(12.0) * (col("n1") + col("n2")).cast("double")
+                * (col("n1") + col("n2") - 1L).cast("double"))), 6))
+            .as("z"))
+    }),
+    // Pearson chi-square independence test of lang × source over the
+    // FULL L×K grid (zero cells included — omitting them biases the
+    // stat), plus Cramér's V effect size. Per-cell term
+    // (O·N − R·C)² / (N·R·C) is micro-rounded to a long BEFORE the
+    // grand sum so the total is order-free and cross-engine exact;
+    // observed/marginal counts are exact integers throughout. The
+    // "is language mix independent of source" gate feeding q109's
+    // domain-mix planning.
+    "q313_chi2_independence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("source"))
+      val o = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("rr"))
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("cc"))
+      val nf = docs.agg(count(lit(1)).as("n"))
+      val grid = r.crossJoin(c).crossJoin(broadcast(nf))
+        .join(o, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("rr"), col("cc"),
+          col("n"), coalesce(col("o"), lit(0L)).as("o"))
+      grid.select(col("n"), col("lang"), col("source"),
+          ((col("o") * col("n") - col("rr") * col("cc"))
+            .cast("double")).as("dx"),
+          (col("n") * col("rr") * col("cc")).cast("double").as("den"))
+        .select(col("n"), col("lang"), col("source"),
+          round(col("dx") * col("dx") * 1e6 / col("den")).cast("long")
+            .as("term"))
+        .groupBy(col("n"))
+        .agg(sum(col("term")).as("tsum"),
+          countDistinct(col("lang")).as("ll"),
+          countDistinct(col("source")).as("kk"))
+        .select(col("n").as("n_docs"),
+          round(col("tsum").cast("double") / 1e6, 6).as("chi2"),
+          ((col("ll") - 1L) * (col("kk") - 1L)).as("dof"),
+          round(sqrt(col("tsum").cast("double") / 1e6
+            / (col("n").cast("double")
+              * least(col("ll") - 1L, col("kk") - 1L).cast("double"))),
+            6).as("cramers_v"))
     })
   )
 
@@ -2534,6 +2617,62 @@ object CurationQueries extends QueryPack {
         | UNION ALL SELECT 4, source, CAST(c AS BIGINT),
         |  (SELECT count(*) FROM cov4) FROM p4
         | UNION ALL SELECT 5, source, CAST(c AS BIGINT),
-        |  (SELECT count(*) FROM cov5) FROM p5""".stripMargin
+        |  (SELECT count(*) FROM cov5) FROM p5""".stripMargin,
+    "q312_mann_whitney" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        | vc AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS t1
+        |  FROM docs GROUP BY 1),
+        | cum AS (SELECT a.v, a.t, a.t1,
+        |   CAST(coalesce(sum(b.t), 0) AS BIGINT) AS cb
+        |  FROM vc a LEFT JOIN vc b ON b.v < a.v
+        |  GROUP BY 1, 2, 3),
+        | m AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+        |   CAST(sum(t - t1) AS BIGINT) AS n2,
+        |   CAST(sum(t1 * (cb * 2 + t + 1)) AS BIGINT) AS r1x2,
+        |   CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM cum)
+        | SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  CASE WHEN (n1 + n2) * (n1 + n2 + 1) * (n1 + n2 - 1) = ties
+        |  THEN 0.0
+        |  ELSE round(
+        |   (CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0)
+        |   / sqrt(CAST(n1 * n2 AS DOUBLE)
+        |     * CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties
+        |       AS DOUBLE)
+        |     / (12.0 * CAST(n1 + n2 AS DOUBLE)
+        |       * CAST(n1 + n2 - 1 AS DOUBLE))), 6) END AS z
+        | FROM m""".stripMargin,
+    "q313_chi2_independence" ->
+      """WITH docs AS (SELECT lang, source FROM documents),
+        | o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM docs GROUP BY 1, 2),
+        | r AS (SELECT lang, CAST(count(*) AS BIGINT) AS rr
+        |  FROM docs GROUP BY 1),
+        | c AS (SELECT source, CAST(count(*) AS BIGINT) AS cc
+        |  FROM docs GROUP BY 1),
+        | nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        | grid AS (SELECT r.lang, c.source, r.rr, c.cc, nf.n,
+        |   coalesce(o.o, 0) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN nf
+        |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+        | terms AS (SELECT n, lang, source,
+        |   CAST(round(CAST(o * n - rr * cc AS DOUBLE)
+        |     * CAST(o * n - rr * cc AS DOUBLE) * 1e6
+        |     / CAST(n * rr * cc AS DOUBLE)) AS BIGINT) AS term
+        |  FROM grid)
+        | SELECT n AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE) / 1e6, 6) AS chi2,
+        |  CAST((count(DISTINCT lang) - 1)
+        |    * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE) / 1e6
+        |   / (CAST(n AS DOUBLE)
+        |     * CAST(least(count(DISTINCT lang) - 1,
+        |        count(DISTINCT source) - 1) AS DOUBLE))), 6)
+        |   AS cramers_v
+        | FROM terms GROUP BY 1""".stripMargin
   )
 }

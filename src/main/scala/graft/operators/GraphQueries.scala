@@ -340,6 +340,33 @@ object GraphQueries extends QueryPack {
           round(col("qnum").cast("double")
             / (lit(4.0) * col("n_edges").cast("double")
               * col("n_edges").cast("double")), 6).as("modularity"))
+    }),
+    // HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    // customer→supplier purchase graph, UNNORMALIZED so every score
+    // is an exact integer: after k half-iterations the authority
+    // score is the count of length-2k alternating paths ending at
+    // the supplier (a⁰=1 ⇒ h¹=deg, a¹=Σh¹, h²=Σa¹, a²=Σh²) — the
+    // per-iteration norm in textbook HITS only rescales the ranking,
+    // so dropping it trades nothing but float drift. Top-15
+    // authorities, cutoff ties broken by key. Each half-iteration is
+    // one keyed agg + one equi-join on the edge list; scores stay
+    // O(deg·maxscore) so longs hold through sf1000.
+    "q311_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_custkey").as("c"), col("o_orderkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_suppkey").as("sp")), Seq("o_orderkey"))
+        .select(col("c"), col("sp")).distinct()
+      val h1 = e.groupBy(col("c")).agg(count(lit(1)).as("h1"))
+      val a1 = e.join(h1, Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("h1")).as("a1"))
+      val h2 = e.join(a1, Seq("sp"))
+        .groupBy(col("c")).agg(sum(col("a1")).as("h2"))
+      val a2 = e.join(h2, Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("h2")).as("a2"))
+      a2.orderBy(col("a2").desc, col("sp").asc).limit(15)
+        .select(col("sp").cast("long").as("suppkey"), col("a2"))
     })
   )
 
@@ -650,6 +677,21 @@ object GraphQueries extends QueryPack {
         |  round(CAST(sum(4 * m * e_c - d_c * d_c) AS DOUBLE)
         |   / (4.0 * CAST(max(m) AS DOUBLE)
         |     * CAST(max(m) AS DOUBLE)), 6) AS modularity
-        | FROM comm CROSS JOIN mm""".stripMargin
+        | FROM comm CROSS JOIN mm""".stripMargin,
+    "q311_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c,
+        |   l.l_suppkey AS sp
+        |  FROM orders o JOIN lineitem l
+        |   ON o.o_orderkey = l.l_orderkey),
+        | h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS h1
+        |  FROM e GROUP BY 1),
+        | a1 AS (SELECT sp, CAST(sum(h1.h1) AS BIGINT) AS a1
+        |  FROM e JOIN h1 USING (c) GROUP BY 1),
+        | h2 AS (SELECT c, CAST(sum(a1.a1) AS BIGINT) AS h2
+        |  FROM e JOIN a1 USING (sp) GROUP BY 1),
+        | a2 AS (SELECT sp, CAST(sum(h2.h2) AS BIGINT) AS a2
+        |  FROM e JOIN h2 USING (c) GROUP BY 1)
+        | SELECT CAST(sp AS BIGINT) AS suppkey, a2
+        | FROM a2 ORDER BY a2 DESC, sp LIMIT 15""".stripMargin
   )
 }
