@@ -289,6 +289,53 @@ object Graph {
     out
   }
 
+  /** Per-seed BFS hop distances over an undirected edge list:
+    * (seed, v, dist) with dist = fewest hops from THAT seed — the
+    * labelled variant of [[bfsDistances]] (which min-folds all seeds
+    * into one distance). State is |seeds| × reachable-set keyed on
+    * (seed, v); with a handful of landmarks this is the standard
+    * multi-source labelled BFS used for landmark centrality
+    * estimates (Eppstein–Wang style), and all L walks advance in the
+    * SAME per-hop join — one shuffle per hop regardless of L, never
+    * one BFS job per landmark. Same lazy-persist / checkpoint-cadence
+    * lineage discipline as [[bfsDistances]]. */
+  def bfsDistancesLabeled(edges: DataFrame, src: String, dst: String,
+                          seeds: DataFrame, seedCol: String,
+                          maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(explode(array(
+        struct(col(src).as("u"), col(dst).as("v")),
+        struct(col(dst).as("u"), col(src).as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint()
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var visited = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("v"))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("seed"), col("v"))
+    var hop = 1L
+    var done = false
+    while (!done && hop <= maxHops) {
+      val next = sym
+        .join(frontier.select(col("seed"), col("v").as("u")), Seq("u"))
+        .select(col("seed"), col("v")).distinct()
+        .join(visited, Seq("seed", "v"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches += next
+      if (hop < maxHops && next.isEmpty) done = true
+      else {
+        val grown = visited.unionAll(next)
+        visited = if (hop % 4 == 0) grown.localCheckpoint() else grown
+        frontier = next.select(col("seed"), col("v"))
+      }
+      hop += 1
+    }
+    val out = visited.localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Bounded-hop single-source (multi-seed) shortest paths over a
     * weighted undirected edge list: (v, dist) = cheapest cost over
     * paths of ≤ `maxHops` edges from any seed — Bellman-Ford rounds

@@ -367,6 +367,76 @@ object GraphQueries extends QueryPack {
         .groupBy(col("sp")).agg(sum(col("h2")).as("a2"))
       a2.orderBy(col("a2").desc, col("sp").asc).limit(15)
         .select(col("sp").cast("long").as("suppkey"), col("a2"))
+    }),
+    // Link prediction by resource-allocation index (Zhou/Lü/Zhang
+    // 2009: RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — like Adamic-Adar
+    // but with 1/deg instead of 1/log deg, which makes it EXACT in
+    // scaled-integer units: 1e6 div deg(z) is the same integer on
+    // both engines, where 1/log would drift in the last ulp). Ranks
+    // the non-edges most likely to be real supplier collaborations.
+    // One wedge enumeration (z's neighbor list self-joined) + one
+    // keyed sum + one anti-join against the edge set — the same
+    // fan-out shape as q70's common-neighbor pairs; at 100 TB the
+    // hub-z quadratic term gets the q104 degree-orientation / hub-cap
+    // treatment, not a different algorithm. Runs on q196's
+    // top-2000-heaviest-edge graph: predicting non-edges needs a
+    // SPARSE graph (the minShared=10 cut is a near-clique at small
+    // SF, leaving zero non-adjacent wedge pairs), and the TakeOrdered
+    // edge cut keeps the graph size scale-stable.
+    "q315_link_prediction" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey", minShared = 2L)
+        .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+        .limit(2000)
+        .localCheckpoint() // feeds the explode AND the anti-join
+      val e = co.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .localCheckpoint() // feeds deg + both wedge legs: 3 consumers
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val wedges = e.select(col("u").as("z"), col("v").as("a"))
+        .join(e.select(col("u").as("z"), col("v").as("b")), Seq("z"))
+        .filter(col("a") < col("b"))
+        .join(deg.select(col("u").as("z"), col("dg")), Seq("z"))
+      wedges.groupBy(col("a"), col("b"))
+        .agg(sum(call_function("div", lit(1000000L), col("dg")))
+            .as("ra"),
+          count(lit(1)).as("shared"))
+        .join(co.select(col("d_a").as("a"), col("d_b").as("b")),
+          Seq("a", "b"), "left_anti")
+        .orderBy(col("ra").desc, col("a").asc, col("b").asc).limit(15)
+        .select(col("a").cast("long").as("supp_a"),
+          col("b").cast("long").as("supp_b"), col("shared"), col("ra"))
+    }),
+    // Harmonic centrality estimated from landmark BFS (Eppstein-Wang
+    // sampling shape): H(v) = Σ_landmarks 1e6 div d(l,v) over finite
+    // hop distances ≤ 4 — integer division keeps the score engine-
+    // exact where true 1/d floats would not need to be. All landmark
+    // walks advance in ONE labelled frontier join per hop
+    // (Graph.bfsDistancesLabeled), so landmark count scales the state
+    // rows, not the round count — the practical centrality estimate
+    // for graphs where per-vertex APSP is off the table. Same
+    // top-2000-edge graph as q196/q315: the absolute minShared cut is
+    // a forest at sf0.1 (few landmarks reach anything), while the
+    // TakeOrdered cut keeps a connected collaboration core at every SF.
+    "q316_harmonic_centrality" -> ((s, d) => {
+      val co = Graph.commonNeighborPairs(Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey", minShared = 2L)
+        .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+        .limit(2000)
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 25 === 0).select(col("s_suppkey"))
+      Graph.bfsDistancesLabeled(co, "d_a", "d_b", seeds, "s_suppkey",
+          maxHops = 4)
+        .filter(col("dist") > 0) // self-distance excluded by definition
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(call_function("div", lit(1000000L), col("dist")))
+            .as("harmonic"))
+        .orderBy(col("harmonic").desc, col("v").asc).limit(15)
+        .select(col("v").cast("long").as("suppkey"),
+          col("n_landmarks"), col("harmonic"))
     })
   )
 
@@ -692,6 +762,54 @@ object GraphQueries extends QueryPack {
         | a2 AS (SELECT sp, CAST(sum(h2.h2) AS BIGINT) AS a2
         |  FROM e JOIN h2 USING (c) GROUP BY 1)
         | SELECT CAST(sp AS BIGINT) AS suppkey, a2
-        | FROM a2 ORDER BY a2 DESC, sp LIMIT 15""".stripMargin
+        | FROM a2 ORDER BY a2 DESC, sp LIMIT 15""".stripMargin,
+    "q315_link_prediction" ->
+      """WITH cw AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |   count(*) AS shared
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | co AS (SELECT u, v FROM cw
+        |  ORDER BY shared DESC, u, v LIMIT 2000),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+        |  FROM g GROUP BY 1),
+        | w AS (SELECT e1.v AS a, e2.v AS b, deg.dg
+        |  FROM g e1 JOIN g e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN deg ON deg.u = e1.u),
+        | sc AS (SELECT a, b, CAST(sum(1000000 // dg) AS BIGINT) AS ra,
+        |   CAST(count(*) AS BIGINT) AS shared FROM w GROUP BY 1, 2),
+        | pred AS (SELECT sc.* FROM sc LEFT JOIN co
+        |   ON co.u = sc.a AND co.v = sc.b WHERE co.u IS NULL)
+        | SELECT CAST(a AS BIGINT) AS supp_a, CAST(b AS BIGINT) AS supp_b,
+        |  shared, ra
+        | FROM pred ORDER BY ra DESC, a, b LIMIT 15""".stripMargin,
+    "q316_harmonic_centrality" ->
+      """WITH RECURSIVE cw AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |   count(*) AS shared
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | co AS (SELECT u, v FROM cw
+        |  ORDER BY shared DESC, u, v LIMIT 2000),
+        | g AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        | walk(seed, v, dist) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  WHERE s_suppkey % 25 = 0
+        |  UNION
+        |  SELECT walk.seed, g.v, walk.dist + 1
+        |  FROM walk JOIN g ON g.u = walk.v
+        |  WHERE walk.dist < 4),
+        | md AS (SELECT seed, v, min(dist) AS dist
+        |  FROM walk GROUP BY 1, 2)
+        | SELECT CAST(v AS BIGINT) AS suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_landmarks,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic
+        | FROM md WHERE dist > 0 GROUP BY 1
+        | ORDER BY harmonic DESC, suppkey LIMIT 15""".stripMargin
   )
 }

@@ -217,4 +217,24 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core3 == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
   }
+
+  test("bfsDistancesLabeled keeps per-seed distances separate") {
+    // chain 1-2-3-4 plus isolated pair 5-6; seeds {1, 4, 5}: every
+    // seed must carry ITS OWN hop count (the unlabelled variant would
+    // min-fold 1's and 4's walks into one)
+    val seeds = Seq(1L, 4L, 5L).toDF("v0")
+    val m = Graph.bfsDistancesLabeled(edges, "s", "d", seeds, "v0",
+        maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(m((1L, 3L)) == 2L && m((4L, 3L)) == 1L) // 3 seen from both
+    assert(m((1L, 4L)) == 3L && m((4L, 1L)) == 3L) // symmetric ends
+    assert(m((5L, 6L)) == 1L) // component-local walk
+    assert(!m.contains((5L, 1L)) && !m.contains((1L, 6L)))
+    // harmonic centrality of vertex 3 from these landmarks (self
+    // excluded): 1e6/2 + 1e6/1 in integer units
+    val h = m.collect { case ((_, v), dst) if v == 3L && dst > 0 =>
+      1000000L / dst }.sum
+    assert(h == 1500000L)
+  }
 }
