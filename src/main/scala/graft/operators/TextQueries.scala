@@ -1271,6 +1271,139 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_words"),
           round(sum(col("t")).cast("double")
             / count(lit(1)).cast("double") / 1e6, 4).as("delta"))
+    }),
+    // l-diversity audit (Machanavajjhala et al. 2007) — q246's
+    // k-anonymity counts CELL SIZES; this counts SENSITIVE-VALUE
+    // diversity inside each quasi-identifier cell (lang × 50-word
+    // length bin, sensitive attribute = source): a cell where every
+    // member shares one source lets an attacker infer provenance
+    // even when the cell is large. Same one-scan + cell-agg shape,
+    // the l grid a 3-row broadcast.
+    "q317_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.documents(s, d)
+        .select(col("lang"),
+          expr("size(split(text, ' ')) DIV 50").cast("long")
+            .as("len_bin"),
+          col("source"))
+        .groupBy(col("lang"), col("len_bin"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source")).as("ndist"))
+      val ls = Seq(2L, 3L, 5L).toDF("l")
+      cells.crossJoin(broadcast(ls))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("ndist") < col("l"), 1L).otherwise(0L))
+            .as("n_cells_below"),
+          sum(when(col("ndist") < col("l"), col("n")).otherwise(0L))
+            .cast("long").as("n_docs_below"))
+    }),
+    // Brier-score decomposition (Murphy 1973): REL − RES + UNC over
+    // octile forecast bins — q286 reports calibration error; this
+    // splits it into reliability (bin forecast vs bin outcome),
+    // resolution (bin outcome vs base rate: does the score SEPARATE
+    // at all), and irreducible uncertainty. The forecast is the
+    // linearly-rescaled integer margin ((m−mn)·1e4 DIV (mx−mn+1) ∈
+    // [0,9999]) — a RATIONAL map, so every bin sum is an exact long
+    // on both engines where a sigmoid would drift in the last ulp;
+    // squared bin residuals stay ≤ (1e4·N)² ≈ 6e16 at sf0.1 (lift to
+    // DECIMAL(38,0) accumulators past ~1e5 docs, same formula). The
+    // per-bin floor division loses <1 micro²-unit per bin,
+    // identically on both engines.
+    "q318_brier_decomposition" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val scored = Classifier.scoreWith(planted, "doc_id", "text", w,
+          dims = 256)
+        .join(planted.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+          Seq("doc_id"))
+      val ext = scored.agg(min(col("margin")).as("mn"),
+        max(col("margin")).as("mx"))
+      val binned = scored.crossJoin(broadcast(ext))
+        .select(expr("((margin - mn) * 10000) DIV (mx - mn + 1)")
+          .as("pq"), col("y"))
+        .select(expr("pq DIV 1250").as("bin"), col("pq"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pq")).as("p"),
+          sum(col("y")).as("yb"))
+      val tot = binned.agg(sum(col("n")).cast("long").as("nt"),
+        sum(col("yb")).cast("long").as("yt"))
+      binned.crossJoin(broadcast(tot))
+        .agg(max(col("nt")).as("n_docs"), max(col("yt")).as("ytot"),
+          sum(expr("((p - 10000 * yb) * (p - 10000 * yb)) DIV n"))
+            .as("relnum"),
+          sum(expr("((yb * nt - n * yt) * (yb * nt - n * yt)) DIV n"))
+            .as("resnum"))
+        .select(col("n_docs"),
+          round(col("ytot").cast("double")
+            / col("n_docs").cast("double"), 6).as("base_rate"),
+          round(col("relnum").cast("double")
+            / (col("n_docs").cast("double") * lit(1.0e8)), 6)
+            .as("reliability"),
+          round(col("resnum").cast("double")
+            / (col("n_docs").cast("double") * col("n_docs")
+              * col("n_docs")), 6).as("resolution"),
+          round(col("ytot").cast("double")
+            * (col("n_docs") - col("ytot")).cast("double")
+            / (col("n_docs").cast("double") * col("n_docs")), 6)
+            .as("uncertainty"),
+          round(col("relnum").cast("double")
+              / (col("n_docs").cast("double") * lit(1.0e8))
+            - col("resnum").cast("double")
+              / (col("n_docs").cast("double") * col("n_docs")
+                * col("n_docs"))
+            + col("ytot").cast("double")
+              * (col("n_docs") - col("ytot")).cast("double")
+              / (col("n_docs").cast("double") * col("n_docs")), 6)
+            .as("brier_binned"))
+    }),
+    // ROC-AUC of the quality classifier by the midrank identity
+    // (AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀), midranks for ties — the
+    // Mann-Whitney U link, q312, applied as a CLASSIFIER eval): all
+    // rank sums are exact integers (doubled midranks keep the ½s
+    // integral), one double division at the end. The tie prefix sum
+    // runs over DISTINCT margin values via Rank.distributedPrefixSum
+    // — no single-partition window, no O(V²) value self-join.
+    "q319_auc_ranksum" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val vc = Classifier.scoreWith(planted, "doc_id", "text", w,
+          dims = 256)
+        .select(col("margin"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y1"))
+        .groupBy(col("margin"))
+        .agg(count(lit(1)).as("t"), sum(col("y1")).as("t1"))
+      Rank.distributedPrefixSum(vc, Seq(col("margin").asc),
+          col("t"), s)
+        .select(col("t"), col("t1"),
+          (lit(2L) * (col("run") - col("t")) + col("t") + lit(1L))
+            .as("mr2")) // doubled midrank of every row at this value
+        .agg(sum(col("t")).cast("long").as("n"),
+          sum(col("t1")).cast("long").as("n_pos"),
+          sum(col("t1") * col("mr2")).cast("long").as("r1x2"))
+        .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+          round((col("r1x2") - col("n_pos") * (col("n_pos") + 1L))
+              .cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+              * (col("n") - col("n_pos")).cast("double")), 6)
+            .as("auc"))
     })
   )
 
@@ -2385,6 +2518,80 @@ object TextQueries extends QueryPack {
         | SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
         |  round(CAST(sum(t) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 1e6, 4) AS delta
-        | FROM t GROUP BY 1, 2""".stripMargin
+        | FROM t GROUP BY 1, 2""".stripMargin,
+    "q317_l_diversity" ->
+      """WITH cells AS (SELECT lang,
+        |   CAST(len(string_split(text, ' ')) // 50 AS BIGINT)
+        |     AS len_bin,
+        |   count(*) AS n, count(DISTINCT source) AS ndist
+        |  FROM documents GROUP BY 1, 2),
+        | ls AS (SELECT CAST(unnest([2, 3, 5]) AS BIGINT) AS l)
+        | SELECT l, count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_below,
+        |  CAST(sum(CASE WHEN ndist < l THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_below
+        | FROM cells CROSS JOIN ls GROUP BY l""".stripMargin,
+    "q318_brier_decomposition" ->
+      // q254's m4 margins off the shared retrained w3; the forecast
+      // rescale, bins, and squared bin residuals are all nonnegative
+      // integer arithmetic, so // here == Spark's DIV exactly
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | ext AS (SELECT min(m) AS mn, max(m) AS mx FROM m4),
+        | pq AS (SELECT ((m - mn) * 10000) // (mx - mn + 1) AS pq,
+        |   (y + 1) // 2 AS y1 FROM m4, ext),
+        | b AS (SELECT pq // 1250 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pq) AS BIGINT) AS p, CAST(sum(y1) AS BIGINT) AS yb
+        |  FROM pq GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |   CAST(sum(yb) AS BIGINT) AS yt FROM b),
+        | ag AS (SELECT max(nt) AS n_docs, max(yt) AS ytot,
+        |   CAST(sum(((p - 10000 * yb) * (p - 10000 * yb)) // n)
+        |     AS BIGINT) AS relnum,
+        |   CAST(sum(((yb * nt - n * yt) * (yb * nt - n * yt)) // n)
+        |     AS BIGINT) AS resnum
+        |  FROM b, tot)
+        | SELECT n_docs,
+        |  round(CAST(ytot AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS base_rate,
+        |  round(CAST(relnum AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * 1e8), 6) AS reliability,
+        |  round(CAST(resnum AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * n_docs * n_docs), 6)
+        |    AS resolution,
+        |  round(CAST(ytot AS DOUBLE) * CAST(n_docs - ytot AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS uncertainty,
+        |  round(CAST(relnum AS DOUBLE)
+        |     / (CAST(n_docs AS DOUBLE) * 1e8)
+        |   - CAST(resnum AS DOUBLE)
+        |     / (CAST(n_docs AS DOUBLE) * n_docs * n_docs)
+        |   + CAST(ytot AS DOUBLE) * CAST(n_docs - ytot AS DOUBLE)
+        |     / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS brier_binned
+        | FROM ag""".stripMargin,
+    "q319_auc_ranksum" ->
+      // the oracle's tie prefix sum is a plain window (DuckDB is
+      // single-node); the Spark side uses distributedPrefixSum
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | vc AS (SELECT m, CAST(count(*) AS BIGINT) AS t,
+        |   CAST(sum((y + 1) // 2) AS BIGINT) AS t1 FROM m4 GROUP BY 1),
+        | cum AS (SELECT t, t1,
+        |   CAST(coalesce(sum(t) OVER (ORDER BY m
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS lo FROM vc),
+        | ag AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |   CAST(sum(t1) AS BIGINT) AS n_pos,
+        |   CAST(sum(t1 * (2 * lo + t + 1)) AS BIGINT) AS r1x2
+        |  FROM cum)
+        | SELECT n_pos, n - n_pos AS n_neg,
+        |  round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
+        |   6) AS auc
+        | FROM ag""".stripMargin
   )
 }

@@ -109,4 +109,73 @@ class Round9OpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(ols > 2.5, s"OLS $ols should be dragged by the outlier")
   }
+
+  test("AUC by doubled midranks (the q319 shape) handles ties and " +
+    "matches the pair-counting definition") {
+    // scores with a tie straddling the classes: AUC = (wins + 0.5 *
+    // ties) / (n1 * n0) counted over all (pos, neg) pairs.
+    val sc = Seq((10L, 1L), (10L, 0L), (5L, 0L), (20L, 1L), (5L, 1L),
+      (1L, 0L)).toDF("m", "y1")
+    val pairs = for {
+      (sp, yp) <- Seq((10L, 1L), (20L, 1L), (5L, 1L))
+      (sn, _) <- Seq((10L, 0L), (5L, 0L), (1L, 0L))
+    } yield if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0
+    val aucRef = pairs.sum / pairs.size
+    val vc = sc.groupBy(col("m"))
+      .agg(count(lit(1)).as("t"), sum(col("y1")).as("t1"))
+    val row = operators.Rank.distributedPrefixSum(vc,
+        Seq(col("m").asc), col("t"), spark)
+      .select(col("t"), col("t1"),
+        (lit(2L) * (col("run") - col("t")) + col("t") + lit(1L))
+          .as("mr2"))
+      .agg(sum(col("t")).as("n"), sum(col("t1")).as("np"),
+        sum(col("t1") * col("mr2")).as("r1x2"))
+      .collect()(0)
+    val (n, np, r1x2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val auc = (r1x2 - np * (np + 1)).toDouble / (2.0 * np * (n - np))
+    assert(math.abs(auc - aucRef) < 1e-12,
+      s"rank-sum AUC $auc != pair-counting AUC $aucRef")
+  }
+
+  test("Brier decomposition (the q318 shape): REL - RES + UNC equals " +
+    "the binned Brier score recomputed directly") {
+    // hand forecasts already in [0, 9999] micro-prob units, two bins
+    val rows = Seq((100L, 0L), (900L, 0L), (1200L, 1L), (9000L, 1L),
+      (8000L, 1L), (7000L, 0L), (200L, 0L), (9900L, 1L))
+    val n = rows.size
+    val bins = rows.groupBy { case (pq, _) => pq / 5000L }
+    val ybar = rows.map(_._2).sum.toDouble / n
+    // direct: binned Brier with the bin-mean forecast pbar_k
+    var direct = 0.0
+    var rel = 0.0; var res = 0.0
+    bins.values.foreach { b =>
+      val nk = b.size
+      val pbar = b.map(_._1).sum.toDouble / nk / 10000.0
+      val ybk = b.map(_._2).sum.toDouble / nk
+      direct += b.map { case (_, y) => (pbar - y) * (pbar - y) }.sum
+      rel += nk * (pbar - ybk) * (pbar - ybk)
+      res += nk * (ybk - ybar) * (ybk - ybar)
+    }
+    direct /= n; rel /= n; res /= n
+    val unc = ybar * (1 - ybar)
+    assert(math.abs((rel - res + unc) - direct) < 1e-12,
+      "Murphy identity must hold exactly for bin-mean forecasts")
+    // and the query's integer-floor version agrees to bin-floor noise
+    val df = rows.toDF("pq", "y")
+      .select(expr("pq DIV 5000").as("bin"), col("pq"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pq")).as("p"),
+        sum(col("y")).as("yb"))
+    val tots = df.agg(sum(col("n")).as("nt"), sum(col("yb")).as("yt"))
+    val r = df.crossJoin(broadcast(tots))
+      .agg(sum(expr("((p - 10000 * yb) * (p - 10000 * yb)) DIV n"))
+          .as("relnum"),
+        sum(expr("((yb * nt - n * yt) * (yb * nt - n * yt)) DIV n"))
+          .as("resnum"))
+      .collect()(0)
+    val relQ = r.getLong(0).toDouble / (n * 1e8)
+    val resQ = r.getLong(1).toDouble / (n.toDouble * n * n)
+    assert(math.abs(relQ - rel) < 1e-6 && math.abs(resQ - res) < 1e-6,
+      s"integer decomposition ($relQ, $resQ) != direct ($rel, $res)")
+  }
 }
