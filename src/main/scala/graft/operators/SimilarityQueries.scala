@@ -951,6 +951,50 @@ object SimilarityQueries extends QueryPack {
         .select(col("step"), col("vec_id"),
           round(col("cq").cast("double") / 1e6, 6).as("relevance"),
           round(col("sc").cast("double") / 1e7, 6).as("mmr_score"))
+    }),
+    // Top principal direction of the embedding cloud by two exact
+    // integer power iterations (matrix-free: v ← Xᵀ(Xv), rescaled to
+    // ±1e6 by nonnegative integer division each round) — the
+    // spectral audit behind "is this embedding space collapsing onto
+    // one axis" (a dominant component with most of the mass is the
+    // classic anisotropy / rogue-dimension symptom;
+    // cf. Mu & Viswanath 2018 all-but-the-top). Components quantize
+    // to milli-units first, so every dot product and accumulation is
+    // a long and the loadings are bit-identical across engines — no
+    // eigensolver library, just two keyed agg rounds over the
+    // (n·dim)-row flat frame. Long bounds: |dot| ≤ dim·1e3·1e6,
+    // |w| ≤ n·1e3·|dot| — holds through ~1e5 vectors; past that lift
+    // the w accumulator to DECIMAL(38,0), same formula. Sign is
+    // pinned by the all-positive start vector.
+    "q321_spectral_audit" -> ((s, d) => {
+      val flat = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col").cast("double") * 1000).cast("long")
+            .as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def step(v: DataFrame): DataFrame = {
+        val dot = flat.join(broadcast(v), Seq("i"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("xq") * col("vv")).as("dt"))
+        val w = flat.join(dot, Seq("vec_id"))
+          .groupBy(col("i")).agg(sum(col("xq") * col("dt")).as("wi"))
+        val m = w.agg(max(abs(col("wi"))).as("mx"))
+        w.crossJoin(broadcast(m))
+          .select(col("i"),
+            when(col("wi") < 0,
+              -expr("abs(wi) DIV ((mx DIV 1000000) + 1)"))
+            .otherwise(expr("wi DIV ((mx DIV 1000000) + 1)"))
+            .as("vv"))
+      }
+      val v0 = flat.select(col("i")).distinct()
+        .withColumn("vv", lit(1000000L))
+      val v2 = step(step(v0))
+      val out = v2.orderBy(abs(col("vv")).desc, col("i").asc).limit(8)
+        .select(col("i").as("dim"), col("vv").as("loading"))
+        .localCheckpoint()
+      flat.unpersist(blocking = false)
+      out
     })
   )
 
@@ -1870,6 +1914,34 @@ object SimilarityQueries extends QueryPack {
         |  FROM r1 ORDER BY sc DESC, vec_id LIMIT 1),
         | $steps
         | $out""".stripMargin
-    }
+    },
+    "q321_spectral_audit" ->
+      // the same two unrolled integer power-iteration rounds; // on
+      // nonnegative operands only (abs/max), so it equals Spark's DIV
+      s"""WITH $flatCte,
+        | fq AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |   CAST(round(x * 1000) AS BIGINT) AS xq FROM flat),
+        | v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vv
+        |  FROM fq),
+        | d1 AS (SELECT f.vec_id, CAST(sum(f.xq * v0.vv) AS BIGINT)
+        |   AS dt
+        |  FROM fq f JOIN v0 ON f.i = v0.i GROUP BY 1),
+        | w1 AS (SELECT f.i, CAST(sum(f.xq * d1.dt) AS BIGINT) AS wi
+        |  FROM fq f JOIN d1 USING (vec_id) GROUP BY 1),
+        | m1 AS (SELECT max(abs(wi)) AS mx FROM w1),
+        | v1 AS (SELECT i, CASE WHEN wi < 0
+        |    THEN -(abs(wi) // ((mx // 1000000) + 1))
+        |    ELSE wi // ((mx // 1000000) + 1) END AS vv FROM w1, m1),
+        | d2 AS (SELECT f.vec_id, CAST(sum(f.xq * v1.vv) AS BIGINT)
+        |   AS dt
+        |  FROM fq f JOIN v1 ON f.i = v1.i GROUP BY 1),
+        | w2 AS (SELECT f.i, CAST(sum(f.xq * d2.dt) AS BIGINT) AS wi
+        |  FROM fq f JOIN d2 USING (vec_id) GROUP BY 1),
+        | m2 AS (SELECT max(abs(wi)) AS mx FROM w2),
+        | v2 AS (SELECT i, CASE WHEN wi < 0
+        |    THEN -(abs(wi) // ((mx // 1000000) + 1))
+        |    ELSE wi // ((mx // 1000000) + 1) END AS vv FROM w2, m2)
+        | SELECT i AS dim, vv AS loading FROM v2
+        | ORDER BY abs(vv) DESC, i LIMIT 8""".stripMargin
   )
 }

@@ -1404,6 +1404,33 @@ object TextQueries extends QueryPack {
             / (lit(2.0) * col("n_pos").cast("double")
               * (col("n") - col("n_pos")).cast("double")), 6)
             .as("auc"))
+    }),
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    // word-adjacency graph (window = 2, content words = length ≥ 4),
+    // the graph-centrality complement to q238's RAKE (degree-based)
+    // scoring. Reuses the integer-exact 3-iteration power walk
+    // (Graph.pageRankInt) — vertex ids are the words themselves, so
+    // no hash indirection; bigrams generate in-row (zero extra
+    // scans), and the corpus-wide graph is distinct word pairs —
+    // vocabulary-bounded, not corpus-bounded, at any scale.
+    "q320_textrank" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(TextAnalysis.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS a, " +
+            "element_at(w, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b")
+          && length(col("a")) >= 4 && length(col("b")) >= 4)
+      val sym = bg.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      Graph.pageRankInt(sym, "u", "v", iters = 3)
+        .orderBy(col("rank").desc, col("v").asc).limit(15)
+        .select(col("v").as("word"), col("rank"))
     })
   )
 
@@ -2592,6 +2619,50 @@ object TextQueries extends QueryPack {
         |  round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
         |   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
         |   6) AS auc
-        | FROM ag""".stripMargin
+        | FROM ag""".stripMargin,
+    "q320_textrank" ->
+      // q145's unrolled integer-PageRank CTE ladder over the word-
+      // adjacency graph instead of the supplier graph
+      """WITH toks AS (SELECT string_split(text, ' ') AS w
+        |   FROM documents),
+        | bgr AS (SELECT w[i] AS a, w[i+1] AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        | bf AS (SELECT a, b FROM bgr
+        |  WHERE a <> b AND length(a) >= 4 AND length(b) >= 4),
+        | g AS (SELECT DISTINCT u, v FROM (
+        |   SELECT a AS u, b AS v FROM bf
+        |   UNION ALL SELECT b AS u, a AS v FROM bf)),
+        | verts AS (SELECT DISTINCT u AS v FROM g),
+        | n AS (SELECT count(*) AS nv FROM verts),
+        | deg AS (SELECT u, count(*) AS deg FROM g GROUP BY 1),
+        | r0 AS (SELECT v, (SELECT 1000000000000 // nv FROM n) AS rank
+        |  FROM verts),
+        | i1 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT)
+        |     AS in_sum
+        |   FROM r0 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v),
+        | i2 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT)
+        |     AS in_sum
+        |   FROM i1 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v),
+        | i3 AS (SELECT verts.v,
+        |   (SELECT (15 * (1000000000000 // nv)) // 100 FROM n)
+        |    + (85 * coalesce(sc.in_sum, 0)) // 100 AS rank
+        |  FROM verts LEFT JOIN (
+        |   SELECT g.v AS v, CAST(sum(r.rank // d.deg) AS BIGINT)
+        |     AS in_sum
+        |   FROM i2 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
+        |   GROUP BY g.v) sc ON verts.v = sc.v)
+        | SELECT v AS word, CAST(rank AS BIGINT) AS rank FROM i3
+        | ORDER BY rank DESC, word LIMIT 15""".stripMargin
   )
 }

@@ -178,4 +178,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(relQ - rel) < 1e-6 && math.abs(resQ - res) < 1e-6,
       s"integer decomposition ($relQ, $resQ) != direct ($rel, $res)")
   }
+
+  test("integer power iteration (the q321 shape) finds the dominant " +
+    "axis of an anisotropic cloud") {
+    // 6 points stretched 10x along dim 0, slight dim-1 noise: the
+    // top principal direction must load ~fully on dim 0.
+    val pts = Seq((0L, 0L, 1000L), (0L, 1L, 30L), (1L, 0L, -980L),
+      (1L, 1L, 20L), (2L, 0L, 950L), (2L, 1L, -40L),
+      (3L, 0L, -990L), (3L, 1L, -10L), (4L, 0L, 970L), (4L, 1L, 25L),
+      (5L, 0L, -960L), (5L, 1L, 15L)).toDF("vec_id", "i", "xq")
+    def step(v: org.apache.spark.sql.DataFrame) = {
+      val dot = pts.join(broadcast(v), Seq("i"))
+        .groupBy(col("vec_id")).agg(sum(col("xq") * col("vv")).as("dt"))
+      val w = pts.join(dot, Seq("vec_id"))
+        .groupBy(col("i")).agg(sum(col("xq") * col("dt")).as("wi"))
+      val m = w.agg(max(abs(col("wi"))).as("mx"))
+      w.crossJoin(broadcast(m)).select(col("i"),
+        when(col("wi") < 0, -expr("abs(wi) DIV ((mx DIV 1000000) + 1)"))
+          .otherwise(expr("wi DIV ((mx DIV 1000000) + 1)")).as("vv"))
+    }
+    val v0 = pts.select(col("i")).distinct()
+      .withColumn("vv", lit(1000000L))
+    val v2 = step(step(v0)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(v2(0L)) > 900000L,
+      s"dominant axis loading ${v2(0L)} should be near ±1e6")
+    assert(math.abs(v2(1L)) < 100000L,
+      s"noise axis loading ${v2(1L)} should be near 0")
+  }
+
+  test("TextRank shape: an adjacency hub word outranks leaf words") {
+    // star: 'data' adjacent to 4 distinct words; leaves only touch
+    // the hub. PageRank on the symmetric graph must put the hub first.
+    val e = Seq(("data", "lake"), ("data", "mesh"), ("data", "card"),
+      ("data", "silo")).toDF("a", "b")
+    val sym = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val top = Graph.pageRankInt(sym, "u", "v", iters = 3)
+      .orderBy(col("rank").desc, col("v").asc).limit(1)
+      .collect()(0).getString(0)
+    assert(top == "data", s"hub word should rank first, got $top")
+  }
 }
