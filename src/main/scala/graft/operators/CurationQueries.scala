@@ -1537,6 +1537,147 @@ object CurationQueries extends QueryPack {
             / (col("n").cast("double")
               * least(col("ll") - 1L, col("kk") - 1L).cast("double"))),
             6).as("cramers_v"))
+    }),
+    // Kendall tau-b rank agreement between two quality signals
+    // (doc length vs distinct-word ratio) on a 10×10 joint decile
+    // table — the concordance-based complement to q233's Spearman ρ
+    // (tau is robust to a single wild rank where ρ's Σd² is not).
+    // Binning makes the O(n²) pair count EXACT from the contingency
+    // table: concordant/discordant sums are products of cell counts
+    // over the ≤100-row broadcast table, ties handled by the tau-b
+    // row/column corrections — all integers, one sqrt at the end.
+    "q322_kendall_tau" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("n_chars").cast("long").as("s1"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "DIV size(split(text, ' '))").as("s2"))
+      val ext = base.agg(min(col("s1")).as("mn1"),
+        max(col("s1")).as("mx1"), min(col("s2")).as("mn2"),
+        max(col("s2")).as("mx2"))
+      val tab = base.crossJoin(broadcast(ext))
+        .select(expr("((s1 - mn1) * 10) DIV (mx1 - mn1 + 1)").as("b1"),
+          expr("((s2 - mn2) * 10) DIV (mx2 - mn2 + 1)").as("b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("nn"))
+        .localCheckpoint() // ≤100 rows, feeds 4 consumers
+      val cd = tab.crossJoin(broadcast(tab.select(col("b1").as("c1"),
+          col("b2").as("c2"), col("nn").as("mm"))))
+        .filter(col("c1") > col("b1"))
+        .agg(coalesce(sum(when(col("c2") > col("b2"),
+            col("nn") * col("mm")).otherwise(0L)), lit(0L)).as("conc"),
+          coalesce(sum(when(col("c2") < col("b2"),
+            col("nn") * col("mm")).otherwise(0L)), lit(0L)).as("disc"))
+      val rt = tab.groupBy(col("b1")).agg(sum(col("nn")).as("t"))
+        .agg(sum(expr("(t * (t - 1)) DIV 2")).cast("long").as("n1t"),
+          sum(col("t")).cast("long").as("n"))
+      val ct = tab.groupBy(col("b2")).agg(sum(col("nn")).as("t"))
+        .agg(sum(expr("(t * (t - 1)) DIV 2")).cast("long").as("n2t"))
+      cd.crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+        .select(col("n").as("n_docs"), col("conc").as("concordant"),
+          col("disc").as("discordant"),
+          when(expr("(n * (n - 1)) DIV 2") === col("n1t")
+              || expr("(n * (n - 1)) DIV 2") === col("n2t"), lit(0.0))
+          .otherwise(round((col("conc") - col("disc")).cast("double")
+            / sqrt((expr("(n * (n - 1)) DIV 2") - col("n1t"))
+                .cast("double")
+              * (expr("(n * (n - 1)) DIV 2") - col("n2t"))
+                .cast("double")), 6)).as("tau_b"))
+    }),
+    // 1-D Wasserstein (earth-mover) distance between src0 and src1
+    // length distributions: W₁ = ∫|F₁−F₂| — the magnitude-aware
+    // complement to q275's KS statistic (KS sees only the WORST CDF
+    // gap; W₁ integrates all of them, the standard drift metric for
+    // ordered quantities). Exact rational arithmetic: CDF gaps as
+    // |f₁·n₂ − f₂·n₁| over the common denominator, gap widths from
+    // the support's successor value — everything long until ONE
+    // final division. Support-bounded (distinct value domain), same
+    // broadcast-triangle shape as q312's midrank table; swap in
+    // distributedPrefixSum when the value domain outgrows a
+    // broadcast.
+    "q323_wasserstein" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("v"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L))
+            .as("c2"))
+        .localCheckpoint() // support-sized, feeds cum/nxt/tot legs
+      val cum = vc.join(broadcast(vc.select(col("v").as("u"),
+          col("c1").as("d1"), col("c2").as("d2"))),
+          col("u") <= col("v"))
+        .groupBy(col("v"))
+        .agg(sum(col("d1")).as("f1"), sum(col("d2")).as("f2"))
+      val nxt = vc.join(broadcast(vc.select(col("v").as("u"))),
+          col("u") > col("v"), "left")
+        .groupBy(col("v")).agg(min(col("u")).as("nv"))
+      val tot = vc.agg(sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"))
+      cum.join(nxt, Seq("v"))
+        .filter(col("nv").isNotNull)
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("na"), max(col("n2")).as("nb"),
+          sum(abs(col("f1") * col("n2") - col("f2") * col("n1"))
+            * (col("nv") - col("v"))).as("wnum"))
+        .select(col("na").as("n_src0"), col("nb").as("n_src1"),
+          when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+            .otherwise(round(col("wnum").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")),
+              6)).as("wasserstein"))
+    }),
+    // Welch's unequal-variance t statistic + Welch–Satterthwaite
+    // degrees of freedom on src0-vs-src1 lengths — the PARAMETRIC
+    // member of the two-sample family (q312 Mann-Whitney is the rank
+    // test; Welch is what an A/B readout reports when means matter).
+    // One conditional-sum scan (n, Σx, Σx² per arm, exact longs);
+    // every double step is a fixed-association formula over exact
+    // integers, so both engines round identically. Zero-variance
+    // corpora pin t=0 via an EXACT double-zero test (the n·v̄²
+    // product is ≤2⁵³ so the variance subtraction is exact).
+    "q324_welch_t" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      docs.agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("source") === "src0", col("v")).otherwise(0L))
+            .as("sx1"),
+          sum(when(col("source") === "src0", col("v") * col("v"))
+            .otherwise(0L)).as("sq1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L))
+            .as("n2"),
+          sum(when(col("source") === "src1", col("v")).otherwise(0L))
+            .as("sx2"),
+          sum(when(col("source") === "src1", col("v") * col("v"))
+            .otherwise(0L)).as("sq2"))
+        .select(col("n1"), col("n2"),
+          (col("sq1").cast("double") - col("sx1").cast("double")
+            * col("sx1").cast("double") / col("n1").cast("double"))
+            .as("ss1"),
+          (col("sq2").cast("double") - col("sx2").cast("double")
+            * col("sx2").cast("double") / col("n2").cast("double"))
+            .as("ss2"),
+          (col("sx1").cast("double") / col("n1").cast("double")
+            - col("sx2").cast("double") / col("n2").cast("double"))
+            .as("md"))
+        .select(col("n1"), col("n2"), col("md"),
+          (col("ss1") / (col("n1") - 1L).cast("double")
+            / col("n1").cast("double")).as("a1"),
+          (col("ss2") / (col("n2") - 1L).cast("double")
+            / col("n2").cast("double")).as("a2"))
+        .select(col("n1").as("n_src0"), col("n2").as("n_src1"),
+          round(col("md"), 6).as("mean_diff"),
+          when(col("a1") + col("a2") === 0.0, lit(0.0))
+            .otherwise(round(col("md")
+              / sqrt(col("a1") + col("a2")), 6)).as("t_stat"),
+          when(col("a1") + col("a2") === 0.0, lit(0.0))
+            .otherwise(round((col("a1") + col("a2"))
+                * (col("a1") + col("a2"))
+              / (col("a1") * col("a1")
+                  / (col("n1") - 1L).cast("double")
+                + col("a2") * col("a2")
+                  / (col("n2") - 1L).cast("double")), 6)).as("df"))
     })
   )
 
