@@ -903,18 +903,21 @@ object CurationQueries extends QueryPack {
         .withColumnRenamed("rk", "rd")
       // sum as DECIMAL(38,0): Σd² grows ~n³/6 for weakly correlated
       // rankings, past int64 at a few million docs — a silent Spark
-      // wrap vs a DuckDB HUGEINT-cast error (review finding)
+      // wrap vs a DuckDB HUGEINT-cast error (review finding).
+      // Output is (n, rho@4dp) ONLY: the lri quantization boundary is
+      // ulp-sensitive across libm builds, and one flipped unit adjacent-
+      // transposes two ranks — invisible in rho (O(1/n³) perturbation,
+      // < 1e-10 at n≈600) but a guaranteed hash miss if the raw Σd² is
+      // itself hashed. Hash the statistic, not the amplifier.
       rd.select(((col("rq") - col("rd"))
           * (col("rq") - col("rd")))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("d2"))
         .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
         .select(col("n"),
-          col("sum_d2").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0)).as("sum_d2"),
           round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
             / (col("n").cast("double")
               * (col("n").cast("double") * col("n").cast("double")
-                - 1.0)), 6).as("spearman_rho"))
+                - 1.0)), 4).as("spearman_rho"))
     }),
     // Quality-gate Pareto curve: surviving doc/token fraction at each
     // quality threshold — the tuning table behind every "keep the
@@ -1122,17 +1125,28 @@ object CurationQueries extends QueryPack {
     // (K = #domains) with scalar crossJoins, so the iteration cost is
     // independent of corpus size — the loss pass is the only scan.
     "q267_domain_reweight" -> ((s, d) => {
-      val toks = Tables.documents(s, d).select(col("source"),
-        explode(TextAnalysis.words(col("text"))).as("w"))
-      val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      // ONE tokenize pass reduced to (source, word) grain up front:
+      // the unigram LM and the per-domain surprisal sums both derive
+      // from grp (Σ over tokens of nl ≡ Σ over (source,w) of cnt·nl,
+      // exact same longs), so the corpus is exploded once and the
+      // LM join runs at vocab grain, not token grain — this query
+      // was the suite's #6 wall cost when both legs re-exploded.
+      val grp = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the LM build AND the loss sums
+      val wc = grp.groupBy(col("w")).agg(sum(col("cnt")).as("cw"))
       val tot = wc.agg(sum(col("cw")).as("t"))
       val nll = wc.crossJoin(broadcast(tot))
         .select(col("w"),
           round(-log(col("cw").cast("double") / col("t").cast("double"))
             * 1e6).cast("long").as("nl"))
-      val d0 = toks.join(broadcast(nll), "w")
+      val d0 = grp.join(broadcast(nll), "w")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("nl")).as("snl"))
+        .agg(sum(col("cnt")).as("n_toks"),
+          sum(col("cnt") * col("nl")).as("snl"))
         .select(col("source"), col("n_toks"),
           call_function("div", col("snl"), col("n_toks")).as("ld"))
         .withColumn("w0", lit(1000000L))
@@ -2340,10 +2354,10 @@ object CurationQueries extends QueryPack {
         | a AS (SELECT count(*) AS n,
         |   CAST(sum((rq - rd) * (rq - rd)) AS DECIMAL(38,0)) AS sum_d2
         |  FROM r)
-        | SELECT n, sum_d2,
+        | SELECT n,
         |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
         |    / (CAST(n AS DOUBLE)
-        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 4)
         |    AS spearman_rho
         | FROM a""".stripMargin,
     "q235_quality_pareto" ->
@@ -2814,6 +2828,102 @@ object CurationQueries extends QueryPack {
         |     * CAST(least(count(DISTINCT lang) - 1,
         |        count(DISTINCT source) - 1) AS DOUBLE))), 6)
         |   AS cramers_v
-        | FROM terms GROUP BY 1""".stripMargin
+        | FROM terms GROUP BY 1""".stripMargin,
+    "q322_kendall_tau" ->
+      """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s1,
+        |   (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS BIGINT))
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS s2
+        |  FROM documents),
+        | ext AS (SELECT min(s1) AS mn1, max(s1) AS mx1,
+        |   min(s2) AS mn2, max(s2) AS mx2 FROM base),
+        | tab AS (SELECT ((s1 - mn1) * 10) // (mx1 - mn1 + 1) AS b1,
+        |   ((s2 - mn2) * 10) // (mx2 - mn2 + 1) AS b2,
+        |   CAST(count(*) AS BIGINT) AS nn
+        |  FROM base CROSS JOIN ext GROUP BY 1, 2),
+        | cd AS (SELECT
+        |   coalesce(CAST(sum(CASE WHEN q.b2 > p.b2
+        |     THEN p.nn * q.nn ELSE 0 END) AS BIGINT), 0) AS conc,
+        |   coalesce(CAST(sum(CASE WHEN q.b2 < p.b2
+        |     THEN p.nn * q.nn ELSE 0 END) AS BIGINT), 0) AS disc
+        |  FROM tab p JOIN tab q ON q.b1 > p.b1),
+        | rt AS (SELECT CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS n1t,
+        |   CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT sum(nn) AS t FROM tab GROUP BY b1)),
+        | ct AS (SELECT CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS n2t
+        |  FROM (SELECT sum(nn) AS t FROM tab GROUP BY b2))
+        | SELECT n AS n_docs, conc AS concordant, disc AS discordant,
+        |  CASE WHEN (n * (n - 1)) // 2 = n1t
+        |    OR (n * (n - 1)) // 2 = n2t THEN 0.0
+        |   ELSE round(CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST((n * (n - 1)) // 2 - n1t AS DOUBLE)
+        |      * CAST((n * (n - 1)) // 2 - n2t AS DOUBLE)), 6)
+        |  END AS tau_b
+        | FROM cd CROSS JOIN rt CROSS JOIN ct""".stripMargin,
+    "q323_wasserstein" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        | vc AS (SELECT v,
+        |   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c1,
+        |   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c2
+        |  FROM docs GROUP BY 1),
+        | cum AS (SELECT v,
+        |   CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+        |   CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS f2,
+        |   lead(v) OVER (ORDER BY v) AS nv
+        |  FROM vc),
+        | tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |   CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+        | a AS (SELECT max(n1) AS na, max(n2) AS nb,
+        |   CAST(sum(abs(f1 * n2 - f2 * n1) * (nv - v)) AS BIGINT)
+        |    AS wnum
+        |  FROM cum CROSS JOIN tot WHERE nv IS NOT NULL)
+        | SELECT na AS n_src0, nb AS n_src1,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |   ELSE round(CAST(wnum AS DOUBLE)
+        |     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |  END AS wasserstein
+        | FROM a""".stripMargin,
+    "q324_welch_t" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        | m AS (SELECT
+        |   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN source = 'src0' THEN v ELSE 0 END)
+        |    AS BIGINT) AS sx1,
+        |   CAST(sum(CASE WHEN source = 'src0' THEN v * v ELSE 0 END)
+        |    AS BIGINT) AS sq1,
+        |   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n2,
+        |   CAST(sum(CASE WHEN source = 'src1' THEN v ELSE 0 END)
+        |    AS BIGINT) AS sx2,
+        |   CAST(sum(CASE WHEN source = 'src1' THEN v * v ELSE 0 END)
+        |    AS BIGINT) AS sq2
+        |  FROM docs),
+        | s AS (SELECT n1, n2,
+        |   CAST(sq1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |     * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ss1,
+        |   CAST(sq2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+        |     * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS ss2,
+        |   CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+        |  FROM m),
+        | a AS (SELECT n1, n2, md,
+        |   ss1 / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS a1,
+        |   ss2 / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS a2
+        |  FROM s)
+        | SELECT n1 AS n_src0, n2 AS n_src1,
+        |  round(md, 6) AS mean_diff,
+        |  CASE WHEN a1 + a2 = 0.0 THEN 0.0
+        |   ELSE round(md / sqrt(a1 + a2), 6) END AS t_stat,
+        |  CASE WHEN a1 + a2 = 0.0 THEN 0.0
+        |   ELSE round((a1 + a2) * (a1 + a2)
+        |     / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+        |       + a2 * a2 / CAST(n2 - 1 AS DOUBLE)), 6)
+        |  END AS df
+        | FROM a""".stripMargin
   )
 }
