@@ -201,7 +201,14 @@ object Graph {
     val verts = e.select(col("s").as("v"))
       .unionAll(e.select(col("d").as("v"))).distinct().localCheckpoint()
     val sd = seeds.select(col(seedCol).as("v")).distinct()
-      .join(verts, Seq("v"), "left_semi")
+      .join(verts, Seq("v"), "left_semi").localCheckpoint()
+    // fail fast on an empty (post-semi-join) seed set: n_seeds = 0
+    // would null every integer-div teleport term and silently emit
+    // all-null ranks (review finding). 1-row bounded collect.
+    val nSeeds = sd.count()
+    require(nSeeds > 0,
+      "personalizedPageRankInt: seed set shares no vertex with the " +
+        "graph - ranks would be all-null")
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     val base = verts

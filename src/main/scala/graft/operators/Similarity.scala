@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
@@ -311,6 +311,36 @@ object Similarity {
           coalesce(col("cv_new"), col("cv")).as("cv"))
     }
     cents
+  }
+
+  /** Memoized [[kmeansRefineMicro]] over a [[centroids]] seed: the
+    * refined centroid table collected to the driver ONCE per
+    * (cacheKey, nlist, iters) and replayed as a tiny local frame for
+    * every later caller — the IVF query family shares one quantizer
+    * build instead of re-running Lloyd per query (same lazy-training
+    * discipline as Classifier.batchPerceptronCached). Safe because
+    * kmeansRefineMicro is bit-deterministic (integer micro-unit
+    * means), so the cached frame is the frame a fresh run would
+    * produce; bounded because a quantizer is nlist × dim doubles.
+    * `cacheKey` must fingerprint the corpus (include the data dir —
+    * sf0.01 and sf0.1 must not collide). */
+  private val centroidMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Array[(Long, Seq[Double])]]
+
+  def refinedCentroidsCached(emb: => DataFrame, idCol: String,
+                             vecCol: String, nlist: Int, iters: Int,
+                             cacheKey: String,
+                             spark: SparkSession): DataFrame = {
+    val data = centroidMemo.getOrElseUpdate((cacheKey, nlist, iters), {
+      val seed = centroids(emb, idCol, vecCol, nlist)
+      val refined =
+        if (iters > 0) kmeansRefineMicro(emb, idCol, vecCol, seed, iters)
+        else seed
+      refined.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    })
+    spark.createDataFrame(data.toIndexedSeq)
+      .toDF("centroid_id", "cv")
   }
 
   /** Assign every vector to its nearest centroid (max cosine,
