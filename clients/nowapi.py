@@ -39,6 +39,14 @@ listrow = 3
 
 utc = timezone.utc
 
+# Opt-out of str-parameter escaping in addpars (raw reference parity);
+# see addpars' docstring. Default False: embedded quotes are doubled.
+rawstrings = False
+
+# Opt-in to the reference's None-at-end fetchmany/fetchall return
+# (PEP 249 mandates a possibly-empty sequence; default complies).
+nonefetch = False
+
 # wire type tags (reference ifc/nowdb.h row framing)
 _T_NULL, _T_TEXT, _T_DATE, _T_TIME = 0, 1, 2, 3
 _T_FLOAT, _T_INT, _T_UINT, _T_BOOL = 4, 5, 6, 9
@@ -140,7 +148,15 @@ def convert(t, v):
 
 def addpars(op, ps):
     """%-style parameter substitution (reference nowapi.py:312):
-    None -> NULL, datetime -> engine ns stamp, rest via str()."""
+    None -> NULL, datetime -> engine ns stamp, rest via str().
+
+    IMPORTANT — string parameters are NOT auto-quoted (reference
+    parity: the SQL template must carry the quotes itself, e.g.
+    ``... where nm = '%s'``). Embedded single quotes in str values
+    ARE escaped (doubled), so a value like ``O'Brien`` can neither
+    break the statement nor smuggle SQL past the template's quotes.
+    Callers who need the raw reference behavior (no escaping) can set
+    ``nowapi.rawstrings = True``."""
     if ps is None:
         return op
     subst = []
@@ -149,6 +165,10 @@ def addpars(op, ps):
             subst.append("NULL")
         elif isinstance(p, datetime):
             subst.append(str(dt2now(p)))
+        elif isinstance(p, str) and not rawstrings:
+            # backslash first (the engine lexer also treats \ as an
+            # escape inside string literals), then quote doubling
+            subst.append(p.replace("\\", "\\\\").replace("'", "''"))
         else:
             subst.append(str(p))
     return op % tuple(subst)
@@ -321,6 +341,11 @@ class Cursor:
             raise InterfaceError("unexpected frame: %r" % head)
         self._curid = head.split(" ")[1]
         self._fetch_batch()
+        # type_code comes from the first row's wire tags — the +batch
+        # frame carries names but not types. For an EMPTY result set
+        # (and for a column whose first value is NULL) type_code is 0
+        # = "unknown"; names are always authoritative. (A typed header
+        # frame would fix this server-side; documented limitation.)
         first = self._buf[0] if self._buf else None
         self.description = [
             (name, first[i][0] if first is not None else 0,
@@ -356,8 +381,11 @@ class Cursor:
         return self._format_row(raw)
 
     def fetchmany(self, size=None):
-        """Up to `size` rows (default: .arraysize); None at end, like
-        the reference (PEP 249 itself would return [])."""
+        """Up to `size` rows (default: .arraysize); [] at end, as PEP
+        249 mandates (a sequence, possibly empty — pandas and generic
+        DB-API consumers iterate the return value). The reference
+        returns None instead; set ``nowapi.nonefetch = True`` for that
+        parity behavior."""
         if size is None:
             size = self.arraysize
         out = []
@@ -366,16 +394,22 @@ class Cursor:
             if row is None:
                 break
             out.append(row)
-        return out if out else None
+        if not out and nonefetch:
+            return None
+        return out
 
     def fetchall(self):
+        """Every remaining row; [] when none remain (PEP 249 contract;
+        ``nowapi.nonefetch = True`` restores the reference's None)."""
         out = []
         while True:
             row = self.fetchone()
             if row is None:
                 break
             out.append(row)
-        return out if out else None
+        if not out and nonefetch:
+            return None
+        return out
 
     def setinputsizes(self, sizes):
         pass

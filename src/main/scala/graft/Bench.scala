@@ -121,9 +121,11 @@ object Bench {
     busWait(); pressure.drain()
     val results = selected.map {
       case (name, fn) =>
-        var spillAcc = 0L
-        var peakAcc = 0L
-        val times = (0 until reps).map { _ =>
+        // per-rep (wall, spill, peak) so the reported pressure record
+        // is the one FROM the rep that produced the recorded wall —
+        // summing spill across reps against a min wall mixed metrics
+        // from different runs (review finding)
+        val repRuns = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           val failed =
             try {
@@ -137,7 +139,6 @@ object Bench {
           val dt = if (failed) 1e9 else (System.nanoTime() - t0) / 1e9
           busWait()
           val (sp, pk) = pressure.drain()
-          spillAcc += sp; peakAcc = math.max(peakAcc, pk)
           // operators persist reused intermediates for the duration of
           // their query; drop them (plus any leftover checkpoint RDD
           // blocks) and let the JVM settle so late queries aren't taxed
@@ -146,11 +147,12 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           System.gc()
-          dt
+          (dt, sp, pk)
         }
+        val best = repRuns.minBy(_._1)
         val rt = Runtime.getRuntime
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / 1048576
-        name -> ((times.min, spillAcc / 1048576, peakAcc / 1048576,
+        name -> ((best._1, best._2 / 1048576, best._3 / 1048576,
           heapMb))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v._1}%.3f" }
