@@ -45,8 +45,8 @@ export NoConnectionError, ClientError, DBError, NothingError,
        datetime2now, now2datetime, now2datetimens,
        now2date, now2time, now2datetimepair, now,
        connect, close, reconnect, withconnection, use, describe,
-       execute, fillsql, loadsql, asarray, onerow, onevalue,
-       tfield, field, fieldcount, release, Report
+       execute, fillsql, loadsql, loaddf, tomatrix, asarray,
+       onerow, onevalue, tfield, field, fieldcount, release, Report
 
 struct NoConnectionError <: Exception end
 struct WrongTypeError <: Exception end
@@ -456,6 +456,46 @@ function loadsql(con::Connection, stmt::String; count::String = "",
   names = Tuple(Symbol(c) for c in res.columns)
   NamedTuple{names}(Tuple([r[j] for r in rows]
                           for j in 1:length(names)))
+end
+
+"""
+    loaddf(con, stmt; count="", limit=0)
+
+    The reference's DataFrame surface (NoW.jl loadsql:628-656 returns
+    a DataFrames.DataFrame named from the select list; exercised by
+    julia/dftest.jl). This module stays stdlib-only, so the DataFrames
+    dependency is resolved AT CALL TIME from the caller's session:
+    `using DataFrames` first, then `loaddf(...)` — otherwise a
+    ClientError explains what to load. Column names come from the
+    server header (authoritative for expressions and aliases, no
+    client-side select parsing like the reference's _parseselect).
+"""
+function loaddf(con::Connection, stmt::String; count::String = "",
+                limit = 0)
+  isdefined(Main, :DataFrames) ||
+    throw(ClientError(-1,
+      "loaddf needs DataFrames: run `using DataFrames` first " *
+      "(loadsql returns the same data as a stdlib NamedTuple)"))
+  nt = loadsql(con, stmt, count = count, limit = limit)
+  Base.invokelatest(Main.DataFrames.DataFrame, nt)
+end
+
+"""
+    tomatrix(nt::NamedTuple; T=Any)
+
+    Column-vectors → Matrix{T} (rows × columns) — the pure-conversion
+    half of the reference's fill (NoW.jl:602-624), usable on a
+    loadsql result without a second server round trip:
+    `tomatrix(loadsql(con, q))` ≡ `fillsql(con, q)`.
+"""
+function tomatrix(nt::NamedTuple; T = Any)
+  c = length(nt)
+  r = c == 0 ? 0 : length(nt[1])
+  m = Matrix{T}(undef, r, c)
+  for j in 1:c, i in 1:r
+    m[i, j] = nt[j][i]
+  end
+  m
 end
 
 end # module

@@ -267,6 +267,7 @@ class DedupSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("nds_soak")
       .outputMode("append").start()
     val batchMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var progressChecked = 0
     try {
       (1 to 100).foreach { i =>
         // alternate a near-dup hit and a novel doc so every batch
@@ -282,11 +283,17 @@ class DedupSpec extends AnyFunSuite {
         q.processAllAvailable()
         batchMs += (System.nanoTime() - t0) / 1e6
         val p = q.lastProgress
-        if (p != null)
+        if (p != null) {
+          progressChecked += 1
           assert(p.stateOperators.isEmpty ||
             p.stateOperators.forall(s => s.numRowsTotal == 0),
             s"batch $i grew streaming state: ${p.json}")
+        }
       }
+      // the zero-state claim must be checked BY NUMBER on most
+      // batches, not vacuously true because progress never surfaced
+      assert(progressChecked >= 50,
+        s"only $progressChecked/100 batches exposed progress telemetry")
       // every soak batch with a hit produced rows; novel ones didn't
       val hits = spark.table("nds_soak").collect()
       assert(hits.nonEmpty && hits.forall(_.getLong(0) % 2 == 0))

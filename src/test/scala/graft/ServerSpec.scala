@@ -166,14 +166,25 @@ class ServerSpec extends AnyFunSuite {
            |    got = []
            |    while True:
            |        m = cur.fetchmany(2)
-           |        if m is None:
+           |        if not m:
            |            break
            |        got.extend(m)
            |    assert sorted(got) == [(i,) for i in range(5)], got
+           |    # PEP 249: fetchmany/fetchall return [] (not None) at
+           |    # end-of-results, so generic DB-API consumers iterate
+           |    assert cur.fetchmany(2) == []
+           |    cur.execute("select id from g where id > 1000")
+           |    assert cur.fetchall() == [], "empty resultset -> []"
+           |    # str params: embedded quotes escaped (O'Brien inserts
+           |    # cleanly through a '%s' template, no injection)
+           |    cur.execute("insert into g (id, nm, at) (20, '%s', %s)",
+           |                ("O'Brien", stamp))
+           |    cur.execute("select nm from g where id = 20")
+           |    assert cur.fetchone() == ("O'Brien",)
            |    # connection-level convenience + iteration protocol
            |    seen = sorted(row["id"] for row in
            |                  con.execute("select id from g"))
-           |    assert seen == [0, 1, 2, 3, 4, 9], seen
+           |    assert seen == [0, 1, 2, 3, 4, 9, 20], seen
            |    # early close releases the server cursor mid-page
            |    cur.setRowFormat(nowapi.dictrow)
            |    cur.execute("select id from g")
@@ -187,7 +198,7 @@ class ServerSpec extends AnyFunSuite {
            |    except nowapi.DatabaseError:
            |        pass
            |    cur.execute("select count(*) as n from g")
-           |    assert cur.fetchone()["n"] == 6
+           |    assert cur.fetchone()["n"] == 7
            |    print("nowapi-ok")
            |""".stripMargin
       val f = Files.createTempFile("nowapi-drive", ".py")
@@ -277,6 +288,28 @@ class ServerSpec extends AnyFunSuite {
            |  @assert size(m) == (6, 2)
            |  nt = loadsql(con, "select id, nm from g", limit = 3)
            |  @assert keys(nt) == (:id, :nm) && length(nt.id) == 3
+           |  # matrix layer: tomatrix is the pure-conversion half of
+           |  # the reference's fill (NoW.jl:602-624)
+           |  m2 = tomatrix(loadsql(con, "select id, sc from g"))
+           |  @assert size(m2) == (6, 2)
+           |  @assert sort([Int(m2[i, 1]) for i in 1:6]) == collect(1:6)
+           |  # DataFrame layer (reference dftest.jl): real DataFrame
+           |  # when the package exists, an instructive error otherwise
+           |  try
+           |    @eval using DataFrames
+           |    df = loaddf(con, "select id, nm from g")
+           |    @assert size(df) == (6, 2)
+           |    @assert names(df) == ["id", "nm"]
+           |  catch e
+           |    if e isa ArgumentError  # package not installed
+           |      caught_df = false
+           |      try loaddf(con, "select id from g")
+           |      catch e2; caught_df = e2 isa ClientError end
+           |      @assert caught_df
+           |    else
+           |      rethrow()
+           |    end
+           |  end
            |  # errors surface as DBError and the session survives
            |  caught = false
            |  try execute(con, "select nope from nowhere")
@@ -415,6 +448,71 @@ class ServerSpec extends AnyFunSuite {
       assert(send(s"fetch $cur4").startsWith("+batch 1"))
       readLine()
       assert(readField() == 2L); assert(in.read() == '\n')
+      // DataFrame/matrix layer replay (nowjl.jl fillsql:408-433,
+      // loadsql:442-459, tomatrix; reference NoW.jl fill:602-624 +
+      // loadsql:628-656, julia/dftest.jl + matrixtest.jl): replay
+      // the count-preallocated matrix fill and the column-vector
+      // (DataFrame-feed) conversion over the paged wire and assert
+      // the converted SHAPES and values, not just the frames.
+      // 1. onevalue(count) — the preallocation row count
+      val hc = send("select count(*) as c from g")
+      val curc = hc.split(" ")(1)
+      assert(send(s"fetch $curc").startsWith("+batch 1"))
+      readLine()
+      val nRows = readField().asInstanceOf[Long].toInt
+      assert(in.read() == '\n')
+      assert(nRows == 6)
+      // 2. fillsql: nRows×2 matrix filled row-major across batches
+      val hm = send("select id, sc from g")
+      val curm = hm.split(" ")(1)
+      val mat = Array.ofDim[Any](nRows, 2)
+      var mi = 0
+      var moreM = true
+      while (moreM) {
+        val b = send(s"fetch $curm").split(" ")
+        assert(b(0) == "+batch", b.mkString(" "))
+        assert(readLine().startsWith("#id"))
+        (0 until b(1).toInt).foreach { _ =>
+          mat(mi)(0) = readField(); mat(mi)(1) = readField()
+          assert(in.read() == '\n'); mi += 1
+        }
+        moreM = b(2) == "1"
+      }
+      assert(mi == nRows) // matrix shape (6, 2), like size(m)
+      assert(mat.map(_(0).asInstanceOf[Long]).sorted
+        .sameElements(Array(1L, 2L, 3L, 4L, 5L, 6L)))
+      assert(mat.filter(_(0).asInstanceOf[Long] <= 5L)
+        .forall(r => r(1).asInstanceOf[Double]
+          == r(0).asInstanceOf[Long] + 0.5))
+      // 3. loadsql: column vectors keyed by the server HEADER names
+      //    (authoritative for aliases), limit=3 → early release
+      val hl = send("select id, nm as label from g")
+      val curl = hl.split(" ")(1)
+      val bl = send(s"fetch $curl").split(" ")
+      val hdr = readLine()
+      assert(hdr.startsWith("#"), hdr)
+      val colNames = hdr.drop(1).split("\t").toSeq
+      assert(colNames == Seq("id", "label"), colNames)
+      val colId = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val colLabel = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var left = bl(1).toInt
+      var moreL = bl(2) == "1"
+      var taken = 0
+      while (taken < 3 && (left > 0 || moreL)) {
+        if (left == 0) {
+          val b = send(s"fetch $curl").split(" ")
+          left = b(1).toInt; moreL = b(2) == "1"; readLine()
+        }
+        colId += readField(); colLabel += readField()
+        assert(in.read() == '\n'); left -= 1; taken += 1
+      }
+      // release(): drain the half-read batch, close the cursor
+      (0 until left).foreach { _ =>
+        readField(); readField(); assert(in.read() == '\n')
+      }
+      assert(send(s"close $curl").startsWith("+ok"))
+      assert(colId.length == 3 && colLabel.length == 3)
+      assert(colId.forall(_.isInstanceOf[Long]))
       send("quit")
       sock.close()
     } finally srv.stop()
