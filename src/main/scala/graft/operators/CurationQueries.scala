@@ -1692,6 +1692,45 @@ object CurationQueries extends QueryPack {
                   / (col("n1") - 1L).cast("double")
                 + col("a2") * col("a2")
                   / (col("n2") - 1L).cast("double")), 6)).as("df"))
+    }),
+    // Training-order interleaving audit: under the deterministic
+    // epoch shuffle (Knuth-hash order, q205's convention), how often
+    // do two same-source documents land ADJACENT, vs the expectation
+    // (N−1)·Σp_s² for an ideal random order? A mix_ratio ≫ 1 means
+    // the shuffle clusters a source (loss spikes batch-correlate);
+    // ≈1 means the hash order interleaves as well as true random.
+    // Global positions via Rank.distributedRank (range-partitioned,
+    // NO single-partition window — the DuckDB oracle uses the window
+    // form); adjacency is one equi-join on rank (rk = rk−1), so the
+    // audit is two exchanges at any corpus size. All counts exact
+    // longs; expectation and ratio are fixed-order doubles.
+    "q327_interleave_audit" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        ((col("doc_id") * 2654435761L) % 1000000007L).as("h"))
+      val ranked = Rank.distributedRank(base,
+        Seq(col("h").asc, col("doc_id").asc), s)
+      val adj = ranked.select(col("rk"), col("source"))
+        .join(ranked.select((col("rk") - 1L).as("rk"),
+          col("source").as("nxt")), Seq("rk"))
+        .agg(count(lit(1)).as("n_adj"),
+          sum(when(col("source") === col("nxt"), 1L).otherwise(0L))
+            .as("n_same"))
+      val m = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("ns"))
+        .agg(sum(col("ns")).as("n"),
+          sum(col("ns") * col("ns")).as("s2"))
+      adj.crossJoin(broadcast(m))
+        .select(col("n").cast("long").as("n_docs"),
+          col("n_same").as("n_same_adjacent"),
+          round((col("n") - 1L).cast("double") * col("s2").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")), 6)
+            .as("expected_random"),
+          round(col("n_same").cast("double")
+            / ((col("n") - 1L).cast("double")
+              * col("s2").cast("double")
+              / (col("n").cast("double") * col("n").cast("double"))),
+            6).as("mix_ratio"))
     })
   )
 
@@ -2924,6 +2963,27 @@ object CurationQueries extends QueryPack {
         |     / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
         |       + a2 * a2 / CAST(n2 - 1 AS DOUBLE)), 6)
         |  END AS df
-        | FROM a""".stripMargin
+        | FROM a""".stripMargin,
+    "q327_interleave_audit" ->
+      """WITH b AS (SELECT doc_id, source,
+        |   (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        | r AS (SELECT source,
+        |   lead(source) OVER (ORDER BY h, doc_id) AS nxt FROM b),
+        | a AS (SELECT
+        |   CAST(sum(CASE WHEN source = nxt THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same
+        |  FROM r WHERE nxt IS NOT NULL),
+        | m AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+        |   CAST(sum(ns * ns) AS BIGINT) AS s2
+        |  FROM (SELECT count(*) AS ns FROM b GROUP BY source))
+        | SELECT n AS n_docs, n_same AS n_same_adjacent,
+        |  round(CAST(n - 1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |   AS expected_random,
+        |  round(CAST(n_same AS DOUBLE)
+        |    / (CAST(n - 1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |   AS mix_ratio
+        | FROM a CROSS JOIN m""".stripMargin
   )
 }

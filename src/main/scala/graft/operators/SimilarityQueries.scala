@@ -1019,6 +1019,38 @@ object SimilarityQueries extends QueryPack {
         .localCheckpoint()
       flat.unpersist(blocking = false)
       out
+    }),
+    // Contrastive hard-negative mining: for each query vector, the
+    // top-3 highest-cosine vectors with a DIFFERENT label — the
+    // standard batch-construction step for contrastive/embedding
+    // training (the highest-similarity wrong-label examples are the
+    // gradients that matter). One corpus pass against the broadcast
+    // 5-query set, label filter row-local, rank per query. Cosines
+    // are exact across engines with no quantization: float×float
+    // products are exact in double and 64 such terms sum exactly
+    // (≤2⁵³), so Σxy, the norms, and the division reproduce
+    // bit-for-bit — the same determinism argument as q46/q48.
+    "q326_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cos = VectorOps.nativeCosine(s)
+      val qs = emb.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"),
+          VectorOps.toDoubleVec(col("embedding")).as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("vec_id").asc)
+      emb.select(col("vec_id"), col("label"),
+          VectorOps.toDoubleVec(col("embedding")).as("v"))
+        .crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          col("label").cast("long").as("neg_label"),
+          cos(col("v"), col("qv")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("vec_id"), col("neg_label"),
+          round(col("c"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -1966,6 +1998,31 @@ object SimilarityQueries extends QueryPack {
         |    THEN -(abs(wi) // ((mx // 1000000) + 1))
         |    ELSE wi // ((mx // 1000000) + 1) END AS vv FROM w2, m2)
         | SELECT i AS dim, vv AS loading FROM v2
-        | ORDER BY abs(vv) DESC, i LIMIT 8""".stripMargin
+        | ORDER BY abs(vv) DESC, i LIMIT 8""".stripMargin,
+    "q326_hard_negatives" ->
+      s"""WITH $flatCte,
+        | q AS (SELECT vec_id AS qid, label AS qlabel
+        |   FROM embeddings WHERE vec_id < 5),
+        | dots AS (SELECT f.vec_id, qf.vec_id AS qid,
+        |    sum(f.x * qf.x) AS dp
+        |   FROM flat f JOIN flat qf
+        |     ON f.i = qf.i AND qf.vec_id < 5
+        |   GROUP BY 1, 2),
+        | scored AS (SELECT d.qid, d.vec_id,
+        |    CAST(e.label AS BIGINT) AS neg_label,
+        |    dp / (nf.nrm * nq.nrm) AS c
+        |   FROM dots d
+        |   JOIN norms nf ON d.vec_id = nf.vec_id
+        |   JOIN norms nq ON d.qid = nq.vec_id
+        |   JOIN embeddings e ON e.vec_id = d.vec_id
+        |   JOIN q ON q.qid = d.qid
+        |   WHERE e.label <> q.qlabel),
+        | r AS (SELECT qid AS query_id, vec_id, neg_label, c,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+        |   FROM scored)
+        | SELECT query_id, vec_id, neg_label, round(c, 6) AS cosine,
+        |  rank
+        | FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -1431,6 +1431,36 @@ object TextQueries extends QueryPack {
       Graph.pageRankInt(sym, "u", "v", iters = 3)
         .orderBy(col("rank").desc, col("v").asc).limit(15)
         .select(col("v").as("word"), col("rank"))
+    }),
+    // RAG passage-chunking audit: fixed-size word windows (64 tokens,
+    // stride 48 → 16-token overlap) per document — chunk count, token
+    // emission, and the overlap-duplication fraction per source, the
+    // sizing table behind a chunked retrieval index ("how much does
+    // the index inflate, and which sources fragment worst"). Chunk
+    // starts come from an in-row sequence() explode (row-local, no
+    // join, no shuffle before the one keyed agg), so the audit costs
+    // one scan at any corpus size; per-doc rows are nw/48 — bounded
+    // by document length, never corpus size. All counts are exact
+    // longs; the one division is a final rounded double.
+    "q325_chunk_stats" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      base.select(col("source"), col("nw"),
+          explode(sequence(lit(1L), col("nw"), lit(48L))).as("st"))
+        .select(col("source"), col("nw"), col("st"),
+          least(lit(64L), col("nw") - col("st") + 1L).as("ct"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("st") === 1L, 1L).otherwise(0L))
+            .as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("ct")).as("toks_emitted"),
+          sum(when(col("st") === 1L, col("nw")).otherwise(0L))
+            .as("toks_unique"))
+        .select(col("source"), col("n_docs"), col("n_chunks"),
+          col("toks_emitted"), col("toks_unique"),
+          round(lit(1.0) - col("toks_unique").cast("double")
+            / col("toks_emitted").cast("double"), 6)
+            .as("overlap_frac"))
     })
   )
 
@@ -2663,6 +2693,25 @@ object TextQueries extends QueryPack {
         |   FROM i2 r JOIN deg d ON r.v = d.u JOIN g ON g.u = r.v
         |   GROUP BY g.v) sc ON verts.v = sc.v)
         | SELECT v AS word, CAST(rank AS BIGINT) AS rank FROM i3
-        | ORDER BY rank DESC, word LIMIT 15""".stripMargin
+        | ORDER BY rank DESC, word LIMIT 15""".stripMargin,
+    "q325_chunk_stats" ->
+      """WITH b AS (SELECT source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents),
+        | ch AS (SELECT source, nw, CAST(t.s AS BIGINT) AS st
+        |  FROM b, UNNEST(generate_series(1, nw, 48)) AS t(s)),
+        | g AS (SELECT source,
+        |   CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs,
+        |   CAST(count(*) AS BIGINT) AS n_chunks,
+        |   CAST(sum(least(64, nw - st + 1)) AS BIGINT)
+        |    AS toks_emitted,
+        |   CAST(sum(CASE WHEN st = 1 THEN nw ELSE 0 END) AS BIGINT)
+        |    AS toks_unique
+        |  FROM ch GROUP BY 1)
+        | SELECT source, n_docs, n_chunks, toks_emitted, toks_unique,
+        |  round(1.0 - CAST(toks_unique AS DOUBLE)
+        |    / CAST(toks_emitted AS DOUBLE), 6) AS overlap_frac
+        | FROM g""".stripMargin
   )
 }
