@@ -462,6 +462,41 @@ object AnalyticsQueries extends QueryPack {
           round(col("cxy").cast("double") / col("cx").cast("double"),
             6).as("confidence_xy"),
           round(col("lm").cast("double") / 1e6, 6).as("lift"))
+    }),
+    // EXACT per-group quantiles (p50/p90/p99 of doc length per
+    // source) WITHOUT a per-group window: one global
+    // Rank.distributedRank over (source, value, id) — a total order,
+    // so ranks within a source are contiguous — minus each source's
+    // broadcast start offset gives the within-source rank; the
+    // percentile_disc index ((n_s−1)·p) DIV 100 + 1 then selects the
+    // quantile row by an equi-ish join against the 3-row p grid.
+    // This is the operator approx_percentile replaces at scale when
+    // exactness is negotiable — here it is NOT (dedup thresholds and
+    // contract SLAs cite exact percentiles), and the rank path costs
+    // one range exchange regardless of group skew, where a
+    // PARTITION BY source window serializes each hot source through
+    // one task. Integer values, integer indices — nothing to drift.
+    "q328_source_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(col("source"),
+        col("n_chars").cast("long").as("v"), col("doc_id"))
+      val ranked = Rank.distributedRank(base,
+        Seq(col("source").asc, col("v").asc, col("doc_id").asc), s)
+      val counts = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("ns"))
+      val off = counts.as("a")
+        .join(broadcast(counts.as("b")),
+          col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"), col("a.ns").as("ns"))
+        .agg(coalesce(sum(col("b.ns")), lit(0L)).as("off"))
+      val grid = Seq(50L, 90L, 99L).toDF("p")
+      ranked.join(broadcast(off), Seq("source"))
+        .select(col("source"), col("ns"),
+          (col("rk") - col("off")).as("lrk"), col("v"))
+        .join(broadcast(grid),
+          col("lrk") === expr("((ns - 1) * p) DIV 100") + 1L)
+        .select(col("source"), col("p"), col("ns").as("n_docs"),
+          col("v").as("q_value"))
     })
   )
 
@@ -764,6 +799,17 @@ object AnalyticsQueries extends QueryPack {
         |  round(CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE), 6)
         |   AS confidence_xy,
         |  round(CAST(lm AS DOUBLE) / 1e6, 6) AS lift
-        | FROM top""".stripMargin
+        | FROM top""".stripMargin,
+    "q328_source_quantiles" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |   doc_id FROM documents),
+        | r AS (SELECT source, v,
+        |   CAST(row_number() OVER (PARTITION BY source
+        |     ORDER BY v, doc_id) AS BIGINT) AS lrk,
+        |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |  FROM b),
+        | p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        | SELECT source, p, ns AS n_docs, v AS q_value
+        | FROM r JOIN p ON lrk = ((ns - 1) * p) // 100 + 1""".stripMargin
   )
 }

@@ -652,6 +652,71 @@ object DedupQueries extends QueryPack {
             .otherwise(round(col("n_true_blocked").cast("double")
               / col("n_true_pairs").cast("double"), 6))
             .as("pair_completeness"))
+    }),
+    // Relational Bloom-filter prefilter for decontamination: insert
+    // the benchmark slice's distinct word-5-grams into an m=16384-bit
+    // k=4 filter (double hashing h1+i·h2 off the md5-60 gram hash —
+    // every bit position is integer arithmetic both engines replay),
+    // probe every corpus gram, and report the measured false-positive
+    // rate against the analytic (1−(1−1/m)^{kn})^k. This is the
+    // at-scale screen in front of q73's exact 5-gram join: the bit
+    // table is ≤m rows — BROADCAST-sized by construction regardless
+    // of corpus size — so the probe is a map-side join + keyed agg,
+    // and only the ~fp fraction of grams ever reaches the exact
+    // (shuffling) membership join. The audit computes exact
+    // membership for ALL probes here, precisely to measure what the
+    // screen would let through.
+    "q329_bloom_prefilter" -> ((s, d) => {
+      val m = 16384L
+      val k = 4L
+      val docs = Tables.documents(s, d)
+      def grams(df: DataFrame) = df
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 4), " +
+            "i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
+        .distinct()
+      val bench = grams(docs.filter(col("doc_id") < 25L))
+        .localCheckpoint() // feeds bits + membership + count (3 legs)
+      val h = Dedup.md5Hash60(col("g"))
+      def positions(df: DataFrame) = df
+        .select(col("g"), pmod(h, lit(m)).as("h1"),
+          (pmod(call_function("div", h, lit(m)), lit(m)) * 2L + 1L)
+            .as("h2"))
+        .select(col("g"), col("h1"), col("h2"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("i"))
+        .select(col("g"),
+          pmod(col("h1") + col("i") * col("h2"), lit(m)).as("b"))
+      val bits = positions(bench).select(col("b")).distinct()
+        .localCheckpoint() // ≤ m rows by construction
+      val probes = grams(docs.filter(col("doc_id") >= 25L))
+        .localCheckpoint() // feeds positions + exact membership
+      val hit = positions(probes)
+        .join(broadcast(bits.withColumn("st", lit(1L))), Seq("b"),
+          "left")
+        .groupBy(col("g"))
+        .agg(min(coalesce(col("st"), lit(0L))).as("all_set"))
+      val exact = probes.join(
+        bench.select(col("g"), lit(1L).as("tr")), Seq("g"), "left")
+      val nIns = bench.agg(count(lit(1)).as("n_inserted"))
+      hit.join(exact, Seq("g"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("all_set")).as("n_bloom_hits"),
+          sum(coalesce(col("tr"), lit(0L))).as("n_true_hits"),
+          sum(when(col("all_set") === 1L && col("tr").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .crossJoin(broadcast(nIns))
+        .select(lit(m).as("m_bits"), lit(k).as("k_hashes"),
+          col("n_inserted"), col("n_probes"), col("n_bloom_hits"),
+          col("n_true_hits"), col("n_false_pos"),
+          when(col("n_probes") === col("n_true_hits"), lit(0.0))
+            .otherwise(round(col("n_false_pos").cast("double")
+              / (col("n_probes") - col("n_true_hits")).cast("double"),
+              6)).as("fp_rate"),
+          round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0 / m.toDouble),
+            (lit(k) * col("n_inserted")).cast("double")),
+            lit(k.toDouble)), 6).as("theoretical_fp"))
     })
   )
 
@@ -1284,6 +1349,53 @@ object DedupQueries extends QueryPack {
         |   ELSE round(CAST(n_true_blocked AS DOUBLE)
         |     / CAST(n_true_pairs AS DOUBLE), 6) END
         |   AS pair_completeness
-        | FROM nn CROSS JOIN nc CROSS JOIN nt CROSS JOIN nb""".stripMargin
+        | FROM nn CROSS JOIN nc CROSS JOIN nt CROSS JOIN nb""".stripMargin,
+    "q329_bloom_prefilter" ->
+      s"""WITH d5 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | bg AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' ||
+        |    w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+        |  FROM d5, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |  WHERE len(w) >= 5 AND doc_id < 25),
+        | pg AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' ||
+        |    w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+        |  FROM d5, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        |  WHERE len(w) >= 5 AND doc_id >= 25),
+        | bh AS (SELECT g, $md5Hex60Sql AS h
+        |  FROM (SELECT g, md5(g) AS m FROM bg)),
+        | bpos AS (SELECT DISTINCT
+        |    ((h % 16384) + i * (((h // 16384) % 16384) * 2 + 1))
+        |      % 16384 AS b
+        |  FROM bh, UNNEST([0, 1, 2, 3]) AS t(i)),
+        | ph AS (SELECT g, $md5Hex60Sql AS h
+        |  FROM (SELECT g, md5(g) AS m FROM pg)),
+        | ppos AS (SELECT g,
+        |    ((h % 16384) + i * (((h // 16384) % 16384) * 2 + 1))
+        |      % 16384 AS b
+        |  FROM ph, UNNEST([0, 1, 2, 3]) AS t(i)),
+        | hits AS (SELECT g, min(CASE WHEN b IN (SELECT b FROM bpos)
+        |    THEN 1 ELSE 0 END) AS all_set
+        |  FROM ppos GROUP BY g),
+        | j AS (SELECT h.g, h.all_set,
+        |    CASE WHEN h.g IN (SELECT g FROM bg) THEN 1 ELSE 0 END
+        |      AS tr
+        |  FROM hits h),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |   CAST(sum(all_set) AS BIGINT) AS n_bloom_hits,
+        |   CAST(sum(tr) AS BIGINT) AS n_true_hits,
+        |   CAST(sum(CASE WHEN all_set = 1 AND tr = 0 THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n_false_pos FROM j),
+        | ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM bg)
+        | SELECT CAST(16384 AS BIGINT) AS m_bits,
+        |  CAST(4 AS BIGINT) AS k_hashes, n_inserted, n_probes,
+        |  n_bloom_hits, n_true_hits, n_false_pos,
+        |  CASE WHEN n_probes = n_true_hits THEN 0.0
+        |   ELSE round(CAST(n_false_pos AS DOUBLE)
+        |     / CAST(n_probes - n_true_hits AS DOUBLE), 6) END
+        |   AS fp_rate,
+        |  round(power(1.0 - power(1.0 - 1.0 / 16384.0,
+        |    CAST(4 * n_inserted AS DOUBLE)), 4.0), 6)
+        |   AS theoretical_fp
+        | FROM a CROSS JOIN ni""".stripMargin
   )
 }
