@@ -1731,6 +1731,53 @@ object CurationQueries extends QueryPack {
               * col("s2").cast("double")
               / (col("n").cast("double") * col("n").cast("double"))),
             6).as("mix_ratio"))
+    }),
+    // Gate-feature redundancy matrix: Spearman ρ for all 6 pairs of
+    // the 4 quality features (n_words, n_chars, n_stop, n_punct) —
+    // two features ranking the corpus identically means one gate is
+    // dead weight (q233 asks this of two SIGNALS; this asks it of
+    // the raw features feeding every gate). UNLIKE q233 the rank
+    // keys are ln-free by construction (integer features, doc_id
+    // tie-break), so ranks, Σd², and ρ are integer-exact in both
+    // engines and the full (n, sum_d2, rho) projection is safe to
+    // hash. ONE distributedRank over the 4N-row long form (feature
+    // offsets are exact multiples of N), one doc-keyed self-join for
+    // the 6 pairs — two exchanges total, no per-feature passes.
+    "q331_feature_spearman" -> ((s, d) => {
+      val (nw, nc, stp, punct, _) = gateFeats
+      val long = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(
+          struct(lit(1L).as("f"), nw.as("v")),
+          struct(lit(2L).as("f"), nc.as("v")),
+          struct(lit(3L).as("f"), stp.as("v")),
+          struct(lit(4L).as("f"), punct.as("v")))).as("p"))
+        .select(col("doc_id"), col("p.f").as("f"), col("p.v").as("v"))
+      val ranked = Rank.distributedRank(long,
+          Seq(col("f").asc, col("v").asc, col("doc_id").asc), s,
+          withTotal = true)
+        .select(col("doc_id"), col("f"),
+          (col("rk") - (col("f") - 1L)
+            * expr("n_total DIV 4")).as("r"))
+      val a = ranked.select(col("doc_id"), col("f").as("fa"),
+        col("r").as("ra"))
+      val b = ranked.select(col("doc_id"), col("f").as("fb"),
+        col("r").as("rb"))
+      a.join(b, Seq("doc_id")).filter(col("fa") < col("fb"))
+        .select(col("fa"), col("fb"),
+          ((col("ra") - col("rb")) * (col("ra") - col("rb")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("d2"))
+        .groupBy(col("fa"), col("fb"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .select(col("fa").as("feat_a"), col("fb").as("feat_b"),
+          col("n"),
+          col("sd2").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("sum_d2"),
+          round(lit(1.0) - lit(6.0) * col("sd2").cast("double")
+            / (col("n").cast("double")
+              * (col("n").cast("double") * col("n").cast("double")
+                - 1.0)), 6).as("spearman_rho"))
     })
   )
 
@@ -2984,6 +3031,37 @@ object CurationQueries extends QueryPack {
         |    / (CAST(n - 1 AS DOUBLE) * CAST(s2 AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
         |   AS mix_ratio
-        | FROM a CROSS JOIN m""".stripMargin
+        | FROM a CROSS JOIN m""".stripMargin,
+    "q331_feature_spearman" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |   CAST(length(text) AS BIGINT) AS nc,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('a','the','of','and','in','to','is')))
+        |    AS BIGINT) AS stp,
+        |   CAST(length(text)
+        |     - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS punct
+        |  FROM documents),
+        | l AS (SELECT doc_id, CAST(1 AS BIGINT) AS f, nw AS v FROM f
+        |  UNION ALL SELECT doc_id, 2, nc FROM f
+        |  UNION ALL SELECT doc_id, 3, stp FROM f
+        |  UNION ALL SELECT doc_id, 4, punct FROM f),
+        | r AS (SELECT doc_id, f,
+        |   CAST(row_number() OVER (PARTITION BY f
+        |     ORDER BY v, doc_id) AS BIGINT) AS rr
+        |  FROM l),
+        | p AS (SELECT a.f AS feat_a, b.f AS feat_b,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum((a.rr - b.rr) * (a.rr - b.rr)) AS DECIMAL(38,0))
+        |    AS sum_d2
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.f < b.f
+        |  GROUP BY 1, 2)
+        | SELECT feat_a, feat_b, n, sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+        |   AS spearman_rho
+        | FROM p""".stripMargin
   )
 }

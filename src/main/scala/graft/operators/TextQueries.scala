@@ -1461,6 +1461,59 @@ object TextQueries extends QueryPack {
           round(lit(1.0) - col("toks_unique").cast("double")
             / col("toks_emitted").cast("double"), 6)
             .as("overlap_frac"))
+    }),
+    // Intra-document repetition profile (the Gopher repetition rules
+    // q129's length/stopword gates leave out): per doc, the
+    // most-frequent unigram's token share and the most-frequent
+    // bigram's share; per source, micro-unit-exact mean shares plus
+    // Gopher-style fail counts (top-1 share > 1/5, top-bigram share
+    // > 18% — the "same token looping" and "boilerplate refrain"
+    // template-degeneracy screens). Per-doc shares are quantized
+    // mu·1e6 DIV nw (exact longs, order-free sums); the fail
+    // predicates are pure integer comparisons (mu·5 > nw), so no
+    // boundary can straddle engines. Two doc-keyed aggs — every
+    // group is one document, never corpus-sized.
+    "q330_repetition_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          size(col("w")).cast("long").as("nw"))
+      val uni = docs.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mu"))
+      val bi = docs.filter(col("nw") >= 2L)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat_ws(' ', slice(w, i, 2)))")).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mb"))
+      docs.select(col("doc_id"), col("source"), col("nw"))
+        .join(uni, Seq("doc_id"))
+        .join(bi, Seq("doc_id"), "left")
+        .select(col("source"), col("nw"), col("mu"),
+          coalesce(col("mb"), lit(0L)).as("mb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(mu * 1000000) DIV nw")).as("s1"),
+          sum(when(col("nw") >= 2L,
+            expr("(mb * 1000000) DIV (nw - 1)")).otherwise(0L))
+            .as("s2"),
+          sum(when(col("mu") * 5L > col("nw"), 1L).otherwise(0L))
+            .as("n_fail_top1"),
+          sum(when(col("nw") >= 2L
+              && col("mb") * 100L > (col("nw") - 1L) * 18L, 1L)
+            .otherwise(0L)).as("n_fail_top2"))
+        .select(col("source"), col("n_docs"),
+          round(col("s1").cast("double")
+            / (col("n_docs").cast("double") * 1e6), 6)
+            .as("mean_top1_frac"),
+          round(col("s2").cast("double")
+            / (col("n_docs").cast("double") * 1e6), 6)
+            .as("mean_top2_frac"),
+          col("n_fail_top1"), col("n_fail_top2"))
     })
   )
 
@@ -2712,6 +2765,42 @@ object TextQueries extends QueryPack {
         | SELECT source, n_docs, n_chunks, toks_emitted, toks_unique,
         |  round(1.0 - CAST(toks_unique AS DOUBLE)
         |    / CAST(toks_emitted AS DOUBLE), 6) AS overlap_frac
+        | FROM g""".stripMargin,
+    "q330_repetition_profile" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   string_split(text, ' ') AS w,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents),
+        | uni AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mu FROM (
+        |   SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        | bi AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mb FROM (
+        |   SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS t
+        |    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+        |    WHERE nw >= 2) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        | j AS (SELECT d.source, d.nw, uni.mu,
+        |   coalesce(bi.mb, 0) AS mb
+        |  FROM d JOIN uni USING (doc_id)
+        |  LEFT JOIN bi USING (doc_id)),
+        | g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum((mu * 1000000) // nw) AS BIGINT) AS s1,
+        |   CAST(sum(CASE WHEN nw >= 2
+        |     THEN (mb * 1000000) // (nw - 1) ELSE 0 END) AS BIGINT)
+        |    AS s2,
+        |   CAST(sum(CASE WHEN mu * 5 > nw THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fail_top1,
+        |   CAST(sum(CASE WHEN nw >= 2 AND mb * 100 > (nw - 1) * 18
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top2
+        |  FROM j GROUP BY 1)
+        | SELECT source, n_docs,
+        |  round(CAST(s1 AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * 1e6), 6) AS mean_top1_frac,
+        |  round(CAST(s2 AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * 1e6), 6) AS mean_top2_frac,
+        |  n_fail_top1, n_fail_top2
         | FROM g""".stripMargin
   )
 }
