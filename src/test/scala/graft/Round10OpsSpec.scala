@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property checks for the round-10 operators: the oracle gate proves
+  * cross-engine equality; these prove the MATH holds — the Bloom
+  * filter's no-false-negative law, the rank-based quantiles against
+  * Spark's own window formulation, chunk arithmetic against the
+  * closed form, and the Spearman matrix against an independent
+  * window-rank recompute. */
+class Round10OpsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sfDir
+
+  test("q329 Bloom prefilter: no false negatives, consistent counts") {
+    val r = SparkEntry.queries("q329_bloom_prefilter")(spark, sf)
+      .collect()(0)
+    val nBloom = r.getAs[Long]("n_bloom_hits")
+    val nTrue = r.getAs[Long]("n_true_hits")
+    val nFp = r.getAs[Long]("n_false_pos")
+    // a Bloom filter may lie positive, NEVER negative: every exact
+    // member must be a bloom hit, so hits = members + false positives
+    assert(nBloom == nTrue + nFp,
+      s"false negative detected: bloom=$nBloom true=$nTrue fp=$nFp")
+    assert(r.getAs[Long]("n_probes") > 0 && nTrue > 0,
+      "degenerate corpus: the audit must actually probe members")
+  }
+
+  test("q328 exact per-source quantiles match the window formulation") {
+    val got = SparkEntry.queries("q328_source_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long](3))
+      .toMap
+    // independent recompute: per-source window ranks (fine at test
+    // scale; the operator exists precisely to avoid this at 100 TB)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("v").asc, col("doc_id").asc)
+    val ranked = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long").as("v"),
+        col("doc_id"))
+      .withColumn("lrk", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1))
+        .over(Window.partitionBy(col("source"))).cast("long"))
+    val expect = Seq(50L, 90L, 99L).toDF("p")
+      .crossJoin(ranked)
+      .filter(col("lrk") === expr("((ns - 1) * p) DIV 100") + 1L)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.keySet.map(_._2) == Set(50L, 90L, 99L))
+  }
+
+  test("q325 chunk counts equal the closed form ((nw-1) DIV 48) + 1") {
+    val got = SparkEntry.queries("q325_chunk_stats")(spark, sf)
+      .agg(sum("n_chunks"), sum("toks_unique")).collect()(0)
+    val base = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .agg(sum(expr("((nw - 1) DIV 48) + 1")), sum(col("nw")))
+      .collect()(0)
+    assert(got.getLong(0) == base.getLong(0), "chunk count closed form")
+    assert(got.getLong(1) == base.getLong(1), "unique tokens = Σ nw")
+  }
+
+  test("q330 repetition profile: shares in [1/nw, 1], fails bounded") {
+    val rows = SparkEntry.queries("q330_repetition_profile")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      val t1 = r.getAs[Double]("mean_top1_frac")
+      val t2 = r.getAs[Double]("mean_top2_frac")
+      assert(t1 > 0.0 && t1 <= 1.0 && t2 >= 0.0 && t2 <= 1.0)
+      assert(r.getAs[Long]("n_fail_top1") <= nd
+        && r.getAs[Long]("n_fail_top2") <= nd)
+    }
+  }
+
+  test("q331 Spearman matrix matches an independent window-rank " +
+    "recompute for the (n_words, n_chars) pair") {
+    val row = SparkEntry.queries("q331_feature_spearman")(spark, sf)
+      .filter(col("feat_a") === 1L && col("feat_b") === 2L)
+      .collect()(0)
+    val base = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("a"),
+      length(col("text")).cast("long").as("b"))
+    def rk(c: String) = row_number()
+      .over(Window.orderBy(col(c).asc, col("doc_id").asc))
+      .cast("long")
+    val d2 = base.withColumn("ra", rk("a")).withColumn("rb", rk("b"))
+      .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+        .as("d2"))
+      .agg(count(lit(1)), sum(col("d2"))).collect()(0)
+    val n = d2.getLong(0).toDouble
+    val rho = 1.0 - 6.0 * d2.getLong(1).toDouble / (n * (n * n - 1.0))
+    assert(row.getAs[Long]("n") == d2.getLong(0))
+    assert(math.abs(row.getAs[Double]("spearman_rho")
+      - math.rint(rho * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("q327 interleave audit: adjacency count is N-1 consistent " +
+    "and the ratio is the quotient of its own columns") {
+    val r = SparkEntry.queries("q327_interleave_audit")(spark, sf)
+      .collect()(0)
+    val n = r.getAs[Long]("n_docs")
+    val same = r.getAs[Long]("n_same_adjacent")
+    assert(n > 1 && same >= 0 && same <= n - 1)
+    val exp = r.getAs[Double]("expected_random")
+    assert(exp > 0.0, "expectation must be positive on a mixed corpus")
+  }
+}
