@@ -194,7 +194,20 @@ object Plans {
         "windows over ≤50 rows"),
       "q292_kaplan_meier" -> ("Kaplan-Meier: per-user lifetime agg, " +
         "day-grid broadcast at-risk join, ≤31-row triangle " +
-        "cumulative product in micro-nats"))
+        "cumulative product in micro-nats"),
+      "q325_chunk_stats" -> ("RAG chunking audit: row-local " +
+        "sequence explode, ONE keyed agg — zero joins"),
+      "q328_source_quantiles" -> ("exact per-group quantiles: one " +
+        "range-exchange distributedRank + broadcast K-row offsets + " +
+        "3-row percentile grid — NO per-group window, group skew " +
+        "cannot serialize"),
+      "q329_bloom_prefilter" -> ("relational Bloom audit: ≤m-row bit " +
+        "table broadcast into the probe explode, keyed all-bits agg, " +
+        "exact-membership join only for the audit"),
+      "q331_feature_spearman" -> ("feature rank-correlation matrix: " +
+        "ONE distributedRank over the 4N long form (offsets are " +
+        "exact N multiples), doc-keyed pair self-join — two " +
+        "exchanges total"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
