@@ -72,7 +72,7 @@ object Bench {
     // between queries), so order changes WHEN a query runs, not what
     // it does.
     val fronted = Seq("q140_", "q168_", "q113_", "q134_", "q226_",
-      "q195_", "q44_")
+      "q195_", "q44_", "q290_", "q196_", "q267_")
     val selected = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       val p = fronted.indexWhere(name.startsWith)
       (if (p >= 0) p else fronted.length, name)
