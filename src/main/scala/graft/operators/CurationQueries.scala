@@ -1149,25 +1149,37 @@ object CurationQueries extends QueryPack {
           sum(col("cnt") * col("nl")).as("snl"))
         .select(col("source"), col("n_toks"),
           call_function("div", col("snl"), col("n_toks")).as("ld"))
-        .withColumn("w0", lit(1000000L))
-      def step(cur: DataFrame, wPrev: String, wNext: String)
-          : DataFrame = {
-        val bar = cur.agg(call_function("div",
-          sum(col(wPrev) * col("ld")), sum(col(wPrev))).as("lbar"))
-        val up = cur.crossJoin(broadcast(bar))
-          .withColumn("raw", round(col(wPrev).cast("double")
-            * exp(lit(0.1) * (col("ld") - col("lbar")).cast("double")
-              / lit(1e6))).cast("long"))
-        val sr = up.agg(sum(col("raw")).as("sraw"))
-        up.crossJoin(broadcast(sr))
-          .withColumn(wNext, call_function("div",
-            col("raw") * lit(1000000L), col("sraw")))
-          .drop("raw", "lbar", "sraw")
+      // The mirror-descent state is ONE row per domain — K is a
+      // mixture-config size, not a data size — so the 3 update steps
+      // run on the collected K-row table (the perceptron-weights
+      // bounded-collect shape) instead of as 6 broadcast-agg barrier
+      // jobs. Every double op replicates Spark's expression exactly:
+      // Math.exp is what Spark's Exp codegen calls, and sparkRound
+      // is Round(HALF_UP) on BigDecimal.valueOf — so the weights are
+      // bit-identical to the relational formulation the DuckDB
+      // oracle replays.
+      val rows0 = d0.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      def sparkRound(x: Double): Long = java.math.BigDecimal
+        .valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue.toLong
+      def step(ws: Array[Long], ld: Array[Long]): Array[Long] = {
+        val lbar = ws.zip(ld).map { case (w, l) => w * l }.sum / ws.sum
+        val raw = ws.zip(ld).map { case (w, l) =>
+          sparkRound(w.toDouble
+            * Math.exp(0.1 * (l - lbar).toDouble / 1e6)) }
+        val sraw = raw.sum
+        raw.map(r => r * 1000000L / sraw)
       }
-      val d3 = step(step(step(d0, "w0", "w1"), "w1", "w2"), "w2", "w3")
-      d3.select(col("source"), col("n_toks"),
-        col("ld").as("loss_micronats"), col("w1"), col("w2"),
-        col("w3"))
+      val ld = rows0.map(_._3)
+      val w1 = step(Array.fill(rows0.length)(1000000L), ld)
+      val w2 = step(w1, ld)
+      val w3 = step(w2, ld)
+      import s.implicits._
+      rows0.zipWithIndex.map { case ((src, nt, l), i) =>
+        (src, nt, l, w1(i), w2(i), w3(i)) }.toSeq
+        .toDF("source", "n_toks", "loss_micronats", "w1", "w2", "w3")
     }),
     // Decision stump sweep (the weak learner under every boosting
     // curation classifier, and the one-feature baseline a fastText-
