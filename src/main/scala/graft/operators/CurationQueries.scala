@@ -1790,6 +1790,40 @@ object CurationQueries extends QueryPack {
             / (col("n").cast("double")
               * (col("n").cast("double") * col("n").cast("double")
                 - 1.0)), 6).as("spearman_rho"))
+    }),
+    // Rendezvous (highest-random-weight) sharding audit: assign every
+    // doc to argmax_w md5-60(doc:w) over W=8 workers and over W=9,
+    // report per-shard load under both AND the docs that MOVE on the
+    // 8→9 expansion — consistent hashing's contract is that only
+    // ~1/9 of keys move (vs ~8/9 under mod-hash), the property that
+    // makes worker-pool changes cheap at 100 TB. All arithmetic is
+    // hash-integer argmax (struct-max, shard tie-break), one
+    // crossJoin against the 9-row broadcast worker list, two keyed
+    // aggs — the per-doc fan-out is W, a cluster-config size.
+    "q332_rendezvous_shards" -> ((s, d) => {
+      import s.implicits._
+      val shards = (0L until 9L).toDF("shard")
+      val pick = Tables.documents(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(shards))
+        .select(col("doc_id"), col("shard"),
+          Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+            lit(":"), col("shard").cast("string"))).as("hw"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("shard") < 8L,
+            struct(col("hw"), col("shard")))).getField("shard")
+            .as("s8"),
+          max(struct(col("hw"), col("shard"))).getField("shard")
+            .as("s9"))
+      pick.groupBy(col("s9").as("shard"))
+        .agg(count(lit(1)).as("n_docs_w9"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+            .as("n_arrived"))
+        .join(pick.groupBy(col("s8").as("shard"))
+          .agg(count(lit(1)).as("n_docs_w8")), Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n_docs_w8"), lit(0L)).as("n_docs_w8"),
+          col("n_docs_w9"), col("n_arrived"))
     })
   )
 
@@ -3044,6 +3078,37 @@ object CurationQueries extends QueryPack {
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
         |   AS mix_ratio
         | FROM a CROSS JOIN m""".stripMargin,
+    "q332_rendezvous_shards" ->
+      s"""WITH sh AS (SELECT CAST(unnest(generate_series(0, 8))
+        |    AS BIGINT) AS shard),
+        | wt AS (SELECT doc_id, shard,
+        |   ${DedupQueries.md5Hex60Sql} AS hw
+        |  FROM (SELECT doc_id, shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(shard AS VARCHAR)) AS m
+        |   FROM documents CROSS JOIN sh)),
+        | p9 AS (SELECT doc_id, shard AS s9 FROM (SELECT doc_id,
+        |    shard, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY hw DESC, shard DESC) AS rk FROM wt)
+        |  WHERE rk = 1),
+        | p8 AS (SELECT doc_id, shard AS s8 FROM (SELECT doc_id,
+        |    shard, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY hw DESC, shard DESC) AS rk
+        |   FROM wt WHERE shard < 8)
+        |  WHERE rk = 1),
+        | pick AS (SELECT p9.doc_id, s8, s9
+        |  FROM p9 JOIN p8 ON p9.doc_id = p8.doc_id),
+        | a9 AS (SELECT s9 AS shard,
+        |   CAST(count(*) AS BIGINT) AS n_docs_w9,
+        |   CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_arrived
+        |  FROM pick GROUP BY 1),
+        | a8 AS (SELECT s8 AS shard,
+        |   CAST(count(*) AS BIGINT) AS n_docs_w8
+        |  FROM pick GROUP BY 1)
+        | SELECT a9.shard, coalesce(a8.n_docs_w8, 0) AS n_docs_w8,
+        |  n_docs_w9, n_arrived
+        | FROM a9 LEFT JOIN a8 ON a9.shard = a8.shard""".stripMargin,
     "q331_feature_spearman" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
