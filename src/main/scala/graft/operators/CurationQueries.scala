@@ -1824,6 +1824,96 @@ object CurationQueries extends QueryPack {
         .select(col("shard"),
           coalesce(col("n_docs_w8"), lit(0L)).as("n_docs_w8"),
           col("n_docs_w9"), col("n_arrived"))
+    }),
+    // Z-order (Morton curve) layout audit: quantize events to a
+    // 1024×1024 (user_id, hour-bucket) grid, interleave the 10+10
+    // bits into a 20-bit z-value, split the corpus into 64 equal
+    // "files" under (a) z-order and (b) naive linear (x-major) sort,
+    // and report each file's zone-map volume span_x·span_y. The sum
+    // of volumes is the expected fraction of files a 2-D point/range
+    // predicate must read — the quantity multi-dimensional
+    // clustering minimizes, and THE reason 100-TB tables are
+    // z-ordered rather than single-key sorted (a linear layout gives
+    // perfect x zone maps but useless y zone maps; the curve bounds
+    // both). All arithmetic is integer bit-twiddling; file
+    // assignment is exact-ntile via one distributedRank over the
+    // layout-tagged union (layout is the leading range key, so both
+    // layouts rank in the same single pass — no global window
+    // anywhere). Hashed output is integers + one 6dp ratio of exact
+    // integers: boundary-proof.
+    "q333_zorder_layout" -> ((s, d) => {
+      val hb = call_function("div", col("ts"), lit(3600000000000L))
+      val base = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 1024L).as("x"), (hb % 1024L).as("y"))
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)),
+            2 * i + 1)
+      }.reduce(_ + _)
+      val withZ = base.withColumn("z", z)
+      val tagged = withZ.select(lit(0L).as("layout"),
+          col("z").as("k1"), col("x").as("k2"), col("event_id"),
+          col("x"), col("y"))
+        .unionAll(withZ.select(lit(1L).as("layout"),
+          col("x").as("k1"), col("y").as("k2"), col("event_id"),
+          col("x"), col("y")))
+      val ranked = Rank.distributedRank(tagged,
+        Seq(col("layout").asc, col("k1").asc, col("k2").asc,
+          col("event_id").asc), s, withTotal = true)
+      val files = ranked
+        .withColumn("n_layout", expr("n_total DIV 2"))
+        .select(col("layout"), col("x"), col("y"),
+          expr("((rk - layout * n_layout - 1) * 64) DIV n_layout")
+            .as("file"))
+      files.groupBy(col("layout"), col("file"))
+        .agg((max(col("x")) - min(col("x")) + 1L).as("sx"),
+          (max(col("y")) - min(col("y")) + 1L).as("sy"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("sx") * col("sy")).as("total_volume"),
+          sum(col("sx")).as("sum_span_x"),
+          sum(col("sy")).as("sum_span_y"))
+        .select(col("layout"), col("n_files"), col("total_volume"),
+          col("sum_span_x"), col("sum_span_y"),
+          round(col("total_volume").cast("double")
+            / lit(64.0 * 1024.0 * 1024.0), 6).as("avg_cover_frac"))
+    }),
+    // Neyman (optimal) stratified-sampling allocation audit: for a
+    // 1000-doc QA sample stratified by source, compare proportional
+    // allocation n·N_h/N against Neyman's n·N_h·s_h/Σ N_h s_h — the
+    // allocation that minimizes the estimator variance when strata
+    // differ in spread, which at 100-TB corpus scale is the
+    // difference between auditing 10⁶ docs well or wastefully.
+    // Per-stratum variance is computed from exact DECIMAL(38,0)
+    // sums (Σx, Σx²) — no double accumulation over data rows — and
+    // the stratum std enters the weighted total as an exact
+    // round(s_h·1e6) integer, so the cross-stratum sum is
+    // order-free and the 6dp outputs are ratios of exact integers
+    // (sqrt is IEEE-correctly-rounded, COVERAGE.md safe-shape rule).
+    // One groupBy + one broadcast of the #sources-row totals.
+    "q334_neyman_allocation" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(dec)).as("sc"),
+          sum((col("n_chars") * col("n_chars")).cast(dec)).as("sc2"))
+        .select(col("source"), col("n_docs"),
+          round(lit(1e6) * sqrt(
+            (col("n_docs").cast(dec) * col("sc2")
+              - col("sc") * col("sc")).cast("double")
+            / (col("n_docs").cast("double")
+              * (col("n_docs") - 1L).cast("double"))), 0)
+            .cast("long").as("s_int"))
+      val tot = st.agg(sum(col("n_docs")).as("n_total"),
+        sum(col("n_docs") * col("s_int")).as("wsum"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("s_int").cast("double") / 1e6, 4).as("sd_chars"),
+          round(lit(1000.0) * col("n_docs").cast("double")
+            / col("n_total").cast("double"), 6).as("alloc_prop"),
+          round(lit(1000.0) * col("n_docs").cast("double")
+            * col("s_int").cast("double")
+            / col("wsum").cast("double"), 6).as("alloc_neyman"))
     })
   )
 
@@ -3139,6 +3229,63 @@ object CurationQueries extends QueryPack {
         |    / (CAST(n AS DOUBLE)
         |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
         |   AS spearman_rho
-        | FROM p""".stripMargin
+        | FROM p""".stripMargin,
+    "q333_zorder_layout" -> {
+      val zExpr = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString("\n        |    + ")
+      s"""WITH b AS (SELECT event_id,
+        |   user_id % 1024 AS x,
+        |   (epoch_ns(ts) // 3600000000000) % 1024 AS y FROM events),
+        | z AS (SELECT event_id, x, y,
+        |   $zExpr AS z FROM b),
+        | t AS (SELECT CAST(0 AS BIGINT) AS layout, z AS k1, x AS k2,
+        |    event_id, x, y FROM z
+        |  UNION ALL SELECT 1, x, y, event_id, x, y FROM z),
+        | r AS (SELECT layout, x, y,
+        |   CAST(row_number() OVER (PARTITION BY layout
+        |     ORDER BY k1, k2, event_id) AS BIGINT) AS rk,
+        |   CAST(count(*) OVER (PARTITION BY layout) AS BIGINT) AS n
+        |  FROM t),
+        | f AS (SELECT layout, x, y, ((rk - 1) * 64) // n AS file
+        |  FROM r),
+        | sp AS (SELECT layout, file,
+        |   max(x) - min(x) + 1 AS sx, max(y) - min(y) + 1 AS sy
+        |  FROM f GROUP BY 1, 2)
+        | SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sx * sy) AS BIGINT) AS total_volume,
+        |  CAST(sum(sx) AS BIGINT) AS sum_span_x,
+        |  CAST(sum(sy) AS BIGINT) AS sum_span_y,
+        |  round(CAST(sum(sx * sy) AS DOUBLE)
+        |    / (64.0 * 1024.0 * 1024.0), 6) AS avg_cover_frac
+        | FROM sp GROUP BY 1""".stripMargin
+    },
+    "q334_neyman_allocation" ->
+      """WITH st AS (SELECT source,
+        |   CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS sc,
+        |   CAST(sum(CAST(n_chars AS DECIMAL(38,0))
+        |     * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS sc2
+        |  FROM documents GROUP BY 1),
+        | sd AS (SELECT source, n_docs,
+        |   CAST(round(1e6 * sqrt(
+        |     CAST(CAST(n_docs AS DECIMAL(38,0)) * sc2 - sc * sc
+        |       AS DOUBLE)
+        |     / (CAST(n_docs AS DOUBLE)
+        |       * CAST(n_docs - 1 AS DOUBLE))), 0) AS BIGINT)
+        |    AS s_int
+        |  FROM st),
+        | tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |   CAST(sum(n_docs * s_int) AS BIGINT) AS wsum FROM sd)
+        | SELECT source, n_docs,
+        |  round(CAST(s_int AS DOUBLE) / 1e6, 4) AS sd_chars,
+        |  round(1000.0 * CAST(n_docs AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 6) AS alloc_prop,
+        |  round(1000.0 * CAST(n_docs AS DOUBLE)
+        |    * CAST(s_int AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |   AS alloc_neyman
+        | FROM sd CROSS JOIN tot""".stripMargin
   )
 }

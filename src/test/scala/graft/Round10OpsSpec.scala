@@ -101,6 +101,64 @@ class Round10OpsSpec extends AnyFunSuite {
       - math.rint(rho * 1e6) / 1e6) < 1e-9)
   }
 
+  test("q333 z-order: Morton code bijective vs a bit-string reference; " +
+    "layout invariants hold") {
+    // independent Morton reference: interleave via bit strings
+    def morton(x: Long, y: Long): Long =
+      (0 until 10).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    def demorton(z: Long): (Long, Long) = {
+      val x = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i)
+        .reduce(_ | _)
+      val y = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i)
+        .reduce(_ | _)
+      (x, y)
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 1000).foreach { _ =>
+      val (x, y) = (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)
+      assert(demorton(morton(x, y)) == ((x, y)), s"bijection at ($x,$y)")
+    }
+    val rows = SparkEntry.queries("q333_zorder_layout")(spark, sf)
+      .collect().map(r => r.getAs[Long]("layout") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 64L)
+      val vol = r.getAs[Long]("total_volume")
+      val sx = r.getAs[Long]("sum_span_x")
+      val sy = r.getAs[Long]("sum_span_y")
+      // per-file 1 ≤ span ≤ 1024 ⇒ bounds on sums and volume
+      assert(sx >= 64L && sx <= 64L * 1024 && sy >= 64L && sy <= 64L * 1024)
+      assert(vol >= 64L && vol <= 64L * 1024L * 1024L)
+    }
+    // the curve's raison d'être: bounded volume vs the linear layout
+    // (x-major sort leaves y zone maps near-useless on this data)
+    assert(rows(0L).getAs[Long]("total_volume")
+      < rows(1L).getAs[Long]("total_volume"),
+      "z-order must beat linear sort on 2-D zone-map volume")
+  }
+
+  test("q334 Neyman allocation minimizes the stratified estimator " +
+    "variance vs proportional") {
+    val rows = SparkEntry.queries("q334_neyman_allocation")(spark, sf)
+      .collect()
+    assert(rows.length > 1)
+    def varOf(alloc: String): Double = rows.map { r =>
+      val nh = r.getAs[Long]("n_docs").toDouble
+      val s = r.getAs[Double]("sd_chars")
+      val a = r.getAs[Double](alloc)
+      nh * nh * s * s / a
+    }.sum
+    // both allocations spend the same 1000-doc budget (to rounding)
+    Seq("alloc_prop", "alloc_neyman").foreach { c =>
+      val tot = rows.map(_.getAs[Double](c)).sum
+      assert(math.abs(tot - 1000.0) < 0.01, s"$c sums to $tot")
+    }
+    assert(varOf("alloc_neyman") <= varOf("alloc_prop") * (1 + 1e-9),
+      "Neyman is the variance-minimizing allocation")
+  }
+
   test("q327 interleave audit: adjacency count is N-1 consistent " +
     "and the ratio is the quotient of its own columns") {
     val r = SparkEntry.queries("q327_interleave_audit")(spark, sf)
