@@ -207,7 +207,11 @@ object Plans {
       "q331_feature_spearman" -> ("feature rank-correlation matrix: " +
         "ONE distributedRank over the 4N long form (offsets are " +
         "exact N multiples), doc-keyed pair self-join — two " +
-        "exchanges total"))
+        "exchanges total"),
+      "q333_zorder_layout" -> ("z-order vs linear layout audit: " +
+        "integer Morton interleave in-row, both layouts ranked in " +
+        "ONE range exchange (layout-tagged union), two keyed aggs — " +
+        "no global window, no per-layout pass"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -497,6 +497,77 @@ object AnalyticsQueries extends QueryPack {
           col("lrk") === expr("((ns - 1) * p) DIV 100") + 1L)
         .select(col("source"), col("p"), col("ns").as("n_docs"),
           col("v").as("q_value"))
+    }),
+    // Columnar-encoding advisor: per column of lineitem, the two
+    // quantities a parquet/ORC writer's encoding choice hangs on —
+    // distinct count (dictionary viability) and run count in the
+    // table's natural (l_orderkey, l_linenumber) order (RLE
+    // viability) — plus the rule-based advice (runs·4 ≤ n → rle;
+    // distinct·100 ≤ n → dict; else plain). At 100 TB this is the
+    // audit that sizes an index/layout migration before paying for
+    // it. Adjacent-row compares come from ONE distributedRank +
+    // rank+1 self-join (all 5 columns in the same pass — never a
+    // window or a per-column scan); distinct counts are one Expand
+    // aggregate. Integer outputs only.
+    "q336_encoding_advisor" -> ((s, d) => {
+      val cs = Seq("l_returnflag", "l_linestatus", "l_suppkey",
+        "l_partkey", "l_quantity")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"))
+      val ranked = Rank.distributedRank(li,
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc), s)
+      val nxt = ranked.select((col("rk") - 1L).as("rk")
+        +: cs.map(c => col(c).as(c + "__n")): _*)
+      val chg = ranked.join(nxt, Seq("rk"))
+        .agg(sum(when(col(cs.head) =!= col(cs.head + "__n"), 1L)
+            .otherwise(0L)).as("chg_" + cs.head),
+          cs.tail.map(c => sum(when(col(c) =!= col(c + "__n"), 1L)
+            .otherwise(0L)).as("chg_" + c)): _*)
+      val nd = li.agg(count(lit(1)).as("n"),
+        cs.map(c => countDistinct(col(c)).as("nd_" + c)): _*)
+      nd.crossJoin(broadcast(chg))
+        .select(col("n"), explode(array(cs.map(c =>
+          struct(lit(c).as("column_name"),
+            col("nd_" + c).as("n_distinct"),
+            (col("chg_" + c) + 1L).as("n_runs"))): _*)).as("m"))
+        .select(col("m.column_name").as("column_name"),
+          col("n").as("n_rows"), col("m.n_distinct").as("n_distinct"),
+          col("m.n_runs").as("n_runs"),
+          when(col("m.n_runs") * 4L <= col("n"), lit("rle"))
+            .when(col("m.n_distinct") * 100L <= col("n"), lit("dict"))
+            .otherwise(lit("plain")).as("advice"))
+    }),
+    // Order-free table fingerprint: Σ md5-60(canonical row string)
+    // over exact DECIMAL — the replication/migration validation
+    // primitive (compare source and copy without moving either; any
+    // single-row perturbation flips the sum). Commutative by
+    // construction, so it needs no sort at any scale — one map-side
+    // hash + one agg per table; the four fingerprints union into one
+    // 4-row result. Key columns only (integers + strings — doubles
+    // and timestamps render engine-specifically and stay out of the
+    // canonical string by design).
+    "q337_table_checksum" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      def fp(name: String, df: DataFrame, ks: Seq[Column]) =
+        df.select(Dedup.md5Hash60(
+            concat_ws("|", ks.map(_.cast("string")): _*)).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(dec38)).as("s"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("s").cast(dec38).as("checksum"))
+      fp("lineitem", Tables.lineitem(s, d),
+          Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"), col("l_returnflag")))
+        .unionAll(fp("orders", Tables.orders(s, d),
+          Seq(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"))))
+        .unionAll(fp("documents", Tables.documents(s, d),
+          Seq(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))))
+        .unionAll(fp("events", Tables.events(s, d),
+          Seq(col("event_id"), col("user_id"), col("event_type"))))
     })
   )
 
@@ -810,6 +881,79 @@ object AnalyticsQueries extends QueryPack {
         |  FROM b),
         | p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
         | SELECT source, p, ns AS n_docs, v AS q_value
-        | FROM r JOIN p ON lrk = ((ns - 1) * p) // 100 + 1""".stripMargin
+        | FROM r JOIN p ON lrk = ((ns - 1) * p) // 100 + 1""".stripMargin,
+    "q336_encoding_advisor" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus, l_suppkey,
+        |   l_partkey, l_quantity,
+        |   lead(l_returnflag) OVER w AS n_rf,
+        |   lead(l_linestatus) OVER w AS n_ls,
+        |   lead(l_suppkey) OVER w AS n_sk,
+        |   lead(l_partkey) OVER w AS n_pk,
+        |   lead(l_quantity) OVER w AS n_qt
+        |  FROM lineitem
+        |  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+        | chg AS (SELECT
+        |   CAST(sum(CASE WHEN n_rf IS NOT NULL
+        |     AND n_rf <> l_returnflag THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_rf,
+        |   CAST(sum(CASE WHEN n_ls IS NOT NULL
+        |     AND n_ls <> l_linestatus THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_ls,
+        |   CAST(sum(CASE WHEN n_sk IS NOT NULL
+        |     AND n_sk <> l_suppkey THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_sk,
+        |   CAST(sum(CASE WHEN n_pk IS NOT NULL
+        |     AND n_pk <> l_partkey THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_pk,
+        |   CAST(sum(CASE WHEN n_qt IS NOT NULL
+        |     AND n_qt <> l_quantity THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_qt
+        |  FROM b),
+        | nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d_rf,
+        |   CAST(count(DISTINCT l_linestatus) AS BIGINT) AS d_ls,
+        |   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_sk,
+        |   CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_pk,
+        |   CAST(count(DISTINCT l_quantity) AS BIGINT) AS d_qt
+        |  FROM lineitem),
+        | m AS (
+        |  SELECT 'l_returnflag' AS column_name, d_rf AS n_distinct,
+        |    c_rf + 1 AS n_runs FROM nd, chg
+        |  UNION ALL SELECT 'l_linestatus', d_ls, c_ls + 1
+        |   FROM nd, chg
+        |  UNION ALL SELECT 'l_suppkey', d_sk, c_sk + 1 FROM nd, chg
+        |  UNION ALL SELECT 'l_partkey', d_pk, c_pk + 1 FROM nd, chg
+        |  UNION ALL SELECT 'l_quantity', d_qt, c_qt + 1
+        |   FROM nd, chg)
+        | SELECT column_name, n AS n_rows, n_distinct, n_runs,
+        |  CASE WHEN n_runs * 4 <= n THEN 'rle'
+        |   WHEN n_distinct * 100 <= n THEN 'dict'
+        |   ELSE 'plain' END AS advice
+        | FROM m, nd""".stripMargin,
+    "q337_table_checksum" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH lh AS (SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |    || CAST(l_linenumber AS VARCHAR) || '|'
+        |    || CAST(l_suppkey AS VARCHAR) || '|'
+        |    || l_returnflag) AS m FROM lineitem),
+        | oh AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+        |    || CAST(o_custkey AS VARCHAR) || '|'
+        |    || o_orderstatus) AS m FROM orders),
+        | dh AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|'
+        |    || lang || '|' || source || '|'
+        |    || CAST(n_chars AS VARCHAR)) AS m FROM documents),
+        | eh AS (SELECT md5(CAST(event_id AS VARCHAR) || '|'
+        |    || CAST(user_id AS VARCHAR) || '|'
+        |    || event_type) AS m FROM events)
+        | SELECT 'lineitem' AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum($h60) AS DECIMAL(38,0)) AS checksum FROM lh
+        | UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM oh
+        | UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
+        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM dh
+        | UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
+        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM eh""".stripMargin
+    }
   )
 }

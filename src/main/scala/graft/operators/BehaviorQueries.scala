@@ -346,6 +346,45 @@ object BehaviorQueries extends QueryPack {
               * (col("n").cast("double") * col("sqq").cast("double")
                 - col("sq").cast("double") * col("sq").cast("double"))),
             6)).as("var_reduction"))
+    }),
+    // SCD Type-2 dimension build (Kimball's versioned-dimension
+    // primitive): collapse each user's event_type change log into
+    // dimension versions [valid_from, valid_to) with a per-user
+    // version number — close a version when the ATTRIBUTE changes
+    // (distinct from q103's gap/islands, which closes on inactivity).
+    // Three steps, all keyed on user_id (never a global window):
+    // change flags via lag, version ids via a running sum in the same
+    // keyed exchange, version intervals via lead over the collapsed
+    // frame. The graded output is the per-attribute rollup (version
+    // counts, open versions, closed dwell in exact integer µs) so the
+    // result stays bounded; the versioned frame itself is exactly
+    // what an SCD2 MERGE would write at 100 TB — one shuffle wide.
+    "q338_scd2_dimension" -> ((s, d) => {
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), us(col("ts")).as("t"), col("event_type"))
+      val vers = ev
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wo).isNull
+              || lag(col("event_type"), 1).over(wo) =!= col("event_type"),
+            1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("version"), col("event_type"))
+        .agg(min(col("t")).as("valid_from"),
+          count(lit(1)).as("n_ev"))
+      val dim = vers.withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("version"))))
+      dim.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+            .as("n_current"),
+          sum(when(col("valid_to").isNotNull,
+              col("valid_to") - col("valid_from")).otherwise(0L))
+            .as("dwell_us"),
+          sum(col("n_ev")).as("n_events"))
     })
   )
 
@@ -545,6 +584,34 @@ object BehaviorQueries extends QueryPack {
         |    * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
         |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))), 6) END
         |   AS var_reduction
-        | FROM m""".stripMargin
+        | FROM m""".stripMargin,
+    "q338_scd2_dimension" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |   event_type FROM events),
+        | m AS (SELECT user_id, t, event_id, event_type,
+        |   CASE WHEN lag(event_type) OVER w IS NULL
+        |     OR lag(event_type) OVER w <> event_type
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        | v AS (SELECT user_id, event_type, t,
+        |   sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS version
+        |  FROM m),
+        | vers AS (SELECT user_id, version, event_type,
+        |   min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM v GROUP BY 1, 2, 3),
+        | dim AS (SELECT event_type, valid_from, n_ev,
+        |   lead(valid_from) OVER (PARTITION BY user_id
+        |     ORDER BY version) AS valid_to
+        |  FROM vers)
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_current,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+        |    THEN valid_to - valid_from ELSE 0 END) AS BIGINT)
+        |   AS dwell_us,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events
+        | FROM dim GROUP BY event_type""".stripMargin
   )
 }

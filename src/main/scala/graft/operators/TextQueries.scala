@@ -1514,6 +1514,56 @@ object TextQueries extends QueryPack {
             / (col("n_docs").cast("double") * 1e6), 6)
             .as("mean_top2_frac"),
           col("n_fail_top1"), col("n_fail_top2"))
+    }),
+    // Inverted-index posting-list compression audit: for the 20
+    // highest-df terms, the byte cost of delta-encoding the sorted
+    // doc_id posting list at minimal bit width (width(g) = ⌊log₂g⌋+1,
+    // computed as Σᵢ [g ≥ 2ⁱ] — integer comparisons, no log) vs raw
+    // 8-byte postings — the storage estimate that decides whether a
+    // 100-TB text index fits its budget (frequent terms delta-pack to
+    // a few bits/posting). Within-term successor pairs come from ONE
+    // global distributedRank over (term, doc_id) + a rank+1
+    // self-join — a PARTITION BY term window would serialize every
+    // stopword's O(n_docs) posting list through one task. Top-20 is
+    // a TakeOrdered on the per-term frame, never a global sort.
+    "q335_posting_compression" -> ((s, d) => {
+      val widthOf: org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column = g =>
+        (0 to 40).map(i => when(g >= lit(1L << i), 1L).otherwise(0L))
+          .reduce(_ + _)
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " "))
+          .as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct()
+      val ranked = Rank.distributedRank(post,
+        Seq(col("term").asc, col("doc_id").asc), s)
+      val nxt = ranked.select(col("term").as("t2"),
+        (col("rk") - 1L).as("rk"), col("doc_id").as("next_id"))
+      val pairs = ranked.join(nxt, Seq("rk"), "left")
+      // a posting is either a delta off its same-term predecessor
+      // (the rank+1 pair with matching term) or its term's head,
+      // charged the full width of head_id+1 (the +1 keeps doc_id=0
+      // at width 1 without a zero-width special case)
+      val deltas = pairs
+        .filter(col("t2").isNotNull && col("t2") === col("term"))
+        .select(col("term"),
+          widthOf(col("next_id") - col("doc_id")).as("w"))
+      val heads = post.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("head_id"))
+        .select(col("term"), widthOf(col("head_id") + 1L).as("w"))
+      val bits = deltas.unionAll(heads)
+      bits.groupBy(col("term"))
+        .agg((count(lit(1))).as("df"), sum(col("w")).as("bits"))
+        .select(col("term"), col("df"),
+          col("bits"),
+          expr("(bits + 7) DIV 8").as("delta_bytes"),
+          (col("df") * 8L).as("raw_bytes"),
+          round((col("df") * 8L).cast("double")
+            / expr("(bits + 7) DIV 8").cast("double"), 6)
+            .as("compression_ratio"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(20)
     })
   )
 
@@ -2801,6 +2851,31 @@ object TextQueries extends QueryPack {
         |  round(CAST(s2 AS DOUBLE)
         |    / (CAST(n_docs AS DOUBLE) * 1e6), 6) AS mean_top2_frac,
         |  n_fail_top1, n_fail_top2
-        | FROM g""".stripMargin
+        | FROM g""".stripMargin,
+    "q335_posting_compression" -> {
+      // width(g) = ⌊log₂g⌋+1 as pure integer comparisons — mirrors
+      // the Spark side's Σᵢ[g ≥ 2ⁱ] fold, no log anywhere
+      val widthSql = (0 to 40).map(i =>
+        s"CASE WHEN g >= ${1L << i} THEN 1 ELSE 0 END")
+        .mkString("\n        |    + ")
+      s"""WITH post AS (SELECT DISTINCT doc_id, w AS term FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) WHERE length(w) > 0),
+        | r AS (SELECT term, doc_id,
+        |   lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+        |    AS prev FROM post),
+        | gv AS (SELECT term, CASE WHEN prev IS NULL THEN doc_id + 1
+        |    ELSE doc_id - prev END AS g FROM r),
+        | wv AS (SELECT term, $widthSql AS w FROM gv),
+        | agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |   CAST(sum(w) AS BIGINT) AS bits FROM wv GROUP BY 1)
+        | SELECT term, df, bits,
+        |  (bits + 7) // 8 AS delta_bytes,
+        |  df * 8 AS raw_bytes,
+        |  round(CAST(df * 8 AS DOUBLE)
+        |    / CAST((bits + 7) // 8 AS DOUBLE), 6)
+        |   AS compression_ratio
+        | FROM agg ORDER BY df DESC, term LIMIT 20""".stripMargin
+    }
   )
 }

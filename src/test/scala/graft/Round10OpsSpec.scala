@@ -169,4 +169,95 @@ class Round10OpsSpec extends AnyFunSuite {
     val exp = r.getAs[Double]("expected_random")
     assert(exp > 0.0, "expectation must be positive on a mixed corpus")
   }
+
+  test("q335 posting compression: bit-cost bounds and self-consistent " +
+    "byte arithmetic") {
+    val rows = SparkEntry.queries("q335_posting_compression")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val bits = r.getAs[Long]("bits")
+      // every posting costs at least 1 and at most 41 bits (the
+      // widthOf fold probes exponents 0..40)
+      assert(bits >= df && bits <= df * 41L,
+        s"bit cost out of range: df=$df bits=$bits")
+      assert(r.getAs[Long]("delta_bytes") == (bits + 7L) / 8L)
+      assert(r.getAs[Long]("raw_bytes") == df * 8L)
+    }
+    // frequent terms must actually compress (deltas are small)
+    assert(rows.head.getAs[Double]("compression_ratio") > 1.0)
+  }
+
+  test("q336 encoding advisor: runs dominate distincts and the advice " +
+    "matches its own rule") {
+    val rows = SparkEntry.queries("q336_encoding_advisor")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val nd = r.getAs[Long]("n_distinct")
+      val runs = r.getAs[Long]("n_runs")
+      // each distinct value opens at least one run; runs never exceed
+      // the row count
+      assert(nd <= runs && runs <= n, s"$nd <= $runs <= $n")
+      val want =
+        if (runs * 4L <= n) "rle"
+        else if (nd * 100L <= n) "dict"
+        else "plain"
+      assert(r.getAs[String]("advice") == want)
+    }
+  }
+
+  test("q337 table checksum: order-free (matches a group-then-merge " +
+    "recompute) and sensitive to a dropped row") {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val got = SparkEntry.queries("q337_table_checksum")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getDecimal(2).toBigInteger)).toMap
+    // independent recompute: partial sums per (doc_id % 7) bucket,
+    // then merged — equality proves the fingerprint is commutative
+    val h = operators.Dedup.md5Hash60(concat_ws("|",
+      col("doc_id").cast("string"), col("lang"), col("source"),
+      col("n_chars").cast("string")))
+    val parts = Tables.documents(spark, sf)
+      .groupBy(pmod(col("doc_id"), lit(7)))
+      .agg(count(lit(1)).as("n"), sum(h.cast(dec38)).as("s"))
+      .agg(sum(col("n")).cast("long"), sum(col("s")).cast(dec38))
+      .collect()(0)
+    assert((parts.getLong(0), parts.getDecimal(1).toBigInteger)
+      == got("documents"))
+    // drop one row => both the count and the sum must move
+    val drop = Tables.documents(spark, sf)
+      .filter(col("doc_id") =!= lit(0L))
+      .agg(sum(h.cast(dec38)).as("s")).collect()(0)
+    assert(drop.getDecimal(0).toBigInteger != got("documents")._2)
+  }
+
+  test("q338 SCD2: one open version per user, events conserved, " +
+    "version count = 1 + changes") {
+    val rows = SparkEntry.queries("q338_scd2_dimension")(spark, sf)
+      .collect()
+    val ev = Tables.events(spark, sf)
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nEvents = ev.count()
+    assert(rows.map(_.getAs[Long]("n_current")).sum == nUsers,
+      "exactly one current version per user")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "every event lands in exactly one version")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_versions") >= r.getAs[Long]("n_current"))
+      assert(r.getAs[Long]("dwell_us") >= 0L)
+    }
+    // independent change count: lag over the same per-user order
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .withColumn("p", lag(col("event_type"), 1).over(w))
+      .filter(col("p").isNotNull && col("p") =!= col("event_type"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum
+      == nUsers + changes)
+  }
 }
