@@ -337,6 +337,80 @@ class Engine(val spark: SparkSession, root: String,
         }
       }: _*)
     }
+    // MERGE = one full-outer join + one projection over the
+    // copy-on-write rewrite — the Delta/Iceberg plan shape, scale-safe
+    // because both sides shuffle on the join key and nothing collects.
+    // Vertex targets get a post-merge duplicate-PK probe (one agg):
+    // it rejects ambiguous matches (one target row hit by two source
+    // rows under UPDATE) AND inserted rows colliding with survivors —
+    // the same uniqueness contract INSERT enforces. Edge targets skip
+    // it (edges never dedup, SURVEY §2.1).
+    case MergeStmt(target, source, on, sets, del, ins) =>
+      rewrite(target) { (df, ctx) =>
+        val s = scope
+        val (kind, tname) = s.resolve(target).get
+        val props = s.propsOf(tname)
+        val byName = props.map(p => p.name.toLowerCase -> p).toMap
+        val sdf = tableDf(source)
+        val sctx = typeCtx(source)
+        val qctx = ctx ++ sctx ++
+          ctx.map { case (k, v) => s"${target.toLowerCase}.$k" -> v } ++
+          sctx.map { case (k, v) => s"${source.toLowerCase}.$k" -> v }
+        val t = df.withColumn("__t_present", lit(true)).alias(target)
+        val sv = sdf.withColumn("__s_present", lit(true)).alias(source)
+        val joined = t.join(sv, ExprBuilder.build(on, qctx), "full_outer")
+        val matched = col("__t_present").isNotNull &&
+          col("__s_present").isNotNull
+        def castTo(c: String, v: Column): Column = {
+          val p = byName.getOrElse(c.toLowerCase,
+            throw new IllegalArgumentException(s"unknown column $c"))
+          v.cast(Catalog.sparkType(p.typ))
+        }
+        val setMap = sets.getOrElse(Seq.empty).map { case (c, e) =>
+          c.toLowerCase -> castTo(c, ExprBuilder.build(e, qctx))
+        }.toMap
+        val insMap = ins.map { case (cols, vals) =>
+          cols.zip(vals).map { case (c, e) =>
+            c.toLowerCase -> castTo(c, ExprBuilder.build(e, qctx))
+          }.toMap
+        }.getOrElse(Map.empty[String, Column])
+        if (kind == "type" && ins.isDefined &&
+            !insMap.contains(s.types(tname).pk.name.toLowerCase))
+          throw new IllegalArgumentException(
+            s"MERGE INSERT missing primary key ${s.types(tname).pk.name}")
+        // rows that survive into the new generation: target-side rows
+        // (minus matched ones under DELETE) plus, when INSERT is
+        // declared, unmatched source rows
+        val kept = joined.filter(
+          (if (del) col("__s_present").isNull
+           else col("__t_present").isNotNull) ||
+          (if (ins.isDefined) col("__t_present").isNull else lit(false)))
+        val out = kept.select(props.map { p =>
+          val tcol = col(s"$target.${p.name}")
+          val upd = setMap.get(p.name.toLowerCase) match {
+            case Some(v) if !del => when(matched, v).otherwise(tcol)
+            case _ => tcol
+          }
+          val full =
+            if (ins.isDefined)
+              when(col("__t_present").isNull,
+                insMap.getOrElse(p.name.toLowerCase,
+                  lit(null).cast(Catalog.sparkType(p.typ))))
+                .otherwise(upd)
+            else upd
+          full.as(p.name)
+        }: _*)
+        if (kind == "type") {
+          val pk = s.types(tname).pk.name
+          val dup = out.groupBy(col(pk)).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1L).limit(1).count()
+          if (dup > 0)
+            throw new IllegalStateException(
+              "MERGE violates primary-key uniqueness " +
+                "(ambiguous match or colliding insert)")
+        }
+        out
+      }
 
     // ── DQL ─────────────────────────────────────────────────────────
     case sel: SelectStmt => Rows(buildSelect(sel))

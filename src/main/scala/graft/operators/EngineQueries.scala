@@ -408,6 +408,60 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q192 failed: $other")
       }
+    }),
+    // MERGE (upsert) round-trip: seed a vertex table from every third
+    // customer, MERGE a staged table of every second customer (matched
+    // rows get the staged balance and a +100 nation marker, unmatched
+    // rows insert with a +0.5 marker), then MERGE-DELETE every 30th
+    // key. Two REJECTED statements in between prove the PK contract:
+    // an ambiguous merge (one target row matched by two source rows)
+    // and a PK-less INSERT arm both fail AND leave the table intact —
+    // the oracle recomputes the final state from the raw inputs, so a
+    // sneaked-in write or a lost generation would hash-mismatch.
+    "q339_merge_upsert" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script(
+        """create scope mrgscope;
+          | use mrgscope;
+          | create type bal (id uint pk, nk uint, v float)""".stripMargin)
+        .foreach(require(_, "q339 ddl"))
+      val cust = Tables.customer(s, d)
+      eng.attachTable("csrc", cust.select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal")))
+      require(eng.sql("insert into bal (id, nk, v) " +
+        "select c_custkey, c_nationkey, c_acctbal from csrc " +
+        "where c_custkey % 3 = 0"), "q339 seed")
+      eng.attachTable("stage", cust
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("sid"),
+          col("c_nationkey").as("snk"),
+          (col("c_acctbal") * 2).as("sv")))
+      require(eng.sql("merge into bal using stage on bal.id = stage.sid " +
+        "when matched then update set v = stage.sv, nk = stage.snk + 100 " +
+        "when not matched then insert (id, nk, v) " +
+        "values (stage.sid, stage.snk, stage.sv + 0.5)"), "q339 upsert")
+      eng.attachTable("dstage", cust
+        .filter(col("c_custkey") % 30 === 0)
+        .select(col("c_custkey").as("did")))
+      require(eng.sql("merge into bal using dstage " +
+        "on bal.id = dstage.did when matched then delete"), "q339 delete")
+      import s.implicits._
+      eng.attachTable("amb", Seq((2L, 1L), (2L, 2L)).toDF("sid", "x"))
+      eng.sql("merge into bal using amb on bal.id = amb.sid " +
+        "when matched then update set nk = amb.x") match {
+        case Status(false, _) => ()
+        case other => sys.error(s"q339 ambiguous merge not rejected: $other")
+      }
+      eng.sql("merge into bal using amb on bal.id = amb.sid " +
+        "when not matched then insert (nk) values (amb.x)") match {
+        case Status(false, _) => ()
+        case other => sys.error(s"q339 pk-less insert not rejected: $other")
+      }
+      eng.sql("select nk, count(*) as n, sum(id) as sum_id, " +
+        "max(v) as max_v from bal group by nk") match {
+        case Rows(df) => df
+        case other => sys.error(s"q339 select failed: $other")
+      }
     })
   )
 
@@ -447,6 +501,26 @@ object EngineQueries extends QueryPack {
         | WHERE c_custkey < 300 AND c_nationkey < 25
         | GROUP BY 1""".stripMargin,
     "q192_version" -> "SELECT 'graft-1.0' AS v",
+    "q339_merge_upsert" ->
+      """WITH seed AS (SELECT c_custkey AS id,
+        |   CAST(c_nationkey AS BIGINT) AS nk, c_acctbal AS v
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        | stage AS (SELECT c_custkey AS sid,
+        |   CAST(c_nationkey AS BIGINT) AS snk, c_acctbal * 2 AS sv
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        | m AS (
+        |  SELECT s.id,
+        |   CASE WHEN st.sid IS NOT NULL THEN st.snk + 100 ELSE s.nk END
+        |    AS nk,
+        |   CASE WHEN st.sid IS NOT NULL THEN st.sv ELSE s.v END AS v
+        |  FROM seed s LEFT JOIN stage st ON s.id = st.sid
+        |  UNION ALL
+        |  SELECT st.sid, st.snk, st.sv + 0.5 FROM stage st
+        |  WHERE st.sid NOT IN (SELECT id FROM seed)),
+        | d AS (SELECT * FROM m WHERE id % 30 <> 0)
+        | SELECT nk, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+        |  max(v) AS max_v
+        | FROM d GROUP BY nk""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

@@ -93,6 +93,17 @@ object Ast {
       extends Statement
   case class UpdateStmt(target: String, sets: Seq[(String, Expr)],
                         where: Option[Expr]) extends Statement
+  /** ANSI-style MERGE (upsert) — absent from the reference entirely
+    * (its DML surface stops at UPDATE/DELETE, sql.tex:2017-2034);
+    * documented superset. One full-outer join + one projection — the
+    * Delta/Iceberg MERGE shape on copy-on-write parquet. Exactly one
+    * WHEN MATCHED clause (UPDATE SET … or DELETE) and/or one WHEN NOT
+    * MATCHED THEN INSERT clause. */
+  case class MergeStmt(target: String, source: String, on: Expr,
+                       matchedSets: Option[Seq[(String, Expr)]],
+                       matchedDelete: Boolean,
+                       insert: Option[(Seq[String], Seq[Expr])])
+      extends Statement
 
   // DQL
   /** Edge-join form (sql.tex:2291-2368): `JOIN vtype ON origin|destin`,

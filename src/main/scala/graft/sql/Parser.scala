@@ -184,12 +184,72 @@ object Parser {
       UpdateStmt(t, sets.toSeq,
         if (p.takeKw("where")) Some(expr(p)) else None)
     }
+    else if (p.takeKw("merge")) merge(p)
     else if (p.takeKw("exec") || p.takeKw("execute")) exec(p)
     else if (p.takeKw("lock")) lock(p)
     else if (p.takeKw("unlock")) UnlockStmt(p.ident())
     else if (p.takeKw("fetch")) FetchStmt(p.uintLit())
     else if (p.takeKw("close")) CloseStmt(p.uintLit())
     else throw ParseError("unknown statement", p.pos)
+  }
+
+  /** `MERGE INTO t USING s ON <expr> [WHEN MATCHED THEN UPDATE SET
+    * c = e, … | WHEN MATCHED THEN DELETE] [WHEN NOT MATCHED THEN
+    * INSERT (cols) VALUES (exprs)]` — at least one action clause;
+    * UPDATE and DELETE are mutually exclusive. Qualified column refs
+    * (`t.c`, `s.c`) resolve against the two table aliases. */
+  private def merge(p: P): Statement = {
+    p.expectKw("into")
+    val target = p.ident()
+    p.expectKw("using")
+    val source = p.ident()
+    p.expectKw("on")
+    val on = expr(p)
+    var sets: Option[Seq[(String, Expr)]] = None
+    var del = false
+    var ins: Option[(Seq[String], Seq[Expr])] = None
+    while (p.takeKw("when")) {
+      if (p.takeKw("matched")) {
+        p.expectKw("then")
+        if (p.takeKw("delete")) {
+          if (sets.isDefined)
+            throw ParseError("MERGE: UPDATE and DELETE are exclusive",
+              p.pos)
+          del = true
+        } else {
+          p.expectKw("update"); p.expectKw("set")
+          if (del)
+            throw ParseError("MERGE: UPDATE and DELETE are exclusive",
+              p.pos)
+          val ss = ArrayBuffer.empty[(String, Expr)]
+          var more = true
+          while (more) {
+            val c = p.ident(); p.expectSym("=")
+            ss += ((c, expr(p))); more = p.takeSym(",")
+          }
+          sets = Some(ss.toSeq)
+        }
+      } else {
+        p.expectKw("not"); p.expectKw("matched"); p.expectKw("then")
+        p.expectKw("insert"); p.expectSym("(")
+        val cols = ArrayBuffer.empty[String]
+        var more = true
+        while (more) { cols += p.ident(); more = p.takeSym(",") }
+        p.expectSym(")"); p.expectKw("values"); p.expectSym("(")
+        val vals = ArrayBuffer.empty[Expr]
+        more = true
+        while (more) { vals += expr(p); more = p.takeSym(",") }
+        p.expectSym(")")
+        if (vals.length != cols.length)
+          throw ParseError(
+            s"MERGE INSERT: ${cols.length} columns, ${vals.length} values",
+            p.pos)
+        ins = Some((cols.toSeq, vals.toSeq))
+      }
+    }
+    if (sets.isEmpty && !del && ins.isEmpty)
+      throw ParseError("MERGE needs at least one WHEN clause", p.pos)
+    MergeStmt(target, source, on, sets, del, ins)
   }
 
   private def ifNotExists(p: P): Boolean =

@@ -431,6 +431,63 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(eng.sql("select id from gadget")).isEmpty)
   }
 
+  test("MERGE upserts, deletes, and enforces the PK contract") {
+    ok(eng.sql("create type inv (id uint pk, qty int, note text)"))
+    ok(eng.sql("insert into inv (id, qty, note) (1, 10, 'a')"))
+    ok(eng.sql("insert into inv (id, qty, note) (2, 20, 'b')"))
+    import spark.implicits._
+    eng.attachTable("st",
+      Seq((2L, 200L), (3L, 300L)).toDF("sid", "sqty"))
+    // upsert: 2 updates, 3 inserts (note stays / nulls)
+    ok(eng.sql("merge into inv using st on inv.id = st.sid " +
+      "when matched then update set qty = st.sqty " +
+      "when not matched then insert (id, qty) values (st.sid, st.sqty)"))
+    val got = rows(eng.sql("select id, qty, note from inv order by id"))
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, "a"), (2L, 200L, "b"), (3L, 300L, null)))
+    // matched-delete only
+    eng.attachTable("dl", Seq(Tuple1(1L)).toDF("did"))
+    ok(eng.sql("merge into inv using dl on inv.id = dl.did " +
+      "when matched then delete"))
+    assert(rows(eng.sql("select id from inv")).map(_.getLong(0)).toSet
+      == Set(2L, 3L))
+    // insert-only merge: existing keys are untouched
+    eng.attachTable("st2",
+      Seq((3L, 999L), (4L, 400L)).toDF("sid", "sqty"))
+    ok(eng.sql("merge into inv using st2 on inv.id = st2.sid " +
+      "when not matched then insert (id, qty) values (st2.sid, st2.sqty)"))
+    val after = rows(eng.sql("select id, qty from inv order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((2L, 200L), (3L, 300L), (4L, 400L)))
+    // ambiguous match → rejected, table unchanged
+    eng.attachTable("bad", Seq((2L, 1L), (2L, 2L)).toDF("sid", "sqty"))
+    eng.sql("merge into inv using bad on inv.id = bad.sid " +
+      "when matched then update set qty = bad.sqty") match {
+      case Status(false, m) => assert(m.contains("uniqueness"))
+      case other => fail(s"ambiguous merge accepted: $other")
+    }
+    assert(rows(eng.sql("select qty from inv where id = 2"))(0)
+      .getLong(0) == 200L)
+    // parse-level contracts
+    eng.sql("merge into inv using st on inv.id = st.sid") match {
+      case Status(false, m) => assert(m.contains("WHEN"))
+      case other => fail(s"clause-less merge accepted: $other")
+    }
+    eng.sql("merge into inv using st on inv.id = st.sid " +
+      "when matched then delete " +
+      "when matched then update set qty = 1") match {
+      case Status(false, m) => assert(m.toLowerCase.contains("exclusive"))
+      case other => fail(s"update+delete merge accepted: $other")
+    }
+    eng.sql("merge into inv using st on inv.id = st.sid " +
+      "when not matched then insert (qty) values (st.sqty)") match {
+      case Status(false, m) => assert(m.contains("primary key"))
+      case other => fail(s"pk-less insert accepted: $other")
+    }
+    ok(eng.sql("drop type inv"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
