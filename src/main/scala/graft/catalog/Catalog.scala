@@ -57,6 +57,9 @@ object Catalog {
     val procs = mutable.LinkedHashMap.empty[String, ProcDef]
     val storages = mutable.LinkedHashMap.empty[String, StorageDef]
     val locks = mutable.LinkedHashSet.empty[String]
+    /** name → stored SELECT text (superset feature; base64-persisted
+      * so arbitrary SQL survives the TSV line format). */
+    val views = mutable.LinkedHashMap.empty[String, String]
 
     /** A table's root directory (holds versioned snapshots). */
     def tableRoot(table: String): Path =
@@ -116,6 +119,11 @@ object Catalog {
         sb ++= s"storage\t${st.name}\t" +
           st.options.map(kv => s"${kv._1}=${kv._2}").mkString(",") + "\n")
       locks.foreach(l => sb ++= s"lock\t$l\n")
+      views.foreach { case (n, sql) =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sb ++= s"view\t$n\t$b64\n"
+      }
       Files.writeString(dir.resolve("catalog.tsv"), sb.toString)
     }
 
@@ -153,6 +161,10 @@ object Catalog {
             }.toMap
             storages += parts(1) -> StorageDef(parts(1), opts)
           case "lock" => locks += parts(1)
+          case "view" =>
+            views += parts(1) -> new String(
+              java.util.Base64.getDecoder.decode(parts(2)),
+              java.nio.charset.StandardCharsets.UTF_8)
           case other =>
             throw new IllegalStateException(s"bad catalog line: $other")
         }

@@ -147,6 +147,25 @@ class Engine(val spark: SparkSession, root: String,
           payload.map(p => Prop(p.name, p.typ, pk = false, stamp = false)))
         s.save(); Status(ok = true)
       }
+    case CreateView(name, viewSql, ine) =>
+      val s = scope
+      if (s.views.keys.exists(_.equalsIgnoreCase(name)))
+        if (ine) Status(ok = true, "exists")
+        else Status(ok = false, s"view $name exists")
+      else if (s.resolve(name).isDefined)
+        Status(ok = false, s"view $name collides with a table")
+      else {
+        // validate eagerly: the body must parse as a SELECT and
+        // resolve against the current catalog (schema probe only —
+        // .schema analyzes the plan without running a job)
+        Parser.parse(viewSql) match {
+          case sel: SelectStmt => buildSelect(sel).schema
+          case _ =>
+            return Status(ok = false, s"view $name: body is not SELECT")
+        }
+        s.views += name -> viewSql
+        s.save(); Status(ok = true)
+      }
     case CreateStorage(name, _, opts, ine) =>
       val s = scope
       if (s.storages.contains(name) && !ine)
@@ -215,6 +234,10 @@ class Engine(val spark: SparkSession, root: String,
           if (e) s.save(); e
         case "lock" => val s = scope
           val e = s.locks.remove(name); if (e) s.save(); e
+        case "view" => val s = scope
+          val key = s.views.keys.find(_.equalsIgnoreCase(name))
+          val e = key.exists(k => s.views.remove(k).isDefined)
+          if (e) s.save(); e
       }
       if (existed || ifE) Status(ok = true)
       else Status(ok = false, s"no $kind $name")
@@ -242,6 +265,7 @@ class Engine(val spark: SparkSession, root: String,
           .map(ix => (ix.name, ix.on, ix.fields.mkString(","))).toSeq
           .toDF("name", "on", "fields")
         case "locks" => s.locks.toSeq.toDF("name")
+        case "views" => s.views.keys.toSeq.toDF("name")
         case other => throw new IllegalArgumentException(s"show $other?")
       }
       Rows(df)
@@ -460,34 +484,43 @@ class Engine(val spark: SparkSession, root: String,
   }
 
   // ── table access ──────────────────────────────────────────────────
+  /** NoWDB kinds derived from a Spark schema (attached tables and
+    * views, which have no catalog props). TimestampType is
+    * deliberately untagged: engine "time" means ns-long stamps
+    * (declared via timeCols); coercing literals to ns against a real
+    * timestamp column would compare across domains. */
+  private def kindsFromSchema(
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      val kind = f.dataType match {
+        case _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType => Some("int")
+        case _: org.apache.spark.sql.types.FloatType |
+             _: org.apache.spark.sql.types.DoubleType => Some("float")
+        case _: org.apache.spark.sql.types.StringType => Some("text")
+        case _: org.apache.spark.sql.types.BooleanType => Some("bool")
+        case _ => None
+      }
+      kind.map(f.name.toLowerCase -> _)
+    }.toMap
+
   private def typeCtx(table: String): Map[String, String] = {
     attached.get(table.toLowerCase) match {
       case Some(df) =>
         // derive NoWDB kinds from the Spark schema so expression
         // typing (e.g. QUOT integer division) works on mounted
         // tables too; declared timeCols override the derived kind
-        val derived = df.schema.fields.flatMap { f =>
-          val kind = f.dataType match {
-            case _: org.apache.spark.sql.types.ByteType |
-                 _: org.apache.spark.sql.types.ShortType |
-                 _: org.apache.spark.sql.types.IntegerType |
-                 _: org.apache.spark.sql.types.LongType => Some("int")
-            case _: org.apache.spark.sql.types.FloatType |
-                 _: org.apache.spark.sql.types.DoubleType => Some("float")
-            // NOTE: TimestampType is deliberately untagged — engine
-            // "time" means ns-long stamps (declared via timeCols);
-            // coercing literals to ns against a real timestamp column
-            // would compare across domains.
-            case _: org.apache.spark.sql.types.StringType => Some("text")
-            case _: org.apache.spark.sql.types.BooleanType => Some("bool")
-            case _ => None
-          }
-          kind.map(f.name.toLowerCase -> _)
-        }.toMap
-        derived ++ attachedTimeCols.getOrElse(table.toLowerCase, Set.empty)
-          .map(_ -> "time").toMap
+        kindsFromSchema(df.schema) ++
+          attachedTimeCols.getOrElse(table.toLowerCase, Set.empty)
+            .map(_ -> "time").toMap
       case None =>
-        scope.propsOf(table).map(p => p.name.toLowerCase -> p.typ).toMap
+        resolveView(table) match {
+          case Some((vn, vsql)) => kindsFromSchema(viewDf(vn, vsql).schema)
+          case None =>
+            scope.propsOf(table).map(p => p.name.toLowerCase -> p.typ).toMap
+        }
     }
   }
 
@@ -501,8 +534,34 @@ class Engine(val spark: SparkSession, root: String,
     * when no data has been written yet). Stamped edge tables carry the
     * hidden `stamp_date` hive-partition column (dropped by projection,
     * used by period pruning). */
+  /** Views mid-expansion on this thread — guards against view cycles
+    * (v1 over v2 over v1), which would otherwise recurse forever. */
+  private val viewExpansion = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]
+  }
+
+  /** Expand a stored view: re-parse its SELECT text and build it
+    * against the live catalog — a logical view, so filters/pruning
+    * push straight through into the underlying scans. */
+  private def viewDf(name: String, viewSql: String): DataFrame = {
+    val seen = viewExpansion.get
+    val key = name.toLowerCase
+    if (!seen.add(key))
+      throw new IllegalStateException(s"circular view reference: $name")
+    try Parser.parse(viewSql) match {
+      case sel: SelectStmt => buildSelect(sel)
+      case _ =>
+        throw new IllegalStateException(s"view $name: body is not SELECT")
+    } finally seen.remove(key)
+  }
+
+  private def resolveView(table: String): Option[(String, String)] =
+    current.flatMap(_.views.find(_._1.equalsIgnoreCase(table)))
+
   def tableDf(table: String): DataFrame =
-    attached.getOrElse(table.toLowerCase, {
+    attached.get(table.toLowerCase)
+      .orElse(resolveView(table).map { case (vn, vsql) => viewDf(vn, vsql) })
+      .getOrElse {
       val s = scope
       val (kind, name) = s.resolve(table).getOrElse(
         throw new IllegalArgumentException(s"unknown table $table"))
@@ -527,7 +586,7 @@ class Engine(val spark: SparkSession, root: String,
               .MetadataBuilder().putString("graft.nowType", p.typ).build())
           else df
         }
-    })
+    }
 
   /** Serialize all writers of one table across sessions — the same
     * registry lock the PK-checked vertex insert takes. Appends must

@@ -462,6 +462,31 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q339 select failed: $other")
       }
+    }),
+    // Logical views end-to-end: a filtered+projected view over an
+    // attached fact table, a second view stacked on the first, and an
+    // aggregate SELECT through both — the oracle recomputes the same
+    // two-layer expansion as CTEs, so predicate composition across
+    // the view stack is value-checked. Views store SQL text only
+    // (nothing materializes): the outer GROUP BY plans straight down
+    // to one scan of the base parquet with both filters applied.
+    "q340_logical_view" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope viewscope; use viewscope")
+        .foreach(require(_, "q340 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
+      require(eng.sql("create view vbig as select l_orderkey, " +
+        "l_returnflag, toint(l_quantity) as qty from li " +
+        "where l_quantity >= 25"), "q340 view 1")
+      require(eng.sql("create view vmid as select l_returnflag, qty " +
+        "from vbig where qty <= 45"), "q340 view 2")
+      eng.sql("select l_returnflag, count(*) as n, sum(qty) as sum_qty, " +
+        "min(qty) as min_qty, max(qty) as max_qty " +
+        "from vmid group by l_returnflag") match {
+        case Rows(df) => df
+        case other => sys.error(s"q340 select failed: $other")
+      }
     })
   )
 
@@ -521,6 +546,15 @@ object EngineQueries extends QueryPack {
         | SELECT nk, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
         |  max(v) AS max_v
         | FROM d GROUP BY nk""".stripMargin,
+    "q340_logical_view" ->
+      """WITH vbig AS (SELECT l_orderkey, l_returnflag,
+        |   CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_quantity >= 25),
+        | vmid AS (SELECT l_returnflag, qty FROM vbig WHERE qty <= 45)
+        | SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(qty) AS min_qty, max(qty) AS max_qty
+        | FROM vmid GROUP BY l_returnflag""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

@@ -52,6 +52,11 @@ object Ast {
   case class CreateLock(name: String, ifNotExists: Boolean)
       extends Statement
   /** kind ∈ scope|type|edge|storage|index|procedure|lock */
+  /** CREATE VIEW — absent in the reference; documented superset. The
+    * body is kept as raw SELECT text and expanded at FROM-resolution
+    * time (classic logical view, no materialization). */
+  case class CreateView(name: String, viewSql: String,
+                        ifNotExists: Boolean) extends Statement
   case class DropStmt(kind: String, name: String, ifExists: Boolean)
       extends Statement
 

@@ -92,7 +92,7 @@ object Parser {
   }
 
   // ── parser state ───────────────────────────────────────────────────
-  private class P(toks: Vector[Tok]) {
+  private class P(toks: Vector[Tok], val src: String = "") {
     var i = 0
     def cur: Tok = toks(i)
     def pos: Int = cur.pos
@@ -132,7 +132,7 @@ object Parser {
 
   /** Parse one statement (a trailing ';' is allowed). */
   def parse(sql: String): Statement = {
-    val p = new P(lex(sql))
+    val p = new P(lex(sql), sql)
     val st = statement(p)
     p.takeSym(";")
     p.cur match {
@@ -143,7 +143,7 @@ object Parser {
 
   /** Parse a ';'-separated script. */
   def parseScript(sql: String): Seq[Statement] = {
-    val p = new P(lex(sql))
+    val p = new P(lex(sql), sql)
     val out = ArrayBuffer.empty[Statement]
     while (!p.cur.isInstanceOf[TEnd]) {
       out += statement(p)
@@ -400,6 +400,14 @@ object Parser {
       CreateProcedure(module, name, args.toSeq, lang, ifNotExists = false)
     } else if (p.takeKw("lock")) {
       val name = p.ident(); CreateLock(name, trailingIfNot(p))
+    } else if (p.takeKw("view")) {
+      val name = p.ident()
+      val ine = trailingIfNot(p)
+      p.expectKw("as")
+      val start = p.pos
+      p.expectKw("select")
+      select(p) // grammar-validate the body; the engine re-parses it
+      CreateView(name, p.src.substring(start, p.pos).trim, ine)
     } else throw ParseError("unknown CREATE object", p.pos)
   }
 
@@ -414,6 +422,7 @@ object Parser {
       else if (p.takeKw("index")) "index"
       else if (p.takeKw("procedure")) "procedure"
       else if (p.takeKw("lock")) "lock"
+      else if (p.takeKw("view")) "view"
       else throw ParseError("unknown DROP object", p.pos)
     val name = p.ident()
     DropStmt(kind, name, trailingIfExists(p))

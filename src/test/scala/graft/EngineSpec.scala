@@ -488,6 +488,63 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type inv"))
   }
 
+  test("CREATE VIEW expands logically, persists, and guards its name") {
+    ok(eng.sql("create type item (id uint pk, grp uint, price float)"))
+    (1L to 6L).foreach(i =>
+      ok(eng.sql(s"insert into item (id, grp, price) ($i, ${i % 2}, ${i * 10}.0)")))
+    ok(eng.sql("create view pricey as select id, grp, price from item " +
+      "where price >= 30"))
+    // view in FROM, filters compose with the stored predicate
+    assert(rows(eng.sql("select id from pricey where grp = 0 order by id"))
+      .map(_.getLong(0)).toSeq == Seq(4L, 6L))
+    // view over view, with aggregation in the body
+    ok(eng.sql("create view bygrp as " +
+      "select grp, count(*) as n, max(price) as mx from pricey group by grp"))
+    val g = rows(eng.sql("select grp, n, mx from bygrp order by grp"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(g == Seq((0L, 2L, 60.0), (1L, 2L, 50.0)))
+    // views reflect later writes to the base table (logical, not
+    // materialized)
+    ok(eng.sql("insert into item (id, grp, price) (7, 1, 70.0)"))
+    assert(rows(eng.sql("select n from bygrp where grp = 1"))(0)
+      .getLong(0) == 3L)
+    // name guards: duplicate view, collision with a table, IF NOT EXISTS
+    eng.sql("create view pricey as select id from item") match {
+      case Status(false, m) => assert(m.contains("exists"))
+      case other => fail(s"duplicate view accepted: $other")
+    }
+    eng.sql("create view item as select id from item") match {
+      case Status(false, m) => assert(m.contains("collides"))
+      case other => fail(s"table-shadowing view accepted: $other")
+    }
+    ok(eng.sql("create view pricey if not exists as select id from item"))
+    // a view body that references a missing table is rejected eagerly
+    eng.sql("create view broken as select x from nosuch") match {
+      case Status(false, _) => ()
+      case other => fail(s"dangling view accepted: $other")
+    }
+    // DML on a view is rejected (views are not tables)
+    eng.sql("delete from pricey") match {
+      case Status(false, _) => ()
+      case other => fail(s"DELETE on a view accepted: $other")
+    }
+    // SHOW VIEWS + persistence across a fresh engine on the same root
+    assert(rows(eng.sql("show views")).map(_.getString(0)).toSet
+      == Set("pricey", "bygrp"))
+    val eng2 = new Engine(spark, root)
+    ok(eng2.sql("use retail"))
+    assert(rows(eng2.sql("select grp, n from bygrp where grp = 0"))(0)
+      .getLong(1) == 2L)
+    ok(eng.sql("drop view bygrp"))
+    ok(eng.sql("drop view pricey"))
+    eng.sql("drop view pricey") match {
+      case Status(false, _) => ()
+      case other => fail(s"double drop accepted: $other")
+    }
+    ok(eng.sql("drop view pricey if exists"))
+    ok(eng.sql("drop type item"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
