@@ -160,6 +160,7 @@ class Engine(val spark: SparkSession, root: String,
         // .schema analyzes the plan without running a job)
         Parser.parse(viewSql) match {
           case sel: SelectStmt => buildSelect(sel).schema
+          case w: WithStmt => buildWith(w).schema
           case _ =>
             return Status(ok = false, s"view $name: body is not SELECT")
         }
@@ -438,6 +439,7 @@ class Engine(val spark: SparkSession, root: String,
 
     // ── DQL ─────────────────────────────────────────────────────────
     case sel: SelectStmt => Rows(buildSelect(sel))
+    case w: WithStmt => Rows(buildWith(w))
     case ExplainStmt(sel) =>
       import spark.implicits._
       Rows(Seq(buildSelect(sel).queryExecution.executedPlan.toString())
@@ -507,6 +509,10 @@ class Engine(val spark: SparkSession, root: String,
     }.toMap
 
   private def typeCtx(table: String): Map[String, String] = {
+    cteBindings.get.get(table.toLowerCase) match {
+      case Some(df) => return kindsFromSchema(df.schema)
+      case None =>
+    }
     attached.get(table.toLowerCase) match {
       case Some(df) =>
         // derive NoWDB kinds from the Spark schema so expression
@@ -534,6 +540,29 @@ class Engine(val spark: SparkSession, root: String,
     * when no data has been written yet). Stamped edge tables carry the
     * hidden `stamp_date` hive-partition column (dropped by projection,
     * used by period pruning). */
+  /** Per-statement CTE bindings (WITH … AS): name → built frame.
+    * Thread-local so concurrent sessions on one engine can't see each
+    * other's bindings; saved/restored around each WITH statement. */
+  private val cteBindings = new ThreadLocal[Map[String, DataFrame]] {
+    override def initialValue(): Map[String, DataFrame] = Map.empty
+  }
+
+  /** Build a WITH statement: bind each CTE in order (later bindings
+    * and the body see earlier ones; bindings shadow same-named
+    * tables), build the body, restore the outer binding set. Purely
+    * logical — a CTE referenced twice is planned twice, and Catalyst
+    * dedups shared scan subtrees via exchange/subquery reuse. */
+  private[engine] def buildWith(w: WithStmt): DataFrame = {
+    val saved = cteBindings.get
+    try {
+      w.bindings.foreach { case (n, sel) =>
+        val df = buildSelect(sel)
+        cteBindings.set(cteBindings.get + (n.toLowerCase -> df))
+      }
+      buildSelect(w.body)
+    } finally cteBindings.set(saved)
+  }
+
   /** Views mid-expansion on this thread — guards against view cycles
     * (v1 over v2 over v1), which would otherwise recurse forever. */
   private val viewExpansion = new ThreadLocal[java.util.HashSet[String]] {
@@ -550,6 +579,7 @@ class Engine(val spark: SparkSession, root: String,
       throw new IllegalStateException(s"circular view reference: $name")
     try Parser.parse(viewSql) match {
       case sel: SelectStmt => buildSelect(sel)
+      case w: WithStmt => buildWith(w)
       case _ =>
         throw new IllegalStateException(s"view $name: body is not SELECT")
     } finally seen.remove(key)
@@ -559,7 +589,8 @@ class Engine(val spark: SparkSession, root: String,
     current.flatMap(_.views.find(_._1.equalsIgnoreCase(table)))
 
   def tableDf(table: String): DataFrame =
-    attached.get(table.toLowerCase)
+    cteBindings.get.get(table.toLowerCase)
+      .orElse(attached.get(table.toLowerCase))
       .orElse(resolveView(table).map { case (vn, vsql) => viewDf(vn, vsql) })
       .getOrElse {
       val s = scope

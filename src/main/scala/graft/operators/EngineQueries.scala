@@ -487,6 +487,29 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q340 select failed: $other")
       }
+    }),
+    // CTE (WITH) end-to-end: a filtered projection CTE, a second CTE
+    // aggregating the first at (order, flag) grain, and a body rollup
+    // over that — the standard two-level aggregation every analyst
+    // writes. The oracle runs the same text shape as DuckDB CTEs, so
+    // binding order, shadow scoping, and multi-column grouping inside
+    // a CTE are all value-checked through the engine dialect.
+    "q341_cte_rollup" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope ctescope; use ctescope")
+        .foreach(require(_, "q341 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
+      eng.sql("with big as (select l_orderkey, l_returnflag, " +
+        "toint(l_quantity) as qty from li where l_quantity >= 30), " +
+        "per as (select l_orderkey, l_returnflag, count(*) as n_items, " +
+        "sum(qty) as qsum from big group by l_orderkey, l_returnflag) " +
+        "select l_returnflag, count(*) as n_orders, " +
+        "sum(n_items) as n_items, sum(qsum) as sum_qty, " +
+        "max(qsum) as max_qty from per group by l_returnflag") match {
+        case Rows(df) => df
+        case other => sys.error(s"q341 select failed: $other")
+      }
     })
   )
 
@@ -555,6 +578,18 @@ object EngineQueries extends QueryPack {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  min(qty) AS min_qty, max(qty) AS max_qty
         | FROM vmid GROUP BY l_returnflag""".stripMargin,
+    "q341_cte_rollup" ->
+      """WITH big AS (SELECT l_orderkey, l_returnflag,
+        |   CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_quantity >= 30),
+        | per AS (SELECT l_orderkey, l_returnflag,
+        |   count(*) AS n_items, sum(qty) AS qsum
+        |  FROM big GROUP BY 1, 2)
+        | SELECT l_returnflag, count(*) AS n_orders,
+        |  CAST(sum(n_items) AS BIGINT) AS n_items,
+        |  CAST(sum(qsum) AS BIGINT) AS sum_qty,
+        |  CAST(max(qsum) AS BIGINT) AS max_qty
+        | FROM per GROUP BY l_returnflag""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

@@ -52,6 +52,12 @@ object Ast {
   case class CreateLock(name: String, ifNotExists: Boolean)
       extends Statement
   /** kind ∈ scope|type|edge|storage|index|procedure|lock */
+  /** `WITH name AS (SELECT …) [, …] SELECT …` — common table
+    * expressions (absent in the reference; documented superset).
+    * Later bindings and the body see earlier bindings; bindings
+    * shadow tables of the same name for the statement's duration. */
+  case class WithStmt(bindings: Seq[(String, SelectStmt)],
+                      body: SelectStmt) extends Statement
   /** CREATE VIEW — absent in the reference; documented superset. The
     * body is kept as raw SELECT text and expanded at FROM-resolution
     * time (classic logical view, no materialization). */

@@ -165,6 +165,20 @@ object Parser {
       p.expectKw("select"); ExplainStmt(select(p))
     }
     else if (p.takeKw("select")) select(p)
+    else if (p.takeKw("with")) {
+      val bindings = ArrayBuffer.empty[(String, SelectStmt)]
+      var more = true
+      while (more) {
+        val n = p.ident()
+        p.expectKw("as"); p.expectSym("(")
+        p.expectKw("select")
+        bindings += ((n, select(p)))
+        p.expectSym(")")
+        more = p.takeSym(",")
+      }
+      p.expectKw("select")
+      WithStmt(bindings.toSeq, select(p))
+    }
     else if (p.takeKw("insert")) insert(p)
     else if (p.takeKw("load")) load(p)
     else if (p.takeKw("delete")) {
@@ -405,8 +419,12 @@ object Parser {
       val ine = trailingIfNot(p)
       p.expectKw("as")
       val start = p.pos
-      p.expectKw("select")
-      select(p) // grammar-validate the body; the engine re-parses it
+      if (!p.isKw("select") && !p.isKw("with"))
+        throw ParseError("view body must be SELECT or WITH", p.pos)
+      statement(p) match { // grammar-validate; the engine re-parses
+        case _: SelectStmt | _: WithStmt =>
+        case _ => throw ParseError("view body must be SELECT", p.pos)
+      }
       CreateView(name, p.src.substring(start, p.pos).trim, ine)
     } else throw ParseError("unknown CREATE object", p.pos)
   }

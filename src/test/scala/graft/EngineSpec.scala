@@ -545,6 +545,33 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type item"))
   }
 
+  test("WITH binds CTEs in order, shadows tables, and does not leak") {
+    ok(eng.sql("create type pt (id uint pk, v uint)"))
+    (1L to 5L).foreach(i =>
+      ok(eng.sql(s"insert into pt (id, v) ($i, ${i * i})")))
+    // single CTE with aggregation in the body
+    val one = rows(eng.sql("with big as (select id, v from pt where v > 4) " +
+      "select count(*) as n, sum(v) as sv from big"))(0)
+    assert((one.getLong(0), one.getLong(1)) == (3L, 9L + 16L + 25L))
+    // chained CTEs: the second reads the first
+    val two = rows(eng.sql(
+      "with a as (select id, v from pt where id <= 4), " +
+      "b as (select v from a where v % 2 = 0) " +
+      "select count(*) as n, max(v) as mx from b"))(0)
+    assert((two.getLong(0), two.getLong(1)) == (2L, 16L))
+    // a CTE shadows a same-named table for the statement only
+    val shadowed = rows(eng.sql("with pt as (select id from pt where id = 1) " +
+      "select count(*) as n from pt"))(0)
+    assert(shadowed.getLong(0) == 1L)
+    assert(rows(eng.sql("select count(*) as n from pt"))(0).getLong(0) == 5L)
+    // a view may carry a WITH body
+    ok(eng.sql("create view vsq as with sq as " +
+      "(select v from pt where v >= 9) select count(*) as n from sq"))
+    assert(rows(eng.sql("select n from vsq"))(0).getLong(0) == 3L)
+    ok(eng.sql("drop view vsq"))
+    ok(eng.sql("drop type pt"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
