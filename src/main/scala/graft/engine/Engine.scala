@@ -159,8 +159,8 @@ class Engine(val spark: SparkSession, root: String,
         // resolve against the current catalog (schema probe only —
         // .schema analyzes the plan without running a job)
         Parser.parse(viewSql) match {
-          case sel: SelectStmt => buildSelect(sel).schema
-          case w: WithStmt => buildWith(w).schema
+          case st @ (_: SelectStmt | _: WithStmt | _: SetOpStmt) =>
+            buildDql(st).schema
           case _ =>
             return Status(ok = false, s"view $name: body is not SELECT")
         }
@@ -440,6 +440,7 @@ class Engine(val spark: SparkSession, root: String,
     // ── DQL ─────────────────────────────────────────────────────────
     case sel: SelectStmt => Rows(buildSelect(sel))
     case w: WithStmt => Rows(buildWith(w))
+    case so: SetOpStmt => Rows(buildSetOp(so))
     case ExplainStmt(sel) =>
       import spark.implicits._
       Rows(Seq(buildSelect(sel).queryExecution.executedPlan.toString())
@@ -559,8 +560,38 @@ class Engine(val spark: SparkSession, root: String,
         val df = buildSelect(sel)
         cteBindings.set(cteBindings.get + (n.toLowerCase -> df))
       }
-      buildSelect(w.body)
+      buildDql(w.body)
     } finally cteBindings.set(saved)
+  }
+
+  /** SQL set operations: positional alignment (left side's names win,
+    * like ANSI), UNION dedups unless ALL — all four plan to Spark's
+    * native union/intersect/except operators, so dedup is a hash agg
+    * on the shuffled key, never a sort. */
+  private[engine] def buildSetOp(so: SetOpStmt): DataFrame = {
+    val l = buildDql(so.left)
+    val r = buildDql(so.right)
+    if (l.columns.length != r.columns.length)
+      throw new IllegalArgumentException(
+        s"set operands have ${l.columns.length} vs ${r.columns.length} columns")
+    val r2 = r.toDF(l.columns: _*)
+    so.op match {
+      case "union" =>
+        if (so.all) l.unionAll(r2) else l.unionAll(r2).distinct()
+      case "intersect" =>
+        if (so.all) l.intersectAll(r2) else l.intersect(r2)
+      case "except" =>
+        if (so.all) l.exceptAll(r2) else l.except(r2)
+    }
+  }
+
+  /** Any DQL form → frame (SELECT, WITH, set-op chain). */
+  private def buildDql(st: Statement): DataFrame = st match {
+    case s: SelectStmt => buildSelect(s)
+    case w: WithStmt => buildWith(w)
+    case so: SetOpStmt => buildSetOp(so)
+    case _ =>
+      throw new IllegalStateException("expected a SELECT/WITH/set-op")
   }
 
   /** Views mid-expansion on this thread — guards against view cycles
@@ -578,8 +609,8 @@ class Engine(val spark: SparkSession, root: String,
     if (!seen.add(key))
       throw new IllegalStateException(s"circular view reference: $name")
     try Parser.parse(viewSql) match {
-      case sel: SelectStmt => buildSelect(sel)
-      case w: WithStmt => buildWith(w)
+      case st @ (_: SelectStmt | _: WithStmt | _: SetOpStmt) =>
+        buildDql(st)
       case _ =>
         throw new IllegalStateException(s"view $name: body is not SELECT")
     } finally seen.remove(key)

@@ -510,6 +510,31 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q341 select failed: $other")
       }
+    }),
+    // Set-operation chain through the engine dialect with standard
+    // precedence: (A ∩ B) ∪ C \ D over two attached fact tables. The
+    // oracle is the same four-SELECT chain in DuckDB, so precedence
+    // (INTERSECT binds tighter), UNION's dedup, and EXCEPT's removal
+    // are all value-checked — each leg plans to Spark's native set
+    // operator (hash-based, no sort).
+    "q342_setop_chain" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope sopscope; use sopscope")
+        .foreach(require(_, "q342 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity"), col("l_returnflag")))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice")))
+      eng.sql("select l_orderkey as k from li where l_quantity >= 49 " +
+        "intersect select l_orderkey as k from li " +
+        "where l_returnflag = 'R' " +
+        "union select o_orderkey as k from ord " +
+        "where o_totalprice > 400000 " +
+        "except select l_orderkey as k from li " +
+        "where l_quantity <= 2") match {
+        case Rows(df) => df
+        case other => sys.error(s"q342 select failed: $other")
+      }
     })
   )
 
@@ -590,6 +615,14 @@ object EngineQueries extends QueryPack {
         |  CAST(sum(qsum) AS BIGINT) AS sum_qty,
         |  CAST(max(qsum) AS BIGINT) AS max_qty
         | FROM per GROUP BY l_returnflag""".stripMargin,
+    "q342_setop_chain" ->
+      """SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 49
+        | INTERSECT
+        | SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        | UNION
+        | SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+        | EXCEPT
+        | SELECT l_orderkey AS k FROM lineitem WHERE l_quantity <= 2""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

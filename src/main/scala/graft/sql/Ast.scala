@@ -55,9 +55,17 @@ object Ast {
   /** `WITH name AS (SELECT …) [, …] SELECT …` — common table
     * expressions (absent in the reference; documented superset).
     * Later bindings and the body see earlier bindings; bindings
-    * shadow tables of the same name for the statement's duration. */
+    * shadow tables of the same name for the statement's duration.
+    * The body is a SELECT or a set-operation chain. */
   case class WithStmt(bindings: Seq[(String, SelectStmt)],
-                      body: SelectStmt) extends Statement
+                      body: Statement) extends Statement
+  /** `SELECT … UNION|INTERSECT|EXCEPT [ALL] SELECT …` (absent in the
+    * reference; documented superset). Standard precedence: INTERSECT
+    * binds tighter than UNION/EXCEPT; chains are left-associative;
+    * columns align positionally and take the left side's names. A
+    * per-branch ORDER BY/LIMIT binds to its own SELECT. */
+  case class SetOpStmt(op: String, all: Boolean, left: Statement,
+                       right: Statement) extends Statement
   /** CREATE VIEW — absent in the reference; documented superset. The
     * body is kept as raw SELECT text and expanded at FROM-resolution
     * time (classic logical view, no materialization). */

@@ -164,7 +164,7 @@ object Parser {
     else if (p.takeKw("explain")) {
       p.expectKw("select"); ExplainStmt(select(p))
     }
-    else if (p.takeKw("select")) select(p)
+    else if (p.isKw("select")) selectChain(p)
     else if (p.takeKw("with")) {
       val bindings = ArrayBuffer.empty[(String, SelectStmt)]
       var more = true
@@ -176,8 +176,9 @@ object Parser {
         p.expectSym(")")
         more = p.takeSym(",")
       }
-      p.expectKw("select")
-      WithStmt(bindings.toSeq, select(p))
+      if (!p.isKw("select"))
+        throw ParseError("expected select", p.pos)
+      WithStmt(bindings.toSeq, selectChain(p))
     }
     else if (p.takeKw("insert")) insert(p)
     else if (p.takeKw("load")) load(p)
@@ -205,6 +206,31 @@ object Parser {
     else if (p.takeKw("fetch")) FetchStmt(p.uintLit())
     else if (p.takeKw("close")) CloseStmt(p.uintLit())
     else throw ParseError("unknown statement", p.pos)
+  }
+
+  /** A SELECT followed by an optional UNION/INTERSECT/EXCEPT [ALL]
+    * chain. INTERSECT binds tighter; chains are left-associative. */
+  private def selectChain(p: P): Statement = {
+    def term(): Statement = {
+      p.expectKw("select")
+      var left: Statement = select(p)
+      while (p.takeKw("intersect")) {
+        val all = p.takeKw("all")
+        p.expectKw("select")
+        left = SetOpStmt("intersect", all, left, select(p))
+      }
+      left
+    }
+    var left = term()
+    var more = true
+    while (more) {
+      if (p.takeKw("union"))
+        left = SetOpStmt("union", p.takeKw("all"), left, term())
+      else if (p.takeKw("except") || p.takeKw("minus"))
+        left = SetOpStmt("except", p.takeKw("all"), left, term())
+      else more = false
+    }
+    left
   }
 
   /** `MERGE INTO t USING s ON <expr> [WHEN MATCHED THEN UPDATE SET
@@ -422,7 +448,7 @@ object Parser {
       if (!p.isKw("select") && !p.isKw("with"))
         throw ParseError("view body must be SELECT or WITH", p.pos)
       statement(p) match { // grammar-validate; the engine re-parses
-        case _: SelectStmt | _: WithStmt =>
+        case _: SelectStmt | _: WithStmt | _: SetOpStmt =>
         case _ => throw ParseError("view body must be SELECT", p.pos)
       }
       CreateView(name, p.src.substring(start, p.pos).trim, ine)
@@ -553,6 +579,8 @@ object Parser {
       // LIMIT as a table alias).
       if (!p.isKw("join") && !p.isKw("where") && !p.isKw("group")
           && !p.isKw("order") && !p.isKw("having") && !p.isKw("limit")
+          && !p.isKw("union") && !p.isKw("intersect")
+          && !p.isKw("except") && !p.isKw("minus")
           && p.cur.isInstanceOf[TId])
         fromAlias = Some(p.ident())
       while (p.takeKw("join")) {

@@ -572,6 +572,43 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type pt"))
   }
 
+  test("UNION/INTERSECT/EXCEPT chain with standard precedence") {
+    ok(eng.sql("create type so (id uint pk, v uint)"))
+    (1L to 8L).foreach(i =>
+      ok(eng.sql(s"insert into so (id, v) ($i, ${i % 4})")))
+    def ids(sql: String): Seq[Long] =
+      rows(eng.sql(sql)).map(_.getLong(0)).toSeq.sorted
+    // UNION dedups, UNION ALL keeps duplicates
+    assert(ids("select v from so where id <= 2 " +
+      "union select v from so where id = 5") == Seq(1L, 2L))
+    assert(ids("select v from so where id <= 2 " +
+      "union all select v from so where id = 5") == Seq(1L, 1L, 2L))
+    // INTERSECT and EXCEPT
+    assert(ids("select id from so where v = 1 " +
+      "intersect select id from so where id > 3") == Seq(5L))
+    assert(ids("select id from so where v = 1 " +
+      "except select id from so where id > 3") == Seq(1L))
+    // precedence: a UNION b INTERSECT c == a UNION (b INTERSECT c)
+    assert(ids("select id from so where id = 8 " +
+      "union select id from so where v = 1 " +
+      "intersect select id from so where id > 3")
+      == Seq(5L, 8L))
+    // chains work as WITH bodies and as view bodies
+    assert(ids("with lo as (select id from so where id <= 3) " +
+      "select id from lo except select id from so where v = 2")
+      == Seq(1L, 3L))
+    ok(eng.sql("create view vset as select id from so where v = 0 " +
+      "union select id from so where v = 3"))
+    assert(ids("select id from vset") == Seq(3L, 4L, 7L, 8L))
+    // arity mismatch is rejected
+    eng.sql("select id, v from so union select id from so") match {
+      case Status(false, m) => assert(m.contains("columns"))
+      case other => fail(s"arity mismatch accepted: $other")
+    }
+    ok(eng.sql("drop view vset"))
+    ok(eng.sql("drop type so"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
