@@ -943,6 +943,8 @@ class Engine(val spark: SparkSession, root: String,
             case Some(x) => count(ExprBuilder.build(x, ctx))
           }
           case "sum" => sum(a(0))
+          case "count_distinct" => countDistinct(a(0))
+          case "sum_distinct" => sum_distinct(a(0))
           case "avg" | "average" => coalesce(avg(a(0)), lit(0.0))
           case "min" => min(a(0))
           case "max" => max(a(0))
@@ -1143,7 +1145,8 @@ class Engine(val spark: SparkSession, root: String,
 
   private[engine] def buildSelect(sel: SelectStmt): DataFrame = {
     val base = tagTimeItems(buildSelectNoLimit(sel), sel)
-    sel.limit.fold(base)(n => base.limit(n.toInt))
+    val off = sel.offset.fold(base)(m => base.offset(m.toInt))
+    sel.limit.fold(off)(n => off.limit(n.toInt))
   }
 
   private def buildSelectNoLimit(sel0: SelectStmt): DataFrame = {
@@ -1293,17 +1296,26 @@ class Engine(val spark: SparkSession, root: String,
       if (sel.orderBy.nonEmpty) out.orderBy(orderCols(sel.orderBy): _*)
       else out
     } else {
-      val projected =
+      val projected0 =
         if (sel.items.exists(_.expr.isInstanceOf[Star]))
           filtered.select(starCols: _*)
         else filtered.select(sel.items.zipWithIndex.map { case (it, i) =>
           ExprBuilder.build(it.expr, ctx)
             .as(it.alias.getOrElse(defaultName(it.expr, i)))
         }: _*)
+      // SELECT DISTINCT (superset): dedup the projected rows before
+      // any ORDER BY — standard semantics, and a plain hash agg
+      val projected =
+        if (sel.distinct) projected0.distinct() else projected0
       if (sel.orderBy.nonEmpty) {
         val outNames = projected.columns.map(_.toLowerCase).toSet
         if (sel.orderBy.forall(f => outNames(f._1.name.toLowerCase)))
           projected.orderBy(orderCols(sel.orderBy): _*)
+        else if (sel.distinct)
+          // ANSI: with DISTINCT, ORDER BY may only use selected
+          // columns (ordering by a dropped column is ambiguous)
+          throw new IllegalArgumentException(
+            "ORDER BY with DISTINCT must reference selected columns")
         else { // order on base columns, then project
           val sorted = filtered.orderBy(sel.orderBy.map { case (f, a) =>
             val c = ExprBuilder.build(f, ctx); if (a) c.asc else c.desc

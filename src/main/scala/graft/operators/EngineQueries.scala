@@ -535,6 +535,28 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q342 select failed: $other")
       }
+    }),
+    // DISTINCT aggregates through the engine dialect: two
+    // count(DISTINCT) columns plus a sum(DISTINCT) in ONE grouped
+    // aggregation — the planner shape Spark handles with a single
+    // Expand (one shuffle), which is exactly what a 100 TB
+    // cardinality rollup needs. Value-checked against DuckDB's
+    // DISTINCT aggregates on the same grouping.
+    "q343_distinct_agg" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope dagscope; use dagscope")
+        .foreach(require(_, "q343 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_suppkey"), col("l_partkey"),
+        col("l_quantity")))
+      eng.sql("select l_returnflag, " +
+        "count(distinct l_suppkey) as n_supp, " +
+        "count(distinct l_partkey) as n_part, " +
+        "sum(distinct toint(l_quantity)) as sum_dq, " +
+        "count(*) as n from li group by l_returnflag") match {
+        case Rows(df) => df
+        case other => sys.error(s"q343 select failed: $other")
+      }
     })
   )
 
@@ -623,6 +645,14 @@ object EngineQueries extends QueryPack {
         | SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
         | EXCEPT
         | SELECT l_orderkey AS k FROM lineitem WHERE l_quantity <= 2""".stripMargin,
+    "q343_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   AS sum_dq,
+        |  count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

@@ -137,6 +137,8 @@ object Ast {
                         groupBy: Seq[Field],
                         orderBy: Seq[(Field, Boolean)],
                         limit: Option[Long] = None,
-                        having: Option[Expr] = None)
+                        having: Option[Expr] = None,
+                        distinct: Boolean = false,
+                        offset: Option[Long] = None)
       extends Statement
 }

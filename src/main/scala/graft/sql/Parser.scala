@@ -127,7 +127,7 @@ object Parser {
 
   private val aggNames = Set("count", "sum", "avg", "average", "min",
     "max", "median", "stddev", "prod", "product", "spread", "mode",
-    "integral")
+    "integral", "count_distinct", "sum_distinct")
   def isAggregate(name: String): Boolean = aggNames(name.toLowerCase)
 
   /** Parse one statement (a trailing ';' is allowed). */
@@ -551,6 +551,7 @@ object Parser {
   }
 
   private def select(p: P): SelectStmt = {
+    val dflag = p.takeKw("distinct") // superset: SELECT DISTINCT
     val items = ArrayBuffer.empty[SelectItem]
     var more = true
     while (more) {
@@ -621,8 +622,12 @@ object Parser {
       while (p.takeSym(",")) one()
     }
     val limit = if (p.takeKw("limit")) Some(p.uintLit()) else None
+    // `LIMIT n OFFSET m` (superset) — only meaningful with ORDER BY,
+    // like every SQL engine
+    val offset = if (p.takeKw("offset")) Some(p.uintLit()) else None
     SelectStmt(items.toSeq, from, fromAlias, joins.toSeq, where,
-      groupBy.toSeq, orderBy.toSeq, limit, having)
+      groupBy.toSeq, orderBy.toSeq, limit, having,
+      distinct = dflag, offset = offset)
   }
 
   private def fieldRef(p: P): Field = {
@@ -720,13 +725,20 @@ object Parser {
     case TId(s, _) =>
       p.bump()
       if (p.takeSym("(")) { // function call
+        // `count(distinct x)` / `sum(distinct x)` (superset) — encoded
+        // as the <name>_distinct aggregate so the FnCall shape (and
+        // every pattern over it) stays binary
+        val dflag = isAggregate(s) && p.takeKw("distinct")
+        if (dflag && !Set("count", "sum").contains(s.toLowerCase))
+          throw ParseError("DISTINCT supported for count/sum only", p.pos)
         val args = ArrayBuffer.empty[Expr]
         if (!p.isSym(")")) {
           args += expr(p)
           while (p.takeSym(",")) args += expr(p)
         }
         p.expectSym(")")
-        FnCall(s.toLowerCase, args.toSeq)
+        FnCall(if (dflag) s.toLowerCase + "_distinct" else s.toLowerCase,
+          args.toSeq)
       } else if (p.isSym(".")) {
         p.takeSym(".")
         Field(p.ident(), Some(s))

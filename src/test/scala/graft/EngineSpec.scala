@@ -609,6 +609,41 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type so"))
   }
 
+  test("SELECT DISTINCT, count/sum(DISTINCT), and LIMIT OFFSET") {
+    ok(eng.sql("create type dd (id uint pk, g uint, v uint)"))
+    (1L to 9L).foreach(i =>
+      ok(eng.sql(s"insert into dd (id, g, v) ($i, ${i % 3}, ${i % 4})")))
+    // SELECT DISTINCT dedups the projected rows
+    assert(rows(eng.sql("select distinct g from dd order by g"))
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows(eng.sql("select distinct g, v from dd")).length ==
+      (1L to 9L).map(i => (i % 3, i % 4)).distinct.length)
+    // aggregate DISTINCT, grouped and ungrouped
+    val u = rows(eng.sql(
+      "select count(distinct v) as cd, sum(distinct v) as sd from dd"))(0)
+    assert((u.getLong(0), u.getLong(1)) == (4L, 0L + 1L + 2L + 3L))
+    val g = rows(eng.sql("select g, count(distinct v) as cd from dd " +
+      "group by g order by g")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.toSeq == Seq(
+      (0L, (1L to 9L).filter(_ % 3 == 0).map(_ % 4).distinct.length.toLong),
+      (1L, (1L to 9L).filter(_ % 3 == 1).map(_ % 4).distinct.length.toLong),
+      (2L, (1L to 9L).filter(_ % 3 == 2).map(_ % 4).distinct.length.toLong)))
+    // DISTINCT restricted to count/sum
+    eng.sql("select avg(distinct v) as x from dd") match {
+      case Status(false, m) => assert(m.contains("DISTINCT"))
+      case other => fail(s"avg(distinct) accepted: $other")
+    }
+    // LIMIT OFFSET pages an ordered scan
+    assert(rows(eng.sql("select id from dd order by id limit 3 offset 4"))
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+    // ORDER BY a dropped column under DISTINCT is rejected
+    eng.sql("select distinct g from dd order by id") match {
+      case Status(false, m) => assert(m.contains("DISTINCT"))
+      case other => fail(s"distinct+hidden order accepted: $other")
+    }
+    ok(eng.sql("drop type dd"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
