@@ -1149,7 +1149,78 @@ class Engine(val spark: SparkSession, root: String,
     sel.limit.fold(off)(n => off.limit(n.toInt))
   }
 
-  private def buildSelectNoLimit(sel0: SelectStmt): DataFrame = {
+  /** Evaluate an uncorrelated scalar subquery to a literal — exactly
+    * one row, one column; a bounded (1×1) collect by construction. */
+  private def evalScalar(sub: SelectStmt): Lit = {
+    val df = buildSelect(sub)
+    if (df.columns.length != 1)
+      throw new IllegalArgumentException(
+        s"scalar subquery must return one column, got ${df.columns.length}")
+    val rows = df.limit(2).collect()
+    if (rows.length != 1)
+      throw new IllegalArgumentException(
+        s"scalar subquery returned ${rows.length} rows, expected 1")
+    rows(0).get(0) match {
+      case null => Lit(null, "null")
+      case v: java.lang.Long => Lit(v.longValue, "uint")
+      case v: java.lang.Integer => Lit(v.longValue, "uint")
+      case v: java.lang.Short => Lit(v.longValue, "uint")
+      case v: java.lang.Double => Lit(v.doubleValue, "float")
+      case v: java.lang.Float => Lit(v.doubleValue, "float")
+      case v: String => Lit(v, "string")
+      case v: java.lang.Boolean => Lit(v.booleanValue, "bool")
+      case v: java.math.BigDecimal => Lit(v.doubleValue, "float")
+      case other => Lit(other, "scalar")
+    }
+  }
+
+  /** Inline every ScalarSelect as its evaluated literal. */
+  private def substScalars(e: Expr): Expr = e match {
+    case ScalarSelect(sub) => evalScalar(sub)
+    case BinOp(o, l, r) => BinOp(o, substScalars(l), substScalars(r))
+    case UnOp(o, x) => UnOp(o, substScalars(x))
+    case InList(x, vs, n) =>
+      InList(substScalars(x), vs.map(substScalars), n)
+    case InSelect(x, sub, n) => InSelect(substScalars(x), sub, n)
+    case IsNull(x, n) => IsNull(substScalars(x), n)
+    case CaseExpr(bs, o) => CaseExpr(
+      bs.map(b => (substScalars(b._1), substScalars(b._2))),
+      o.map(substScalars))
+    case FnCall(n, args) => FnCall(n, args.map(substScalars))
+    case other => other
+  }
+
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case BinOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def containsInSelect(e: Expr): Boolean = e match {
+    case _: InSelect => true
+    case BinOp(_, l, r) => containsInSelect(l) || containsInSelect(r)
+    case UnOp(_, x) => containsInSelect(x)
+    case InList(x, vs, _) =>
+      containsInSelect(x) || vs.exists(containsInSelect)
+    case IsNull(x, _) => containsInSelect(x)
+    case CaseExpr(bs, o) =>
+      bs.exists(b => containsInSelect(b._1) || containsInSelect(b._2)) ||
+        o.exists(containsInSelect)
+    case FnCall(_, args) => args.exists(containsInSelect)
+    case _ => false
+  }
+
+  private def buildSelectNoLimit(sel00: SelectStmt): DataFrame = {
+    // Scalar subqueries first: evaluated once, inlined as literals —
+    // every later pass (stamp rewrite, ctx typing, agg split) then
+    // sees a plain expression tree.
+    val sel0 = sel00.copy(
+      items = sel00.items.map(it => it.copy(expr = substScalars(it.expr))),
+      where = sel00.where.map(substScalars),
+      having = sel00.having.map(substScalars))
+    buildSelectCore(sel0)
+  }
+
+  private def buildSelectCore(sel0: SelectStmt): DataFrame = {
     // Reference field keyword TIMESTAMP (nowdbsql.y `field ::=
     // TIMESTAMP`): on a stamped edge without a literal `timestamp`
     // column, the name resolves to the stamp column — same mapping
@@ -1200,16 +1271,38 @@ class Engine(val spark: SparkSession, root: String,
         "inner")
     }
 
-    val where = sel.where.map(w => ExprBuilder.build(w, ctx))
+    // [NOT] IN (SELECT …): peel the top-level AND conjuncts; each
+    // InSelect plans as a left-semi/left-anti join on the probe
+    // column (the 100 TB shape — both sides shuffle on the key,
+    // nothing collects). Anywhere deeper in the boolean tree it
+    // cannot be a join, so reject with a clear message.
+    val allConj = sel.where.map(conjuncts).getOrElse(Seq.empty)
+    val (inSels, residualConj) = allConj.partition(_.isInstanceOf[InSelect])
+    if (residualConj.exists(containsInSelect))
+      throw new IllegalArgumentException(
+        "IN (SELECT ...) must be a top-level AND conjunct of WHERE")
+    inSels.foreach { case InSelect(x, sub, neg) =>
+      val subDf = buildSelect(sub)
+      if (subDf.columns.length != 1)
+        throw new IllegalArgumentException(
+          s"IN subquery must return one column, got ${subDf.columns.length}")
+      val probe = subDf.toDF("__graft_in").distinct()
+      df = df.join(probe,
+        ExprBuilder.build(x, ctx) === col("__graft_in"),
+        if (neg) "left_anti" else "left_semi")
+    case _ => ()
+    }
+    val residualWhere = residualConj.reduceOption(BinOp("and", _, _))
+    val where = residualWhere.map(w => ExprBuilder.build(w, ctx))
     val filtered0 = where.fold(df)(df.filter)
     // period pruning (reference expr_period, fun/expr.c:1578-1631):
     // extract the [start,end] stamp bounds from the WHERE conjunction
     // and add the equivalent stamp_date partition predicate, so whole
     // days are pruned before any file is listed.
     val filtered =
-      if (isStampedEdge(fromName) && sel.where.isDefined
+      if (isStampedEdge(fromName) && residualWhere.isDefined
           && df.columns.contains("stamp_date"))
-        stampPeriod(sel.where.get) match {
+        stampPeriod(residualWhere.get) match {
           case Some((lo, hi)) =>
             var f = filtered0
             if (lo != Long.MinValue)

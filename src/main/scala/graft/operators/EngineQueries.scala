@@ -557,6 +557,30 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q343 select failed: $other")
       }
+    }),
+    // Subqueries through the engine dialect: an uncorrelated
+    // IN (SELECT …) membership probe (planned as a left-semi join —
+    // both sides shuffle on the key, nothing collects) composed with
+    // a scalar subquery comparison (evaluated once, inlined as a
+    // literal), feeding a grouped rollup. The oracle is the identical
+    // statement in DuckDB.
+    "q344_in_subquery" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope subscope; use subscope")
+        .foreach(require(_, "q344 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"), col("l_quantity")))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus")))
+      eng.sql("select l_suppkey as sk, count(*) as n, " +
+        "sum(toint(l_quantity)) as sq from li " +
+        "where l_orderkey in (select o_orderkey from ord " +
+        "where o_orderstatus = 'F') " +
+        "and l_quantity > (select min(l_quantity) from li) " +
+        "group by l_suppkey") match {
+        case Rows(df) => df
+        case other => sys.error(s"q344 select failed: $other")
+      }
     })
   )
 
@@ -653,6 +677,14 @@ object EngineQueries extends QueryPack {
         |   AS sum_dq,
         |  count(*) AS n
         | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q344_in_subquery" ->
+      """SELECT l_suppkey AS sk, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem
+        | WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |   WHERE o_orderstatus = 'F')
+        |  AND l_quantity > (SELECT min(l_quantity) FROM lineitem)
+        | GROUP BY l_suppkey""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

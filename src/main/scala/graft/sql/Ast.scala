@@ -12,6 +12,17 @@ object Ast {
   /** typ ∈ uint|int|float|string|bool|null (NoWDB literal typing:
     * bare digits are UINT, signed are INT — sql.tex:190-205). */
   case class Lit(value: Any, typ: String) extends Expr
+  /** `x [NOT] IN (SELECT …)` — uncorrelated single-column subquery
+    * membership (superset). Planned as a left-semi / left-anti join;
+    * legal only as a top-level AND conjunct of WHERE. NOT IN is
+    * anti-join semantics (a NULL in the subquery does not blank the
+    * result — documented deviation from ANSI's three-valued NOT IN). */
+  case class InSelect(x: Expr, sel: SelectStmt, neg: Boolean)
+      extends Expr
+  /** `(SELECT …)` in expression position — uncorrelated scalar
+    * subquery (superset): must yield exactly one row and one column;
+    * evaluated once per statement and inlined as a literal. */
+  case class ScalarSelect(sel: SelectStmt) extends Expr
   case class Field(name: String, qualifier: Option[String] = None)
       extends Expr
   case class Star() extends Expr

@@ -223,6 +223,13 @@ object ExprBuilder {
       }
       other.fold(chained)(o => chained.otherwise(build(o, ctx)))
     case FnCall(name, args) => fn(name, args, ctx)
+    case _: InSelect =>
+      throw new IllegalArgumentException(
+        "IN (SELECT ...) is only supported as a top-level AND conjunct " +
+          "of WHERE")
+    case _: ScalarSelect =>
+      throw new IllegalArgumentException(
+        "scalar subquery not supported in this position")
   }
 
   private def fn(name: String, args: Seq[Expr], ctx: Ctx): Column = {

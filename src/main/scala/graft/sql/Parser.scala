@@ -664,10 +664,16 @@ object Parser {
         throw ParseError("expected IN after NOT", p.pos)
       if (p.takeKw("in")) {
         p.expectSym("(")
-        val vs = ArrayBuffer(expr(p))
-        while (p.takeSym(",")) vs += expr(p)
-        p.expectSym(")")
-        InList(l, vs.toSeq, neg)
+        if (p.takeKw("select")) {
+          val sub = select(p)
+          p.expectSym(")")
+          InSelect(l, sub, neg)
+        } else {
+          val vs = ArrayBuffer(expr(p))
+          while (p.takeSym(",")) vs += expr(p)
+          p.expectSym(")")
+          InList(l, vs.toSeq, neg)
+        }
       } else l
     } else {
       Seq("=", "!=", "<>", "<=", ">=", "<", ">").find(p.isSym) match {
@@ -716,7 +722,10 @@ object Parser {
       else Lit(s.toLong, "uint")
     case TStr(s, _) => p.bump(); Lit(s, "string")
     case TSym("(", _) =>
-      p.bump(); val e = expr(p); p.expectSym(")"); e
+      p.bump()
+      if (p.takeKw("select")) {
+        val sub = select(p); p.expectSym(")"); ScalarSelect(sub)
+      } else { val e = expr(p); p.expectSym(")"); e }
     case TSym("*", _) => p.bump(); Star()
     case TId(s, _) if s.equalsIgnoreCase("case") => caseExpr(p)
     case TId(s, _) if s.equalsIgnoreCase("true") => p.bump(); Lit(true, "bool")

@@ -644,6 +644,42 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type dd"))
   }
 
+  test("IN (SELECT) plans as semi/anti join; scalar subqueries inline") {
+    ok(eng.sql("create type sq (id uint pk, g uint, v uint)"))
+    (1L to 8L).foreach(i =>
+      ok(eng.sql(s"insert into sq (id, g, v) ($i, ${i % 3}, ${i * 10})")))
+    ok(eng.sql("create type pick (k uint pk)"))
+    Seq(0L, 2L).foreach(k => ok(eng.sql(s"insert into pick (k) ($k)")))
+    // semi join: groups present in pick
+    assert(rows(eng.sql("select id from sq where g in " +
+      "(select k from pick) order by id")).map(_.getLong(0)).toSeq
+      == (1L to 8L).filter(i => Set(0L, 2L)(i % 3)))
+    // anti join
+    assert(rows(eng.sql("select id from sq where g not in " +
+      "(select k from pick) order by id")).map(_.getLong(0)).toSeq
+      == (1L to 8L).filter(_ % 3 == 1))
+    // IN-select composes with residual predicates
+    assert(rows(eng.sql("select id from sq where g in (select k from pick) " +
+      "and v >= 50 order by id")).map(_.getLong(0)).toSeq
+      == (1L to 8L).filter(i => Set(0L, 2L)(i % 3) && i * 10 >= 50))
+    // scalar subquery in projection and WHERE
+    val rel = rows(eng.sql("select id, v - (select min(v) from sq) as rel " +
+      "from sq where v > (select min(v) from sq) order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rel == (2L to 8L).map(i => (i, i * 10 - 10L)))
+    // rejection: IN-select under OR, multi-row scalar
+    eng.sql("select id from sq where v = 10 or g in (select k from pick)")
+      match {
+      case Status(false, m) => assert(m.contains("conjunct"))
+      case other => fail(s"OR'd IN-select accepted: $other")
+    }
+    eng.sql("select (select v from sq) as x from sq") match {
+      case Status(false, m) => assert(m.contains("rows"))
+      case other => fail(s"multi-row scalar accepted: $other")
+    }
+    ok(eng.sql("drop type sq")); ok(eng.sql("drop type pick"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
