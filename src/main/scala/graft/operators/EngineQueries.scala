@@ -581,6 +581,51 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q344 select failed: $other")
       }
+    }),
+    // Window functions through the engine dialect: per-order line
+    // ranking (row_number with a DESC tie-broken order) and a running
+    // quantity sum — both inside ONE keyed window exchange on
+    // l_orderkey (never a global window; the 100 TB shape). The
+    // running sum's default frame (RANGE unbounded..current) matches
+    // DuckDB's, and the tie-break key makes every row deterministic.
+    "q345_window_rank" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope winscope; use winscope")
+        .foreach(require(_, "q345 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_quantity")))
+      eng.sql("select l_orderkey, l_linenumber, " +
+        "row_number() over (partition by l_orderkey " +
+        "order by l_quantity desc, l_linenumber) as rnk, " +
+        "sum(toint(l_quantity)) over (partition by l_orderkey " +
+        "order by l_linenumber) as run_qty " +
+        "from li where l_orderkey <= 2000") match {
+        case Rows(df) => df
+        case other => sys.error(s"q345 select failed: $other")
+      }
+    }),
+    // Predicate sugar through the engine dialect: BETWEEN (desugared
+    // to the inclusive conjunction at parse time, so period pruning
+    // still sees plain comparisons), a constant-pattern LIKE, and the
+    // simple CASE form — all value-checked against DuckDB's native
+    // forms on the same grouped rollup.
+    "q346_predicate_sugar" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope sugscope; use sugscope")
+        .foreach(require(_, "q346 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority")))
+      eng.sql("select case o_orderstatus when 'F' then 'final' " +
+        "when 'O' then 'open' else 'other' end as cls, " +
+        "count(*) as n, max(o_orderkey) as max_k from ord " +
+        "where o_totalprice between 100000 and 200000 " +
+        "and o_orderpriority like '1-%' " +
+        "group by o_orderstatus") match {
+        case Rows(df) => df
+        case other => sys.error(s"q346 select failed: $other")
+      }
     })
   )
 
@@ -685,6 +730,22 @@ object EngineQueries extends QueryPack {
         |   WHERE o_orderstatus = 'F')
         |  AND l_quantity > (SELECT min(l_quantity) FROM lineitem)
         | GROUP BY l_suppkey""".stripMargin,
+    "q345_window_rank" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS rnk,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT)
+        |   AS run_qty
+        | FROM lineitem WHERE l_orderkey <= 2000""".stripMargin,
+    "q346_predicate_sugar" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'final'
+        |   WHEN 'O' THEN 'open' ELSE 'other' END AS cls,
+        |  count(*) AS n, CAST(max(o_orderkey) AS BIGINT) AS max_k
+        | FROM orders
+        | WHERE o_totalprice BETWEEN 100000 AND 200000
+        |  AND o_orderpriority LIKE '1-%'
+        | GROUP BY o_orderstatus""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

@@ -23,6 +23,14 @@ object Ast {
     * subquery (superset): must yield exactly one row and one column;
     * evaluated once per statement and inlined as a literal. */
   case class ScalarSelect(sel: SelectStmt) extends Expr
+  /** `fn(args) OVER (PARTITION BY … ORDER BY … [DESC])` — window
+    * functions (superset): row_number/rank/dense_rank/lag/lead plus
+    * windowed sum/count/min/max/avg (running frame when ORDER BY is
+    * present, Spark's default). An empty PARTITION BY is legal but
+    * funnels the table through one task — queries at scale must
+    * partition. */
+  case class WindowFn(fn: FnCall, partBy: Seq[Field],
+                      ordBy: Seq[(Field, Boolean)]) extends Expr
   case class Field(name: String, qualifier: Option[String] = None)
       extends Expr
   case class Star() extends Expr

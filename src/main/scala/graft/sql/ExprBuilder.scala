@@ -223,6 +223,42 @@ object ExprBuilder {
       }
       other.fold(chained)(o => chained.otherwise(build(o, ctx)))
     case FnCall(name, args) => fn(name, args, ctx)
+    case WindowFn(f, parts, ords) =>
+      import org.apache.spark.sql.expressions.Window
+      val spec0 =
+        if (parts.nonEmpty) Window.partitionBy(parts.map(fieldCol): _*)
+        else Window.partitionBy()
+      val spec =
+        if (ords.nonEmpty) spec0.orderBy(ords.map { case (fd, asc) =>
+          val c = fieldCol(fd); if (asc) c.asc else c.desc
+        }: _*)
+        else spec0
+      def off(i: Int): Int = f.args.lift(i) match {
+        case None => 1
+        case Some(Lit(v: Long, _)) => v.toInt
+        case _ =>
+          throw new IllegalArgumentException(s"${f.name} offset literal")
+      }
+      // rank-family results cast to long AFTER .over() — casting the
+      // bare function would strip the OVER clause off it
+      val c = f.name match {
+        case "row_number" => return row_number().over(spec).cast("long")
+        case "rank" => return rank().over(spec).cast("long")
+        case "dense_rank" => return dense_rank().over(spec).cast("long")
+        case "lag" => lag(build(f.args.head, ctx), off(1))
+        case "lead" => lead(build(f.args.head, ctx), off(1))
+        case "sum" => sum(build(f.args.head, ctx))
+        case "count" => f.args.headOption match {
+          case None | Some(Star()) => count(lit(1))
+          case Some(x) => count(build(x, ctx))
+        }
+        case "min" => min(build(f.args.head, ctx))
+        case "max" => max(build(f.args.head, ctx))
+        case "avg" | "average" => avg(build(f.args.head, ctx))
+        case other =>
+          throw new IllegalArgumentException(s"no window function $other")
+      }
+      c.over(spec)
     case _: InSelect =>
       throw new IllegalArgumentException(
         "IN (SELECT ...) is only supported as a top-level AND conjunct " +
@@ -323,6 +359,11 @@ object ExprBuilder {
         case _ => throw new IllegalArgumentException("substr len")
       })
       case "length" => length(a(0)).cast("long")
+      // LIKE desugars to this call (Parser enforces a literal pattern)
+      case "like" => a(0).like(args(1) match {
+        case Lit(s: String, _) => s
+        case _ => throw new IllegalArgumentException("LIKE pattern")
+      })
       case "strcat" => concat(args.map(x => build(x, ctx)): _*)
       // declared-only superset: code-point → string (complements the
       // reference's literal escapes \n \r \t, nowdbsql.l:182-190, for

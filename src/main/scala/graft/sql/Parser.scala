@@ -658,11 +658,30 @@ object Parser {
       val neg = p.takeKw("not")
       p.expectKw("null")
       IsNull(l, neg)
-    } else if (p.isKw("in") || (p.isKw("not"))) {
+    } else if (p.isKw("in") || p.isKw("between") || p.isKw("like")
+        || p.isKw("not")) {
       val neg = p.takeKw("not")
-      if (neg && !p.isKw("in"))
-        throw ParseError("expected IN after NOT", p.pos)
-      if (p.takeKw("in")) {
+      if (neg && !p.isKw("in") && !p.isKw("between") && !p.isKw("like"))
+        throw ParseError("expected IN/BETWEEN/LIKE after NOT", p.pos)
+      if (p.takeKw("between")) {
+        // [NOT] BETWEEN a AND b — desugared at parse time to the
+        // inclusive range conjunction, so period pruning and every
+        // downstream pass see plain comparisons
+        val lo = addExpr(p)
+        p.expectKw("and")
+        val hi = addExpr(p)
+        val rng = BinOp("and", BinOp(">=", l, lo), BinOp("<=", l, hi))
+        if (neg) UnOp("not", rng) else rng
+      } else if (p.takeKw("like")) {
+        // [NOT] LIKE 'pattern' (% and _) — constant patterns only
+        val pat = expr(p)
+        pat match {
+          case Lit(_, "string") =>
+          case _ => throw ParseError("LIKE needs a string literal", p.pos)
+        }
+        val lk = FnCall("like", Seq(l, pat))
+        if (neg) UnOp("not", lk) else lk
+      } else if (p.takeKw("in")) {
         p.expectSym("(")
         if (p.takeKw("select")) {
           val sub = select(p)
@@ -746,8 +765,10 @@ object Parser {
           while (p.takeSym(",")) args += expr(p)
         }
         p.expectSym(")")
-        FnCall(if (dflag) s.toLowerCase + "_distinct" else s.toLowerCase,
+        val f = FnCall(
+          if (dflag) s.toLowerCase + "_distinct" else s.toLowerCase,
           args.toSeq)
+        if (p.takeKw("over")) windowOver(p, f) else f
       } else if (p.isSym(".")) {
         p.takeSym(".")
         Field(p.ident(), Some(s))
@@ -755,11 +776,39 @@ object Parser {
     case t => throw ParseError("expected expression", t.pos)
   }
 
+  /** `OVER ( [PARTITION BY f, …] [ORDER BY f [ASC|DESC], …] )` */
+  private def windowOver(p: P, f: FnCall): Expr = {
+    p.expectSym("(")
+    val parts = ArrayBuffer.empty[Field]
+    if (p.takeKw("partition")) {
+      p.expectKw("by")
+      parts += fieldRef(p)
+      while (p.takeSym(",")) parts += fieldRef(p)
+    }
+    val ords = ArrayBuffer.empty[(Field, Boolean)]
+    if (p.takeKw("order")) {
+      p.expectKw("by")
+      def one(): Unit = {
+        val fd = fieldRef(p)
+        val asc = if (p.takeKw("desc")) false else { p.takeKw("asc"); true }
+        ords += ((fd, asc))
+      }
+      one()
+      while (p.takeSym(",")) one()
+    }
+    p.expectSym(")")
+    WindowFn(f, parts.toSeq, ords.toSeq)
+  }
+
   private def caseExpr(p: P): Expr = {
     p.expectKw("case")
+    // simple form `CASE x WHEN v THEN r …` desugars to the searched
+    // form with equality conditions
+    val subject = if (!p.isKw("when")) Some(expr(p)) else None
     val branches = ArrayBuffer.empty[(Expr, Expr)]
     while (p.takeKw("when")) {
-      val c = expr(p)
+      val c0 = expr(p)
+      val c = subject.fold(c0)(s => BinOp("=", s, c0))
       p.expectKw("then")
       branches += ((c, expr(p)))
     }

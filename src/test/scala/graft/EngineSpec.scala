@@ -680,6 +680,73 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type sq")); ok(eng.sql("drop type pick"))
   }
 
+  test("BETWEEN, LIKE, and simple CASE desugar correctly") {
+    ok(eng.sql("create type bl (id uint pk, nm text, v uint)"))
+    ok(eng.sql("insert into bl (id, nm, v) (1, 'alpha', 10)"))
+    ok(eng.sql("insert into bl (id, nm, v) (2, 'beta', 20)"))
+    ok(eng.sql("insert into bl (id, nm, v) (3, 'gamma', 30)"))
+    ok(eng.sql("insert into bl (id, nm, v) (4, 'alto', 40)"))
+    assert(rows(eng.sql("select id from bl where v between 20 and 30 " +
+      "order by id")).map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rows(eng.sql("select id from bl where v not between 20 and 30 " +
+      "order by id")).map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(rows(eng.sql("select id from bl where nm like 'al%' " +
+      "order by id")).map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(rows(eng.sql("select id from bl where nm like '_eta'"))
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(rows(eng.sql("select id from bl where nm not like 'al%' " +
+      "order by id")).map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // simple CASE = searched CASE with equality
+    val c = rows(eng.sql("select id, case v when 10 then 'ten' " +
+      "when 20 then 'twenty' else 'big' end as lbl from bl order by id"))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(c == Seq((1L, "ten"), (2L, "twenty"), (3L, "big"), (4L, "big")))
+    // LIKE pattern must be a literal
+    eng.sql("select id from bl where nm like nm") match {
+      case Status(false, m) => assert(m.toLowerCase.contains("like"))
+      case other => fail(s"non-literal LIKE accepted: $other")
+    }
+    ok(eng.sql("drop type bl"))
+  }
+
+  test("window functions: ranking, lag/lead, running aggregates") {
+    ok(eng.sql("create type wf (id uint pk, g uint, v uint)"))
+    // g=0: v 10,30,20 at ids 1,3,5 ; g=1: v 40,20 at ids 2,4
+    Seq((1L, 0L, 10L), (2L, 1L, 40L), (3L, 0L, 30L), (4L, 1L, 20L),
+      (5L, 0L, 20L)).foreach { case (i, g, v) =>
+      ok(eng.sql(s"insert into wf (id, g, v) ($i, $g, $v)"))
+    }
+    val rn = rows(eng.sql("select id, row_number() " +
+      "over (partition by g order by v) as rn from wf order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rn == Map(1L -> 1L, 5L -> 2L, 3L -> 3L, 4L -> 1L, 2L -> 2L))
+    val lg = rows(eng.sql("select id, lag(v) " +
+      "over (partition by g order by id) as pv from wf order by id"))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(lg == Map(1L -> -1L, 2L -> -1L, 3L -> 10L, 4L -> 40L,
+      5L -> 30L))
+    // running sum (default frame: unbounded preceding .. current)
+    val rs = rows(eng.sql("select id, sum(v) " +
+      "over (partition by g order by id) as rsum from wf order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rs == Map(1L -> 10L, 2L -> 40L, 3L -> 40L, 4L -> 60L,
+      5L -> 60L))
+    // rank with ties via dense_rank on duplicated values
+    ok(eng.sql("insert into wf (id, g, v) (6, 0, 20)"))
+    val dr = rows(eng.sql("select id, dense_rank() " +
+      "over (partition by g order by v) as dr from wf " +
+      "where g = 0 order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dr == Map(1L -> 1L, 3L -> 3L, 5L -> 2L, 6L -> 2L))
+    eng.sql("select id, median(v) over (partition by g) as m from wf")
+      match {
+      case Status(false, m) => assert(m.contains("window"))
+      case other => fail(s"unsupported window fn accepted: $other")
+    }
+    ok(eng.sql("drop type wf"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
