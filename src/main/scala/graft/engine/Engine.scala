@@ -1110,6 +1110,11 @@ class Engine(val spark: SparkSession, root: String,
             val vAlias = j.alias.getOrElse(j.typeName)
             typeCtx(j.typeName).map { case (k, v) =>
               s"${vAlias.toLowerCase}.$k" -> v }
+          } ++
+          sel.ansiJoins.flatMap { aj =>
+            val aAlias = aj.alias.getOrElse(aj.table)
+            typeCtx(aj.table).map { case (k, v) =>
+              s"${aAlias.toLowerCase}.$k" -> v }
           }
     }
 
@@ -1271,6 +1276,16 @@ class Engine(val spark: SparkSession, root: String,
         "inner")
     }
 
+    // ANSI joins (superset): arbitrary ON condition, declared order.
+    // Both sides shuffle on the condition's equi-keys (Catalyst
+    // extracts them); no broadcast hint here — the joined side may be
+    // another fact table, and AQE picks broadcast when it fits.
+    sel.ansiJoins.foreach { aj =>
+      val aAlias = aj.alias.getOrElse(aj.table)
+      val adf = tableDf(aj.table).as(aAlias)
+      df = df.join(adf, ExprBuilder.build(aj.on, ctx), aj.kind)
+    }
+
     // [NOT] IN (SELECT …): peel the top-level AND conjuncts; each
     // InSelect plans as a left-semi/left-anti join on the probe
     // column (the 100 TB shape — both sides shuffle on the key,
@@ -1325,6 +1340,9 @@ class Engine(val spark: SparkSession, root: String,
       base ++ sel.joins.flatMap { j =>
         val vAlias = j.alias.getOrElse(j.typeName)
         scope.types(j.typeName).props.map(p => col(s"$vAlias.${p.name}"))
+      } ++ sel.ansiJoins.flatMap { aj =>
+        val aAlias = aj.alias.getOrElse(aj.table)
+        tableDf(aj.table).columns.toSeq.map(c => col(s"$aAlias.$c"))
       }
     }
 

@@ -626,6 +626,31 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q346 select failed: $other")
       }
+    }),
+    // ANSI multi-join through the engine dialect: the classic
+    // fact→fact→dim chain (lineitem ⋈ orders ⋈ customer) with a
+    // pushed filter and a grouped rollup — each join shuffles on its
+    // equi-key (Catalyst extracts them from the ON exprs), AQE
+    // broadcasts the side that fits. Value-checked against the
+    // identical three-table join in DuckDB.
+    "q347_ansi_join" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope ajscope; use ajscope")
+        .foreach(require(_, "q347 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity")))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey")))
+      eng.attachTable("cust", Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey")))
+      eng.sql("select c_nationkey as nk, count(*) as n, " +
+        "sum(toint(l_quantity)) as sq from li " +
+        "join ord on li.l_orderkey = ord.o_orderkey " +
+        "join cust on ord.o_custkey = cust.c_custkey " +
+        "where l_quantity >= 30 group by c_nationkey") match {
+        case Rows(df) => df
+        case other => sys.error(s"q347 select failed: $other")
+      }
     })
   )
 
@@ -746,6 +771,14 @@ object EngineQueries extends QueryPack {
         | WHERE o_totalprice BETWEEN 100000 AND 200000
         |  AND o_orderpriority LIKE '1-%'
         | GROUP BY o_orderstatus""".stripMargin,
+    "q347_ansi_join" ->
+      """SELECT c_nationkey AS nk, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE l_quantity >= 30
+        | GROUP BY c_nationkey""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

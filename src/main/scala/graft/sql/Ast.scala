@@ -150,6 +150,12 @@ object Ast {
                         alias: Option[String])
   /** orderBy: (field, ascending). DESC and LIMIT are supersets — the
     * reference's grammar has neither (SURVEY §2.7). */
+  /** ANSI table join (superset — the reference's only join is the
+    * edge-join): `[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [alias] ON
+    * <expr>`. Edge joins apply first, then ANSI joins in declared
+    * order. */
+  case class AnsiJoin(table: String, alias: Option[String],
+                      kind: String, on: Expr)
   case class SelectStmt(items: Seq[SelectItem], from: Option[String],
                         fromAlias: Option[String],
                         joins: Seq[JoinClause], where: Option[Expr],
@@ -158,6 +164,7 @@ object Ast {
                         limit: Option[Long] = None,
                         having: Option[Expr] = None,
                         distinct: Boolean = false,
-                        offset: Option[Long] = None)
+                        offset: Option[Long] = None,
+                        ansiJoins: Seq[AnsiJoin] = Seq.empty)
       extends Statement
 }

@@ -566,6 +566,7 @@ object Parser {
     var from: Option[String] = None
     var fromAlias: Option[String] = None
     val joins = ArrayBuffer.empty[JoinClause]
+    val ansiJoins = ArrayBuffer.empty[AnsiJoin]
     if (p.takeKw("from")) {
       from = Some(p.ident())
       // reference `alias:table` form (nowdbsql.y:1089): the first
@@ -582,21 +583,59 @@ object Parser {
           && !p.isKw("order") && !p.isKw("having") && !p.isKw("limit")
           && !p.isKw("union") && !p.isKw("intersect")
           && !p.isKw("except") && !p.isKw("minus")
+          && !p.isKw("inner") && !p.isKw("left") && !p.isKw("right")
+          && !p.isKw("full")
           && p.cur.isInstanceOf[TId])
         fromAlias = Some(p.ident())
-      while (p.takeKw("join")) {
-        val t = p.ident()
-        var alias: Option[String] = None
-        if (!p.isKw("on") && p.cur.isInstanceOf[TId]) alias = Some(p.ident())
-        p.expectKw("on")
-        // reference lexer folds DESTIN/DEST/DESTINATION to one token
-        val f = p.ident().toLowerCase match {
-          case "origin" => "origin"
-          case "destin" | "dest" | "destination" => "destin"
-          case _ =>
-            throw ParseError("edge join must be ON origin|destin", p.pos)
+      var joining = true
+      while (joining) {
+        // ANSI join kinds (superset); a bare JOIN may still be the
+        // reference's edge-join, disambiguated after ON below
+        val kind =
+          if (p.takeKw("inner")) { p.expectKw("join"); Some("inner") }
+          else if (p.takeKw("left")) {
+            p.takeKw("outer"); p.expectKw("join"); Some("left")
+          } else if (p.takeKw("right")) {
+            p.takeKw("outer"); p.expectKw("join"); Some("right")
+          } else if (p.takeKw("full")) {
+            p.takeKw("outer"); p.expectKw("join"); Some("full")
+          } else if (p.takeKw("join")) Some("bare")
+          else None
+        kind match {
+          case None => joining = false
+          case Some(k) =>
+            val t = p.ident()
+            var alias: Option[String] = None
+            if (!p.isKw("on") && p.cur.isInstanceOf[TId])
+              alias = Some(p.ident())
+            p.expectKw("on")
+            // reference edge-join form: bare JOIN + a lone
+            // origin|destin|dest|destination ident (the lexer folds
+            // the three destin spellings). If the ident continues as
+            // an expression (`on origin = …`, `on o.k = …`), it is an
+            // ANSI condition instead — backtrack and parse the expr.
+            val save = p.i
+            val edgeField = if (k == "bare" && p.cur.isInstanceOf[TId]) {
+              val f = p.ident().toLowerCase
+              val contSyms = Seq("=", ".", "<", ">", "<=", ">=", "!=",
+                "<>", "+", "-", "*", "/", "%", "^")
+              val continues = contSyms.exists(p.isSym) || p.isKw("is") ||
+                p.isKw("in") || p.isKw("and") || p.isKw("or") ||
+                p.isKw("not") || p.isKw("between") || p.isKw("like")
+              if (!continues) f match {
+                case "origin" => Some("origin")
+                case "destin" | "dest" | "destination" => Some("destin")
+                case _ => p.i = save; None
+              } else { p.i = save; None }
+            } else None
+            edgeField match {
+              case Some(f) => joins += JoinClause(t, f, alias)
+              case None =>
+                val on = expr(p)
+                ansiJoins += AnsiJoin(t, alias,
+                  if (k == "bare") "inner" else k, on)
+            }
         }
-        joins += JoinClause(t, f, alias)
       }
     }
     val where = if (p.takeKw("where")) Some(expr(p)) else None
@@ -627,7 +666,7 @@ object Parser {
     val offset = if (p.takeKw("offset")) Some(p.uintLit()) else None
     SelectStmt(items.toSeq, from, fromAlias, joins.toSeq, where,
       groupBy.toSeq, orderBy.toSeq, limit, having,
-      distinct = dflag, offset = offset)
+      distinct = dflag, offset = offset, ansiJoins = ansiJoins.toSeq)
   }
 
   private def fieldRef(p: P): Field = {

@@ -747,6 +747,48 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type wf"))
   }
 
+  test("ANSI joins: inner/left/full with arbitrary ON; edge-join intact") {
+    ok(eng.sql("create type fact (id uint pk, dkey uint, v uint)"))
+    ok(eng.sql("create type dim (k uint pk, nm text)"))
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 10L, 400L)).foreach { case (i, dk, v) =>
+      ok(eng.sql(s"insert into fact (id, dkey, v) ($i, $dk, $v)"))
+    }
+    Seq((10L, "x"), (20L, "y"), (99L, "z")).foreach { case (k, n) =>
+      ok(eng.sql(s"insert into dim (k, nm) ($k, '$n')"))
+    }
+    // inner join with qualified ON
+    assert(rows(eng.sql("select fact.id, dim.nm from fact " +
+      "join dim on fact.dkey = dim.k order by id"))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "x"), (2L, "y"), (4L, "x")))
+    // left join keeps unmatched facts with NULL dim side
+    val lj = rows(eng.sql("select id, nm from fact " +
+      "left join dim on fact.dkey = dim.k order by id"))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+    assert(lj.toSeq == Seq((1L, "x"), (2L, "y"), (3L, "-"), (4L, "x")))
+    // full join also surfaces the unmatched dim row
+    assert(rows(eng.sql("select id, nm from fact " +
+      "full outer join dim on fact.dkey = dim.k")).length == 5)
+    // join + aggregation + non-equi residual in ON
+    val agg = rows(eng.sql("select nm, count(*) as n, sum(v) as sv " +
+      "from fact join dim on fact.dkey = dim.k and fact.v < 400 " +
+      "group by nm order by nm"))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(agg == Seq(("x", 1L, 100L), ("y", 1L, 200L)))
+    // the reference's edge-join grammar still parses (ON origin)
+    ok(eng.sql("create type nd (id uint pk, t text)"))
+    ok(eng.sql("create edge lk (origin nd origin, destin nd destin, " +
+      "w uint)"))
+    ok(eng.sql("insert into nd (id, t) (1, 'a')"))
+    ok(eng.sql("insert into nd (id, t) (2, 'b')"))
+    ok(eng.sql("insert into lk (origin, destin, w) (1, 2, 7)"))
+    assert(rows(eng.sql("select origin, t from lk join nd on origin"))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    ok(eng.sql("drop type fact")); ok(eng.sql("drop type dim"))
+    ok(eng.sql("drop edge lk")); ok(eng.sql("drop type nd"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
