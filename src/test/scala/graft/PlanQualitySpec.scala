@@ -278,4 +278,37 @@ class PlanQualitySpec extends AnyFunSuite {
     // even after a regression that explodes first and filters after
     assert(p.contains("filter(flatten(transform"), p)
   }
+
+  test("dialect superset plans: view pushdown, semi-join IN, keyed window") {
+    import java.nio.file.Files
+    val eng = new graft.engine.Engine(spark,
+      Files.createTempDirectory("plan-scope2").toString)
+    eng.sql("create scope planss")
+    eng.sql("use planss")
+    eng.attachTable("li", Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_suppkey"), col("l_quantity")))
+    def frame(sql: String): DataFrame = eng.sql(sql) match {
+      case graft.engine.Rows(d) => d
+      case other => fail(s"$other")
+    }
+    // a logical view is pure expansion: the view's own predicate AND
+    // the outer one both reach the parquet scan as pushed filters
+    eng.sql("create view vbig as select l_orderkey, l_quantity " +
+      "from li where l_quantity >= 30")
+    val pv = plan(frame("select l_orderkey from vbig " +
+      "where l_quantity <= 40"))
+    assert(pv.contains("PushedFilters:") &&
+      pv.contains("GreaterThanOrEqual(l_quantity,30.0)") &&
+      pv.contains("LessThanOrEqual(l_quantity,40.0)"), pv)
+    // IN (SELECT …) plans as a semi join, never a cartesian
+    val pin = plan(frame("select l_orderkey from li where l_suppkey in " +
+      "(select l_suppkey from li where l_quantity >= 49)"))
+    assert(pin.contains("LeftSemi") && !pin.contains("CartesianProduct"),
+      pin)
+    // dialect window functions partition (no single-partition window)
+    val pw = plan(frame("select l_orderkey, row_number() over " +
+      "(partition by l_orderkey order by l_quantity) as rn from li"))
+    assert(pw.contains("Window") &&
+      pw.contains("hashpartitioning(l_orderkey"), pw)
+  }
 }
