@@ -211,7 +211,20 @@ object Plans {
       "q333_zorder_layout" -> ("z-order vs linear layout audit: " +
         "integer Morton interleave in-row, both layouts ranked in " +
         "ONE range exchange (layout-tagged union), two keyed aggs — " +
-        "no global window, no per-layout pass"))
+        "no global window, no per-layout pass"),
+      "q335_posting_compression" -> ("posting-list delta-width audit: " +
+        "ONE distributedRank over (term, doc_id) + rank+1 self-join — " +
+        "a PARTITION BY term window would serialize stopword " +
+        "posting lists through one task"),
+      "q336_encoding_advisor" -> ("columnar encoding advisor: all 5 " +
+        "columns' run counts from ONE rank+1 self-join pass; " +
+        "distinct counts in one Expand aggregate"),
+      "q345_window_rank" -> ("dialect window functions: ranking + " +
+        "running sum in ONE window exchange hash-partitioned on " +
+        "l_orderkey — never a global window"),
+      "q347_ansi_join" -> ("dialect ANSI 3-table join: equi-keys " +
+        "extracted from ON exprs, AQE broadcasts the fitting side, " +
+        "filter pushed below both joins"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

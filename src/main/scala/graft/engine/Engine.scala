@@ -443,7 +443,7 @@ class Engine(val spark: SparkSession, root: String,
     case so: SetOpStmt => Rows(buildSetOp(so))
     case ExplainStmt(sel) =>
       import spark.implicits._
-      Rows(Seq(buildSelect(sel).queryExecution.executedPlan.toString())
+      Rows(Seq(buildDql(sel).queryExecution.executedPlan.toString())
         .toDF("plan"))
   }
 

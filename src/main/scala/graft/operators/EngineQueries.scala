@@ -651,6 +651,24 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q347 select failed: $other")
       }
+    }),
+    // ANSI CAST + positional GROUP BY/ORDER BY through the dialect —
+    // the syntax-compat layer a user migrating SQL scripts hits
+    // first. CAST desugars to the dialect's conversion functions, so
+    // the plan is identical to the toint/tofloat forms.
+    "q348_cast_ordinal" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope castscope; use castscope")
+        .foreach(require(_, "q348 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
+      eng.sql("select l_returnflag, count(*) as n, " +
+        "sum(cast(l_quantity as bigint)) as sq, " +
+        "max(cast(l_extendedprice as bigint)) as mx " +
+        "from li group by 1 order by 1") match {
+        case Rows(df) => df
+        case other => sys.error(s"q348 select failed: $other")
+      }
     })
   )
 
@@ -779,6 +797,12 @@ object EngineQueries extends QueryPack {
         | JOIN customer ON o_custkey = c_custkey
         | WHERE l_quantity >= 30
         | GROUP BY c_nationkey""".stripMargin,
+    "q348_cast_ordinal" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(max(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |   AS mx
+        | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

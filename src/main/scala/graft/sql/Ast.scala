@@ -104,7 +104,7 @@ object Ast {
   case class ExecStmt(name: String, args: Seq[Expr]) extends Statement
   case class FetchStmt(cursorId: Long) extends Statement
   /** EXPLAIN SELECT … — engine extension: returns the physical plan. */
-  case class ExplainStmt(select: SelectStmt) extends Statement
+  case class ExplainStmt(select: Statement) extends Statement
   case class CloseStmt(cursorId: Long) extends Statement
 
   // DML

@@ -281,6 +281,9 @@ object ExprBuilder {
       // conversions (expr.h:414-418)
       case "tofloat" => a(0).cast("double")
       case "toint" | "touint" => a(0).cast("long")
+      // CAST(x AS text|boolean) desugars to these (superset)
+      case "tostring" => a(0).cast("string")
+      case "tobool" => a(0).cast("boolean")
       case "totime" => args(0) match {
         case Lit(s: String, "string") => lit(parseTime(s).getOrElse(
           throw new IllegalArgumentException(s"bad time literal '$s'")))

@@ -162,7 +162,9 @@ object Parser {
     else if (p.takeKw("show")) ShowStmt(p.ident().toLowerCase)
     else if (p.takeKw("desc") || p.takeKw("describe")) DescStmt(p.ident())
     else if (p.takeKw("explain")) {
-      p.expectKw("select"); ExplainStmt(select(p))
+      if (!p.isKw("select") && !p.isKw("with"))
+        throw ParseError("expected select", p.pos)
+      ExplainStmt(statement(p))
     }
     else if (p.isKw("select")) selectChain(p)
     else if (p.takeKw("with")) {
@@ -642,8 +644,23 @@ object Parser {
     val groupBy = ArrayBuffer.empty[Field]
     if (p.takeKw("group")) {
       p.expectKw("by")
-      groupBy += fieldRef(p)
-      while (p.takeSym(",")) groupBy += fieldRef(p)
+      // GROUP BY <ordinal> (superset) resolves to the item's
+      // underlying column — grouping keys must be base columns
+      def gone(): Field = p.cur match {
+        case TNum(n, pos) if !n.contains('.') =>
+          p.bump()
+          val idx = n.toInt
+          if (idx < 1 || idx > items.length)
+            throw ParseError(s"GROUP BY $idx out of range", pos)
+          items(idx - 1).expr match {
+            case fd: Field => fd
+            case _ => throw ParseError(
+              s"GROUP BY $idx must reference a plain column", pos)
+          }
+        case _ => fieldRef(p)
+      }
+      groupBy += gone()
+      while (p.takeSym(",")) groupBy += gone()
     }
     // HAVING (superset — absent in the reference, sql.tex:2127):
     // evaluated over the projected aggregate columns, so it references
@@ -653,7 +670,23 @@ object Parser {
     if (p.takeKw("order")) {
       p.expectKw("by")
       def one(): Unit = {
-        val f = fieldRef(p)
+        // ORDER BY <ordinal> (superset): resolves against the select
+        // list's output name, so it works for aliased expressions and
+        // plain column items alike
+        val f = p.cur match {
+          case TNum(n, pos) if !n.contains('.') =>
+            p.bump()
+            val idx = n.toInt
+            if (idx < 1 || idx > items.length)
+              throw ParseError(s"ORDER BY $idx out of range", pos)
+            items(idx - 1) match {
+              case SelectItem(_, Some(a)) => Field(a)
+              case SelectItem(fd: Field, None) => Field(fd.name)
+              case _ => throw ParseError(
+                s"ORDER BY $idx: item needs an alias", pos)
+            }
+          case _ => fieldRef(p)
+        }
         val asc = if (p.takeKw("desc")) false else { p.takeKw("asc"); true }
         orderBy += ((f, asc))
       }
@@ -792,6 +825,32 @@ object Parser {
     case TId(s, _) =>
       p.bump()
       if (p.takeSym("(")) { // function call
+        // ANSI `CAST(x AS type)` (superset) — desugars to the
+        // dialect's conversion functions
+        if (s.equalsIgnoreCase("cast")) {
+          val e = expr(p)
+          p.expectKw("as")
+          val ty = p.ident().toLowerCase
+          if (ty == "decimal" || ty == "numeric") { // DECIMAL(p,s)
+            if (p.takeSym("(")) {
+              p.uintLit(); if (p.takeSym(",")) p.uintLit()
+              p.expectSym(")")
+            }
+          }
+          p.expectSym(")")
+          val fn = ty match {
+            case "bigint" | "int" | "integer" | "long" | "uint" |
+                 "smallint" | "tinyint" => "toint"
+            case "double" | "float" | "real" | "decimal" | "numeric" =>
+              "tofloat"
+            case "varchar" | "text" | "string" | "char" => "tostring"
+            case "bool" | "boolean" => "tobool"
+            case "time" | "timestamp" => "totime"
+            case other =>
+              throw ParseError(s"CAST: unsupported type $other", p.pos)
+          }
+          return FnCall(fn, Seq(e))
+        }
         // `count(distinct x)` / `sum(distinct x)` (superset) — encoded
         // as the <name>_distinct aggregate so the FnCall shape (and
         // every pattern over it) stays binary

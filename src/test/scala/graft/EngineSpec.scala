@@ -789,6 +789,32 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop edge lk")); ok(eng.sql("drop type nd"))
   }
 
+  test("CAST, ORDER BY/GROUP BY ordinals, EXPLAIN on WITH") {
+    ok(eng.sql("create type ct (id uint pk, g uint, v float)"))
+    (1L to 6L).foreach(i =>
+      ok(eng.sql(s"insert into ct (id, g, v) ($i, ${i % 2}, $i.5)")))
+    // CAST to int truncates like toint; CAST to text renders
+    val cs = rows(eng.sql("select id, cast(v as bigint) as vi, " +
+      "cast(id as text) as ids from ct order by id limit 2"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(cs == Seq((1L, 1L, "1"), (2L, 2L, "2")))
+    // ordinals: group by 1, order by 2 desc
+    val g = rows(eng.sql("select g, sum(cast(v as bigint)) as sv " +
+      "from ct group by 1 order by 2 desc"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g == Seq((0L, 2L + 4L + 6L), (1L, 1L + 3L + 5L)))
+    // EXPLAIN accepts a WITH chain and returns a physical plan
+    val ep = rows(eng.sql("explain with a as (select g, v from ct) " +
+      "select g, count(*) as n from a group by g"))(0).getString(0)
+    assert(ep.contains("HashAggregate"), ep)
+    // out-of-range ordinal rejected
+    eng.sql("select g from ct order by 4") match {
+      case Status(false, m) => assert(m.contains("out of range"))
+      case other => fail(s"bad ordinal accepted: $other")
+    }
+    ok(eng.sql("drop type ct"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
