@@ -568,6 +568,42 @@ object AnalyticsQueries extends QueryPack {
             col("n_chars"))))
         .unionAll(fp("events", Tables.events(s, d),
           Seq(col("event_id"), col("user_id"), col("event_type"))))
+    }),
+    // Merkle-style bucket diff: q337's order-free fingerprint applied
+    // PER BUCKET to two table versions, so a 100 TB replica check
+    // ships 64 checksums instead of re-reading either side; only
+    // differing buckets are re-scanned. v2 is a deterministic
+    // change-set of v1 (drop every 97th doc, touch every 101st), and
+    // the output is the per-bucket triage a sync engine acts on:
+    // row deltas (adds/drops) vs silent content drift (equal counts,
+    // different checksum). Two scans + two 64-row aggs, one 64-row
+    // join — nothing grows with the table but the scan itself.
+    "q349_bucket_diff" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      def sums(df: DataFrame, tag: String) =
+        df.groupBy(pmod(col("doc_id"), lit(64L)).as("bucket"))
+          .agg(count(lit(1)).as("n_" + tag),
+            sum(Dedup.md5Hash60(concat_ws("|",
+              col("doc_id").cast("string"), col("lang"), col("source"),
+              col("n_chars").cast("string"))).cast(dec38))
+              .cast(dec38).as("cs_" + tag))
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val v2 = v1.filter(col("doc_id") % 97L =!= 0L)
+        .withColumn("n_chars",
+          when(col("doc_id") % 101L === 0L, col("n_chars") + 1L)
+            .otherwise(col("n_chars")))
+      sums(v1, "v1").join(sums(v2, "v2"), Seq("bucket"), "full_outer")
+        .filter(col("cs_v1").isNull || col("cs_v2").isNull ||
+          col("cs_v1") =!= col("cs_v2"))
+        .select(col("bucket"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+          (coalesce(col("n_v2"), lit(0L))
+            - coalesce(col("n_v1"), lit(0L))).as("delta_rows"),
+          (coalesce(col("n_v1"), lit(0L))
+              === coalesce(col("n_v2"), lit(0L))).as("content_drift"))
     })
   )
 
@@ -954,6 +990,35 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum($h60) AS DECIMAL(38,0)) FROM dh
         | UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
         |  CAST(sum($h60) AS DECIMAL(38,0)) FROM eh""".stripMargin
+    },
+    "q349_bucket_diff" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      s"""WITH v1 AS (SELECT doc_id, lang, source,
+        |   CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        | v2 AS (SELECT doc_id, lang, source,
+        |   CASE WHEN doc_id % 101 = 0 THEN n_chars + 1
+        |    ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 97 <> 0),
+        | h1 AS (SELECT doc_id % 64 AS bucket,
+        |   md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+        |    || source || '|' || CAST(n_chars AS VARCHAR)) AS m
+        |  FROM v1),
+        | h2 AS (SELECT doc_id % 64 AS bucket,
+        |   md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+        |    || source || '|' || CAST(n_chars AS VARCHAR)) AS m
+        |  FROM v2),
+        | a1 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_v1,
+        |   CAST(sum($h60) AS DECIMAL(38,0)) AS cs_v1
+        |  FROM h1 GROUP BY 1),
+        | a2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_v2,
+        |   CAST(sum($h60) AS DECIMAL(38,0)) AS cs_v2
+        |  FROM h2 GROUP BY 1)
+        | SELECT COALESCE(a1.bucket, a2.bucket) AS bucket,
+        |  COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2,
+        |  COALESCE(n_v2, 0) - COALESCE(n_v1, 0) AS delta_rows,
+        |  COALESCE(n_v1, 0) = COALESCE(n_v2, 0) AS content_drift
+        | FROM a1 FULL OUTER JOIN a2 ON a1.bucket = a2.bucket
+        | WHERE cs_v1 IS NULL OR cs_v2 IS NULL OR cs_v1 <> cs_v2""".stripMargin
     }
   )
 }

@@ -235,6 +235,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(drop.getDecimal(0).toBigInteger != got("documents")._2)
   }
 
+  test("q349 bucket diff: exactly the changed buckets, exact deltas") {
+    val rows = SparkEntry.queries("q349_bucket_diff")(spark, sf)
+      .collect()
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // expected differing buckets: those holding a dropped (%97) or
+    // touched (%101, surviving) doc
+    val expect = ids.filter(i => i % 97 == 0 ||
+      (i % 101 == 0 && i % 97 != 0)).map(_ % 64).toSet
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == expect)
+    // total row delta = -(number of dropped docs)
+    assert(rows.map(_.getAs[Long]("delta_rows")).sum
+      == -ids.count(_ % 97 == 0).toLong)
+    // content_drift flags exactly the equal-count buckets
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("content_drift")
+        == (r.getAs[Long]("n_v1") == r.getAs[Long]("n_v2")))
+    }
+  }
+
   test("q338 SCD2: one open version per user, events conserved, " +
     "version count = 1 + changes") {
     val rows = SparkEntry.queries("q338_scd2_dimension")(spark, sf)
