@@ -371,7 +371,7 @@ class Engine(val spark: SparkSession, root: String,
     // the same uniqueness contract INSERT enforces. Edge targets skip
     // it (edges never dedup, SURVEY §2.1).
     case MergeStmt(target, source, on, sets, del, ins) =>
-      rewrite(target) { (df, ctx) =>
+      rewrite(target, runOnEmpty = ins.isDefined) { (df, ctx) =>
         val s = scope
         val (kind, tname) = s.resolve(target).get
         val props = s.propsOf(tname)
@@ -795,7 +795,7 @@ class Engine(val spark: SparkSession, root: String,
     * analog of the reference's documented tombstoning intent
     * (sql.tex:2017-2034). At lakehouse scale this is Delta/Iceberg
     * MERGE territory; plain parquet gets copy-on-write. */
-  private def rewrite(target: String)(
+  private def rewrite(target: String, runOnEmpty: Boolean = false)(
       f: (DataFrame, ExprBuilder.Ctx) => DataFrame): Result = {
     val s = scope
     val (_, name) = s.resolve(target).getOrElse(
@@ -807,7 +807,10 @@ class Engine(val spark: SparkSession, root: String,
     // generation survives until the NEXT rewrite GCs it.
     withTableWriteLock(s.name, name) {
       val cur = s.tableDir(name)
-      if (!Files.exists(cur)) return Status(ok = true, "empty table")
+      // DELETE/UPDATE on a never-written table are no-ops; MERGE must
+      // still run (its NOT MATCHED arm inserts into the empty frame)
+      if (!Files.exists(cur) && !runOnEmpty)
+        return Status(ok = true, "empty table")
       val props = s.propsOf(name)
       val base = tableDf(name).select(props.map(p => col(p.name)): _*)
       val out = f(base, typeCtx(name))

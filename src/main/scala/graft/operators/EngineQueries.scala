@@ -669,6 +669,50 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q348 select failed: $other")
       }
+    }),
+    // CDC upsert: the lakehouse change-apply pattern end-to-end.
+    // Three "micro-batches" (events interleaved by event_id % 3, so
+    // later batches carry OLDER events) are compacted per key
+    // (max-event_id row — the standard pre-MERGE dedup) and applied
+    // with a CONDITIONAL MERGE: a matched row updates only when the
+    // incoming change is newer. Last-writer-wins is therefore
+    // batch-order-invariant — the final state is the global
+    // max-event_id row per user no matter how the feed was chunked,
+    // which is exactly what the DuckDB oracle recomputes with one
+    // window. The same MERGE runs under foreachBatch in
+    // EventStreamsSpec's live streaming leg.
+    "q350_cdc_upsert" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script(
+        """create scope cdcscope;
+          | use cdcscope;
+          | create type st (uid uint pk, eid uint, etype text)""".stripMargin)
+        .foreach(require(_, "q350 ddl"))
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("event_type"))
+      (0L to 2L).foreach { k =>
+        val batch = ev.filter(col("event_id") % 3L === k)
+        // per-key compaction: keep the newest change in this batch
+        val compact = batch
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("event_id"), col("event_type")))
+            .as("m"))
+          .select(col("user_id").as("u"), col("m.event_id").as("e"),
+            col("m.event_type").as("t"))
+        eng.attachTable("b", compact)
+        require(eng.sql("merge into st using b on st.uid = b.u " +
+          "when matched then update set " +
+          "etype = case when b.e > st.eid then b.t else st.etype end, " +
+          "eid = case when b.e > st.eid then b.e else st.eid end " +
+          "when not matched then insert (uid, eid, etype) " +
+          "values (b.u, b.e, b.t)"), s"q350 merge batch $k")
+      }
+      eng.sql("select etype, count(*) as n_users, " +
+        "max(eid) as max_eid, sum(uid) as sum_uid " +
+        "from st group by etype") match {
+        case Rows(df) => df
+        case other => sys.error(s"q350 select failed: $other")
+      }
     })
   )
 
@@ -803,6 +847,15 @@ object EngineQueries extends QueryPack {
         |  CAST(max(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT)
         |   AS mx
         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q350_cdc_upsert" ->
+      """WITH last AS (SELECT user_id, event_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        | SELECT event_type AS etype, count(*) AS n_users,
+        |  CAST(max(event_id) AS BIGINT) AS max_eid,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        | FROM last WHERE rn = 1 GROUP BY event_type""".stripMargin,
     // serialized counter: 12 lock-bracketed increments observe exactly
     // 0..11, final read = 12 — any lost update breaks the sequence
     "q195_lock_serialized" ->

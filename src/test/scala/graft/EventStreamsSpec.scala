@@ -48,6 +48,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC upsert: foreachBatch MERGE converges to last-writer-wins " +
+    "under out-of-order delivery") {
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val eng = new graft.engine.Engine(spark,
+      Files.createTempDirectory("cdc-scope").toString)
+    eng.sql("create scope cdc"); eng.sql("use cdc")
+    eng.sql("create type st (uid uint pk, eid uint, v text)")
+    // (user, event_id, value): user 1 gets 3 versions delivered OUT
+    // of order (newest first), user 2 two versions split across
+    // batches, user 3 arrives late
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("u", "e", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val compact = batch.groupBy(col("u"))
+          .agg(max(struct(col("e"), col("v"))).as("m"))
+          .select(col("u"), col("m.e").as("e"), col("m.v").as("v"))
+        eng.attachTable("b", compact)
+        val r = eng.sql("merge into st using b on st.uid = b.u " +
+          "when matched then update set " +
+          "v = case when b.e > st.eid then b.v else st.v end, " +
+          "eid = case when b.e > st.eid then b.e else st.eid end " +
+          "when not matched then insert (uid, eid, v) " +
+          "values (b.u, b.e, b.v)")
+        assert(r.isInstanceOf[graft.engine.Status]
+          && r.asInstanceOf[graft.engine.Status].ok, r.toString)
+        ()
+      }.start()
+    try {
+      input.addData((1L, 30L, "newest"), (2L, 10L, "old2"))
+      q.processAllAvailable()
+      input.addData((1L, 10L, "stale"), (1L, 20L, "stale2"),
+        (2L, 20L, "new2"))
+      q.processAllAvailable()
+      input.addData((3L, 5L, "late3"))
+      q.processAllAvailable()
+      val got = eng.sql("select uid, eid, v from st order by uid") match {
+        case graft.engine.Rows(df) => df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        case other => fail(s"$other")
+      }
+      // last-writer-wins despite the newest change arriving FIRST
+      assert(got == Seq((1L, 30L, "newest"), (2L, 20L, "new2"),
+        (3L, 5L, "late3")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg emits finalized windows after watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
