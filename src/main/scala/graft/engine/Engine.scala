@@ -325,6 +325,19 @@ class Engine(val spark: SparkSession, root: String,
       closeCursor(id); Status(ok = true)
 
     // ── DML ─────────────────────────────────────────────────────────
+    case ins: InsertStmt if ins.moreRows.nonEmpty =>
+      // multi-row VALUES: row-at-a-time with first-failure stop —
+      // the same semantics as the reference's script of inserts
+      val rows = ins.values +: ins.moreRows
+      val it = rows.iterator
+      var bad: Option[Result] = None
+      while (bad.isEmpty && it.hasNext) {
+        insert(ins.copy(values = it.next(), moreRows = Nil)) match {
+          case Status(true, _) =>
+          case other => bad = Some(other)
+        }
+      }
+      bad.getOrElse(Status(ok = true, s"${rows.length} rows"))
     case ins: InsertStmt => insert(ins)
     case InsertSelect(target, cols, sel) => insertSelect(target, cols, sel)
     case ld: LoadStmt => load(ld)

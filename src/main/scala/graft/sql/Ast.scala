@@ -108,8 +108,13 @@ object Ast {
   case class CloseStmt(cursorId: Long) extends Statement
 
   // DML
+  /** moreRows: ANSI multi-row VALUES lists (superset) — applied
+    * row-at-a-time with first-failure stop, matching the reference's
+    * script-of-inserts semantics. */
   case class InsertStmt(target: String, cols: Seq[String],
-                        values: Seq[Expr]) extends Statement
+                        values: Seq[Expr],
+                        moreRows: Seq[Seq[Expr]] = Nil)
+      extends Statement
   /** INSERT … SELECT — documented "not yet" in the reference
     * (sql.tex:1934-1950), implemented natively here. */
   case class InsertSelect(target: String, cols: Seq[String],

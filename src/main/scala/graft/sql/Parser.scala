@@ -479,12 +479,22 @@ object Parser {
     val target = p.ident()
     // reference form without a field list (nowdbsql.y:312): values
     // map positionally onto the target's full model
-    if (p.takeKw("values")) {
+    def tuple(): Seq[Expr] = {
       p.expectSym("(")
       val vals = ArrayBuffer(expr(p))
       while (p.takeSym(",")) vals += expr(p)
       p.expectSym(")")
-      return InsertStmt(target, Nil, vals.toSeq)
+      vals.toSeq
+    }
+    def tuples(): (Seq[Expr], Seq[Seq[Expr]]) = {
+      val first = tuple()
+      val more = ArrayBuffer.empty[Seq[Expr]]
+      while (p.takeSym(",")) more += tuple() // multi-row VALUES
+      (first, more.toSeq)
+    }
+    if (p.takeKw("values")) {
+      val (first, more) = tuples()
+      return InsertStmt(target, Nil, first, more)
     }
     p.expectSym("(")
     val cols = ArrayBuffer(p.ident())
@@ -493,11 +503,8 @@ object Parser {
     if (p.takeKw("select"))
       return InsertSelect(target, cols.toSeq, select(p))
     p.takeKw("values") // optional: reference uses bare `(v, ...)`
-    p.expectSym("(")
-    val vals = ArrayBuffer(expr(p))
-    while (p.takeSym(",")) vals += expr(p)
-    p.expectSym(")")
-    InsertStmt(target, cols.toSeq, vals.toSeq)
+    val (first, more) = tuples()
+    InsertStmt(target, cols.toSeq, first, more)
   }
 
   private def load(p: P): Statement = {

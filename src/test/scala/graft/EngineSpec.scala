@@ -815,6 +815,22 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type ct"))
   }
 
+  test("multi-row INSERT VALUES applies row-at-a-time with PK stop") {
+    ok(eng.sql("create type mr (id uint pk, v uint)"))
+    ok(eng.sql("insert into mr (id, v) values (1, 10), (2, 20), (3, 30)"))
+    assert(rows(eng.sql("select id from mr")).length == 3)
+    // duplicate PK mid-list: rows before it land, rows after don't
+    eng.sql("insert into mr (id, v) values (4, 40), (1, 99), (5, 50)")
+      match {
+      case Status(false, _) => ()
+      case other => fail(s"dup PK in multi-row accepted: $other")
+    }
+    val got = rows(eng.sql("select id, v from mr order by id"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    ok(eng.sql("drop type mr"))
+  }
+
   test("stamped edges store date-partitioned; stamp ranges prune") {
     val df = eng.sql("select origin, quantity from buys " +
       "where stamp >= '2024-01-03' and stamp < '2024-01-05'") match {
