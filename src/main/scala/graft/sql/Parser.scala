@@ -752,8 +752,10 @@ object Parser {
         val rng = BinOp("and", BinOp(">=", l, lo), BinOp("<=", l, hi))
         if (neg) UnOp("not", rng) else rng
       } else if (p.takeKw("like")) {
-        // [NOT] LIKE 'pattern' (% and _) — constant patterns only
-        val pat = expr(p)
+        // [NOT] LIKE 'pattern' (% and _) — constant patterns only;
+        // parsed at additive level so a following AND/OR stays with
+        // the enclosing boolean expression
+        val pat = addExpr(p)
         pat match {
           case Lit(_, "string") =>
           case _ => throw ParseError("LIKE needs a string literal", p.pos)

@@ -87,6 +87,72 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("120 random round-10 surface statements: dialect engine == Spark SQL") {
+    // DISTINCT, aggregate-DISTINCT, BETWEEN/LIKE, ordinals, set-op
+    // chains, CTEs, window functions, ANSI joins — the identical text
+    // runs through Spark SQL's parser, so every superset keyword's
+    // SEMANTICS (not just its parse) is differentially checked
+    val rnd = new scala.util.Random(1010)
+    val data = (0 until 300).map { i =>
+      (i.toLong, i.toLong % 8, rnd.nextInt(60).toLong,
+        math.rint(rnd.nextDouble() * 1000) / 100.0, "t" + (i % 5))
+    }
+    val df = data.toDF("id", "k", "a", "b", "s")
+    val dim = (0L to 5L).map(k => (k, "nm" + k)).toDF("k", "nm")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz10").toString)
+    eng.attachTable("fx", df)
+    eng.attachTable("dx", dim)
+    df.createOrReplaceTempView("fx_v")
+    dim.createOrReplaceTempView("dx_v")
+    val wherePool = Seq("", " where a between 10 and 40",
+      " where s like 't%' and a > 15", " where a not between 20 and 50",
+      " where s not like '_2'", " where b between 100.0 and 800.0")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def run(qe: String, qs: String, tag: String): Unit = {
+      val got = eng.sql(qe) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"$tag: $qe -> $other")
+      }
+      val want = spark.sql(qs).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map {
+          case d: Double => f"$d%.9f"
+          case v => String.valueOf(v)
+        }).toSeq.sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"$tag diverged:\n$qe\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+    for (i <- 0 until 120) {
+      val w = pick(wherePool)
+      val body = rnd.nextInt(7) match {
+        case 0 => s"select distinct k, s from fx$w"
+        case 1 => s"select k, count(distinct a) as cd, " +
+          s"sum(distinct a) as sd, count(*) as n from fx$w " +
+          "group by 1 order by 1"
+        case 2 => s"select k, sum(a) as sa from fx$w " +
+          "group by 1 order by 2 desc, 1"
+        case 3 =>
+          val all = if (rnd.nextBoolean()) " all" else ""
+          val op = pick(Seq("union" + all, "intersect", "except"))
+          s"select k from fx where a > ${rnd.nextInt(30)} " +
+            s"$op select k from fx where s = 't${rnd.nextInt(5)}'"
+        case 4 => s"with c as (select k, a from fx$w) " +
+          "select k, count(*) as n, max(a) as ma from c " +
+          "group by k order by k"
+        case 5 => s"select id, k, row_number() over " +
+          "(partition by k order by a, id) as rn, " +
+          "sum(a) over (partition by k order by id) as run from fx" + w
+        case _ => s"select f.k, count(*) as n, min(nm) as m " +
+          s"from fx f join dx d on f.k = d.k$w group by f.k order by f.k"
+      }
+      run(body,
+        body.replace("from fx", "from fx_v").replace("join dx", "join dx_v"),
+        s"#$i")
+    }
+  }
+
   test("100 random non-grouped selects: dialect engine == Spark SQL") {
     val rnd = new scala.util.Random(777)
     val data = (0 until 300).map { i =>
