@@ -41,4 +41,33 @@ object VectorOps {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Micro-unit quantization: each component → `round(x·1e6)` as a
+    * long. The differential-oracle workhorse — integer sums are
+    * order-free and bit-identical across engines, so dot products and
+    * norms built on micro vectors hash-match DuckDB regardless of
+    * parallelism. Identical quantization to the exploded
+    * `round(col·1e6)::long` form the query pack uses, but kept in-row:
+    * no posexplode, no join on the dimension index, no 10M-row hash
+    * aggregate — the whole dot is one codegen'd fold per pair. */
+  def microVec(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Integer dot product over micro vectors: Σ aᵢ·bᵢ as a long. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Register the codegen'd [[DotLong]] and return an integer-dot
+    * builder backed by it: one fused loop per pair inside whole-stage
+    * codegen instead of an interpreted zip_with+fold (bit-identical —
+    * long addition is associative). */
+  def nativeDotLong(spark: org.apache.spark.sql.SparkSession)
+      : (Column, Column) => Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_long", exprs => DotLong(exprs(0), exprs(1)), "built-in")
+    (a, b) => call_function("graft_dot_long", a, b)
+  }
+
+  /** Integer squared norm of a micro vector. */
+  def normSqLong(a: Column): Column = dotLong(a, a)
 }

