@@ -784,23 +784,32 @@ object SimilarityQueries extends QueryPack {
     // point is memory traffic: 4 bytes of code per vector instead of
     // 64 of floats, queries ride a 384-row broadcast table; the scan
     // is one equi-join + keyed agg, no all-pairs beyond the bounded
-    // query batch.
+    // query batch. Sub-distances are IN-ROW integer algebra —
+    // d² = ‖a‖² + ‖b‖² − 2a·b with the codegen'd DotLong over sliced
+    // micro vectors (exactly the per-(sub,pos) squared-diff sum the
+    // exploded form aggregated, by expansion) — so the former
+    // 2M-row hash aggregate disappears entirely.
     "q226_pq_adc" -> ((s, d) => {
+      import graft.functions.VectorOps.{microVec, nativeDotLong}
+      val dot = nativeDotLong(s)
       val emb = Tables.embeddings(s, d)
-      val flat = emb.select(col("vec_id"),
-          posexplode(VectorOps.toDoubleVec(col("embedding"))))
-        .select(col("vec_id"), col("pos").cast("long").as("i"),
-          round(col("col") * 1000000).cast("long").as("q"))
-        .select(col("vec_id"), expr("i DIV 4").as("sub"),
-          (col("i") % 4).as("pos"), col("q"))
+      val mv = emb.select(col("vec_id"), microVec(col("embedding")).as("xm"))
+      // 16 contiguous 4-dim subspaces (sub = i DIV 4 of the exploded
+      // form); one row per (vector, subspace) with the sub-vector and
+      // its squared norm precomputed
+      val subs = mv.select(col("vec_id"), posexplode(
+          array((0 until 16).map(k => slice(col("xm"), k * 4 + 1, 4)): _*)))
+        .select(col("vec_id"), col("pos").cast("long").as("sub"),
+          col("col").as("v"))
+        .withColumn("nv", dot(col("v"), col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cb = flat.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cw"), col("sub"), col("pos"),
-          col("q").as("cq"))
-      val subDist = flat.join(broadcast(cb), Seq("sub", "pos"))
-        .groupBy(col("vec_id"), col("sub"), col("cw"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq")))
-          .as("d2"))
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cw"), col("sub"), col("v").as("cv"),
+          col("nv").as("ncv"))
+      val subDist = subs.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cw"),
+          (col("nv") + col("ncv") - lit(2L) * dot(col("v"), col("cv")))
+            .as("d2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codes = subDist
         .groupBy(col("vec_id"), col("sub"))
@@ -818,14 +827,16 @@ object SimilarityQueries extends QueryPack {
       val atop = approx.withColumn("rk", row_number().over(wa))
         .filter(col("rk") <= 10)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qflat = flat.filter(col("vec_id") < 6)
-        .select(col("vec_id").as("qid"), col("sub"), col("pos"),
-          col("q").as("qq"))
-      val ex = flat.join(broadcast(qflat), Seq("sub", "pos"))
+      // exact leg: full-width integer L2² per (query, vector) pair,
+      // again via the norm/dot expansion — 6·n rows, zero aggregation
+      val mvn = mv.withColumn("nx", dot(col("xm"), col("xm")))
+      val ex = mvn.crossJoin(broadcast(mvn.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("qid"), col("xm").as("qm"),
+            col("nx").as("nq"))))
         .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum((col("q") - col("qq")) * (col("q") - col("qq")))
-          .as("ed"))
+        .select(col("qid"), col("vec_id"),
+          (col("nx") + col("nq") - lit(2L) * dot(col("xm"), col("qm")))
+            .as("ed"))
       val we = Window.partitionBy(col("qid"))
         .orderBy(col("ed").asc, col("vec_id").asc)
       val etop = ex.withColumn("rk", row_number().over(we))
