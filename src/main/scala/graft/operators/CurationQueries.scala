@@ -1914,10 +1914,318 @@ object CurationQueries extends QueryPack {
           round(lit(1000.0) * col("n_docs").cast("double")
             * col("s_int").cast("double")
             / col("wsum").cast("double"), 6).as("alloc_neyman"))
+    }),
+    // Kruskal–Wallis H (1952): do the k = #langs groups draw doc
+    // lengths from one distribution — the k-group generalization of
+    // q312's two-sample Mann–Whitney, closing the location-test
+    // family (2 groups: q312/q324; k groups: this). Same machinery:
+    // value-level count table, broadcast triangle for cumulative
+    // counts, doubled midranks (2·cb+t+1) keeping tie-averaged ranks
+    // exact integers. Per-group term R²ᵢ/nᵢ is integer floor-division
+    // (r2·r2 DIV ng — deterministic in both engines; the ≤k-unit
+    // floor truncation perturbs H by O(k/N²), far below the 6 dp
+    // output), summed as DECIMAL(38,0) so the cross-group total is
+    // order-free. Tie-corrected; all-tied degenerates to H=0 (the
+    // q312 convention). Long bound: r2² ≤ (N(N+1))² — past ~2e4 docs
+    // per group the multiply needs the DECIMAL path (same escape
+    // hatch as q233's Σd²).
+    "q351_kruskal_wallis" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val cum = vc
+        .join(broadcast(vc.select(col("v").as("u"), col("t").as("tu"))),
+          col("u") < col("v"), "left")
+        .groupBy(col("v"), col("t"))
+        .agg(coalesce(sum(col("tu")), lit(0L)).as("cb"))
+      val gv = docs.groupBy(col("lang"), col("v"))
+        .agg(count(lit(1)).as("tg"))
+      val grp = gv.join(broadcast(cum), Seq("v"))
+        .groupBy(col("lang"))
+        .agg(sum(col("tg")).as("ng"),
+          sum(col("tg") * (col("cb") * 2L + col("t") + 1L)).as("r2"))
+      val tz = cum.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"),
+        sum(col("t")).as("n"))
+      grp.select(expr("(r2 * r2) DIV ng").cast(dec).as("term"))
+        .agg(sum(col("term")).as("tsum"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(tz))
+        .select(col("n").as("n_docs"), col("k").as("k_groups"),
+          (col("k") - 1L).as("dof"),
+          when(col("ties") === col("n") * col("n") * col("n") - col("n"),
+            lit(0.0)).otherwise(round(
+            (lit(3.0) * col("tsum").cast("double")
+              / (col("n").cast("double") * (col("n") + 1L).cast("double"))
+              - lit(3.0) * (col("n") + 1L).cast("double"))
+            / (lit(1.0) - col("ties").cast("double")
+              / (col("n") * col("n") * col("n") - col("n"))
+                .cast("double")), 6)).as("h"))
+    }),
+    // Cliff's delta (1993): the ordinal effect size behind q312's U —
+    // P(X>Y) − P(X<Y) for src0-vs-src1 doc lengths, the number that
+    // says whether a significant U is MATERIAL (q312 gives the z;
+    // this gives the magnitude, Romano et al. thresholds). Exact from
+    // the same value-level count table: gt = Σ t1(v)·#{src1 < v} via
+    // the broadcast cumulative triangle, ties = Σ t1·t2, lt by
+    // complement — δ is one division of exact longs, thresholded on
+    // the ROUNDED value so the label is engine-stable.
+    "q352_cliffs_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("v")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("t2"))
+      val cum = vc
+        .join(broadcast(vc.select(col("v").as("u"), col("t2").as("tu"))),
+          col("u") < col("v"), "left")
+        .groupBy(col("v"), col("t1"), col("t2"))
+        .agg(coalesce(sum(col("tu")), lit(0L)).as("cb2"))
+      cum.agg(sum(col("t1")).as("n1"), sum(col("t2")).as("n2"),
+          sum(col("t1") * col("cb2")).as("gt"),
+          sum(col("t1") * col("t2")).as("ties"))
+        .select(col("n1"), col("n2"),
+          round((col("gt") * 2L + col("ties") - col("n1") * col("n2"))
+            .cast("double")
+            / (col("n1") * col("n2")).cast("double"), 6).as("delta"))
+        .select(col("n1"), col("n2"), col("delta"),
+          when(abs(col("delta")) < 0.147, lit("negligible"))
+            .when(abs(col("delta")) < 0.33, lit("small"))
+            .when(abs(col("delta")) < 0.474, lit("medium"))
+            .otherwise(lit("large")).as("magnitude"))
+    }),
+    // t-closeness audit (Li et al. 2007): per quasi-identifier group
+    // (source), the total-variation distance between the group's
+    // sensitive-attribute (lang) distribution and the corpus-wide
+    // one — the release gate k-anonymity (q246) and l-diversity
+    // (q317) don't check: a group can be large AND diverse yet still
+    // leak by SKEW. TV over the full source×lang grid (zero cells
+    // included — a missing lang IS distance); the numerator
+    // Σ|n_gl·N − n_l·N_g| is an exact integer, so tv is one division
+    // and the ≤-t gate compares the rounded value (engine-stable).
+    "q353_t_closeness" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("lang"))
+      val gl = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ngl"))
+      val g = docs.groupBy(col("source")).agg(count(lit(1)).as("ng"))
+      val l = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      g.crossJoin(broadcast(l)).crossJoin(broadcast(n))
+        .join(gl, Seq("source", "lang"), "left")
+        .select(col("source"), col("ng"), col("n"), col("nl"),
+          coalesce(col("ngl"), lit(0L)).as("ngl"))
+        .groupBy(col("source"), col("ng"), col("n"))
+        .agg(sum(abs(col("ngl") * col("n") - col("nl") * col("ng")))
+          .as("num"))
+        .select(col("source"), col("ng").as("n_docs"),
+          round(col("num").cast("double")
+            / (lit(2.0) * col("ng").cast("double")
+              * col("n").cast("double")), 6).as("tv"))
+        .withColumn("within_t", col("tv") <= 0.2)
+    }),
+    // Hellinger distance between each source's doc-length histogram
+    // (100-char bins) and the corpus-wide one — the bounded [0,1]
+    // drift metric that, unlike q150's KL, never blows up on a bin
+    // the source lacks (KL needs smoothing exactly where Hellinger is
+    // just √q·0). Per-bin √(p·q) is micro-quantized to a long BEFORE
+    // the cross-bin sum (sqrt and ÷ are IEEE-correctly-rounded — the
+    // COVERAGE.md safe shape; no transcendental anywhere), so the
+    // Bhattacharyya total is order-free; rounding can nudge BC a hair
+    // past 1, hence the greatest(0, ·) clamp under the final sqrt.
+    "q356_hellinger_sources" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"),
+        expr("CAST(n_chars AS BIGINT) DIV 100").as("b"))
+      val sb = docs.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("nsb"))
+      val cb = docs.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val gs = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      sb.join(broadcast(cb), Seq("b"))
+        .join(gs, Seq("source")).crossJoin(broadcast(n))
+        .select(col("source"), col("ns"),
+          round(sqrt((col("nsb") * col("nb")).cast("double")
+            / (col("ns") * col("n")).cast("double")) * 1e6)
+            .cast("long").as("term"))
+        .groupBy(col("source"), col("ns"))
+        .agg(sum(col("term")).as("bcm"))
+        .select(col("source"), col("ns").as("n_docs"),
+          round(col("bcm").cast("double") / 1e6, 6).as("bc"),
+          round(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("bcm").cast("double") / 1e6)), 6)
+            .as("hellinger"))
+    }),
+    // Brown–Forsythe test (1974): do the k lang groups have equal
+    // SPREAD of doc length — the scale-homogeneity complement to
+    // q351's location test (and the robust Levene variant: deviations
+    // from the group MEDIAN, not mean). Doubled deviations
+    // z2 = |2v − 2·med| are exact longs (an integer median is a
+    // half-integer at worst); per-group Σz2, Σz2² stay integer; the
+    // between/within sums of squares are micro-quantized per group
+    // ((sᵢN−Snᵢ)²/(nᵢN²)·1e6 and (qᵢ−sᵢ²/nᵢ)·1e3 — ÷ and × only,
+    // correctly rounded) then summed as longs, so both totals are
+    // order-free. W is one fixed-shape double expression; zero
+    // within-spread degenerates to W=0.
+    "q357_brown_forsythe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("CAST(round(2 * percentile(v, 0.5)) AS BIGINT)")
+          .as("m2"))
+      val z = docs.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), abs(col("v") * 2L - col("m2")).as("z2"))
+      val grp = z.groupBy(col("lang"))
+        .agg(count(lit(1)).as("ng"), sum(col("z2")).as("sg"),
+          sum(col("z2") * col("z2")).as("qg"))
+      val tot = grp.agg(sum(col("ng")).as("n"), sum(col("sg")).as("stot"),
+        count(lit(1)).as("k"))
+      grp.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"),
+          round((col("sg") * col("n") - col("stot") * col("ng"))
+              .cast("double")
+            * (col("sg") * col("n") - col("stot") * col("ng"))
+              .cast("double")
+            / col("ng").cast("double")
+            / (col("n") * col("n")).cast("double") * 1e6)
+            .cast("long").as("numt"),
+          round((col("qg").cast("double")
+            - col("sg").cast("double") * col("sg").cast("double")
+              / col("ng").cast("double")) * 1e3).cast("long").as("dent"))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(col("numt")).as("a"), sum(col("dent")).as("bsum"))
+        .select(col("n").as("n_docs"), col("k").as("k_groups"),
+          when(col("bsum") === 0L, lit(0.0)).otherwise(
+            round((col("n") - col("k")).cast("double")
+              / (col("k") - 1L).cast("double")
+              * (col("a").cast("double") / 1e6)
+              / (col("bsum").cast("double") / 1e3), 6)).as("bf_w"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_kruskal_wallis" ->
+      """WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | vc AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |  FROM docs GROUP BY 1),
+        | cum AS (SELECT a.v, a.t,
+        |   CAST(coalesce(sum(b.t), 0) AS BIGINT) AS cb
+        |  FROM vc a LEFT JOIN vc b ON b.v < a.v GROUP BY 1, 2),
+        | gv AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS tg
+        |  FROM docs GROUP BY 1, 2),
+        | grp AS (SELECT lang, CAST(sum(tg) AS BIGINT) AS ng,
+        |   CAST(sum(tg * (cb * 2 + t + 1)) AS BIGINT) AS r2
+        |  FROM gv JOIN cum ON gv.v = cum.v GROUP BY 1),
+        | tz AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+        |   CAST(sum(t) AS BIGINT) AS n FROM vc),
+        | g2 AS (SELECT sum(CAST((r2 * r2) // ng AS DECIMAL(38, 0)))
+        |    AS tsum,
+        |   CAST(count(*) AS BIGINT) AS k FROM grp)
+        | SELECT n AS n_docs, k AS k_groups,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  CASE WHEN ties = n * n * n - n THEN 0.0
+        |  ELSE round(
+        |   (3.0 * CAST(tsum AS DOUBLE)
+        |     / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |    - 3.0 * CAST(n + 1 AS DOUBLE))
+        |   / (1.0 - CAST(ties AS DOUBLE)
+        |     / CAST(n * n * n - n AS DOUBLE)), 6) END AS h
+        | FROM g2 CROSS JOIN tz""".stripMargin,
+    "q352_cliffs_delta" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        | vc AS (SELECT v,
+        |   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS t1,
+        |   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS t2
+        |  FROM docs GROUP BY 1),
+        | cum AS (SELECT a.v, a.t1, a.t2,
+        |   CAST(coalesce(sum(b.t2), 0) AS BIGINT) AS cb2
+        |  FROM vc a LEFT JOIN vc b ON b.v < a.v GROUP BY 1, 2, 3),
+        | m AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+        |   CAST(sum(t2) AS BIGINT) AS n2,
+        |   CAST(sum(t1 * cb2) AS BIGINT) AS gt,
+        |   CAST(sum(t1 * t2) AS BIGINT) AS ties FROM cum),
+        | dd AS (SELECT n1, n2,
+        |   round(CAST(gt * 2 + ties - n1 * n2 AS DOUBLE)
+        |     / CAST(n1 * n2 AS DOUBLE), 6) AS delta FROM m)
+        | SELECT n1, n2, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |   WHEN abs(delta) < 0.33 THEN 'small'
+        |   WHEN abs(delta) < 0.474 THEN 'medium'
+        |   ELSE 'large' END AS magnitude
+        | FROM dd""".stripMargin,
+    "q353_t_closeness" ->
+      """WITH docs AS (SELECT source, lang FROM documents),
+        | gl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS ngl
+        |  FROM docs GROUP BY 1, 2),
+        | g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+        |  FROM docs GROUP BY 1),
+        | l AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |  FROM docs GROUP BY 1),
+        | nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        | grid AS (SELECT g.source, g.ng, nf.n, l.nl,
+        |   CAST(coalesce(gl.ngl, 0) AS BIGINT) AS ngl
+        |  FROM g CROSS JOIN l CROSS JOIN nf
+        |  LEFT JOIN gl ON gl.source = g.source AND gl.lang = l.lang),
+        | tvx AS (SELECT source, ng AS n_docs,
+        |   round(CAST(sum(abs(ngl * n - nl * ng)) AS DOUBLE)
+        |     / (2.0 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |     AS tv
+        |  FROM grid GROUP BY source, ng, n)
+        | SELECT source, n_docs, tv, tv <= 0.2 AS within_t
+        | FROM tvx""".stripMargin,
+    "q356_hellinger_sources" ->
+      """WITH docs AS (SELECT source,
+        |   CAST(n_chars AS BIGINT) // 100 AS b FROM documents),
+        | sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS nsb
+        |  FROM docs GROUP BY 1, 2),
+        | cb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb
+        |  FROM docs GROUP BY 1),
+        | gs AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM docs GROUP BY 1),
+        | nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        | terms AS (SELECT sb.source, gs.ns,
+        |   CAST(round(sqrt(CAST(sb.nsb * cb.nb AS DOUBLE)
+        |     / CAST(gs.ns * nf.n AS DOUBLE)) * 1e6) AS BIGINT) AS term
+        |  FROM sb JOIN cb ON sb.b = cb.b
+        |  JOIN gs ON gs.source = sb.source CROSS JOIN nf)
+        | SELECT source, ns AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE) / 1e6, 6) AS bc,
+        |  round(sqrt(greatest(0.0,
+        |    1.0 - CAST(sum(term) AS DOUBLE) / 1e6)), 6) AS hellinger
+        | FROM terms GROUP BY 1, 2""".stripMargin,
+    "q357_brown_forsythe" ->
+      """WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | med AS (SELECT lang,
+        |   CAST(round(2 * median(v)) AS BIGINT) AS m2
+        |  FROM docs GROUP BY 1),
+        | z AS (SELECT docs.lang, abs(v * 2 - m2) AS z2
+        |  FROM docs JOIN med ON docs.lang = med.lang),
+        | grp AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(z2) AS BIGINT) AS sg,
+        |   CAST(sum(z2 * z2) AS BIGINT) AS qg
+        |  FROM z GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |   CAST(sum(sg) AS BIGINT) AS stot,
+        |   CAST(count(*) AS BIGINT) AS k FROM grp),
+        | terms AS (SELECT n, k,
+        |   CAST(round(CAST(sg * n - stot * ng AS DOUBLE)
+        |     * CAST(sg * n - stot * ng AS DOUBLE)
+        |     / CAST(ng AS DOUBLE)
+        |     / CAST(n * n AS DOUBLE) * 1e6) AS BIGINT) AS numt,
+        |   CAST(round((CAST(qg AS DOUBLE)
+        |     - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |       / CAST(ng AS DOUBLE)) * 1e3) AS BIGINT) AS dent
+        |  FROM grp CROSS JOIN tot)
+        | SELECT n AS n_docs, k AS k_groups,
+        |  CASE WHEN sum(dent) = 0 THEN 0.0
+        |  ELSE round(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |   * (CAST(sum(numt) AS DOUBLE) / 1e6)
+        |   / (CAST(sum(dent) AS DOUBLE) / 1e3), 6) END AS bf_w
+        | FROM terms GROUP BY 1, 2""".stripMargin,
     "q205_epoch_shuffle" ->
       """WITH e AS (SELECT CAST(0 AS BIGINT) AS epoch
         |   UNION ALL SELECT CAST(1 AS BIGINT)),

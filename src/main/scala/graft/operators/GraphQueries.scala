@@ -465,10 +465,72 @@ object GraphQueries extends QueryPack {
         .orderBy(col("harmonic").desc, col("v").asc).limit(15)
         .select(col("v").cast("long").as("suppkey"),
           col("n_landmarks"), col("harmonic"))
+    }),
+    // Local clustering coefficient per vertex (Watts–Strogatz):
+    // C_v = 2T_v / (deg_v(deg_v−1)) on the shared top-2000-edge
+    // supplier graph — the per-vertex refinement of q104's global
+    // triangle count and q230's wedge check (global transitivity says
+    // "the graph is clumpy"; this says WHERE). Wedge enumeration is
+    // one self-join on the symmetrized edge list with v<w
+    // deduplication, closed by a semi-join against the canonical
+    // (d_a<d_b) edge set — wedge volume is Σdeg², bounded here by the
+    // scale-stable top-K cut (at 100 TB the same plan runs on any
+    // degree-capped or edge-sampled graph). Integer triangles and
+    // degrees; C is one division rounded 6 dp.
+    "q354_clustering_coeff" -> ((s, d) => {
+      val e = supplierCoTop2000(s, d).select(col("d_a"), col("d_b"))
+      val sym = e.select(explode(array(
+          struct(col("d_a").as("u"), col("d_b").as("v")),
+          struct(col("d_b").as("u"), col("d_a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val tri = sym.as("a")
+        .join(sym.as("b"),
+          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+        .select(col("a.u").as("u"), col("a.v").as("x"),
+          col("b.v").as("y"))
+        .join(e.select(col("d_a").as("x"), col("d_b").as("y")),
+          Seq("x", "y"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("u"), "left")
+        .select(col("u").cast("long").as("suppkey"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("n_tri"),
+          when(col("deg") < 2L, lit(0.0)).otherwise(
+            round(lit(2.0) * coalesce(col("tri"), lit(0L))
+                .cast("double")
+              / (col("deg").cast("double")
+                * (col("deg") - 1L).cast("double")), 6))
+            .as("clustering"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q354_clustering_coeff" ->
+      """WITH co0 AS MATERIALIZED (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | co AS MATERIALIZED (SELECT u, v FROM co0
+        |  ORDER BY shared DESC, u, v LIMIT 2000),
+        | sym AS MATERIALIZED (SELECT u, v FROM co
+        |  UNION ALL SELECT v, u FROM co),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        | tri AS (SELECT a.u, CAST(count(*) AS BIGINT) AS tri
+        |  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+        |  WHERE EXISTS (SELECT 1 FROM co
+        |    WHERE co.u = a.v AND co.v = b.v)
+        |  GROUP BY 1)
+        | SELECT CAST(deg.u AS BIGINT) AS suppkey, deg.deg,
+        |  CAST(coalesce(tri.tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN deg.deg < 2 THEN 0.0
+        |  ELSE round(2.0 * CAST(coalesce(tri.tri, 0) AS DOUBLE)
+        |   / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE)),
+        |   6) END AS clustering
+        | FROM deg LEFT JOIN tri ON tri.u = deg.u""".stripMargin,
     "q68_graph_degrees" ->
       """SELECT o_custkey AS vertex, count(*) AS out_deg
         | FROM orders GROUP BY o_custkey""".stripMargin,

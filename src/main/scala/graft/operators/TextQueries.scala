@@ -1564,6 +1564,40 @@ object TextQueries extends QueryPack {
             .as("compression_ratio"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(20)
+    }),
+    // Flesch–Kincaid grade level per source — the READABILITY axis of
+    // corpus quality that q50's surface gates (length/punct/stopword)
+    // don't measure: 0.39·(words/sentences) + 11.8·(syllables/words)
+    // − 15.59. Syllables by the standard vowel-group heuristic
+    // (runs of [aeiou], min 1 per word), sentences by [.!?] count
+    // (min 1 per doc — the synthetic corpus is sentence-less and
+    // degrades gracefully). Everything is row-local integer counting
+    // via in-row fold (zero exchange before the per-source rollup,
+    // same shape as the q49/q50 gates); the grade is one fixed-order
+    // double over exact per-source integer sums, identical string
+    // semantics in both engines (split-on-space parity is the q322
+    // convention, regexes are char-class only).
+    "q355_readability" -> ((s, d) => {
+      val sc = Tables.documents(s, d).select(col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("w"),
+        expr("greatest(CAST(1 AS BIGINT), " +
+          "CAST(length(regexp_replace(text, '[^.!?]', '')) AS BIGINT))")
+          .as("sen"),
+        expr("aggregate(split(lower(text), ' '), CAST(0 AS BIGINT), " +
+          "(acc, wd) -> acc + greatest(CAST(1 AS BIGINT), " +
+          "CAST(length(regexp_replace(regexp_replace(wd, " +
+          "'[aeiou]+', 'V'), '[^V]', '')) AS BIGINT)))").as("sy"))
+      sc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("sen")).as("n_sentences"),
+          sum(col("sy")).as("n_syllables"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          round(lit(0.39) * col("n_words").cast("double")
+              / col("n_sentences").cast("double")
+            + lit(11.8) * col("n_syllables").cast("double")
+              / col("n_words").cast("double")
+            - lit(15.59), 4).as("fk_grade"))
     })
   )
 
@@ -1619,6 +1653,29 @@ object TextQueries extends QueryPack {
         |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q355_readability" ->
+      """WITH t AS (SELECT source, doc_id, text,
+        |   string_split(lower(text), ' ') AS ws FROM documents),
+        | words AS (SELECT source, doc_id, unnest(ws) AS wd FROM t),
+        | syl AS (SELECT doc_id,
+        |   CAST(count(*) AS BIGINT) AS wcnt,
+        |   CAST(sum(greatest(1, length(regexp_replace(
+        |     regexp_replace(wd, '[aeiou]+', 'V', 'g'),
+        |     '[^V]', '', 'g')))) AS BIGINT) AS sy
+        |  FROM words GROUP BY 1),
+        | base AS (SELECT d.source, syl.wcnt, syl.sy,
+        |   greatest(1, length(regexp_replace(d.text, '[^.!?]', '',
+        |     'g'))) AS sen
+        |  FROM documents d JOIN syl ON syl.doc_id = d.doc_id)
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(wcnt) AS BIGINT) AS n_words,
+        |  CAST(sum(sen) AS BIGINT) AS n_sentences,
+        |  CAST(sum(sy) AS BIGINT) AS n_syllables,
+        |  round(0.39 * CAST(sum(wcnt) AS DOUBLE)
+        |    / CAST(sum(sen) AS DOUBLE)
+        |   + 11.8 * CAST(sum(sy) AS DOUBLE)
+        |    / CAST(sum(wcnt) AS DOUBLE) - 15.59, 4) AS fk_grade
+        | FROM base GROUP BY 1""".stripMargin,
     // same λ-interpolated formula, same op order: ln(0.75·(c2/c1w1)
     // + 0.25·(c1w2/T)); counts BIGINT, one double log per triple,
     // 6-dp round absorbs the Σ(nd·lnp) summation-order ulps

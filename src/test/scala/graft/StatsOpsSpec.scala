@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property checks for the statistics/privacy batch (q351–q357): the
+  * oracle gate proves cross-engine equality; these prove the MATH —
+  * each statistic against an independent window-rank or driver-side
+  * recompute (fine at test scale; the operators exist precisely to
+  * avoid these shapes at 100 TB), plus the analytic range laws. */
+class StatsOpsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sfDir
+
+  private def docLens() = Tables.documents(spark, sf)
+    .select(col("lang"), col("source"), col("n_chars").cast("long").as("v"))
+    .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  test("q351 Kruskal-Wallis matches a driver midrank recompute") {
+    val r = SparkEntry.queries("q351_kruskal_wallis")(spark, sf)
+      .collect()(0)
+    val h = r.getAs[Double]("h")
+    val rows = docLens()
+    val n = rows.length
+    // midranks via sorting; groups by lang
+    val ranked = rows.map(_._3).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2 + 1.0).sum / xs.length }
+    val byLang = rows.groupBy(_._1)
+    val t = byLang.map { case (_, xs) =>
+      val ri = xs.map(x => ranked(x._3)).sum
+      ri * ri / xs.length }.sum
+    val tieSum = rows.map(_._3).groupBy(identity)
+      .map { case (_, xs) => math.pow(xs.length, 3) - xs.length }.sum
+    val hRef = (12.0 / (n.toDouble * (n + 1)) * t - 3.0 * (n + 1)) /
+      (1.0 - tieSum / (math.pow(n, 3) - n))
+    assert(math.abs(h - hRef) < 1e-3, s"h=$h ref=$hRef")
+    assert(r.getAs[Long]("k_groups") == byLang.size)
+    assert(h >= 0.0)
+  }
+
+  test("q352 Cliff's delta matches exact pair counting; range law") {
+    val r = SparkEntry.queries("q352_cliffs_delta")(spark, sf)
+      .collect()(0)
+    val delta = r.getAs[Double]("delta")
+    val rows = docLens().filter(x => x._2 == "src0" || x._2 == "src1")
+    val a = rows.filter(_._2 == "src0").map(_._3)
+    val b = rows.filter(_._2 == "src1").map(_._3)
+    val gt = (for (x <- a; y <- b) yield if (x > y) 1L else 0L).sum
+    val lt = (for (x <- a; y <- b) yield if (x < y) 1L else 0L).sum
+    val ref = (gt - lt).toDouble / (a.length.toLong * b.length)
+    assert(math.abs(delta - ref) < 1e-5, s"delta=$delta ref=$ref")
+    assert(delta >= -1.0 && delta <= 1.0)
+    assert(r.getAs[Long]("n1") == a.length && r.getAs[Long]("n2") == b.length)
+  }
+
+  test("q353 t-closeness TV matches driver recompute; TV in [0,1]") {
+    val out = SparkEntry.queries("q353_t_closeness")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("tv"))).toMap
+    val rows = docLens()
+    val n = rows.length.toDouble
+    val langTotals = rows.groupBy(_._1).map { case (l, xs) => l -> xs.length }
+    out.foreach { case (src, (ndocs, tv)) =>
+      val grp = rows.filter(_._2 == src)
+      assert(grp.length == ndocs)
+      val ref = langTotals.map { case (l, nl) =>
+        math.abs(grp.count(_._1 == l) / grp.length.toDouble - nl / n)
+      }.sum / 2.0
+      assert(math.abs(tv - ref) < 1e-5, s"$src tv=$tv ref=$ref")
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("q354 clustering coefficient: per-vertex triangles sum to 3T") {
+    val out = SparkEntry.queries("q354_clustering_coeff")(spark, sf)
+      .collect()
+    // independent: triangles of the same top-2000 edge set recomputed
+    // on the driver from the q196-family edge definition
+    val edges = operators.Graph.commonNeighborPairs(
+        Tables.lineitem(spark, sf),
+        "l_orderkey", "l_suppkey", 2L)
+      .orderBy(col("shared").desc, col("d_a").asc, col("d_b").asc)
+      .limit(2000)
+      .select(col("d_a").cast("long"), col("d_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    // each triangle has 3 edges; each edge's endpoints' common
+    // neighbors count it once -> sum over edges / 3 = T
+    val triSum = out.map(_.getAs[Long]("n_tri")).sum
+    val tFromEdges = edges.map { case (a, b) =>
+      (nbrs(a) & nbrs(b)).size.toLong }.sum / 3L
+    assert(triSum == 3L * tFromEdges, s"sum=$triSum 3T=${3L * tFromEdges}")
+    out.foreach { r =>
+      val c = r.getAs[Double]("clustering")
+      assert(c >= 0.0 && c <= 1.0)
+      val deg = r.getAs[Long]("deg")
+      val tri = r.getAs[Long]("n_tri")
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+  }
+
+  test("q355 readability: syllable heuristic and identities") {
+    // the vowel-group heuristic on known words
+    def syl(w: String): Long = math.max(1,
+      "[aeiou]+".r.findAllIn(w).length)
+    assert(syl("table") == 2 && syl("a") == 1 && syl("zq0") == 1 &&
+      syl("window") == 2 && syl("aggregate") == 4)
+    val out = SparkEntry.queries("q355_readability")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    out.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src)
+      assert(r.getAs[Long]("n_docs") == mine.length)
+      val w = mine.map(_._2.split(" ", -1).length.toLong).sum
+      assert(r.getAs[Long]("n_words") == w)
+      val sy = mine.map(_._2.split(" ", -1).map(syl).sum).sum
+      assert(r.getAs[Long]("n_syllables") == sy)
+      // sentence-less synthetic corpus: sen = 1 per doc
+      assert(r.getAs[Long]("n_sentences") == mine.length)
+    }
+  }
+
+  test("q356 Hellinger: range law and driver recompute") {
+    val out = SparkEntry.queries("q356_hellinger_sources")(spark, sf)
+      .collect()
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), expr("CAST(n_chars AS BIGINT) DIV 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toDouble
+    val corpus = rows.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    out.foreach { r =>
+      val src = r.getString(0)
+      val h = r.getAs[Double]("hellinger")
+      assert(h >= 0.0 && h <= 1.0)
+      val grp = rows.filter(_._1 == src)
+      val bc = corpus.map { case (b, nb) =>
+        math.sqrt(grp.count(_._2 == b) / grp.length.toDouble * nb / n)
+      }.sum
+      val ref = math.sqrt(math.max(0.0, 1.0 - bc))
+      assert(math.abs(h - ref) < 1e-4, s"$src h=$h ref=$ref")
+    }
+  }
+
+  test("q357 Brown-Forsythe matches a driver recompute; W >= 0") {
+    val r = SparkEntry.queries("q357_brown_forsythe")(spark, sf)
+      .collect()(0)
+    val w = r.getAs[Double]("bf_w")
+    val rows = docLens()
+    val groups = rows.groupBy(_._1).values.map(_.map(_._3.toDouble)).toSeq
+    val k = groups.length
+    val n = rows.length
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val zs = groups.map { g => val m = median(g); g.map(x => math.abs(x - m)) }
+    val zbar = zs.flatten.sum / n
+    val num = zs.map(g => g.length * math.pow(g.sum / g.length - zbar, 2)).sum
+    val den = zs.map(g => { val m = g.sum / g.length
+      g.map(x => math.pow(x - m, 2)).sum }).sum
+    val ref = (n - k).toDouble / (k - 1) * num / den
+    assert(math.abs(w - ref) < 1e-3, s"w=$w ref=$ref")
+    assert(w >= 0.0)
+    assert(r.getAs[Long]("k_groups") == k)
+  }
+}
