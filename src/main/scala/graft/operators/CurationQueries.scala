@@ -2099,10 +2099,251 @@ object CurationQueries extends QueryPack {
               / (col("k") - 1L).cast("double")
               * (col("a").cast("double") / 1e6)
               / (col("bsum").cast("double") / 1e3), 6)).as("bf_w"))
+    }),
+    // One-way ANOVA F over doc length by lang — the parametric member
+    // of the k-group family (q351 ranks, q357 spreads, this means),
+    // plus η² effect size. From exact per-group (n, Σx, Σx²) longs:
+    // SSB = Σsᵢ²/nᵢ − S²/N and SSW = Σx² − Σsᵢ²/nᵢ, with the one
+    // rational Σsᵢ²/nᵢ micro-quantized per group (×1e3, ÷ only —
+    // correctly rounded) so the cross-group sum is an order-free
+    // long. F and η² are fixed-shape doubles; zero within-variance
+    // degenerates to F=0.
+    "q358_anova_f" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      val grp = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+          sum(col("v") * col("v")).as("qg"))
+      val terms = grp.select(col("ng"), col("sg"), col("qg"),
+        round(col("sg").cast("double") * col("sg").cast("double")
+          / col("ng").cast("double") * 1e3).cast("long").as("rg"))
+      terms.agg(sum(col("ng")).as("n"), sum(col("sg")).as("stot"),
+          sum(col("qg")).as("qtot"), sum(col("rg")).as("rtot"),
+          count(lit(1)).as("k"))
+        .select(col("n").as("n_docs"), col("k").as("k_groups"),
+          (col("rtot").cast("double") / 1e3
+            - col("stot").cast("double") * col("stot").cast("double")
+              / col("n").cast("double")).as("ssb"),
+          (col("qtot").cast("double")
+            - col("rtot").cast("double") / 1e3).as("ssw"))
+        .select(col("n_docs"), col("k_groups"),
+          round(col("ssb"), 3).as("ss_between"),
+          round(col("ssw"), 3).as("ss_within"),
+          when(col("ssw") <= 0.0, lit(0.0)).otherwise(
+            round((col("ssb") / (col("k_groups") - 1L).cast("double"))
+              / (col("ssw")
+                / (col("n_docs") - col("k_groups")).cast("double")),
+              6)).as("f"),
+          when(col("ssb") + col("ssw") <= 0.0, lit(0.0)).otherwise(
+            round(col("ssb") / (col("ssb") + col("ssw")), 6))
+            .as("eta2"))
+    }),
+    // Mood's median test: is each lang group's share above the GRAND
+    // median what independence predicts — the coarsest, most
+    // outlier-proof of the k-group location tests (it only looks at
+    // which side of one cut each doc falls). The grand median of
+    // integers is a half-integer at worst, so `v > median` is an
+    // exact comparison; the k×2 contingency chi² reuses q313's
+    // micro-quantized per-cell terms (order-free long total).
+    "q359_mood_median" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      val m = docs.agg(expr("percentile(v, 0.5)").as("med"))
+      val cls = docs.crossJoin(broadcast(m))
+        .select(col("lang"),
+          when(col("v").cast("double") > col("med"), 1L).otherwise(0L)
+            .as("ab"))
+      val grp = cls.groupBy(col("lang"))
+        .agg(count(lit(1)).as("ng"), sum(col("ab")).as("ag"))
+      val tot = grp.agg(sum(col("ng")).as("n"), sum(col("ag")).as("a"),
+        count(lit(1)).as("k"))
+      grp.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"),
+          // two cells per group: above (o=ag, e=ng·a/n) and
+          // not-above (o=ng−ag, e=ng·(n−a)/n), both micro-rounded
+          (round((col("ag") * col("n") - col("ng") * col("a"))
+              .cast("double")
+            * (col("ag") * col("n") - col("ng") * col("a"))
+              .cast("double") * 1e6
+            / (col("ng") * col("a")).cast("double")
+            / col("n").cast("double")).cast("long")
+          + round(((col("ng") - col("ag")) * col("n")
+              - col("ng") * (col("n") - col("a"))).cast("double")
+            * ((col("ng") - col("ag")) * col("n")
+              - col("ng") * (col("n") - col("a"))).cast("double") * 1e6
+            / (col("ng") * (col("n") - col("a"))).cast("double")
+            / col("n").cast("double")).cast("long")).as("term"))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(col("term")).as("tsum"))
+        .select(col("n").as("n_docs"), col("k").as("k_groups"),
+          (col("k") - 1L).as("dof"),
+          round(col("tsum").cast("double") / 1e6, 6).as("chi2"))
+    }),
+    // Gini coefficient of doc length per source — the length-
+    // concentration audit (q284 concentrates doc COUNTS by source;
+    // this asks whether a source's token mass sits in a few giant
+    // docs, the shape that skews packing and batch variance). Exact
+    // via the mean-difference form on the per-source value-level
+    // count table: Σ_pairs|xᵢ−xⱼ| = 2Σ_v t_v(v·cb_v − sb_v) with the
+    // cumulative (count, sum) triangle — every quantity a long, G one
+    // division. Triangle volume is Σ|V_s|², bounded by distinct
+    // lengths per source, not rows.
+    "q360_length_gini" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("t"))
+      val cum = vc.as("a")
+        .join(broadcast(vc.select(col("source"),
+            col("v").as("u"), col("t").as("tu")).as("b")),
+          col("a.source") === col("b.source") && col("u") < col("a.v"),
+          "left")
+        .groupBy(col("a.source").as("source"), col("a.v").as("v"),
+          col("a.t").as("t"))
+        .agg(coalesce(sum(col("tu")), lit(0L)).as("cb"),
+          coalesce(sum(col("tu") * col("u")), lit(0L)).as("sb"))
+      cum.groupBy(col("source"))
+        .agg(sum(col("t")).as("n_docs"), sum(col("t") * col("v")).as("sx"),
+          sum(col("t") * (col("v") * col("cb") - col("sb"))).as("half"))
+        .select(col("source"), col("n_docs"),
+          round(col("sx").cast("double") / col("n_docs").cast("double"),
+            4).as("mean_chars"),
+          when(col("sx") === 0L, lit(0.0)).otherwise(
+            round(col("half").cast("double")
+              / (col("n_docs").cast("double")
+                * col("sx").cast("double")), 6)).as("gini"))
+    }),
+    // Theil T index of doc length per source — the additively
+    // decomposable inequality measure (economics' entropy-based
+    // complement to q360's Gini; a Gini can't say "inequality lives
+    // WITHIN sources, not between them" — Theil can, and this is its
+    // within-source leg). T = (1/N)Σ(x/μ)ln(x/μ) over the value-level
+    // table: one ln per distinct length, micro-quantized before the
+    // count-weighted sum (order-free longs; the quantized
+    // transcendental feeds ONLY the magnitude-rounded output —
+    // COVERAGE.md safe shape).
+    "q361_theil_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val vc = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("t"))
+      val gs = vc.groupBy(col("source"))
+        .agg(sum(col("t")).as("ng"), sum(col("t") * col("v")).as("sx"))
+      vc.join(gs, Seq("source"))
+        .select(col("source"), col("ng"), col("sx"), col("t"),
+          round(col("v").cast("double") * col("ng").cast("double")
+              / col("sx").cast("double")
+            * log(col("v").cast("double") * col("ng").cast("double")
+              / col("sx").cast("double")) * 1e6).cast("long")
+            .as("term"))
+        .groupBy(col("source"), col("ng"), col("sx"))
+        .agg(sum(col("t") * col("term")).as("tsum"))
+        .select(col("source"), col("ng").as("n_docs"),
+          round(col("sx").cast("double") / col("ng").cast("double"), 4)
+            .as("mean_chars"),
+          round(col("tsum").cast("double") / 1e6
+            / col("ng").cast("double"), 6).as("theil_t"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q358_anova_f" ->
+      """WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | grp AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(v) AS BIGINT) AS sg,
+        |   CAST(sum(v * v) AS BIGINT) AS qg
+        |  FROM docs GROUP BY 1),
+        | terms AS (SELECT ng, sg, qg,
+        |   CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |     / CAST(ng AS DOUBLE) * 1e3) AS BIGINT) AS rg FROM grp),
+        | m AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |   CAST(sum(sg) AS BIGINT) AS stot,
+        |   CAST(sum(qg) AS BIGINT) AS qtot,
+        |   CAST(sum(rg) AS BIGINT) AS rtot,
+        |   CAST(count(*) AS BIGINT) AS k FROM terms),
+        | ss AS (SELECT n AS n_docs, k AS k_groups,
+        |   CAST(rtot AS DOUBLE) / 1e3
+        |    - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |   CAST(qtot AS DOUBLE) - CAST(rtot AS DOUBLE) / 1e3 AS ssw
+        |  FROM m)
+        | SELECT n_docs, k_groups,
+        |  round(ssb, 3) AS ss_between, round(ssw, 3) AS ss_within,
+        |  CASE WHEN ssw <= 0.0 THEN 0.0
+        |  ELSE round((ssb / CAST(k_groups - 1 AS DOUBLE))
+        |   / (ssw / CAST(n_docs - k_groups AS DOUBLE)), 6) END AS f,
+        |  CASE WHEN ssb + ssw <= 0.0 THEN 0.0
+        |  ELSE round(ssb / (ssb + ssw), 6) END AS eta2
+        | FROM ss""".stripMargin,
+    "q359_mood_median" ->
+      """WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | md AS (SELECT median(v) AS med FROM docs),
+        | cls AS (SELECT lang,
+        |   CASE WHEN CAST(v AS DOUBLE) > med THEN 1 ELSE 0 END AS ab
+        |  FROM docs CROSS JOIN md),
+        | grp AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(ab) AS BIGINT) AS ag FROM cls GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |   CAST(sum(ag) AS BIGINT) AS a,
+        |   CAST(count(*) AS BIGINT) AS k FROM grp),
+        | terms AS (SELECT n, k,
+        |   CAST(round(CAST(ag * n - ng * a AS DOUBLE)
+        |     * CAST(ag * n - ng * a AS DOUBLE) * 1e6
+        |     / CAST(ng * a AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT)
+        |   + CAST(round(CAST((ng - ag) * n - ng * (n - a) AS DOUBLE)
+        |     * CAST((ng - ag) * n - ng * (n - a) AS DOUBLE) * 1e6
+        |     / CAST(ng * (n - a) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS term
+        |  FROM grp CROSS JOIN tot)
+        | SELECT n AS n_docs, k AS k_groups,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  round(CAST(sum(term) AS DOUBLE) / 1e6, 6) AS chi2
+        | FROM terms GROUP BY 1, 2""".stripMargin,
+    "q360_length_gini" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | vc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM docs GROUP BY 1, 2),
+        | cum AS (SELECT a.source, a.v, a.t,
+        |   CAST(coalesce(sum(b.t), 0) AS BIGINT) AS cb,
+        |   CAST(coalesce(sum(b.t * b.v), 0) AS BIGINT) AS sb
+        |  FROM vc a LEFT JOIN vc b
+        |   ON b.source = a.source AND b.v < a.v
+        |  GROUP BY 1, 2, 3),
+        | g AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_docs,
+        |   CAST(sum(t * v) AS BIGINT) AS sx,
+        |   CAST(sum(t * (v * cb - sb)) AS BIGINT) AS half
+        |  FROM cum GROUP BY 1)
+        | SELECT source, n_docs,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |   AS mean_chars,
+        |  CASE WHEN sx = 0 THEN 0.0
+        |  ELSE round(CAST(half AS DOUBLE)
+        |   / (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  END AS gini
+        | FROM g""".stripMargin,
+    "q361_theil_index" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        | vc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM docs GROUP BY 1, 2),
+        | gs AS (SELECT source, CAST(sum(t) AS BIGINT) AS ng,
+        |   CAST(sum(t * v) AS BIGINT) AS sx FROM vc GROUP BY 1),
+        | terms AS (SELECT vc.source, gs.ng, gs.sx, vc.t,
+        |   CAST(round(CAST(vc.v AS DOUBLE) * CAST(gs.ng AS DOUBLE)
+        |     / CAST(gs.sx AS DOUBLE)
+        |    * ln(CAST(vc.v AS DOUBLE) * CAST(gs.ng AS DOUBLE)
+        |     / CAST(gs.sx AS DOUBLE)) * 1e6) AS BIGINT) AS term
+        |  FROM vc JOIN gs ON gs.source = vc.source)
+        | SELECT source, ng AS n_docs,
+        |  round(CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE), 4)
+        |   AS mean_chars,
+        |  round(CAST(sum(t * term) AS DOUBLE) / 1e6
+        |   / CAST(ng AS DOUBLE), 6) AS theil_t
+        | FROM terms GROUP BY source, ng, sx""".stripMargin,
     "q351_kruskal_wallis" ->
       """WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
         |  FROM documents),

@@ -149,6 +149,77 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q358 ANOVA F matches a driver recompute; identities hold") {
+    val r = SparkEntry.queries("q358_anova_f")(spark, sf).collect()(0)
+    val rows = docLens()
+    val groups = rows.groupBy(_._1).values.map(_.map(_._3.toDouble)).toSeq
+    val n = rows.length; val k = groups.length
+    val mean = rows.map(_._3.toDouble).sum / n
+    val ssb = groups.map(g =>
+      g.length * math.pow(g.sum / g.length - mean, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length
+      g.map(x => math.pow(x - m, 2)).sum }).sum
+    val fRef = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getAs[Double]("f") - fRef) < 1e-2,
+      s"f=${r.getAs[Double]("f")} ref=$fRef")
+    assert(math.abs(r.getAs[Double]("eta2") - ssb / (ssb + ssw)) < 1e-4)
+    assert(r.getAs[Double]("ss_between") >= 0.0 &&
+      r.getAs[Double]("ss_within") >= 0.0)
+  }
+
+  test("q359 Mood's median matches a driver recompute") {
+    val r = SparkEntry.queries("q359_mood_median")(spark, sf)
+      .collect()(0)
+    val rows = docLens()
+    val sorted = rows.map(_._3.toDouble).sorted
+    val med = if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    val n = rows.length.toDouble
+    val a = rows.count(_._3 > med).toDouble
+    val chiRef = rows.groupBy(_._1).map { case (_, xs) =>
+      val ng = xs.length.toDouble
+      val ag = xs.count(_._3 > med).toDouble
+      val e1 = ng * a / n; val e2 = ng * (n - a) / n
+      math.pow(ag - e1, 2) / e1 + math.pow(ng - ag - e2, 2) / e2
+    }.sum
+    assert(math.abs(r.getAs[Double]("chi2") - chiRef) < 1e-3,
+      s"chi2=${r.getAs[Double]("chi2")} ref=$chiRef")
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q360 Gini matches the O(n^2) mean-difference recompute") {
+    val out = SparkEntry.queries("q360_length_gini")(spark, sf)
+      .collect()
+    val rows = docLens()
+    out.foreach { r =>
+      val src = r.getString(0)
+      val xs = rows.filter(_._2 == src).map(_._3.toDouble)
+      val s = xs.sum
+      val diff = (for (x <- xs; y <- xs) yield math.abs(x - y)).sum
+      val ref = diff / (2.0 * xs.length * s)
+      val g = r.getAs[Double]("gini")
+      assert(math.abs(g - ref) < 1e-5, s"$src gini=$g ref=$ref")
+      assert(g >= 0.0 && g < 1.0)
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("q361 Theil matches a driver recompute; zero iff equal") {
+    val out = SparkEntry.queries("q361_theil_index")(spark, sf)
+      .collect()
+    val rows = docLens()
+    out.foreach { r =>
+      val src = r.getString(0)
+      val xs = rows.filter(_._2 == src).map(_._3.toDouble)
+      val mu = xs.sum / xs.length
+      val ref = xs.map(x => x / mu * math.log(x / mu)).sum / xs.length
+      val t = r.getAs[Double]("theil_t")
+      assert(math.abs(t - ref) < 1e-4, s"$src theil=$t ref=$ref")
+      assert(t >= -1e-9) // Theil T is non-negative (Jensen)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("q357 Brown-Forsythe matches a driver recompute; W >= 0") {
     val r = SparkEntry.queries("q357_brown_forsythe")(spark, sf)
       .collect()(0)
