@@ -1392,8 +1392,9 @@ class Engine(val spark: SparkSession, root: String,
         buildWithAggs(h, ctx).as("__graft_having"))
       // GROUP BY with no aggregates = distinct keys (the reference's
       // KRANGE keys-only fast path, plan.c:1635-1644) — unless an
-      // aggregate HAVING forces a real aggregation anyway
-      if (aggCols.isEmpty && hvCol.isEmpty) {
+      // aggregate HAVING forces a real aggregation anyway, and never
+      // for ROLLUP/CUBE (their subtotal rows aren't a distinct set)
+      if (aggCols.isEmpty && hvCol.isEmpty && sel.groupMode == "plain") {
         val d0 = filtered.select(sel.groupBy.map(f =>
           ExprBuilder.build(f, ctx).as(f.name)): _*).distinct()
         val d = keyHaving.fold(d0)(h => d0.filter(ExprBuilder.build(h)))
@@ -1405,9 +1406,14 @@ class Engine(val spark: SparkSession, root: String,
       }
       val allAggs = aggCols ++ hvCol
       val grouped =
-        if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(allAggs.head,
-          allAggs.tail: _*)
-        else filtered.agg(allAggs.head, allAggs.tail: _*)
+        if (keys.nonEmpty) {
+          val g = sel.groupMode match {
+            case "rollup" => filtered.rollup(keys: _*)
+            case "cube"   => filtered.cube(keys: _*)
+            case _        => filtered.groupBy(keys: _*)
+          }
+          g.agg(allAggs.head, allAggs.tail: _*)
+        } else filtered.agg(allAggs.head, allAggs.tail: _*)
       val groupedF = if (hvCol.isDefined)
         grouped.filter(col("__graft_having")) else grouped
       // project in declared item order (keys keep their names)

@@ -713,6 +713,42 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q350 select failed: $other")
       }
+    }),
+    // GROUP BY ROLLUP through the engine dialect (superset): the
+    // hierarchical subtotal grid (flag×status, per-flag, grand total)
+    // in ONE statement — executed via Dataset.rollup, so Spark plans
+    // a single Expand + hash aggregate, not L+1 unioned scans. NULL
+    // grouping keys mark subtotal rows on both sides (the fact
+    // columns are never NULL, so the marker is unambiguous and the
+    // oracle compare aligns rows exactly).
+    "q362_sql_rollup" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope rollscope; use rollscope")
+        .foreach(require(_, "q362 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+      eng.sql("select l_returnflag, l_linestatus, " +
+        "count(*) as n_items, sum(toint(l_quantity)) as sum_qty " +
+        "from li group by rollup(l_returnflag, l_linestatus)") match {
+        case Rows(df) => df
+        case other => sys.error(s"q362 select failed: $other")
+      }
+    }),
+    // GROUP BY CUBE through the engine dialect (superset): the full
+    // power-set grid — adds the per-status margin ROLLUP lacks. Same
+    // single Expand plan.
+    "q363_sql_cube" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope cubescope; use cubescope")
+        .foreach(require(_, "q363 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+      eng.sql("select l_returnflag, l_linestatus, " +
+        "count(*) as n_items, sum(toint(l_quantity)) as sum_qty " +
+        "from li group by cube(l_returnflag, l_linestatus)") match {
+        case Rows(df) => df
+        case other => sys.error(s"q363 select failed: $other")
+      }
     })
   )
 
@@ -847,6 +883,18 @@ object EngineQueries extends QueryPack {
         |  CAST(max(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT)
         |   AS mx
         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q362_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem
+        | GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q363_sql_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem
+        | GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q350_cdc_upsert" ->
       """WITH last AS (SELECT user_id, event_id, event_type,
         |   row_number() OVER (PARTITION BY user_id

@@ -170,6 +170,9 @@ object Ast {
                         having: Option[Expr] = None,
                         distinct: Boolean = false,
                         offset: Option[Long] = None,
-                        ansiJoins: Seq[AnsiJoin] = Seq.empty)
+                        ansiJoins: Seq[AnsiJoin] = Seq.empty,
+                        // "plain" | "rollup" | "cube" (superset:
+                        // GROUP BY ROLLUP(...)/CUBE(...))
+                        groupMode: String = "plain")
       extends Statement
 }

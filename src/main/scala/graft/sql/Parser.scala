@@ -649,8 +649,19 @@ object Parser {
     }
     val where = if (p.takeKw("where")) Some(expr(p)) else None
     val groupBy = ArrayBuffer.empty[Field]
+    var groupMode = "plain"
     if (p.takeKw("group")) {
       p.expectKw("by")
+      // GROUP BY ROLLUP(a, b) / CUBE(a, b) (superset): hierarchical /
+      // power-set subtotal grids, executed via Dataset.rollup/cube
+      if (p.takeKw("rollup")) groupMode = "rollup"
+      else if (p.takeKw("cube")) groupMode = "cube"
+      if (groupMode != "plain") {
+        p.expectSym("(")
+        groupBy += fieldRef(p)
+        while (p.takeSym(",")) groupBy += fieldRef(p)
+        p.expectSym(")")
+      }
       // GROUP BY <ordinal> (superset) resolves to the item's
       // underlying column — grouping keys must be base columns
       def gone(): Field = p.cur match {
@@ -666,8 +677,10 @@ object Parser {
           }
         case _ => fieldRef(p)
       }
-      groupBy += gone()
-      while (p.takeSym(",")) groupBy += gone()
+      if (groupMode == "plain") {
+        groupBy += gone()
+        while (p.takeSym(",")) groupBy += gone()
+      }
     }
     // HAVING (superset — absent in the reference, sql.tex:2127):
     // evaluated over the projected aggregate columns, so it references
@@ -706,7 +719,8 @@ object Parser {
     val offset = if (p.takeKw("offset")) Some(p.uintLit()) else None
     SelectStmt(items.toSeq, from, fromAlias, joins.toSeq, where,
       groupBy.toSeq, orderBy.toSeq, limit, having,
-      distinct = dflag, offset = offset, ansiJoins = ansiJoins.toSeq)
+      distinct = dflag, offset = offset, ansiJoins = ansiJoins.toSeq,
+      groupMode = groupMode)
   }
 
   private def fieldRef(p: P): Field = {

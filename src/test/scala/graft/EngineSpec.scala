@@ -815,6 +815,35 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type ct"))
   }
 
+  test("GROUP BY ROLLUP/CUBE: subtotal grids and the counting laws") {
+    ok(eng.sql("create type rc (id uint pk, a uint, b uint, v uint)"))
+    (1L to 8L).foreach(i => ok(eng.sql(
+      s"insert into rc (id, a, b, v) ($i, ${i % 2}, ${i % 4 / 2}, $i)")))
+    // rollup(a, b): 4 leaf groups + 2 per-a subtotals + 1 grand = 7
+    val ro = rows(eng.sql("select a, b, count(*) as n, sum(v) as sv " +
+      "from rc group by rollup(a, b)"))
+    assert(ro.length == 7, s"rollup rows: ${ro.length}")
+    val grand = ro.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand(0).getAs[Long]("sv") == 36L)
+    // per-a subtotal: b NULL, a present — sums of its leaves
+    val perA = ro.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getAs[Long]("sv")).toMap
+    assert(perA == Map(0L -> (2L + 4L + 6L + 8L), 1L -> (1L + 3L + 5L + 7L)))
+    // cube(a, b): rollup's 7 + 2 per-b margins = 9
+    val cu = rows(eng.sql("select a, b, count(*) as n, sum(v) as sv " +
+      "from rc group by cube(a, b)"))
+    assert(cu.length == 9, s"cube rows: ${cu.length}")
+    val perB = cu.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getLong(1) -> r.getAs[Long]("sv")).toMap
+    // b = (i%4) div 2: b=0 ← {1,4,5,8}, b=1 ← {2,3,6,7} — 18 each
+    assert(perB == Map(0L -> (1L + 4L + 5L + 8L), 1L -> (2L + 3L + 6L + 7L)))
+    // HAVING filters subtotal rows like any aggregate row
+    val hv = rows(eng.sql("select a, b, sum(v) as sv from rc " +
+      "group by rollup(a, b) having sum(v) >= 36"))
+    assert(hv.length == 1 && hv(0).getAs[Long]("sv") == 36L)
+    ok(eng.sql("drop type rc"))
+  }
+
   test("multi-row INSERT VALUES applies row-at-a-time with PK stop") {
     ok(eng.sql("create type mr (id uint pk, v uint)"))
     ok(eng.sql("insert into mr (id, v) values (1, 10), (2, 20), (3, 30)"))
