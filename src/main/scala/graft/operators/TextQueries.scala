@@ -73,6 +73,47 @@ object TextQueries extends QueryPack {
         .groupBy(col("y"), col("pred"))
         .agg(count(lit(1)).as("n"))
     }),
+    // Worst-group evaluation (the Group-DRO audit, Sagawa et al.):
+    // per-LANG accuracy of the shared planted-marker perceptron, the
+    // overall accuracy, and the worst-group flag — a model "99%
+    // accurate" on a multilingual corpus can be 60% on its smallest
+    // language, and this is the table that catches it before anyone
+    // averages it away. Reuses the memoized trainer (q193/q194's
+    // cacheKey — zero extra training); margins are exact integer
+    // dots, accuracy one division rounded 6 dp, worst-group compare
+    // on the ROUNDED value (engine-stable; ties flag every minimum).
+    "q364_worst_group_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      val label = when(col("doc_id") % 3 === 0, 1L).otherwise(-1L)
+      val trained = Classifier.batchPerceptronCached(planted, "doc_id",
+          "text", label, dims = 256, iters = 3,
+          cacheKey = s"$d:planted-zzflag", s)
+        .filter(col("kind") === "w")
+        .collect().map(r => r.getLong(2).toInt -> r.getLong(3)).toMap
+      val w = Array.tabulate(257)(j => trained.getOrElse(j, 0L))
+      val perLang = Classifier.scoreWith(planted, "doc_id", "text", w,
+          dims = 256)
+        .join(docs.select(col("doc_id"), col("lang"),
+          label.as("y")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("lang"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double")
+            / col("n_docs").cast("double"), 6).as("accuracy"))
+      val worst = perLang.agg(min(col("accuracy")).as("worst_acc"),
+        sum(col("n_docs")).as("nt"), sum(col("n_correct")).as("ct"))
+      perLang.crossJoin(broadcast(worst))
+        .select(col("lang"), col("n_docs"), col("n_correct"),
+          col("accuracy"),
+          round(col("ct").cast("double") / col("nt").cast("double"), 6)
+            .as("overall_accuracy"),
+          (col("accuracy") === col("worst_acc")).as("is_worst_group"))
+    }),
     // Category blocklist screen: word-exact occurrence counts per
     // category (terms drawn from the corpus's real vocabulary so the
     // counts are non-trivial), keep verdict at <= 2 total hits.
@@ -1742,6 +1783,30 @@ object TextQueries extends QueryPack {
         |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
         |  count(*) AS n
         | FROM m4 GROUP BY 1, 2""".stripMargin,
+    "q364_worst_group_eval" ->
+      // the same retrained w3 scores, rolled up by lang; worst-group
+      // flag on the 6dp-rounded accuracy (ties flag every minimum)
+      s"""WITH $perceptronCtes,
+        | m4 AS (SELECT f.doc_id, f.y,
+        |   CAST(sum(f.c * coalesce(w3.w, 0)) AS BIGINT) AS m
+        |  FROM feat f LEFT JOIN w3 ON f.j = w3.j GROUP BY 1, 2),
+        | per AS (SELECT d.lang,
+        |   CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(CASE WHEN (CASE WHEN m4.m > 0 THEN 1 ELSE -1 END)
+        |     = m4.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM m4 JOIN documents d ON d.doc_id = m4.doc_id
+        |  GROUP BY 1),
+        | pa AS (SELECT lang, n_docs, n_correct,
+        |   round(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS accuracy FROM per),
+        | tot AS (SELECT min(accuracy) AS worst_acc,
+        |   CAST(sum(n_docs) AS BIGINT) AS nt,
+        |   CAST(sum(n_correct) AS BIGINT) AS ct FROM pa)
+        | SELECT lang, n_docs, n_correct, accuracy,
+        |  round(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |   AS overall_accuracy,
+        |  accuracy = worst_acc AS is_worst_group
+        | FROM pa CROSS JOIN tot""".stripMargin,
     "q190_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '),

@@ -220,6 +220,26 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("q364 worst-group eval: accuracy identities and worst flag") {
+    val out = SparkEntry.queries("q364_worst_group_eval")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val nt = out.map(_.getAs[Long]("n_docs")).sum
+    val ct = out.map(_.getAs[Long]("n_correct")).sum
+    val overall = out.map(_.getAs[Double]("overall_accuracy")).distinct
+    assert(overall.length == 1 &&
+      math.abs(overall(0) - ct.toDouble / nt) < 1e-6)
+    val minAcc = out.map(_.getAs[Double]("accuracy")).min
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_worst_group") ==
+        (r.getAs[Double]("accuracy") == minAcc))
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+    }
+    // the planted task is separable: every group should be perfect
+    // once training converges (q193's curve ends at 0 mistakes)
+    assert(out.forall(_.getAs[Double]("accuracy") == 1.0))
+  }
+
   test("q357 Brown-Forsythe matches a driver recompute; W >= 0") {
     val r = SparkEntry.queries("q357_brown_forsythe")(spark, sf)
       .collect()(0)
