@@ -1071,6 +1071,83 @@ object SimilarityQueries extends QueryPack {
         .select(col("query_id"), col("vec_id"), col("neg_label"),
           round(col("c"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
+    }),
+    // Entropic optimal transport (Sinkhorn 1967 / Cuturi 2013)
+    // between the label-0 and label-1 embedding clouds — the
+    // distributional distance that respects GEOMETRY: q323's W₁
+    // compares scalar histograms and q210's SemDeDup asks "are these
+    // two points twins"; OT asks "how much work moves THIS corpus
+    // slice onto THAT one", the number behind domain-shift budgeting
+    // and mixture rebalancing in embedding space. Physical shape for
+    // 100 TB: OT never runs on raw corpora — each side is a BOUNDED
+    // representative set (here: 30 lowest-id vectors per label; in
+    // production, IVF centroids or a stratified coreset, q216/q211),
+    // so the kernel matrix is a ≤900-cell broadcast frame and every
+    // Sinkhorn round is a keyed agg over it. Determinism: costs are
+    // exact integer micro²-L2 (norm/dot expansion, DotLong); the one
+    // transcendental — exp(−c·mn/Σc) — is quantized to a ×1e9 long
+    // ONCE per cell; scaling vectors u, v are requantized to ×1e9
+    // longs after every update (products stay < 2⁶³, cross-cell sums
+    // ride DECIMAL(38,0) so they're order-free), and the unrolled
+    // 3-round oracle replays the identical arithmetic. Outputs are
+    // magnitude-rounded only (COVERAGE.md safe shape).
+    "q365_sinkhorn_ot" -> ((s, d) => {
+      import graft.functions.VectorOps.{microVec, nativeDotLong}
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dot = nativeDotLong(s)
+      val mv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          microVec(col("embedding")).as("xm"))
+        .withColumn("nx", dot(col("xm"), col("xm")))
+      def side(lbl: Int, id: String) = mv.filter(col("label") === lbl)
+        .orderBy(col("vec_id").asc).limit(30)
+        .select(col("vec_id").as(id), col("xm").as(s"x$id"),
+          col("nx").as(s"n$id"))
+      val a = side(0, "i")
+      val b = side(1, "j")
+      val cost = a.crossJoin(broadcast(b))
+        .select(col("i"), col("j"),
+          (col("ni") + col("nj") - lit(2L) * dot(col("xi"), col("xj")))
+            .as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = cost.agg(count(lit(1)).as("mn"),
+        sum(col("c").cast(dec)).as("cs"),
+        countDistinct(col("i")).as("m"),
+        countDistinct(col("j")).as("n"))
+      val kern = cost.crossJoin(broadcast(tot))
+        .select(col("i"), col("j"), col("c"), col("m"), col("n"),
+          round(exp(lit(-1.0) * col("c").cast("double")
+              * col("mn").cast("double") / col("cs").cast("double"))
+            * 1e9).cast("long").as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var v = b.select(col("j")).withColumn("vs", lit(1000000000L))
+      var u = a.select(col("i")).withColumn("us", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        u = kern.join(broadcast(v), Seq("j"))
+          .groupBy(col("i"), col("m"))
+          .agg(sum((col("k") * col("vs")).cast(dec)).as("si"))
+          .select(col("i"), round(lit(1e27)
+            / (col("m").cast("double") * col("si").cast("double")))
+            .cast("long").as("us"))
+        v = kern.join(broadcast(u), Seq("i"))
+          .groupBy(col("j"), col("n"))
+          .agg(sum((col("k") * col("us")).cast(dec)).as("tj"))
+          .select(col("j"), round(lit(1e27)
+            / (col("n").cast("double") * col("tj").cast("double")))
+            .cast("long").as("vs"))
+      }
+      kern.join(broadcast(u), Seq("i")).join(broadcast(v), Seq("j"))
+        .select(col("m"), col("n"),
+          round(col("us").cast("double") * col("k").cast("double")
+            * col("vs").cast("double") * col("c").cast("double")
+            / 1e27).cast("long").as("tq"),
+          round(col("us").cast("double") * col("k").cast("double")
+            * col("vs").cast("double") / 1e18).cast("long").as("mq"))
+        .groupBy(col("m"), col("n"))
+        .agg(sum(col("tq")).as("tsum"), sum(col("mq")).as("msum"))
+        .select(col("m"), col("n"),
+          round(col("tsum").cast("double") / 1e12, 6).as("ot_cost"),
+          round(col("msum").cast("double") / 1e9, 6).as("mass"))
     })
   )
 
@@ -1135,6 +1212,71 @@ object SimilarityQueries extends QueryPack {
       |   FROM asims) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q365_sinkhorn_ot" ->
+      // unrolled 3-round Sinkhorn over the same ×1e9-quantized kernel;
+      // every cross-cell sum rides HUGEINT (exact, order-free), every
+      // u/v requantization is the identical round(1e27/(m·S)) op
+      """WITH mb AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | mf AS (SELECT vec_id, label, i,
+        |   CAST(round(v[i] * 1e6) AS BIGINT) AS q
+        |  FROM mb, UNNEST(generate_series(1, len(v))) AS t(i)),
+        | nrm AS (SELECT vec_id, label,
+        |   CAST(sum(q * q) AS BIGINT) AS nx
+        |  FROM mf GROUP BY 1, 2),
+        | sa AS (SELECT vec_id AS i FROM nrm WHERE label = 0
+        |  ORDER BY vec_id LIMIT 30),
+        | sb AS (SELECT vec_id AS j FROM nrm WHERE label = 1
+        |  ORDER BY vec_id LIMIT 30),
+        | dots AS (SELECT fa.vec_id AS i, fb.vec_id AS j,
+        |   CAST(sum(fa.q * fb.q) AS BIGINT) AS d
+        |  FROM mf fa JOIN sa ON fa.vec_id = sa.i
+        |  JOIN mf fb ON fb.i = fa.i
+        |  JOIN sb ON fb.vec_id = sb.j
+        |  GROUP BY 1, 2),
+        | cost AS (SELECT dots.i, dots.j,
+        |   na.nx + nb.nx - 2 * dots.d AS c
+        |  FROM dots JOIN nrm na ON na.vec_id = dots.i
+        |  JOIN nrm nb ON nb.vec_id = dots.j),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS mn,
+        |   sum(c) AS cs,
+        |   CAST(count(DISTINCT i) AS BIGINT) AS m,
+        |   CAST(count(DISTINCT j) AS BIGINT) AS n FROM cost),
+        | kern AS (SELECT i, j, c, m, n,
+        |   CAST(round(exp(-1.0 * CAST(c AS DOUBLE)
+        |     * CAST(mn AS DOUBLE) / CAST(cs AS DOUBLE)) * 1e9)
+        |    AS BIGINT) AS k
+        |  FROM cost CROSS JOIN tot),
+        | u1 AS (SELECT i, CAST(round(1e27 / (CAST(m AS DOUBLE)
+        |    * CAST(sum(k * 1000000000) AS DOUBLE))) AS BIGINT) AS us
+        |  FROM kern GROUP BY i, m),
+        | v1 AS (SELECT j, CAST(round(1e27 / (CAST(n AS DOUBLE)
+        |    * CAST(sum(k * u1.us) AS DOUBLE))) AS BIGINT) AS vs
+        |  FROM kern JOIN u1 ON u1.i = kern.i GROUP BY j, n),
+        | u2 AS (SELECT kern.i, CAST(round(1e27 / (CAST(m AS DOUBLE)
+        |    * CAST(sum(k * v1.vs) AS DOUBLE))) AS BIGINT) AS us
+        |  FROM kern JOIN v1 ON v1.j = kern.j GROUP BY kern.i, m),
+        | v2 AS (SELECT kern.j, CAST(round(1e27 / (CAST(n AS DOUBLE)
+        |    * CAST(sum(k * u2.us) AS DOUBLE))) AS BIGINT) AS vs
+        |  FROM kern JOIN u2 ON u2.i = kern.i GROUP BY kern.j, n),
+        | u3 AS (SELECT kern.i, CAST(round(1e27 / (CAST(m AS DOUBLE)
+        |    * CAST(sum(k * v2.vs) AS DOUBLE))) AS BIGINT) AS us
+        |  FROM kern JOIN v2 ON v2.j = kern.j GROUP BY kern.i, m),
+        | v3 AS (SELECT kern.j, CAST(round(1e27 / (CAST(n AS DOUBLE)
+        |    * CAST(sum(k * u3.us) AS DOUBLE))) AS BIGINT) AS vs
+        |  FROM kern JOIN u3 ON u3.i = kern.i GROUP BY kern.j, n),
+        | cells AS (SELECT m, n,
+        |   CAST(round(CAST(u3.us AS DOUBLE) * CAST(k AS DOUBLE)
+        |     * CAST(v3.vs AS DOUBLE) * CAST(c AS DOUBLE) / 1e27)
+        |    AS BIGINT) AS tq,
+        |   CAST(round(CAST(u3.us AS DOUBLE) * CAST(k AS DOUBLE)
+        |     * CAST(v3.vs AS DOUBLE) / 1e18) AS BIGINT) AS mq
+        |  FROM kern JOIN u3 ON u3.i = kern.i
+        |  JOIN v3 ON v3.j = kern.j)
+        | SELECT m, n,
+        |  round(CAST(sum(tq) AS DOUBLE) / 1e12, 6) AS ot_cost,
+        |  round(CAST(sum(mq) AS DOUBLE) / 1e9, 6) AS mass
+        | FROM cells GROUP BY 1, 2""".stripMargin,
     "q180_hybrid_rrf" ->
       s"""WITH $flatCte,
         | toks AS (SELECT doc_id,

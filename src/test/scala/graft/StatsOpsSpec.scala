@@ -240,6 +240,39 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("accuracy") == 1.0))
   }
 
+  test("q365 Sinkhorn OT matches an unquantized driver recompute") {
+    val r = SparkEntry.queries("q365_sinkhorn_ot")(spark, sf)
+      .collect()(0)
+    val cost = r.getAs[Double]("ot_cost")
+    val mass = r.getAs[Double]("mass")
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass=$mass")
+    // independent double-precision Sinkhorn on the same bounded sides
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        x.getSeq[Float](2).map(_.toDouble).toArray))
+    def sideOf(l: Int) = vecs.filter(_._2 == l).sortBy(_._1).take(30)
+      .map(v => v._3.map(c => math.round(c * 1e6).toDouble / 1e6))
+    val a = sideOf(0); val b = sideOf(1)
+    val c = Array.tabulate(a.length, b.length)((i, j) =>
+      a(i).zip(b(j)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val cbar = c.flatten.sum / (a.length * b.length)
+    val k = c.map(_.map(x => math.exp(-x / cbar)))
+    var u = Array.fill(a.length)(1.0)
+    var v = Array.fill(b.length)(1.0)
+    for (_ <- 1 to 3) {
+      u = Array.tabulate(a.length)(i =>
+        1.0 / a.length / (0 until b.length).map(j => k(i)(j) * v(j)).sum)
+      v = Array.tabulate(b.length)(j =>
+        1.0 / b.length / (0 until a.length).map(i => k(i)(j) * u(i)).sum)
+    }
+    val ref = (for (i <- 0 until a.length; j <- 0 until b.length)
+      yield u(i) * k(i)(j) * v(j) * c(i)(j)).sum
+    assert(math.abs(cost - ref) < 0.01, s"ot=$cost ref=$ref")
+    assert(cost > 0.0)
+  }
+
   test("q357 Brown-Forsythe matches a driver recompute; W >= 0") {
     val r = SparkEntry.queries("q357_brown_forsythe")(spark, sf)
       .collect()(0)
