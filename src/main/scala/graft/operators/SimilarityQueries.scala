@@ -1148,6 +1148,54 @@ object SimilarityQueries extends QueryPack {
         .select(col("m"), col("n"),
           round(col("tsum").cast("double") / 1e12, 6).as("ot_cost"),
           round(col("msum").cast("double") / 1e9, 6).as("mass"))
+    }),
+    // Simplified silhouette per IVF cell (Kaufman–Rousseeuw's s(i)
+    // with centroid distances standing in for mean pairwise — the
+    // O(n·k) form that's the only silhouette computable at corpus
+    // scale): a = dist to own centroid, b = nearest OTHER centroid,
+    // s = (b−a)/max(a,b). THE quantizer-quality gate for the shared
+    // IVF index (q157 asks "are cells balanced", q234 "are cells
+    // label-pure" — this asks "are cells GEOMETRICALLY tight", the
+    // axis that predicts nprobe recall). Reuses the memoized
+    // centroids + assignment (zero extra builds); distances are exact
+    // integer micro²-L2 on ×1e6-quantized centroid coordinates, the
+    // sqrt/div chain is correctly-rounded IEEE (identical in DuckDB),
+    // and per-point s is micro-quantized before the per-cell mean so
+    // the aggregate is order-free.
+    "q366_silhouette" -> ((s, d) => {
+      import graft.functions.VectorOps.{microVec, nativeDotLong}
+      val dot = nativeDotLong(s)
+      val mq = Tables.embeddings(s, d)
+        .select(col("vec_id"), microVec(col("embedding")).as("xq"))
+        .withColumn("nq", dot(col("xq"), col("xq")))
+      val cents = refined16(s, d).select(col("centroid_id"),
+          transform(col("cv"),
+            x => round(x * 1e6).cast("long")).as("cq"))
+        .withColumn("nc", dot(col("cq"), col("cq")))
+      val own = assigned16(s, d)
+        .select(col("vec_id"), col("centroid_id").as("own"))
+      val ab = mq.join(own, Seq("vec_id"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("own"), col("centroid_id"),
+          (col("nq") + col("nc") - lit(2L) * dot(col("xq"), col("cq")))
+            .as("dsq"))
+        .groupBy(col("vec_id"), col("own"))
+        .agg(min(when(col("centroid_id") === col("own"), col("dsq")))
+          .as("a2"),
+          min(when(col("centroid_id") =!= col("own"), col("dsq")))
+            .as("b2"))
+      ab.select(col("own"),
+          when(greatest(col("a2"), col("b2")) <= 0L, lit(0L))
+            .otherwise(round((sqrt(col("b2").cast("double"))
+              - sqrt(col("a2").cast("double")))
+              / greatest(sqrt(col("a2").cast("double")),
+                sqrt(col("b2").cast("double"))) * 1e6).cast("long"))
+            .as("sq"))
+        .groupBy(col("own"))
+        .agg(count(lit(1)).as("n_points"), sum(col("sq")).as("ssum"))
+        .select(col("own").as("centroid_id"), col("n_points"),
+          round(col("ssum").cast("double") / 1e6
+            / col("n_points").cast("double"), 6).as("silhouette"))
     })
   )
 
@@ -1212,6 +1260,35 @@ object SimilarityQueries extends QueryPack {
       |   FROM asims) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q366_silhouette" ->
+      s"""WITH $flatCte,
+        | $assignCte,
+        | fq AS (SELECT vec_id, i,
+        |   CAST(round(x * 1e6) AS BIGINT) AS q FROM flat),
+        | cq AS (SELECT centroid_id, i,
+        |   CAST(round(x * 1e6) AS BIGINT) AS q FROM cents1),
+        | d2 AS (SELECT fq.vec_id, cq.centroid_id,
+        |   CAST(sum((fq.q - cq.q) * (fq.q - cq.q)) AS BIGINT) AS dsq
+        |  FROM fq JOIN cq ON fq.i = cq.i GROUP BY 1, 2),
+        | ab AS (SELECT d2.vec_id, a.centroid_id AS own,
+        |   CAST(min(CASE WHEN d2.centroid_id = a.centroid_id
+        |     THEN dsq END) AS BIGINT) AS a2,
+        |   CAST(min(CASE WHEN d2.centroid_id <> a.centroid_id
+        |     THEN dsq END) AS BIGINT) AS b2
+        |  FROM d2 JOIN assigned a ON a.vec_id = d2.vec_id
+        |  GROUP BY 1, 2),
+        | sq AS (SELECT own,
+        |   CASE WHEN greatest(a2, b2) <= 0 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+        |     - sqrt(CAST(a2 AS DOUBLE)))
+        |     / greatest(sqrt(CAST(a2 AS DOUBLE)),
+        |       sqrt(CAST(b2 AS DOUBLE))) * 1e6) AS BIGINT)
+        |   END AS sq FROM ab)
+        | SELECT own AS centroid_id,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  round(CAST(sum(sq) AS DOUBLE) / 1e6
+        |   / CAST(count(*) AS DOUBLE), 6) AS silhouette
+        | FROM sq GROUP BY 1""".stripMargin,
     "q365_sinkhorn_ot" ->
       // unrolled 3-round Sinkhorn over the same ×1e9-quantized kernel;
       // every cross-cell sum rides HUGEINT (exact, order-free), every

@@ -273,6 +273,21 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(cost > 0.0)
   }
 
+  test("q366 silhouette: range law and assignment consistency") {
+    val out = SparkEntry.queries("q366_silhouette")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.length <= 16)
+    out.foreach { r =>
+      val sil = r.getAs[Double]("silhouette")
+      assert(sil >= -1.0 && sil <= 1.0, s"silhouette out of range: $sil")
+      assert(r.getAs[Long]("n_points") > 0)
+    }
+    // every vector is assigned exactly once
+    val total = out.map(_.getAs[Long]("n_points")).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(total == nVecs, s"assigned $total of $nVecs")
+  }
+
   test("q357 Brown-Forsythe matches a driver recompute; W >= 0") {
     val r = SparkEntry.queries("q357_brown_forsythe")(spark, sf)
       .collect()(0)
