@@ -972,6 +972,8 @@ class Engine(val spark: SparkSession, root: String,
           case "prod" | "product" => product(a(0))
           case "mode" => mode(a(0))
           case "integral" => call_udf("now_integral", a(0), a(1))
+          // subtotal marker, cast to the dialect's BIGINT convention
+          case "grouping" => grouping(a(0)).cast("long")
         }
         Some(c)
       case _ => None

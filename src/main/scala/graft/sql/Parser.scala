@@ -127,7 +127,11 @@ object Parser {
 
   private val aggNames = Set("count", "sum", "avg", "average", "min",
     "max", "median", "stddev", "prod", "product", "spread", "mode",
-    "integral", "count_distinct", "sum_distinct")
+    "integral", "count_distinct", "sum_distinct",
+    // grouping(col) marks ROLLUP/CUBE subtotal rows (0 = data-level,
+    // 1 = aggregated-away) — agg-class so it evaluates inside the
+    // aggregation like every SQL engine requires
+    "grouping")
   def isAggregate(name: String): Boolean = aggNames(name.toLowerCase)
 
   /** Parse one statement (a trailing ';' is allowed). */

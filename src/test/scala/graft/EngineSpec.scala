@@ -841,6 +841,13 @@ class EngineSpec extends AnyFunSuite {
     val hv = rows(eng.sql("select a, b, sum(v) as sv from rc " +
       "group by rollup(a, b) having sum(v) >= 36"))
     assert(hv.length == 1 && hv(0).getAs[Long]("sv") == 36L)
+    // GROUPING() distinguishes subtotal NULLs from data NULLs
+    val gr = rows(eng.sql("select a, grouping(a) as ga, " +
+      "grouping(b) as gb, sum(v) as sv from rc group by rollup(a, b)"))
+    assert(gr.count(r => r.getAs[Long]("ga") == 1L &&
+      r.getAs[Long]("gb") == 1L) == 1) // exactly the grand total
+    assert(gr.count(r => r.getAs[Long]("ga") == 0L &&
+      r.getAs[Long]("gb") == 1L) == 2) // the two per-a subtotals
     ok(eng.sql("drop type rc"))
   }
 
