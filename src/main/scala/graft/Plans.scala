@@ -21,8 +21,9 @@ object Plans {
       "q02_fullscan_filter" -> "scan + pushed filters + pruned schema",
       "q08_count_star" -> "metadata-thin count(*)",
       "q27_join_agg_nation" -> "broadcast dimension join + partial agg",
-      "q42_dedup_minhash" -> ("MinHash+LSH near-dup: hashed shingles, " +
-        "cached plan legs, band-bucket join"),
+      "q42_dedup_minhash" -> ("MinHash+LSH near-dup: reads the " +
+        "family-shared materialized pair set (one parquet scan; the " +
+        "LSH build runs once per dataset, not per query)"),
       "q47_ann_ivf" -> "IVF ANN probe (broadcast semi-join)",
       "q53_window_tumbling" -> "event-time tumbling window aggregation",
       "q70_graph_common" -> ("co-occurrence pairs: single groupBy + " +
@@ -188,9 +189,10 @@ object Plans {
       "q289_personalized_pagerank" -> ("personalized PageRank: 3 " +
         "unrolled integer iterations, teleport frame computed once " +
         "and reused, per-iteration one keyed contrib shuffle"),
-      "q290_two_stage_recall" -> ("two-stage retrieval audit: one " +
-        "corpus scan scores prefix and full widths via conditional " +
-        "sums; candidate funnel and rerank are query-partitioned " +
+      "q290_two_stage_recall" -> ("two-stage retrieval audit: " +
+        "in-row codegen'd integer dots (DotLong) over a broadcast " +
+        "nested-loop pairing — no dimension-index join, no wide " +
+        "aggregate; candidate funnel and rerank are query-partitioned " +
         "windows over ≤50 rows"),
       "q292_kaplan_meier" -> ("Kaplan-Meier: per-user lifetime agg, " +
         "day-grid broadcast at-risk join, ≤31-row triangle " +
@@ -224,7 +226,21 @@ object Plans {
         "l_orderkey — never a global window"),
       "q347_ansi_join" -> ("dialect ANSI 3-table join: equi-keys " +
         "extracted from ON exprs, AQE broadcasts the fitting side, " +
-        "filter pushed below both joins"))
+        "filter pushed below both joins"),
+      "q351_kruskal_wallis" -> ("k-group rank test: value-level " +
+        "count table + broadcast cumulative triangle — ranks " +
+        "without any row-level window"),
+      "q360_length_gini" -> ("per-source Gini: value-level " +
+        "(count, sum) cumulative triangle keyed by source; exact " +
+        "longs, volume bounded by distinct lengths, not rows"),
+      "q362_sql_rollup" -> ("dialect GROUP BY ROLLUP: one Expand + " +
+        "hash aggregate (never L+1 unioned scans)"),
+      "q365_sinkhorn_ot" -> ("entropic OT: bounded 900-cell kernel " +
+        "as a broadcast frame; each Sinkhorn round one keyed agg " +
+        "with DECIMAL order-free sums"),
+      "q366_silhouette" -> ("IVF silhouette: memoized assignment + " +
+        "16-row broadcast centroids, in-row integer distances, " +
+        "one keyed agg"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
