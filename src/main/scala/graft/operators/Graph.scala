@@ -278,8 +278,13 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       roundCaches += next
       // the final hop folds in unconditionally — an emptiness probe
-      // there is dead work (the loop exits either way)
-      if (hop < maxHops && next.isEmpty) done = true
+      // there is dead work (the loop exits either way). For SHORT
+      // bounded walks (≤6 hops) skip the probe entirely: each probe
+      // schedules one extra job, and an undetected-empty frontier
+      // just makes the remaining rounds no-op joins over zero rows —
+      // bit-identical output, fewer driver round-trips. Long walks
+      // keep the probe (there the skipped rounds are the savings).
+      if (hop < maxHops && maxHops > 6 && next.isEmpty) done = true
       else {
         val grown = visited.unionAll(next)
         visited = if (hop % 4 == 0) grown.localCheckpoint() else grown
@@ -330,7 +335,8 @@ object Graph {
         .withColumn("dist", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
       roundCaches += next
-      if (hop < maxHops && next.isEmpty) done = true
+      // short-walk probe skip — same reasoning as bfsDistances
+      if (hop < maxHops && maxHops > 6 && next.isEmpty) done = true
       else {
         val grown = visited.unionAll(next)
         visited = if (hop % 4 == 0) grown.localCheckpoint() else grown
@@ -392,7 +398,10 @@ object Graph {
           .select(col("v"), col("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         roundCaches += improved
-        if (improved.isEmpty) done = true
+        // short-walk probe skip — same reasoning as bfsDistances: an
+        // undetected-converged frontier only adds no-op relax rounds
+        // (min-fold of an empty relax set is `dist` unchanged)
+        if (maxHops > 6 && improved.isEmpty) done = true
         else {
           dist = if (hop % 4 == 0) next.localCheckpoint() else next
           frontier = improved
