@@ -514,10 +514,14 @@ object Graph {
         .filter(col("deg") >= k).select(col("u"))
       // lineage cut per round: the surviving edge list feeds THREE
       // consumers next round (degree agg + both semi-joins); without
-      // the cut the plan tree doubles per round
+      // the cut the plan tree doubles per round. LAZY checkpoint:
+      // an eager one schedules a driver job per round (6 jobs of
+      // pure overhead on a bounded edge cut); lazy still
+      // materializes-once-and-reuses at first consumption, so the
+      // whole peel compiles into one job — identical results
       g = g.join(alive, Seq("u"), "left_semi")
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       r += 1
     }
     g.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
