@@ -135,7 +135,8 @@ object Graph {
         .select(col("v"), (lit((1.0 - damping) / n) +
           lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
             col("dm") / n)).as("rank"))
-        .localCheckpoint()
+        // lazy lineage cut — no per-iteration driver job (see kCore)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -563,7 +564,9 @@ object Graph {
         .groupBy(col("v"))
         .agg(max(struct(col("ws"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+        // lazy: cut lineage without scheduling a job per round (the
+        // kCore reasoning — materialize-once at first consumption)
+        .localCheckpoint(false)
       r += 1
     }
     labels.select(col("v").as("vertex"), col("lbl").as("label"))
