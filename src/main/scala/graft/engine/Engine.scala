@@ -87,6 +87,11 @@ class Engine(val spark: SparkSession, root: String,
       case e: Parser.ParseError => Status(ok = false, e.getMessage)
       case e: IllegalArgumentException => Status(ok = false, e.getMessage)
       case e: IllegalStateException => Status(ok = false, e.getMessage)
+      // user-reachable semantic mistakes Spark only flags at analysis
+      // time (e.g. grouping() without ROLLUP/CUBE) — a clean Status,
+      // not an uncaught exception
+      case e: org.apache.spark.sql.AnalysisException =>
+        Status(ok = false, e.getMessage)
     }
 
   /** Run a whole `;`-separated script; stops at first failure. */
@@ -1406,7 +1411,15 @@ class Engine(val spark: SparkSession, root: String,
           d.orderBy(orderCols(sel.orderBy): _*)
         else d
       }
-      val allAggs = aggCols ++ hvCol
+      // ROLLUP/CUBE with no aggregate select items (e.g. `select a, b
+      // from t group by rollup(a, b)`) bypasses the distinct-keys fast
+      // path above but still needs something to aggregate — inject a
+      // hidden count (dropped by the declared-item projection below)
+      // so the legal dialect query returns the subtotal grid instead
+      // of crashing on allAggs.head
+      val allAggs0 = aggCols ++ hvCol
+      val allAggs = if (allAggs0.nonEmpty) allAggs0
+        else Seq(count(lit(1)).as("__graft_hidden_cnt"))
       val grouped =
         if (keys.nonEmpty) {
           val g = sel.groupMode match {

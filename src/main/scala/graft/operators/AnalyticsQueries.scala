@@ -547,16 +547,25 @@ object AnalyticsQueries extends QueryPack {
     // hash + one agg per table; the four fingerprints union into one
     // 4-row result. Key columns only (integers + strings — doubles
     // and timestamps render engine-specifically and stay out of the
-    // canonical string by design).
+    // canonical string by design). Shape rules (r10 driver red):
+    // every leg is coalesce'd to '∅' so a NULL key column renders
+    // identically in both engines (Spark concat_ws SKIPS NULLs,
+    // DuckDB || PROPAGATES them — coalesce removes the divergence
+    // class), and the emitted checksum is the exact Σ reduced mod
+    // 2⁶¹−1 as a BIGINT — still order-free and perturbation-
+    // sensitive, but out of the unbounded-DECIMAL(38,0) rendering
+    // class (see COVERAGE.md hashed-output shape audit).
     "q337_table_checksum" -> ((s, d) => {
       val dec38 = DecimalType(38, 0)
+      val mersenne61 = lit("2305843009213693951").cast(dec38)
       def fp(name: String, df: DataFrame, ks: Seq[Column]) =
-        df.select(Dedup.md5Hash60(
-            concat_ws("|", ks.map(_.cast("string")): _*)).as("h"))
+        df.select(Dedup.md5Hash60(concat_ws("|",
+            ks.map(c => coalesce(c.cast("string"), lit("∅"))): _*))
+            .as("h"))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("h").cast(dec38)).as("s"))
           .select(lit(name).as("table_name"), col("n_rows"),
-            col("s").cast(dec38).as("checksum"))
+            (col("s") % mersenne61).cast("long").as("checksum"))
       fp("lineitem", Tables.lineitem(s, d),
           Seq(col("l_orderkey"), col("l_linenumber"),
             col("l_suppkey"), col("l_returnflag")))
@@ -968,28 +977,31 @@ object AnalyticsQueries extends QueryPack {
         | FROM m, nd""".stripMargin,
     "q337_table_checksum" -> {
       val h60 = DedupQueries.md5Hex60Sql
-      s"""WITH lh AS (SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
-        |    || CAST(l_linenumber AS VARCHAR) || '|'
-        |    || CAST(l_suppkey AS VARCHAR) || '|'
-        |    || l_returnflag) AS m FROM lineitem),
-        | oh AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
-        |    || CAST(o_custkey AS VARCHAR) || '|'
-        |    || o_orderstatus) AS m FROM orders),
-        | dh AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|'
-        |    || lang || '|' || source || '|'
-        |    || CAST(n_chars AS VARCHAR)) AS m FROM documents),
-        | eh AS (SELECT md5(CAST(event_id AS VARCHAR) || '|'
-        |    || CAST(user_id AS VARCHAR) || '|'
-        |    || event_type) AS m FROM events)
+      def leg(c: String) = s"coalesce(CAST($c AS VARCHAR), '∅')"
+      s"""WITH lh AS (SELECT md5(${leg("l_orderkey")} || '|'
+        |    || ${leg("l_linenumber")} || '|'
+        |    || ${leg("l_suppkey")} || '|'
+        |    || ${leg("l_returnflag")}) AS m FROM lineitem),
+        | oh AS (SELECT md5(${leg("o_orderkey")} || '|'
+        |    || ${leg("o_custkey")} || '|'
+        |    || ${leg("o_orderstatus")}) AS m FROM orders),
+        | dh AS (SELECT md5(${leg("doc_id")} || '|'
+        |    || ${leg("lang")} || '|' || ${leg("source")} || '|'
+        |    || ${leg("n_chars")}) AS m FROM documents),
+        | eh AS (SELECT md5(${leg("event_id")} || '|'
+        |    || ${leg("user_id")} || '|'
+        |    || ${leg("event_type")}) AS m FROM events)
         | SELECT 'lineitem' AS table_name,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum($h60) AS DECIMAL(38,0)) AS checksum FROM lh
+        |  CAST(sum($h60) % 2305843009213693951 AS BIGINT)
+        |   AS checksum FROM lh
         | UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
-        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM oh
+        |  CAST(sum($h60) % 2305843009213693951 AS BIGINT) FROM oh
         | UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
-        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM dh
+        |  CAST(sum($h60) % 2305843009213693951 AS BIGINT) FROM dh
         | UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
-        |  CAST(sum($h60) AS DECIMAL(38,0)) FROM eh""".stripMargin
+        |  CAST(sum($h60) % 2305843009213693951 AS BIGINT) FROM eh"""
+        .stripMargin
     },
     "q349_bucket_diff" -> {
       val h60 = DedupQueries.md5Hex60Sql

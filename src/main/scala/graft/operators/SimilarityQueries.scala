@@ -1123,15 +1123,21 @@ object SimilarityQueries extends QueryPack {
       var v = b.select(col("j")).withColumn("vs", lit(1000000000L))
       var u = a.select(col("i")).withColumn("us", lit(1000000000L))
       for (_ <- 1 to 3) {
+        // cast to DECIMAL(38,0) BEFORE the multiply: the requantized
+        // u/v scalings round(1e27/(m·S)) are unbounded when a kernel
+        // row-sum S is small, so a long×long product could silently
+        // wrap in non-ANSI Spark while DuckDB's BIGINT multiply
+        // errors — the decimal product is exact in both engines
+        // (DuckDB side rides HUGEINT)
         u = kern.join(broadcast(v), Seq("j"))
           .groupBy(col("i"), col("m"))
-          .agg(sum((col("k") * col("vs")).cast(dec)).as("si"))
+          .agg(sum(col("k").cast(dec) * col("vs").cast(dec)).as("si"))
           .select(col("i"), round(lit(1e27)
             / (col("m").cast("double") * col("si").cast("double")))
             .cast("long").as("us"))
         v = kern.join(broadcast(u), Seq("i"))
           .groupBy(col("j"), col("n"))
-          .agg(sum((col("k") * col("us")).cast(dec)).as("tj"))
+          .agg(sum(col("k").cast(dec) * col("us").cast(dec)).as("tj"))
           .select(col("j"), round(lit(1e27)
             / (col("n").cast("double") * col("tj").cast("double")))
             .cast("long").as("vs"))
@@ -1325,22 +1331,22 @@ object SimilarityQueries extends QueryPack {
         |    AS BIGINT) AS k
         |  FROM cost CROSS JOIN tot),
         | u1 AS (SELECT i, CAST(round(1e27 / (CAST(m AS DOUBLE)
-        |    * CAST(sum(k * 1000000000) AS DOUBLE))) AS BIGINT) AS us
+        |    * CAST(sum(CAST(k AS HUGEINT) * 1000000000) AS DOUBLE))) AS BIGINT) AS us
         |  FROM kern GROUP BY i, m),
         | v1 AS (SELECT j, CAST(round(1e27 / (CAST(n AS DOUBLE)
-        |    * CAST(sum(k * u1.us) AS DOUBLE))) AS BIGINT) AS vs
+        |    * CAST(sum(CAST(k AS HUGEINT) * u1.us) AS DOUBLE))) AS BIGINT) AS vs
         |  FROM kern JOIN u1 ON u1.i = kern.i GROUP BY j, n),
         | u2 AS (SELECT kern.i, CAST(round(1e27 / (CAST(m AS DOUBLE)
-        |    * CAST(sum(k * v1.vs) AS DOUBLE))) AS BIGINT) AS us
+        |    * CAST(sum(CAST(k AS HUGEINT) * v1.vs) AS DOUBLE))) AS BIGINT) AS us
         |  FROM kern JOIN v1 ON v1.j = kern.j GROUP BY kern.i, m),
         | v2 AS (SELECT kern.j, CAST(round(1e27 / (CAST(n AS DOUBLE)
-        |    * CAST(sum(k * u2.us) AS DOUBLE))) AS BIGINT) AS vs
+        |    * CAST(sum(CAST(k AS HUGEINT) * u2.us) AS DOUBLE))) AS BIGINT) AS vs
         |  FROM kern JOIN u2 ON u2.i = kern.i GROUP BY kern.j, n),
         | u3 AS (SELECT kern.i, CAST(round(1e27 / (CAST(m AS DOUBLE)
-        |    * CAST(sum(k * v2.vs) AS DOUBLE))) AS BIGINT) AS us
+        |    * CAST(sum(CAST(k AS HUGEINT) * v2.vs) AS DOUBLE))) AS BIGINT) AS us
         |  FROM kern JOIN v2 ON v2.j = kern.j GROUP BY kern.i, m),
         | v3 AS (SELECT kern.j, CAST(round(1e27 / (CAST(n AS DOUBLE)
-        |    * CAST(sum(k * u3.us) AS DOUBLE))) AS BIGINT) AS vs
+        |    * CAST(sum(CAST(k AS HUGEINT) * u3.us) AS DOUBLE))) AS BIGINT) AS vs
         |  FROM kern JOIN u3 ON u3.i = kern.i GROUP BY kern.j, n),
         | cells AS (SELECT m, n,
         |   CAST(round(CAST(u3.us AS DOUBLE) * CAST(k AS DOUBLE)

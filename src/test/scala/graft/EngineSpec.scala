@@ -848,6 +848,18 @@ class EngineSpec extends AnyFunSuite {
       r.getAs[Long]("gb") == 1L) == 1) // exactly the grand total
     assert(gr.count(r => r.getAs[Long]("ga") == 0L &&
       r.getAs[Long]("gb") == 1L) == 2) // the two per-a subtotals
+    // ROLLUP with NO aggregate select items: still the subtotal grid
+    // (hidden count injected and dropped), not a crash
+    val noAgg = rows(eng.sql("select a, b from rc group by rollup(a, b)"))
+    assert(noAgg.length == 7, s"no-agg rollup rows: ${noAgg.length}")
+    assert(noAgg.head.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(noAgg.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+    // grouping() without ROLLUP/CUBE: clean Status, not an uncaught
+    // AnalysisException
+    eng.sql("select a, grouping(a) as ga from rc group by a") match {
+      case Status(false, _) => ()
+      case other => fail(s"plain-group grouping() accepted: $other")
+    }
     ok(eng.sql("drop type rc"))
   }
 

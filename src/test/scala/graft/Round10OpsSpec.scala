@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -212,27 +213,30 @@ class Round10OpsSpec extends AnyFunSuite {
   test("q337 table checksum: order-free (matches a group-then-merge " +
     "recompute) and sensitive to a dropped row") {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m61 = BigInt("2305843009213693951")
     val got = SparkEntry.queries("q337_table_checksum")(spark, sf)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1),
-        r.getDecimal(2).toBigInteger)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // independent recompute: partial sums per (doc_id % 7) bucket,
     // then merged — equality proves the fingerprint is commutative
+    def leg(c: Column) = coalesce(c.cast("string"), lit("∅"))
     val h = operators.Dedup.md5Hash60(concat_ws("|",
-      col("doc_id").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("string")))
+      leg(col("doc_id")), leg(col("lang")), leg(col("source")),
+      leg(col("n_chars"))))
     val parts = Tables.documents(spark, sf)
       .groupBy(pmod(col("doc_id"), lit(7)))
       .agg(count(lit(1)).as("n"), sum(h.cast(dec38)).as("s"))
       .agg(sum(col("n")).cast("long"), sum(col("s")).cast(dec38))
       .collect()(0)
-    assert((parts.getLong(0), parts.getDecimal(1).toBigInteger)
-      == got("documents"))
+    assert(parts.getLong(0) == got("documents")._1)
+    assert((BigInt(parts.getDecimal(1).toBigInteger) mod m61)
+      .toLong == got("documents")._2)
     // drop one row => both the count and the sum must move
     val drop = Tables.documents(spark, sf)
       .filter(col("doc_id") =!= lit(0L))
       .agg(sum(h.cast(dec38)).as("s")).collect()(0)
-    assert(drop.getDecimal(0).toBigInteger != got("documents")._2)
+    assert((BigInt(drop.getDecimal(0).toBigInteger) mod m61).toLong
+      != got("documents")._2)
   }
 
   test("q349 bucket diff: exactly the changed buckets, exact deltas") {
