@@ -578,6 +578,54 @@ object AnalyticsQueries extends QueryPack {
         .unionAll(fp("events", Tables.events(s, d),
           Seq(col("event_id"), col("user_id"), col("event_type"))))
     }),
+    // Driver-environment divergence probe: q337's order-free
+    // fingerprint DECOMPOSED per column — one (item, n, residue) row
+    // per key column of the four checksummed tables plus the four
+    // gate-feature expressions over documents.text, each residue the
+    // Σ md5-60(coalesce(value,'∅')) reduced mod 2⁶¹−1. When a
+    // cross-engine hash mismatch appears only in one environment
+    // (the r10 q331/q337 story), the red ROWS here name exactly
+    // which column or text expression renders differently instead of
+    // leaving the whole-table hash to be guessed at. One scan + one
+    // multi-column agg per table; output is column-count-sized.
+    "q368_parity_probe" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val m61 = lit("2305843009213693951").cast(dec38)
+      def probe(df: DataFrame, table: String,
+          cs: Seq[(String, Column)]): DataFrame = {
+        val hashed = df.select(cs.map { case (n, c) =>
+          Dedup.md5Hash60(coalesce(c.cast("string"), lit("∅")))
+            .cast(dec38).as(n) }: _*)
+        val agged = hashed.agg(count(lit(1)).as("n_rows"),
+          cs.map { case (n, _) => sum(col(n)).as(n) }: _*)
+        agged.select(explode(array(cs.map { case (n, _) =>
+            struct(lit(s"$table.$n").as("item"),
+              col("n_rows").as("n"),
+              (col(n) % m61).cast("long").as("residue")) }: _*))
+            .as("r"))
+          .select(col("r.item").as("item"), col("r.n").as("n"),
+            col("r.residue").as("residue"))
+      }
+      val (nw, nc, stp, punct, _) = CurationQueries.gateFeats
+      probe(Tables.lineitem(s, d), "lineitem",
+          Seq("l_orderkey" -> col("l_orderkey"),
+            "l_linenumber" -> col("l_linenumber"),
+            "l_suppkey" -> col("l_suppkey"),
+            "l_returnflag" -> col("l_returnflag")))
+        .unionAll(probe(Tables.orders(s, d), "orders",
+          Seq("o_orderkey" -> col("o_orderkey"),
+            "o_custkey" -> col("o_custkey"),
+            "o_orderstatus" -> col("o_orderstatus"))))
+        .unionAll(probe(Tables.events(s, d), "events",
+          Seq("event_id" -> col("event_id"),
+            "user_id" -> col("user_id"),
+            "event_type" -> col("event_type"))))
+        .unionAll(probe(Tables.documents(s, d), "documents",
+          Seq("doc_id" -> col("doc_id"), "lang" -> col("lang"),
+            "source" -> col("source"), "n_chars" -> col("n_chars"),
+            "feat_n_words" -> nw, "feat_n_chars" -> nc,
+            "feat_n_stop" -> stp, "feat_n_punct" -> punct)))
+    }),
     // Merkle-style bucket diff: q337's order-free fingerprint applied
     // PER BUCKET to two table versions, so a 100 TB replica check
     // ships 64 checksums instead of re-reading either side; only
@@ -1002,6 +1050,43 @@ object AnalyticsQueries extends QueryPack {
         | UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
         |  CAST(sum($h60) % 2305843009213693951 AS BIGINT) FROM eh"""
         .stripMargin
+    },
+    "q368_parity_probe" -> {
+      val h60 = DedupQueries.md5Hex60Sql
+      def item(table: String, name: String, e: String) =
+        s"""SELECT '$table.$name' AS item,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum($h60) % 2305843009213693951 AS BIGINT)
+           |   AS residue
+           | FROM (SELECT md5(coalesce(CAST($e AS VARCHAR), '∅'))
+           |    AS m FROM $table)""".stripMargin
+      val stops = "('a','the','of','and','in','to','is')"
+      val items = Seq(
+        item("lineitem", "l_orderkey", "l_orderkey"),
+        item("lineitem", "l_linenumber", "l_linenumber"),
+        item("lineitem", "l_suppkey", "l_suppkey"),
+        item("lineitem", "l_returnflag", "l_returnflag"),
+        item("orders", "o_orderkey", "o_orderkey"),
+        item("orders", "o_custkey", "o_custkey"),
+        item("orders", "o_orderstatus", "o_orderstatus"),
+        item("events", "event_id", "event_id"),
+        item("events", "user_id", "user_id"),
+        item("events", "event_type", "event_type"),
+        item("documents", "doc_id", "doc_id"),
+        item("documents", "lang", "lang"),
+        item("documents", "source", "source"),
+        item("documents", "n_chars", "n_chars"),
+        item("documents", "feat_n_words",
+          "CAST(len(string_split(text, ' ')) AS BIGINT)"),
+        item("documents", "feat_n_chars",
+          "CAST(length(text) AS BIGINT)"),
+        item("documents", "feat_n_stop",
+          "CAST(len(list_filter(string_split(text, ' '), " +
+            s"x -> x IN $stops)) AS BIGINT)"),
+        item("documents", "feat_n_punct",
+          "CAST(length(text) - length(regexp_replace(text, " +
+            "'[^a-z0-9 ]', '', 'g')) AS BIGINT)"))
+      items.mkString("", "\n UNION ALL\n", "")
     },
     "q349_bucket_diff" -> {
       val h60 = DedupQueries.md5Hex60Sql

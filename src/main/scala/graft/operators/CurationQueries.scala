@@ -24,7 +24,8 @@ object CurationQueries extends QueryPack {
     * (q229 funnel / q232 bias audit / q242 McNemar use one
     * definition; each oracle re-inlines the same SQL by design —
     * the SQL text IS the per-query differential contract). */
-  private def gateFeats: (Column, Column, Column, Column, Column) = {
+  private[operators] def gateFeats
+      : (Column, Column, Column, Column, Column) = {
     val t = col("text")
     val w = split(t, " ")
     val nw = size(w).cast("long")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -12,7 +12,106 @@ import graft.Tables
   */
 object TextQueries extends QueryPack {
 
+  /** Adversarial string fixture for the cross-engine text-expression
+    * parity gate (q367): the shared gate-feature expressions (split,
+    * length, stopword filter, regexp_replace strips) feed ranks and
+    * hashed integers across the curation family, so their
+    * Spark-vs-DuckDB parity on exactly the text classes where engines
+    * historically disagree (multi-space, empty, control chars,
+    * non-ASCII, astral-plane codepoints, combining marks) must be a
+    * MEASURED driver-gated fact, not folklore. One row per case; the
+    * oracle SQL is generated from this same Seq so the two engines
+    * can never drift on the fixture itself. */
+  private[graft] val parityCases: Seq[(Long, String)] = Seq(
+    1L -> "hello world",
+    2L -> "",
+    3L -> "a  b",
+    4L -> " leading space",
+    5L -> "trailing space ",
+    6L -> "   ",
+    7L -> "tab\tseparated\tcols",
+    8L -> "line\nbreak\rmix",
+    9L -> "caf\u00e9 na\u00efve r\u00e9sum\u00e9",
+    10L -> "\u65e5\u672c\u8a9e\u306e\u30c6\u30b9\u30c8 \u4e2d\u6587 \ud55c\uad6d\uc5b4",
+    11L -> "math \ud835\udd4f symbol",      // astral U+1D54F
+    12L -> "emoji \ud83d\ude00\ud83d\ude00 double",
+    13L -> "the of and in to is a",
+    14L -> "MIXED Case AND UPPER",
+    15L -> "it's a 'quoted' string",
+    16L -> "back\\slash c:\\path",
+    17L -> "semi;colon, comma. dot!",
+    18L -> "\u00c9COLE Stra\u00dfe MIX",     // upper(ß) expands to SS
+    19L -> ("word " * 50).trim,
+    20L -> "nbsp\u00a0joined\u00a0words",    // U+00A0: not a split/trim space
+    21L -> "zero\u200bwidth space",          // U+200B
+    22L -> "combining e\u0301 accent",       // e + U+0301 = 2 codepoints
+    23L -> "123 456 789 numbers",
+    24L -> null
+  )
+
+  /** Render a fixture string as a DuckDB SQL literal: printable runs
+    * as '…' (quotes doubled), control chars via chr(n), codepoint-wise
+    * so astral chars pass through as raw UTF-8. */
+  private def sqlLit(str: String): String = {
+    if (str == null) return "CAST(NULL AS VARCHAR)"
+    if (str.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) {
+      parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear()
+    }
+    str.codePoints().forEach { cp =>
+      if (cp < 32 || cp == 127) { flush(); parts += s"chr($cp)" }
+      else sb.appendAll(Character.toChars(cp))
+    }
+    flush()
+    if (parts.length == 1) parts.head
+    else parts.mkString("concat(", ", ", ")")
+  }
+
+  private val stopWords = Seq("a", "the", "of", "and", "in", "to", "is")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-engine string-expression parity gate: every shared
+    // gate-feature expression (and the substr/instr/case-mapping
+    // neighbors) evaluated over the adversarial fixture above, hashed
+    // by the driver against DuckDB computing the same expressions on
+    // the same literals. A red CELL here isolates which expression ×
+    // text class diverges between engines — the q331-class failure
+    // mode made directly observable. size()-derived columns are
+    // null-guarded because Spark's legacy size(NULL) = -1 while
+    // DuckDB's len(NULL) is NULL.
+    "q367_string_parity" -> ((s, _) => {
+      import s.implicits._
+      val df = parityCases.toDF("case_id", "s")
+      val sc = col("s")
+      def nn(c: Column) = when(sc.isNotNull, c).cast("long")
+      val w = split(sc, " ")
+      df.select(col("case_id"),
+        length(sc).cast("long").as("n_chars"),
+        nn(size(w)).as("n_words"),
+        nn(size(filter(w, x => x.isInCollection(stopWords))))
+          .as("n_stop"),
+        (length(sc) - length(regexp_replace(sc, "[^a-z0-9 ]", "")))
+          .cast("long").as("n_punct"),
+        length(regexp_replace(sc, "[^a-z]", "")).cast("long")
+          .as("n_alpha"),
+        // MEASURED divergence (this fixture, case 18): Java/Spark
+        // upper() applies Unicode SpecialCasing 1:N expansions
+        // (ß → SS, 17 chars) while DuckDB maps codepoint-wise
+        // (ß → ẞ, 16) — so case-mapped LENGTHS are only cross-engine
+        // deterministic on text without SpecialCasing chars; the
+        // guard documents the class and keeps it out of the hash,
+        // and has_special_casing pins which rows carry it
+        when(sc.contains("ß"), lit(null))
+          .otherwise(length(upper(sc))).cast("long").as("up_len"),
+        sc.contains("ß").as("has_special_casing"),
+        length(trim(sc)).cast("long").as("trim_len"),
+        instr(sc, "b").cast("long").as("pos_b"),
+        substring(sc, 2, 3).as("sub23"),
+        lower(sc).as("lower_s"),
+        regexp_replace(sc, " ", "_").as("spaced"))
+    }),
     // n-gram language ID: argmax of char-trigram profile scores.
     "q49_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
@@ -1694,6 +1793,33 @@ object TextQueries extends QueryPack {
         |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q367_string_parity" -> {
+      val vals = parityCases.map { case (id, str) =>
+        s"($id, ${sqlLit(str)})"
+      }.mkString(",\n        |   ")
+      s"""WITH c(case_id, s) AS (VALUES
+        |   $vals)
+        | SELECT CAST(case_id AS BIGINT) AS case_id,
+        |  CAST(length(s) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(s, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(s, ' '),
+        |    x -> x IN ('a','the','of','and','in','to','is')))
+        |   AS BIGINT) AS n_stop,
+        |  CAST(length(s)
+        |    - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g'))
+        |   AS BIGINT) AS n_punct,
+        |  CAST(length(regexp_replace(s, '[^a-z]', '', 'g'))
+        |   AS BIGINT) AS n_alpha,
+        |  CAST(CASE WHEN strpos(s, 'ß') > 0 THEN NULL
+        |   ELSE length(upper(s)) END AS BIGINT) AS up_len,
+        |  strpos(s, 'ß') > 0 AS has_special_casing,
+        |  CAST(length(trim(s)) AS BIGINT) AS trim_len,
+        |  CAST(strpos(s, 'b') AS BIGINT) AS pos_b,
+        |  substr(s, 2, 3) AS sub23,
+        |  lower(s) AS lower_s,
+        |  regexp_replace(s, ' ', '_', 'g') AS spaced
+        | FROM c""".stripMargin
+    },
     "q355_readability" ->
       """WITH t AS (SELECT source, doc_id, text,
         |   string_split(lower(text), ' ') AS ws FROM documents),
