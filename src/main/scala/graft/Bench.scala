@@ -31,7 +31,19 @@ private final class PressureListener extends SparkListener {
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   */
 object Bench {
+  /** 1/5/15-min system load from /proc/loadavg — the one env fact that
+    * separates a real plan regression from a loaded-box artifact (r10
+    * verdict: a 2.9× phantom regression traced to recorded load). A
+    * record whose load₁ at start is ≳ 4 on this 32-cpu box is
+    * non-citable for cross-round comparisons. */
+  private def loadavg: String =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -180,7 +192,8 @@ object Bench {
         f""""max_heap_mb":${rt.maxMemory() / 1048576},""" +
         f""""tmp_free_gb":${disk.getFreeSpace / 1e9}%.1f,""" +
         f""""tmp_total_gb":${disk.getTotalSpace / 1e9}%.1f,""" +
-        f""""reps":$reps,"warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}"}"""
+        f""""reps":$reps,"warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}",""" +
+        f""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/BENCH_FULL_LATEST.json")
       // per-query pressure map (r8 verdict ask #6): wall sec, spill MB

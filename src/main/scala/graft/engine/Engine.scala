@@ -1209,7 +1209,10 @@ class Engine(val spark: SparkSession, root: String,
     case UnOp(o, x) => UnOp(o, substScalars(x))
     case InList(x, vs, n) =>
       InList(substScalars(x), vs.map(substScalars), n)
-    case InSelect(x, sub, n) => InSelect(substScalars(x), sub, n)
+    case InSelect(x, sub, n) => InSelect(substScalars(x),
+      sub.copy(where = sub.where.map(substScalars)), n)
+    case ExistsSel(sub, n) =>
+      ExistsSel(sub.copy(where = sub.where.map(substScalars)), n)
     case IsNull(x, n) => IsNull(substScalars(x), n)
     case CaseExpr(bs, o) => CaseExpr(
       bs.map(b => (substScalars(b._1), substScalars(b._2))),
@@ -1225,6 +1228,7 @@ class Engine(val spark: SparkSession, root: String,
 
   private def containsInSelect(e: Expr): Boolean = e match {
     case _: InSelect => true
+    case _: ExistsSel => true
     case BinOp(_, l, r) => containsInSelect(l) || containsInSelect(r)
     case UnOp(_, x) => containsInSelect(x)
     case InList(x, vs, _) =>
@@ -1235,6 +1239,132 @@ class Engine(val spark: SparkSession, root: String,
         o.exists(containsInSelect)
     case FnCall(_, args) => args.exists(containsInSelect)
     case _ => false
+  }
+
+  private def fieldsOf(e: Expr): Seq[Field] = e match {
+    case f: Field => Seq(f)
+    case BinOp(_, l, r) => fieldsOf(l) ++ fieldsOf(r)
+    case UnOp(_, x) => fieldsOf(x)
+    case InList(x, vs, _) => fieldsOf(x) ++ vs.flatMap(fieldsOf)
+    case IsNull(x, _) => fieldsOf(x)
+    case CaseExpr(bs, o) =>
+      bs.flatMap(b => fieldsOf(b._1) ++ fieldsOf(b._2)) ++
+        o.toSeq.flatMap(fieldsOf)
+    case FnCall(_, args) => args.flatMap(fieldsOf)
+    case _ => Seq.empty
+  }
+
+  /** Qualifiers visible on the outer side of `sel` (FROM alias plus
+    * edge-join and ANSI-join aliases), lowercase. */
+  private def outerQualifiers(sel: SelectStmt): Set[String] =
+    sel.from.map(f => sel.fromAlias.getOrElse(f).toLowerCase).toSet ++
+      sel.joins.map(j => j.alias.getOrElse(j.typeName).toLowerCase) ++
+      sel.ansiJoins.map(a => a.alias.getOrElse(a.table).toLowerCase)
+
+  /** Does the subquery's WHERE reference the outer scope? Innermost
+    * scope wins, as in standard SQL: a field qualified with the inner
+    * alias, or an unqualified name the inner table has, is an inner
+    * ref; a field qualified with an outer alias, or an unqualified
+    * name only the outer scope resolves, is a correlation. */
+  private def isCorrelatedSub(sub: SelectStmt,
+      outerSel: SelectStmt): Boolean =
+    sub.from.isDefined && sub.where.isDefined && {
+      val innerAlias = sub.fromAlias.getOrElse(sub.from.get).toLowerCase
+      val innerCols =
+        try tableDf(sub.from.get).columns.map(_.toLowerCase).toSet
+        catch { case _: IllegalArgumentException => Set.empty[String] }
+      val outers = outerQualifiers(outerSel) - innerAlias
+      fieldsOf(sub.where.get).exists(f => f.qualifier match {
+        case Some(q) =>
+          val ql = q.toLowerCase; ql != innerAlias && outers(ql)
+        case None => !innerCols(f.name.toLowerCase)
+      })
+    }
+
+  /** Desugar a correlated (or shape-compatible uncorrelated)
+    * `[NOT] EXISTS` / `x [NOT] IN (SELECT …)` into ONE
+    * left-semi/left-anti join: the subquery's outer-referencing WHERE
+    * conjuncts become the join condition (plus the probe equality for
+    * IN), its purely-local conjuncts filter the inner scan before the
+    * join. This is the scale shape — Catalyst extracts the equi-keys
+    * and both sides shuffle (or the inner broadcasts); nothing
+    * re-executes per outer row. NOT IN keeps the dialect's documented
+    * anti-join semantics (no ANSI three-valued NULL blanking). */
+  private def correlatedSemiAnti(df: DataFrame, probe: Option[Expr],
+      sub: SelectStmt, neg: Boolean, outerSel: SelectStmt,
+      outerCtx: ExprBuilder.Ctx): DataFrame = {
+    if (sub.groupBy.nonEmpty || sub.having.isDefined ||
+        sub.joins.nonEmpty || sub.ansiJoins.nonEmpty ||
+        sub.limit.isDefined || sub.offset.isDefined ||
+        sub.orderBy.nonEmpty)
+      throw new IllegalArgumentException(
+        "correlated subquery must be a plain SELECT ... FROM ... WHERE")
+    val innerName = sub.from.getOrElse(
+      throw new IllegalArgumentException(
+        "EXISTS/IN subquery needs a FROM table"))
+    val innerAliasRaw = sub.fromAlias.getOrElse(innerName)
+    val innerAlias = innerAliasRaw.toLowerCase
+    val innerCols = tableDf(innerName).columns.map(_.toLowerCase).toSet
+    val outers = outerQualifiers(outerSel) - innerAlias
+    val outerBase = outerSel.fromAlias.getOrElse(outerSel.from.get)
+    val outerBaseCols =
+      tableDf(outerSel.from.get).columns.map(_.toLowerCase).toSet
+    def isOuter(f: Field): Boolean = f.qualifier match {
+      case Some(q) => val ql = q.toLowerCase
+        ql != innerAlias && outers(ql)
+      case None => !innerCols(f.name.toLowerCase)
+    }
+    // qualify every field to its resolved scope so the join condition
+    // stays unambiguous when both sides share column names
+    def qualify(e: Expr, preferInner: Boolean): Expr = e match {
+      case f: Field if f.qualifier.isEmpty =>
+        if (preferInner && innerCols(f.name.toLowerCase))
+          f.copy(qualifier = Some(innerAliasRaw))
+        else if (outerBaseCols(f.name.toLowerCase))
+          f.copy(qualifier = Some(outerBase))
+        else if (innerCols(f.name.toLowerCase))
+          f.copy(qualifier = Some(innerAliasRaw))
+        else f
+      case BinOp(o, l, r) =>
+        BinOp(o, qualify(l, preferInner), qualify(r, preferInner))
+      case UnOp(o, x) => UnOp(o, qualify(x, preferInner))
+      case InList(x, vs, n) =>
+        InList(qualify(x, preferInner), vs.map(qualify(_, preferInner)), n)
+      case IsNull(x, n) => IsNull(qualify(x, preferInner), n)
+      case CaseExpr(bs, o) => CaseExpr(
+        bs.map(b => (qualify(b._1, preferInner), qualify(b._2, preferInner))),
+        o.map(qualify(_, preferInner)))
+      case FnCall(n, args) => FnCall(n, args.map(qualify(_, preferInner)))
+      case other => other
+    }
+    val subConj = sub.where.map(conjuncts).getOrElse(Seq.empty)
+    if (subConj.exists(containsInSelect))
+      throw new IllegalArgumentException(
+        "nested subqueries inside a correlated subquery are not supported")
+    val (corr, local) = subConj.partition(c => fieldsOf(c).exists(isOuter))
+    val innerCtx: ExprBuilder.Ctx = typeCtx(innerName) ++
+      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
+    val mergedCtx: ExprBuilder.Ctx = outerCtx ++
+      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
+    var inner = tableDf(innerName).as(innerAliasRaw)
+    local.reduceOption(BinOp("and", _, _)).foreach { w =>
+      inner = inner.filter(
+        ExprBuilder.build(qualify(w, preferInner = true), innerCtx))
+    }
+    val probeCond = probe.map { x =>
+      val item = sub.items match {
+        case Seq(it) if !it.expr.isInstanceOf[Star] => it.expr
+        case _ => throw new IllegalArgumentException(
+          "IN subquery must return exactly one column")
+      }
+      BinOp("=", qualify(x, preferInner = false),
+        qualify(item, preferInner = true))
+    }
+    val cond = (probeCond.toSeq ++ corr.map(qualify(_, preferInner = true)))
+      .reduceOption(BinOp("and", _, _))
+      .map(c => ExprBuilder.build(c, mergedCtx))
+      .getOrElse(lit(true))
+    df.join(inner, cond, if (neg) "left_anti" else "left_semi")
   }
 
   private def buildSelectNoLimit(sel00: SelectStmt): DataFrame = {
@@ -1309,26 +1439,39 @@ class Engine(val spark: SparkSession, root: String,
       df = df.join(adf, ExprBuilder.build(aj.on, ctx), aj.kind)
     }
 
-    // [NOT] IN (SELECT …): peel the top-level AND conjuncts; each
-    // InSelect plans as a left-semi/left-anti join on the probe
-    // column (the 100 TB shape — both sides shuffle on the key,
-    // nothing collects). Anywhere deeper in the boolean tree it
-    // cannot be a join, so reject with a clear message.
-    val allConj = sel.where.map(conjuncts).getOrElse(Seq.empty)
-    val (inSels, residualConj) = allConj.partition(_.isInstanceOf[InSelect])
+    // [NOT] IN (SELECT …) and [NOT] EXISTS (SELECT …): peel the
+    // top-level AND conjuncts; each plans as a left-semi/left-anti
+    // join (the 100 TB shape — both sides shuffle on the key, nothing
+    // collects, NEVER a per-row re-execution). Correlated forms
+    // desugar their correlation conjuncts into the join condition.
+    // Anywhere deeper in the boolean tree it cannot be a join, so
+    // reject with a clear message.
+    val allConj = sel.where.map(conjuncts).getOrElse(Seq.empty).map {
+      // NOT EXISTS parses as UnOp over the predicate — normalize so
+      // it partitions as a sub-predicate conjunct
+      case UnOp("not", ExistsSel(s2, n)) => ExistsSel(s2, !n)
+      case other => other
+    }
+    val (subPreds, residualConj) = allConj.partition(e =>
+      e.isInstanceOf[InSelect] || e.isInstanceOf[ExistsSel])
     if (residualConj.exists(containsInSelect))
       throw new IllegalArgumentException(
-        "IN (SELECT ...) must be a top-level AND conjunct of WHERE")
-    inSels.foreach { case InSelect(x, sub, neg) =>
-      val subDf = buildSelect(sub)
-      if (subDf.columns.length != 1)
-        throw new IllegalArgumentException(
-          s"IN subquery must return one column, got ${subDf.columns.length}")
-      val probe = subDf.toDF("__graft_in").distinct()
-      df = df.join(probe,
-        ExprBuilder.build(x, ctx) === col("__graft_in"),
-        if (neg) "left_anti" else "left_semi")
-    case _ => ()
+        "IN/EXISTS (SELECT ...) must be a top-level AND conjunct of WHERE")
+    subPreds.foreach {
+      case InSelect(x, sub, neg) if !isCorrelatedSub(sub, sel) =>
+        val subDf = buildSelect(sub)
+        if (subDf.columns.length != 1)
+          throw new IllegalArgumentException(
+            s"IN subquery must return one column, got ${subDf.columns.length}")
+        val probe = subDf.toDF("__graft_in").distinct()
+        df = df.join(probe,
+          ExprBuilder.build(x, ctx) === col("__graft_in"),
+          if (neg) "left_anti" else "left_semi")
+      case InSelect(x, sub, neg) =>
+        df = correlatedSemiAnti(df, Some(x), sub, neg, sel, ctx)
+      case ExistsSel(sub, neg) =>
+        df = correlatedSemiAnti(df, None, sub, neg, sel, ctx)
+      case _ => ()
     }
     val residualWhere = residualConj.reduceOption(BinOp("and", _, _))
     val where = residualWhere.map(w => ExprBuilder.build(w, ctx))

@@ -582,6 +582,37 @@ object EngineQueries extends QueryPack {
         case other => sys.error(s"q344 select failed: $other")
       }
     }),
+    // Correlated subqueries through the engine dialect (superset —
+    // r10 verdict task 6): EXISTS / NOT EXISTS / correlated IN, each
+    // desugared to ONE left-semi/left-anti join on the correlation
+    // conjuncts (Engine.correlatedSemiAnti) — never a per-row
+    // re-execution, so the shape survives any scale: both sides
+    // shuffle on l_orderkey/c_custkey, AQE broadcasts the small side.
+    // The DuckDB oracle runs the SAME ANSI text natively, so the
+    // desugaring's semantics are value-checked by the driver.
+    "q369_correlated_subquery" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope corrscope; use corrscope")
+        .foreach(require(_, "q369 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity")))
+      eng.attachTable("cust", Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey")))
+      eng.sql("select o_orderstatus as status, count(*) as n_orders " +
+        "from ord o " +
+        "where exists (select 1 from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity >= 48) " +
+        "and not exists (select 1 from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity <= 2) " +
+        "and o_custkey in (select c_custkey from cust " +
+        "  where c_nationkey < 13 and c_custkey = o.o_custkey) " +
+        "group by o_orderstatus") match {
+        case Rows(df) => df
+        case other => sys.error(s"q369 select failed: $other")
+      }
+    }),
     // Window functions through the engine dialect: per-order line
     // ranking (row_number with a DESC tie-broken order) and a running
     // quantity sum — both inside ONE keyed window exchange on
@@ -853,6 +884,17 @@ object EngineQueries extends QueryPack {
         |   WHERE o_orderstatus = 'F')
         |  AND l_quantity > (SELECT min(l_quantity) FROM lineitem)
         | GROUP BY l_suppkey""".stripMargin,
+    "q369_correlated_subquery" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 48)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity <= 2)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |   WHERE c_nationkey < 13 AND c_custkey = o.o_custkey)
+        | GROUP BY o_orderstatus""".stripMargin,
     "q345_window_rank" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  CAST(row_number() OVER (PARTITION BY l_orderkey

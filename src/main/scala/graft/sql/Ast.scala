@@ -23,6 +23,14 @@ object Ast {
     * subquery (superset): must yield exactly one row and one column;
     * evaluated once per statement and inlined as a literal. */
   case class ScalarSelect(sel: SelectStmt) extends Expr
+  /** `[NOT] EXISTS (SELECT …)` — correlated or uncorrelated
+    * (superset). Desugared to a left-semi / left-anti JOIN on the
+    * subquery's correlation conjuncts (never a per-row re-execution);
+    * the subquery must be a plain FROM … WHERE shape, and the
+    * predicate is legal only as a top-level AND conjunct of WHERE.
+    * Correlated `x [NOT] IN (SELECT …)` rides [[InSelect]] and is
+    * desugared the same way with the probe equality added. */
+  case class ExistsSel(sel: SelectStmt, neg: Boolean) extends Expr
   /** `fn(args) OVER (PARTITION BY … ORDER BY … [DESC])` — window
     * functions (superset): row_number/rank/dense_rank/lag/lead plus
     * windowed sum/count/min/max/avg (running frame when ORDER BY is

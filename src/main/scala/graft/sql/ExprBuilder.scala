@@ -263,6 +263,10 @@ object ExprBuilder {
       throw new IllegalArgumentException(
         "IN (SELECT ...) is only supported as a top-level AND conjunct " +
           "of WHERE")
+    case _: ExistsSel =>
+      throw new IllegalArgumentException(
+        "[NOT] EXISTS (SELECT ...) is only supported as a top-level " +
+          "AND conjunct of WHERE")
     case _: ScalarSelect =>
       throw new IllegalArgumentException(
         "scalar subquery not supported in this position")

@@ -846,6 +846,13 @@ object Parser {
       } else { val e = expr(p); p.expectSym(")"); e }
     case TSym("*", _) => p.bump(); Star()
     case TId(s, _) if s.equalsIgnoreCase("case") => caseExpr(p)
+    case TId(s, _) if s.equalsIgnoreCase("exists") =>
+      p.bump()
+      p.expectSym("(")
+      p.expectKw("select")
+      val sub = select(p)
+      p.expectSym(")")
+      ExistsSel(sub, neg = false)
     case TId(s, _) if s.equalsIgnoreCase("true") => p.bump(); Lit(true, "bool")
     case TId(s, _) if s.equalsIgnoreCase("false") => p.bump(); Lit(false, "bool")
     case TId(s, _) if s.equalsIgnoreCase("null") => p.bump(); Lit(null, "null")

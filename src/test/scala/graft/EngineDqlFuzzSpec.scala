@@ -377,4 +377,63 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"spark:  ${canon(want).take(3)}")
     }
   }
+
+  test("100 random correlated subquery predicates: dialect engine == " +
+    "Spark SQL") {
+    // EXISTS / NOT EXISTS / correlated [NOT] IN run as IDENTICAL text
+    // through both front-ends — Spark SQL plans correlated subqueries
+    // natively, so its result is an independent oracle for the
+    // desugared semi/anti join. No NULLs in either table, so NOT IN's
+    // anti-join semantics coincide with ANSI.
+    val rnd = new scala.util.Random(2026)
+    val outer = (0 until 240).map { i =>
+      (i.toLong, i.toLong % 9, rnd.nextInt(80).toLong, "u" + (i % 6))
+    }.toDF("id", "k", "a", "s")
+    val innerT = (0 until 120).map { i =>
+      (i.toLong, i.toLong % 7, rnd.nextInt(80).toLong)
+    }.toDF("rid", "k", "w")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz-corr").toString)
+    eng.attachTable("fo", outer)
+    eng.attachTable("fi", innerT)
+    outer.createOrReplaceTempView("fo_v")
+    innerT.createOrReplaceTempView("fi_v")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    for (i <- 0 until 100) {
+      val n1 = rnd.nextInt(80)
+      val n2 = rnd.nextInt(80)
+      val corrPool = Seq(
+        s"fi.k = fo.k and fi.w > $n1",
+        s"fi.k = fo.k and w <= $n2",            // unqualified inner
+        s"fi.k = fo.k and fi.w > $n1 and fi.w <= ${n1 + 40}",
+        "fi.k = fo.k and w = a",                // inner w, outer a
+        s"fi.k = fo.k + 1 and fi.w >= $n2")     // expression correlation
+      val corr = pick(corrPool)
+      val outerW = pick(Seq("", s"a > $n1 and ", s"s = 'u${i % 6}' and "))
+      val body = rnd.nextInt(4) match {
+        case 0 => s"select id, a from fo where ${outerW}exists " +
+          s"(select 1 from fi where $corr)"
+        case 1 => s"select id, a from fo where ${outerW}not exists " +
+          s"(select 1 from fi where $corr)"
+        case 2 => s"select id, a from fo where ${outerW}a in " +
+          s"(select w from fi where $corr)"
+        case _ => s"select id, a from fo where ${outerW}a not in " +
+          s"(select w from fi where fi.k = fo.k and fi.w > $n1)"
+      }
+      val got = eng.sql(body) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"#$i: $body -> $other")
+      }
+      val want = spark.sql(body
+        .replace("from fo", "from fo_v").replace("from fi", "from fi_v")
+        .replace("fi.k", "fi_v.k").replace("fo.k", "fo_v.k")
+        .replace("fi.w", "fi_v.w")).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+        rows.map(_.toSeq.map(String.valueOf(_))).toSeq
+          .sortBy(_.mkString("|"))
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n$body\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
 }

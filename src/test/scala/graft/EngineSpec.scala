@@ -863,6 +863,58 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type rc"))
   }
 
+  test("correlated subqueries: EXISTS / NOT EXISTS / IN desugar to " +
+    "semi/anti joins with standard scoping") {
+    ok(eng.sql("create type co (id uint pk, g uint, v uint)"))
+    ok(eng.sql("create type cq (id uint pk, g uint, w uint)"))
+    // co: (1,0,10) (2,1,20) (3,2,30) (4,0,40)
+    Seq((1, 0, 10), (2, 1, 20), (3, 2, 30), (4, 0, 40)).foreach {
+      case (i, g, v) =>
+        ok(eng.sql(s"insert into cq (id, g, w) ($i, ${g + 1}, ${v * 2})"))
+        ok(eng.sql(s"insert into co (id, g, v) ($i, $g, $v)"))
+    }
+    // cq: (1,1,20) (2,2,40) (3,3,60) (4,1,80)
+    def ids(r: engine.Result): Seq[Long] = r match {
+      case engine.Rows(d) => d.collect().map(_.getLong(0)).toSeq.sorted
+      case other => fail(s"$other")
+    }
+    // correlated EXISTS: co.g matched by some cq.g
+    assert(ids(eng.sql("select id from co where exists " +
+      "(select 1 from cq where cq.g = co.g)")) == Seq(2L, 3L))
+    // unqualified inner column resolves inner-first (g = cq.g here)
+    assert(ids(eng.sql("select id from co where exists " +
+      "(select 1 from cq where g = co.g and w > 40)")) == Seq(2L))
+    // NOT EXISTS = anti join on the same correlation
+    assert(ids(eng.sql("select id from co where not exists " +
+      "(select 1 from cq where cq.g = co.g)")) == Seq(1L, 4L))
+    // correlated IN: probe column + correlation conjunct
+    assert(ids(eng.sql("select id from co where v in " +
+      "(select w / 2 from cq where cq.g = co.g + 1)"))
+      == Seq(1L, 2L, 3L, 4L))
+    // correlated NOT IN (anti-join semantics)
+    assert(ids(eng.sql("select id from co where v not in " +
+      "(select w / 2 from cq where cq.g = co.g + 1)")) == Seq())
+    // composes with an ordinary WHERE conjunct
+    assert(ids(eng.sql("select id from co where v >= 30 and exists " +
+      "(select 1 from cq where cq.g = co.g)")) == Seq(3L))
+    // the desugared plan is ONE semi join, not a per-row re-execution
+    eng.sql("select id from co where exists " +
+      "(select 1 from cq where cq.g = co.g)") match {
+      case engine.Rows(d) =>
+        val plan = d.queryExecution.executedPlan.toString()
+        assert(plan.contains("LeftSemi"), plan)
+      case other => fail(s"$other")
+    }
+    // shape guard: aggregated correlated subquery rejected cleanly
+    eng.sql("select id from co where exists " +
+      "(select g from cq where cq.g = co.g group by g)") match {
+      case Status(false, m) => assert(m.contains("plain"), m)
+      case other => fail(s"aggregated correlated sub accepted: $other")
+    }
+    ok(eng.sql("drop type co"))
+    ok(eng.sql("drop type cq"))
+  }
+
   test("multi-row INSERT VALUES applies row-at-a-time with PK stop") {
     ok(eng.sql("create type mr (id uint pk, v uint)"))
     ok(eng.sql("insert into mr (id, v) values (1, 10), (2, 20), (3, 30)"))

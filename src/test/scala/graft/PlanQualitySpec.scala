@@ -310,5 +310,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "(partition by l_orderkey order by l_quantity) as rn from li"))
     assert(pw.contains("Window") &&
       pw.contains("hashpartitioning(l_orderkey"), pw)
+    // correlated EXISTS / NOT EXISTS desugar to ONE semi and ONE anti
+    // join on the correlation key — a JOIN plan, never a per-row
+    // re-execution and never a cartesian
+    eng.attachTable("ord2", Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderstatus")))
+    val pex = plan(frame("select o_orderkey from ord2 o " +
+      "where exists (select 1 from li " +
+      "where li.l_orderkey = o.o_orderkey and l_quantity >= 48) " +
+      "and not exists (select 1 from li " +
+      "where li.l_orderkey = o.o_orderkey and l_quantity <= 2)"))
+    assert(pex.contains("LeftSemi") && pex.contains("LeftAnti") &&
+      !pex.contains("CartesianProduct") &&
+      !pex.contains("BroadcastNestedLoop"), pex)
   }
 }
