@@ -240,7 +240,14 @@ object Plans {
         "with DECIMAL order-free sums"),
       "q366_silhouette" -> ("IVF silhouette: memoized assignment + " +
         "16-row broadcast centroids, in-row integer distances, " +
-        "one keyed agg"))
+        "one keyed agg"),
+      "q368_parity_probe" -> ("per-column checksum decomposition: " +
+        "one scan + one multi-column agg per table, column-count-" +
+        "sized output — the driver-divergence isolator"),
+      "q369_correlated_subquery" -> ("correlated EXISTS / NOT " +
+        "EXISTS / IN desugared to one semi + one anti + one semi " +
+        "join on the correlation keys — never a per-row " +
+        "re-execution"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
