@@ -247,7 +247,10 @@ object Plans {
       "q369_correlated_subquery" -> ("correlated EXISTS / NOT " +
         "EXISTS / IN desugared to one semi + one anti + one semi " +
         "join on the correlation keys — never a per-row " +
-        "re-execution"))
+        "re-execution"),
+      "q370_correlated_scalar" -> ("correlated scalar-aggregate " +
+        "subqueries as aggregated LEFT joins: inner groups once by " +
+        "the correlation key, map-side combined"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -1202,22 +1202,25 @@ class Engine(val spark: SparkSession, root: String,
     }
   }
 
-  /** Inline every ScalarSelect as its evaluated literal. */
-  private def substScalars(e: Expr): Expr = e match {
-    case ScalarSelect(sub) => evalScalar(sub)
-    case BinOp(o, l, r) => BinOp(o, substScalars(l), substScalars(r))
-    case UnOp(o, x) => UnOp(o, substScalars(x))
+  /** Inline every UNcorrelated ScalarSelect as its evaluated literal;
+    * correlated ones are left in place for desugarScalarJoins. */
+  private def substScalars(e: Expr, outer: SelectStmt): Expr = e match {
+    case ss @ ScalarSelect(sub) =>
+      if (isCorrelatedSub(sub, outer)) ss else evalScalar(sub)
+    case BinOp(o, l, r) =>
+      BinOp(o, substScalars(l, outer), substScalars(r, outer))
+    case UnOp(o, x) => UnOp(o, substScalars(x, outer))
     case InList(x, vs, n) =>
-      InList(substScalars(x), vs.map(substScalars), n)
-    case InSelect(x, sub, n) => InSelect(substScalars(x),
-      sub.copy(where = sub.where.map(substScalars)), n)
+      InList(substScalars(x, outer), vs.map(substScalars(_, outer)), n)
+    case InSelect(x, sub, n) => InSelect(substScalars(x, outer),
+      sub.copy(where = sub.where.map(substScalars(_, outer))), n)
     case ExistsSel(sub, n) =>
-      ExistsSel(sub.copy(where = sub.where.map(substScalars)), n)
-    case IsNull(x, n) => IsNull(substScalars(x), n)
+      ExistsSel(sub.copy(where = sub.where.map(substScalars(_, outer))), n)
+    case IsNull(x, n) => IsNull(substScalars(x, outer), n)
     case CaseExpr(bs, o) => CaseExpr(
-      bs.map(b => (substScalars(b._1), substScalars(b._2))),
-      o.map(substScalars))
-    case FnCall(n, args) => FnCall(n, args.map(substScalars))
+      bs.map(b => (substScalars(b._1, outer), substScalars(b._2, outer))),
+      o.map(substScalars(_, outer)))
+    case FnCall(n, args) => FnCall(n, args.map(substScalars(_, outer)))
     case other => other
   }
 
@@ -1281,41 +1284,30 @@ class Engine(val spark: SparkSession, root: String,
       })
     }
 
-  /** Desugar a correlated (or shape-compatible uncorrelated)
-    * `[NOT] EXISTS` / `x [NOT] IN (SELECT …)` into ONE
-    * left-semi/left-anti join: the subquery's outer-referencing WHERE
-    * conjuncts become the join condition (plus the probe equality for
-    * IN), its purely-local conjuncts filter the inner scan before the
-    * join. This is the scale shape — Catalyst extracts the equi-keys
-    * and both sides shuffle (or the inner broadcasts); nothing
-    * re-executes per outer row. NOT IN keeps the dialect's documented
-    * anti-join semantics (no ANSI three-valued NULL blanking). */
-  private def correlatedSemiAnti(df: DataFrame, probe: Option[Expr],
-      sub: SelectStmt, neg: Boolean, outerSel: SelectStmt,
-      outerCtx: ExprBuilder.Ctx): DataFrame = {
-    if (sub.groupBy.nonEmpty || sub.having.isDefined ||
-        sub.joins.nonEmpty || sub.ansiJoins.nonEmpty ||
-        sub.limit.isDefined || sub.offset.isDefined ||
-        sub.orderBy.nonEmpty)
+  /** Shared scoping/qualification for correlated-subquery desugars
+    * (EXISTS/IN semi-anti joins and scalar-aggregate left joins):
+    * innermost-first name resolution, plus a rewriter that qualifies
+    * every field to its resolved scope so join conditions stay
+    * unambiguous when both sides share column names. */
+  private class CorrScope(sub: SelectStmt, outerSel: SelectStmt) {
+    val innerName: String = sub.from.getOrElse(
       throw new IllegalArgumentException(
-        "correlated subquery must be a plain SELECT ... FROM ... WHERE")
-    val innerName = sub.from.getOrElse(
-      throw new IllegalArgumentException(
-        "EXISTS/IN subquery needs a FROM table"))
-    val innerAliasRaw = sub.fromAlias.getOrElse(innerName)
-    val innerAlias = innerAliasRaw.toLowerCase
-    val innerCols = tableDf(innerName).columns.map(_.toLowerCase).toSet
-    val outers = outerQualifiers(outerSel) - innerAlias
-    val outerBase = outerSel.fromAlias.getOrElse(outerSel.from.get)
-    val outerBaseCols =
+        "EXISTS/IN/scalar subquery needs a FROM table"))
+    val innerAliasRaw: String = sub.fromAlias.getOrElse(innerName)
+    val innerAlias: String = innerAliasRaw.toLowerCase
+    val innerCols: Set[String] =
+      tableDf(innerName).columns.map(_.toLowerCase).toSet
+    val outers: Set[String] = outerQualifiers(outerSel) - innerAlias
+    val outerBase: String = outerSel.fromAlias.getOrElse(outerSel.from.get)
+    val outerBaseCols: Set[String] =
       tableDf(outerSel.from.get).columns.map(_.toLowerCase).toSet
+    val innerCtx: ExprBuilder.Ctx = typeCtx(innerName) ++
+      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
     def isOuter(f: Field): Boolean = f.qualifier match {
       case Some(q) => val ql = q.toLowerCase
         ql != innerAlias && outers(ql)
       case None => !innerCols(f.name.toLowerCase)
     }
-    // qualify every field to its resolved scope so the join condition
-    // stays unambiguous when both sides share column names
     def qualify(e: Expr, preferInner: Boolean): Expr = e match {
       case f: Field if f.qualifier.isEmpty =>
         if (preferInner && innerCols(f.name.toLowerCase))
@@ -1337,45 +1329,192 @@ class Engine(val spark: SparkSession, root: String,
       case FnCall(n, args) => FnCall(n, args.map(qualify(_, preferInner)))
       case other => other
     }
-    val subConj = sub.where.map(conjuncts).getOrElse(Seq.empty)
-    if (subConj.exists(containsInSelect))
-      throw new IllegalArgumentException(
-        "nested subqueries inside a correlated subquery are not supported")
-    val (corr, local) = subConj.partition(c => fieldsOf(c).exists(isOuter))
-    val innerCtx: ExprBuilder.Ctx = typeCtx(innerName) ++
-      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
-    val mergedCtx: ExprBuilder.Ctx = outerCtx ++
-      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
-    var inner = tableDf(innerName).as(innerAliasRaw)
-    local.reduceOption(BinOp("and", _, _)).foreach { w =>
-      inner = inner.filter(
-        ExprBuilder.build(qualify(w, preferInner = true), innerCtx))
+    /** Split the subquery WHERE into (correlated, local) conjuncts;
+      * rejects nested subqueries inside. */
+    def splitWhere(): (Seq[Expr], Seq[Expr]) = {
+      val subConj = sub.where.map(conjuncts).getOrElse(Seq.empty)
+      if (subConj.exists(containsInSelect))
+        throw new IllegalArgumentException(
+          "nested subqueries inside a correlated subquery are not supported")
+      subConj.partition(c => fieldsOf(c).exists(isOuter))
     }
+    /** The inner scan, aliased, pre-filtered by the local conjuncts. */
+    def innerFrame(local: Seq[Expr]): DataFrame = {
+      val base = tableDf(innerName).as(innerAliasRaw)
+      local.reduceOption(BinOp("and", _, _)).fold(base)(w =>
+        base.filter(ExprBuilder.build(qualify(w, preferInner = true),
+          innerCtx)))
+    }
+    def requirePlainShape(what: String): Unit =
+      if (sub.groupBy.nonEmpty || sub.having.isDefined ||
+          sub.joins.nonEmpty || sub.ansiJoins.nonEmpty ||
+          sub.limit.isDefined || sub.offset.isDefined ||
+          sub.orderBy.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$what must be a plain SELECT ... FROM ... WHERE")
+  }
+
+  /** Desugar a correlated (or shape-compatible uncorrelated)
+    * `[NOT] EXISTS` / `x [NOT] IN (SELECT …)` into ONE
+    * left-semi/left-anti join: the subquery's outer-referencing WHERE
+    * conjuncts become the join condition (plus the probe equality for
+    * IN), its purely-local conjuncts filter the inner scan before the
+    * join. This is the scale shape — Catalyst extracts the equi-keys
+    * and both sides shuffle (or the inner broadcasts); nothing
+    * re-executes per outer row. NOT IN keeps the dialect's documented
+    * anti-join semantics (no ANSI three-valued NULL blanking). */
+  private def correlatedSemiAnti(df: DataFrame, probe: Option[Expr],
+      sub: SelectStmt, neg: Boolean, outerSel: SelectStmt,
+      outerCtx: ExprBuilder.Ctx): DataFrame = {
+    val sc = new CorrScope(sub, outerSel)
+    sc.requirePlainShape("correlated subquery")
+    val (corr, local) = sc.splitWhere()
+    val mergedCtx: ExprBuilder.Ctx = outerCtx ++
+      typeCtx(sc.innerName).map { case (k, v) =>
+        s"${sc.innerAlias}.$k" -> v }
+    val inner = sc.innerFrame(local)
     val probeCond = probe.map { x =>
       val item = sub.items match {
         case Seq(it) if !it.expr.isInstanceOf[Star] => it.expr
         case _ => throw new IllegalArgumentException(
           "IN subquery must return exactly one column")
       }
-      BinOp("=", qualify(x, preferInner = false),
-        qualify(item, preferInner = true))
+      BinOp("=", sc.qualify(x, preferInner = false),
+        sc.qualify(item, preferInner = true))
     }
-    val cond = (probeCond.toSeq ++ corr.map(qualify(_, preferInner = true)))
+    val cond = (probeCond.toSeq ++
+        corr.map(sc.qualify(_, preferInner = true)))
       .reduceOption(BinOp("and", _, _))
       .map(c => ExprBuilder.build(c, mergedCtx))
       .getOrElse(lit(true))
     df.join(inner, cond, if (neg) "left_anti" else "left_semi")
   }
 
+  /** Desugar ONE correlated scalar-aggregate subquery —
+    * `(SELECT agg(x) FROM t WHERE t.k = outer.k [AND local])` in a
+    * select item or WHERE comparison — into an aggregated LEFT join:
+    * the inner groups ONCE by its correlation keys (map-side combined
+    * at any scale), the outer left-joins on those keys, and the
+    * subquery node is replaced by a reference to the joined column
+    * (coalesced to 0 for count, per ANSI empty-group semantics;
+    * other aggregates stay NULL on no-match). Never a per-outer-row
+    * re-execution. Correlation conjuncts must be equalities with one
+    * operand per scope. Returns (bindName, aggregated frame, LEFT
+    * AnsiJoin, replacement expr). */
+  private def scalarJoin(sub: SelectStmt, outerSel: SelectStmt,
+      idx: Int): (String, DataFrame, AnsiJoin, Expr) = {
+    val sc = new CorrScope(sub, outerSel)
+    sc.requirePlainShape("correlated scalar subquery")
+    val aggFns = Set("count", "sum", "min", "max", "avg", "average")
+    val (aggName, aggArgs) = sub.items match {
+      case Seq(it) => it.expr match {
+        case FnCall(n, args) if aggFns(n.toLowerCase) =>
+          (n.toLowerCase, args)
+        case _ => throw new IllegalArgumentException(
+          "correlated scalar subquery must SELECT a single aggregate " +
+            "(count/sum/min/max/avg)")
+      }
+      case _ => throw new IllegalArgumentException(
+        "scalar subquery must return one column")
+    }
+    val (corr, local) = sc.splitWhere()
+    val keys = corr.map {
+      case BinOp("=", a, b) =>
+        val aOut = fieldsOf(a).exists(sc.isOuter)
+        val bOut = fieldsOf(b).exists(sc.isOuter)
+        val (inn, out) =
+          if (aOut && !bOut) (b, a)
+          else if (bOut && !aOut) (a, b)
+          else throw new IllegalArgumentException(
+            "scalar-subquery correlation must be <inner expr> = " +
+              "<outer expr>")
+        if (fieldsOf(out).exists(f => !sc.isOuter(f)))
+          throw new IllegalArgumentException(
+            "scalar-subquery correlation must not mix scopes in one " +
+              "operand")
+        (inn, out)
+      case _ => throw new IllegalArgumentException(
+        "scalar-subquery correlation conjuncts must be equalities")
+    }
+    val tn = s"__graft_sc$idx"
+    def innerCol(e: Expr): Column =
+      ExprBuilder.build(sc.qualify(e, preferInner = true), sc.innerCtx)
+    val keyCols = keys.zipWithIndex.map { case ((inn, _), i) =>
+      innerCol(inn).as(s"__graft_k$i") }
+    val aggCol = aggName match {
+      case "count" => aggArgs.headOption match {
+        case None | Some(Star()) => count(lit(1))
+        case Some(a) => count(innerCol(a))
+      }
+      case "sum" => sum(innerCol(aggArgs.head))
+      case "min" => min(innerCol(aggArgs.head))
+      case "max" => max(innerCol(aggArgs.head))
+      case _ => avg(innerCol(aggArgs.head))
+    }
+    val aggDf = sc.innerFrame(local)
+      .groupBy(keyCols: _*).agg(aggCol.as("__graft_v"))
+    val onExpr = keys.zipWithIndex.map { case ((_, out), i) =>
+      BinOp("=", sc.qualify(out, preferInner = false),
+        Field(s"__graft_k$i", Some(tn))): Expr }
+      .reduce(BinOp("and", _, _))
+    val ref: Expr = Field("__graft_v", Some(tn))
+    val repl =
+      if (aggName == "count") FnCall("coalesce", Seq(ref, Lit(0L, "uint")))
+      else ref
+    (tn, aggDf, AnsiJoin(tn, None, "left", onExpr), repl)
+  }
+
+  /** Rewrite every correlated scalar subquery in the select items and
+    * WHERE into its aggregated-left-join form; returns the rewritten
+    * statement plus the transient table bindings for the generated
+    * aggregate frames. */
+  private def desugarScalarJoins(sel: SelectStmt)
+      : (SelectStmt, Map[String, DataFrame]) = {
+    var binds = Map.empty[String, DataFrame]
+    var joins = Vector.empty[AnsiJoin]
+    def rw(e: Expr): Expr = e match {
+      case ScalarSelect(sub) if isCorrelatedSub(sub, sel) =>
+        val (tn, df, join, repl) = scalarJoin(sub, sel, binds.size)
+        binds += tn -> df; joins :+= join; repl
+      case BinOp(o, l, r) => BinOp(o, rw(l), rw(r))
+      case UnOp(o, x) => UnOp(o, rw(x))
+      case InList(x, vs, n) => InList(rw(x), vs.map(rw), n)
+      case IsNull(x, n) => IsNull(rw(x), n)
+      case CaseExpr(bs, o2) =>
+        CaseExpr(bs.map(b => (rw(b._1), rw(b._2))), o2.map(rw))
+      case FnCall(n, args) => FnCall(n, args.map(rw))
+      case other => other
+    }
+    if (sel.from.isEmpty) (sel, binds)
+    else {
+      val items2 = sel.items.map(it => it.copy(expr = rw(it.expr)))
+      val where2 = sel.where.map(rw)
+      (sel.copy(items = items2, where = where2,
+        ansiJoins = sel.ansiJoins ++ joins), binds)
+    }
+  }
+
   private def buildSelectNoLimit(sel00: SelectStmt): DataFrame = {
-    // Scalar subqueries first: evaluated once, inlined as literals —
-    // every later pass (stamp rewrite, ctx typing, agg split) then
-    // sees a plain expression tree.
+    // Scalar subqueries first: uncorrelated ones are evaluated once
+    // and inlined as literals; correlated ones desugar to aggregated
+    // LEFT joins bound as transient tables — every later pass (stamp
+    // rewrite, ctx typing, agg split) then sees a plain expression
+    // tree over ordinary joined columns.
     val sel0 = sel00.copy(
-      items = sel00.items.map(it => it.copy(expr = substScalars(it.expr))),
-      where = sel00.where.map(substScalars),
-      having = sel00.having.map(substScalars))
-    buildSelectCore(sel0)
+      items = sel00.items.map(it =>
+        it.copy(expr = substScalars(it.expr, sel00))),
+      where = sel00.where.map(substScalars(_, sel00)),
+      having = sel00.having.map(substScalars(_, sel00)))
+    val (sel1, binds) = desugarScalarJoins(sel0)
+    if (binds.isEmpty) buildSelectCore(sel1)
+    else {
+      // the generated frames only need to resolve during plan
+      // CONSTRUCTION (Datasets analyze eagerly), so the bindings are
+      // scoped to this build and restored after
+      val saved = cteBindings.get
+      try { cteBindings.set(saved ++ binds); buildSelectCore(sel1) }
+      finally cteBindings.set(saved)
+    }
   }
 
   private def buildSelectCore(sel0: SelectStmt): DataFrame = {

@@ -613,6 +613,31 @@ object EngineQueries extends QueryPack {
         case other => sys.error(s"q369 select failed: $other")
       }
     }),
+    // Correlated SCALAR-aggregate subqueries through the dialect
+    // (r11, completing the correlated family): each desugars to one
+    // aggregated LEFT join — the inner groups ONCE by the correlation
+    // key (map-side combined), never a per-outer-row re-execution.
+    // count coalesces to 0 on no-match (ANSI empty-group), max stays
+    // NULL. DuckDB runs the same ANSI text natively.
+    "q370_correlated_scalar" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope cscscope; use cscscope")
+        .foreach(require(_, "q370 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus")))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity")))
+      eng.sql("select o_orderkey, o_orderstatus as status, " +
+        "(select count(*) from li " +
+        "  where li.l_orderkey = o.o_orderkey) as n_lines, " +
+        "(select max(l_quantity) from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity >= 25) " +
+        "  as max_big " +
+        "from ord o where o_orderkey <= 2000") match {
+        case Rows(df) => df
+        case other => sys.error(s"q370 select failed: $other")
+      }
+    }),
     // Window functions through the engine dialect: per-order line
     // ranking (row_number with a DESC tie-broken order) and a running
     // quantity sum — both inside ONE keyed window exchange on
@@ -884,6 +909,14 @@ object EngineQueries extends QueryPack {
         |   WHERE o_orderstatus = 'F')
         |  AND l_quantity > (SELECT min(l_quantity) FROM lineitem)
         | GROUP BY l_suppkey""".stripMargin,
+    "q370_correlated_scalar" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST((SELECT count(*) FROM lineitem li
+        |    WHERE li.l_orderkey = o.o_orderkey) AS BIGINT) AS n_lines,
+        |  (SELECT max(l_quantity) FROM lineitem li
+        |    WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 25)
+        |   AS max_big
+        | FROM orders o WHERE o_orderkey <= 2000""".stripMargin,
     "q369_correlated_subquery" ->
       """SELECT o_orderstatus AS status,
         |  CAST(count(*) AS BIGINT) AS n_orders

@@ -72,6 +72,52 @@ object TextQueries extends QueryPack {
   private val stopWords = Seq("a", "the", "of", "and", "in", "to", "is")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE merge induction — the tokenizer-vocabulary training step
+    // (Sennrich et al. 2016): 5 merge rounds over the corpus word-
+    // frequency table. The 100 TB shape is exactly production BPE:
+    // ONE corpus token-count shuffle reduces everything to a vocab-
+    // bounded (word, count) table; every merge round is then a
+    // pair-count aggregate + a top-1 TakeOrdered over vocab rows —
+    // corpus size never re-enters. Merge application is a
+    // boundary-safe literal replace (' a b ' → ' ab '), scanning
+    // left-to-right non-overlapping — identical semantics in Spark's
+    // replace() and DuckDB's replace(), and ties break (count desc,
+    // pair lexicographic) so the learned table is deterministic.
+    // The 5 top-1 collects are 1-row driver reads (config-sized,
+    // like the IVF centroid replay).
+    "q371_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("s", concat(lit(" "),
+          regexp_replace(col("w"), "(.)", "$1 ")))
+        .select(col("c"), col("s"))
+        .persist()
+      wf.count()
+      var cur = wf
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (r <- 1 to 5) {
+        val top = cur.select(col("c"),
+            split(trim(col("s")), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(0, size(sy) - 2), " +
+              "i -> struct(sy[i] as s1, sy[i + 1] as s2))")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
+          .limit(1).collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges += ((r.toLong, a, b, top.getLong(2)))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, ' $a $b ', ' $a$b ')"))
+      }
+      wf.unpersist()
+      merges.toSeq.toDF("merge_round", "sym_a", "sym_b", "pair_count")
+    }),
     // Cross-engine string-expression parity gate: every shared
     // gate-feature expression (and the substr/instr/case-mapping
     // neighbors) evaluated over the adversarial fixture above, hashed
@@ -1793,6 +1839,39 @@ object TextQueries extends QueryPack {
         |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q371_bpe_merges" -> {
+      // 5 unrolled merge rounds; each round = pair counts over the
+      // vocab-bounded word-frequency table, top-1 by (count desc,
+      // pair), then a boundary-safe literal replace — the same
+      // left-to-right non-overlapping semantics as Spark's replace()
+      val rounds = (0 until 5).map { i =>
+        s"""p$i AS (SELECT ls[i] AS s1, ls[i + 1] AS s2,
+           |   CAST(sum(c) AS BIGINT) AS n
+           |  FROM (SELECT string_split(trim(s), ' ') AS ls, c
+           |    FROM r$i) t,
+           |   UNNEST(generate_series(1, len(ls) - 1)) AS u(i)
+           |  GROUP BY 1, 2),
+           | m$i AS (SELECT s1, s2, n FROM p$i
+           |  ORDER BY n DESC, s1, s2 LIMIT 1),
+           | r${i + 1} AS (SELECT c,
+           |   replace(s, ' ' || s1 || ' ' || s2 || ' ',
+           |     ' ' || s1 || s2 || ' ') AS s
+           |  FROM r$i CROSS JOIN m$i)""".stripMargin
+      }.mkString(",\n ")
+      val finals = (0 until 5).map(i =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, " +
+          s"s1 AS sym_a, s2 AS sym_b, n AS pair_count FROM m$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z]{2,20}$$')
+        |  GROUP BY 1),
+        | r0 AS (SELECT c,
+        |   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM wf),
+        | $rounds
+        | $finals""".stripMargin
+    },
     "q367_string_parity" -> {
       val vals = parityCases.map { case (id, str) =>
         s"($id, ${sqlLit(str)})"

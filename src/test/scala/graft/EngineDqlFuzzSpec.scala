@@ -410,15 +410,26 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
         s"fi.k = fo.k + 1 and fi.w >= $n2")     // expression correlation
       val corr = pick(corrPool)
       val outerW = pick(Seq("", s"a > $n1 and ", s"s = 'u${i % 6}' and "))
-      val body = rnd.nextInt(4) match {
+      val aggFn = pick(Seq("count(*)", "sum(w)", "min(w)", "max(w)"))
+      val body = rnd.nextInt(7) match {
         case 0 => s"select id, a from fo where ${outerW}exists " +
           s"(select 1 from fi where $corr)"
         case 1 => s"select id, a from fo where ${outerW}not exists " +
           s"(select 1 from fi where $corr)"
         case 2 => s"select id, a from fo where ${outerW}a in " +
           s"(select w from fi where $corr)"
-        case _ => s"select id, a from fo where ${outerW}a not in " +
+        case 3 => s"select id, a from fo where ${outerW}a not in " +
           s"(select w from fi where fi.k = fo.k and fi.w > $n1)"
+        // correlated scalar-aggregate subqueries: select-item and
+        // WHERE-comparison positions (equality correlation only —
+        // the desugar's documented shape)
+        case 4 => s"select id, a, (select $aggFn from fi " +
+          s"where fi.k = fo.k and fi.w > $n1) as sc from fo"
+        case 5 => s"select id from fo where ${outerW}a > " +
+          s"(select min(w) from fi where fi.k = fo.k)"
+        case _ => s"select id, (select count(*) from fi " +
+          s"where fi.k = fo.k and w <= $n2) as c from fo " +
+          s"where a > $n1"
       }
       val got = eng.sql(body) match {
         case Rows(r) => r.collect()

@@ -915,6 +915,54 @@ class EngineSpec extends AnyFunSuite {
     ok(eng.sql("drop type cq"))
   }
 
+  test("correlated scalar-aggregate subqueries desugar to aggregated " +
+    "left joins") {
+    ok(eng.sql("create type sg (id uint pk, g uint, v uint)"))
+    ok(eng.sql("create type sh (id uint pk, g uint, w uint)"))
+    Seq((1, 0, 10), (2, 1, 20), (3, 2, 30), (4, 0, 40)).foreach {
+      case (i, g, v) => ok(eng.sql(s"insert into sg (id, g, v) ($i, $g, $v)"))
+    }
+    Seq((1, 1, 5), (2, 1, 7), (3, 2, 100), (4, 3, 9)).foreach {
+      case (i, g, w) => ok(eng.sql(s"insert into sh (id, g, w) ($i, $g, $w)"))
+    }
+    // count in a select item: empty groups coalesce to 0
+    val cnt = rows(eng.sql("select id, (select count(*) from sh " +
+      "where sh.g = sg.g) as n from sg"))
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(cnt == Seq((1L, 0L), (2L, 2L), (3L, 1L), (4L, 0L)))
+    // max in a WHERE comparison: no-group NULL compares to false
+    assert(rows(eng.sql("select id from sg where v > " +
+      "(select max(w) from sh where sh.g = sg.g)"))
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // expression correlation + sum
+    val sums = rows(eng.sql("select id, (select sum(w) from sh " +
+      "where sh.g = sg.g + 1) as sw from sg"))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(sums == Seq((1L, 12L), (2L, 100L), (3L, 9L), (4L, 12L)))
+    // avg + a local conjunct in the subquery
+    val av = rows(eng.sql("select id, (select avg(w) from sh " +
+      "where sh.g = sg.g and w < 100) as aw from sg where id = 2"))(0)
+    assert(av.getDouble(1) == 6.0)
+    // the desugared plan is an aggregated LEFT join, not per-row
+    eng.sql("select id, (select count(*) from sh where sh.g = sg.g) " +
+      "as n from sg") match {
+      case Rows(d) =>
+        val plan = d.queryExecution.executedPlan.toString()
+        assert(plan.contains("LeftOuter") &&
+          plan.contains("HashAggregate"), plan)
+      case other => fail(s"$other")
+    }
+    // non-aggregate correlated scalar rejected cleanly
+    eng.sql("select id, (select w from sh where sh.g = sg.g) from sg")
+      match {
+      case Status(false, m) => assert(m.contains("aggregate"), m)
+      case other => fail(s"non-agg correlated scalar accepted: $other")
+    }
+    ok(eng.sql("drop type sg"))
+    ok(eng.sql("drop type sh"))
+  }
+
   test("multi-row INSERT VALUES applies row-at-a-time with PK stop") {
     ok(eng.sql("create type mr (id uint pk, v uint)"))
     ok(eng.sql("insert into mr (id, v) values (1, 10), (2, 20), (3, 30)"))

@@ -85,6 +85,39 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q371 BPE merges match an independent in-memory greedy " +
+    "recompute over the same word-frequency table") {
+    val got = SparkEntry.queries("q371_bpe_merges")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("merge_round"))
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
+        r.getAs[Long]("pair_count")))
+    // reference: collect the (bounded) vocab and run the same
+    // boundary-safe single-pass merge in plain Scala
+    var vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,20}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (" " + r.getString(0).map(ch => s"$ch ").mkString, r.getLong(1)))
+      .toSeq
+    val want = (1 to 5).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (s0, c) =>
+        val sy = s0.trim.split(" ")
+        (0 until sy.length - 1).foreach { i =>
+          counts((sy(i), sy(i + 1))) =
+            counts.getOrElse((sy(i), sy(i + 1)), 0L) + c
+        }
+      }
+      val ((a, b), n) = counts.toSeq
+        .sortBy { case ((x, y), m) => (-m, x, y) }.head
+      vocab = vocab.map { case (s0, c) =>
+        (s0.replace(s" $a $b ", s" $a$b "), c) }
+      (a, b, n)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("q368 probe: a single-value perturbation moves exactly the " +
     "perturbed column's residue (the isolation property)") {
     val m61 = BigInt("2305843009213693951")
