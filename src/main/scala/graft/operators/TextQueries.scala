@@ -46,7 +46,10 @@ object TextQueries extends QueryPack {
     21L -> "zero\u200bwidth space",          // U+200B
     22L -> "combining e\u0301 accent",       // e + U+0301 = 2 codepoints
     23L -> "123 456 789 numbers",
-    24L -> null
+    24L -> null,
+    25L -> "İstanbul I ı dotted",  // Turkish İ: lower() 1:2 in Java
+    26L -> "１２３ ＡＢＣ fullwidth",
+    27L -> "rtl مرحبا שלום mix"
   )
 
   /** Render a fixture string as a DuckDB SQL literal: printable runs
@@ -142,20 +145,23 @@ object TextQueries extends QueryPack {
           .cast("long").as("n_punct"),
         length(regexp_replace(sc, "[^a-z]", "")).cast("long")
           .as("n_alpha"),
-        // MEASURED divergence (this fixture, case 18): Java/Spark
-        // upper() applies Unicode SpecialCasing 1:N expansions
-        // (ß → SS, 17 chars) while DuckDB maps codepoint-wise
-        // (ß → ẞ, 16) — so case-mapped LENGTHS are only cross-engine
-        // deterministic on text without SpecialCasing chars; the
-        // guard documents the class and keeps it out of the hash,
-        // and has_special_casing pins which rows carry it
-        when(sc.contains("ß"), lit(null))
+        // MEASURED divergences (this fixture, cases 18 + 25):
+        // Java/Spark case mapping applies Unicode SpecialCasing 1:N
+        // expansions — upper(ß) → SS (+1 char), lower(İ) → i +
+        // combining dot (2 codepoints) — while DuckDB maps
+        // codepoint-wise 1:1 (ß → ẞ, İ → i). So case-MAPPED outputs
+        // (lengths AND values) are only cross-engine deterministic on
+        // text without SpecialCasing chars; the guard documents the
+        // class and keeps it out of the hash, and has_special_casing
+        // pins which rows carry it
+        when(sc.contains("ß") || sc.contains("İ"), lit(null))
           .otherwise(length(upper(sc))).cast("long").as("up_len"),
-        sc.contains("ß").as("has_special_casing"),
+        (sc.contains("ß") || sc.contains("İ")).as("has_special_casing"),
         length(trim(sc)).cast("long").as("trim_len"),
         instr(sc, "b").cast("long").as("pos_b"),
         substring(sc, 2, 3).as("sub23"),
-        lower(sc).as("lower_s"),
+        when(sc.contains("ß") || sc.contains("İ"), lit(null))
+          .otherwise(lower(sc)).as("lower_s"),
         regexp_replace(sc, " ", "_").as("spaced"))
     }),
     // n-gram language ID: argmax of char-trigram profile scores.
@@ -1889,13 +1895,15 @@ object TextQueries extends QueryPack {
         |   AS BIGINT) AS n_punct,
         |  CAST(length(regexp_replace(s, '[^a-z]', '', 'g'))
         |   AS BIGINT) AS n_alpha,
-        |  CAST(CASE WHEN strpos(s, 'ß') > 0 THEN NULL
-        |   ELSE length(upper(s)) END AS BIGINT) AS up_len,
-        |  strpos(s, 'ß') > 0 AS has_special_casing,
+        |  CAST(CASE WHEN strpos(s, 'ß') > 0 OR strpos(s, 'İ') > 0
+        |   THEN NULL ELSE length(upper(s)) END AS BIGINT) AS up_len,
+        |  strpos(s, 'ß') > 0 OR strpos(s, 'İ') > 0
+        |   AS has_special_casing,
         |  CAST(length(trim(s)) AS BIGINT) AS trim_len,
         |  CAST(strpos(s, 'b') AS BIGINT) AS pos_b,
         |  substr(s, 2, 3) AS sub23,
-        |  lower(s) AS lower_s,
+        |  CASE WHEN strpos(s, 'ß') > 0 OR strpos(s, 'İ') > 0
+        |   THEN NULL ELSE lower(s) END AS lower_s,
         |  regexp_replace(s, ' ', '_', 'g') AS spaced
         | FROM c""".stripMargin
     },

@@ -49,16 +49,24 @@ class Round11OpsSpec extends AnyFunSuite {
       .foreach(c => assert(n.isNullAt(n.fieldIndex(c)), c))
   }
 
-  test("q367 parity: SpecialCasing guard — up_len is NULL exactly " +
-    "where the engines measurably diverge (Java ß->SS vs DuckDB 1:1)") {
+  test("q367 parity: SpecialCasing guard — case-mapped outputs are " +
+    "NULL exactly where the engines measurably diverge (Java ß->SS " +
+    "and İ->i+dot 1:N vs DuckDB 1:1)") {
     val special = parity.values.filter(
       _.getAs[Boolean]("has_special_casing")).toSeq
-    assert(special.map(_.getAs[Long]("case_id")) == Seq(18L))
-    assert(special.forall(r => r.isNullAt(r.fieldIndex("up_len"))))
-    // everything else has a concrete, engine-agreed up_len
+    assert(special.map(_.getAs[Long]("case_id")).sorted == Seq(18L, 25L))
+    special.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("up_len")))
+      assert(r.isNullAt(r.fieldIndex("lower_s")))
+    }
+    // everything else has concrete, engine-agreed case-mapped values
+    // (incl. full-width and RTL — measured parity, no guard needed)
     parity.values.filterNot(_.getAs[Boolean]("has_special_casing"))
       .filter(_.getAs[Long]("case_id") != 24L)
-      .foreach(r => assert(!r.isNullAt(r.fieldIndex("up_len"))))
+      .foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("up_len")))
+        assert(!r.isNullAt(r.fieldIndex("lower_s")))
+      }
   }
 
   test("q368 probe: residues are in [0, 2^61-1), one row per audited " +
