@@ -1180,7 +1180,20 @@ class Engine(val spark: SparkSession, root: String,
   /** Evaluate an uncorrelated scalar subquery to a literal — exactly
     * one row, one column; a bounded (1×1) collect by construction. */
   private def evalScalar(sub: SelectStmt): Lit = {
-    val df = buildSelect(sub)
+    val df =
+      try buildSelect(sub)
+      catch {
+        // a scalar correlated to an ENCLOSING subquery (not the
+        // top-level statement) is classified uncorrelated against the
+        // top scope and reaches this standalone build, where its outer
+        // refs cannot resolve — name the actual limitation instead of
+        // surfacing Spark's raw cannot-resolve text
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "scalar subquery could not be evaluated standalone " +
+              "(correlated scalar subqueries are only supported " +
+              s"against the top-level query): ${e.getMessage}")
+      }
     if (df.columns.length != 1)
       throw new IllegalArgumentException(
         s"scalar subquery must return one column, got ${df.columns.length}")
@@ -1273,14 +1286,23 @@ class Engine(val spark: SparkSession, root: String,
       outerSel: SelectStmt): Boolean =
     sub.from.isDefined && sub.where.isDefined && {
       val innerAlias = sub.fromAlias.getOrElse(sub.from.get).toLowerCase
+      // the subquery's OWN join aliases are part of its inner scope —
+      // a qualifier naming one of them is never a correlation, and
+      // when the sub has joins an unqualified name can resolve to any
+      // joined table, so it must ride the uncorrelated buildSelect
+      // path rather than be misread as an outer reference
+      val subAliases = Set(innerAlias) ++
+        sub.joins.map(j => j.alias.getOrElse(j.typeName).toLowerCase) ++
+        sub.ansiJoins.map(a => a.alias.getOrElse(a.table).toLowerCase)
+      val hasSubJoins = sub.joins.nonEmpty || sub.ansiJoins.nonEmpty
       val innerCols =
         try tableDf(sub.from.get).columns.map(_.toLowerCase).toSet
         catch { case _: IllegalArgumentException => Set.empty[String] }
-      val outers = outerQualifiers(outerSel) - innerAlias
+      val outers = outerQualifiers(outerSel) -- subAliases
       fieldsOf(sub.where.get).exists(f => f.qualifier match {
         case Some(q) =>
-          val ql = q.toLowerCase; ql != innerAlias && outers(ql)
-        case None => !innerCols(f.name.toLowerCase)
+          val ql = q.toLowerCase; !subAliases(ql) && outers(ql)
+        case None => !hasSubJoins && !innerCols(f.name.toLowerCase)
       })
     }
 
@@ -1487,6 +1509,24 @@ class Engine(val spark: SparkSession, root: String,
     }
     if (sel.from.isEmpty) (sel, binds)
     else {
+      // HAVING is evaluated inside the aggregation, where the joined
+      // scalar column cannot be threaded — reject with a precise
+      // message instead of the generic position error
+      def hasCorr(e: Expr): Boolean = e match {
+        case ScalarSelect(sub) => isCorrelatedSub(sub, sel)
+        case BinOp(_, l, r) => hasCorr(l) || hasCorr(r)
+        case UnOp(_, x) => hasCorr(x)
+        case InList(x, vs, _) => hasCorr(x) || vs.exists(hasCorr)
+        case IsNull(x, _) => hasCorr(x)
+        case CaseExpr(bs, o2) =>
+          bs.exists(b => hasCorr(b._1) || hasCorr(b._2)) ||
+            o2.exists(hasCorr)
+        case FnCall(_, args) => args.exists(hasCorr)
+        case _ => false
+      }
+      sel.having.foreach(h => if (hasCorr(h))
+        throw new IllegalArgumentException(
+          "correlated scalar subqueries are not supported in HAVING"))
       val items2 = sel.items.map(it => it.copy(expr = rw(it.expr)))
       val where2 = sel.where.map(rw)
       (sel.copy(items = items2, where = where2,
@@ -1646,8 +1686,13 @@ class Engine(val spark: SparkSession, root: String,
         val vAlias = j.alias.getOrElse(j.typeName)
         scope.types(j.typeName).props.map(p => col(s"$vAlias.${p.name}"))
       } ++ sel.ansiJoins.flatMap { aj =>
-        val aAlias = aj.alias.getOrElse(aj.table)
-        tableDf(aj.table).columns.toSeq.map(c => col(s"$aAlias.$c"))
+        // the hidden joins desugarScalarJoins appends carry internal
+        // __graft_k*/__graft_v columns — SELECT * must not leak them
+        if (aj.table.startsWith("__graft_sc")) Seq.empty
+        else {
+          val aAlias = aj.alias.getOrElse(aj.table)
+          tableDf(aj.table).columns.toSeq.map(c => col(s"$aAlias.$c"))
+        }
       }
     }
 

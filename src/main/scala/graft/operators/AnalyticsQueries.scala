@@ -606,7 +606,14 @@ object AnalyticsQueries extends QueryPack {
           .select(col("r.item").as("item"), col("r.n").as("n"),
             col("r.residue").as("residue"))
       }
-      val (nw, nc, stp, punct, _) = CurationQueries.gateFeats
+      // size()-based features must be null-guarded before hashing:
+      // Spark's legacy size(NULL) = -1 (a non-NULL string "-1" that
+      // dodges the coalesce) while DuckDB's len(NULL) is NULL → '∅' —
+      // an unguarded NULL text would permanently redden exactly the
+      // probe built to isolate divergences (q367's nn() rule)
+      val (nw0, nc, stp0, punct, _) = CurationQueries.gateFeats
+      val nw = when(col("text").isNotNull, nw0)
+      val stp = when(col("text").isNotNull, stp0)
       probe(Tables.lineitem(s, d), "lineitem",
           Seq("l_orderkey" -> col("l_orderkey"),
             "l_linenumber" -> col("l_linenumber"),

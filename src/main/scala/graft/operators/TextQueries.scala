@@ -76,18 +76,25 @@ object TextQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge induction — the tokenizer-vocabulary training step
-    // (Sennrich et al. 2016): 5 merge rounds over the corpus word-
-    // frequency table. The 100 TB shape is exactly production BPE:
-    // ONE corpus token-count shuffle reduces everything to a vocab-
-    // bounded (word, count) table; every merge round is then a
-    // pair-count aggregate + a top-1 TakeOrdered over vocab rows —
-    // corpus size never re-enters. Merge application is a
-    // boundary-safe literal replace (' a b ' → ' ab '), scanning
-    // left-to-right non-overlapping — identical semantics in Spark's
-    // replace() and DuckDB's replace(), and ties break (count desc,
-    // pair lexicographic) so the learned table is deterministic.
-    // The 5 top-1 collects are 1-row driver reads (config-sized,
-    // like the IVF centroid replay).
+    // (Sennrich et al. 2016) as a deterministic cross-engine variant:
+    // 5 merge rounds over the corpus word-frequency table. The 100 TB
+    // shape matches production BPE trainers: ONE corpus token-count
+    // shuffle reduces everything to a vocab-bounded (word, count)
+    // table; every merge round is then a pair-count aggregate + a
+    // top-1 TakeOrdered over vocab rows — corpus size never
+    // re-enters. Merge application is a literal replace of
+    // ' a b ' → ' ab ' with both space boundaries: left-to-right
+    // non-overlapping, so CONSECUTIVE occurrences share a boundary
+    // space and merge on alternating rounds rather than in one pass
+    // (e.g. "abab" → " ab a b " in round 1), and the pair counter
+    // counts adjacent pairs including overlaps ("aaa" reports (a,a)
+    // twice) — a documented deviation from reference BPE's one-pass
+    // greedy. What matters for the gate: the semantics are IDENTICAL
+    // in Spark's replace(), DuckDB's replace(), and Java
+    // String.replace (the spec's reference), and ties break (count
+    // desc, pair lexicographic), so the learned table is
+    // deterministic. The 5 top-1 collects are 1-row driver reads
+    // (config-sized, like the IVF centroid replay).
     "q371_bpe_merges" -> ((s, d) => {
       import s.implicits._
       val wf = Tables.documents(s, d)

@@ -959,6 +959,38 @@ class EngineSpec extends AnyFunSuite {
       case Status(false, m) => assert(m.contains("aggregate"), m)
       case other => fail(s"non-agg correlated scalar accepted: $other")
     }
+    // SELECT * must NOT leak the hidden __graft_k*/__graft_v columns
+    // of the desugared scalar join (review finding)
+    rows(eng.sql("select * from sg where " +
+      "(select count(*) from sh where sh.g = sg.g) > 0")) match {
+      case rs =>
+        assert(rs.nonEmpty)
+        assert(rs.head.schema.fieldNames.toSeq == Seq("id", "g", "v"),
+          rs.head.schema.fieldNames.mkString(","))
+    }
+    // an UNcorrelated IN subquery with its OWN ANSI join and an
+    // unqualified reference to a joined-table column must keep riding
+    // the uncorrelated path, not be misread as correlated (review
+    // finding): w is sh's column, v comes from the joined sg2
+    assert(rows(eng.sql("select id from sg where v in " +
+      "(select s2.v from sh h join sg s2 on h.g = s2.g + 1 " +
+      "where w > 4)")).map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 2L, 3L, 4L))
+    // correlated scalar in HAVING: precise rejection message
+    eng.sql("select g, sum(v) as sv from sg group by g having " +
+      "sum(v) > (select avg(w) from sh where sh.g = sg.g)") match {
+      case Status(false, m) => assert(m.contains("HAVING"), m)
+      case other => fail(s"correlated scalar in HAVING: $other")
+    }
+    // a scalar correlated to an ENCLOSING subquery (not the top) is
+    // rejected with the named limitation, not raw resolver text
+    eng.sql("select id from sg where exists (select 1 from sh " +
+      "where sh.w > (select max(w) from sh h2 where h2.g = sh.g))")
+      match {
+      case Status(false, m) =>
+        assert(m.contains("standalone") || m.contains("top-level"), m)
+      case other => fail(s"mid-scope scalar: $other")
+    }
     ok(eng.sql("drop type sg"))
     ok(eng.sql("drop type sh"))
   }
