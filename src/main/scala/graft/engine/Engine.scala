@@ -1183,16 +1183,34 @@ class Engine(val spark: SparkSession, root: String,
     val df =
       try buildSelect(sub)
       catch {
-        // a scalar correlated to an ENCLOSING subquery (not the
-        // top-level statement) is classified uncorrelated against the
-        // top scope and reaches this standalone build, where its outer
-        // refs cannot resolve — name the actual limitation instead of
-        // surfacing Spark's raw cannot-resolve text
+        // a scalar correlated to a scope this engine cannot thread
+        // (qualified with a name outside the subquery's own aliases)
+        // reaches this standalone build, where its outer refs cannot
+        // resolve — name the actual limitation. An ordinary resolver
+        // failure (a typo'd column, no outside qualifiers anywhere)
+        // must NOT get the correlation diagnosis (review finding):
+        // rethrow it as a plain scalar-subquery failure instead.
         case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            "scalar subquery could not be evaluated standalone " +
-              "(correlated scalar subqueries are only supported " +
-              s"against the top-level query): ${e.getMessage}")
+          val ownAliases =
+            sub.from.map(f => sub.fromAlias.getOrElse(f).toLowerCase)
+              .toSet ++
+              sub.joins.map(j =>
+                j.alias.getOrElse(j.typeName).toLowerCase) ++
+              sub.ansiJoins.map(a =>
+                a.alias.getOrElse(a.table).toLowerCase)
+          val refsOutside =
+            (sub.where.toSeq.flatMap(fieldsOf) ++
+              sub.items.flatMap(it => fieldsOf(it.expr)) ++
+              sub.having.toSeq.flatMap(fieldsOf))
+              .exists(_.qualifier.exists(q => !ownAliases(q.toLowerCase)))
+          if (refsOutside)
+            throw new IllegalArgumentException(
+              "scalar subquery could not be evaluated standalone " +
+                "(correlated scalar subqueries are only supported " +
+                "against the top-level query or the directly " +
+                s"enclosing subquery): ${e.getMessage}")
+          else throw new IllegalArgumentException(
+            s"scalar subquery failed: ${e.getMessage}")
       }
     if (df.columns.length != 1)
       throw new IllegalArgumentException(
@@ -1215,27 +1233,43 @@ class Engine(val spark: SparkSession, root: String,
     }
   }
 
-  /** Inline every UNcorrelated ScalarSelect as its evaluated literal;
-    * correlated ones are left in place for desugarScalarJoins. */
-  private def substScalars(e: Expr, outer: SelectStmt): Expr = e match {
-    case ss @ ScalarSelect(sub) =>
-      if (isCorrelatedSub(sub, outer)) ss else evalScalar(sub)
-    case BinOp(o, l, r) =>
-      BinOp(o, substScalars(l, outer), substScalars(r, outer))
-    case UnOp(o, x) => UnOp(o, substScalars(x, outer))
-    case InList(x, vs, n) =>
-      InList(substScalars(x, outer), vs.map(substScalars(_, outer)), n)
-    case InSelect(x, sub, n) => InSelect(substScalars(x, outer),
-      sub.copy(where = sub.where.map(substScalars(_, outer))), n)
-    case ExistsSel(sub, n) =>
-      ExistsSel(sub.copy(where = sub.where.map(substScalars(_, outer))), n)
-    case IsNull(x, n) => IsNull(substScalars(x, outer), n)
-    case CaseExpr(bs, o) => CaseExpr(
-      bs.map(b => (substScalars(b._1, outer), substScalars(b._2, outer))),
-      o.map(substScalars(_, outer)))
-    case FnCall(n, args) => FnCall(n, args.map(substScalars(_, outer)))
-    case other => other
-  }
+  /** Inline every fully UNcorrelated ScalarSelect as its evaluated
+    * literal; a scalar correlated to ANY enclosing scope — the
+    * statement itself or a subquery we are currently inside (`outers`
+    * is innermost-first) — is left in place for the join desugars.
+    * Descending into an IN/EXISTS subquery pushes that subquery onto
+    * the scope stack, so a scalar inside it that references the
+    * subquery's own table is recognized as correlated there instead
+    * of being misclassified against the top scope (r11 verdict task:
+    * scalars correlated to an enclosing subquery). */
+  private def substScalars(e: Expr, outers: Seq[SelectStmt]): Expr =
+    e match {
+      case ss @ ScalarSelect(sub) =>
+        // a scope that can PROVE the name resolves nowhere throws
+        // UnknownColumn — but an outer scope further up may still
+        // resolve it, so the classification only fails this scope;
+        // if no scope correlates, evalScalar surfaces the resolver's
+        // own clean failure
+        if (outers.exists(o =>
+            try isCorrelatedSub(sub, o)
+            catch { case _: Engine.UnknownColumn => false })) ss
+        else evalScalar(sub)
+      case BinOp(o, l, r) =>
+        BinOp(o, substScalars(l, outers), substScalars(r, outers))
+      case UnOp(o, x) => UnOp(o, substScalars(x, outers))
+      case InList(x, vs, n) =>
+        InList(substScalars(x, outers), vs.map(substScalars(_, outers)), n)
+      case InSelect(x, sub, n) => InSelect(substScalars(x, outers),
+        sub.copy(where = sub.where.map(substScalars(_, sub +: outers))), n)
+      case ExistsSel(sub, n) => ExistsSel(
+        sub.copy(where = sub.where.map(substScalars(_, sub +: outers))), n)
+      case IsNull(x, n) => IsNull(substScalars(x, outers), n)
+      case CaseExpr(bs, o) => CaseExpr(
+        bs.map(b => (substScalars(b._1, outers), substScalars(b._2, outers))),
+        o.map(substScalars(_, outers)))
+      case FnCall(n, args) => FnCall(n, args.map(substScalars(_, outers)))
+      case other => other
+    }
 
   private def conjuncts(e: Expr): Seq[Expr] = e match {
     case BinOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
@@ -1254,6 +1288,22 @@ class Engine(val spark: SparkSession, root: String,
       bs.exists(b => containsInSelect(b._1) || containsInSelect(b._2)) ||
         o.exists(containsInSelect)
     case FnCall(_, args) => args.exists(containsInSelect)
+    case _ => false
+  }
+
+  private def containsScalarSelect(e: Expr): Boolean = e match {
+    case _: ScalarSelect => true
+    case BinOp(_, l, r) =>
+      containsScalarSelect(l) || containsScalarSelect(r)
+    case UnOp(_, x) => containsScalarSelect(x)
+    case InList(x, vs, _) =>
+      containsScalarSelect(x) || vs.exists(containsScalarSelect)
+    case IsNull(x, _) => containsScalarSelect(x)
+    case CaseExpr(bs, o) =>
+      bs.exists(b =>
+        containsScalarSelect(b._1) || containsScalarSelect(b._2)) ||
+        o.exists(containsScalarSelect)
+    case FnCall(_, args) => args.exists(containsScalarSelect)
     case _ => false
   }
 
@@ -1295,14 +1345,42 @@ class Engine(val spark: SparkSession, root: String,
         sub.joins.map(j => j.alias.getOrElse(j.typeName).toLowerCase) ++
         sub.ansiJoins.map(a => a.alias.getOrElse(a.table).toLowerCase)
       val hasSubJoins = sub.joins.nonEmpty || sub.ansiJoins.nonEmpty
+      var innerKnown = true
       val innerCols =
         try tableDf(sub.from.get).columns.map(_.toLowerCase).toSet
-        catch { case _: IllegalArgumentException => Set.empty[String] }
+        catch { case _: IllegalArgumentException =>
+          innerKnown = false; Set.empty[String] }
       val outers = outerQualifiers(outerSel) -- subAliases
+      // outer-scope column names, resolved lazily (only consulted for
+      // unqualified names the inner table lacks); (cols, allResolved)
+      lazy val outerColInfo: (Set[String], Boolean) = {
+        val tables = outerSel.from.toSeq ++
+          outerSel.joins.map(_.typeName) ++
+          outerSel.ansiJoins.map(_.table)
+        var all = true
+        val cols = tables.flatMap { t =>
+          try tableDf(t).columns.map(_.toLowerCase)
+          catch { case _: Throwable => all = false; Nil }
+        }.toSet
+        (cols, all)
+      }
       fieldsOf(sub.where.get).exists(f => f.qualifier match {
         case Some(q) =>
           val ql = q.toLowerCase; !subAliases(ql) && outers(ql)
-        case None => !hasSubJoins && !innerCols(f.name.toLowerCase)
+        case None =>
+          !hasSubJoins && !innerCols(f.name.toLowerCase) && {
+            // a name resolving in NEITHER scope is a typo'd column,
+            // not a correlation — routing it down the correlated
+            // desugar would fail with a confusing scoping error
+            // (review finding). Only provable when both scopes'
+            // schemas resolved.
+            val (oCols, oKnown) = outerColInfo
+            if (innerKnown && oKnown && !oCols(f.name.toLowerCase))
+              throw new Engine.UnknownColumn(
+                s"unknown column ${f.name} (resolves in neither the " +
+                  "subquery's scope nor the enclosing scope)")
+            true
+          }
       })
     }
 
@@ -1352,17 +1430,31 @@ class Engine(val spark: SparkSession, root: String,
       case other => other
     }
     /** Split the subquery WHERE into (correlated, local) conjuncts;
-      * rejects nested subqueries inside. */
+      * rejects nested subqueries inside. Scalar subqueries correlated
+      * to THIS subquery's scope are desugared away before this runs
+      * (correlatedSemiAnti); one left in place is therefore correlated
+      * to a scope we cannot thread — a distinct precise error from
+      * the IN/EXISTS nesting one (review finding: the ScalarSelect
+      * case used to fall through to a generic position error). */
     def splitWhere(): (Seq[Expr], Seq[Expr]) = {
       val subConj = sub.where.map(conjuncts).getOrElse(Seq.empty)
       if (subConj.exists(containsInSelect))
         throw new IllegalArgumentException(
           "nested subqueries inside a correlated subquery are not supported")
+      if (subConj.exists(containsScalarSelect))
+        throw new IllegalArgumentException(
+          "a scalar subquery inside a correlated subquery may only " +
+            "correlate to that subquery's own scope (or be fully " +
+            "uncorrelated); correlating it to an outermore scope is " +
+            "not supported")
       subConj.partition(c => fieldsOf(c).exists(isOuter))
     }
-    /** The inner scan, aliased, pre-filtered by the local conjuncts. */
-    def innerFrame(local: Seq[Expr]): DataFrame = {
-      val base = tableDf(innerName).as(innerAliasRaw)
+    /** The inner scan, aliased, pre-filtered by the local conjuncts.
+      * `base` overrides the scan when the caller pre-joined desugared
+      * scalar-aggregate frames onto it. */
+    def innerFrame(local: Seq[Expr],
+                   base0: Option[DataFrame] = None): DataFrame = {
+      val base = base0.getOrElse(tableDf(innerName).as(innerAliasRaw))
       local.reduceOption(BinOp("and", _, _)).fold(base)(w =>
         base.filter(ExprBuilder.build(qualify(w, preferInner = true),
           innerCtx)))
@@ -1376,33 +1468,90 @@ class Engine(val spark: SparkSession, root: String,
           s"$what must be a plain SELECT ... FROM ... WHERE")
   }
 
+  /** Replace every ScalarSelect node `shouldRw` accepts, recursing
+    * through the expression tree (shared by the top-level and the
+    * nested correlated-scalar desugars). */
+  private def rewriteScalarSubs(e: Expr, shouldRw: SelectStmt => Boolean,
+      repl: SelectStmt => Expr): Expr = {
+    def rw(x: Expr): Expr = rewriteScalarSubs(x, shouldRw, repl)
+    e match {
+      case ScalarSelect(s2) if shouldRw(s2) => repl(s2)
+      case BinOp(o, l, r) => BinOp(o, rw(l), rw(r))
+      case UnOp(o, x) => UnOp(o, rw(x))
+      case InList(x, vs, n) => InList(rw(x), vs.map(rw), n)
+      case IsNull(x, n) => IsNull(rw(x), n)
+      case CaseExpr(bs, o2) =>
+        CaseExpr(bs.map(b => (rw(b._1), rw(b._2))), o2.map(rw))
+      case FnCall(n, args) => FnCall(n, args.map(rw))
+      case other => other
+    }
+  }
+
   /** Desugar a correlated (or shape-compatible uncorrelated)
     * `[NOT] EXISTS` / `x [NOT] IN (SELECT …)` into ONE
     * left-semi/left-anti join: the subquery's outer-referencing WHERE
-    * conjuncts become the join condition (plus the probe equality for
+    * conjuncts become the join condition (plus the probe predicate for
     * IN), its purely-local conjuncts filter the inner scan before the
     * join. This is the scale shape — Catalyst extracts the equi-keys
     * and both sides shuffle (or the inner broadcasts); nothing
-    * re-executes per outer row. NOT IN keeps the dialect's documented
-    * anti-join semantics (no ANSI three-valued NULL blanking). */
+    * re-executes per outer row.
+    *
+    * NOT IN carries ANSI three-valued NULL semantics (r11 verdict
+    * task 4): the anti-join condition is
+    * `probe = item OR probe IS NULL OR item IS NULL`, so an outer row
+    * is eliminated exactly when its correlated set is non-empty and
+    * either contains the probe, contains a NULL item, or the probe is
+    * NULL — the ANSI truth table. The correlation equalities still
+    * provide the join's equi-keys; the OR is a residual predicate on
+    * the same shuffled join, so the plan stays a keyed anti join.
+    *
+    * A scalar-aggregate subquery inside the correlated WHERE that
+    * correlates to THIS subquery's own scope desugars first (one more
+    * CorrScope level): its aggregated frame left-joins onto the inner
+    * scan, and the scalar node becomes a plain column reference —
+    * never a per-row re-execution. */
   private def correlatedSemiAnti(df: DataFrame, probe: Option[Expr],
-      sub: SelectStmt, neg: Boolean, outerSel: SelectStmt,
+      sub0: SelectStmt, neg: Boolean, outerSel: SelectStmt,
       outerCtx: ExprBuilder.Ctx): DataFrame = {
+    // one more nesting level: scalars correlated to sub0's own scope
+    var nestedJoins = Vector.empty[(String, DataFrame, Expr)]
+    def corrToSub(s2: SelectStmt): Boolean =
+      try isCorrelatedSub(s2, sub0)
+      catch { case _: Engine.UnknownColumn => false }
+    val sub = sub0.copy(where = sub0.where.map(w =>
+      rewriteScalarSubs(w, corrToSub, { s2 =>
+        val (tn, aggDf, join, repl) =
+          scalarJoin(s2, sub0, nestedJoins.size)
+        nestedJoins :+= ((tn, aggDf, join.on))
+        repl
+      })))
     val sc = new CorrScope(sub, outerSel)
     sc.requirePlainShape("correlated subquery")
     val (corr, local) = sc.splitWhere()
     val mergedCtx: ExprBuilder.Ctx = outerCtx ++
       typeCtx(sc.innerName).map { case (k, v) =>
         s"${sc.innerAlias}.$k" -> v }
-    val inner = sc.innerFrame(local)
+    val innerBase =
+      if (nestedJoins.isEmpty) None
+      else Some(nestedJoins.foldLeft(
+          tableDf(sc.innerName).as(sc.innerAliasRaw)) {
+        case (f, (tn, aggDf, on)) =>
+          f.join(aggDf.as(tn), ExprBuilder.build(on, sc.innerCtx), "left")
+      })
+    val inner = sc.innerFrame(local, innerBase)
     val probeCond = probe.map { x =>
       val item = sub.items match {
         case Seq(it) if !it.expr.isInstanceOf[Star] => it.expr
         case _ => throw new IllegalArgumentException(
           "IN subquery must return exactly one column")
       }
-      BinOp("=", sc.qualify(x, preferInner = false),
-        sc.qualify(item, preferInner = true))
+      val p = sc.qualify(x, preferInner = false)
+      val it = sc.qualify(item, preferInner = true)
+      val eq: Expr = BinOp("=", p, it)
+      if (neg) // ANSI 3VL blanking (see Scaladoc)
+        BinOp("or", BinOp("or", eq, IsNull(p, negated = false)),
+          IsNull(it, negated = false))
+      else eq
     }
     val cond = (probeCond.toSeq ++
         corr.map(sc.qualify(_, preferInner = true)))
@@ -1424,7 +1573,8 @@ class Engine(val spark: SparkSession, root: String,
     * operand per scope. Returns (bindName, aggregated frame, LEFT
     * AnsiJoin, replacement expr). */
   private def scalarJoin(sub: SelectStmt, outerSel: SelectStmt,
-      idx: Int): (String, DataFrame, AnsiJoin, Expr) = {
+      idx: Int, inHaving: Boolean = false)
+      : (String, DataFrame, AnsiJoin, Expr) = {
     val sc = new CorrScope(sub, outerSel)
     sc.requirePlainShape("correlated scalar subquery")
     val aggFns = Set("count", "sum", "min", "max", "avg", "average")
@@ -1458,21 +1608,39 @@ class Engine(val spark: SparkSession, root: String,
       case _ => throw new IllegalArgumentException(
         "scalar-subquery correlation conjuncts must be equalities")
     }
+    // inside HAVING the joined scalar column is referenced from
+    // within the aggregation, where only grouping columns are legal
+    // correlation anchors (ANSI; DuckDB enforces the same) — validate
+    // so the failure names the rule instead of a resolver error
+    if (inHaving) {
+      val groupNames = outerSel.groupBy.map(_.name.toLowerCase).toSet
+      keys.foreach { case (_, out) =>
+        val bad = fieldsOf(out).filterNot(f =>
+          groupNames(f.name.toLowerCase))
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            "a scalar subquery in HAVING must correlate on GROUP BY " +
+              s"columns (not ${bad.map(_.name).mkString(", ")})")
+      }
+    }
     val tn = s"__graft_sc$idx"
     def innerCol(e: Expr): Column =
       ExprBuilder.build(sc.qualify(e, preferInner = true), sc.innerCtx)
-    val keyCols = keys.zipWithIndex.map { case ((inn, _), i) =>
-      innerCol(inn).as(s"__graft_k$i") }
+    def arg0: Expr = aggArgs.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"aggregate $aggName requires one argument"))
     val aggCol = aggName match {
       case "count" => aggArgs.headOption match {
         case None | Some(Star()) => count(lit(1))
         case Some(a) => count(innerCol(a))
       }
-      case "sum" => sum(innerCol(aggArgs.head))
-      case "min" => min(innerCol(aggArgs.head))
-      case "max" => max(innerCol(aggArgs.head))
-      case _ => avg(innerCol(aggArgs.head))
+      case "sum" => sum(innerCol(arg0))
+      case "min" => min(innerCol(arg0))
+      case "max" => max(innerCol(arg0))
+      case _ => avg(innerCol(arg0))
     }
+    val keyCols = keys.zipWithIndex.map { case ((inn, _), i) =>
+      innerCol(inn).as(s"__graft_k$i") }
     val aggDf = sc.innerFrame(local)
       .groupBy(keyCols: _*).agg(aggCol.as("__graft_v"))
     val onExpr = keys.zipWithIndex.map { case ((_, out), i) =>
@@ -1480,10 +1648,19 @@ class Engine(val spark: SparkSession, root: String,
         Field(s"__graft_k$i", Some(tn))): Expr }
       .reduce(BinOp("and", _, _))
     val ref: Expr = Field("__graft_v", Some(tn))
+    // In HAVING the reference must itself be an aggregate: the joined
+    // value is constant per group (correlation on group keys, checked
+    // above), so min() IS the value — and min(coalesce(v, 0)) equals
+    // ANSI's COALESCE(count, 0) on empty groups.
     val repl =
-      if (aggName == "count") FnCall("coalesce", Seq(ref, Lit(0L, "uint")))
+      if (inHaving && aggName == "count")
+        FnCall("min", Seq(FnCall("coalesce", Seq(ref, Lit(0L, "uint")))))
+      else if (inHaving) FnCall("min", Seq(ref))
+      else if (aggName == "count")
+        FnCall("coalesce", Seq(ref, Lit(0L, "uint")))
       else ref
-    (tn, aggDf, AnsiJoin(tn, None, "left", onExpr), repl)
+    (tn, aggDf, AnsiJoin(tn, None, "left", onExpr, generated = true),
+      repl)
   }
 
   /** Rewrite every correlated scalar subquery in the select items and
@@ -1494,42 +1671,25 @@ class Engine(val spark: SparkSession, root: String,
       : (SelectStmt, Map[String, DataFrame]) = {
     var binds = Map.empty[String, DataFrame]
     var joins = Vector.empty[AnsiJoin]
-    def rw(e: Expr): Expr = e match {
-      case ScalarSelect(sub) if isCorrelatedSub(sub, sel) =>
-        val (tn, df, join, repl) = scalarJoin(sub, sel, binds.size)
+    // UnknownColumn from the classification propagates — the precise
+    // typo'd-column error beats any downstream resolver failure
+    def rw(e: Expr, inHaving: Boolean): Expr =
+      rewriteScalarSubs(e, s2 => isCorrelatedSub(s2, sel), { s2 =>
+        val (tn, df, join, repl) =
+          scalarJoin(s2, sel, binds.size, inHaving)
         binds += tn -> df; joins :+= join; repl
-      case BinOp(o, l, r) => BinOp(o, rw(l), rw(r))
-      case UnOp(o, x) => UnOp(o, rw(x))
-      case InList(x, vs, n) => InList(rw(x), vs.map(rw), n)
-      case IsNull(x, n) => IsNull(rw(x), n)
-      case CaseExpr(bs, o2) =>
-        CaseExpr(bs.map(b => (rw(b._1), rw(b._2))), o2.map(rw))
-      case FnCall(n, args) => FnCall(n, args.map(rw))
-      case other => other
-    }
+      })
     if (sel.from.isEmpty) (sel, binds)
     else {
-      // HAVING is evaluated inside the aggregation, where the joined
-      // scalar column cannot be threaded — reject with a precise
-      // message instead of the generic position error
-      def hasCorr(e: Expr): Boolean = e match {
-        case ScalarSelect(sub) => isCorrelatedSub(sub, sel)
-        case BinOp(_, l, r) => hasCorr(l) || hasCorr(r)
-        case UnOp(_, x) => hasCorr(x)
-        case InList(x, vs, _) => hasCorr(x) || vs.exists(hasCorr)
-        case IsNull(x, _) => hasCorr(x)
-        case CaseExpr(bs, o2) =>
-          bs.exists(b => hasCorr(b._1) || hasCorr(b._2)) ||
-            o2.exists(hasCorr)
-        case FnCall(_, args) => args.exists(hasCorr)
-        case _ => false
-      }
-      sel.having.foreach(h => if (hasCorr(h))
-        throw new IllegalArgumentException(
-          "correlated scalar subqueries are not supported in HAVING"))
-      val items2 = sel.items.map(it => it.copy(expr = rw(it.expr)))
-      val where2 = sel.where.map(rw)
-      (sel.copy(items = items2, where = where2,
+      val items2 = sel.items.map(it =>
+        it.copy(expr = rw(it.expr, inHaving = false)))
+      val where2 = sel.where.map(rw(_, inHaving = false))
+      // HAVING evaluates inside the aggregation, so the joined scalar
+      // column is re-referenced through an aggregate there (min of a
+      // per-group constant — scalarJoin validates the correlation
+      // anchors are GROUP BY columns and wraps the replacement)
+      val having2 = sel.having.map(rw(_, inHaving = true))
+      (sel.copy(items = items2, where = where2, having = having2,
         ansiJoins = sel.ansiJoins ++ joins), binds)
     }
   }
@@ -1542,9 +1702,9 @@ class Engine(val spark: SparkSession, root: String,
     // tree over ordinary joined columns.
     val sel0 = sel00.copy(
       items = sel00.items.map(it =>
-        it.copy(expr = substScalars(it.expr, sel00))),
-      where = sel00.where.map(substScalars(_, sel00)),
-      having = sel00.having.map(substScalars(_, sel00)))
+        it.copy(expr = substScalars(it.expr, Seq(sel00)))),
+      where = sel00.where.map(substScalars(_, Seq(sel00))),
+      having = sel00.having.map(substScalars(_, Seq(sel00))))
     val (sel1, binds) = desugarScalarJoins(sel0)
     if (binds.isEmpty) buildSelectCore(sel1)
     else {
@@ -1643,9 +1803,27 @@ class Engine(val spark: SparkSession, root: String,
           throw new IllegalArgumentException(
             s"IN subquery must return one column, got ${subDf.columns.length}")
         val probe = subDf.toDF("__graft_in").distinct()
-        df = df.join(probe,
-          ExprBuilder.build(x, ctx) === col("__graft_in"),
-          if (neg) "left_anti" else "left_semi")
+        val probeCol = ExprBuilder.build(x, ctx)
+        if (!neg)
+          // positive IN: a keyed semi join IS ANSI-exact (NULL probes
+          // never equi-match; a NULL in the list can only flip
+          // non-matches to NULL, which the filter drops either way)
+          df = df.join(probe, probeCol === col("__graft_in"), "left_semi")
+        else {
+          // NOT IN under ANSI 3VL: x NOT IN S is TRUE only when S is
+          // empty, or x is non-NULL, S holds no NULL and no match.
+          // One bounded aggregate job (1 row: n, n non-null) picks the
+          // shape, keeping the fast equi anti join for the dominant
+          // NULL-free case instead of an OR-blanked non-equi join.
+          val st = subDf.select(col(subDf.columns.head).as("__graft_v"))
+            .agg(count(lit(1)), count(col("__graft_v"))).collect()(0)
+          val (n, nonNull) = (st.getLong(0), st.getLong(1))
+          df =
+            if (n == 0L) df // NOT IN (empty) is TRUE for every row
+            else if (n > nonNull) df.filter(lit(false)) // NULL ∈ S
+            else df.filter(probeCol.isNotNull)
+              .join(probe, probeCol === col("__graft_in"), "left_anti")
+        }
       case InSelect(x, sub, neg) =>
         df = correlatedSemiAnti(df, Some(x), sub, neg, sel, ctx)
       case ExistsSel(sub, neg) =>
@@ -1687,8 +1865,11 @@ class Engine(val spark: SparkSession, root: String,
         scope.types(j.typeName).props.map(p => col(s"$vAlias.${p.name}"))
       } ++ sel.ansiJoins.flatMap { aj =>
         // the hidden joins desugarScalarJoins appends carry internal
-        // __graft_k*/__graft_v columns — SELECT * must not leak them
-        if (aj.table.startsWith("__graft_sc")) Seq.empty
+        // __graft_k*/__graft_v columns — SELECT * must not leak them.
+        // Keyed off the explicit `generated` flag, not the table-name
+        // prefix: a user table that happened to be named __graft_sc*
+        // must keep its columns (review finding).
+        if (aj.generated) Seq.empty
         else {
           val aAlias = aj.alias.getOrElse(aj.table)
           tableDf(aj.table).columns.toSeq.map(c => col(s"$aAlias.$c"))
@@ -1704,6 +1885,11 @@ class Engine(val spark: SparkSession, root: String,
         val nm = it.alias.getOrElse(defaultName(it.expr, i))
         it.expr match {
           case f: Field if keyNames(f.name.toLowerCase) => None // key
+          // a bare literal is constant — project it AFTER the
+          // aggregation (any_value over an EMPTY ungrouped input
+          // would turn `select 'tag', count(*)` into (NULL, 0); ANSI
+          // and DuckDB keep the constant)
+          case _: Lit => None
           case e if containsAgg(e) => Some(buildWithAggs(e, ctx).as(nm))
           case e => // non-agg non-key: "any row's value" (sql.tex:2690)
             Some(any_value(ExprBuilder.build(e, ctx)).as(nm))
@@ -1763,6 +1949,9 @@ class Engine(val spark: SparkSession, root: String,
         it.expr match {
           case f: Field if keyNames(f.name.toLowerCase) =>
             col(f.name).as(it.alias.getOrElse(f.name))
+          case l: Lit => // constant, projected post-aggregation
+            ExprBuilder.build(l, ctx)
+              .as(it.alias.getOrElse(defaultName(l, i)))
           case e => col(it.alias.getOrElse(defaultName(e, i)))
         }
       }
@@ -1808,6 +1997,12 @@ class Engine(val spark: SparkSession, root: String,
 }
 
 object Engine {
+  /** A name provably resolving in neither the subquery's nor the
+    * enclosing scope (a typo'd column). Distinct type so multi-scope
+    * classification can fail one scope without masking another. */
+  private[engine] final class UnknownColumn(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Non-reentrant session-scoped RW lock: the reference's locks
     * belong to sessions (scope/ipc.c), not threads, so a second
     * Engine on the same thread must still block — Java's reentrant

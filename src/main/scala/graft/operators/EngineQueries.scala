@@ -638,6 +638,96 @@ object EngineQueries extends QueryPack {
         case other => sys.error(s"q370 select failed: $other")
       }
     }),
+    // Correlated scalar aggregate in HAVING (r12, closing the r11
+    // limitation): the scalar desugars to the same aggregated LEFT
+    // join as the select-item form, anchored on the GROUP BY column,
+    // and re-enters the aggregation as min() of a per-group constant.
+    // Nations with more customers than suppliers; the empty-supplier
+    // case exercises the NULL comparison (ANSI: filtered). DuckDB
+    // runs the same ANSI text natively.
+    "q372_having_scalar" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope hsscope; use hsscope")
+        .foreach(require(_, "q372 ddl"))
+      eng.attachTable("cust", Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey")))
+      eng.attachTable("supp", Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey")))
+      eng.sql("select c_nationkey as nk, count(*) as n_cust " +
+        "from cust c group by c_nationkey " +
+        "having count(*) > 3 * (select count(*) from supp " +
+        "  where supp.s_nationkey = c.c_nationkey)") match {
+        case Rows(df) => df
+        case other => sys.error(s"q372 select failed: $other")
+      }
+    }),
+    // Scalar aggregate correlated to the directly ENCLOSING subquery
+    // (r12): one more CorrScope nesting level — the scalar's
+    // aggregated frame left-joins onto the EXISTS subquery's scan,
+    // which then semi-joins the outer. Orders having a line at or
+    // below (order's own min quantity + 1), restricted to big orders
+    // so the EXISTS does real filtering. min keeps every comparison
+    // exact (no avg double divergence). DuckDB runs the same text.
+    "q373_nested_scalar" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope nsscope; use nsscope")
+        .foreach(require(_, "q373 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus")))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity")))
+      eng.sql("select o_orderstatus as status, count(*) as n_orders " +
+        "from ord o " +
+        "where exists (select 1 from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity >= 45 " +
+        "  and l_quantity <= 5 + (select min(l2.l_quantity) from li l2 " +
+        "    where l2.l_orderkey = li.l_orderkey)) " +
+        "group by o_orderstatus") match {
+        case Rows(df) => df
+        case other => sys.error(s"q373 select failed: $other")
+      }
+    }),
+    // NOT IN under ANSI three-valued NULL logic (r12, closing the r11
+    // anti-join deviation): four measured legs — a NULL in the inner
+    // set blanks everything; a clean inner set anti-joins; a NULL
+    // probe is dropped against a non-empty set; and the CORRELATED
+    // form evaluates the truth table per outer row via the OR-blanked
+    // residual on a keyed anti join. DuckDB evaluates the identical
+    // text with native ANSI semantics, so the driver hash-checks the
+    // whole truth table.
+    "q374_notin_nulls" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope niscope; use niscope")
+        .foreach(require(_, "q374 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
+      eng.sql(
+        "select 'null_inner' as variant, count(*) as n from ord o " +
+        "where o_orderpriority not in (select case " +
+        "  when o2.o_orderpriority = '1-URGENT' then null " +
+        "  else o2.o_orderpriority end from ord o2) " +
+        "union all " +
+        "select 'clean_inner' as variant, count(*) as n from ord o " +
+        "where o_orderpriority not in (select o2.o_orderpriority " +
+        "  from ord o2 where o2.o_orderpriority = '1-URGENT') " +
+        "union all " +
+        "select 'null_probe' as variant, count(*) as n from ord o " +
+        "where case when o_orderpriority = '2-HIGH' then null " +
+        "  else o_orderpriority end not in " +
+        "  (select o2.o_orderpriority from ord o2 " +
+        "   where o2.o_orderpriority = '1-URGENT') " +
+        "union all " +
+        "select 'corr_null' as variant, count(*) as n from ord o " +
+        "where case when o_orderpriority = '2-HIGH' then null " +
+        "  else o_orderpriority end not in " +
+        "  (select case when o2.o_orderpriority = '5-LOW' then null " +
+        "   else o2.o_orderpriority end from ord o2 " +
+        "   where o2.o_custkey = o.o_custkey " +
+        "   and o2.o_orderkey <> o.o_orderkey)") match {
+        case Rows(df) => df
+        case other => sys.error(s"q374 select failed: $other")
+      }
+    }),
     // Window functions through the engine dialect: per-order line
     // ranking (row_number with a DESC tie-broken order) and a running
     // quantity sum — both inside ONE keyed window exchange on
@@ -928,6 +1018,47 @@ object EngineQueries extends QueryPack {
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |   WHERE c_nationkey < 13 AND c_custkey = o.o_custkey)
         | GROUP BY o_orderstatus""".stripMargin,
+    "q372_having_scalar" ->
+      """SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+        | FROM customer c GROUP BY c_nationkey
+        | HAVING count(*) > 3 * (SELECT count(*) FROM supplier
+        |   WHERE supplier.s_nationkey = c.c_nationkey)""".stripMargin,
+    "q373_nested_scalar" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 45
+        |   AND l_quantity <= 5 + (SELECT min(l2.l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_orderkey = li.l_orderkey))
+        | GROUP BY o_orderstatus""".stripMargin,
+    "q374_notin_nulls" ->
+      """SELECT 'null_inner' AS variant, CAST(count(*) AS BIGINT) AS n
+        | FROM orders o
+        | WHERE o_orderpriority NOT IN (SELECT CASE
+        |   WHEN o2.o_orderpriority = '1-URGENT' THEN NULL
+        |   ELSE o2.o_orderpriority END FROM orders o2)
+        | UNION ALL
+        | SELECT 'clean_inner' AS variant, CAST(count(*) AS BIGINT) AS n
+        | FROM orders o
+        | WHERE o_orderpriority NOT IN (SELECT o2.o_orderpriority
+        |  FROM orders o2 WHERE o2.o_orderpriority = '1-URGENT')
+        | UNION ALL
+        | SELECT 'null_probe' AS variant, CAST(count(*) AS BIGINT) AS n
+        | FROM orders o
+        | WHERE CASE WHEN o_orderpriority = '2-HIGH' THEN NULL
+        |  ELSE o_orderpriority END NOT IN
+        |  (SELECT o2.o_orderpriority FROM orders o2
+        |   WHERE o2.o_orderpriority = '1-URGENT')
+        | UNION ALL
+        | SELECT 'corr_null' AS variant, CAST(count(*) AS BIGINT) AS n
+        | FROM orders o
+        | WHERE CASE WHEN o_orderpriority = '2-HIGH' THEN NULL
+        |  ELSE o_orderpriority END NOT IN
+        |  (SELECT CASE WHEN o2.o_orderpriority = '5-LOW' THEN NULL
+        |   ELSE o2.o_orderpriority END FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey
+        |   AND o2.o_orderkey <> o.o_orderkey)""".stripMargin,
     "q345_window_rank" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  CAST(row_number() OVER (PARTITION BY l_orderkey

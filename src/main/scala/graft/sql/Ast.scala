@@ -167,8 +167,14 @@ object Ast {
     * edge-join): `[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [alias] ON
     * <expr>`. Edge joins apply first, then ANSI joins in declared
     * order. */
+  /** `generated` marks joins the engine itself appends while
+    * desugaring correlated scalar subqueries — SELECT * must skip
+    * their internal columns, and keying that off the name prefix
+    * would silently drop columns of a user table that happened to
+    * share it (review finding). */
   case class AnsiJoin(table: String, alias: Option[String],
-                      kind: String, on: Expr)
+                      kind: String, on: Expr,
+                      generated: Boolean = false)
   case class SelectStmt(items: Seq[SelectItem], from: Option[String],
                         fromAlias: Option[String],
                         joins: Seq[JoinClause], where: Option[Expr],

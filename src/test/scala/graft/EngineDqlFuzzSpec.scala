@@ -378,8 +378,9 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("subquery NULL semantics: the documented NOT IN deviation is " +
-    "pinned by measurement; EXISTS and scalar-count agree with ANSI") {
+  test("subquery NULL semantics: NOT IN follows ANSI three-valued " +
+    "logic (r12 guard — uncorrelated and correlated), measured " +
+    "against Spark SQL's native answers") {
     val fo = Seq((1L, Option(10L)), (2L, Option(20L)),
       (3L, Option.empty[Long])).toDF("id", "k")
     val fi = Seq(Option(10L), Option.empty[Long]).toDF("w")
@@ -390,19 +391,52 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     eng.attachTable("no", fo); eng.attachTable("ni", fi)
     eng.attachTable("ni2", fi2)
     fo.createOrReplaceTempView("no_v"); fi.createOrReplaceTempView("ni_v")
+    fi2.createOrReplaceTempView("ni2_v")
     def ids(r: graft.engine.Result): Seq[Long] = r match {
       case Rows(d) => d.collect().map(_.getLong(0)).toSeq.sorted
       case other => fail(s"$other")
     }
-    // NOT IN with a NULL in the subquery: the dialect KEEPS anti-join
-    // semantics (documented deviation, Ast.scala InSelect scaladoc) —
-    // null-keyed and non-matching rows survive...
+    def sparkIds(q: String): Seq[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+    // NOT IN with a NULL in the subquery blanks the whole result
+    // (every non-match compares NULL against the NULL item) — the r11
+    // anti-join deviation is CLOSED; both engines agree
     assert(ids(eng.sql("select id from no where k not in " +
-      "(select w from ni)")) == Seq(2L, 3L))
-    // ...while ANSI three-valued NOT IN blanks the result — assert the
-    // deviation is REAL by measuring Spark SQL's native answer
-    assert(spark.sql("select id from no_v where k not in " +
-      "(select w from ni_v)").count() == 0L)
+      "(select w from ni)")).isEmpty)
+    assert(sparkIds("select id from no_v where k not in " +
+      "(select w from ni_v)").isEmpty)
+    // NULL-free inner set: non-matching non-NULL probes survive, the
+    // NULL probe (id 3) is dropped — ANSI, and the plan keeps the
+    // fast equi anti join
+    assert(ids(eng.sql("select id from no where k not in " +
+      "(select w from ni where w is not null)")) == Seq(2L))
+    assert(sparkIds("select id from no_v where k not in " +
+      "(select w from ni_v where w is not null)") == Seq(2L))
+    // EMPTY inner set: NOT IN () is TRUE for every row, NULL probes
+    // included
+    assert(ids(eng.sql("select id from no where k not in " +
+      "(select w from ni where w > 1000)")) == Seq(1L, 2L, 3L))
+    assert(sparkIds("select id from no_v where k not in " +
+      "(select w from ni_v where w > 1000)") == Seq(1L, 2L, 3L))
+    // CORRELATED NOT IN with NULLs on both sides: per-row set
+    // semantics — id 1's set {10} contains its probe (eliminated),
+    // id 2's set {10} has no match and no NULL (kept), and id 3's
+    // correlation predicate is NULL so its set is EMPTY — a NULL
+    // probe against an empty set is still TRUE (kept)
+    assert(ids(eng.sql("select id from no where k not in " +
+      "(select w from ni where w is not null and no.k >= 10)"))
+      == Seq(2L, 3L))
+    assert(sparkIds("select id from no_v where k not in " +
+      "(select w from ni_v where w is not null and no_v.k >= 10)")
+      == Seq(2L, 3L))
+    // correlated NOT IN where the correlated set CONTAINS a NULL item
+    // (the nullable k column is the item, x the equi key): id 1's set
+    // {10} matches its probe (out), id 2's set {NULL} blanks it (out),
+    // id 3's set is empty so even its NULL probe survives
+    assert(ids(eng.sql("select id from no where k not in " +
+      "(select k from ni2 where ni2.x = no.id)")) == Seq(3L))
+    assert(sparkIds("select id from no_v where k not in " +
+      "(select k from ni2_v where ni2_v.x = no_v.id)") == Seq(3L))
     // correlated EXISTS on a nullable key: NULL = NULL never matches —
     // identical to ANSI
     assert(ids(eng.sql("select id from no where exists " +
@@ -466,9 +500,20 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"where fi.k = fo.k and fi.w > $n1) as sc from fo"
         case 5 => s"select id from fo where ${outerW}a > " +
           s"(select min(w) from fi where fi.k = fo.k)"
-        case _ => s"select id, (select count(*) from fi " +
+        case 6 => s"select id, (select count(*) from fi " +
           s"where fi.k = fo.k and w <= $n2) as c from fo " +
           s"where a > $n1"
+        // correlated scalar in HAVING, anchored on the group key (r12)
+        case 7 => s"select k, count(*) as n from fo group by k " +
+          s"having count(*) > (select count(*) from fi " +
+          s"where fi.k = fo.k and fi.w > $n1)"
+        // scalar correlated to the directly ENCLOSING subquery (r12):
+        // one more CorrScope nesting level
+        case _ =>
+          val neg = if (rnd.nextBoolean()) "" else "not "
+          s"select id, a from fo where ${outerW}${neg}exists " +
+            s"(select 1 from fi where fi.k = fo.k and fi.w + $n2 >= " +
+            s"(select max(w) from fi f2 where f2.k = fi.k))"
       }
       val got = eng.sql(body) match {
         case Rows(r) => r.collect()

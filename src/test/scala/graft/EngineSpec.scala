@@ -976,20 +976,39 @@ class EngineSpec extends AnyFunSuite {
       "(select s2.v from sh h join sg s2 on h.g = s2.g + 1 " +
       "where w > 4)")).map(_.getLong(0)).toSeq.sorted
       == Seq(1L, 2L, 3L, 4L))
-    // correlated scalar in HAVING: precise rejection message
+    // correlated scalar in HAVING (r12): desugars like the select-item
+    // form; the joined value re-enters the aggregation as min() of a
+    // per-group constant. g=0 has no sh rows → avg is NULL → the
+    // comparison is NULL → filtered (ANSI); g=1: 20 > 6 kept;
+    // g=2: 30 > 100 dropped.
+    val hv = rows(eng.sql("select g, sum(v) as sv from sg group by g " +
+      "having sum(v) > (select avg(w) from sh where sh.g = sg.g)"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hv == Seq((1L, 20L)))
+    // ...and the correlation anchor must be a GROUP BY column
     eng.sql("select g, sum(v) as sv from sg group by g having " +
-      "sum(v) > (select avg(w) from sh where sh.g = sg.g)") match {
-      case Status(false, m) => assert(m.contains("HAVING"), m)
-      case other => fail(s"correlated scalar in HAVING: $other")
+      "sum(v) > (select avg(w) from sh where sh.g = sg.id)") match {
+      case Status(false, m) => assert(m.contains("GROUP BY"), m)
+      case other => fail(s"non-key HAVING correlation: $other")
     }
-    // a scalar correlated to an ENCLOSING subquery (not the top) is
-    // rejected with the named limitation, not raw resolver text
+    // a scalar correlated to the directly ENCLOSING subquery (r12):
+    // one more CorrScope level — the scalar's aggregated frame
+    // left-joins onto the EXISTS subquery's inner scan. Per sg row:
+    // does any same-g sh row carry w*2 above that g's max(w)?
+    // g=0 empty → no; g=1 max 7, 5*2>7 → yes (id 2); g=2 max 100,
+    // 200>100 → yes (id 3).
+    assert(rows(eng.sql("select id from sg where exists " +
+      "(select 1 from sh where sh.g = sg.g and sh.w * 2 > " +
+      "(select max(w) from sh h2 where h2.g = sh.g))"))
+      .map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L))
+    // a scalar correlated past the enclosing subquery to the TOP
+    // scope still carries a precise limitation message
     eng.sql("select id from sg where exists (select 1 from sh " +
-      "where sh.w > (select max(w) from sh h2 where h2.g = sh.g))")
-      match {
+      "where sh.g = sg.g and sh.w > (select max(w) from sh h2 " +
+      "where h2.g = sg.id))") match {
       case Status(false, m) =>
-        assert(m.contains("standalone") || m.contains("top-level"), m)
-      case other => fail(s"mid-scope scalar: $other")
+        assert(m.contains("scope") || m.contains("standalone"), m)
+      case other => fail(s"top-scope scalar inside EXISTS: $other")
     }
     ok(eng.sql("drop type sg"))
     ok(eng.sql("drop type sh"))

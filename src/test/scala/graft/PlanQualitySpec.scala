@@ -323,5 +323,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pex.contains("LeftSemi") && pex.contains("LeftAnti") &&
       !pex.contains("CartesianProduct") &&
       !pex.contains("BroadcastNestedLoop"), pex)
+    // r12: correlated NOT IN under ANSI 3VL — the OR-blanked probe is
+    // a RESIDUAL predicate; the correlation equality still drives a
+    // keyed anti join, never a nested-loop or cartesian re-execution
+    val pni = plan(frame("select o_orderkey from ord2 o " +
+      "where o_orderkey not in (select l_suppkey from li " +
+      "where li.l_orderkey = o.o_orderkey)"))
+    assert(pni.contains("LeftAnti") &&
+      !pni.contains("CartesianProduct") &&
+      !pni.contains("BroadcastNestedLoop"), pni)
+    // r12: correlated scalar in HAVING — ONE aggregated left join on
+    // the group key feeding the aggregation, never per-group
+    // re-execution (no second scan family per group)
+    val phv = plan(frame("select o_orderkey, count(*) as n " +
+      "from ord2 group by o_orderkey " +
+      "having count(*) >= (select count(*) from li " +
+      "where li.l_orderkey = ord2.o_orderkey)"))
+    assert(phv.contains("LeftOuter") && phv.contains("HashAggregate") &&
+      !phv.contains("CartesianProduct"), phv)
+    // r12: scalar correlated to the ENCLOSING subquery — the nested
+    // aggregated frame joins onto the EXISTS scan (Catalyst narrows
+    // the generated LeftOuter to Inner here because the comparison
+    // implies the scalar is non-null); the whole thing is joins over
+    // ONE aggregation of the inner table, zero re-execution
+    val pns = plan(frame("select o_orderkey from ord2 o " +
+      "where exists (select 1 from li " +
+      "where li.l_orderkey = o.o_orderkey and li.l_quantity * 2 > " +
+      "(select max(l_quantity) from li l2 " +
+      "where l2.l_orderkey = li.l_orderkey))"))
+    assert(pns.contains("LeftSemi") && pns.contains("HashAggregate") &&
+      !pns.contains("CartesianProduct") &&
+      !pns.contains("BroadcastNestedLoop"), pns)
   }
 }
