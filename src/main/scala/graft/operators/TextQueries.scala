@@ -76,54 +76,80 @@ object TextQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge induction — the tokenizer-vocabulary training step
-    // (Sennrich et al. 2016) as a deterministic cross-engine variant:
-    // 5 merge rounds over the corpus word-frequency table. The 100 TB
-    // shape matches production BPE trainers: ONE corpus token-count
-    // shuffle reduces everything to a vocab-bounded (word, count)
-    // table; every merge round is then a pair-count aggregate + a
-    // top-1 TakeOrdered over vocab rows — corpus size never
-    // re-enters. Merge application is a literal replace of
-    // ' a b ' → ' ab ' with both space boundaries: left-to-right
-    // non-overlapping, so CONSECUTIVE occurrences share a boundary
-    // space and merge on alternating rounds rather than in one pass
-    // (e.g. "abab" → " ab a b " in round 1), and the pair counter
-    // counts adjacent pairs including overlaps ("aaa" reports (a,a)
-    // twice) — a documented deviation from reference BPE's one-pass
-    // greedy. What matters for the gate: the semantics are IDENTICAL
-    // in Spark's replace(), DuckDB's replace(), and Java
-    // String.replace (the spec's reference), and ties break (count
-    // desc, pair lexicographic), so the learned table is
-    // deterministic. The 5 top-1 collects are 1-row driver reads
-    // (config-sized, like the IVF centroid replay).
+    // (Sennrich et al. 2016) as textbook ONE-PASS GREEDY (r12,
+    // replacing the r11 boundary-space deviation): 5 merge rounds
+    // over the corpus word-frequency table. The 100 TB shape matches
+    // production BPE trainers: ONE corpus token-count shuffle reduces
+    // everything to a vocab-bounded (word, count) table; every merge
+    // round is then a per-word window over the symbol positions (the
+    // window partitions on the word — vocab-bounded, never
+    // corpus-bounded), a pair-count aggregate, and a top-1 collect
+    // (1 row, config-sized).
+    //
+    // Greedy semantics, identical in both engines via run-offset
+    // parity: a pair occurrence at position i is GREEDY (counted, and
+    // merged when it is the round's winner) iff its symbols differ —
+    // unequal pairs cannot self-overlap — or its offset inside the
+    // maximal equal-symbol run is even, which is exactly a
+    // left-to-right non-overlapping scan: a run of k equal symbols
+    // yields ⌊k/2⌋ pairs, "aaaa" → "aa aa" in ONE round, and the
+    // reported pair_count equals the number of merges the round
+    // actually applies. runStart is a running max over a flag column
+    // (two window layers, expressible verbatim in Spark and DuckDB);
+    // ties break (count desc, pair lexicographic) so the learned
+    // table is deterministic.
     "q371_bpe_merges" -> ((s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val wf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]{2,20}$"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("s", concat(lit(" "),
-          regexp_replace(col("w"), "(.)", "$1 ")))
-        .select(col("c"), col("s"))
+        .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+        .select(col("w"), col("c"), col("s"))
         .persist()
       wf.count()
-      var cur = wf
+      val win = Window.partitionBy(col("w")).orderBy(col("i"))
+      // positions + greedy flag for the current symbol strings
+      def positions(cur: DataFrame): DataFrame = cur
+        .select(col("w"), col("c"),
+          posexplode(split(col("s"), " ")).as(Seq("i", "x")))
+        .withColumn("prev", lag(col("x"), 1).over(win))
+        .withColumn("d", when(col("prev").isNull
+          || col("prev") =!= col("x"), col("i")))
+        .withColumn("rs", max(col("d")).over(win)) // run start
+        .withColumn("nxt", lead(col("x"), 1).over(win))
+        .withColumn("greedy", col("nxt").isNotNull &&
+          (col("x") =!= col("nxt") ||
+            (col("i") - col("rs")) % 2 === 0))
+      var cur = wf.select(col("w"), col("c"), col("s"))
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (r <- 1 to 5) {
-        val top = cur.select(col("c"),
-            split(trim(col("s")), " ").as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("c"), explode(expr(
-            "transform(sequence(0, size(sy) - 2), " +
-              "i -> struct(sy[i] as s1, sy[i + 1] as s2))")).as("p"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        val pos = positions(cur)
+        val top = pos.filter(col("greedy"))
+          .groupBy(col("x").as("s1"), col("nxt").as("s2"))
           .agg(sum(col("c")).as("n"))
           .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
           .limit(1).collect()(0)
         val (a, b) = (top.getString(0), top.getString(1))
         merges += ((r.toLong, a, b, top.getLong(2)))
-        cur = cur.withColumn("s",
-          expr(s"replace(s, ' $a $b ', ' $a$b ')"))
+        // one-pass merge: winner occurrences at greedy positions fuse;
+        // the position after a fused one is consumed (dropped)
+        cur = pos
+          .withColumn("m", col("greedy") &&
+            col("x") === lit(a) && col("nxt") === lit(b))
+          .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
+            lit(false)))
+          .filter(!col("pm"))
+          .withColumn("y", when(col("m"),
+            concat(col("x"), col("nxt"))).otherwise(col("x")))
+          .groupBy(col("w"), col("c"))
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"))
+          // cut the per-round lineage (lazy — materializes once at
+          // the next round's first consumption)
+          .localCheckpoint(false)
       }
       wf.unpersist()
       merges.toSeq.toDF("merge_round", "sym_a", "sym_b", "pair_count")
@@ -1853,23 +1879,39 @@ object TextQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "q371_bpe_merges" -> {
-      // 5 unrolled merge rounds; each round = pair counts over the
-      // vocab-bounded word-frequency table, top-1 by (count desc,
-      // pair), then a boundary-safe literal replace — the same
-      // left-to-right non-overlapping semantics as Spark's replace()
+      // 5 unrolled one-pass-greedy rounds, mirroring the Spark side
+      // verbatim: positions + run-start window (two layers: lag flag,
+      // then running max), greedy = unequal pair OR even run offset,
+      // top-1 by (count desc, pair), merge = fuse greedy winner
+      // occurrences and drop the consumed following position, then
+      // re-assemble with an ordered string_agg.
       val rounds = (0 until 5).map { i =>
-        s"""p$i AS (SELECT ls[i] AS s1, ls[i + 1] AS s2,
-           |   CAST(sum(c) AS BIGINT) AS n
-           |  FROM (SELECT string_split(trim(s), ' ') AS ls, c
+        s"""p$i AS (SELECT w, c, u.i - 1 AS i, ls[u.i] AS x,
+           |   ls[u.i + 1] AS nxt
+           |  FROM (SELECT w, c, string_split(s, ' ') AS ls
            |    FROM r$i) t,
-           |   UNNEST(generate_series(1, len(ls) - 1)) AS u(i)
-           |  GROUP BY 1, 2),
-           | m$i AS (SELECT s1, s2, n FROM p$i
+           |   UNNEST(generate_series(1, len(ls))) AS u(i)),
+           | a$i AS (SELECT *, lag(x) OVER
+           |    (PARTITION BY w ORDER BY i) AS prev FROM p$i),
+           | b$i AS (SELECT *, max(CASE WHEN prev IS NULL
+           |     OR prev <> x THEN i END) OVER
+           |    (PARTITION BY w ORDER BY i) AS rs FROM a$i),
+           | g$i AS (SELECT *, (nxt IS NOT NULL AND
+           |    (x <> nxt OR (i - rs) % 2 = 0)) AS greedy FROM b$i),
+           | cn$i AS (SELECT x AS s1, nxt AS s2,
+           |   CAST(sum(c) AS BIGINT) AS n FROM g$i
+           |  WHERE greedy GROUP BY 1, 2),
+           | m$i AS (SELECT s1, s2, n FROM cn$i
            |  ORDER BY n DESC, s1, s2 LIMIT 1),
-           | r${i + 1} AS (SELECT c,
-           |   replace(s, ' ' || s1 || ' ' || s2 || ' ',
-           |     ' ' || s1 || s2 || ' ') AS s
-           |  FROM r$i CROSS JOIN m$i)""".stripMargin
+           | f$i AS (SELECT g.*, (g.greedy AND g.x = m.s1
+           |    AND g.nxt = m.s2) AS mg
+           |  FROM g$i g CROSS JOIN m$i m),
+           | h$i AS (SELECT *, coalesce(lag(mg) OVER
+           |    (PARTITION BY w ORDER BY i), false) AS pm FROM f$i),
+           | r${i + 1} AS (SELECT w, c,
+           |   string_agg(CASE WHEN mg THEN x || nxt ELSE x END,
+           |     ' ' ORDER BY i) AS s
+           |  FROM h$i WHERE NOT pm GROUP BY w, c)""".stripMargin
       }.mkString(",\n ")
       val finals = (0 until 5).map(i =>
         s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, " +
@@ -1880,8 +1922,8 @@ object TextQueries extends QueryPack {
         |    FROM documents) t
         |  WHERE regexp_matches(w, '^[a-z]{2,20}$$')
         |  GROUP BY 1),
-        | r0 AS (SELECT c,
-        |   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM wf),
+        | r0 AS (SELECT w, c,
+        |   trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM wf),
         | $rounds
         | $finals""".stripMargin
     },

@@ -93,37 +93,74 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("q371 BPE merges match an independent in-memory greedy " +
-    "recompute over the same word-frequency table") {
+  test("q371 BPE merges match an independent in-memory TEXTBOOK " +
+    "one-pass greedy recompute over the same word-frequency table") {
     val got = SparkEntry.queries("q371_bpe_merges")(spark, sf)
       .collect().sortBy(_.getAs[Long]("merge_round"))
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
         r.getAs[Long]("pair_count")))
-    // reference: collect the (bounded) vocab and run the same
-    // boundary-safe single-pass merge in plain Scala
+    // reference: collect the (bounded) vocab and run textbook greedy
+    // BPE in plain Scala — non-overlapping pair counts (a run of k
+    // equal symbols yields ⌊k/2⌋ pairs) and a single left-to-right
+    // merge pass that fuses consecutive occurrences in ONE round
     var vocab = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]{2,20}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => (" " + r.getString(0).map(ch => s"$ch ").mkString, r.getLong(1)))
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
       .toSeq
+    def greedyPairs(sy: Array[String]): Seq[(String, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String)]
+      var runStart = 0
+      for (i <- sy.indices) {
+        if (i > 0 && sy(i) != sy(i - 1)) runStart = i
+        if (i < sy.length - 1 &&
+            (sy(i) != sy(i + 1) || (i - runStart) % 2 == 0))
+          out += ((sy(i), sy(i + 1)))
+      }
+      out.toSeq
+    }
+    def mergeOnePass(sy: Array[String], a: String,
+        b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i < sy.length - 1 && sy(i) == a && sy(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += sy(i); i += 1 }
+      }
+      out.toArray
+    }
     val want = (1 to 5).map { _ =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (s0, c) =>
-        val sy = s0.trim.split(" ")
-        (0 until sy.length - 1).foreach { i =>
-          counts((sy(i), sy(i + 1))) =
-            counts.getOrElse((sy(i), sy(i + 1)), 0L) + c
+      vocab.foreach { case (sy, c) =>
+        greedyPairs(sy).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
         }
       }
       val ((a, b), n) = counts.toSeq
         .sortBy { case ((x, y), m) => (-m, x, y) }.head
-      vocab = vocab.map { case (s0, c) =>
-        (s0.replace(s" $a $b ", s" $a$b "), c) }
+      vocab = vocab.map { case (sy, c) => (mergeOnePass(sy, a, b), c) }
       (a, b, n)
     }
     assert(got.toSeq == want)
+    // the textbook-greedy properties, pinned on synthetic shapes:
+    // a run of 4 equal symbols pairs twice and merges in one pass
+    assert(greedyPairs(Array("a", "a", "a", "a"))
+      .count(_ == ("a", "a")) == 2)
+    assert(mergeOnePass(Array("a", "a", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "aa"))
+    // alternating occurrences fuse in ONE round (the r11 deviation
+    // merged them on alternating rounds)
+    assert(mergeOnePass(Array("a", "b", "a", "b"), "a", "b").toSeq
+      == Seq("ab", "ab"))
+    // a run of 3: one pair, greedy from the left
+    assert(greedyPairs(Array("a", "a", "a"))
+      .count(_ == ("a", "a")) == 1)
+    assert(mergeOnePass(Array("a", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "a"))
   }
 
   test("q368 probe: a single-value perturbation moves exactly the " +
