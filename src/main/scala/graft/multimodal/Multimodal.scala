@@ -82,10 +82,140 @@ object Multimodal {
   private def decodePixels(content: Array[Byte]): Array[Int] =
     content.map(b => b & 0xff)
 
-  /** STUB audio decode: bytes are centered i8 PCM samples.
-    * Production: ffmpeg/soundfile decode to the same Array[Int]. */
+  /** STUB audio decode for the legacy raw-i8 queries: bytes are
+    * centered i8 PCM samples. The REAL audio path is decodeWav below
+    * (r12) — this reinterpretation stub remains only for the q61/q151/
+    * q256 contracts whose payloads are raw text bytes, not WAV. */
   private def decodeSamples(content: Array[Byte]): Array[Int] =
     content.map(b => (b & 0xff) - 128)
+  // ───────────────────────────────────────────────────────────────────
+
+  // ─────────────────────── REAL AUDIO CODEC (r12) ───────────────────
+  case class WavClip(sample_rate: Int, channels: Int,
+                     bits_per_sample: Int, samples: Array[Int])
+
+  /** Real RIFF/WAVE parser (public container spec: `RIFF <size> WAVE`
+    * then even-aligned `<id> <size> <body>` chunks): walks every
+    * chunk honoring the RIFF odd-size pad byte, reads integer-PCM
+    * `fmt ` (format tag 1) and `data`, and decodes 8-bit unsigned or
+    * 16-bit signed little-endian samples (interleaved when
+    * multi-channel). Unknown chunks (JUNK/LIST/fact/…) are skipped.
+    * This replaces the audio decode stub: the bytes in, samples out
+    * contract is the real one; only the compressed codecs (mp3 etc.)
+    * would still need an external library. */
+  def decodeWav(content: Array[Byte]): WavClip = {
+    def u8(i: Int): Int = content(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int): Int = le16(i).toShort.toInt
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(content, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(content.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
+    var data = Option.empty[(Int, Int)]     // (body offset, size)
+    while (off + 8 <= content.length) {
+      val id = tag(off)
+      val sz = le32(off + 4).toInt
+      val body = off + 8
+      id match {
+        case "fmt " =>
+          require(sz >= 16, "fmt chunk too short")
+          val formatTag = le16(body)
+          require(formatTag == 1,
+            s"unsupported WAV format tag $formatTag (integer PCM only)")
+          fmt = Some((le16(body + 2), le32(body + 4).toInt,
+            le16(body + 14)))
+        case "data" => data = Some((body, sz))
+        case _ => () // JUNK/LIST/fact/…: walked over
+      }
+      off = body + sz + (sz & 1) // RIFF pads odd-size chunks to even
+    }
+    val (ch, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("WAV: missing fmt chunk"))
+    val (doff, dsz) = data.getOrElse(
+      throw new IllegalArgumentException("WAV: missing data chunk"))
+    val end = math.min(doff + dsz, content.length)
+    val samples = bits match {
+      case 8 => Array.tabulate(end - doff)(i => u8(doff + i) - 128)
+      case 16 =>
+        Array.tabulate((end - doff) / 2)(i => s16(doff + 2 * i))
+      case b => throw new IllegalArgumentException(
+        s"unsupported PCM width $b (8/16 supported)")
+    }
+    WavClip(rate, ch, bits, samples)
+  }
+
+  /** Serialize 16-bit PCM to a spec-exact RIFF/WAVE payload (the
+    * inverse of decodeWav, used for the deterministic synthetic test
+    * corpus). With `junkChunk` a JUNK chunk with an ODD size is
+    * placed ahead of fmt — decode must walk and pad-skip it. */
+  def buildWavPcm16(sampleRate: Int, channels: Int, samples: Array[Int],
+                    junkChunk: Boolean = false): Array[Byte] = {
+    val dataSz = samples.length * 2
+    val junkBody = 5 // odd on purpose: exercises the RIFF pad byte
+    val junkSz = if (junkChunk) 8 + junkBody + 1 else 0
+    val riffSz = 4 + junkSz + (8 + 16) + (8 + dataSz)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSz)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")); buf.putInt(junkBody)
+      buf.put(Array.tabulate[Byte](junkBody + 1)(i => (i * 7).toByte))
+    }
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(channels.toShort)
+    buf.putInt(sampleRate); buf.putInt(sampleRate * channels * 2)
+    buf.putShort((channels * 2).toShort); buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSz)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Serialize 8-bit unsigned PCM (sample values −128..127 stored
+    * offset-128, the WAV convention). */
+  def buildWavPcm8(sampleRate: Int, channels: Int,
+                   samples: Array[Int]): Array[Byte] = {
+    val dataSz = samples.length
+    val riffSz = 4 + (8 + 16) + (8 + dataSz)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSz)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(channels.toShort)
+    buf.putInt(sampleRate); buf.putInt(sampleRate * channels)
+    buf.putShort(channels.toShort); buf.putShort(8)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSz)
+    samples.foreach(s => buf.put((s + 128).toByte))
+    val arr = buf.array()
+    // RIFF requires even alignment; 8-bit data may be odd-sized —
+    // the builder keeps the declared size exact and appends no pad
+    // (data is the last chunk, so no walker ever reads past it)
+    arr
+  }
+
+  case class AudioWindowSr(media_id: Long, window_no: Int, energy: Long,
+                           n_samples: Int, sample_rate: Int)
+
+  /** Windowed energy (Σ sample², exact longs — the q61/q151 integer
+    * DSP) over REAL WAV-decoded samples, carrying the decoded header's
+    * sample rate so a header mis-parse is value-visible downstream. */
+  def audioEnergyWav(media: Dataset[MediaRecord],
+                     windowSamples: Int): Dataset[AudioWindowSr] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val clip = decodeWav(m.content)
+      clip.samples.grouped(windowSamples).zipWithIndex.map {
+        case (w, i) => AudioWindowSr(m.media_id, i,
+          w.foldLeft(0L)((a, s) => a + s.toLong * s), w.length,
+          clip.sample_rate)
+      }
+    })
+  }
   // ───────────────────────────────────────────────────────────────────
 
   /** Fixed fake raster width for the stub decoder. */

@@ -90,6 +90,34 @@ object MultimodalQueries extends QueryPack {
           col("media_b").asc)
         .limit(20)
     }),
+    // REAL audio codec end-to-end (r12, replacing the audio decode
+    // stub): per audio doc a spec-exact RIFF/WAVE payload is
+    // synthesized (PCM16 mono, per-doc sample rate, a JUNK chunk with
+    // an ODD size ahead of fmt), then Multimodal.decodeWav — a real
+    // chunk walker with pad-byte handling — parses it back and the
+    // q151-shape integer DSP windows the energies, carrying the
+    // DECODED header's sample rate. The oracle recomputes the sample
+    // values from the text codepoints (the corpus is pure ASCII:
+    // byte == codepoint) and the sample rate from doc_id — a builder
+    // or parser header slip diverges the hash. Row-local throughout:
+    // build+decode+window is one mapPartitions pass, zero shuffles
+    // before the output.
+    "q375_wav_decode" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val samples = text.map(ch => (ch.toInt - 80) * 200).toArray
+          val sr = 8000 + ((id / 3) % 4).toInt * 4000
+          MediaRecord(id, "audio", "wav",
+            Multimodal.buildWavPcm16(sr, 1, samples, junkChunk = true))
+        })
+      Multimodal.audioEnergyWav(media, windowSamples = 32).toDF()
+        .select(col("media_id"), col("window_no"), col("energy"),
+          col("n_samples"), col("sample_rate"))
+    }),
     "q57_media_manifest" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .select(col("media_id"), col("kind"), col("fmt"),
@@ -455,6 +483,15 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum((p - 128) * (p - 128)) AS BIGINT) AS energy,
         |  CAST(count(*) AS INT) AS n_samples
         | FROM b GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    "q375_wav_decode" ->
+      s"""WITH ${cpCte(1)},
+        | sm AS (SELECT doc_id, i, (p - 80) * 200 AS s FROM b)
+        | SELECT doc_id AS media_id,
+        |  CAST((i - 1) // 32 AS INT) AS window_no,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  CAST(8000 + ((doc_id // 3) % 4) * 4000 AS INT) AS sample_rate
+        | FROM sm GROUP BY doc_id, (i - 1) // 32""".stripMargin,
     "q160_size_outliers" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -91,4 +91,66 @@ class MultimodalSpec extends AnyFunSuite {
     val M = 1000000007L
     assert(fr(1).fhash == f2.foldLeft(0L)((h, b) => (h * 31 + b) % M))
   }
+
+  test("decodeWav: real RIFF walker round-trips PCM16 exactly, " +
+    "including the odd-size JUNK chunk's pad byte") {
+    val samples = Array(3, -2, 1000, -32768, 32767, 0)
+    val wav = Multimodal.buildWavPcm16(44100, 1, samples,
+      junkChunk = true)
+    val clip = Multimodal.decodeWav(wav)
+    assert(clip.sample_rate == 44100 && clip.channels == 1 &&
+      clip.bits_per_sample == 16)
+    assert(clip.samples.toSeq == samples.toSeq)
+    // header fields land at spec offsets: RIFF size covers everything
+    def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    assert(le32(wav, 4) == wav.length - 8)
+    // without the JUNK chunk the payload is the canonical 44-byte
+    // header + data
+    val plain = Multimodal.buildWavPcm16(8000, 1, samples)
+    assert(plain.length == 44 + samples.length * 2)
+    assert(Multimodal.decodeWav(plain).samples.toSeq == samples.toSeq)
+  }
+
+  test("decodeWav: 8-bit unsigned PCM decodes offset-128 centered") {
+    val samples = Array(-128, -1, 0, 1, 127)
+    val wav = Multimodal.buildWavPcm8(16000, 1, samples)
+    val clip = Multimodal.decodeWav(wav)
+    assert(clip.bits_per_sample == 8 && clip.sample_rate == 16000)
+    assert(clip.samples.toSeq == samples.toSeq)
+  }
+
+  test("decodeWav: stereo PCM16 keeps interleaved samples; " +
+    "non-RIFF and non-PCM payloads are rejected by name") {
+    val inter = Array(1, -1, 2, -2) // L R L R
+    val clip = Multimodal.decodeWav(
+      Multimodal.buildWavPcm16(22050, 2, inter))
+    assert(clip.channels == 2 && clip.samples.toSeq == inter.toSeq)
+    val bad = intercept[IllegalArgumentException](
+      Multimodal.decodeWav("not audio at all".getBytes("US-ASCII")))
+    assert(bad.getMessage.contains("RIFF"))
+    // flip the fmt tag to 3 (IEEE float) — rejected as non-PCM
+    val wav = Multimodal.buildWavPcm16(8000, 1, Array(1, 2, 3))
+    wav(20) = 3
+    val nonPcm = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(wav))
+    assert(nonPcm.getMessage.contains("PCM"))
+  }
+
+  test("audioEnergyWav: q375 contract — windowed energy over REAL " +
+    "decoded samples matches the direct recompute") {
+    val text = "the quick brown fox jumps over the lazy dog padding!"
+    val samples = text.map(ch => (ch.toInt - 80) * 200).toArray
+    val ds = Seq(MediaRecord(7L, "audio", "wav",
+      Multimodal.buildWavPcm16(12000, 1, samples, junkChunk = true)))
+      .toDS()
+    val got = Multimodal.audioEnergyWav(ds, 32).collect()
+      .sortBy(_.window_no)
+    val want = samples.grouped(32).zipWithIndex.map { case (w, i) =>
+      AudioWindowSr(7L, i, w.map(s => s.toLong * s).sum, w.length,
+        12000)
+    }.toSeq
+    assert(got.toSeq == want)
+  }
 }
