@@ -1808,7 +1808,15 @@ object TextQueries extends QueryPack {
         expr("greatest(CAST(1 AS BIGINT), " +
           "CAST(length(regexp_replace(text, '[^.!?]', '')) AS BIGINT))")
           .as("sen"),
-        expr("aggregate(split(lower(text), ' '), CAST(0 AS BIGINT), " +
+        // ASCII-only case fold via translate (r12 SpecialCasing
+        // audit): Java lower() applies Unicode SpecialCasing 1:N
+        // (İ → i+dot) while DuckDB maps 1:1, and this fold's result
+        // feeds HASHED syllable counts — translate is 1:1 in both
+        // engines on ANY input, so the parity no longer leans on the
+        // corpus being pure ASCII
+        expr("aggregate(split(translate(text, " +
+          "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+          "'abcdefghijklmnopqrstuvwxyz'), ' '), CAST(0 AS BIGINT), " +
           "(acc, wd) -> acc + greatest(CAST(1 AS BIGINT), " +
           "CAST(length(regexp_replace(regexp_replace(wd, " +
           "'[aeiou]+', 'V'), '[^V]', '')) AS BIGINT)))").as("sy"))
@@ -1958,7 +1966,10 @@ object TextQueries extends QueryPack {
     },
     "q355_readability" ->
       """WITH t AS (SELECT source, doc_id, text,
-        |   string_split(lower(text), ' ') AS ws FROM documents),
+        |   string_split(translate(text,
+        |     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |     'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws
+        |  FROM documents),
         | words AS (SELECT source, doc_id, unnest(ws) AS wd FROM t),
         | syl AS (SELECT doc_id,
         |   CAST(count(*) AS BIGINT) AS wcnt,
