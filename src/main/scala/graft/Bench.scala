@@ -42,6 +42,55 @@ object Bench {
       .split(" ").take(3).mkString(",")
     catch { case _: Throwable => "unavailable" }
 
+  /** load₁ out of the comma-joined loadavg string; NaN when the
+    * proc read failed (treated as citable — no evidence of load). */
+  private[graft] def load1Of(loadStr: String): Double =
+    try loadStr.split(",")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
+  /** The citability bar (r11 verdict rule): start load₁ above this on
+    * the 32-cpu box marks the record non-citable. */
+  private[graft] val CitableLoadBar = 4.0
+
+  /** r12 verdict task 8: a loaded run must NOT overwrite the citable
+    * BENCH_FULL_LATEST record (the r11 driver rerun clobbered the
+    * working-tree copy and only git history preserved it). A
+    * non-citable run writes the sibling BENCH_ASMEASURED.json
+    * instead; explicit non-default out paths are left alone. */
+  private[graft] def outPathFor(requested: String,
+                                load1: Double): String = {
+    val p = java.nio.file.Paths.get(requested)
+    val isLatest = Option(p.getFileName)
+      .exists(_.toString == "BENCH_FULL_LATEST.json")
+    if (isLatest && !load1.isNaN && load1 > CitableLoadBar)
+      Option(p.getParent).map(_.resolve("BENCH_ASMEASURED.json"))
+        .getOrElse(java.nio.file.Paths.get("BENCH_ASMEASURED.json"))
+        .toString
+    else requested
+  }
+
+  /** Lower median of the successful rep walls (odd count → the true
+    * median; even → the faster middle, biasing against counting a
+    * one-off stall). reps=1 → the value itself. */
+  private[graft] def medianWall(walls: Seq[Double]): Double = {
+    val s = walls.sorted
+    s((s.size - 1) / 2)
+  }
+
+  /** Parse the per-query wall map out of a prior bench record — the
+    * flat `"queries":{"name":sec,…}` object our own writer emits (no
+    * JSON lib on the unmanaged classpath; the format is ours). */
+  private[graft] def parsePriorWalls(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = json.substring(start + 11,
+        json.indexOf('}', start + 11).max(start + 11))
+      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,12 +118,29 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
 
     // local-iteration knobs (unset in driver runs): SPARK_GRAFT_ONLY
-    // is a comma-separated substring filter, SPARK_GRAFT_REPS repeats
-    // each query and keeps the fastest rep (isolates plan cost from
-    // GC/JIT noise).
+    // is a comma-separated substring filter, SPARK_GRAFT_REPS forces a
+    // uniform rep count for every query (overrides the top-60 policy).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq).getOrElse(Nil)
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
+    val forcedReps = sys.env.get("SPARK_GRAFT_REPS")
+      .map(r => math.max(1, r.toInt))
+    // r12 verdict task 1: reps=1 manufactures ±50% phantom per-query
+    // moves between idle runs (q168 3.1–4.9 s across four citable
+    // records with no code change). Policy: the TOP-60 queries of the
+    // prior citable record — the ones every regression verdict reads —
+    // run at reps=3 and report the median; the long tail (and queries
+    // with no prior, which are cheap until measured once) stays reps=1.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR",
+      "/root/repo/BENCH_FULL_LATEST.json")
+    val priorWalls: Map[String, Double] =
+      try parsePriorWalls(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(priorPath)))
+      catch { case _: Throwable => Map.empty }
+    val topN = sys.env.getOrElse("SPARK_GRAFT_TOPN", "60").toInt
+    val topSet: Set[String] = priorWalls.toSeq.sortBy(-_._2)
+      .take(topN).map(_._1).toSet
+    def repsFor(name: String): Int =
+      forcedReps.getOrElse(if (topSet(name)) 3 else 1)
     // Suite order: the heaviest shuffle-spill queries run FIRST, the
     // rest alphabetically. The r8 driver record showed late-running
     // heavy queries paying 1.6–2.3× under accumulated bench-process
@@ -131,42 +197,72 @@ object Bench {
     // settle the warmup's listener traffic so the first timed query's
     // pressure window starts clean
     busWait(); pressure.drain()
+    // per-rep (wall, spill, peak); the reported tuple is the one FROM
+    // the median rep, so the pressure record belongs to the run that
+    // produced the recorded wall (review finding: mixing metrics from
+    // different reps). Median, not min (r12 task 1): min hides real
+    // cost; median absorbs a one-off GC/JIT stall without hiding a
+    // plan regression.
+    def measure(name: String, fn: (SparkSession, String) => org.apache
+        .spark.sql.DataFrame, reps: Int): (Double, Long, Long) = {
+      val repRuns = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        val failed =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            false
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            true
+          }
+        // a failure must not be selectable as the recorded wall
+        val dt = if (failed) 1e9 else (System.nanoTime() - t0) / 1e9
+        busWait()
+        val (sp, pk) = pressure.drain()
+        // operators persist reused intermediates for the duration of
+        // their query; drop them (plus any leftover checkpoint RDD
+        // blocks) and let the JVM settle so late queries aren't taxed
+        // for earlier queries' garbage — all outside the timed window
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        (dt, sp, pk)
+      }
+      val ok = repRuns.filter(_._1 < 1e9)
+      if (ok.isEmpty) repRuns.head
+      else {
+        val mw = medianWall(ok.map(_._1))
+        ok.find(_._1 == mw).get
+      }
+    }
     val results = selected.map {
       case (name, fn) =>
-        // per-rep (wall, spill, peak) so the reported pressure record
-        // is the one FROM the rep that produced the recorded wall —
-        // summing spill across reps against a min wall mixed metrics
-        // from different runs (review finding)
-        val repRuns = (0 until reps).map { _ =>
-          val t0 = System.nanoTime()
-          val failed =
-            try {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              false
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              true
-            }
-          // a fast failure must not win `times.min` over a real run
-          val dt = if (failed) 1e9 else (System.nanoTime() - t0) / 1e9
-          busWait()
-          val (sp, pk) = pressure.drain()
-          // operators persist reused intermediates for the duration of
-          // their query; drop them (plus any leftover checkpoint RDD
-          // blocks) and let the JVM settle so late queries aren't taxed
-          // for earlier queries' garbage — all outside the timed window
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          System.gc()
-          (dt, sp, pk)
-        }
-        val best = repRuns.minBy(_._1)
+        val m = measure(name, fn, repsFor(name))
         val rt = Runtime.getRuntime
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / 1048576
-        name -> ((best._1, best._2 / 1048576, best._3 / 1048576,
-          heapMb))
+        name -> ((m._1, m._2 / 1048576, m._3 / 1048576, heapMb))
     }
+    // r12 task 1, second half: any query whose suite number moved
+    // >1.5× vs the prior citable record in EITHER direction gets an
+    // ISOLATED reps=3 re-measure after the suite (fresh caches, box
+    // already settled), and the record carries BOTH numbers — a real
+    // regression reproduces isolated, a suite-environment artifact
+    // does not. Tiny walls (<0.3 s prior) are fixed-overhead noise and
+    // skipped; the list is capped to bound the tail.
+    val movers: Seq[(String, Double, Double)] =
+      if (forcedReps.isDefined || only.nonEmpty) Seq.empty
+      else results.flatMap { case (name, (wall, _, _, _)) =>
+        priorWalls.get(name).collect {
+          case prior if prior >= 0.3 && wall < 1e8 &&
+            (wall > prior * 1.5 || wall < prior / 1.5) =>
+            (name, prior, wall)
+        }
+      }.sortBy { case (_, p, w) => -math.max(w / p, p / w) }.take(12)
+    val isolated: Map[String, Double] = movers.map {
+      case (name, _, _) =>
+        name -> measure(name, SparkEntry.queries(name), 3)._1
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v._1}%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
@@ -192,10 +288,27 @@ object Bench {
         f""""max_heap_mb":${rt.maxMemory() / 1048576},""" +
         f""""tmp_free_gb":${disk.getFreeSpace / 1e9}%.1f,""" +
         f""""tmp_total_gb":${disk.getTotalSpace / 1e9}%.1f,""" +
-        f""""reps":$reps,"warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}",""" +
+        f""""reps":"${forcedReps.map(_.toString)
+          .getOrElse(s"top$topN=3,tail=1")}",""" +
+        f""""top_n":$topN,"prior":"${if (priorWalls.isEmpty) "none"
+          else priorPath}",""" +
+        f""""warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}",""" +
         f""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}"""
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      // >1.5× movers vs the prior citable record, each with its
+      // post-suite isolated reps=3 median — the record refutes or
+      // confirms its own outliers
+      val moverJson = movers.map { case (name, prior, wall) =>
+        "\"" + name + f"""\":{"prior":$prior%.3f,"suite":$wall%.3f,""" +
+          f""""isolated":${isolated(name)}%.3f}"""
+      }.mkString("{", ",", "}")
+      val outReq = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/BENCH_FULL_LATEST.json")
+      // r12 task 8: a loaded run never clobbers the citable record
+      val out = outPathFor(outReq, load1Of(loadStart))
+      if (out != outReq)
+        System.err.println(s"[bench] loadavg_start $loadStart exceeds " +
+          s"the citable bar $CitableLoadBar — writing $out instead " +
+          s"of $outReq")
       // per-query pressure map (r8 verdict ask #6): wall sec, spill MB
       // (memory+disk, all stages in the query window), peak execution
       // memory MB (max stage aggregate), driver heap MB after the
@@ -207,7 +320,7 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         fullLine.dropRight(1) +
-          s""","env":$env,"pressure":$press}\n""")
+          s""","env":$env,"movers":$moverJson,"pressure":$press}\n""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write skipped: $e")
     }
