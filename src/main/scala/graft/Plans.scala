@@ -250,7 +250,21 @@ object Plans {
         "re-execution"),
       "q370_correlated_scalar" -> ("correlated scalar-aggregate " +
         "subqueries as aggregated LEFT joins: inner groups once by " +
-        "the correlation key, map-side combined"))
+        "the correlation key, map-side combined"),
+      "q371_bpe_merges" -> ("one-pass greedy BPE: per-round window " +
+        "partitions on the WORD (vocab-bounded, never corpus-" +
+        "bounded), pair-count agg + 1-row top-1 collect"),
+      "q372_having_scalar" -> ("correlated scalar in HAVING: ONE " +
+        "aggregated LEFT join on the group key feeding the " +
+        "aggregation — no per-group re-execution"),
+      "q373_nested_scalar" -> ("scalar correlated to the enclosing " +
+        "subquery: nested aggregated frame joins onto the EXISTS " +
+        "scan, semi join above — joins all the way down"),
+      "q374_notin_nulls" -> ("ANSI NOT IN: OR-blanked probe rides " +
+        "the correlation-KEYED anti join as a residual predicate; " +
+        "uncorrelated legs keep the equi anti join"),
+      "q375_wav_decode" -> ("real WAV codec: build+decode+window in " +
+        "ONE mapPartitions pass, zero shuffles before the output"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -1010,6 +1010,12 @@ class EngineSpec extends AnyFunSuite {
         assert(m.contains("scope") || m.contains("standalone"), m)
       case other => fail(s"top-scope scalar inside EXISTS: $other")
     }
+    // a bare literal beside an ungrouped aggregate stays CONSTANT on
+    // empty input (ANSI; was NULL through any_value before r12) —
+    // the q374 'tag' + count(*) over a blanked NOT IN relies on it
+    val tagRow = rows(eng.sql(
+      "select 'tag' as t, count(*) as n from sg where id > 999"))(0)
+    assert(tagRow.getString(0) == "tag" && tagRow.getLong(1) == 0L)
     ok(eng.sql("drop type sg"))
     ok(eng.sql("drop type sh"))
   }
