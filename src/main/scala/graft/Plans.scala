@@ -264,7 +264,16 @@ object Plans {
         "the correlation-KEYED anti join as a residual predicate; " +
         "uncorrelated legs keep the equi anti join"),
       "q375_wav_decode" -> ("real WAV codec: build+decode+window in " +
-        "ONE mapPartitions pass, zero shuffles before the output"))
+        "ONE mapPartitions pass, zero shuffles before the output"),
+      "q376_bpe_encode" -> ("BPE tokenizer application: fixed merge " +
+        "table, fully declarative — per-round windows partition on " +
+        "the WORD (vocab-bounded), no driver collect anywhere"),
+      "q377_dup_spans" -> ("ExactSubstr span accounting: one " +
+        "shingle-keyed shuffle + semi join back, span fusion a " +
+        "per-DOC window — no all-pairs stage"),
+      "q378_dup_span_removal" -> ("ExactSubstr removal: shared span " +
+        "build + (doc,pos)-keyed anti join + per-doc ordered " +
+        "re-join — affected docs only"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

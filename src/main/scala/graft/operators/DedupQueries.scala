@@ -40,6 +40,45 @@ object DedupQueries extends QueryPack {
   private def corpus(s: SparkSession, d: String): DataFrame =
     corpusFrom(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
+  /** Shared build for q377/q378 (ExactSubstr duplicated spans):
+    * returns (docs(doc_id, ws), spans(doc_id, isl, s0, e0)) where a
+    * span is a MAXIMAL run of token positions covered by word 8-grams
+    * occurring in ≥2 distinct docs. One shingle-keyed shuffle + a
+    * semi join back; the interval union is a per-DOC window
+    * (gaps-and-islands — a mark starts a new span iff it begins past
+    * every earlier mark's end + 1, so touching marks fuse).
+    */
+  private def dupSpanFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 8
+    val docs = corpus(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val sh = docs.filter(size(col("ws")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${K - 1}), " +
+          s"j -> array_join(slice(ws, j, $K), ' '))"))
+        .as(Seq("i0", "sh")))
+    val dup = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("sh"))
+    val marks = sh.join(dup, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("i0").cast("long").as("st"),
+        (col("i0") + K - 1).cast("long").as("en"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val spans = marks
+      .withColumn("pmax", max(col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw", when(col("pmax").isNull
+        || col("st") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("nw"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+    (docs, spans)
+  }
+
   /** The STANDARD-PARAMETER LSH near-dup pair set over [[corpus]]
     * (shingleN=3, k=32, bands=16, τ=0.5) — six queries (q42, q81,
     * q153, q168, q260, q304) consume exactly this pair set, and each
@@ -453,6 +492,70 @@ object DedupQueries extends QueryPack {
     "q140_containment" -> ((s, d) =>
       Dedup.containmentPairs(corpus(s, d), "doc_id", "text",
         n = 3, tau = 0.9)),
+    // Duplicated-substring SPAN accounting (the ExactSubstr dedup of
+    // Lee et al. 2021, "Deduplicating Training Data Makes Language
+    // Models Better", re-expressed relationally): every word 8-gram
+    // that occurs in ≥2 DISTINCT docs marks its 8 token positions as
+    // duplicated; overlapping/adjacent marks fuse into MAXIMAL spans
+    // per doc (the suffix-array byte ranges of the paper), and each
+    // affected doc reports its span count, duplicated-token total and
+    // duplicated fraction. The reference paper removes the spans;
+    // this emits the audit that decides removal. 100 TB shape: one
+    // shuffle on the shingle (at scale the 8-gram would be hashed —
+    // the string key here keeps the oracle exact), the frequency
+    // filter is a semi-join back to positions, and the span fusion is
+    // a per-doc window (partition = doc, never corpus). No driver
+    // loop, no all-pairs stage anywhere.
+    "q377_dup_spans" -> ((s, d) => {
+      val (docs, spans) = dupSpanFrames(s, d)
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum(col("e0") - col("s0") + 1).cast("long")
+            .as("dup_tokens"))
+      val tok = docs.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      perDoc.join(tok, Seq("doc_id"))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          col("n_tokens"),
+          graft.functions.NowFunctions.intDiv(
+            col("dup_tokens") * 1000000L, col("n_tokens"))
+            .as("dup_ppm"))
+    }),
+    // Duplicated-span REMOVAL — the operation ExactSubstr dedup
+    // actually performs (q377 is its audit): every token inside a
+    // maximal duplicated span is dropped and each affected doc's
+    // surviving tokens are re-joined in order. Emitted per AFFECTED
+    // doc (untouched docs pass through any pipeline unchanged —
+    // shipping them would just re-copy the corpus): kept token count
+    // and the cleaned text; a fully-duplicated doc survives as the
+    // empty string (the paper's "remove the whole document" case
+    // falls out of the same arithmetic). 100 TB shape: the span set
+    // is the q377 build; coverage explodes spans back to positions
+    // (output-bounded: ≤ corpus tokens), the keep-filter is one
+    // (doc, pos)-keyed anti join, and the re-join is a per-doc
+    // ordered aggregation.
+    "q378_dup_span_removal" -> ((s, d) => {
+      val (docs, spans) = dupSpanFrames(s, d)
+      val positions = docs.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("i", "w")))
+      val covered = spans.select(col("doc_id"),
+        explode(expr("sequence(s0, e0)")).as("pos"))
+      val kept = positions
+        .join(covered, positions("doc_id") === covered("doc_id") &&
+          positions("i").cast("long") === covered("pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("kept_tokens"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(i, w))), p -> p.w), ' ')")
+            .as("clean_text"))
+      spans.select(col("doc_id")).distinct()
+        .join(docs.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }),
     // Exact word-bigram Jaccard, all pairs ≥ 0.5 via shingle equi-join.
     "q44_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text",
@@ -1071,6 +1174,79 @@ object DedupQueries extends QueryPack {
         | JOIN sizes sa ON da = sa.doc_id
         | JOIN sizes sb ON db = sb.doc_id
         | WHERE (i * 1.0) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q377_dup_spans" ->
+      s"""WITH corpus AS ($corpusSql),
+        | d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM corpus),
+        | sh AS (SELECT doc_id, u.j - 1 AS i0,
+        |   array_to_string(ws[u.j : u.j + 7], ' ') AS sh
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 7)) AS u(j)
+        |  WHERE len(ws) >= 8),
+        | dup AS (SELECT sh FROM sh GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        | mk AS (SELECT s.doc_id, CAST(s.i0 AS BIGINT) AS st,
+        |   CAST(s.i0 + 7 AS BIGINT) AS en
+        |  FROM sh s JOIN dup USING (sh)),
+        | pm AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+        |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS pmax FROM mk),
+        | ni AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax + 1
+        |    THEN 1 ELSE 0 END AS nw FROM pm),
+        | il AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS isl FROM ni),
+        | sp AS (SELECT doc_id, isl, min(st) AS s0, max(en) AS e0
+        |  FROM il GROUP BY 1, 2),
+        | pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |   CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+        |  FROM sp GROUP BY 1),
+        | tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM d)
+        | SELECT p.doc_id, p.n_spans, p.dup_tokens, t.n_tokens,
+        |  p.dup_tokens * 1000000 // t.n_tokens AS dup_ppm
+        | FROM pd p JOIN tk t USING (doc_id)""".stripMargin,
+    "q378_dup_span_removal" ->
+      s"""WITH corpus AS ($corpusSql),
+        | d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM corpus),
+        | sh AS (SELECT doc_id, u.j - 1 AS i0,
+        |   array_to_string(ws[u.j : u.j + 7], ' ') AS sh
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 7)) AS u(j)
+        |  WHERE len(ws) >= 8),
+        | dup AS (SELECT sh FROM sh GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        | mk AS (SELECT s.doc_id, CAST(s.i0 AS BIGINT) AS st,
+        |   CAST(s.i0 + 7 AS BIGINT) AS en
+        |  FROM sh s JOIN dup USING (sh)),
+        | pm AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+        |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS pmax FROM mk),
+        | ni AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax + 1
+        |    THEN 1 ELSE 0 END AS nw FROM pm),
+        | il AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS isl FROM ni),
+        | sp AS (SELECT doc_id, isl, min(st) AS s0, max(en) AS e0
+        |  FROM il GROUP BY 1, 2),
+        | pos AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS i,
+        |   ws[u.i] AS w
+        |  FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)),
+        | cov AS (SELECT doc_id, u.p AS pos
+        |  FROM sp, UNNEST(generate_series(s0, e0)) AS u(p)),
+        | kept AS (SELECT p.doc_id,
+        |   CAST(count(*) AS BIGINT) AS kept_tokens,
+        |   string_agg(p.w, ' ' ORDER BY p.i) AS clean_text
+        |  FROM pos p LEFT JOIN cov c
+        |   ON p.doc_id = c.doc_id AND p.i = c.pos
+        |  WHERE c.pos IS NULL GROUP BY 1),
+        | aff AS (SELECT DISTINCT doc_id FROM sp),
+        | tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM d)
+        | SELECT a.doc_id, t.n_tokens,
+        |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        | FROM aff a JOIN tk t USING (doc_id)
+        | LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q140_containment" ->
       s"""WITH corpus AS ($corpusSql),
         | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),

@@ -74,6 +74,15 @@ object TextQueries extends QueryPack {
 
   private val stopWords = Seq("a", "the", "of", "and", "in", "to", "is")
 
+  /** q376's GIVEN merge table (a merges.txt — order matters: later
+    * merges consume the multi-character symbols earlier ones build).
+    * (l,l) is equal-symbol on purpose: it takes the run-parity greedy
+    * branch that unequal pairs never reach.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("a", "n"), ("s", "c"), ("sc", "an"), ("t", "a"),
+    ("l", "l"), ("b", "l"), ("bl", "e"), ("ta", "ble"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge induction — the tokenizer-vocabulary training step
     // (Sennrich et al. 2016) as textbook ONE-PASS GREEDY (r12,
@@ -153,6 +162,75 @@ object TextQueries extends QueryPack {
       }
       wf.unpersist()
       merges.toSeq.toDF("merge_round", "sym_a", "sym_b", "pair_count")
+    }),
+    // BPE tokenizer APPLICATION — the encode half of q371's merge
+    // induction: apply a GIVEN merge table (a trained tokenizer's
+    // merges.txt; here a fixed 8-entry chain that rebuilds "scan" and
+    // "table" from characters through multi-character intermediate
+    // symbols, and includes the equal-symbol pair (l,l) so the
+    // run-parity greedy path is exercised) to the corpus
+    // word-frequency table — one greedy one-pass round per merge, in
+    // table order, exactly how production BPE encoders consume
+    // merges.txt. 100 TB shape: ONE corpus token-count shuffle
+    // reduces everything to the vocab-bounded (word, count) table;
+    // each round is a per-word window over symbol positions
+    // (vocab-bounded, never corpus-bounded) with NO driver collect —
+    // the merge table is config, not data, so unlike q371 the whole
+    // encode is a single declarative plan. Per round the output
+    // carries corpus-weighted merges applied and the corpus token
+    // count RECOMPUTED from the fused strings (not derived as
+    // tokens-minus-merges), so the oracle cross-checks the fusion
+    // itself, not just the bookkeeping.
+    "q376_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val win = Window.partitionBy(col("w")).orderBy(col("i"))
+      var cur = wf.select(col("w"), col("c"), col("s"))
+        .localCheckpoint(false)
+      val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (((a, b), r) <- bpeMerges.zipWithIndex) {
+        // positions + the q371 greedy rule specialized to the fixed
+        // pair: merge at i iff (x,nxt)=(a,b) and — when the symbols
+        // are equal — the offset inside the maximal equal-symbol run
+        // is even (a left-to-right non-overlapping scan)
+        val pos = cur
+          .select(col("w"), col("c"),
+            posexplode(split(col("s"), " ")).as(Seq("i", "x")))
+          .withColumn("prev", lag(col("x"), 1).over(win))
+          .withColumn("dd", when(col("prev").isNull
+            || col("prev") =!= col("x"), col("i")))
+          .withColumn("rs", max(col("dd")).over(win))
+          .withColumn("nxt", lead(col("x"), 1).over(win))
+          .withColumn("m", col("nxt").isNotNull &&
+            col("x") === lit(a) && col("nxt") === lit(b) &&
+            (col("x") =!= col("nxt") ||
+              (col("i") - col("rs")) % 2 === 0))
+        val next = pos
+          .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
+            lit(false)))
+          .filter(!col("pm"))
+          .withColumn("y", when(col("m"),
+            concat(col("x"), col("nxt"))).otherwise(col("x")))
+          .groupBy(col("w"), col("c"))
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"),
+            sum(when(col("m"), lit(1L)).otherwise(lit(0L))).as("nm"))
+          .localCheckpoint(false)
+        stats += next.agg(
+          coalesce(sum(col("c") * col("nm")), lit(0L)).cast("long")
+            .as("merges_applied"),
+          coalesce(sum(col("c") * size(split(col("s"), " "))), lit(0L))
+            .cast("long").as("tokens_after"))
+          .select(lit((r + 1).toLong).as("merge_round"),
+            lit(a).as("sym_a"), lit(b).as("sym_b"),
+            col("merges_applied"), col("tokens_after"))
+        cur = next.select(col("w"), col("c"), col("s"))
+      }
+      stats.reduce(_ unionAll _)
     }),
     // Cross-engine string-expression parity gate: every shared
     // gate-feature expression (and the substr/instr/case-mapping
@@ -1924,6 +2002,54 @@ object TextQueries extends QueryPack {
       val finals = (0 until 5).map(i =>
         s"SELECT CAST(${i + 1} AS BIGINT) AS merge_round, " +
           s"s1 AS sym_a, s2 AS sym_b, n AS pair_count FROM m$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z]{2,20}$$')
+        |  GROUP BY 1),
+        | r0 AS (SELECT w, c,
+        |   trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM wf),
+        | $rounds
+        | $finals""".stripMargin
+    },
+    "q376_bpe_encode" -> {
+      // the same unrolled greedy-round CTEs as q371's oracle, but the
+      // round's pair is the FIXED merge-table entry (no top-1 CTE);
+      // per round emit corpus-weighted merges applied and the token
+      // count recomputed from the fused strings
+      val rounds = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""p$i AS (SELECT w, c, u.i - 1 AS i, ls[u.i] AS x,
+           |   ls[u.i + 1] AS nxt
+           |  FROM (SELECT w, c, string_split(s, ' ') AS ls
+           |    FROM r$i) t,
+           |   UNNEST(generate_series(1, len(ls))) AS u(i)),
+           | a$i AS (SELECT *, lag(x) OVER
+           |    (PARTITION BY w ORDER BY i) AS prev FROM p$i),
+           | b$i AS (SELECT *, max(CASE WHEN prev IS NULL
+           |     OR prev <> x THEN i END) OVER
+           |    (PARTITION BY w ORDER BY i) AS rs FROM a$i),
+           | g$i AS (SELECT *, (nxt IS NOT NULL AND x = '$a'
+           |    AND nxt = '$b'
+           |    AND (x <> nxt OR (i - rs) % 2 = 0)) AS mg FROM b$i),
+           | h$i AS (SELECT *, coalesce(lag(mg) OVER
+           |    (PARTITION BY w ORDER BY i), false) AS pm FROM g$i),
+           | r${i + 1} AS (SELECT w, c,
+           |   string_agg(CASE WHEN mg THEN x || nxt ELSE x END,
+           |     ' ' ORDER BY i) AS s,
+           |   CAST(sum(CASE WHEN mg THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS nm
+           |  FROM h$i WHERE NOT pm GROUP BY w, c),
+           | st$i AS (SELECT CAST(${i + 1} AS BIGINT) AS merge_round,
+           |   '$a' AS sym_a, '$b' AS sym_b,
+           |   CAST(coalesce(sum(c * nm), 0) AS BIGINT)
+           |     AS merges_applied,
+           |   CAST(coalesce(sum(c * len(string_split(s, ' '))), 0)
+           |     AS BIGINT) AS tokens_after
+           |  FROM r${i + 1})""".stripMargin
+      }.mkString(",\n ")
+      val finals = bpeMerges.indices
+        .map(i => s"SELECT * FROM st$i")
         .mkString("\n UNION ALL ")
       s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
