@@ -273,7 +273,13 @@ object Plans {
         "per-DOC window — no all-pairs stage"),
       "q378_dup_span_removal" -> ("ExactSubstr removal: shared span " +
         "build + (doc,pos)-keyed anti join + per-doc ordered " +
-        "re-join — affected docs only"))
+        "re-join — affected docs only"),
+      "q379_contamination_spans" -> ("span-level benchmark " +
+        "decontamination: eval 8-gram set (benchmark-sized) semi " +
+        "join into train positions, same per-DOC span fusion"),
+      "q380_tokenizer_fertility" -> ("tokenizer equity audit: one " +
+        "(lang,word) shuffle, vocab-bounded encode windows, " +
+        "vocab-bounded join back — corpus never re-enters"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -83,6 +83,50 @@ object TextQueries extends QueryPack {
     ("a", "n"), ("s", "c"), ("sc", "an"), ("t", "a"),
     ("l", "l"), ("b", "l"), ("bl", "e"), ("ta", "ble"))
 
+  /** Apply [[bpeMerges]] to a (w, c, s) vocab frame, one greedy
+    * one-pass round per merge in table order (the q371 run-parity
+    * rule specialized to a FIXED pair: merge at i iff (x,nxt)=(a,b)
+    * and — when the symbols are equal — the offset inside the maximal
+    * equal-symbol run is even, a left-to-right non-overlapping scan).
+    * Returns the frame AFTER each round: (w, c, s, nm) with nm = the
+    * word's merges applied that round. Every window partitions on the
+    * WORD (vocab-bounded); per-round lineage cut by a lazy
+    * localCheckpoint. Shared by q376 (per-round stats) and q380
+    * (final encoding). */
+  private def applyBpeRounds(vocab: DataFrame): Seq[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("w")).orderBy(col("i"))
+    var cur = vocab.select(col("w"), col("c"), col("s"))
+      .localCheckpoint(false)
+    bpeMerges.map { case (a, b) =>
+      val pos = cur
+        .select(col("w"), col("c"),
+          posexplode(split(col("s"), " ")).as(Seq("i", "x")))
+        .withColumn("prev", lag(col("x"), 1).over(win))
+        .withColumn("dd", when(col("prev").isNull
+          || col("prev") =!= col("x"), col("i")))
+        .withColumn("rs", max(col("dd")).over(win))
+        .withColumn("nxt", lead(col("x"), 1).over(win))
+        .withColumn("m", col("nxt").isNotNull &&
+          col("x") === lit(a) && col("nxt") === lit(b) &&
+          (col("x") =!= col("nxt") ||
+            (col("i") - col("rs")) % 2 === 0))
+      val next = pos
+        .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
+          lit(false)))
+        .filter(!col("pm"))
+        .withColumn("y", when(col("m"),
+          concat(col("x"), col("nxt"))).otherwise(col("x")))
+        .groupBy(col("w"), col("c"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"),
+          sum(when(col("m"), lit(1L)).otherwise(lit(0L))).as("nm"))
+        .localCheckpoint(false)
+      cur = next.select(col("w"), col("c"), col("s"))
+      next
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge induction — the tokenizer-vocabulary training step
     // (Sennrich et al. 2016) as textbook ONE-PASS GREEDY (r12,
@@ -182,55 +226,56 @@ object TextQueries extends QueryPack {
     // tokens-minus-merges), so the oracle cross-checks the fusion
     // itself, not just the bookkeeping.
     "q376_bpe_encode" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val wf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]{2,20}$"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
-      val win = Window.partitionBy(col("w")).orderBy(col("i"))
-      var cur = wf.select(col("w"), col("c"), col("s"))
-        .localCheckpoint(false)
-      val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (((a, b), r) <- bpeMerges.zipWithIndex) {
-        // positions + the q371 greedy rule specialized to the fixed
-        // pair: merge at i iff (x,nxt)=(a,b) and — when the symbols
-        // are equal — the offset inside the maximal equal-symbol run
-        // is even (a left-to-right non-overlapping scan)
-        val pos = cur
-          .select(col("w"), col("c"),
-            posexplode(split(col("s"), " ")).as(Seq("i", "x")))
-          .withColumn("prev", lag(col("x"), 1).over(win))
-          .withColumn("dd", when(col("prev").isNull
-            || col("prev") =!= col("x"), col("i")))
-          .withColumn("rs", max(col("dd")).over(win))
-          .withColumn("nxt", lead(col("x"), 1).over(win))
-          .withColumn("m", col("nxt").isNotNull &&
-            col("x") === lit(a) && col("nxt") === lit(b) &&
-            (col("x") =!= col("nxt") ||
-              (col("i") - col("rs")) % 2 === 0))
-        val next = pos
-          .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
-            lit(false)))
-          .filter(!col("pm"))
-          .withColumn("y", when(col("m"),
-            concat(col("x"), col("nxt"))).otherwise(col("x")))
-          .groupBy(col("w"), col("c"))
-          .agg(expr("array_join(transform(array_sort(" +
-            "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"),
-            sum(when(col("m"), lit(1L)).otherwise(lit(0L))).as("nm"))
-          .localCheckpoint(false)
-        stats += next.agg(
-          coalesce(sum(col("c") * col("nm")), lit(0L)).cast("long")
-            .as("merges_applied"),
-          coalesce(sum(col("c") * size(split(col("s"), " "))), lit(0L))
-            .cast("long").as("tokens_after"))
-          .select(lit((r + 1).toLong).as("merge_round"),
-            lit(a).as("sym_a"), lit(b).as("sym_b"),
-            col("merges_applied"), col("tokens_after"))
-        cur = next.select(col("w"), col("c"), col("s"))
-      }
+      val stats = applyBpeRounds(wf).zip(bpeMerges).zipWithIndex
+        .map { case ((next, (a, b)), r) =>
+          next.agg(
+            coalesce(sum(col("c") * col("nm")), lit(0L)).cast("long")
+              .as("merges_applied"),
+            coalesce(sum(col("c") * size(split(col("s"), " "))),
+              lit(0L)).cast("long").as("tokens_after"))
+            .select(lit((r + 1).toLong).as("merge_round"),
+              lit(a).as("sym_a"), lit(b).as("sym_b"),
+              col("merges_applied"), col("tokens_after"))
+        }
       stats.reduce(_ unionAll _)
+    }),
+    // Tokenizer FERTILITY by language — the standard multilingual
+    // tokenizer-equity audit (tokens/word and chars/token per
+    // language under a given merge table; high fertility = that
+    // language pays more sequence length per word). Same GIVEN merge
+    // table as q376, same vocab-bounded encode; the per-(lang, word)
+    // usage table is ONE corpus shuffle, the global vocab derives
+    // from it without a second corpus pass, and the encode result
+    // joins back on the word (vocab-bounded join). Ratios ship as
+    // exact integer ppm (intDiv) so the hash compare is exact.
+    "q380_tokenizer_fertility" -> ((s, d) => {
+      val lw = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+      val wf = lw.groupBy(col("w")).agg(sum(col("cw")).as("c"))
+        .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val enc = applyBpeRounds(wf).last
+        .select(col("w"),
+          size(split(col("s"), " ")).cast("long").as("toks"),
+          length(col("w")).cast("long").as("chars"))
+      lw.join(enc, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cw")).cast("long").as("words"),
+          sum(col("cw") * col("toks")).cast("long").as("tokens"),
+          sum(col("cw") * col("chars")).cast("long").as("chars"))
+        .select(col("lang"), col("words"), col("tokens"), col("chars"),
+          graft.functions.NowFunctions.intDiv(
+            col("tokens") * 1000000L, col("words"))
+            .as("fertility_ppm"),
+          graft.functions.NowFunctions.intDiv(
+            col("chars") * 1000000L, col("tokens"))
+            .as("chars_per_token_ppm"))
     }),
     // Cross-engine string-expression parity gate: every shared
     // gate-feature expression (and the substr/instr/case-mapping
@@ -1963,6 +2008,34 @@ object TextQueries extends QueryPack {
         |  FROM js LEFT JOIN w2 ON js.j = w2.j
         |   LEFT JOIN d3 ON js.j = d3.j)""".stripMargin
 
+  /** The unrolled greedy-round CTE chain shared by the q376/q380
+    * oracles: consumes `r0(w, c, s)`, emits `r1..rN(w, c, s, nm)`
+    * via the same run-parity windows as the Spark side. */
+  private def bpeRoundsSql: String =
+    bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""p$i AS (SELECT w, c, u.i - 1 AS i, ls[u.i] AS x,
+         |   ls[u.i + 1] AS nxt
+         |  FROM (SELECT w, c, string_split(s, ' ') AS ls
+         |    FROM r$i) t,
+         |   UNNEST(generate_series(1, len(ls))) AS u(i)),
+         | a$i AS (SELECT *, lag(x) OVER
+         |    (PARTITION BY w ORDER BY i) AS prev FROM p$i),
+         | b$i AS (SELECT *, max(CASE WHEN prev IS NULL
+         |     OR prev <> x THEN i END) OVER
+         |    (PARTITION BY w ORDER BY i) AS rs FROM a$i),
+         | g$i AS (SELECT *, (nxt IS NOT NULL AND x = '$a'
+         |    AND nxt = '$b'
+         |    AND (x <> nxt OR (i - rs) % 2 = 0)) AS mg FROM b$i),
+         | h$i AS (SELECT *, coalesce(lag(mg) OVER
+         |    (PARTITION BY w ORDER BY i), false) AS pm FROM g$i),
+         | r${i + 1} AS (SELECT w, c,
+         |   string_agg(CASE WHEN mg THEN x || nxt ELSE x END,
+         |     ' ' ORDER BY i) AS s,
+         |   CAST(sum(CASE WHEN mg THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS nm
+         |  FROM h$i WHERE NOT pm GROUP BY w, c)""".stripMargin
+    }.mkString(",\n ")
+
   val oracles: Map[String, String] = Map(
     "q371_bpe_merges" -> {
       // 5 unrolled one-pass-greedy rounds, mirroring the Spark side
@@ -2018,29 +2091,8 @@ object TextQueries extends QueryPack {
       // round's pair is the FIXED merge-table entry (no top-1 CTE);
       // per round emit corpus-weighted merges applied and the token
       // count recomputed from the fused strings
-      val rounds = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
-        s"""p$i AS (SELECT w, c, u.i - 1 AS i, ls[u.i] AS x,
-           |   ls[u.i + 1] AS nxt
-           |  FROM (SELECT w, c, string_split(s, ' ') AS ls
-           |    FROM r$i) t,
-           |   UNNEST(generate_series(1, len(ls))) AS u(i)),
-           | a$i AS (SELECT *, lag(x) OVER
-           |    (PARTITION BY w ORDER BY i) AS prev FROM p$i),
-           | b$i AS (SELECT *, max(CASE WHEN prev IS NULL
-           |     OR prev <> x THEN i END) OVER
-           |    (PARTITION BY w ORDER BY i) AS rs FROM a$i),
-           | g$i AS (SELECT *, (nxt IS NOT NULL AND x = '$a'
-           |    AND nxt = '$b'
-           |    AND (x <> nxt OR (i - rs) % 2 = 0)) AS mg FROM b$i),
-           | h$i AS (SELECT *, coalesce(lag(mg) OVER
-           |    (PARTITION BY w ORDER BY i), false) AS pm FROM g$i),
-           | r${i + 1} AS (SELECT w, c,
-           |   string_agg(CASE WHEN mg THEN x || nxt ELSE x END,
-           |     ' ' ORDER BY i) AS s,
-           |   CAST(sum(CASE WHEN mg THEN 1 ELSE 0 END) AS BIGINT)
-           |     AS nm
-           |  FROM h$i WHERE NOT pm GROUP BY w, c),
-           | st$i AS (SELECT CAST(${i + 1} AS BIGINT) AS merge_round,
+      val stats = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""st$i AS (SELECT CAST(${i + 1} AS BIGINT) AS merge_round,
            |   '$a' AS sym_a, '$b' AS sym_b,
            |   CAST(coalesce(sum(c * nm), 0) AS BIGINT)
            |     AS merges_applied,
@@ -2058,9 +2110,36 @@ object TextQueries extends QueryPack {
         |  GROUP BY 1),
         | r0 AS (SELECT w, c,
         |   trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM wf),
-        | $rounds
+        | $bpeRoundsSql,
+        | $stats
         | $finals""".stripMargin
     },
+    "q380_tokenizer_fertility" ->
+      // one (lang, word) corpus shuffle; the global vocab derives
+      // from it; the same unrolled encode; fertility ratios as exact
+      // integer ppm over the per-language usage-weighted sums
+      s"""WITH lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cw
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z]{2,20}$$')
+        |  GROUP BY 1, 2),
+        | wf AS (SELECT w, CAST(sum(cw) AS BIGINT) AS c
+        |  FROM lw GROUP BY 1),
+        | r0 AS (SELECT w, c,
+        |   trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM wf),
+        | $bpeRoundsSql,
+        | enc AS (SELECT w,
+        |   CAST(len(string_split(s, ' ')) AS BIGINT) AS toks,
+        |   CAST(length(w) AS BIGINT) AS chars
+        |  FROM r${bpeMerges.length}),
+        | agg AS (SELECT l.lang, CAST(sum(l.cw) AS BIGINT) AS words,
+        |   CAST(sum(l.cw * e.toks) AS BIGINT) AS tokens,
+        |   CAST(sum(l.cw * e.chars) AS BIGINT) AS chars
+        |  FROM lw l JOIN enc e USING (w) GROUP BY 1)
+        | SELECT lang, words, tokens, chars,
+        |  tokens * 1000000 // words AS fertility_ppm,
+        |  chars * 1000000 // tokens AS chars_per_token_ppm
+        | FROM agg""".stripMargin,
     "q367_string_parity" -> {
       val vals = parityCases.map { case (id, str) =>
         s"($id, ${sqlLit(str)})"

@@ -177,6 +177,84 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(removed.exists(r => r._3 > 0 && r._3 < r._2))
   }
 
+  test("q379 contamination: train-doc spans against the %97 eval " +
+    "set match a brute-force recompute, and eval docs never appear") {
+    val K = 8
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = base ++ base.filter(_._1 % 2 == 0)
+      .map { case (id, t) => (id + 10000L) -> (t + " zq0 zq1 zq2") }
+    def isEval(id: Long) = id % 97 == 0 && id < 10000
+    val evalSh = corpus.filter(c => isEval(c._1)).flatMap { case (_, t) =>
+      val ws = t.split(" ")
+      if (ws.length < K) Seq.empty
+      else (0 to ws.length - K).map(i => ws.slice(i, i + K).mkString(" "))
+    }.toSet
+    val expected = corpus.filterNot(c => isEval(c._1))
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ")
+        val marks = (0 to math.max(ws.length - K, -1)).filter(i =>
+          ws.length >= K && evalSh(ws.slice(i, i + K).mkString(" ")))
+          .map(i => (i.toLong, i + K - 1L))
+        if (marks.isEmpty) None
+        else {
+          val spans = marks.foldLeft(Vector.empty[(Long, Long)]) {
+            case (acc, (s, e)) =>
+              if (acc.nonEmpty && s <= acc.last._2 + 1)
+                acc.init :+ (acc.last._1, math.max(acc.last._2, e))
+              else acc :+ (s, e)
+          }
+          val ct = spans.map(p => p._2 - p._1 + 1).sum
+          Some((id, spans.length.toLong, ct, ws.length.toLong,
+            ct * 1000000L / ws.length))
+        }
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q379_contamination_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    assert(got.forall(r => !isEval(r._1)))
+    // doc 0 is eval (0 % 97 == 0); its planted mutation 10000 is
+    // train and contains it verbatim → guaranteed contaminated
+    assert(got.exists(_._1 == 10000L))
+  }
+
+  test("q380 fertility: per-language ratios match the independent " +
+    "encoder applied to the same usage-weighted vocab") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val lw = rows.flatMap { case (l, t) =>
+      t.split(" ").filter(_.matches("^[a-z]{2,20}$")).map(w => (l, w))
+    }.groupBy(identity).map { case ((l, w), xs) =>
+      (l, w, xs.length.toLong) }.toSeq
+    def encode(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      TextQueries.bpeMerges.foreach { case (a, b) =>
+        syms = greedyMerge(syms, a, b)._1
+      }
+      syms.length.toLong
+    }
+    val toks = lw.map(_._2).distinct.map(w => w -> encode(w)).toMap
+    val expected = lw.groupBy(_._1).map { case (l, xs) =>
+      val words = xs.map(_._3).sum
+      val tokens = xs.map(x => x._3 * toks(x._2)).sum
+      val chars = xs.map(x => x._3 * x._2.length).sum
+      (l, words, tokens, chars, tokens * 1000000L / words,
+        chars * 1000000L / tokens)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q380_tokenizer_fertility")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // fertility is a real signal: encoding shrinks every language's
+    // token count below its character count
+    got.foreach(r => assert(r._3 < r._4))
+  }
+
   test("q377 spans: interval fusion is a true union — overlapping " +
     "and touching marks count each token once, gaps split spans") {
     // windowed recompute on a crafted mark set, same island rule
