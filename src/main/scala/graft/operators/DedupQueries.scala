@@ -62,7 +62,7 @@ object DedupQueries extends QueryPack {
     * mark starts a new span iff it begins past every earlier mark's
     * end + 1, so touching marks fuse. Window partitions on the DOC,
     * never the corpus. */
-  private def fuseSpans(marks: DataFrame): DataFrame = {
+  private[graft] def fuseSpans(marks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("st"))
     marks
@@ -87,25 +87,49 @@ object DedupQueries extends QueryPack {
   private val dupSpansMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
-  private def dupSpans(s: SparkSession, d: String): DataFrame = {
-    val path = dupSpansMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d), {
+  /** Atomic memoized-materialization: TrieMap.getOrElseUpdate
+    * evaluates its by-name default OUTSIDE any per-key lock, so two
+    * concurrent first callers would both run the expensive build and
+    * leak the loser's temp dir (review finding). The builds are
+    * deterministic so a race was never a correctness issue — this
+    * just guarantees one build and one directory per key. */
+  private def memoizedParquet(
+      memo: scala.collection.concurrent.TrieMap[(String, String),
+        String],
+      s: SparkSession, d: String, prefix: String)(
+      build: => DataFrame): DataFrame = {
+    val path = memo.synchronized {
+      memo.getOrElseUpdate((s.sparkContext.applicationId, d), {
         val p = java.nio.file.Files
-          .createTempDirectory("graft-dupspans-").toString
-        val (_, sh) = docShingles(s, d)
-        val dup = sh.groupBy(col("sh"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") > 1)
-          .select(col("sh"))
-        val marks = sh.join(dup, Seq("sh"), "left_semi")
-          .select(col("doc_id"), col("i0").cast("long").as("st"),
-            (col("i0") + spanK - 1).cast("long").as("en"))
-        fuseSpans(marks).select(col("doc_id"), col("s0"), col("e0"))
-          .write.mode("overwrite").parquet(p)
+          .createTempDirectory(prefix).toString
+        build.write.mode("overwrite").parquet(p)
         p
       })
+    }
     s.read.parquet(path)
   }
+
+  /** The pre-materialization build plan behind [[dupSpans]] —
+    * package-visible so PlanQualitySpec can assert on the REAL build
+    * (the memoized parquet read would otherwise hide the shingle
+    * semi join and fusion windows from the inspected plan — review
+    * finding). */
+  private[graft] def dupSpanBuild(s: SparkSession,
+      d: String): DataFrame = {
+    val (_, sh) = docShingles(s, d)
+    val dup = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("sh"))
+    val marks = sh.join(dup, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("i0").cast("long").as("st"),
+        (col("i0") + spanK - 1).cast("long").as("en"))
+    fuseSpans(marks).select(col("doc_id"), col("s0"), col("e0"))
+  }
+
+  private def dupSpans(s: SparkSession, d: String): DataFrame =
+    memoizedParquet(dupSpansMemo, s, d, "graft-dupspans-")(
+      dupSpanBuild(s, d))
 
   /** The STANDARD-PARAMETER LSH near-dup pair set over [[corpus]]
     * (shingleN=3, k=32, bands=16, τ=0.5) — six queries (q42, q81,
@@ -122,18 +146,10 @@ object DedupQueries extends QueryPack {
   private val stdPairsMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
-  private def stdPairs(s: SparkSession, d: String): DataFrame = {
-    val path = stdPairsMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d), {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-lshpairs-").toString
-        Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
-            shingleN = 3, k = 32, bands = 16, tau = 0.5)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    s.read.parquet(path)
-  }
+  private def stdPairs(s: SparkSession, d: String): DataFrame =
+    memoizedParquet(stdPairsMemo, s, d, "graft-lshpairs-")(
+      Dedup.minhashNearDupPairs(corpus(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, tau = 0.5))
 
   /** Near-dup clusters over [[stdPairs]] — the (doc_id, cluster_id)
     * labeling four of the six consumers need. Deterministic (min-label
@@ -141,17 +157,9 @@ object DedupQueries extends QueryPack {
   private val stdClustersMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
-  private def stdClusters(s: SparkSession, d: String): DataFrame = {
-    val path = stdClustersMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, d), {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-lshclusters-").toString
-        Dedup.nearDupClusters(stdPairs(s, d))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    s.read.parquet(path)
-  }
+  private def stdClusters(s: SparkSession, d: String): DataFrame =
+    memoizedParquet(stdClustersMemo, s, d, "graft-lshclusters-")(
+      Dedup.nearDupClusters(stdPairs(s, d)))
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
@@ -567,8 +575,15 @@ object DedupQueries extends QueryPack {
       val docs = corpus(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val spans = dupSpans(s, d)
-      val positions = docs.select(col("doc_id"),
-        posexplode(col("ws")).as(Seq("i", "w")))
+      val affected = spans.select(col("doc_id")).distinct()
+      // restrict the exploded positions to AFFECTED docs before the
+      // anti join — without this the ordered re-join aggregates the
+      // whole corpus and throws everything but the affected docs away
+      // at the final join (review finding: the exact corpus-recopy
+      // cost this operator is designed to avoid)
+      val positions = docs.join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          posexplode(col("ws")).as(Seq("i", "w")))
       val covered = spans.select(col("doc_id"),
         explode(expr("sequence(s0, e0)")).as("pos"))
       val kept = positions
@@ -579,7 +594,7 @@ object DedupQueries extends QueryPack {
           expr("array_join(transform(array_sort(" +
             "collect_list(struct(i, w))), p -> p.w), ' ')")
             .as("clean_text"))
-      spans.select(col("doc_id")).distinct()
+      affected
         .join(docs.select(col("doc_id"),
           size(col("ws")).cast("long").as("n_tokens")), Seq("doc_id"))
         .join(kept, Seq("doc_id"), "left")
@@ -1293,9 +1308,11 @@ object DedupQueries extends QueryPack {
         |    AND CURRENT ROW) AS isl FROM ni),
         | sp AS (SELECT doc_id, isl, min(st) AS s0, max(en) AS e0
         |  FROM il GROUP BY 1, 2),
+        | aff AS (SELECT DISTINCT doc_id FROM sp),
         | pos AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS i,
         |   ws[u.i] AS w
-        |  FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)),
+        |  FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)
+        |  WHERE doc_id IN (SELECT doc_id FROM aff)),
         | cov AS (SELECT doc_id, u.p AS pos
         |  FROM sp, UNNEST(generate_series(s0, e0)) AS u(p)),
         | kept AS (SELECT p.doc_id,
@@ -1304,7 +1321,6 @@ object DedupQueries extends QueryPack {
         |  FROM pos p LEFT JOIN cov c
         |   ON p.doc_id = c.doc_id AND p.i = c.pos
         |  WHERE c.pos IS NULL GROUP BY 1),
-        | aff AS (SELECT DISTINCT doc_id FROM sp),
         | tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
         |  FROM d)
         | SELECT a.doc_id, t.n_tokens,

@@ -93,35 +93,42 @@ object TextQueries extends QueryPack {
     * WORD (vocab-bounded); per-round lineage cut by a lazy
     * localCheckpoint. Shared by q376 (per-round stats) and q380
     * (final encoding). */
-  private def applyBpeRounds(vocab: DataFrame): Seq[DataFrame] = {
+  /** ONE greedy round for a fixed pair over a (w, c, s) frame —
+    * package-visible so the spec's shape pins exercise THIS code, not
+    * a private copy (review finding). */
+  private[graft] def bpeRound(cur: DataFrame, a: String,
+      b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("w")).orderBy(col("i"))
+    val pos = cur
+      .select(col("w"), col("c"),
+        posexplode(split(col("s"), " ")).as(Seq("i", "x")))
+      .withColumn("prev", lag(col("x"), 1).over(win))
+      .withColumn("dd", when(col("prev").isNull
+        || col("prev") =!= col("x"), col("i")))
+      .withColumn("rs", max(col("dd")).over(win))
+      .withColumn("nxt", lead(col("x"), 1).over(win))
+      .withColumn("m", col("nxt").isNotNull &&
+        col("x") === lit(a) && col("nxt") === lit(b) &&
+        (col("x") =!= col("nxt") ||
+          (col("i") - col("rs")) % 2 === 0))
+    pos
+      .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
+        lit(false)))
+      .filter(!col("pm"))
+      .withColumn("y", when(col("m"),
+        concat(col("x"), col("nxt"))).otherwise(col("x")))
+      .groupBy(col("w"), col("c"))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"),
+        sum(when(col("m"), lit(1L)).otherwise(lit(0L))).as("nm"))
+  }
+
+  private def applyBpeRounds(vocab: DataFrame): Seq[DataFrame] = {
     var cur = vocab.select(col("w"), col("c"), col("s"))
       .localCheckpoint(false)
     bpeMerges.map { case (a, b) =>
-      val pos = cur
-        .select(col("w"), col("c"),
-          posexplode(split(col("s"), " ")).as(Seq("i", "x")))
-        .withColumn("prev", lag(col("x"), 1).over(win))
-        .withColumn("dd", when(col("prev").isNull
-          || col("prev") =!= col("x"), col("i")))
-        .withColumn("rs", max(col("dd")).over(win))
-        .withColumn("nxt", lead(col("x"), 1).over(win))
-        .withColumn("m", col("nxt").isNotNull &&
-          col("x") === lit(a) && col("nxt") === lit(b) &&
-          (col("x") =!= col("nxt") ||
-            (col("i") - col("rs")) % 2 === 0))
-      val next = pos
-        .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
-          lit(false)))
-        .filter(!col("pm"))
-        .withColumn("y", when(col("m"),
-          concat(col("x"), col("nxt"))).otherwise(col("x")))
-        .groupBy(col("w"), col("c"))
-        .agg(expr("array_join(transform(array_sort(" +
-          "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"),
-          sum(when(col("m"), lit(1L)).otherwise(lit(0L))).as("nm"))
-        .localCheckpoint(false)
+      val next = bpeRound(cur, a, b).localCheckpoint(false)
       cur = next.select(col("w"), col("c"), col("s"))
       next
     }

@@ -279,6 +279,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("filter(flatten(transform"), p)
   }
 
+  test("ExactSubstr span family: keyed semi/anti joins only, never " +
+    "cartesian; BPE encode plans no driver-side collect node") {
+    // the span BUILD itself (the memoized parquet read would hide it
+    // from the consumer queries' plans — review finding): shingle
+    // frequency filter reaches the marks as a LeftSemi, fusion is a
+    // keyed window, nothing nested-loop anywhere
+    val pb = plan(graft.operators.DedupQueries.dupSpanBuild(spark, sf))
+    assert(pb.contains("LeftSemi"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
+    assert(!pb.contains("BroadcastNestedLoopJoin"), pb)
+    Seq("q377_dup_spans", "q378_dup_span_removal",
+      "q379_contamination_spans").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // q376 is fully declarative: the final union must still be a
+    // plan (8 agg legs), not a driver-materialized local relation
+    val p376 = plan(SparkEntry.queries("q376_bpe_encode")(spark, sf))
+    assert(p376.contains("Union"), p376)
+    assert(!p376.contains("CartesianProduct"), p376)
+  }
+
   test("dialect superset plans: view pushdown, semi-join IN, keyed window") {
     import java.nio.file.Files
     val eng = new graft.engine.Engine(spark,

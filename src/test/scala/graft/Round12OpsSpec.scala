@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.TextQueries
+import graft.operators.{DedupQueries, TextQueries}
 
 /** Round-12 operators: q376 (BPE tokenizer application) and q377
   * (duplicated-substring span accounting). The oracle gate proves
@@ -70,33 +70,15 @@ class Round12OpsSpec extends AnyFunSuite {
       == (Vector("aa", "aa", "a"), 2))
     assert(greedyMerge(Vector("a", "b", "a", "b"), "a", "b")
       == (Vector("ab", "ab"), 2))
-    // and the DataFrame side agrees on exactly these shapes:
+    // and the PRODUCTION round (TextQueries.bpeRound — the exact
+    // code q376/q380 run) agrees on exactly these shapes:
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val df = Seq(("w1", "a a a a a"), ("w2", "a b a b")).toDF("w", "s")
-    val win = Window.partitionBy(col("w")).orderBy(col("i"))
-    def applyPair(a: String, b: String) = df
-      .select(col("w"), posexplode(split(col("s"), " "))
-        .as(Seq("i", "x")))
-      .withColumn("prev", lag(col("x"), 1).over(win))
-      .withColumn("dd", when(col("prev").isNull
-        || col("prev") =!= col("x"), col("i")))
-      .withColumn("rs", max(col("dd")).over(win))
-      .withColumn("nxt", lead(col("x"), 1).over(win))
-      .withColumn("m", col("nxt").isNotNull &&
-        col("x") === lit(a) && col("nxt") === lit(b) &&
-        (col("x") =!= col("nxt") ||
-          (col("i") - col("rs")) % 2 === 0))
-      .withColumn("pm", coalesce(lag(col("m"), 1).over(win),
-        lit(false)))
-      .filter(!col("pm"))
-      .withColumn("y", when(col("m"),
-        concat(col("x"), col("nxt"))).otherwise(col("x")))
-      .groupBy(col("w"))
-      .agg(expr("array_join(transform(array_sort(" +
-        "collect_list(struct(i, y))), p -> p.y), ' ')").as("s"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val df = Seq(("w1", 1L, "a a a a a"), ("w2", 1L, "a b a b"))
+      .toDF("w", "c", "s")
+    def applyPair(a: String, b: String) =
+      TextQueries.bpeRound(df, a, b)
+        .collect().map(r => r.getAs[String]("w") ->
+          r.getAs[String]("s")).toMap
     assert(applyPair("a", "a")("w1") == "aa aa a")
     assert(applyPair("a", "b")("w2") == "ab ab")
   }
@@ -257,24 +239,15 @@ class Round12OpsSpec extends AnyFunSuite {
 
   test("q377 spans: interval fusion is a true union — overlapping " +
     "and touching marks count each token once, gaps split spans") {
-    // windowed recompute on a crafted mark set, same island rule
+    // the PRODUCTION fusion (DedupQueries.fuseSpans — the exact code
+    // the span family runs) on a crafted mark set
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     // doc 1: marks [0,7],[3,10],[11,18] -> ONE span [0,18] (19 toks)
     // doc 2: marks [0,7],[20,27]        -> TWO spans (16 toks)
     val marks = Seq((1L, 0L, 7L), (1L, 3L, 10L), (1L, 11L, 18L),
       (2L, 0L, 7L), (2L, 20L, 27L)).toDF("doc_id", "st", "en")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-    val spans = marks
-      .withColumn("pmax", max(col("en"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("nw", when(col("pmax").isNull
-        || col("st") > col("pmax") + 1, 1L).otherwise(0L))
-      .withColumn("isl", sum(col("nw"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+    val spans = DedupQueries.fuseSpans(marks)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("e0") - col("s0") + 1)
         .as("toks"))
