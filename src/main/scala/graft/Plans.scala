@@ -279,7 +279,9 @@ object Plans {
         "join into train positions, same per-DOC span fusion"),
       "q380_tokenizer_fertility" -> ("tokenizer equity audit: one " +
         "(lang,word) shuffle, vocab-bounded encode windows, " +
-        "vocab-bounded join back — corpus never re-enters"))
+        "vocab-bounded join back — corpus never re-enters"),
+      "q381_bmp_decode" -> ("real BMP codec: build+decode+block-pool " +
+        "in ONE mapPartitions pass, zero shuffles before the output"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -218,6 +218,127 @@ object Multimodal {
   }
   // ───────────────────────────────────────────────────────────────────
 
+  // ─────────────────────── REAL IMAGE CODEC (r12) ───────────────────
+  case class BmpImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Real Windows BMP parser (public DIB spec): BITMAPFILEHEADER
+    * (`BM`, file size, pixel-data offset) + BITMAPINFOHEADER (width;
+    * POSITIVE height = bottom-up row order, negative = top-down;
+    * planes=1; bpp; BI_RGB only) + the palette for 8-bit rasters;
+    * pixel rows are stride-padded to 4-byte boundaries. Decodes 8-bit
+    * palette-indexed rasters to a row-major TOP-DOWN gray array via
+    * palette lookup (red channel of the BGRA entry). Replaces the
+    * image decode stub on the q381 path: bytes in, raster out is the
+    * real contract; compressed formats (JPEG/PNG) would still need an
+    * external library. */
+  def decodeBmp(content: Array[Byte]): BmpImage = {
+    def u8(i: Int): Int = content(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) |
+      (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(content.length >= 54 && u8(0) == 'B'.toInt &&
+      u8(1) == 'M'.toInt, "not a BMP payload")
+    val dataOff = le32(10)
+    val hdrSz = le32(14)
+    require(hdrSz >= 40, s"unsupported DIB header size $hdrSz")
+    val width = le32(18)
+    val heightRaw = le32(22)
+    val bottomUp = heightRaw > 0
+    val height = math.abs(heightRaw)
+    require(le16(26) == 1, "BMP: planes must be 1")
+    val bpp = le16(28)
+    require(bpp == 8, s"unsupported bpp $bpp (8-bit palette only)")
+    require(le32(30) == 0, "BMP: BI_RGB (uncompressed) only")
+    val palOff = 14 + hdrSz
+    val palEntries = { val c = le32(46); if (c == 0) 256 else c }
+    def gray(idx: Int): Int = {
+      require(idx < palEntries, s"palette index $idx out of range")
+      u8(palOff + idx * 4 + 2) // BGRA entry: red channel
+    }
+    val stride = ((width + 3) / 4) * 4
+    val px = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val srcRow = if (bottomUp) height - 1 - r else r
+      var c = 0
+      while (c < width) {
+        px(r * width + c) = gray(u8(dataOff + srcRow * stride + c))
+        c += 1
+      }
+      r += 1
+    }
+    BmpImage(width, height, px)
+  }
+
+  /** Serialize an 8-bit grayscale raster (row-major top-down) to a
+    * spec-exact BMP: identity 256-entry gray palette, BOTTOM-UP row
+    * order, 4-byte row stride — the inverse of decodeBmp, for the
+    * deterministic synthetic corpus. A non-multiple-of-4 width makes
+    * the stride padding load-bearing. */
+  def buildBmpGray8(width: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && pixels.length % width == 0,
+      "pixels must be whole rows")
+    val height = pixels.length / width
+    val stride = ((width + 3) / 4) * 4
+    val dataSz = stride * height
+    val dataOff = 14 + 40 + 256 * 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + dataSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(dataOff + dataSz)
+    buf.putShort(0); buf.putShort(0)
+    buf.putInt(dataOff)
+    buf.putInt(40); buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(8)
+    buf.putInt(0)      // BI_RGB
+    buf.putInt(dataSz)
+    buf.putInt(2835); buf.putInt(2835) // 72 DPI both axes
+    buf.putInt(256); buf.putInt(0)
+    var i = 0
+    while (i < 256) { // palette entries are B,G,R,reserved
+      buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      i += 1
+    }
+    var r = height - 1
+    while (r >= 0) { // bottom-up
+      var c = 0
+      while (c < width) { buf.put(pixels(r * width + c).toByte); c += 1 }
+      var p = width
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r -= 1
+    }
+    buf.array()
+  }
+
+  case class ImageBlock(media_id: Long, block_row: Int, block_col: Int,
+                        sum_px: Long, n_px: Long, width: Int,
+                        height: Int)
+
+  /** Block-sum raster pooling (the downsample step of a pHash or
+    * thumbnail pipeline) over REAL BMP-decoded rasters, carrying the
+    * decoded header's dimensions so a stride/row-order mis-parse is
+    * value-visible downstream. Row-local: one mapPartitions pass. */
+  def imageBlocksBmp(media: Dataset[MediaRecord],
+                     block: Int): Dataset[ImageBlock] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val img = decodeBmp(m.content)
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int), (Long, Long)]
+      var i = 0
+      while (i < img.pixels.length) {
+        val k = (i / img.width / block, i % img.width / block)
+        val (s0, n0) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (s0 + img.pixels(i), n0 + 1L)
+        i += 1
+      }
+      acc.iterator.map { case ((br, bc), (sm, n)) =>
+        ImageBlock(m.media_id, br, bc, sm, n, img.width, img.height)
+      }
+    })
+  }
+  // ───────────────────────────────────────────────────────────────────
+
   /** Fixed fake raster width for the stub decoder. */
   val StubWidth = 32
 

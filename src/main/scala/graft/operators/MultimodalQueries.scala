@@ -118,6 +118,32 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("window_no"), col("energy"),
           col("n_samples"), col("sample_rate"))
     }),
+    // REAL image codec end-to-end (the q375 discipline for images):
+    // build spec-exact 8-bit palette BMPs — width 30, deliberately
+    // not a multiple of 4, so the 4-byte row stride padding and the
+    // bottom-up row order are both load-bearing — from the image-kind
+    // docs' codepoints, decode them back with the real BMP parser,
+    // and pool the raster into 10×10 block sums. The oracle
+    // recomputes the blocks from the text codepoints directly: a
+    // builder or parser slip (stride, row order, palette channel,
+    // data offset) diverges the per-block sums. Row-local throughout.
+    "q381_bmp_decode" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val W = 30
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0 && length(col("text")) >= W)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val h = text.length / W
+          val px = text.take(h * W).map(_.toInt).toArray
+          MediaRecord(id, "image", "bmp",
+            Multimodal.buildBmpGray8(W, px))
+        })
+      Multimodal.imageBlocksBmp(media, block = 10).toDF()
+        .select(col("media_id"), col("block_row"), col("block_col"),
+          col("sum_px"), col("n_px"), col("width"), col("height"))
+    }),
     "q57_media_manifest" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .select(col("media_id"), col("kind"), col("fmt"),
@@ -342,6 +368,23 @@ object MultimodalQueries extends QueryPack {
       |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q381_bmp_decode" ->
+      s"""WITH ${cpCte(0)},
+        | lim AS (SELECT doc_id,
+        |   CAST(length(text) // 30 AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND length(text) >= 30),
+        | q AS (SELECT b.doc_id, b.i - 1 AS i0, b.p, lim.h
+        |  FROM b JOIN lim USING (doc_id) WHERE b.i <= lim.h * 30)
+        | SELECT doc_id AS media_id,
+        |  CAST((i0 // 30) // 10 AS INT) AS block_row,
+        |  CAST((i0 % 30) // 10 AS INT) AS block_col,
+        |  CAST(sum(p) AS BIGINT) AS sum_px,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(30 AS INT) AS width,
+        |  CAST(h AS INT) AS height
+        | FROM q
+        | GROUP BY doc_id, (i0 // 30) // 10, (i0 % 30) // 10, h""".stripMargin,
     "q256_audio_fingerprint" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1

@@ -153,4 +153,67 @@ class MultimodalSpec extends AnyFunSuite {
     }.toSeq
     assert(got.toSeq == want)
   }
+
+  test("decodeBmp: real DIB parser round-trips an 8-bit raster " +
+    "exactly through the stride padding and bottom-up row order") {
+    // width 5 -> stride 8 (3 pad bytes per row, load-bearing)
+    val px = Array.tabulate(5 * 3)(i => (i * 17) % 256)
+    val bmp = Multimodal.buildBmpGray8(5, px)
+    val img = Multimodal.decodeBmp(bmp)
+    assert(img.width == 5 && img.height == 3)
+    assert(img.pixels.toSeq == px.toSeq)
+    // the payload really is padded: 14 + 40 + 1024 + 8*3
+    assert(bmp.length == 14 + 40 + 1024 + 8 * 3)
+  }
+
+  test("decodeBmp: negative height means top-down rows; a positive " +
+    "one is bottom-up (the builder's order is proven by a flip)") {
+    val px = Array.tabulate(4 * 2)(identity) // width 4: zero padding
+    val bmp = Multimodal.buildBmpGray8(4, px)
+    // flip the height sign in BITMAPINFOHEADER (offset 22, le32):
+    // the parser must now read rows top-down, i.e. reversed rows
+    val flipped = bmp.clone()
+    val h = -2
+    flipped(22) = (h & 0xff).toByte
+    flipped(23) = ((h >> 8) & 0xff).toByte
+    flipped(24) = ((h >> 16) & 0xff).toByte
+    flipped(25) = ((h >> 24) & 0xff).toByte
+    val img = Multimodal.decodeBmp(flipped)
+    assert(img.pixels.toSeq ==
+      (px.slice(4, 8) ++ px.slice(0, 4)).toSeq)
+  }
+
+  test("decodeBmp: rejects non-BMP, non-8-bit and compressed " +
+    "payloads with named errors") {
+    val good = Multimodal.buildBmpGray8(4, Array.fill(8)(1))
+    val notBmp = intercept[IllegalArgumentException](
+      Multimodal.decodeBmp("RIFFxxxxWAVE".getBytes("US-ASCII") ++
+        Array.fill[Byte](60)(0)))
+    assert(notBmp.getMessage.contains("BMP"))
+    val bpp = good.clone(); bpp(28) = 24 // claim 24-bit
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(bpp)).getMessage.contains("bpp"))
+    val comp = good.clone(); comp(30) = 1 // claim BI_RLE8
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(comp)).getMessage.contains("BI_RGB"))
+  }
+
+  test("imageBlocksBmp: q381 contract — 10x10 block sums over the " +
+    "REAL decoded raster match the direct recompute") {
+    val text = ("a tiny synthetic raster payload built from document " +
+      "text codepoints exactly like the query does it ").padTo(95, 'x')
+    val W = 30
+    val h = text.length / W
+    val px = text.take(h * W).map(_.toInt).toArray
+    val ds = Seq(MediaRecord(3L, "image", "bmp",
+      Multimodal.buildBmpGray8(W, px))).toDS()
+    val got = Multimodal.imageBlocksBmp(ds, 10).collect()
+      .map(b => (b.block_row, b.block_col) ->
+        (b.sum_px, b.n_px, b.width, b.height)).toMap
+    val want = px.zipWithIndex
+      .groupBy { case (_, i) => (i / W / 10, i % W / 10) }
+      .map { case (k, xs) =>
+        k -> (xs.map(_._1.toLong).sum, xs.length.toLong, W, h) }
+    assert(got == want)
+  }
 }
