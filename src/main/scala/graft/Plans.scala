@@ -281,7 +281,9 @@ object Plans {
         "(lang,word) shuffle, vocab-bounded encode windows, " +
         "vocab-bounded join back — corpus never re-enters"),
       "q381_bmp_decode" -> ("real BMP codec: build+decode+block-pool " +
-        "in ONE mapPartitions pass, zero shuffles before the output"))
+        "in ONE mapPartitions pass, zero shuffles before the output"),
+      "q382_avi_decode" -> ("real AVI codec: container build+decode+" +
+        "frame checksums in ONE mapPartitions pass, zero shuffles"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -310,6 +310,151 @@ object Multimodal {
     buf.array()
   }
 
+  // ─────────────────────── REAL VIDEO CODEC (r12) ───────────────────
+  case class AviClip(width: Int, height: Int,
+                     frames: Array[Array[Int]])
+
+  /** Real AVI container parser (public RIFF form `AVI `): walks the
+    * outer RIFF chunks honoring the odd-size pad byte, reads the
+    * `LIST hdrl` → `avih` main header (frame width/height/count) and
+    * the `LIST movi` stream, collecting uncompressed `00db` video
+    * frames — each a raw bottom-up, 4-byte-stride-padded 8-bit DIB
+    * raster (the BMP pixel-array layout) — into TOP-DOWN row-major
+    * gray arrays. Non-frame chunks anywhere (JUNK, idx1, `00wb`
+    * audio) are walked over. Completes the codec trio with decodeWav
+    * and decodeBmp; compressed streams (MJPEG/H.264) would still need
+    * an external library. */
+  def decodeAvi(content: Array[Byte]): AviClip = {
+    def u8(i: Int): Int = content(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) |
+      (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(content, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(content.length >= 12 && tag(0) == "RIFF" &&
+      tag(8) == "AVI ", "not a RIFF/AVI payload")
+    var dims = Option.empty[(Int, Int, Int)] // (width, height, frames)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = tag(off)
+        val sz = le32(off + 4)
+        val body = off + 8
+        id match {
+          case "LIST" =>
+            val listType = tag(body)
+            if (listType == "hdrl" || listType == "movi")
+              walk(body + 4, math.min(body + sz, to))
+          case "avih" =>
+            require(sz >= 40, "avih header too short")
+            // dwWidth @ +32, dwHeight @ +36, dwTotalFrames @ +16
+            dims = Some((le32(body + 32), le32(body + 36),
+              le32(body + 16)))
+          case "00db" =>
+            val (w, h, _) = dims.getOrElse(throw
+              new IllegalArgumentException("AVI: 00db before avih"))
+            val stride = ((w + 3) / 4) * 4
+            require(sz >= stride * h, "AVI: truncated frame")
+            val px = new Array[Int](w * h)
+            var r = 0
+            while (r < h) { // frames are bottom-up DIB rasters
+              var c = 0
+              while (c < w) {
+                px(r * w + c) = u8(body + (h - 1 - r) * stride + c)
+                c += 1
+              }
+              r += 1
+            }
+            frames += px
+          case _ => () // JUNK/idx1/00wb/strl leaves…: walked over
+        }
+        off = body + sz + (sz & 1) // RIFF odd-size pad
+      }
+    }
+    walk(12, content.length)
+    val (w, h, n) = dims.getOrElse(
+      throw new IllegalArgumentException("AVI: missing avih header"))
+    require(frames.length == n,
+      s"AVI: header declares $n frames, stream carries ${frames.length}")
+    AviClip(w, h, frames.toArray)
+  }
+
+  /** Serialize 8-bit grayscale frames (row-major top-down) to a
+    * spec-exact AVI: LIST hdrl with a 56-byte avih, LIST movi of
+    * `00db` bottom-up stride-padded DIB frames — the inverse of
+    * decodeAvi, for the deterministic synthetic corpus. With
+    * `junkChunk` an odd-size JUNK chunk lands between hdrl and movi,
+    * so decode must walk and pad-skip it. */
+  def buildAviGray8(width: Int, height: Int,
+                    frames: Seq[Array[Int]],
+                    junkChunk: Boolean = false): Array[Byte] = {
+    require(frames.forall(_.length == width * height),
+      "every frame must be width*height pixels")
+    val stride = ((width + 3) / 4) * 4
+    val frameSz = stride * height
+    val hdrlSz = 4 + 8 + 56                 // 'hdrl' + avih chunk
+    val junkBody = 7                        // odd: exercises the pad
+    val junkSz = if (junkChunk) 8 + junkBody + 1 else 0
+    val moviSz = 4 + frames.length * (8 + frameSz)
+    val riffSz = 4 + (8 + hdrlSz) + junkSz + (8 + moviSz)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSz)
+    buf.put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")); buf.putInt(hdrlSz)
+    buf.put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")); buf.putInt(56)
+    buf.putInt(40000)                       // dwMicroSecPerFrame
+    buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    buf.putInt(frames.length)               // dwTotalFrames @ +16
+    buf.putInt(0); buf.putInt(1)            // streams
+    buf.putInt(frameSz)
+    buf.putInt(width); buf.putInt(height)   // @ +32, +36
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")); buf.putInt(junkBody)
+      buf.put(Array.tabulate[Byte](junkBody + 1)(i => (i * 3).toByte))
+    }
+    buf.put("LIST".getBytes("US-ASCII")); buf.putInt(moviSz)
+    buf.put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      buf.put("00db".getBytes("US-ASCII")); buf.putInt(frameSz)
+      var r = height - 1
+      while (r >= 0) { // bottom-up
+        var c = 0
+        while (c < width) { buf.put(f(r * width + c).toByte); c += 1 }
+        var p = width
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        r -= 1
+      }
+    }
+    buf.array()
+  }
+
+  case class VideoFrameFeat(media_id: Long, frame_no: Int, wsum: Long,
+                            n_px: Long, width: Int, height: Int)
+
+  /** Position-weighted frame checksums (Σ (i+1)·pixel over the
+    * TOP-DOWN row-major raster — ORDER-SENSITIVE on purpose: a
+    * row-order or stride slip in the container round-trip moves the
+    * value, where a plain sum would not) over REAL AVI-decoded
+    * frames, carrying the decoded header's dimensions. Row-local:
+    * one mapPartitions pass. */
+  def videoFrameFeatsAvi(media: Dataset[MediaRecord])
+      : Dataset[VideoFrameFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val clip = decodeAvi(m.content)
+      clip.frames.iterator.zipWithIndex.map { case (f, i) =>
+        var w = 0L
+        var j = 0
+        while (j < f.length) { w += (j + 1L) * f(j); j += 1 }
+        VideoFrameFeat(m.media_id, i, w, f.length.toLong,
+          clip.width, clip.height)
+      }
+    })
+  }
+
   case class ImageBlock(media_id: Long, block_row: Int, block_col: Int,
                         sum_px: Long, n_px: Long, width: Int,
                         height: Int)

@@ -144,6 +144,35 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("block_row"), col("block_col"),
           col("sum_px"), col("n_px"), col("width"), col("height"))
     }),
+    // REAL video codec end-to-end, completing the trio (q375 audio,
+    // q381 image): build spec-exact AVI containers — LIST hdrl/avih
+    // header, odd-size JUNK between hdrl and movi (pad-byte walking
+    // load-bearing), LIST movi of raw 00db bottom-up stride-padded
+    // DIB frames at width 6 (stride 8) — from the video-kind docs'
+    // codepoints, decode them back with the real RIFF/AVI walker, and
+    // emit a POSITION-WEIGHTED checksum per frame (order-sensitive:
+    // a row-order or stride slip moves the value where a plain sum
+    // would not). The oracle recomputes the weighted sums from the
+    // codepoints directly. Row-local throughout.
+    "q382_avi_decode" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val (w, h) = (6, 4)
+      val fpx = w * h
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2 && length(col("text")) >= fpx)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val nf = text.length / fpx
+          val frames = (0 until nf).map(f =>
+            text.slice(f * fpx, (f + 1) * fpx).map(_.toInt).toArray)
+          MediaRecord(id, "video", "avi",
+            Multimodal.buildAviGray8(w, h, frames, junkChunk = true))
+        })
+      Multimodal.videoFrameFeatsAvi(media).toDF()
+        .select(col("media_id"), col("frame_no"), col("wsum"),
+          col("n_px"), col("width"), col("height"))
+    }),
     "q57_media_manifest" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
         .select(col("media_id"), col("kind"), col("fmt"),
@@ -368,6 +397,20 @@ object MultimodalQueries extends QueryPack {
       |   CAST(unicode(substr(text, i, 1)) AS BIGINT) AS p FROM cp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q382_avi_decode" ->
+      s"""WITH ${cpCte(2)},
+        | lim AS (SELECT doc_id,
+        |   CAST(length(text) // 24 AS BIGINT) AS nf
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND length(text) >= 24),
+        | q AS (SELECT b.doc_id, (b.i - 1) // 24 AS frame_no,
+        |   (b.i - 1) % 24 AS j, b.p
+        |  FROM b JOIN lim USING (doc_id) WHERE b.i <= lim.nf * 24)
+        | SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(sum((j + 1) * p) AS BIGINT) AS wsum,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(6 AS INT) AS width, CAST(4 AS INT) AS height
+        | FROM q GROUP BY doc_id, frame_no""".stripMargin,
     "q381_bmp_decode" ->
       s"""WITH ${cpCte(0)},
         | lim AS (SELECT doc_id,

@@ -198,6 +198,57 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeBmp(comp)).getMessage.contains("BI_RGB"))
   }
 
+  test("decodeAvi: real RIFF/AVI walker round-trips frames exactly " +
+    "through the hdrl header, an odd-size JUNK chunk and the " +
+    "bottom-up stride-padded 00db rasters") {
+    // width 6 -> stride 8 (2 pad bytes per row, load-bearing)
+    val f0 = Array.tabulate(24)(i => (i * 11) % 256)
+    val f1 = Array.tabulate(24)(i => (i * 7 + 3) % 256)
+    val avi = Multimodal.buildAviGray8(6, 4, Seq(f0, f1),
+      junkChunk = true)
+    val clip = Multimodal.decodeAvi(avi)
+    assert(clip.width == 6 && clip.height == 4)
+    assert(clip.frames.length == 2)
+    assert(clip.frames(0).toSeq == f0.toSeq)
+    assert(clip.frames(1).toSeq == f1.toSeq)
+  }
+
+  test("decodeAvi: rejects non-AVI payloads and frame-count " +
+    "mismatches with named errors") {
+    val notAvi = intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(Multimodal.buildWavPcm8(8000, 1,
+        Array.fill(16)(0))))
+    assert(notAvi.getMessage.contains("AVI"))
+    // corrupt dwTotalFrames (avih body +16; avih body starts at
+    // 12 + 8('LIST'+sz) + 4('hdrl') + 8('avih'+sz) = 32)
+    val avi = Multimodal.buildAviGray8(4, 2,
+      Seq(Array.fill(8)(5), Array.fill(8)(9)))
+    val bad = avi.clone(); bad(32 + 16) = 9
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(bad)).getMessage.contains("frames"))
+  }
+
+  test("videoFrameFeatsAvi: q382 contract — position-weighted frame " +
+    "checksums over REAL decoded frames match the direct recompute") {
+    val text = ("synthetic video payload from document text, at " +
+      "least three frames of twenty-four codepoints!").padTo(72, 'v')
+    val fpx = 24
+    val nf = text.length / fpx
+    val frames = (0 until nf).map(f =>
+      text.slice(f * fpx, (f + 1) * fpx).map(_.toInt).toArray)
+    val ds = Seq(MediaRecord(5L, "video", "avi",
+      Multimodal.buildAviGray8(6, 4, frames, junkChunk = true))).toDS()
+    val got = Multimodal.videoFrameFeatsAvi(ds).collect()
+      .sortBy(_.frame_no)
+    got.zip(frames).zipWithIndex.foreach { case ((g, f), i) =>
+      val wsum = f.zipWithIndex.map { case (p, j) =>
+        (j + 1L) * p }.sum
+      assert(g.frame_no == i && g.wsum == wsum && g.n_px == 24L &&
+        g.width == 6 && g.height == 4)
+    }
+    assert(got.length == nf)
+  }
+
   test("imageBlocksBmp: q381 contract — 10x10 block sums over the " +
     "REAL decoded raster match the direct recompute") {
     val text = ("a tiny synthetic raster payload built from document " +
