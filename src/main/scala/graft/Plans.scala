@@ -283,7 +283,10 @@ object Plans {
       "q381_bmp_decode" -> ("real BMP codec: build+decode+block-pool " +
         "in ONE mapPartitions pass, zero shuffles before the output"),
       "q382_avi_decode" -> ("real AVI codec: container build+decode+" +
-        "frame checksums in ONE mapPartitions pass, zero shuffles"))
+        "frame checksums in ONE mapPartitions pass, zero shuffles"),
+      "q383_outer_scalar" -> ("scalar correlated PAST its subquery " +
+        "to the TOP scope: aggregated frame joins the OUTER side of " +
+        "the semi/anti join — joins all the way down"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

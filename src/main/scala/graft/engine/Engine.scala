@@ -1389,7 +1389,8 @@ class Engine(val spark: SparkSession, root: String,
     * innermost-first name resolution, plus a rewriter that qualifies
     * every field to its resolved scope so join conditions stay
     * unambiguous when both sides share column names. */
-  private class CorrScope(sub: SelectStmt, outerSel: SelectStmt) {
+  private class CorrScope(sub: SelectStmt, outerSel: SelectStmt,
+      extraInner: Set[String] = Set.empty) {
     val innerName: String = sub.from.getOrElse(
       throw new IllegalArgumentException(
         "EXISTS/IN/scalar subquery needs a FROM table"))
@@ -1443,10 +1444,24 @@ class Engine(val spark: SparkSession, root: String,
           "nested subqueries inside a correlated subquery are not supported")
       if (subConj.exists(containsScalarSelect))
         throw new IllegalArgumentException(
-          "a scalar subquery inside a correlated subquery may only " +
-            "correlate to that subquery's own scope (or be fully " +
-            "uncorrelated); correlating it to an outermore scope is " +
-            "not supported")
+          "a scalar subquery inside a correlated subquery may " +
+            "correlate to that subquery's own scope or to the " +
+            "enclosing query's scope (or be fully uncorrelated); " +
+            "correlating PAST the enclosing query, or mixing scopes " +
+            "in one subquery, is not supported")
+      // a qualifier naming NEITHER this scope nor the enclosing one
+      // is a correlation this desugar cannot thread (e.g. a scalar
+      // mixing its own scope with one two levels up) — name the rule
+      // instead of letting the resolver fail on the filtered scan
+      subConj.flatMap(fieldsOf).foreach(f => f.qualifier.foreach { q =>
+        val ql = q.toLowerCase
+        if (ql != innerAlias && !outers(ql) && !extraInner(ql))
+          throw new IllegalArgumentException(
+            s"$q.${f.name} references a scope that is neither this " +
+              "subquery's own nor its directly enclosing query's — " +
+              "correlating past the enclosing scope (or mixing " +
+              "scopes in one subquery) is not supported")
+      })
       subConj.partition(c => fieldsOf(c).exists(isOuter))
     }
     /** The inner scan, aliased, pre-filtered by the local conjuncts.
@@ -1518,14 +1533,42 @@ class Engine(val spark: SparkSession, root: String,
     def corrToSub(s2: SelectStmt): Boolean =
       try isCorrelatedSub(s2, sub0)
       catch { case _: Engine.UnknownColumn => false }
-    val sub = sub0.copy(where = sub0.where.map(w =>
+    val subA = sub0.copy(where = sub0.where.map(w =>
       rewriteScalarSubs(w, corrToSub, { s2 =>
         val (tn, aggDf, join, repl) =
           scalarJoin(s2, sub0, nestedJoins.size)
         nestedJoins :+= ((tn, aggDf, join.on))
         repl
       })))
-    val sc = new CorrScope(sub, outerSel)
+    // r12: one level OUTWARD — a scalar correlated to the ENCLOSING
+    // query's scope joins its aggregated frame onto the OUTER side of
+    // the semi/anti join; the replacement field then rides the join
+    // condition as an outer reference (ANSI NULL semantics fall out
+    // of the left join: an empty correlated group leaves the scalar
+    // NULL, the comparison NULL, the row unmatched), and the hidden
+    // columns are dropped after the left-side-only semi/anti join so
+    // the outer schema is restored. Scalars correlated to a scope
+    // past the enclosing query, or mixing scopes, still reject below.
+    var outerJoins = Vector.empty[(String, DataFrame, Expr)]
+    def corrToOuter(s2: SelectStmt): Boolean =
+      try isCorrelatedSub(s2, outerSel)
+      catch { case _: Engine.UnknownColumn => false }
+    val sub = subA.copy(where = subA.where.map(w =>
+      rewriteScalarSubs(w, corrToOuter, { s2 =>
+        val (tn, aggDf, join, repl) = scalarJoin(s2, outerSel,
+          outerJoins.size, namePrefix = "__graft_osc")
+        outerJoins :+= ((tn, aggDf, join.on))
+        repl
+      })))
+    val outerSel2 =
+      if (outerJoins.isEmpty) outerSel
+      else outerSel.copy(ansiJoins = outerSel.ansiJoins ++
+        outerJoins.map { case (tn, _, on) =>
+          AnsiJoin(tn, None, "left", on, generated = true) })
+    val dfOut = outerJoins.foldLeft(df) { case (f, (tn, aggDf, on)) =>
+      f.join(aggDf.as(tn), ExprBuilder.build(on, outerCtx), "left") }
+    val sc = new CorrScope(sub, outerSel2,
+      extraInner = nestedJoins.map(_._1.toLowerCase).toSet)
     sc.requirePlainShape("correlated subquery")
     val (corr, local) = sc.splitWhere()
     val mergedCtx: ExprBuilder.Ctx = outerCtx ++
@@ -1558,7 +1601,14 @@ class Engine(val spark: SparkSession, root: String,
       .reduceOption(BinOp("and", _, _))
       .map(c => ExprBuilder.build(c, mergedCtx))
       .getOrElse(lit(true))
-    df.join(inner, cond, if (neg) "left_anti" else "left_semi")
+    val joined =
+      dfOut.join(inner, cond, if (neg) "left_anti" else "left_semi")
+    // drop the outer-joined scalar frames' hidden columns — the
+    // semi/anti join keeps only left-side columns, so this restores
+    // the caller's outer schema exactly
+    outerJoins.foldLeft(joined) { case (f, (tn, aggDf, _)) =>
+      aggDf.columns.foldLeft(f)((g, c) => g.drop(col(s"$tn.$c")))
+    }
   }
 
   /** Desugar ONE correlated scalar-aggregate subquery —
@@ -1573,7 +1623,8 @@ class Engine(val spark: SparkSession, root: String,
     * operand per scope. Returns (bindName, aggregated frame, LEFT
     * AnsiJoin, replacement expr). */
   private def scalarJoin(sub: SelectStmt, outerSel: SelectStmt,
-      idx: Int, inHaving: Boolean = false)
+      idx: Int, inHaving: Boolean = false,
+      namePrefix: String = "__graft_sc")
       : (String, DataFrame, AnsiJoin, Expr) = {
     val sc = new CorrScope(sub, outerSel)
     sc.requirePlainShape("correlated scalar subquery")
@@ -1623,7 +1674,7 @@ class Engine(val spark: SparkSession, root: String,
               s"columns (not ${bad.map(_.name).mkString(", ")})")
       }
     }
-    val tn = s"__graft_sc$idx"
+    val tn = s"$namePrefix$idx"
     def innerCol(e: Expr): Column =
       ExprBuilder.build(sc.qualify(e, preferInner = true), sc.innerCtx)
     def arg0: Expr = aggArgs.headOption.getOrElse(

@@ -687,6 +687,44 @@ object EngineQueries extends QueryPack {
         case other => sys.error(s"q373 select failed: $other")
       }
     }),
+    // Scalar correlated PAST its own subquery to the TOP query's
+    // scope (r12, closing the last named correlated-scalar
+    // limitation): inside the EXISTS over lineitem, the bound scalar
+    // `min(l2.l_quantity) ... where l2.l_orderkey = o.o_orderkey`
+    // anchors on the OUTER order, so its aggregated frame joins onto
+    // the OUTER side of the semi/anti join — never a per-row
+    // re-execution. Both the EXISTS and NOT EXISTS legs run (semi
+    // and anti with the outer-joined scalar); orders with no lines
+    // leave the scalar NULL, the comparison NULL, the row unmatched —
+    // ANSI semantics from the left join, which DuckDB reproduces
+    // natively on the same text.
+    "q383_outer_scalar" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope osscope; use osscope")
+        .foreach(require(_, "q383 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus")))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity")))
+      eng.sql("select 'exists' as variant, o_orderstatus as status, " +
+        "count(*) as n_orders from ord o " +
+        "where exists (select 1 from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity >= 45 " +
+        "  and l_quantity <= 2 + (select min(l2.l_quantity) from li l2 " +
+        "    where l2.l_orderkey = o.o_orderkey)) " +
+        "group by o_orderstatus " +
+        "union all " +
+        "select 'not_exists' as variant, o_orderstatus as status, " +
+        "count(*) as n_orders from ord o " +
+        "where not exists (select 1 from li " +
+        "  where li.l_orderkey = o.o_orderkey and l_quantity >= 45 " +
+        "  and l_quantity <= 2 + (select min(l2.l_quantity) from li l2 " +
+        "    where l2.l_orderkey = o.o_orderkey)) " +
+        "group by o_orderstatus") match {
+        case Rows(df) => df
+        case other => sys.error(s"q383 select failed: $other")
+      }
+    }),
     // NOT IN under ANSI three-valued NULL logic (r12, closing the r11
     // anti-join deviation): four measured legs — a NULL in the inner
     // set blanks everything; a clean inner set anti-joins; a NULL
@@ -1031,6 +1069,24 @@ object EngineQueries extends QueryPack {
         |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 45
         |   AND l_quantity <= 5 + (SELECT min(l2.l_quantity)
         |     FROM lineitem l2 WHERE l2.l_orderkey = li.l_orderkey))
+        | GROUP BY o_orderstatus""".stripMargin,
+    "q383_outer_scalar" ->
+      """SELECT 'exists' AS variant, o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 45
+        |   AND l_quantity <= 2 + (SELECT min(l2.l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey))
+        | GROUP BY o_orderstatus
+        | UNION ALL
+        | SELECT 'not_exists' AS variant, o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey AND l_quantity >= 45
+        |   AND l_quantity <= 2 + (SELECT min(l2.l_quantity)
+        |     FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey))
         | GROUP BY o_orderstatus""".stripMargin,
     "q374_notin_nulls" ->
       """SELECT 'null_inner' AS variant, CAST(count(*) AS BIGINT) AS n

@@ -484,7 +484,9 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
       val corr = pick(corrPool)
       val outerW = pick(Seq("", s"a > $n1 and ", s"s = 'u${i % 6}' and "))
       val aggFn = pick(Seq("count(*)", "sum(w)", "min(w)", "max(w)"))
-      val body = rnd.nextInt(7) match {
+      // 10 arms (0..9) — the earlier bound of 7 silently left the
+      // r12 HAVING and enclosing-scalar arms unreachable
+      val body = rnd.nextInt(10) match {
         case 0 => s"select id, a from fo where ${outerW}exists " +
           s"(select 1 from fi where $corr)"
         case 1 => s"select id, a from fo where ${outerW}not exists " +
@@ -509,17 +511,41 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"where fi.k = fo.k and fi.w > $n1)"
         // scalar correlated to the directly ENCLOSING subquery (r12):
         // one more CorrScope nesting level
-        case _ =>
+        case 8 =>
           val neg = if (rnd.nextBoolean()) "" else "not "
           s"select id, a from fo where ${outerW}${neg}exists " +
             s"(select 1 from fi where fi.k = fo.k and fi.w + $n2 >= " +
             s"(select max(w) from fi f2 where f2.k = fi.k))"
+        // scalar correlated PAST its subquery to the TOP scope (r12):
+        // the aggregated frame joins the OUTER side of the semi/anti
+        case _ =>
+          val neg = if (rnd.nextBoolean()) "" else "not "
+          s"select id, a from fo where ${outerW}${neg}exists " +
+            s"(select 1 from fi where fi.k = fo.k and fi.w + $n2 >= " +
+            s"(select max(w) from fi f2 where f2.k = fo.k))"
       }
       val got = eng.sql(body) match {
         case Rows(r) => r.collect()
         case other => fail(s"#$i: $body -> $other")
       }
-      val want = spark.sql(body
+      // Spark SQL's native planner resolves outer references ONE
+      // level deep only — it cannot run the top-scope arm's text
+      // (UNRESOLVED_COLUMN on fo.k two scopes down), so that arm's
+      // oracle is the manually-desugared one-level equivalent: the
+      // scalar becomes a grouped frame INNER-joined on the outer key
+      // (an empty group drops the key — exactly the NULL-comparison
+      // blanking of the scalar form)
+      val sparkText =
+        if (body.contains("f2.k = fo.k"))
+          body.replace(
+            "exists (select 1 from fi where fi.k = fo.k and ",
+            "exists (select 1 from fi, (select k as mk, max(w) " +
+              "as mw from fi group by k) m where fi.k = fo.k " +
+              "and m.mk = fo.k and ")
+            .replace("(select max(w) from fi f2 where f2.k = fo.k)",
+              "m.mw")
+        else body
+      val want = spark.sql(sparkText
         .replace("from fo", "from fo_v").replace("from fi", "from fi_v")
         .replace("fi.k", "fi_v.k").replace("fo.k", "fo_v.k")
         .replace("fi.w", "fi_v.w")).collect()

@@ -1001,14 +1001,48 @@ class EngineSpec extends AnyFunSuite {
       "(select 1 from sh where sh.g = sg.g and sh.w * 2 > " +
       "(select max(w) from sh h2 where h2.g = sh.g))"))
       .map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L))
-    // a scalar correlated past the enclosing subquery to the TOP
-    // scope still carries a precise limitation message
+    // a scalar correlated PAST the enclosing subquery to the TOP
+    // scope (r12, the last named correlated-scalar limitation): its
+    // aggregated frame joins onto the OUTER side of the semi join.
+    // Per sg row S = max(w | sh.g = sg.id): id=3 (g=2) has S =
+    // max(w | g=3) = 9 and an sh g=2 row w=100 > 9 → kept; id=1
+    // (g=0, no sh rows) and id=2 (S=100, ws 5/7) → dropped; id=4
+    // has S NULL (no g=4 rows) AND no g=0 sh rows → dropped.
+    assert(rows(eng.sql("select id from sg where exists " +
+      "(select 1 from sh where sh.g = sg.g and sh.w > " +
+      "(select max(w) from sh h2 where h2.g = sg.id))"))
+      .map(_.getLong(0)).toSeq.sorted == Seq(3L))
+    // ...the hidden outer-joined scalar columns never leak: the
+    // semi-joined SELECT * keeps exactly sg's schema
+    rows(eng.sql("select * from sg where exists (select 1 from sh " +
+      "where sh.g = sg.g and sh.w > (select max(w) from sh h2 " +
+      "where h2.g = sg.id))")) match {
+      case rs =>
+        assert(rs.nonEmpty)
+        assert(rs.head.schema.fieldNames.toSeq == Seq("id", "g", "v"),
+          rs.head.schema.fieldNames.mkString(","))
+    }
+    // ...an EMPTY outer-keyed scalar group leaves the comparison
+    // NULL, which blanks the EXISTS row (ANSI): shifting the key off
+    // every sh.g empties all groups → no row survives
+    assert(rows(eng.sql("select id from sg where exists " +
+      "(select 1 from sh where sh.g = sg.g and sh.w > " +
+      "(select max(w) from sh h2 where h2.g = sg.id + 10))")).isEmpty)
+    // ...NOT EXISTS (anti with the outer-joined scalar) is the exact
+    // complement of the EXISTS leg
+    assert(rows(eng.sql("select id from sg where not exists " +
+      "(select 1 from sh where sh.g = sg.g and sh.w > " +
+      "(select max(w) from sh h2 where h2.g = sg.id))"))
+      .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 4L))
+    // correlating past the TOP scope is impossible to express here,
+    // but MIXING scopes in one scalar still rejects precisely
     eng.sql("select id from sg where exists (select 1 from sh " +
       "where sh.g = sg.g and sh.w > (select max(w) from sh h2 " +
-      "where h2.g = sg.id))") match {
+      "where h2.g = sg.id and h2.id = sh.id))") match {
       case Status(false, m) =>
-        assert(m.contains("scope") || m.contains("standalone"), m)
-      case other => fail(s"top-scope scalar inside EXISTS: $other")
+        assert(m.contains("scope") || m.contains("standalone") ||
+          m.contains("mix"), m)
+      case other => fail(s"mixed-scope scalar accepted: $other")
     }
     // a bare literal beside an ungrouped aggregate stays CONSTANT on
     // empty input (ANSI; was NULL through any_value before r12) —

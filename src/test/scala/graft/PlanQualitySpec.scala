@@ -302,6 +302,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p376.contains("CartesianProduct"), p376)
   }
 
+  test("outer-correlated scalar inside EXISTS plans joins all the " +
+    "way down — no per-row re-execution, no cartesian") {
+    val p = plan(SparkEntry.queries("q383_outer_scalar")(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(p.contains("HashAggregate"), p) // the scalar's one agg
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dialect superset plans: view pushdown, semi-join IN, keyed window") {
     import java.nio.file.Files
     val eng = new graft.engine.Engine(spark,
