@@ -1533,10 +1533,15 @@ class Engine(val spark: SparkSession, root: String,
     def corrToSub(s2: SelectStmt): Boolean =
       try isCorrelatedSub(s2, sub0)
       catch { case _: Engine.UnknownColumn => false }
+    // distinct prefix: the OUTER df may already carry a top-level
+    // desugared __graft_sc0 frame, and a nested conjunct that also
+    // references the outer scope lands in the semi-join condition —
+    // a same-named alias on both sides would be AMBIGUOUS_REFERENCE
+    // (review finding)
     val subA = sub0.copy(where = sub0.where.map(w =>
       rewriteScalarSubs(w, corrToSub, { s2 =>
-        val (tn, aggDf, join, repl) =
-          scalarJoin(s2, sub0, nestedJoins.size)
+        val (tn, aggDf, join, repl) = scalarJoin(s2, sub0,
+          nestedJoins.size, namePrefix = "__graft_nsc")
         nestedJoins :+= ((tn, aggDf, join.on))
         repl
       })))

@@ -119,6 +119,9 @@ object Multimodal {
     while (off + 8 <= content.length) {
       val id = tag(off)
       val sz = le32(off + 4).toInt
+      // a hostile size field (negative when read signed) would stall
+      // or reverse the walk — named error beats an infinite loop
+      require(sz >= 0, s"WAV: negative chunk size for '$id'")
       val body = off + 8
       id match {
         case "fmt " =>
@@ -221,6 +224,49 @@ object Multimodal {
   // ─────────────────────── REAL IMAGE CODEC (r12) ───────────────────
   case class BmpImage(width: Int, height: Int, pixels: Array[Int])
 
+  /** The ONE DIB raster layout both containers share (BMP pixel
+    * array, AVI `00db` frame): 4-byte-stride-padded rows. These two
+    * helpers are the single read/write implementation — BMP and AVI
+    * used to carry four hand-rolled copies of the row-flip +
+    * stride-pad loop that had to be kept in lockstep (review
+    * finding). Read side bounds-checks against the REAL buffer (a
+    * declared size can lie about truncated bytes). */
+  private def writeDibRows(buf: java.nio.ByteBuffer, width: Int,
+      height: Int, pixels: Array[Int], bottomUp: Boolean): Unit = {
+    val stride = ((width + 3) / 4) * 4
+    var r0 = 0
+    while (r0 < height) {
+      val r = if (bottomUp) height - 1 - r0 else r0
+      var c = 0
+      while (c < width) { buf.put(pixels(r * width + c).toByte); c += 1 }
+      var p = width
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r0 += 1
+    }
+  }
+
+  private def readDibRows(content: Array[Byte], off: Int, width: Int,
+      height: Int, bottomUp: Boolean, what: String): Array[Int] = {
+    require(width > 0, s"$what: width must be positive")
+    require(height >= 0, s"$what: negative height")
+    val stride = ((width + 3) / 4) * 4
+    require(off >= 0 &&
+      off.toLong + stride.toLong * height <= content.length,
+      s"$what: truncated pixel data")
+    val px = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val srcRow = if (bottomUp) height - 1 - r else r
+      var c = 0
+      while (c < width) {
+        px(r * width + c) = content(off + srcRow * stride + c) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    px
+  }
+
   /** Real Windows BMP parser (public DIB spec): BITMAPFILEHEADER
     * (`BM`, file size, pixel-data offset) + BITMAPINFOHEADER (width;
     * POSITIVE height = bottom-up row order, negative = top-down;
@@ -243,6 +289,9 @@ object Multimodal {
     require(hdrSz >= 40, s"unsupported DIB header size $hdrSz")
     val width = le32(18)
     val heightRaw = le32(22)
+    // Int.MinValue survives math.abs negative — reject it by name
+    // before it reaches the array sizing (review finding)
+    require(heightRaw != Int.MinValue, "BMP: height out of range")
     val bottomUp = heightRaw > 0
     val height = math.abs(heightRaw)
     require(le16(26) == 1, "BMP: planes must be 1")
@@ -251,22 +300,15 @@ object Multimodal {
     require(le32(30) == 0, "BMP: BI_RGB (uncompressed) only")
     val palOff = 14 + hdrSz
     val palEntries = { val c = le32(46); if (c == 0) 256 else c }
+    require(palEntries > 0 &&
+      palOff.toLong + palEntries.toLong * 4 <= content.length,
+      "BMP: truncated palette")
     def gray(idx: Int): Int = {
       require(idx < palEntries, s"palette index $idx out of range")
       u8(palOff + idx * 4 + 2) // BGRA entry: red channel
     }
-    val stride = ((width + 3) / 4) * 4
-    val px = new Array[Int](width * height)
-    var r = 0
-    while (r < height) {
-      val srcRow = if (bottomUp) height - 1 - r else r
-      var c = 0
-      while (c < width) {
-        px(r * width + c) = gray(u8(dataOff + srcRow * stride + c))
-        c += 1
-      }
-      r += 1
-    }
+    val px = readDibRows(content, dataOff, width, height, bottomUp,
+      "BMP").map(gray)
     BmpImage(width, height, px)
   }
 
@@ -299,14 +341,7 @@ object Multimodal {
       buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
       i += 1
     }
-    var r = height - 1
-    while (r >= 0) { // bottom-up
-      var c = 0
-      while (c < width) { buf.put(pixels(r * width + c).toByte); c += 1 }
-      var p = width
-      while (p < stride) { buf.put(0.toByte); p += 1 }
-      r -= 1
-    }
+    writeDibRows(buf, width, height, pixels, bottomUp = true)
     buf.array()
   }
 
@@ -339,6 +374,9 @@ object Multimodal {
       while (off + 8 <= to) {
         val id = tag(off)
         val sz = le32(off + 4)
+        // a hostile size field (negative when read signed) would
+        // stall or reverse the walk — named error beats a hang
+        require(sz >= 0, s"AVI: negative chunk size for '$id'")
         val body = off + 8
         id match {
           case "LIST" =>
@@ -353,19 +391,11 @@ object Multimodal {
           case "00db" =>
             val (w, h, _) = dims.getOrElse(throw
               new IllegalArgumentException("AVI: 00db before avih"))
+            require(h > 0, "AVI: nonpositive frame height")
             val stride = ((w + 3) / 4) * 4
             require(sz >= stride * h, "AVI: truncated frame")
-            val px = new Array[Int](w * h)
-            var r = 0
-            while (r < h) { // frames are bottom-up DIB rasters
-              var c = 0
-              while (c < w) {
-                px(r * w + c) = u8(body + (h - 1 - r) * stride + c)
-                c += 1
-              }
-              r += 1
-            }
-            frames += px
+            frames += readDibRows(content, body, w, h,
+              bottomUp = true, "AVI") // checks the REAL buffer too
           case _ => () // JUNK/idx1/00wb/strl leaves…: walked over
         }
         off = body + sz + (sz & 1) // RIFF odd-size pad
@@ -419,14 +449,7 @@ object Multimodal {
     buf.put("movi".getBytes("US-ASCII"))
     frames.foreach { f =>
       buf.put("00db".getBytes("US-ASCII")); buf.putInt(frameSz)
-      var r = height - 1
-      while (r >= 0) { // bottom-up
-        var c = 0
-        while (c < width) { buf.put(f(r * width + c).toByte); c += 1 }
-        var p = width
-        while (p < stride) { buf.put(0.toByte); p += 1 }
-        r -= 1
-      }
+      writeDibRows(buf, width, height, f, bottomUp = true)
     }
     buf.array()
   }

@@ -1034,6 +1034,19 @@ class EngineSpec extends AnyFunSuite {
       "(select 1 from sh where sh.g = sg.g and sh.w > " +
       "(select max(w) from sh h2 where h2.g = sg.id))"))
       .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 4L))
+    // a TOP-LEVEL desugared scalar (alias __graft_sc0 on the outer
+    // frame) combined with a NESTED one inside the EXISTS whose
+    // conjunct also references the outer scope (v): the nested join
+    // uses the __graft_nsc prefix, so the two frames can never
+    // collide in the semi-join condition (review finding — a shared
+    // prefix was AMBIGUOUS_REFERENCE). T(g)=max(w|g): row2 (g=1,v=20)
+    // passes 20>7 and its EXISTS holds (5+20>7); rows 1/4 blank on
+    // the NULL top scalar; row3 fails 30>100.
+    assert(rows(eng.sql("select id from sg where v > " +
+      "(select max(w) from sh h3 where h3.g = sg.g) and exists " +
+      "(select 1 from sh where sh.g = sg.g and sh.w + v > " +
+      "(select max(w) from sh h2 where h2.g = sh.g))"))
+      .map(_.getLong(0)).toSeq.sorted == Seq(2L))
     // correlating past the TOP scope is impossible to express here,
     // but MIXING scopes in one scalar still rejects precisely
     eng.sql("select id from sg where exists (select 1 from sh " +

@@ -228,6 +228,39 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeAvi(bad)).getMessage.contains("frames"))
   }
 
+  test("hostile payloads get named errors, never hangs or raw " +
+    "index crashes: negative chunk sizes, truncated rasters, " +
+    "oversized declared dims") {
+    // negative RIFF chunk size used to stall the walk forever
+    val avi = Multimodal.buildAviGray8(4, 2, Seq(Array.fill(8)(1)))
+    val negSz = avi.clone()
+    negSz(12 + 4) = 0xf8.toByte; negSz(12 + 5) = 0xff.toByte
+    negSz(12 + 6) = 0xff.toByte; negSz(12 + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(negSz)).getMessage.contains("negative"))
+    val wav = Multimodal.buildWavPcm8(8000, 1, Array.fill(8)(0))
+    val negWav = wav.clone()
+    negWav(12 + 4) = 0xf8.toByte; negWav(12 + 5) = 0xff.toByte
+    negWav(12 + 6) = 0xff.toByte; negWav(12 + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeWav(negWav)).getMessage.contains("negative"))
+    // a BMP header declaring dims far past the real buffer
+    val bmp = Multimodal.buildBmpGray8(4, Array.fill(8)(1))
+    val bigDims = bmp.clone()
+    bigDims(18) = 0xe8.toByte; bigDims(19) = 0x03.toByte // width 1000
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(bigDims)).getMessage.contains("truncated"))
+    // Int.MinValue height survives math.abs negative — named reject
+    val minH = bmp.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(minH)).getMessage.contains("height"))
+    // an AVI frame whose declared size lies about truncated bytes
+    val trunc = avi.take(avi.length - 4)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(trunc)).getMessage.contains("truncated"))
+  }
+
   test("videoFrameFeatsAvi: q382 contract — position-weighted frame " +
     "checksums over REAL decoded frames match the direct recompute") {
     val text = ("synthetic video payload from document text, at " +
