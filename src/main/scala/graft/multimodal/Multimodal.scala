@@ -320,6 +320,10 @@ object Multimodal {
   def buildBmpGray8(width: Int, pixels: Array[Int]): Array[Byte] = {
     require(width > 0 && pixels.length % width == 0,
       "pixels must be whole rows")
+    // .toByte would silently truncate an out-of-range value (e.g. a
+    // non-Latin-1 codepoint fed as a pixel) — fail loudly instead
+    require(pixels.forall(p => p >= 0 && p <= 255),
+      "BMP build: pixel values must be 0..255")
     val height = pixels.length / width
     val stride = ((width + 3) / 4) * 4
     val dataSz = stride * height
@@ -378,13 +382,22 @@ object Multimodal {
         // stall or reverse the walk — named error beats a hang
         require(sz >= 0, s"AVI: negative chunk size for '$id'")
         val body = off + 8
+        // a lying size field walking past the REAL buffer must fail
+        // with the named error, not an index exception downstream —
+        // and body + sz in Int could overflow and silently END the
+        // walk instead of rejecting the header (r12 advisory)
+        require(body.toLong + sz <= to,
+          s"AVI: chunk '$id' size $sz runs past the buffer")
         id match {
           case "LIST" =>
+            require(body + 4 <= to, "AVI: truncated LIST header")
             val listType = tag(body)
             if (listType == "hdrl" || listType == "movi")
               walk(body + 4, math.min(body + sz, to))
           case "avih" =>
             require(sz >= 40, "avih header too short")
+            require(body + 40 <= content.length,
+              "AVI: avih header runs past the buffer")
             // dwWidth @ +32, dwHeight @ +36, dwTotalFrames @ +16
             dims = Some((le32(body + 32), le32(body + 36),
               le32(body + 16)))
@@ -420,6 +433,8 @@ object Multimodal {
                     junkChunk: Boolean = false): Array[Byte] = {
     require(frames.forall(_.length == width * height),
       "every frame must be width*height pixels")
+    require(frames.forall(_.forall(p => p >= 0 && p <= 255)),
+      "AVI build: pixel values must be 0..255")
     val stride = ((width + 3) / 4) * 4
     val frameSz = stride * height
     val hdrlSz = 4 + 8 + 56                 // 'hdrl' + avih chunk

@@ -87,22 +87,53 @@ object DedupQueries extends QueryPack {
   private val dupSpansMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
+  /** Per-(memo, key) build locks: a single global lock would
+    * serialize concurrent FIRST builds for unrelated (app, dataset)
+    * keys — parallel suites or dual-scale runs — behind one another
+    * (r12 advisory). The prefix disambiguates keys shared by
+    * different memo maps. */
+  private val memoLocks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Object]()
+
+  /** Memoized temp dirs, deleted recursively at JVM exit — for the
+    * app's lifetime they are the shared materialization, but they
+    * must not outlive the process (r12 advisory). */
+  private val memoDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val memoCleanup: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      memoDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () } // best-effort at exit
+      }))
+    ()
+  }
+
   /** Atomic memoized-materialization: TrieMap.getOrElseUpdate
     * evaluates its by-name default OUTSIDE any per-key lock, so two
     * concurrent first callers would both run the expensive build and
     * leak the loser's temp dir (review finding). The builds are
     * deterministic so a race was never a correctness issue — this
-    * just guarantees one build and one directory per key. */
+    * just guarantees one build and one directory per key, without
+    * serializing DIFFERENT keys' first builds behind each other. */
   private def memoizedParquet(
       memo: scala.collection.concurrent.TrieMap[(String, String),
         String],
       s: SparkSession, d: String, prefix: String)(
       build: => DataFrame): DataFrame = {
-    val path = memo.synchronized {
-      memo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    memoCleanup
+    val key = (s.sparkContext.applicationId, d)
+    val lock = memoLocks.computeIfAbsent((key._1, key._2, prefix),
+      _ => new Object)
+    val path = lock.synchronized {
+      memo.getOrElseUpdate(key, {
         val p = java.nio.file.Files
           .createTempDirectory(prefix).toString
         build.write.mode("overwrite").parquet(p)
+        memoDirs.add(p)
         p
       })
     }

@@ -255,10 +255,13 @@ class MultimodalSpec extends AnyFunSuite {
     minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
     assert(intercept[IllegalArgumentException](
       Multimodal.decodeBmp(minH)).getMessage.contains("height"))
-    // an AVI frame whose declared size lies about truncated bytes
+    // an AVI frame whose declared size lies about truncated bytes —
+    // the container walk now rejects the lying chunk size itself
+    // (before the raster read gets a chance to), with the chunk named
     val trunc = avi.take(avi.length - 4)
     assert(intercept[IllegalArgumentException](
-      Multimodal.decodeAvi(trunc)).getMessage.contains("truncated"))
+      Multimodal.decodeAvi(trunc)).getMessage
+        .contains("runs past the buffer"))
   }
 
   test("videoFrameFeatsAvi: q382 contract — position-weighted frame " +
