@@ -141,8 +141,16 @@ object Bench {
         java.nio.file.Paths.get(priorPath)))
       catch { case _: Throwable => Map.empty }
     val topN = sys.env.getOrElse("SPARK_GRAFT_TOPN", "60").toInt
+    // r13 (verdict task 3): the reps=3 net widens from the top-N to
+    // EVERY query whose prior citable wall is ≥1.0 s — an 18-query
+    // tail of >1.5× movers sat under the reps=1 noise floor in the
+    // r17-vs-r15 comparison, where a real small-query regression
+    // could hide. Sub-second queries stay reps=1: their wall is
+    // fixed-overhead dominated and the isolated re-measure (below,
+    // now uncapped) catches any genuine mover among them.
     val topSet: Set[String] = priorWalls.toSeq.sortBy(-_._2)
-      .take(topN).map(_._1).toSet
+      .take(topN).map(_._1).toSet ++
+      priorWalls.collect { case (n, w) if w >= 1.0 => n }
     def repsFor(name: String): Int =
       forcedReps.getOrElse(if (topSet(name)) 3 else 1)
     // Suite order: the heaviest shuffle-spill queries run FIRST, the
@@ -253,7 +261,9 @@ object Bench {
     // already settled), and the record carries BOTH numbers — a real
     // regression reproduces isolated, a suite-environment artifact
     // does not. Tiny walls (<0.3 s prior) are fixed-overhead noise and
-    // skipped; the list is capped to bound the tail.
+    // skipped. r13 (verdict task 3): the list is NO LONGER capped —
+    // every >1.5× mover gets an isolated number, so a regression
+    // can't hide behind eleven larger noise movers.
     val movers: Seq[(String, Double, Double)] =
       if (forcedReps.isDefined || only.nonEmpty) Seq.empty
       else results.flatMap { case (name, (wall, _, _, _)) =>
@@ -262,7 +272,7 @@ object Bench {
             (wall > prior * 1.5 || wall < prior / 1.5) =>
             (name, prior, wall)
         }
-      }.sortBy { case (_, p, w) => -math.max(w / p, p / w) }.take(12)
+      }.sortBy { case (_, p, w) => -math.max(w / p, p / w) }
     val isolated: Map[String, Double] = movers.map {
       case (name, _, _) =>
         name -> measure(name, SparkEntry.queries(name), 3)._1

@@ -286,7 +286,29 @@ object Plans {
         "frame checksums in ONE mapPartitions pass, zero shuffles"),
       "q383_outer_scalar" -> ("scalar correlated PAST its subquery " +
         "to the TOP scope: aggregated frame joins the OUTER side of " +
-        "the semi/anti join — joins all the way down"))
+        "the semi/anti join — joins all the way down"),
+      "q384_tpch_q4" -> ("TPC-H q4 shape: correlated EXISTS under a " +
+        "date range — ONE LeftSemi keyed on l_orderkey, the date " +
+        "residual rides the same join"),
+      "q385_tpch_q17" -> ("TPC-H q17 shape: comma join + " +
+        "constant-wrapped correlated scalar — one HashAggregate on " +
+        "the correlation key, LEFT-joined, never re-executed"),
+      "q386_tpch_q20" -> ("TPC-H q20 shape: IN-inside-IN with a " +
+        "two-key correlated scalar — nested IN semi-joins the INNER " +
+        "scan, scalar aggregates once over (partkey, suppkey)"),
+      "q387_tpch_q21" -> ("TPC-H q21 shape: EXISTS + NOT EXISTS on " +
+        "one table over a four-table comma join — LeftSemi AND " +
+        "LeftAnti on l_orderkey with <> residuals"),
+      "q388_tpch_q22" -> ("TPC-H q22 shape: derived table with an " +
+        "uncorrelated scalar and NOT EXISTS — LeftAnti on o_custkey " +
+        "under the bound derived frame"),
+      "q389_window_frames" -> ("window FRAME specs: ROWS moving avg " +
+        "+ cumulative sum + RANGE band, all inside keyed window " +
+        "exchanges"),
+      "q390_tpch_q2" -> ("TPC-H q2 shape: correlated scalar over a " +
+        "FOUR-table comma join — the aggregated frame groups the " +
+        "joined inner scan by the correlation key; keyed joins " +
+        "everywhere, zero cartesian"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

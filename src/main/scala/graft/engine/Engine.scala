@@ -1172,6 +1172,22 @@ class Engine(val spark: SparkSession, root: String,
   }
 
   private[engine] def buildSelect(sel: SelectStmt): DataFrame = {
+    // Derived tables `FROM (SELECT …) alias` bind first, as transient
+    // tables scoped to this build (Datasets analyze eagerly, so the
+    // bindings only need to live through plan construction — which
+    // includes tagTimeItems' typing pass) — every later phase then
+    // sees the alias as an ordinary table. Later bindings see earlier
+    // ones, like CTEs.
+    if (sel.derived.nonEmpty) {
+      val saved = cteBindings.get
+      try {
+        sel.derived.foreach { case (n, ds) =>
+          cteBindings.set(
+            cteBindings.get + (n.toLowerCase -> buildSelect(ds)))
+        }
+        return buildSelect(sel.copy(derived = Seq.empty))
+      } finally cteBindings.set(saved)
+    }
     val base = tagTimeItems(buildSelectNoLimit(sel), sel)
     val off = sel.offset.fold(base)(m => base.offset(m.toInt))
     sel.limit.fold(off)(n => off.limit(n.toInt))
@@ -1344,12 +1360,19 @@ class Engine(val spark: SparkSession, root: String,
       val subAliases = Set(innerAlias) ++
         sub.joins.map(j => j.alias.getOrElse(j.typeName).toLowerCase) ++
         sub.ansiJoins.map(a => a.alias.getOrElse(a.table).toLowerCase)
-      val hasSubJoins = sub.joins.nonEmpty || sub.ansiJoins.nonEmpty
+      val hasEdgeJoins = sub.joins.nonEmpty
       var innerKnown = true
-      val innerCols =
-        try tableDf(sub.from.get).columns.map(_.toLowerCase).toSet
-        catch { case _: IllegalArgumentException =>
+      def colsOf(t: String): Set[String] =
+        try tableDf(t).columns.map(_.toLowerCase).toSet
+        catch { case _: Throwable =>
           innerKnown = false; Set.empty[String] }
+      // the sub's inner scope is the UNION of all its tables' columns
+      // (FROM + ANSI/comma joins): with joins present an unqualified
+      // name must check against the whole union, or a multi-table
+      // subquery's own columns would be misread as correlations —
+      // TPC-H q2's scalar comma-joins four tables (r13)
+      val innerCols = colsOf(sub.from.get) ++
+        sub.ansiJoins.filterNot(_.generated).flatMap(a => colsOf(a.table))
       val outers = outerQualifiers(outerSel) -- subAliases
       // outer-scope column names, resolved lazily (only consulted for
       // unqualified names the inner table lacks); (cols, allResolved)
@@ -1368,7 +1391,17 @@ class Engine(val spark: SparkSession, root: String,
         case Some(q) =>
           val ql = q.toLowerCase; !subAliases(ql) && outers(ql)
         case None =>
-          !hasSubJoins && !innerCols(f.name.toLowerCase) && {
+          // edge joins keep the conservative pre-r13 behavior (their
+          // vertex columns aren't folded into the union, so an
+          // unqualified name could be either scope's); with an
+          // unresolvable inner schema, joined subs likewise route
+          // down the uncorrelated build path as before. Otherwise an
+          // unqualified name resolving in NO inner table is an outer
+          // reference.
+          !hasEdgeJoins &&
+            (if (!innerKnown)
+              sub.ansiJoins.filterNot(_.generated).isEmpty
+            else !innerCols(f.name.toLowerCase)) && {
             // a name resolving in NEITHER scope is a typo'd column,
             // not a correlation — routing it down the correlated
             // desugar would fail with a confusing scoping error
@@ -1396,27 +1429,53 @@ class Engine(val spark: SparkSession, root: String,
         "EXISTS/IN/scalar subquery needs a FROM table"))
     val innerAliasRaw: String = sub.fromAlias.getOrElse(innerName)
     val innerAlias: String = innerAliasRaw.toLowerCase
-    val innerCols: Set[String] =
-      tableDf(innerName).columns.map(_.toLowerCase).toSet
-    val outers: Set[String] = outerQualifiers(outerSel) - innerAlias
+    /** All the subquery's own tables: FROM plus comma/ANSI joins
+      * (r13 — TPC-H q2's correlated scalar joins four tables), as
+      * (aliasRaw, tableName) in declared order. Generated joins (the
+      * nested-scalar frames) are threaded via `extraInner` instead. */
+    val innerTables: Seq[(String, String)] =
+      (innerAliasRaw, innerName) +: sub.ansiJoins.filterNot(_.generated)
+        .map(a => (a.alias.getOrElse(a.table), a.table))
+    val innerColsByAlias: Seq[(String, Set[String])] =
+      innerTables.map { case (a, t) =>
+        a -> tableDf(t).columns.map(_.toLowerCase).toSet }
+    val innerAliases: Set[String] =
+      innerTables.map(_._1.toLowerCase).toSet
+    val innerCols: Set[String] = innerColsByAlias.flatMap(_._2).toSet
+    val outers: Set[String] = outerQualifiers(outerSel) -- innerAliases
     val outerBase: String = outerSel.fromAlias.getOrElse(outerSel.from.get)
     val outerBaseCols: Set[String] =
       tableDf(outerSel.from.get).columns.map(_.toLowerCase).toSet
-    val innerCtx: ExprBuilder.Ctx = typeCtx(innerName) ++
-      typeCtx(innerName).map { case (k, v) => s"$innerAlias.$k" -> v }
+    val innerCtx: ExprBuilder.Ctx = innerTables.flatMap { case (a, t) =>
+      val tc = typeCtx(t)
+      tc ++ tc.map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
+    }.toMap
+    /** Alias-qualified inner typing only — safe to merge with an
+      * outer ctx without bare-name collisions. */
+    val innerCtxQualified: ExprBuilder.Ctx =
+      innerTables.flatMap { case (a, t) =>
+        typeCtx(t).map { case (k, v) => s"${a.toLowerCase}.$k" -> v }
+      }.toMap
     def isOuter(f: Field): Boolean = f.qualifier match {
       case Some(q) => val ql = q.toLowerCase
-        ql != innerAlias && outers(ql)
+        !innerAliases(ql) && outers(ql)
       case None => !innerCols(f.name.toLowerCase)
     }
+    /** Alias owning an unqualified inner column — FROM table first,
+      * then joined tables in declared order (SQL would call a true
+      * cross-table ambiguity an error; the declared-order preference
+      * only applies to names a single table owns in practice). */
+    private def innerOwner(name: String): Option[String] =
+      innerColsByAlias.collectFirst {
+        case (a, cols) if cols(name) => a }
     def qualify(e: Expr, preferInner: Boolean): Expr = e match {
       case f: Field if f.qualifier.isEmpty =>
         if (preferInner && innerCols(f.name.toLowerCase))
-          f.copy(qualifier = Some(innerAliasRaw))
+          f.copy(qualifier = innerOwner(f.name.toLowerCase))
         else if (outerBaseCols(f.name.toLowerCase))
           f.copy(qualifier = Some(outerBase))
         else if (innerCols(f.name.toLowerCase))
-          f.copy(qualifier = Some(innerAliasRaw))
+          f.copy(qualifier = innerOwner(f.name.toLowerCase))
         else f
       case BinOp(o, l, r) =>
         BinOp(o, qualify(l, preferInner), qualify(r, preferInner))
@@ -1455,7 +1514,7 @@ class Engine(val spark: SparkSession, root: String,
       // instead of letting the resolver fail on the filtered scan
       subConj.flatMap(fieldsOf).foreach(f => f.qualifier.foreach { q =>
         val ql = q.toLowerCase
-        if (ql != innerAlias && !outers(ql) && !extraInner(ql))
+        if (!innerAliases(ql) && !outers(ql) && !extraInner(ql))
           throw new IllegalArgumentException(
             s"$q.${f.name} references a scope that is neither this " +
               "subquery's own nor its directly enclosing query's — " +
@@ -1464,23 +1523,46 @@ class Engine(val spark: SparkSession, root: String,
       })
       subConj.partition(c => fieldsOf(c).exists(isOuter))
     }
+    /** The subquery's own scan: FROM table joined with its declared
+      * (non-generated) ANSI/comma joins in order. Comma joins carry a
+      * TRUE condition — their equi-predicates arrive from the local
+      * WHERE conjuncts and Catalyst pushes them into the join. */
+    def innerScan: DataFrame =
+      sub.ansiJoins.filterNot(_.generated)
+        .foldLeft(tableDf(innerName).as(innerAliasRaw)) { (f, aj) =>
+          val aAlias = aj.alias.getOrElse(aj.table)
+          f.join(tableDf(aj.table).as(aAlias),
+            ExprBuilder.build(aj.on, innerCtx), aj.kind)
+        }
     /** The inner scan, aliased, pre-filtered by the local conjuncts.
       * `base` overrides the scan when the caller pre-joined desugared
       * scalar-aggregate frames onto it. */
     def innerFrame(local: Seq[Expr],
                    base0: Option[DataFrame] = None): DataFrame = {
-      val base = base0.getOrElse(tableDf(innerName).as(innerAliasRaw))
+      val base = base0.getOrElse(innerScan)
       local.reduceOption(BinOp("and", _, _)).fold(base)(w =>
         base.filter(ExprBuilder.build(qualify(w, preferInner = true),
           innerCtx)))
     }
-    def requirePlainShape(what: String): Unit =
-      if (sub.groupBy.nonEmpty || sub.having.isDefined ||
-          sub.joins.nonEmpty || sub.ansiJoins.nonEmpty ||
-          sub.limit.isDefined || sub.offset.isDefined ||
-          sub.orderBy.nonEmpty)
+    /** Shape guard. r13 relaxations: ANSI/comma joins are legal in
+      * every correlated subquery (the inner side becomes a joined
+      * scan — TPC-H q2's scalar), and scalarJoin validates GROUP BY
+      * itself (legal exactly when it groups by the correlation
+      * keys). Edge joins, HAVING, LIMIT/OFFSET and ORDER BY inside a
+      * correlated subquery stay rejected by name. */
+    def requirePlainShape(what: String,
+                          allowGroupBy: Boolean = false): Unit = {
+      if (sub.joins.nonEmpty)
         throw new IllegalArgumentException(
-          s"$what must be a plain SELECT ... FROM ... WHERE")
+          s"$what may not use the edge-join form")
+      if (sub.groupBy.nonEmpty && !allowGroupBy)
+        throw new IllegalArgumentException(
+          s"$what may not use GROUP BY")
+      if (sub.having.isDefined || sub.limit.isDefined ||
+          sub.offset.isDefined || sub.orderBy.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$what must be a plain SELECT ... FROM [joins] ... WHERE")
+    }
   }
 
   /** Replace every ScalarSelect node `shouldRw` accepts, recursing
@@ -1500,6 +1582,51 @@ class Engine(val spark: SparkSession, root: String,
       case FnCall(n, args) => FnCall(n, args.map(rw))
       case other => other
     }
+  }
+
+  /** Apply one [NOT] IN/EXISTS (SELECT …) conjunct to `df` as a
+    * left-semi/left-anti join — the shared routing for top-level
+    * WHERE conjuncts and (r13) conjuncts nested inside a correlated
+    * subquery, where `df` is the subquery's own inner scan and
+    * `outerSel` the subquery itself. */
+  private def applySubPred(df0: DataFrame, pred: Expr,
+      outerSel: SelectStmt, ctx: ExprBuilder.Ctx): DataFrame = {
+    var df = df0
+    pred match {
+      case InSelect(x, sub, neg) if !isCorrelatedSub(sub, outerSel) =>
+        val subDf = buildSelect(sub)
+        if (subDf.columns.length != 1)
+          throw new IllegalArgumentException(
+            s"IN subquery must return one column, got ${subDf.columns.length}")
+        val probe = subDf.toDF("__graft_in").distinct()
+        val probeCol = ExprBuilder.build(x, ctx)
+        if (!neg)
+          // positive IN: a keyed semi join IS ANSI-exact (NULL probes
+          // never equi-match; a NULL in the list can only flip
+          // non-matches to NULL, which the filter drops either way)
+          df = df.join(probe, probeCol === col("__graft_in"), "left_semi")
+        else {
+          // NOT IN under ANSI 3VL: x NOT IN S is TRUE only when S is
+          // empty, or x is non-NULL, S holds no NULL and no match.
+          // One bounded aggregate job (1 row: n, n non-null) picks the
+          // shape, keeping the fast equi anti join for the dominant
+          // NULL-free case instead of an OR-blanked non-equi join.
+          val st = subDf.select(col(subDf.columns.head).as("__graft_v"))
+            .agg(count(lit(1)), count(col("__graft_v"))).collect()(0)
+          val (n, nonNull) = (st.getLong(0), st.getLong(1))
+          df =
+            if (n == 0L) df // NOT IN (empty) is TRUE for every row
+            else if (n > nonNull) df.filter(lit(false)) // NULL ∈ S
+            else df.filter(probeCol.isNotNull)
+              .join(probe, probeCol === col("__graft_in"), "left_anti")
+        }
+      case InSelect(x, sub, neg) =>
+        df = correlatedSemiAnti(df, Some(x), sub, neg, outerSel, ctx)
+      case ExistsSel(sub, neg) =>
+        df = correlatedSemiAnti(df, None, sub, neg, outerSel, ctx)
+      case _ => ()
+    }
+    df
   }
 
   /** Desugar a correlated (or shape-compatible uncorrelated)
@@ -1572,21 +1699,54 @@ class Engine(val spark: SparkSession, root: String,
           AnsiJoin(tn, None, "left", on, generated = true) })
     val dfOut = outerJoins.foldLeft(df) { case (f, (tn, aggDf, on)) =>
       f.join(aggDf.as(tn), ExprBuilder.build(on, outerCtx), "left") }
-    val sc = new CorrScope(sub, outerSel2,
+    // r13 (verdict task 1): [NOT] IN/EXISTS conjuncts NESTED inside
+    // the correlated subquery — TPC-H q20's IN-inside-IN shape. Each
+    // is peeled off the subquery's WHERE and applied to the INNER
+    // scan as its own semi/anti join: uncorrelated ones exactly like
+    // the top-level path, ones correlated to the subquery's own scope
+    // via one more recursive desugar level. Never a re-execution per
+    // outer row. A nested subquery reaching the OUTERMOST scope would
+    // need correlation threading through two join levels — still
+    // rejected by name below.
+    val subConjAll = sub.where.map(conjuncts).getOrElse(Seq.empty).map {
+      case UnOp("not", ExistsSel(s2, n)) => ExistsSel(s2, !n)
+      case other => other
+    }
+    val (nestedSubPreds, plainConj) = subConjAll.partition(e =>
+      e.isInstanceOf[InSelect] || e.isInstanceOf[ExistsSel])
+    val sub2 =
+      if (nestedSubPreds.isEmpty) sub
+      else sub.copy(where = plainConj.reduceOption(BinOp("and", _, _)))
+    val sc = new CorrScope(sub2, outerSel2,
       extraInner = nestedJoins.map(_._1.toLowerCase).toSet)
     sc.requirePlainShape("correlated subquery")
     val (corr, local) = sc.splitWhere()
-    val mergedCtx: ExprBuilder.Ctx = outerCtx ++
-      typeCtx(sc.innerName).map { case (k, v) =>
-        s"${sc.innerAlias}.$k" -> v }
+    val mergedCtx: ExprBuilder.Ctx = outerCtx ++ sc.innerCtxQualified
     val innerBase =
       if (nestedJoins.isEmpty) None
-      else Some(nestedJoins.foldLeft(
-          tableDf(sc.innerName).as(sc.innerAliasRaw)) {
+      else Some(nestedJoins.foldLeft(sc.innerScan) {
         case (f, (tn, aggDf, on)) =>
           f.join(aggDf.as(tn), ExprBuilder.build(on, sc.innerCtx), "left")
       })
-    val inner = sc.innerFrame(local, innerBase)
+    val inner0 = sc.innerFrame(local, innerBase)
+    val inner = nestedSubPreds.foldLeft(inner0) { (f, pred) =>
+      val (probeN, subN) = pred match {
+        case InSelect(x, s2, _) => (Some(x), s2)
+        case ExistsSel(s2, _) => (None, s2)
+        case other => sys.error(s"unreachable sub-predicate $other")
+      }
+      val reachesOutermost =
+        (subN.where.toSeq.flatMap(fieldsOf) ++
+          probeN.toSeq.flatMap(fieldsOf))
+          .exists(_.qualifier.exists(q => sc.outers(q.toLowerCase)))
+      if (reachesOutermost)
+        throw new IllegalArgumentException(
+          "a subquery nested inside a correlated subquery may " +
+            "correlate to that subquery's own scope or be " +
+            "uncorrelated; correlating past it to the outermost " +
+            "query is not supported")
+      applySubPred(f, pred, sub2, sc.innerCtx)
+    }
     val probeCond = probe.map { x =>
       val item = sub.items match {
         case Seq(it) if !it.expr.isInstanceOf[Star] => it.expr
@@ -1632,19 +1792,52 @@ class Engine(val spark: SparkSession, root: String,
       namePrefix: String = "__graft_sc")
       : (String, DataFrame, AnsiJoin, Expr) = {
     val sc = new CorrScope(sub, outerSel)
-    sc.requirePlainShape("correlated scalar subquery")
+    sc.requirePlainShape("correlated scalar subquery",
+      allowGroupBy = true)
     val aggFns = Set("count", "sum", "min", "max", "avg", "average")
-    val (aggName, aggArgs) = sub.items match {
-      case Seq(it) => it.expr match {
-        case FnCall(n, args) if aggFns(n.toLowerCase) =>
-          (n.toLowerCase, args)
-        case _ => throw new IllegalArgumentException(
-          "correlated scalar subquery must SELECT a single aggregate " +
-            "(count/sum/min/max/avg)")
-      }
+    val item0 = sub.items match {
+      case Seq(it) => it.expr
       case _ => throw new IllegalArgumentException(
         "scalar subquery must return one column")
     }
+    // The item may wrap the aggregate in arithmetic over constants —
+    // TPC-H q17/q20's `0.2 * avg(l_quantity)` (r13). Exactly one
+    // aggregate call; the wrapper is re-applied to the joined column
+    // at the OUTER level, so empty-group semantics (count → 0 via
+    // coalesce, others NULL) stay ANSI-exact under the wrapper.
+    def findAggs(e: Expr): Seq[FnCall] = e match {
+      case f @ FnCall(n, _) if aggFns(n.toLowerCase) => Seq(f)
+      case BinOp(_, l, r) => findAggs(l) ++ findAggs(r)
+      case UnOp(_, x) => findAggs(x)
+      case FnCall(_, args) => args.flatMap(findAggs)
+      case CaseExpr(bs, o) =>
+        bs.flatMap(b => findAggs(b._1) ++ findAggs(b._2)) ++
+          o.toSeq.flatMap(findAggs)
+      case _ => Seq.empty
+    }
+    val aggs = findAggs(item0)
+    if (aggs.size != 1)
+      throw new IllegalArgumentException(
+        "correlated scalar subquery must SELECT a single aggregate " +
+          "(count/sum/min/max/avg), optionally wrapped in arithmetic " +
+          "over constants")
+    val aggNode = aggs.head
+    def replaceAgg(e: Expr, withE: Expr): Expr = e match {
+      case f: FnCall if f eq aggNode => withE
+      case BinOp(o, l, r) =>
+        BinOp(o, replaceAgg(l, withE), replaceAgg(r, withE))
+      case UnOp(o, x) => UnOp(o, replaceAgg(x, withE))
+      case FnCall(n, args) => FnCall(n, args.map(replaceAgg(_, withE)))
+      case CaseExpr(bs, o) => CaseExpr(
+        bs.map(b => (replaceAgg(b._1, withE), replaceAgg(b._2, withE))),
+        o.map(replaceAgg(_, withE)))
+      case other => other
+    }
+    if (fieldsOf(replaceAgg(item0, Lit(0L, "uint"))).nonEmpty)
+      throw new IllegalArgumentException(
+        "the expression around a correlated scalar subquery's " +
+          "aggregate may only use constants")
+    val (aggName, aggArgs) = (aggNode.name.toLowerCase, aggNode.args)
     val (corr, local) = sc.splitWhere()
     val keys = corr.map {
       case BinOp("=", a, b) =>
@@ -1679,6 +1872,20 @@ class Engine(val spark: SparkSession, root: String,
               s"columns (not ${bad.map(_.name).mkString(", ")})")
       }
     }
+    // GROUP BY inside the scalar (r13, verdict task 5): legal exactly
+    // when it groups by correlation-key columns — the aggregated
+    // frame already groups by them, so the clause is declarative
+    // confirmation, not a plan change. Any other key set could yield
+    // more than one row per outer row, which a scalar cannot be.
+    if (sub.groupBy.nonEmpty) {
+      val keyFields: Set[String] = keys.flatMap { case (inn, _) =>
+        fieldsOf(inn).map(_.name.toLowerCase) }.toSet
+      val bad = sub.groupBy.filterNot(g => keyFields(g.name.toLowerCase))
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          "a correlated scalar subquery may only GROUP BY its " +
+            s"correlation keys (not ${bad.map(_.name).mkString(", ")})")
+    }
     val tn = s"$namePrefix$idx"
     def innerCol(e: Expr): Column =
       ExprBuilder.build(sc.qualify(e, preferInner = true), sc.innerCtx)
@@ -1707,14 +1914,16 @@ class Engine(val spark: SparkSession, root: String,
     // In HAVING the reference must itself be an aggregate: the joined
     // value is constant per group (correlation on group keys, checked
     // above), so min() IS the value — and min(coalesce(v, 0)) equals
-    // ANSI's COALESCE(count, 0) on empty groups.
-    val repl =
-      if (inHaving && aggName == "count")
-        FnCall("min", Seq(FnCall("coalesce", Seq(ref, Lit(0L, "uint")))))
-      else if (inHaving) FnCall("min", Seq(ref))
-      else if (aggName == "count")
+    // ANSI's COALESCE(count, 0) on empty groups. The constant wrapper
+    // (if any) re-applies OUTSIDE: wrapper(min(v)) == min(wrapper(v))
+    // is irrelevant — the value is per-group constant, and constants
+    // around an aggregate are legal HAVING expressions.
+    val refC: Expr =
+      if (aggName == "count")
         FnCall("coalesce", Seq(ref, Lit(0L, "uint")))
       else ref
+    val repl = replaceAgg(item0,
+      if (inHaving) FnCall("min", Seq(refC)) else refC)
     (tn, aggDf, AnsiJoin(tn, None, "left", onExpr, generated = true),
       repl)
   }
@@ -1852,40 +2061,7 @@ class Engine(val spark: SparkSession, root: String,
     if (residualConj.exists(containsInSelect))
       throw new IllegalArgumentException(
         "IN/EXISTS (SELECT ...) must be a top-level AND conjunct of WHERE")
-    subPreds.foreach {
-      case InSelect(x, sub, neg) if !isCorrelatedSub(sub, sel) =>
-        val subDf = buildSelect(sub)
-        if (subDf.columns.length != 1)
-          throw new IllegalArgumentException(
-            s"IN subquery must return one column, got ${subDf.columns.length}")
-        val probe = subDf.toDF("__graft_in").distinct()
-        val probeCol = ExprBuilder.build(x, ctx)
-        if (!neg)
-          // positive IN: a keyed semi join IS ANSI-exact (NULL probes
-          // never equi-match; a NULL in the list can only flip
-          // non-matches to NULL, which the filter drops either way)
-          df = df.join(probe, probeCol === col("__graft_in"), "left_semi")
-        else {
-          // NOT IN under ANSI 3VL: x NOT IN S is TRUE only when S is
-          // empty, or x is non-NULL, S holds no NULL and no match.
-          // One bounded aggregate job (1 row: n, n non-null) picks the
-          // shape, keeping the fast equi anti join for the dominant
-          // NULL-free case instead of an OR-blanked non-equi join.
-          val st = subDf.select(col(subDf.columns.head).as("__graft_v"))
-            .agg(count(lit(1)), count(col("__graft_v"))).collect()(0)
-          val (n, nonNull) = (st.getLong(0), st.getLong(1))
-          df =
-            if (n == 0L) df // NOT IN (empty) is TRUE for every row
-            else if (n > nonNull) df.filter(lit(false)) // NULL ∈ S
-            else df.filter(probeCol.isNotNull)
-              .join(probe, probeCol === col("__graft_in"), "left_anti")
-        }
-      case InSelect(x, sub, neg) =>
-        df = correlatedSemiAnti(df, Some(x), sub, neg, sel, ctx)
-      case ExistsSel(sub, neg) =>
-        df = correlatedSemiAnti(df, None, sub, neg, sel, ctx)
-      case _ => ()
-    }
+    subPreds.foreach { p => df = applySubPred(df, p, sel, ctx) }
     val residualWhere = residualConj.reduceOption(BinOp("and", _, _))
     val where = residualWhere.map(w => ExprBuilder.build(w, ctx))
     val filtered0 = where.fold(df)(df.filter)
@@ -1913,7 +2089,7 @@ class Engine(val spark: SparkSession, root: String,
       val base = current match {
         case Some(sc) if sc.resolve(fromName).isDefined =>
           sc.propsOf(fromName).map(p => col(s"$fromAlias.${p.name}"))
-        case _ => attached(fromName.toLowerCase).columns.toSeq
+        case _ => tableDf(fromName).columns.toSeq
           .map(c => col(s"$fromAlias.$c"))
       }
       base ++ sel.joins.flatMap { j =>

@@ -933,6 +933,217 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q363 select failed: $other")
       }
+    }),
+    // ── The TPC-H correlated quartet + q2 (r12 verdict tasks 1+5) ──
+    // The official query TEXTS run through Engine.sql, adapted only
+    // where the synthetic schema lacks a column/table (no
+    // l_commitdate/l_receiptdate → the l_discount/l_tax pair plays
+    // the "late" predicate; no partsupp → lineitem plays the supply
+    // table; no c_phone → c_name digits play the country code). The
+    // SHAPES are verbatim: q4's correlated EXISTS under a date range,
+    // q17's comma join + constant-wrapped correlated scalar, q20's
+    // IN-inside-IN with a two-key correlated scalar, q21's double
+    // EXISTS/NOT EXISTS over one table, q22's derived table with an
+    // uncorrelated scalar + NOT EXISTS, q2's correlated scalar over a
+    // four-table comma join. DuckDB evaluates the same text natively.
+    "q384_tpch_q4" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq4; use tq4")
+        .foreach(require(_, "q384 ddl"))
+      eng.attachTable("orders", Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderdate").cast("long") * 1000000000L)
+          .as("o_orderdate"),
+        col("o_orderpriority")), timeCols = Set("o_orderdate"))
+      eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        (col("l_shipdate").cast("long") * 1000000000L)
+          .as("l_shipdate")), timeCols = Set("l_shipdate"))
+      eng.sql("select o_orderpriority, count(*) as order_count " +
+        "from orders " +
+        "where o_orderdate >= '1996-01-01' " +
+        "and o_orderdate < '1996-04-01' " +
+        "and exists (select * from lineitem " +
+        "  where l_orderkey = o_orderkey and l_shipdate > o_orderdate) " +
+        "group by o_orderpriority order by o_orderpriority") match {
+        case Rows(df) => df
+        case other => sys.error(s"q384 select failed: $other")
+      }
+    }),
+    "q385_tpch_q17" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq17; use tq17")
+        .foreach(require(_, "q385 ddl"))
+      eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+        col("l_partkey"), col("l_quantity")))
+      eng.attachTable("part", Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_size")))
+      // sum(l_quantity) replaces sum(l_extendedprice): quantities are
+      // integral doubles, so the sum is EXACT in both engines at any
+      // aggregation order — the oracle gate's determinism rule
+      eng.sql("select sum(l_quantity) / 7.0 as avg_yearly " +
+        "from lineitem, part " +
+        "where p_partkey = l_partkey and p_brand = 'Brand#4' " +
+        "and p_size < 25 " +
+        "and l_quantity < (select 0.2 * avg(l_quantity) " +
+        "  from lineitem where l_partkey = p_partkey)") match {
+        case Rows(df) => df
+        case other => sys.error(s"q385 select failed: $other")
+      }
+    }),
+    "q386_tpch_q20" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq20; use tq20")
+        .foreach(require(_, "q386 ddl"))
+      eng.attachTable("supplier", Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey")))
+      eng.attachTable("nation", Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name")))
+      eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_partkey"), col("l_quantity")))
+      eng.attachTable("part", Tables.part(s, d).select(
+        col("p_partkey"), col("p_name")))
+      eng.sql("select s_name, s_nationkey from supplier, nation " +
+        "where s_suppkey in (select l_suppkey from lineitem " +
+        "  where l_partkey in (select p_partkey from part " +
+        "    where p_name like 'red%') " +
+        "  and l_quantity > (select 0.5 * avg(l2.l_quantity) " +
+        "    from lineitem l2 " +
+        "    where l2.l_partkey = lineitem.l_partkey " +
+        "    and l2.l_suppkey = lineitem.l_suppkey)) " +
+        "and s_nationkey = n_nationkey and n_name = 'NATION_7' " +
+        "order by s_name") match {
+        case Rows(df) => df
+        case other => sys.error(s"q386 select failed: $other")
+      }
+    }),
+    "q387_tpch_q21" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq21; use tq21")
+        .foreach(require(_, "q387 ddl"))
+      eng.attachTable("supplier", Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey")))
+      eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"), col("l_discount"),
+        col("l_tax")))
+      eng.attachTable("orders", Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus")))
+      eng.attachTable("nation", Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name")))
+      eng.sql("select s_name, count(*) as numwait " +
+        "from supplier, lineitem l1, orders, nation " +
+        "where s_suppkey = l1.l_suppkey " +
+        "and o_orderkey = l1.l_orderkey " +
+        "and o_orderstatus = 'F' " +
+        "and l1.l_discount > l1.l_tax " +
+        "and exists (select * from lineitem l2 " +
+        "  where l2.l_orderkey = l1.l_orderkey " +
+        "  and l2.l_suppkey <> l1.l_suppkey) " +
+        "and not exists (select * from lineitem l3 " +
+        "  where l3.l_orderkey = l1.l_orderkey " +
+        "  and l3.l_suppkey <> l1.l_suppkey " +
+        "  and l3.l_discount > l3.l_tax) " +
+        "and s_nationkey = n_nationkey " +
+        "and n_name = 'NATION_3' " +
+        "group by s_name " +
+        "order by numwait desc, s_name limit 100") match {
+        case Rows(df) => df
+        case other => sys.error(s"q387 select failed: $other")
+      }
+    }),
+    "q388_tpch_q22" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq22; use tq22")
+        .foreach(require(_, "q388 ddl"))
+      // c_acctbal attaches as DECIMAL(18,4): the derived-table sum is
+      // then exact at any order (the oracle casts the same way)
+      eng.attachTable("customer", Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,4)").as("c_acctbal")))
+      eng.attachTable("orders", Tables.orders(s, d).select(
+        col("o_custkey"), col("o_totalprice")))
+      eng.sql("select cntrycode, count(*) as numcust, " +
+        "tofloat(sum(c_acctbal)) as totacctbal from ( " +
+        "  select substring(c_name from 16 for 2) as cntrycode, " +
+        "    c_acctbal, c_custkey from customer " +
+        "  where substring(c_name from 16 for 2) in " +
+        "    ('00', '02', '04', '06', '08', '10', '12') " +
+        "  and c_acctbal > (select avg(c_acctbal) from customer " +
+        "    where c_acctbal > 0.00 " +
+        "    and substring(c_name from 16 for 2) in " +
+        "      ('00', '02', '04', '06', '08', '10', '12')) " +
+        "  and not exists (select * from orders " +
+        "    where o_custkey = c_custkey " +
+        "    and o_totalprice > 400000) " +
+        ") as custsale " +
+        "group by cntrycode order by cntrycode") match {
+        case Rows(df) => df
+        case other => sys.error(s"q388 select failed: $other")
+      }
+    }),
+    // Window FRAME specs through the dialect (r12 verdict task 2):
+    // the 3-line moving average and the cumulative sum (keyed ROWS
+    // frames — one window exchange on the partition key), plus a
+    // RANGE frame over the numeric order key. Integral quantities
+    // keep every windowed double exact.
+    "q389_window_frames" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope wfscope; use wfscope")
+        .foreach(require(_, "q389 ddl"))
+      eng.attachTable("li", Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity")))
+      eng.sql("select l_orderkey, l_linenumber, " +
+        "avg(l_quantity) over (partition by l_orderkey " +
+        "  order by l_linenumber " +
+        "  rows between 2 preceding and current row) as ma3, " +
+        "sum(toint(l_quantity)) over (partition by l_orderkey " +
+        "  order by l_linenumber " +
+        "  rows between unbounded preceding and current row) as cum, " +
+        "sum(toint(l_quantity)) over (partition by l_suppkey " +
+        "  order by l_orderkey " +
+        "  range between 500 preceding and 500 following) as nearby " +
+        "from li where l_orderkey <= 2000") match {
+        case Rows(df) => df
+        case other => sys.error(s"q389 select failed: $other")
+      }
+    }),
+    "q390_tpch_q2" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope tq2; use tq2")
+        .foreach(require(_, "q390 ddl"))
+      eng.attachTable("part", Tables.part(s, d).select(
+        col("p_partkey"), col("p_size")))
+      eng.attachTable("supplier", Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")))
+      eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
+      eng.attachTable("nation", Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      eng.attachTable("region", Tables.region(s, d).select(
+        col("r_regionkey"), col("r_name")))
+      eng.sql("select s_acctbal, s_name, n_name, p_partkey " +
+        "from part, supplier, lineitem, nation, region " +
+        "where p_partkey = l_partkey " +
+        "and s_suppkey = l_suppkey " +
+        "and p_size = 15 " +
+        "and s_nationkey = n_nationkey " +
+        "and n_regionkey = r_regionkey " +
+        "and r_name = 'EUROPE' " +
+        "and l_extendedprice = (select min(l_extendedprice) " +
+        "  from lineitem, supplier, nation, region " +
+        "  where p_partkey = l_partkey " +
+        "  and s_suppkey = l_suppkey " +
+        "  and s_nationkey = n_nationkey " +
+        "  and n_regionkey = r_regionkey " +
+        "  and r_name = 'EUROPE') " +
+        "order by s_acctbal desc, n_name, s_name, p_partkey " +
+        "limit 100") match {
+        case Rows(df) => df
+        case other => sys.error(s"q390 select failed: $other")
+      }
     })
   )
 
@@ -1202,6 +1413,105 @@ object EngineQueries extends QueryPack {
         |  ('edge_col', 'destin:uint', 2),
         |  ('edge_col', 'stamp:time', 3),
         |  ('edge_col', 'weight:float', 4)) AS t(kind, name, pos)"""
-        .stripMargin
+        .stripMargin,
+    "q384_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT)
+        |   AS order_count
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT * FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin,
+    "q385_tpch_q17" ->
+      """SELECT sum(l_quantity) / 7.0 AS avg_yearly
+        | FROM lineitem, part
+        | WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+        |  AND p_size < 25
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |   FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q386_tpch_q20" ->
+      """SELECT s_name, s_nationkey
+        | FROM supplier, nation
+        | WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+        |   WHERE l_partkey IN (SELECT p_partkey FROM part
+        |     WHERE p_name LIKE 'red%')
+        |   AND l_quantity > (SELECT 0.5 * avg(l2.l_quantity)
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = lineitem.l_partkey
+        |     AND l2.l_suppkey = lineitem.l_suppkey))
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        | ORDER BY s_name""".stripMargin,
+    "q387_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        | FROM supplier, lineitem l1, orders, nation
+        | WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_discount > l1.l_tax
+        |  AND EXISTS (SELECT * FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |   AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT * FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |   AND l3.l_suppkey <> l1.l_suppkey
+        |   AND l3.l_discount > l3.l_tax)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        | GROUP BY s_name
+        | ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q388_tpch_q22" ->
+      """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS totacctbal
+        | FROM (
+        |  SELECT substring(c_name FROM 16 FOR 2) AS cntrycode,
+        |   c_acctbal, c_custkey FROM customer
+        |  WHERE substring(c_name FROM 16 FOR 2) IN
+        |    ('00', '02', '04', '06', '08', '10', '12')
+        |   AND c_acctbal > (SELECT
+        |     avg(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+        |    WHERE c_acctbal > 0.00
+        |     AND substring(c_name FROM 16 FOR 2) IN
+        |      ('00', '02', '04', '06', '08', '10', '12'))
+        |   AND NOT EXISTS (SELECT * FROM orders
+        |    WHERE o_custkey = c_custkey
+        |    AND o_totalprice > 400000)
+        | ) AS custsale
+        | GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q389_window_frames" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+        |   AS l_linenumber,
+        |  avg(l_quantity) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_orderkey
+        |   RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+        |   AS BIGINT) AS nearby
+        | FROM lineitem WHERE l_orderkey <= 2000""".stripMargin,
+    "q390_tpch_q2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey
+        | FROM part, supplier, lineitem, nation, region
+        | WHERE p_partkey = l_partkey
+        |  AND s_suppkey = l_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (SELECT min(l_extendedprice)
+        |   FROM lineitem, supplier, nation, region
+        |   WHERE p_partkey = l_partkey
+        |   AND s_suppkey = l_suppkey
+        |   AND s_nationkey = n_nationkey
+        |   AND n_regionkey = r_regionkey
+        |   AND r_name = 'EUROPE')
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        | LIMIT 100""".stripMargin
   )
 }

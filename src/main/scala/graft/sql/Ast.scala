@@ -31,14 +31,21 @@ object Ast {
     * Correlated `x [NOT] IN (SELECT …)` rides [[InSelect]] and is
     * desugared the same way with the probe equality added. */
   case class ExistsSel(sel: SelectStmt, neg: Boolean) extends Expr
-  /** `fn(args) OVER (PARTITION BY … ORDER BY … [DESC])` — window
-    * functions (superset): row_number/rank/dense_rank/lag/lead plus
-    * windowed sum/count/min/max/avg (running frame when ORDER BY is
-    * present, Spark's default). An empty PARTITION BY is legal but
+  /** Window frame spec `ROWS|RANGE [BETWEEN a AND b]` (r12 verdict
+    * task 2). Bounds are offsets relative to the current row
+    * (`k PRECEDING` = -k, `CURRENT ROW` = 0, `k FOLLOWING` = +k);
+    * None = unbounded in that direction. */
+  case class WFrame(mode: String, lo: Option[Long], hi: Option[Long])
+  /** `fn(args) OVER (PARTITION BY … ORDER BY … [DESC] [frame])` —
+    * window functions (superset): row_number/rank/dense_rank/lag/lead
+    * plus windowed sum/count/min/max/avg (running frame when ORDER BY
+    * is present, Spark's default; explicit ROWS/RANGE BETWEEN frames
+    * for moving aggregates). An empty PARTITION BY is legal but
     * funnels the table through one task — queries at scale must
     * partition. */
   case class WindowFn(fn: FnCall, partBy: Seq[Field],
-                      ordBy: Seq[(Field, Boolean)]) extends Expr
+                      ordBy: Seq[(Field, Boolean)],
+                      frame: Option[WFrame] = None) extends Expr
   case class Field(name: String, qualifier: Option[String] = None)
       extends Expr
   case class Star() extends Expr
@@ -187,6 +194,11 @@ object Ast {
                         ansiJoins: Seq[AnsiJoin] = Seq.empty,
                         // "plain" | "rollup" | "cube" (superset:
                         // GROUP BY ROLLUP(...)/CUBE(...))
-                        groupMode: String = "plain")
+                        groupMode: String = "plain",
+                        // derived tables `FROM (SELECT …) alias`
+                        // (superset): bound as transient tables for
+                        // the statement's build, in declared order —
+                        // `from`/`ansiJoins` reference the alias
+                        derived: Seq[(String, SelectStmt)] = Seq.empty)
       extends Statement
 }

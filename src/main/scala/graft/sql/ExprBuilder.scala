@@ -223,16 +223,36 @@ object ExprBuilder {
       }
       other.fold(chained)(o => chained.otherwise(build(o, ctx)))
     case FnCall(name, args) => fn(name, args, ctx)
-    case WindowFn(f, parts, ords) =>
+    case WindowFn(f, parts, ords, frame) =>
       import org.apache.spark.sql.expressions.Window
       val spec0 =
         if (parts.nonEmpty) Window.partitionBy(parts.map(fieldCol): _*)
         else Window.partitionBy()
-      val spec =
+      val specOrd =
         if (ords.nonEmpty) spec0.orderBy(ords.map { case (fd, asc) =>
           val c = fieldCol(fd); if (asc) c.asc else c.desc
         }: _*)
         else spec0
+      // explicit ROWS/RANGE frame (r12 task 2) → Spark's
+      // rowsBetween/rangeBetween; rank-family and lag/lead take no
+      // frame (ANSI; Spark would throw an analysis error anyway —
+      // name the rule instead)
+      if (frame.isDefined && Set("row_number", "rank", "dense_rank",
+          "lag", "lead")(f.name))
+        throw new IllegalArgumentException(
+          s"${f.name} does not accept an explicit window frame")
+      val spec = frame match {
+        case None => specOrd
+        case Some(WFrame(mode, lo, hi)) =>
+          if (ords.isEmpty) throw new IllegalArgumentException(
+            "a window frame requires ORDER BY")
+          val start = lo.getOrElse(Window.unboundedPreceding)
+          val end = hi.getOrElse(Window.unboundedFollowing)
+          if (start > end) throw new IllegalArgumentException(
+            "window frame lower bound exceeds upper bound")
+          if (mode == "rows") specOrd.rowsBetween(start, end)
+          else specOrd.rangeBetween(start, end)
+      }
       def off(i: Int): Int = f.args.lift(i) match {
         case None => 1
         case Some(Lit(v: Long, _)) => v.toInt
@@ -358,6 +378,12 @@ object ExprBuilder {
           date_format(NowFunctions.stampToTs(t(0)), f)
         case _ => throw new IllegalArgumentException("format(stamp,'fmt')")
       }
+      // ANSI substring(x, from[, for]) — 1-based, length optional
+      // (the FROM/FOR spelling parses to this); distinct from the
+      // dialect's 0-based substr below
+      case "substring" =>
+        if (args.length == 2) a(0).substr(a(1).cast("int"), length(a(0)))
+        else a(0).substr(a(1).cast("int"), a(2).cast("int"))
       case "substr" => substring(a(0), args(1) match {
         case Lit(v: Long, _) => v.toInt + 1 // NoWDB is 0-based C-style
         case _ => throw new IllegalArgumentException("substr pos")

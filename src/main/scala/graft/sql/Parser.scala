@@ -580,26 +580,54 @@ object Parser {
     var fromAlias: Option[String] = None
     val joins = ArrayBuffer.empty[JoinClause]
     val ansiJoins = ArrayBuffer.empty[AnsiJoin]
+    val derived = ArrayBuffer.empty[(String, SelectStmt)]
     if (p.takeKw("from")) {
-      from = Some(p.ident())
-      // reference `alias:table` form (nowdbsql.y:1089): the first
-      // identifier was the alias, the real table follows the colon
-      if (p.takeSym(":")) {
-        fromAlias = from
-        from = Some(p.ident())
-      }
-      // A clause keyword after the table name is never an alias
+      // A clause keyword after a table name is never an alias
       // (LIMIT/HAVING are this dialect's supersets, so they must be
       // excluded here too or `SELECT a FROM t LIMIT 5` parses the
       // LIMIT as a table alias).
-      if (!p.isKw("join") && !p.isKw("where") && !p.isKw("group")
-          && !p.isKw("order") && !p.isKw("having") && !p.isKw("limit")
-          && !p.isKw("union") && !p.isKw("intersect")
-          && !p.isKw("except") && !p.isKw("minus")
-          && !p.isKw("inner") && !p.isKw("left") && !p.isKw("right")
-          && !p.isKw("full")
-          && p.cur.isInstanceOf[TId])
-        fromAlias = Some(p.ident())
+      def clauseKw: Boolean =
+        Seq("join", "where", "group", "order", "having", "limit",
+          "offset", "union", "intersect", "except", "minus", "inner",
+          "left", "right", "full", "on").exists(p.isKw)
+      def aliasOpt(): Option[String] =
+        if (p.takeKw("as")) Some(p.ident())
+        else if (!clauseKw && p.cur.isInstanceOf[TId]) Some(p.ident())
+        else None
+      // One FROM item: `(SELECT …) [AS] alias` (derived table,
+      // superset — bound as a transient table for this statement), or
+      // `table [alias]` / the reference `alias:table` form
+      // (nowdbsql.y:1089, the first identifier is the alias).
+      def fromItem(): (String, Option[String]) =
+        if (p.takeSym("(")) {
+          p.expectKw("select")
+          val dsel = select(p)
+          p.expectSym(")")
+          val alias = aliasOpt().getOrElse(throw ParseError(
+            "derived table needs an alias", p.pos))
+          if (derived.exists(_._1.equalsIgnoreCase(alias)))
+            throw ParseError(s"duplicate derived-table alias $alias",
+              p.pos)
+          derived += ((alias, dsel))
+          (alias, None)
+        } else {
+          var t = p.ident()
+          var a: Option[String] = None
+          if (p.takeSym(":")) { a = Some(t); t = p.ident() }
+          if (a.isEmpty) a = aliasOpt()
+          (t, a)
+        }
+      val (t0, a0) = fromItem()
+      from = Some(t0); fromAlias = a0
+      // Comma-separated FROM list (superset — TPC-H's join spelling):
+      // `FROM a, b c, …` desugars to inner joins with a TRUE
+      // condition; the WHERE's equi-conjuncts reach the join through
+      // Catalyst's predicate pushdown, so the plan is the same keyed
+      // join an explicit JOIN … ON would produce.
+      while (p.takeSym(",")) {
+        val (t, a) = fromItem()
+        ansiJoins += AnsiJoin(t, a, "inner", Lit(true, "bool"))
+      }
       var joining = true
       while (joining) {
         // ANSI join kinds (superset); a bare JOIN may still be the
@@ -724,7 +752,7 @@ object Parser {
     SelectStmt(items.toSeq, from, fromAlias, joins.toSeq, where,
       groupBy.toSeq, orderBy.toSeq, limit, having,
       distinct = dflag, offset = offset, ansiJoins = ansiJoins.toSeq,
-      groupMode = groupMode)
+      groupMode = groupMode, derived = derived.toSeq)
   }
 
   private def fieldRef(p: P): Field = {
@@ -894,6 +922,15 @@ object Parser {
         val args = ArrayBuffer.empty[Expr]
         if (!p.isSym(")")) {
           args += expr(p)
+          // ANSI `substring(x FROM a [FOR b])` (TPC-H q22's spelling)
+          // — ANSI 1-based, distinct from the dialect's 0-based
+          // C-style substr (reference fun/expr semantics)
+          if (s.equalsIgnoreCase("substring") && p.takeKw("from")) {
+            args += expr(p)
+            if (p.takeKw("for")) args += expr(p)
+            p.expectSym(")")
+            return FnCall("substring", args.toSeq)
+          }
           while (p.takeSym(",")) args += expr(p)
         }
         p.expectSym(")")
@@ -928,8 +965,34 @@ object Parser {
       one()
       while (p.takeSym(",")) one()
     }
+    // Frame spec (superset, r12 verdict task 2): `ROWS|RANGE BETWEEN
+    // <bound> AND <bound>` or the single-bound shorthand `ROWS|RANGE
+    // <bound>` (… AND CURRENT ROW). Bounds: UNBOUNDED
+    // PRECEDING/FOLLOWING, CURRENT ROW, <n> PRECEDING/FOLLOWING.
+    val frame: Option[WFrame] =
+      if (p.isKw("rows") || p.isKw("range")) {
+        val mode = p.ident().toLowerCase
+        def bound(isLower: Boolean): Option[Long] =
+          if (p.takeKw("unbounded")) {
+            // UNBOUNDED FOLLOWING as a lower bound (or PRECEDING as
+            // an upper one) is meaningless — ANSI forbids it too
+            if (isLower) { p.expectKw("preceding"); None }
+            else { p.expectKw("following"); None }
+          } else if (p.takeKw("current")) { p.expectKw("row"); Some(0L) }
+          else {
+            val n = p.uintLit()
+            if (p.takeKw("preceding")) Some(-n)
+            else { p.expectKw("following"); Some(n) }
+          }
+        if (p.takeKw("between")) {
+          val lo = bound(isLower = true)
+          p.expectKw("and")
+          val hi = bound(isLower = false)
+          Some(WFrame(mode, lo, hi))
+        } else Some(WFrame(mode, bound(isLower = true), Some(0L)))
+      } else None
     p.expectSym(")")
-    WindowFn(f, parts.toSeq, ords.toSeq)
+    WindowFn(f, parts.toSeq, ords.toSeq, frame)
   }
 
   private def caseExpr(p: P): Expr = {

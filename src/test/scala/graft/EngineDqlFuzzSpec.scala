@@ -153,6 +153,73 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("130 random window-frame and set-op chain statements: " +
+    "dialect engine == Spark SQL (r13 fuzz arms)") {
+    // r12 verdict task 7: the window builder (now with ROWS/RANGE
+    // frames) and the set-op alignment path get property fuzz of
+    // their own. Identical text runs through Spark SQL's parser, so
+    // frame semantics (bounds, shorthand, RANGE peers) and set-op
+    // precedence/ALL are differentially checked, not just parsed.
+    val rnd = new scala.util.Random(1313)
+    val data = (0 until 400).map { i =>
+      (i.toLong, i.toLong % 9, rnd.nextInt(80).toLong,
+        math.rint(rnd.nextDouble() * 1000) / 100.0, "w" + (i % 6))
+    }
+    val df = data.toDF("id", "k", "a", "b", "s")
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("dql-fuzz13").toString)
+    eng.attachTable("fw", df)
+    df.createOrReplaceTempView("fw_v")
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[String]] =
+      rows.map(_.toSeq.map {
+        case d: Double => f"$d%.9f"
+        case v => String.valueOf(v)
+      }).toSeq.sortBy(_.mkString("|"))
+    for (i <- 0 until 130) {
+      val body = rnd.nextInt(2) match {
+        case 0 =>
+          val fn = pick(Seq("sum(a)", "min(a)", "max(a)", "count(*)",
+            "avg(a)"))
+          val frame = rnd.nextInt(6) match {
+            case 0 => s"rows between ${1 + rnd.nextInt(5)} preceding " +
+              "and current row"
+            case 1 => s"rows between ${rnd.nextInt(3)} preceding and " +
+              s"${rnd.nextInt(3)} following"
+            case 2 => "rows between unbounded preceding and current row"
+            case 3 => s"range between ${5 * (1 + rnd.nextInt(6))} " +
+              s"preceding and ${5 * rnd.nextInt(6)} following"
+            case 4 => "rows between current row and unbounded following"
+            case _ => "range between unbounded preceding and current row"
+          }
+          // RANGE frames need a single numeric order key; ROWS get a
+          // unique (a, id) order so every frame content is
+          // deterministic
+          val ord = if (frame.startsWith("range")) "a" else "a, id"
+          s"select id, k, $fn over (partition by k order by $ord " +
+            s"$frame) as w from fw"
+        case _ =>
+          def branch() = "select k, a from fw where " + pick(Seq(
+            s"a > ${rnd.nextInt(50)}", s"s = 'w${rnd.nextInt(6)}'",
+            s"b < ${100 + rnd.nextInt(800)}.0",
+            s"id % ${2 + rnd.nextInt(5)} = 0"))
+          val op1 = pick(Seq("union", "union all", "intersect",
+            "except"))
+          val op2 = pick(Seq("union", "union all", "intersect",
+            "except"))
+          s"${branch()} $op1 ${branch()} $op2 ${branch()}"
+      }
+      val got = eng.sql(body) match {
+        case Rows(r) => r.collect()
+        case other => fail(s"#$i: $body -> $other")
+      }
+      val want = spark.sql(body.replace("from fw", "from fw_v")).collect()
+      assert(canon(got) == canon(want),
+        s"#$i diverged:\n$body\nengine: ${canon(got).take(3)}\n" +
+          s"spark:  ${canon(want).take(3)}")
+    }
+  }
+
   test("100 random non-grouped selects: dialect engine == Spark SQL") {
     val rnd = new scala.util.Random(777)
     val data = (0 until 300).map { i =>

@@ -906,9 +906,11 @@ class EngineSpec extends AnyFunSuite {
       case other => fail(s"$other")
     }
     // shape guard: aggregated correlated subquery rejected cleanly
+    // (r13 narrowed the message — GROUP BY is named, since joins are
+    // now legal in correlated subqueries)
     eng.sql("select id from co where exists " +
       "(select g from cq where cq.g = co.g group by g)") match {
-      case Status(false, m) => assert(m.contains("plain"), m)
+      case Status(false, m) => assert(m.contains("GROUP BY"), m)
       case other => fail(s"aggregated correlated sub accepted: $other")
     }
     ok(eng.sql("drop type co"))

@@ -122,8 +122,8 @@ class FormulaPropertySpec extends AnyFunSuite {
     samples(200, 3).foreach { e =>
       val sql = s"select ${render(e)}"
       Parser.parse(sql) match {
-        case SelectStmt(Seq(SelectItem(parsed, None)), None,
-            _, _, _, _, _, _, _, _, _, _, _) =>
+        case s @ SelectStmt(Seq(SelectItem(parsed, None)), None,
+            _, _, _, _, _, _, _, _, _, _, _, _) if s.derived.isEmpty =>
           assert(parsed == e, s"\n$sql\nparsed: $parsed\nwanted: $e")
         case other => fail(s"$sql parsed to $other")
       }

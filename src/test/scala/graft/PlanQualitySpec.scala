@@ -302,6 +302,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p376.contains("CartesianProduct"), p376)
   }
 
+  test("TPC-H correlated quartet + q2: keyed semi/anti joins and " +
+    "aggregated scalar joins all the way down — no nested-loop " +
+    "re-execution, no cartesian (r13 verdict task 1+5)") {
+    // q4: one LeftSemi keyed on l_orderkey (the date residual rides
+    // the same join); q21: LeftSemi AND LeftAnti on one table; q17/
+    // q20/q2: the correlated scalar is ONE HashAggregate + left join,
+    // with q20's nested IN a semi join on the INNER scan and q2's
+    // scalar aggregating a four-table keyed join. A cartesian or
+    // nested-loop node anywhere means a desugar fell off the keyed
+    // path.
+    val expectations = Seq(
+      "q384_tpch_q4" -> Seq("LeftSemi"),
+      "q385_tpch_q17" -> Seq("HashAggregate"),
+      "q386_tpch_q20" -> Seq("LeftSemi", "HashAggregate"),
+      "q387_tpch_q21" -> Seq("LeftSemi", "LeftAnti"),
+      "q388_tpch_q22" -> Seq("LeftAnti"),
+      "q390_tpch_q2" -> Seq("HashAggregate"))
+    expectations.foreach { case (q, needles) =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      needles.foreach(n => assert(p.contains(n), s"$q missing $n:\n$p"))
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("window frame specs stay one keyed window exchange") {
+    val p = plan(SparkEntry.queries("q389_window_frames")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("outer-correlated scalar inside EXISTS plans joins all the " +
     "way down — no per-row re-execution, no cartesian") {
     val p = plan(SparkEntry.queries("q383_outer_scalar")(spark, sf))

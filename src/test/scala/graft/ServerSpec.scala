@@ -859,4 +859,52 @@ class ServerSpec extends AnyFunSuite {
       assert(out == Seq(LInt(5), LInt(15)), s"got $out")
     } finally srv.stop()
   }
+
+  test("cursor soak: 100k+ rows page through the wire layer " +
+    "end-to-end at sf0.1 (r13 verdict task 8)") {
+    // ServerSpec's other tests prove golden bytes on tiny results;
+    // this one measures FETCH paging a six-figure result through the
+    // real socket — cursor iterator advance, batch framing, escaping
+    // — and asserts integrity (no dup/lost rows across pages). The
+    // observed wall/rows-per-second lands in COVERAGE.md.
+    import org.apache.spark.sql.functions.col
+    val sfBig = "/root/testdata/sf0.1"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      sfBig, "lineitem.parquet")))
+    val root = Files.createTempDirectory("server-soak").toString
+    // seed the scope ONCE through a direct engine: the server's
+    // per-connection engines then read the same catalog parquet
+    val setup = new Engine(spark, root)
+    setup.sql("create scope soak")
+    setup.sql("use soak")
+    setup.sql("create type li (rid uint pk, ok uint, qty float)")
+    setup.attachTable("src", Tables.lineitem(spark, sfBig).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      col("l_orderkey").as("ok"), col("l_quantity").as("qty")))
+    setup.sql("insert into li (rid, ok, qty) " +
+      "select rid, ok, qty from src") match {
+      case Status(false, m) => fail(s"soak seed failed: $m")
+      case _ => ()
+    }
+    val srv = new Server(spark, root, port = 0, pageSize = 1024).start()
+    try {
+      val c = new WireClient("127.0.0.1", srv.boundPort)
+      assert(c.send("use soak").head.startsWith("+ok"))
+      val t0 = System.nanoTime()
+      val (hdr, rows) =
+        c.query("select rid, ok, qty from li where ok % 3 = 0")
+      val wallS = (System.nanoTime() - t0) / 1e9
+      assert(hdr == Seq("rid", "ok", "qty"))
+      assert(rows.length >= 100000,
+        s"soak paged only ${rows.length} rows")
+      assert(rows.forall(_.length == 3))
+      // no duplicated or lost rows across page boundaries
+      assert(rows.map(_.head).toSet.size == rows.length,
+        "duplicate rids across pages")
+      assert(rows.forall(_(1).toLong % 3 == 0))
+      info(f"soak: ${rows.length} rows over ${rows.length / 1024 + 1} " +
+        f"pages in $wallS%.2f s (${rows.length / wallS}%.0f rows/s)")
+      c.close()
+    } finally srv.stop()
+  }
 }
