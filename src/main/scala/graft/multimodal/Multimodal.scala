@@ -297,7 +297,13 @@ object Multimodal {
     require(le16(26) == 1, "BMP: planes must be 1")
     val bpp = le16(28)
     require(bpp == 8, s"unsupported bpp $bpp (8-bit palette only)")
-    require(le32(30) == 0, "BMP: BI_RGB (uncompressed) only")
+    val compression = le32(30)
+    require(compression == 0 || compression == 1,
+      s"BMP: unsupported compression $compression " +
+        "(BI_RGB or BI_RLE8 only)")
+    // the spec defines RLE8 only for bottom-up rasters
+    require(compression == 0 || bottomUp,
+      "BMP: BI_RLE8 requires a bottom-up raster")
     val palOff = 14 + hdrSz
     val palEntries = { val c = le32(46); if (c == 0) 256 else c }
     require(palEntries > 0 &&
@@ -307,9 +313,66 @@ object Multimodal {
       require(idx < palEntries, s"palette index $idx out of range")
       u8(palOff + idx * 4 + 2) // BGRA entry: red channel
     }
-    val px = readDibRows(content, dataOff, width, height, bottomUp,
-      "BMP").map(gray)
-    BmpImage(width, height, px)
+    val idx =
+      if (compression == 1) decodeRle8(content, dataOff, width, height)
+      else readDibRows(content, dataOff, width, height, bottomUp, "BMP")
+    BmpImage(width, height, idx.map(gray))
+  }
+
+  /** BI_RLE8 decompression (public BMP spec; r12 verdict task 4 —
+    * the first compressed format behind the codec trio). Stream of
+    * 2-byte tokens: (n>0, v) = encoded run of n copies of v;
+    * (0, 0) = end of line; (0, 1) = end of bitmap; (0, 2) + (dx, dy)
+    * = delta skip (skipped pixels read 0, per spec); (0, n≥3) + n
+    * literal bytes WORD-padded = absolute run. Output is the same
+    * top-down raster readDibRows yields (RLE8 is bottom-up by spec).
+    * Hostile inputs — runs past the row or raster end, a truncated
+    * stream, a delta past the raster — get named errors, mirroring
+    * the uncompressed path's real-buffer guards. Output is bounded
+    * by width×height regardless of declared sizes. */
+  private def decodeRle8(content: Array[Byte], off: Int, width: Int,
+      height: Int): Array[Int] = {
+    require(off >= 0 && off <= content.length,
+      "BMP RLE8: pixel-data offset out of range")
+    val px = new Array[Int](width * height) // skipped pixels read 0
+    var i = off
+    var x = 0
+    var yUp = 0 // bottom-up row cursor
+    var done = false
+    def put(v: Int): Unit = {
+      require(x < width, "BMP RLE8: run past row end")
+      require(yUp < height, "BMP RLE8: run past raster end")
+      px((height - 1 - yUp) * width + x) = v
+      x += 1
+    }
+    while (!done) {
+      require(i + 2 <= content.length, "BMP RLE8: truncated stream")
+      val b0 = content(i) & 0xff
+      val b1 = content(i + 1) & 0xff
+      i += 2
+      if (b0 > 0) {
+        var k = 0
+        while (k < b0) { put(b1); k += 1 }
+      } else b1 match {
+        case 0 => x = 0; yUp += 1
+        case 1 => done = true
+        case 2 =>
+          require(i + 2 <= content.length, "BMP RLE8: truncated delta")
+          val dx = content(i) & 0xff
+          val dy = content(i + 1) & 0xff
+          i += 2
+          require(x + dx <= width && yUp + dy <= height,
+            "BMP RLE8: delta past raster end")
+          x += dx; yUp += dy
+        case n =>
+          require(i + n <= content.length,
+            "BMP RLE8: truncated absolute run")
+          var k = 0
+          while (k < n) { put(content(i + k) & 0xff); k += 1 }
+          i += n + (n & 1) // absolute runs are WORD-aligned
+      }
+    }
+    px
   }
 
   /** Serialize an 8-bit grayscale raster (row-major top-down) to a
@@ -327,6 +390,18 @@ object Multimodal {
     val height = pixels.length / width
     val stride = ((width + 3) / 4) * 4
     val dataSz = stride * height
+    val buf = bmpGray8Header(width, height, dataSz, compression = 0)
+    writeDibRows(buf, width, height, pixels, bottomUp = true)
+    buf.array()
+  }
+
+  /** Shared 8-bit-gray BMP container: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + identity 256-entry gray palette (B,G,R,0
+    * entries), buffer left positioned at the pixel data. One writer
+    * for the BI_RGB and BI_RLE8 builders so the two containers can't
+    * drift. */
+  private def bmpGray8Header(width: Int, height: Int, dataSz: Int,
+      compression: Int): java.nio.ByteBuffer = {
     val dataOff = 14 + 40 + 256 * 4
     val buf = java.nio.ByteBuffer.allocate(dataOff + dataSz)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -336,7 +411,7 @@ object Multimodal {
     buf.putInt(dataOff)
     buf.putInt(40); buf.putInt(width); buf.putInt(height)
     buf.putShort(1); buf.putShort(8)
-    buf.putInt(0)      // BI_RGB
+    buf.putInt(compression) // 0 = BI_RGB, 1 = BI_RLE8
     buf.putInt(dataSz)
     buf.putInt(2835); buf.putInt(2835) // 72 DPI both axes
     buf.putInt(256); buf.putInt(0)
@@ -345,7 +420,60 @@ object Multimodal {
       buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
       i += 1
     }
-    writeDibRows(buf, width, height, pixels, bottomUp = true)
+    buf
+  }
+
+  /** Serialize an 8-bit grayscale raster (row-major top-down) to a
+    * spec-exact BI_RLE8-compressed BMP — the inverse of decodeBmp's
+    * RLE8 arm. Rows emit bottom-up as maximal encoded runs (≤255),
+    * except literal stretches of ≥3 DISTINCT consecutive values,
+    * which emit as absolute runs (WORD-padded) so both decode arms
+    * are load-bearing; every row ends with end-of-line, the stream
+    * with end-of-bitmap. */
+  def buildBmpRle8(width: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && pixels.length % width == 0,
+      "pixels must be whole rows")
+    require(pixels.forall(p => p >= 0 && p <= 255),
+      "BMP RLE8 build: pixel values must be 0..255")
+    val height = pixels.length / width
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var r0 = 0
+    while (r0 < height) {
+      val r = height - 1 - r0 // bottom-up, per spec
+      var c = 0
+      while (c < width) {
+        def v(k: Int): Int = pixels(r * width + k)
+        var run = 1
+        while (c + run < width && v(c + run) == v(c) && run < 255)
+          run += 1
+        if (run >= 2) {
+          out += run.toByte; out += v(c).toByte
+          c += run
+        } else {
+          // literal stretch: values where the NEXT value differs
+          var lit = 1
+          while (c + lit < width && lit < 255 &&
+              (c + lit + 1 >= width || v(c + lit + 1) != v(c + lit)))
+            lit += 1
+          if (lit >= 3) {
+            out += 0.toByte; out += lit.toByte
+            var k = 0
+            while (k < lit) { out += v(c + k).toByte; k += 1 }
+            if ((lit & 1) == 1) out += 0.toByte // WORD pad
+            c += lit
+          } else {
+            out += 1.toByte; out += v(c).toByte
+            c += 1
+          }
+        }
+      }
+      out += 0.toByte; out += 0.toByte // end of line
+      r0 += 1
+    }
+    out += 0.toByte; out += 1.toByte // end of bitmap
+    val buf = bmpGray8Header(width, height, out.length,
+      compression = 1)
+    buf.put(out.toArray)
     buf.array()
   }
 

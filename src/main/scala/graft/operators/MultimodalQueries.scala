@@ -144,6 +144,30 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("block_row"), col("block_col"),
           col("sum_px"), col("n_px"), col("width"), col("height"))
     }),
+    // COMPRESSED image codec (r12 verdict task 4): same contract as
+    // q381 but the containers are BI_RLE8-compressed — encoded runs,
+    // absolute runs (WORD-padded) and the end-of-line/bitmap escapes
+    // all sit on the decode path, over a different doc slice. The
+    // oracle recomputes the block sums from the text codepoints, so
+    // any RLE coder/decoder slip (run split, pad byte, bottom-up row
+    // order under compression) diverges the sums. Row-local.
+    "q391_bmp_rle8" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val W = 30
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= W)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val h = text.length / W
+          val px = text.take(h * W).map(_.toInt).toArray
+          MediaRecord(id, "image", "bmp",
+            Multimodal.buildBmpRle8(W, px))
+        })
+      Multimodal.imageBlocksBmp(media, block = 10).toDF()
+        .select(col("media_id"), col("block_row"), col("block_col"),
+          col("sum_px"), col("n_px"), col("width"), col("height"))
+    }),
     // REAL video codec end-to-end, completing the trio (q375 audio,
     // q381 image): build spec-exact AVI containers — LIST hdrl/avih
     // header, odd-size JUNK between hdrl and movi (pad-byte walking
@@ -417,6 +441,23 @@ object MultimodalQueries extends QueryPack {
         |   CAST(length(text) // 30 AS BIGINT) AS h
         |  FROM documents
         |  WHERE doc_id % 3 = 0 AND length(text) >= 30),
+        | q AS (SELECT b.doc_id, b.i - 1 AS i0, b.p, lim.h
+        |  FROM b JOIN lim USING (doc_id) WHERE b.i <= lim.h * 30)
+        | SELECT doc_id AS media_id,
+        |  CAST((i0 // 30) // 10 AS INT) AS block_row,
+        |  CAST((i0 % 30) // 10 AS INT) AS block_col,
+        |  CAST(sum(p) AS BIGINT) AS sum_px,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(30 AS INT) AS width,
+        |  CAST(h AS INT) AS height
+        | FROM q
+        | GROUP BY doc_id, (i0 // 30) // 10, (i0 % 30) // 10, h""".stripMargin,
+    "q391_bmp_rle8" ->
+      s"""WITH ${cpCte(1)},
+        | lim AS (SELECT doc_id,
+        |   CAST(length(text) // 30 AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND length(text) >= 30),
         | q AS (SELECT b.doc_id, b.i - 1 AS i0, b.p, lim.h
         |  FROM b JOIN lim USING (doc_id) WHERE b.i <= lim.h * 30)
         | SELECT doc_id AS media_id,

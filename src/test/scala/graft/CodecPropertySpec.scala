@@ -68,6 +68,27 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BI_RLE8 BMP round-trips exactly: random rasters (runs vs " +
+    "literal noise), every width remainder, 1x1, flat images") {
+    // mix run-heavy and noisy rows so encoded runs, single-pixel
+    // pairs AND absolute (literal) runs all sit on the decode path
+    val gen = for {
+      w <- Gen.choose(1, 33)
+      h <- Gen.choose(1, 9)
+      flat <- Gen.choose(0, 3) // 0 → constant raster
+      px <- if (flat == 0) Gen.choose(0, 255).map(v =>
+          List.fill(w * h)(v))
+        else Gen.listOfN(w * h, Gen.frequency(
+          3 -> Gen.const(7), 2 -> Gen.choose(0, 255)))
+    } yield (w, h, px.toArray)
+    (0 until 150).foreach { i =>
+      val (w, h, px) = draw(gen, 7000L + i)
+      val img = Multimodal.decodeBmp(Multimodal.buildBmpRle8(w, px))
+      assert(img.width == w && img.height == h, s"case $i dims")
+      assert(img.pixels.toSeq == px.toSeq, s"case $i raster w=$w h=$h")
+    }
+  }
+
   test("AVI round-trips exactly for random dims and frame counts, " +
     "with and without the odd-size JUNK chunk") {
     val gen = for {

@@ -193,9 +193,63 @@ class MultimodalSpec extends AnyFunSuite {
     val bpp = good.clone(); bpp(28) = 24 // claim 24-bit
     assert(intercept[IllegalArgumentException](
       Multimodal.decodeBmp(bpp)).getMessage.contains("bpp"))
-    val comp = good.clone(); comp(30) = 1 // claim BI_RLE8
+    val comp = good.clone(); comp(30) = 2 // claim BI_RLE4
     assert(intercept[IllegalArgumentException](
-      Multimodal.decodeBmp(comp)).getMessage.contains("BI_RGB"))
+      Multimodal.decodeBmp(comp)).getMessage
+        .contains("unsupported compression"))
+  }
+
+  test("decodeBmp BI_RLE8: runs + absolute stretches round-trip; " +
+    "delta and end-of-line escapes decode per spec") {
+    // builder round-trip: run-heavy rows exercise encoded pairs,
+    // noisy rows exercise absolute (literal) runs with the WORD pad
+    val w = 30
+    val px = Array.tabulate(w * 5)(i =>
+      if ((i / 7) % 3 == 0) 40 else (i * 13) % 256)
+    val img = Multimodal.decodeBmp(Multimodal.buildBmpRle8(w, px))
+    assert(img.width == w && img.height == 5)
+    assert(img.pixels.toSeq == px.toSeq)
+    // hand-built stream on a 4x2 raster: encoded run, delta skip
+    // (skipped pixels read 0), end-of-line, end-of-bitmap
+    val base = Multimodal.buildBmpGray8(4, Array.fill(8)(9))
+    val rle = base.clone()
+    rle(30) = 1 // BI_RLE8
+    val dataOff = 14 + 40 + 256 * 4
+    val stream = Array[Byte](2, 5, 0, 2, 1, 1, 0, 1)
+    System.arraycopy(stream, 0, rle, dataOff, stream.length)
+    val d = Multimodal.decodeBmp(rle)
+    // bottom row: run 2×5 then delta(1,1) jumps away; top row: zeros
+    assert(d.pixels.toSeq == Seq(0, 0, 0, 0, 5, 5, 0, 0))
+  }
+
+  test("decodeBmp BI_RLE8: hostile streams get named errors — run " +
+    "past the row end, truncated stream, top-down refusal") {
+    val base = Multimodal.buildBmpGray8(4, Array.fill(8)(9))
+    val dataOff = 14 + 40 + 256 * 4
+    def withStream(bytes: Array[Byte]): Array[Byte] = {
+      val b = base.clone(); b(30) = 1
+      System.arraycopy(bytes, 0, b, dataOff, bytes.length)
+      b
+    }
+    assert(intercept[IllegalArgumentException](Multimodal.decodeBmp(
+      withStream(Array[Byte](5, 7, 0, 1)))).getMessage
+        .contains("run past row end"))
+    // a run below the raster's last row
+    assert(intercept[IllegalArgumentException](Multimodal.decodeBmp(
+      withStream(Array[Byte](0, 0, 0, 0, 1, 3, 0, 1)))).getMessage
+        .contains("run past raster end"))
+    // stream runs off the buffer without end-of-bitmap: the padding
+    // zeros parse as end-of-lines until the cursor leaves the buffer
+    assert(intercept[IllegalArgumentException](Multimodal.decodeBmp(
+      withStream(Array[Byte](2, 5, 0, 0, 0, 0, 0, 0)))).getMessage
+        .contains("truncated stream"))
+    // RLE8 + top-down (negative height) is a spec contradiction
+    val td = base.clone(); td(30) = 1
+    val hNeg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(hNeg, 0, td, 22, 4)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(td)).getMessage.contains("bottom-up"))
   }
 
   test("decodeAvi: real RIFF/AVI walker round-trips frames exactly " +
