@@ -108,10 +108,23 @@ object ScaleGen {
       // data on the embedding near-dup query before this fix)
       val shifted = df.withColumn("vec_id", col("vec_id") + i * VEC)
       if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        concat(slice(col("embedding"), lit(i + 1),
-            size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i))))
+      else {
+        // r13: rotate MODULO the dimension (a raw i-position rotate
+        // fed slice() a negative length once K exceeded dim=64 —
+        // found generating the 100× corpus), and NEGATE every second
+        // rotation cycle so replica i ≥ dim lands at cosine −1 to its
+        // rotation twin instead of +1. Disjointness bound: K < 2·dim
+        // (128 for these vectors); past that a third cycle would
+        // repeat exactly.
+        val sz = size(col("embedding"))
+        val r = pmod(lit(i), sz)
+        val rot = concat(
+          slice(col("embedding"), r + lit(1), sz - r),
+          slice(col("embedding"), lit(1), r))
+        shifted.withColumn("embedding",
+          when((lit(i) / sz).cast("int") % 2 === 1,
+            transform(rot, x => -x)).otherwise(rot))
+      }
     })
     spark.stop()
   }
