@@ -308,7 +308,17 @@ object Plans {
       "q390_tpch_q2" -> ("TPC-H q2 shape: correlated scalar over a " +
         "FOUR-table comma join — the aggregated frame groups the " +
         "joined inner scan by the correlation key; keyed joins " +
-        "everywhere, zero cartesian"))
+        "everywhere, zero cartesian"),
+      "q392_tpch_q1" -> ("TPC-H q1 through the dialect: decimal-" +
+        "exact money sums, one partial+final hash aggregate"),
+      "q397_tpch_q8" -> ("TPC-H q8 shape: EIGHT-table comma join — " +
+        "ReorderJoin turns the TRUE-condition chain into keyed " +
+        "joins; case-sum market-share ratio inside one aggregate"),
+      "q404_tpch_q15" -> ("TPC-H q15 shape: view joined in the comma " +
+        "FROM plus the uncorrelated MAX scalar over the same view"),
+      "q407_tpch_q19" -> ("TPC-H q19 shape: OR-of-AND-blocks join " +
+        "predicate — Catalyst CNF conversion extracts the common " +
+        "p_partkey equi key, residual OR rides the keyed join"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -29,7 +29,8 @@ object SparkEntry {
     CurationQueries,
     TimeSeriesQueries,
     EngineQueries,
-    LinkageQueries
+    LinkageQueries,
+    TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1060,6 +1060,19 @@ class Engine(val spark: SparkSession, root: String,
         o.fold(base)(x => base.otherwise(buildWithAggs(x, ctx)))
       case FnCall("tofloat", Seq(x)) if containsAgg(e) =>
         buildWithAggs(x, ctx).cast("double")
+      // scalar wrappers over aggregate expressions, mirroring the
+      // ExprBuilder builders — `round(sum(x) / sum(y), 6)` is TPC-H
+      // q8/q14's shape (r13)
+      case FnCall("round", Seq(x)) if containsAgg(e) =>
+        round(buildWithAggs(x, ctx))
+      case FnCall("round", Seq(x, Lit(n: Long, _))) if containsAgg(e) =>
+        round(buildWithAggs(x, ctx), n.toInt)
+      case FnCall("abs", Seq(x)) if containsAgg(e) =>
+        abs(buildWithAggs(x, ctx))
+      case FnCall("floor", Seq(x)) if containsAgg(e) =>
+        floor(buildWithAggs(x, ctx))
+      case FnCall("ceil", Seq(x)) if containsAgg(e) =>
+        ceil(buildWithAggs(x, ctx))
       case _ => ExprBuilder.build(e, ctx)
     })
 
@@ -1138,7 +1151,15 @@ class Engine(val spark: SparkSession, root: String,
             val aAlias = aj.alias.getOrElse(aj.table)
             typeCtx(aj.table).map { case (k, v) =>
               s"${aAlias.toLowerCase}.$k" -> v }
-          }
+          } ++
+          // r13: joined tables' columns are also visible UNQUALIFIED
+          // (comma joins made `o_orderdate >= '1996-01-01'` with
+          // orders as a joined table a routine spelling) — add their
+          // bare names too, without letting them shadow the FROM
+          // table's own columns on a name collision
+          sel.ansiJoins.filterNot(_.generated).flatMap(aj =>
+            typeCtx(aj.table)).filterNot { case (k, _) =>
+              base.contains(k) }
     }
 
   /** Re-attach the `graft.nowType` marker to COMPUTED time-typed

@@ -327,6 +327,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H sweep q392-q407: all 16 remaining official shapes plan " +
+    "keyed joins — zero cartesian, zero nested-loop (incl. q19's " +
+    "OR-of-AND-blocks, whose equi key Catalyst's CNF conversion " +
+    "extracts)") {
+    graft.operators.TpchQueries.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("window frame specs stay one keyed window exchange") {
     val p = plan(SparkEntry.queries("q389_window_frames")(spark, sf))
     assert(p.contains("Window"), p)
