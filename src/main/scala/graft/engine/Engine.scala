@@ -1883,7 +1883,8 @@ class Engine(val spark: SparkSession, root: String,
     // correlation anchors (ANSI; DuckDB enforces the same) — validate
     // so the failure names the rule instead of a resolver error
     if (inHaving) {
-      val groupNames = outerSel.groupBy.map(_.name.toLowerCase).toSet
+      val groupNames = outerSel.groupBy.collect {
+        case f: Field => f.name.toLowerCase }.toSet
       keys.foreach { case (_, out) =>
         val bad = fieldsOf(out).filterNot(f =>
           groupNames(f.name.toLowerCase))
@@ -1901,11 +1902,17 @@ class Engine(val spark: SparkSession, root: String,
     if (sub.groupBy.nonEmpty) {
       val keyFields: Set[String] = keys.flatMap { case (inn, _) =>
         fieldsOf(inn).map(_.name.toLowerCase) }.toSet
-      val bad = sub.groupBy.filterNot(g => keyFields(g.name.toLowerCase))
+      val bad = sub.groupBy.filterNot {
+        case f: Field => keyFields(f.name.toLowerCase)
+        case _ => false // expression keys are never correlation keys
+      }
       if (bad.nonEmpty)
         throw new IllegalArgumentException(
           "a correlated scalar subquery may only GROUP BY its " +
-            s"correlation keys (not ${bad.map(_.name).mkString(", ")})")
+            "correlation keys (not " + bad.map {
+              case f: Field => f.name
+              case e => e.toString
+            }.mkString(", ") + ")")
     }
     val tn = s"$namePrefix$idx"
     def innerCol(e: Expr): Column =
@@ -2021,7 +2028,10 @@ class Engine(val spark: SparkSession, root: String,
             it.copy(expr = substAliases(it.expr, m))),
           where = sel0.where.map(substAliases(_, m)),
           having = sel0.having.map(substAliases(_, m)),
-          groupBy = sel0.groupBy.map(rf),
+          groupBy = sel0.groupBy.map {
+            case f: Field => rf(f)
+            case e => substAliases(e, m)
+          },
           orderBy = sel0.orderBy.map { case (f, a) => (rf(f), a) })
       case _ => sel0
     }
@@ -2132,12 +2142,53 @@ class Engine(val spark: SparkSession, root: String,
 
     val hasAgg = sel.items.exists(it => containsAgg(it.expr))
     if (sel.groupBy.nonEmpty || hasAgg) {
-      val keys = sel.groupBy.map(f => ExprBuilder.build(f, ctx))
-      val keyNames = sel.groupBy.map(_.name.toLowerCase).toSet
+      // select aliases — for HAVING resolution and (r13) GROUP BY
+      // alias resolution
+      val aliasMap = sel.items
+        .flatMap(it => it.alias.map(_.toLowerCase -> it.expr)).toMap
+      // r13: group keys are full EXPRESSIONS. Each resolves to
+      // (key expr, output name): a bare name that is NOT a base
+      // column but IS a select alias groups by the aliased
+      // expression under the alias's name (ANSI-style resolution —
+      // base columns win the clash); any other expression takes the
+      // name of the select item it syntactically equals (so that
+      // item projects AS the key), or a hidden name when the key is
+      // grouped but not projected.
+      val keySpecs: Seq[(Expr, String)] =
+        sel.groupBy.zipWithIndex.map {
+          case (f: Field, _) if f.qualifier.isEmpty &&
+              !ctx.contains(f.name.toLowerCase) &&
+              aliasMap.contains(f.name.toLowerCase) =>
+            val e = aliasMap(f.name.toLowerCase)
+            if (containsAgg(e))
+              throw new IllegalArgumentException(
+                s"GROUP BY ${f.name}: cannot group by an aggregate")
+            (e, f.name)
+          case (f: Field, _) => (f, f.name)
+          case (e, i) =>
+            sel.items.zipWithIndex.find(_._1.expr == e) match {
+              case Some((it, j)) =>
+                (e, it.alias.getOrElse(defaultName(e, j)))
+              case None => (e, s"__graft_gk$i")
+            }
+        }
+      val keys = keySpecs.map {
+        // plain-field keys keep the bare attribute (an alias here
+        // would break ROLLUP/CUBE's grouping() resolution); only
+        // alias/expression keys need the explicit output name
+        case (f: Field, _) => ExprBuilder.build(f, ctx)
+        case (e, n) => ExprBuilder.build(e, ctx).as(n)
+      }
+      val keyNames = keySpecs.collect {
+        case (f: Field, n) => n.toLowerCase }.toSet
+      // expression keys, matched against select items syntactically
+      val keyByExpr: Map[Expr, String] =
+        keySpecs.filterNot(_._1.isInstanceOf[Field]).toMap
       val aggCols = sel.items.zipWithIndex.flatMap { case (it, i) =>
         val nm = it.alias.getOrElse(defaultName(it.expr, i))
         it.expr match {
           case f: Field if keyNames(f.name.toLowerCase) => None // key
+          case e if keyByExpr.contains(e) => None // expression key
           // a bare literal is constant — project it AFTER the
           // aggregation (any_value over an EMPTY ungrouped input
           // would turn `select 'tag', count(*)` into (NULL, 0); ANSI
@@ -2154,8 +2205,6 @@ class Engine(val spark: SparkSession, root: String,
       // sum(a) in the select list is legal SQL) evaluate INSIDE the
       // aggregation as a hidden boolean column; key-only predicates
       // filter the projected output.
-      val aliasMap = sel.items
-        .flatMap(it => it.alias.map(_.toLowerCase -> it.expr)).toMap
       val havingRes = sel.having.map(substAliases(_, aliasMap))
       val (aggHaving, keyHaving) = havingRes match {
         case Some(h) if containsAgg(h) => (Some(h), None)
@@ -2168,8 +2217,8 @@ class Engine(val spark: SparkSession, root: String,
       // aggregate HAVING forces a real aggregation anyway, and never
       // for ROLLUP/CUBE (their subtotal rows aren't a distinct set)
       if (aggCols.isEmpty && hvCol.isEmpty && sel.groupMode == "plain") {
-        val d0 = filtered.select(sel.groupBy.map(f =>
-          ExprBuilder.build(f, ctx).as(f.name)): _*).distinct()
+        val d0 = filtered.select(keySpecs.map { case (e, n) =>
+          ExprBuilder.build(e, ctx).as(n) }: _*).distinct()
         val d = keyHaving.fold(d0)(h => d0.filter(ExprBuilder.build(h)))
         // the fast path must not silently drop ORDER BY either
         // (fuzz-found sibling of the dropped-HAVING defect)
@@ -2202,6 +2251,8 @@ class Engine(val spark: SparkSession, root: String,
         it.expr match {
           case f: Field if keyNames(f.name.toLowerCase) =>
             col(f.name).as(it.alias.getOrElse(f.name))
+          case e if keyByExpr.contains(e) => // expression key
+            col(keyByExpr(e)).as(it.alias.getOrElse(keyByExpr(e)))
           case l: Lit => // constant, projected post-aggregation
             ExprBuilder.build(l, ctx)
               .as(it.alias.getOrElse(defaultName(l, i)))

@@ -185,7 +185,11 @@ object Ast {
   case class SelectStmt(items: Seq[SelectItem], from: Option[String],
                         fromAlias: Option[String],
                         joins: Seq[JoinClause], where: Option[Expr],
-                        groupBy: Seq[Field],
+                        // r13: GROUP BY takes full expressions (and
+                        // select ALIASES, resolved engine-side with
+                        // base columns winning a name clash); ROLLUP/
+                        // CUBE lists stay plain fields
+                        groupBy: Seq[Expr],
                         orderBy: Seq[(Field, Boolean)],
                         limit: Option[Long] = None,
                         having: Option[Expr] = None,

@@ -680,7 +680,7 @@ object Parser {
       }
     }
     val where = if (p.takeKw("where")) Some(expr(p)) else None
-    val groupBy = ArrayBuffer.empty[Field]
+    val groupBy = ArrayBuffer.empty[Expr]
     var groupMode = "plain"
     if (p.takeKw("group")) {
       p.expectKw("by")
@@ -694,20 +694,21 @@ object Parser {
         while (p.takeSym(",")) groupBy += fieldRef(p)
         p.expectSym(")")
       }
-      // GROUP BY <ordinal> (superset) resolves to the item's
-      // underlying column — grouping keys must be base columns
-      def gone(): Field = p.cur match {
+      // GROUP BY <ordinal> resolves to the item's expression; r13:
+      // plain GROUP BY items are full EXPRESSIONS (the engine matches
+      // them to select items / aliases for output naming)
+      def gone(): Expr = p.cur match {
         case TNum(n, pos) if !n.contains('.') =>
           p.bump()
           val idx = n.toInt
           if (idx < 1 || idx > items.length)
             throw ParseError(s"GROUP BY $idx out of range", pos)
           items(idx - 1).expr match {
-            case fd: Field => fd
-            case _ => throw ParseError(
-              s"GROUP BY $idx must reference a plain column", pos)
+            case _: Star => throw ParseError(
+              s"GROUP BY $idx may not reference *", pos)
+            case e => e
           }
-        case _ => fieldRef(p)
+        case _ => expr(p)
       }
       if (groupMode == "plain") {
         groupBy += gone()

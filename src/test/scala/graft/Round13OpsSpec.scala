@@ -213,6 +213,41 @@ class Round13OpsSpec extends AnyFunSuite {
       "requires ORDER BY")
   }
 
+  test("GROUP BY expressions, select aliases and expression ordinals") {
+    // expression key matching a select item (named by that item)
+    check(
+      "select l_pk % 3 as kk, count(*) as n from li group by l_pk % 3",
+      "select l_pk % 3 as kk, count(*) as n from r13_li " +
+        "group by l_pk % 3")
+    // select-ALIAS as the group key
+    check(
+      "select l_pk % 3 as kk, sum(l_qty) as q from li group by kk",
+      "select l_pk % 3 as kk, sum(l_qty) as q from r13_li group by kk")
+    // TPC-H q22's official spelling: the substring directly in both
+    // the select list and GROUP BY
+    check(
+      "select substring(p_name from 1 for 3) as pre, count(*) as n " +
+        "from part group by substring(p_name from 1 for 3) " +
+        "order by pre",
+      "select substring(p_name from 1 for 3) as pre, count(*) as n " +
+        "from r13_part group by substring(p_name from 1 for 3) " +
+        "order by pre")
+    // grouped-but-unprojected expression key
+    check(
+      "select count(*) as n from li group by l_pk % 4",
+      "select count(*) as n from r13_li group by l_pk % 4")
+    // ordinal resolving to an expression item
+    check(
+      "select l_pk % 3 as kk, count(*) as n from li group by 1",
+      "select l_pk % 3 as kk, count(*) as n from r13_li group by 1")
+    // group-no-agg distinct fast path over an expression key
+    check(
+      "select l_pk % 3 as kk from li group by l_pk % 3",
+      "select distinct l_pk % 3 as kk from r13_li")
+    // grouping by an alias of an aggregate is rejected by name
+    failsWith("select count(*) as n from li group by n", "aggregate")
+  }
+
   test("ANSI substring FROM/FOR and the substring alias") {
     check(
       "select p_pk, substring(p_name from 1 for 3) as pre from part",
