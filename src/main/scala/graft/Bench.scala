@@ -151,8 +151,12 @@ object Bench {
     val topSet: Set[String] = priorWalls.toSeq.sortBy(-_._2)
       .take(topN).map(_._1).toSet ++
       priorWalls.collect { case (n, w) if w >= 1.0 => n }
+    // r14 (verdict task 5): the tail floor rises from reps=1 to
+    // reps=2 — ten refuted suite movers >2× in the r18 record all
+    // traced to reps=1 tail variance; the lower-median of two reps
+    // retires that noise source for ~+6 min of wall
     def repsFor(name: String): Int =
-      forcedReps.getOrElse(if (topSet(name)) 3 else 1)
+      forcedReps.getOrElse(if (topSet(name)) 3 else 2)
     // Suite order: the heaviest shuffle-spill queries run FIRST, the
     // rest alphabetically. The r8 driver record showed late-running
     // heavy queries paying 1.6–2.3× under accumulated bench-process
@@ -206,8 +210,32 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
     }
-    // settle the warmup's listener traffic so the first timed query's
-    // pressure window starts clean
+    // r14 (verdict task 6): memoized shared artifacts (span sets, LSH
+    // pair/cluster sets, IVF assignments, the standard perceptron,
+    // co-occurrence edges) are built HERE and billed as their own
+    // named rows — suite rows then measure steady-state query cost
+    // instead of whichever consumer runs first absorbing a
+    // multi-second build (q377's suite wall swung 0.36→5.88 s with
+    // suite order). Name-sorted so layered artifacts (pairs →
+    // clusters) each bill their own increment.
+    val builds: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else SparkEntry.prebuilds.toSeq.sortBy(_._1).map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prebuild $n failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        n -> dt
+      }
+
+    // settle the warmup's + prebuilds' listener traffic so the first
+    // timed query's pressure window starts clean
     busWait(); pressure.drain()
     // per-rep (wall, spill, peak); the reported tuple is the one FROM
     // the median rep, so the pressure record belongs to the run that
@@ -303,7 +331,7 @@ object Bench {
         f""""tmp_free_gb":${disk.getFreeSpace / 1e9}%.1f,""" +
         f""""tmp_total_gb":${disk.getTotalSpace / 1e9}%.1f,""" +
         f""""reps":"${forcedReps.map(_.toString)
-          .getOrElse(s"top$topN=3,tail=1")}",""" +
+          .getOrElse(s"top$topN=3,tail=2")}",""" +
         f""""top_n":$topN,"prior":"${if (priorWalls.isEmpty) "none"
           else priorPath}",""" +
         f""""warm":"${sys.env.getOrElse("SPARK_GRAFT_WARM", "1")}",""" +
@@ -315,6 +343,9 @@ object Bench {
         "\"" + name + f"""\":{"prior":$prior%.3f,"suite":$wall%.3f,""" +
           f""""isolated":${isolated(name)}%.3f}"""
       }.mkString("{", ",", "}")
+      // separately billed memoized-artifact builds (r14 task 6)
+      val buildJson = builds.map { case (n, w) =>
+        "\"" + n + f"\":$w%.3f" }.mkString("{", ",", "}")
       val outReq = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/BENCH_FULL_LATEST.json")
       // r12 task 8: a loaded run never clobbers the citable record
@@ -334,7 +365,8 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         fullLine.dropRight(1) +
-          s""","env":$env,"movers":$moverJson,"pressure":$press}\n""")
+          s""","env":$env,"movers":$moverJson,"builds":$buildJson,""" +
+          s""""pressure":$press}\n""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write skipped: $e")
     }

@@ -318,7 +318,24 @@ object Plans {
         "FROM plus the uncorrelated MAX scalar over the same view"),
       "q407_tpch_q19" -> ("TPC-H q19 shape: OR-of-AND-blocks join " +
         "predicate — Catalyst CNF conversion extracts the common " +
-        "p_partkey equi key, residual OR rides the keyed join"))
+        "p_partkey equi key, residual OR rides the keyed join"),
+      "q408_recursive_closure" -> ("WITH RECURSIVE ancestor closure " +
+        "(r14): iterative fixpoint — final plan is an aggregate over " +
+        "a union of per-round checkpointed legs, each round ONE " +
+        "keyed join of the delta against the edge set"),
+      "q409_recursive_reach" -> ("WITH RECURSIVE UNION-distinct " +
+        "reachability on cyclic data: per-round EXCEPT against the " +
+        "seen union terminates the fixpoint"),
+      "q411_g711_wav" -> ("G.711 µ-law/A-law WAV decode: one " +
+        "mapPartitions pass, zero shuffles before the window agg"),
+      "q412_tpcds_q3" -> ("TPC-DS q3 shape: date-dim star with a " +
+        "year() EXPRESSION group key — keyed joins, pushed filters"),
+      "q415_tpcds_q51" -> ("TPC-DS q51 shape: running windows over " +
+        "two channel aggregates, FULL OUTER JOIN on (item, day), " +
+        "cross-channel cumulative filter"),
+      "q416_tpcds_q89" -> ("TPC-DS q89 shape: windowed category " +
+        "mean via sum-over/count-over, exact-decimal deviation " +
+        "filter"))
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"

@@ -30,7 +30,8 @@ object SparkEntry {
     TimeSeriesQueries,
     EngineQueries,
     LinkageQueries,
-    TpchQueries
+    TpchQueries,
+    TpcdsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -45,4 +46,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Memoized shared-artifact builders, for the bench's separately
+    * billed pre-build pass (QueryPack.prebuilds). */
+  def prebuilds: Map[String, (SparkSession, String) => Unit] =
+    packs.flatMap(_.prebuilds).toMap
 }

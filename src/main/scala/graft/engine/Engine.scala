@@ -570,15 +570,190 @@ class Engine(val spark: SparkSession, root: String,
     * and the body see earlier ones; bindings shadow same-named
     * tables), build the body, restore the outer binding set. Purely
     * logical — a CTE referenced twice is planned twice, and Catalyst
-    * dedups shared scan subtrees via exchange/subquery reuse. */
+    * dedups shared scan subtrees via exchange/subquery reuse.
+    *
+    * WITH RECURSIVE (r14 verdict task 3): a binding referencing its
+    * own name evaluates as an iterative fixpoint
+    * ([[buildRecursiveCte]]). Without the RECURSIVE keyword a
+    * self-name refers to the REAL table of that name, per ANSI (the
+    * binding is not in scope inside its own body) — the classic
+    * `WITH orders AS (SELECT … FROM orders WHERE …)` shadowing
+    * idiom keeps working. Mutual recursion (a binding referencing a
+    * LATER binding) is rejected by name. */
   private[engine] def buildWith(w: WithStmt): DataFrame = {
+    if (w.recursive) {
+      val laterNames = w.bindings.map(_.name.toLowerCase)
+      w.bindings.zipWithIndex.foreach { case (b, i) =>
+        val after = laterNames.drop(i + 1).toSet
+        referencedTables(b.stmt).map(_.toLowerCase).find(after)
+          .foreach(n => throw new IllegalArgumentException(
+            s"CTE ${b.name} references the later binding $n — " +
+              "mutual recursion between CTEs is not supported " +
+              "(only linear self-recursion)"))
+      }
+    }
     val saved = cteBindings.get
     try {
-      w.bindings.foreach { case (n, sel) =>
-        val df = buildSelect(sel)
-        cteBindings.set(cteBindings.get + (n.toLowerCase -> df))
+      w.bindings.foreach { b =>
+        val nl = b.name.toLowerCase
+        val selfRef =
+          referencedTables(b.stmt).exists(_.equalsIgnoreCase(b.name))
+        val df0 =
+          if (w.recursive && selfRef) buildRecursiveCte(b)
+          else buildDql(b.stmt)
+        val df =
+          if (b.cols.isEmpty) df0
+          else {
+            if (b.cols.length != df0.columns.length)
+              throw new IllegalArgumentException(
+                s"CTE ${b.name} declares ${b.cols.length} columns " +
+                  s"but its body produces ${df0.columns.length}")
+            df0.toDF(b.cols: _*)
+          }
+        cteBindings.set(cteBindings.get + (nl -> df))
       }
       buildDql(w.body)
+    } finally cteBindings.set(saved)
+  }
+
+  /** Iterative fixpoint for one linear-recursive CTE binding —
+    * `base UNION [ALL] step` where `step` references the binding's
+    * own name exactly once in its FROM/JOIN list.
+    *
+    * Semantics follow ANSI/PostgreSQL semi-naive evaluation: the
+    * working table starts as the base result; each round re-plans the
+    * step with the binding bound to the PREVIOUS round's delta only
+    * (never the accumulated set), unions the new rows in, and stops
+    * when a round yields nothing. UNION (distinct) additionally
+    * drops rows already seen — the fixpoint form that terminates on
+    * cyclic data. Scale shape: each round is one distributed plan
+    * over the delta (a keyed join when the step joins real tables);
+    * every delta is localCheckpoint'ed so lineage never grows with
+    * the iteration count (same discipline as operators/Graph.scala),
+    * and the accumulated result is a shallow union of checkpointed
+    * legs. Driver state is one boolean per round (isEmpty), never
+    * row data. Depth-capped at [[Engine.maxRecursionRounds]] with a
+    * named error — an unbounded recursive step is a user error, not
+    * a hang. */
+  private def buildRecursiveCte(b: CteBinding): DataFrame = {
+    val nl = b.name.toLowerCase
+    // 1) split `base UNION [ALL] step` — flatten the top-level UNION
+    //    chain; anything else around the self-reference is rejected
+    def flatten(st: Statement): Seq[(Statement, Boolean)] = st match {
+      case SetOpStmt("union", all, l, r) =>
+        flatten(l) ++ flatten(r).map { case (t, _) => (t, all) }
+      case SetOpStmt(op, _, _, _) =>
+        throw new IllegalArgumentException(
+          s"recursive CTE ${b.name}: only UNION [ALL] may combine " +
+            s"the base and recursive terms (found ${op.toUpperCase})")
+      case s: SelectStmt => Seq((s, true))
+      case _ => throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: expected SELECT terms")
+    }
+    val terms = flatten(b.stmt)
+    val unionAlls = terms.drop(1).map(_._2).distinct
+    if (unionAlls.length > 1)
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: mixing UNION and UNION ALL " +
+          "between terms is not supported")
+    val distinctMode = unionAlls.headOption.exists(!_)
+    val (recTerms, baseTerms) = terms.map(_._1).partition(t =>
+      referencedTables(t).exists(_.equalsIgnoreCase(b.name)))
+    if (baseTerms.isEmpty)
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name} needs a non-recursive base term")
+    if (recTerms.isEmpty)
+      throw new IllegalArgumentException(
+        s"CTE ${b.name} does not reference itself — drop RECURSIVE " +
+          "or add a recursive term")
+    val rec = recTerms match {
+      case Seq(s: SelectStmt) => s
+      case Seq(_) => throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: the recursive term must be a " +
+          "plain SELECT")
+      case _ => throw new IllegalArgumentException(
+        s"recursive CTE ${b.name} has ${recTerms.length} recursive " +
+          "terms — non-linear recursion is not supported")
+    }
+    // 2) linearity: the self-reference sits exactly once in the
+    //    step's FROM/JOIN list, never buried in a subquery or
+    //    derived table, and the step is a plain SELECT shape
+    val fromRefs = rec.from.count(_.equalsIgnoreCase(b.name)) +
+      rec.ansiJoins.count(_.table.equalsIgnoreCase(b.name))
+    if (rec.joins.exists(_.typeName.equalsIgnoreCase(b.name)))
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: the edge-join form may not " +
+          "reference the recursive binding")
+    val buried =
+      rec.derived.flatMap(d => referencedTables(d._2)) ++
+        immediateSubSelects(rec).flatMap(referencedTables)
+    if (buried.exists(_.equalsIgnoreCase(b.name)))
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: the recursive reference may not " +
+          "appear inside a subquery or derived table")
+    if (fromRefs != 1)
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: the recursive term must " +
+          s"reference ${b.name} exactly once (found $fromRefs) — " +
+          "non-linear recursion is not supported")
+    if (rec.groupBy.nonEmpty || rec.having.isDefined || rec.distinct ||
+        rec.orderBy.nonEmpty || rec.limit.isDefined ||
+        rec.offset.isDefined ||
+        rec.items.exists(it => containsAgg(it.expr)))
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: GROUP BY/HAVING/DISTINCT/" +
+          "ORDER BY/LIMIT and aggregates are not allowed in the " +
+          "recursive term")
+    // 3) base: union the non-recursive terms positionally
+    val base0 = baseTerms.map(buildDql)
+      .reduce((a, c) => a.unionAll(c.toDF(a.columns: _*)))
+    val base1 =
+      if (b.cols.isEmpty) base0
+      else {
+        if (b.cols.length != base0.columns.length)
+          throw new IllegalArgumentException(
+            s"CTE ${b.name} declares ${b.cols.length} columns but " +
+              s"its base term produces ${base0.columns.length}")
+        base0.toDF(b.cols: _*)
+      }
+    val cols = base1.columns.toSeq
+    // 4) iterate
+    val maxRounds = spark.conf
+      .get("graft.recursion.maxRounds", Engine.maxRecursionRounds.toString)
+      .toInt
+    val saved = cteBindings.get
+    try {
+      var frontier =
+        (if (distinctMode) base1.distinct() else base1)
+          .localCheckpoint(true)
+      val legs = mutable.ArrayBuffer[DataFrame](frontier)
+      var rounds = 0
+      var done = frontier.isEmpty
+      while (!done) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"recursive CTE ${b.name} exceeded $maxRounds rounds — " +
+              "add a depth bound to the recursive term (or raise " +
+              "graft.recursion.maxRounds)")
+        cteBindings.set(saved + (nl -> frontier))
+        val stepRaw = buildSelect(rec)
+        if (stepRaw.columns.length != cols.length)
+          throw new IllegalArgumentException(
+            s"recursive CTE ${b.name}: the recursive term produces " +
+              s"${stepRaw.columns.length} columns, expected " +
+              s"${cols.length}")
+        val step = stepRaw.toDF(cols: _*)
+        // distinct mode: drop rows already seen — one EXCEPT against
+        // the shallow union of checkpointed legs (a single anti-join)
+        val delta0 =
+          if (!distinctMode) step
+          else step.distinct().except(legs.reduce(_ unionAll _))
+        val delta = delta0.localCheckpoint(true)
+        if (delta.isEmpty) done = true
+        else { legs += delta; frontier = delta }
+      }
+      legs.reduce(_ unionAll _)
     } finally cteBindings.set(saved)
   }
 
@@ -1156,10 +1331,26 @@ class Engine(val spark: SparkSession, root: String,
           // (comma joins made `o_orderdate >= '1996-01-01'` with
           // orders as a joined table a routine spelling) — add their
           // bare names too, without letting them shadow the FROM
-          // table's own columns on a name collision
-          sel.ansiJoins.filterNot(_.generated).flatMap(aj =>
-            typeCtx(aj.table)).filterNot { case (k, _) =>
-              base.contains(k) }
+          // table's own columns on a name collision. The shadow test
+          // uses the FROM table's ACTUAL column set, not the
+          // kind-limited typeCtx (advice finding: a decimal/date FROM
+          // column would otherwise lose to a joined table's same-named
+          // column); and a bare name whose KIND disagrees across two
+          // joined tables is dropped as ambiguous rather than letting
+          // map order decide (advice finding) — qualified references
+          // to it still type fine.
+          {
+            val fromCols =
+              tryColsOf(fromName).getOrElse(base.keySet.toSet)
+            val joinedBare = sel.ansiJoins.filterNot(_.generated)
+              .flatMap(aj => typeCtx(aj.table).toSeq)
+              .filterNot { case (k, _) =>
+                base.contains(k) || fromCols(k) }
+            val ambiguous = joinedBare.groupBy(_._1).collect {
+              case (k, vs) if vs.map(_._2).distinct.size > 1 => k
+            }.toSet
+            joinedBare.filterNot { case (k, _) => ambiguous(k) }
+          }
     }
 
   /** Re-attach the `graft.nowType` marker to COMPUTED time-typed
@@ -1357,6 +1548,99 @@ class Engine(val spark: SparkSession, root: String,
     case _ => Seq.empty
   }
 
+  /** fieldsOf, but ALSO descending into nested subqueries (their
+    * select items, WHEREs, join conditions, GROUP BY and HAVING) —
+    * used by the reaches-outermost rejection, which must see a deep
+    * outer reference wherever it hides (advice finding: the shallow
+    * scan let refs buried one subquery deeper die later as a
+    * misleading unknown-column error). */
+  private def deepFields(e: Expr): Seq[Field] = e match {
+    case f: Field => Seq(f)
+    case BinOp(_, l, r) => deepFields(l) ++ deepFields(r)
+    case UnOp(_, x) => deepFields(x)
+    case InList(x, vs, _) => deepFields(x) ++ vs.flatMap(deepFields)
+    case IsNull(x, _) => deepFields(x)
+    case CaseExpr(bs, o) =>
+      bs.flatMap(b => deepFields(b._1) ++ deepFields(b._2)) ++
+        o.toSeq.flatMap(deepFields)
+    case FnCall(_, args) => args.flatMap(deepFields)
+    case InSelect(x, s2, _) => deepFields(x) ++ deepFieldsSel(s2)
+    case ExistsSel(s2, _) => deepFieldsSel(s2)
+    case ScalarSelect(s2) => deepFieldsSel(s2)
+    case _ => Seq.empty
+  }
+  private def deepFieldsSel(s: SelectStmt): Seq[Field] =
+    s.items.map(_.expr).flatMap(deepFields) ++
+      s.where.toSeq.flatMap(deepFields) ++
+      s.ansiJoins.map(_.on).flatMap(deepFields) ++
+      s.groupBy.flatMap(deepFields) ++
+      s.having.toSeq.flatMap(deepFields)
+
+  /** Every alias visible in `s` or any subquery nested in it. */
+  private def deepAliases(s: SelectStmt): Set[String] =
+    outerQualifiers(s) ++ deepSubSelects(s).flatMap(outerQualifiers)
+  /** Every column name owned by a table of `s` or of any subquery
+    * nested in it (best effort — unresolvable names contribute
+    * nothing). */
+  private def deepCols(s: SelectStmt): Set[String] =
+    (s +: deepSubSelects(s)).flatMap(sel =>
+      (sel.from.toSeq ++
+        sel.ansiJoins.filterNot(_.generated).map(_.table))
+        .flatMap(t => tryColsOf(t).getOrElse(Set.empty))).toSet
+  /** IMMEDIATE subquery SELECTs in expression position. */
+  private def subSelectsOf(e: Expr): Seq[SelectStmt] = e match {
+    case BinOp(_, l, r) => subSelectsOf(l) ++ subSelectsOf(r)
+    case UnOp(_, x) => subSelectsOf(x)
+    case InList(x, vs, _) => subSelectsOf(x) ++ vs.flatMap(subSelectsOf)
+    case IsNull(x, _) => subSelectsOf(x)
+    case CaseExpr(bs, o) =>
+      bs.flatMap(b => subSelectsOf(b._1) ++ subSelectsOf(b._2)) ++
+        o.toSeq.flatMap(subSelectsOf)
+    case FnCall(_, args) => args.flatMap(subSelectsOf)
+    case InSelect(x, s2, _) => subSelectsOf(x) :+ s2
+    case ExistsSel(s2, _) => Seq(s2)
+    case ScalarSelect(s2) => Seq(s2)
+    case _ => Seq.empty
+  }
+  private def immediateSubSelects(s: SelectStmt): Seq[SelectStmt] =
+    (s.items.map(_.expr) ++ s.where.toSeq ++ s.ansiJoins.map(_.on) ++
+      s.groupBy ++ s.having.toSeq).flatMap(subSelectsOf)
+  private def deepSubSelects(s: SelectStmt): Seq[SelectStmt] =
+    immediateSubSelects(s).flatMap(x => x +: deepSubSelects(x))
+
+  /** Every table name a statement references, at any depth — FROM,
+    * joins, derived-table bodies and expression-position subqueries.
+    * Used for recursive-CTE detection (a binding referencing its own
+    * name) and the mutual-recursion rejection; shadowing precision is
+    * not needed because the recursive path rejects buried
+    * self-references by name anyway. */
+  private def referencedTables(st: Statement): Seq[String] = st match {
+    case s: SelectStmt =>
+      s.from.toSeq ++ s.ansiJoins.map(_.table) ++
+        s.joins.map(_.typeName) ++
+        s.derived.flatMap(d => referencedTables(d._2)) ++
+        immediateSubSelects(s).flatMap(referencedTables)
+    case SetOpStmt(_, _, l, r) =>
+      referencedTables(l) ++ referencedTables(r)
+    case WithStmt(bs, body, _) =>
+      bs.flatMap(b => referencedTables(b.stmt)) ++ referencedTables(body)
+    case _ => Seq.empty
+  }
+
+  /** The ACTUAL lowercased column set of a table (catalog, attached,
+    * CTE or view) — unlike typeCtx, which is kind-limited
+    * (kindsFromSchema omits decimal/timestamp/date/array columns), so
+    * it is the right membership test for "is a base column". None
+    * when the name doesn't resolve; only resolution failures are
+    * swallowed — genuine errors (OOM, interrupts) propagate
+    * (advice finding: a blanket Throwable catch masked them). */
+  private def tryColsOf(t: String): Option[Set[String]] =
+    try Some(tableDf(t).columns.map(_.toLowerCase).toSet)
+    catch {
+      case _: IllegalArgumentException | _: IllegalStateException |
+           _: org.apache.spark.sql.AnalysisException => None
+    }
+
   /** Qualifiers visible on the outer side of `sel` (FROM alias plus
     * edge-join and ANSI-join aliases), lowercase. */
   private def outerQualifiers(sel: SelectStmt): Set[String] =
@@ -1384,8 +1668,7 @@ class Engine(val spark: SparkSession, root: String,
       val hasEdgeJoins = sub.joins.nonEmpty
       var innerKnown = true
       def colsOf(t: String): Set[String] =
-        try tableDf(t).columns.map(_.toLowerCase).toSet
-        catch { case _: Throwable =>
+        tryColsOf(t).getOrElse {
           innerKnown = false; Set.empty[String] }
       // the sub's inner scope is the UNION of all its tables' columns
       // (FROM + ANSI/comma joins): with joins present an unqualified
@@ -1403,8 +1686,7 @@ class Engine(val spark: SparkSession, root: String,
           outerSel.ansiJoins.map(_.table)
         var all = true
         val cols = tables.flatMap { t =>
-          try tableDf(t).columns.map(_.toLowerCase)
-          catch { case _: Throwable => all = false; Nil }
+          tryColsOf(t).getOrElse { all = false; Set.empty[String] }
         }.toSet
         (cols, all)
       }
@@ -1756,10 +2038,32 @@ class Engine(val spark: SparkSession, root: String,
         case ExistsSel(s2, _) => (None, s2)
         case other => sys.error(s"unreachable sub-predicate $other")
       }
+      // deep scan (advice finding): qualified AND unqualified refs,
+      // recursing into still-deeper subqueries — an unqualified
+      // outermost-scope column, or one buried a level further down,
+      // must hit the named rejection here, not die later as a
+      // misleading unknown-column error. A name is an outermost
+      // reference when no scope between it and the outermost query
+      // (the nested sub's own tables, any deeper sub's tables, or
+      // the enclosing correlated sub's tables) resolves it but the
+      // outermost query's tables do.
+      val nestedAliases = deepAliases(subN)
+      val nestedCols = deepCols(subN)
+      lazy val outermostCols: Set[String] =
+        (outerSel2.from.toSeq ++ outerSel2.joins.map(_.typeName) ++
+          outerSel2.ansiJoins.filterNot(_.generated).map(_.table))
+          .flatMap(t => tryColsOf(t).getOrElse(Set.empty)).toSet
       val reachesOutermost =
-        (subN.where.toSeq.flatMap(fieldsOf) ++
-          probeN.toSeq.flatMap(fieldsOf))
-          .exists(_.qualifier.exists(q => sc.outers(q.toLowerCase)))
+        (subN.where.toSeq.flatMap(deepFields) ++
+          probeN.toSeq.flatMap(deepFields))
+          .exists(f => f.qualifier match {
+            case Some(q) =>
+              val ql = q.toLowerCase
+              !nestedAliases(ql) && sc.outers(ql)
+            case None =>
+              val n = f.name.toLowerCase
+              !nestedCols(n) && !sc.innerCols(n) && outermostCols(n)
+          })
       if (reachesOutermost)
         throw new IllegalArgumentException(
           "a subquery nested inside a correlated subquery may " +
@@ -2154,10 +2458,24 @@ class Engine(val spark: SparkSession, root: String,
       // name of the select item it syntactically equals (so that
       // item projects AS the key), or a hidden name when the key is
       // grouped but not projected.
+      // ANSI base-column-wins needs the ACTUAL column set of every
+      // table in scope — typeCtx membership is kind-limited
+      // (kindsFromSchema omits decimal/timestamp/date/array), so a
+      // select alias colliding with e.g. a DECIMAL base column would
+      // wrongly shadow it (advice finding)
+      val baseColNames: Set[String] = {
+        val ts = if (isStampedEdge(fromName)) Set("timestamp")
+                 else Set.empty[String]
+        tryColsOf(fromName).getOrElse(Set.empty) ++ ts ++
+          sel.joins.flatMap(j =>
+            scope.types(j.typeName).props.map(_.name.toLowerCase)) ++
+          sel.ansiJoins.filterNot(_.generated)
+            .flatMap(aj => tryColsOf(aj.table).getOrElse(Set.empty))
+      }
       val keySpecs: Seq[(Expr, String)] =
         sel.groupBy.zipWithIndex.map {
           case (f: Field, _) if f.qualifier.isEmpty &&
-              !ctx.contains(f.name.toLowerCase) &&
+              !baseColNames(f.name.toLowerCase) &&
               aliasMap.contains(f.name.toLowerCase) =>
             val e = aliasMap(f.name.toLowerCase)
             if (containsAgg(e))
@@ -2184,6 +2502,16 @@ class Engine(val spark: SparkSession, root: String,
       // expression keys, matched against select items syntactically
       val keyByExpr: Map[Expr, String] =
         keySpecs.filterNot(_._1.isInstanceOf[Field]).toMap
+      // an aggregate/any_value item whose output name equals a KEY's
+      // name (`select sum(id) as amt … group by amt`, legal ANSI)
+      // would leave two same-named columns in the aggregated frame —
+      // give it a hidden physical name and restore the declared name
+      // in the final projection (r14 review finding)
+      val aggPhysName = mutable.Map.empty[Int, String]
+      def physName(i: Int, nm: String): String =
+        if (keyNames(nm.toLowerCase)) {
+          val h = s"__graft_ac$i"; aggPhysName(i) = h; h
+        } else nm
       val aggCols = sel.items.zipWithIndex.flatMap { case (it, i) =>
         val nm = it.alias.getOrElse(defaultName(it.expr, i))
         it.expr match {
@@ -2194,9 +2522,10 @@ class Engine(val spark: SparkSession, root: String,
           // would turn `select 'tag', count(*)` into (NULL, 0); ANSI
           // and DuckDB keep the constant)
           case _: Lit => None
-          case e if containsAgg(e) => Some(buildWithAggs(e, ctx).as(nm))
+          case e if containsAgg(e) =>
+            Some(buildWithAggs(e, ctx).as(physName(i, nm)))
           case e => // non-agg non-key: "any row's value" (sql.tex:2690)
-            Some(any_value(ExprBuilder.build(e, ctx)).as(nm))
+            Some(any_value(ExprBuilder.build(e, ctx)).as(physName(i, nm)))
         }
       }
       // HAVING resolution: inline select aliases first (`having q > 5`
@@ -2256,7 +2585,12 @@ class Engine(val spark: SparkSession, root: String,
           case l: Lit => // constant, projected post-aggregation
             ExprBuilder.build(l, ctx)
               .as(it.alias.getOrElse(defaultName(l, i)))
-          case e => col(it.alias.getOrElse(defaultName(e, i)))
+          case e =>
+            val nm = it.alias.getOrElse(defaultName(e, i))
+            aggPhysName.get(i) match {
+              case Some(h) => col(h).as(nm)
+              case None => col(nm)
+            }
         }
       }
       val out0 = groupedF.select(outCols: _*)
@@ -2301,6 +2635,12 @@ class Engine(val spark: SparkSession, root: String,
 }
 
 object Engine {
+  /** Depth cap for WITH RECURSIVE fixpoint evaluation. Generous —
+    * real hierarchies are tens of levels, binary-key ancestor chains
+    * log₂(n) — while still turning an unbounded recursive step into
+    * a named error instead of a hang. */
+  val maxRecursionRounds: Int = 1000
+
   /** A name provably resolving in neither the subquery's nor the
     * enclosing scope (a typo'd column). Distinct type so multi-scope
     * classification can fail one scope without masking another. */

@@ -92,7 +92,66 @@ object Multimodal {
 
   // ─────────────────────── REAL AUDIO CODEC (r12) ───────────────────
   case class WavClip(sample_rate: Int, channels: Int,
-                     bits_per_sample: Int, samples: Array[Int])
+                     bits_per_sample: Int, samples: Array[Int],
+                     format_tag: Int = 1)
+
+  // ── G.711 companding (r14 verdict task 4) ──────────────────────────
+  // ITU-T G.711 µ-law/A-law — the compressed formats real scraped
+  // telephony/VoIP audio arrives in (WAV format tags 7 and 6). The
+  // expansion is the public-domain CCITT reference algorithm
+  // (Sun/g711.c lineage): 8-bit codeword → 16-bit linear PCM.
+  /** µ-law codeword (0..255) → linear sample (±32124). */
+  def ulawExpand(code: Int): Int = {
+    val u = ~code & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+  /** A-law codeword (0..255) → linear sample (±32256). */
+  def alawExpand(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case s => t += 0x108; t <<= s - 1
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+  private val ulawTable: Array[Int] = Array.tabulate(256)(ulawExpand)
+  private val alawTable: Array[Int] = Array.tabulate(256)(alawExpand)
+
+  /** Linear PCM (16-bit) → µ-law codeword — the reference encoder
+    * works on the 14-bit magnitude (pcm >> 2), biases by 33, finds
+    * the exponent segment, keeps 4 mantissa bits, and complements.
+    * Satisfies ulawCompress(ulawExpand(c)) == c for all 256 codes
+    * (fuzz-asserted in CodecPropertySpec). */
+  def ulawCompress(pcm0: Int): Int = {
+    var pcm = pcm0 >> 2 // 14-bit domain
+    val mask = if (pcm < 0) { pcm = -pcm; 0x7f } else 0xff
+    if (pcm > 8159) pcm = 8159 // CLIP
+    pcm += 33 // BIAS >> 2
+    val segEnd = Array(0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff,
+      0xfff, 0x1fff)
+    val seg = segEnd.indexWhere(pcm <= _)
+    if (seg < 0) 0x7f ^ mask
+    else (((seg << 4) | ((pcm >> (seg + 1)) & 0x0f)) ^ mask) & 0xff
+  }
+  /** Linear PCM (16-bit) → A-law codeword — reference encoder on the
+    * 13-bit domain (pcm >> 3), XOR 0x55 transmission inversion. */
+  def alawCompress(pcm0: Int): Int = {
+    var pcm = pcm0 >> 3 // 13-bit domain
+    val mask = if (pcm >= 0) 0xd5 else { pcm = -pcm - 1; 0x55 }
+    val segEnd = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff,
+      0x7ff, 0xfff)
+    val seg = segEnd.indexWhere(pcm <= _)
+    if (seg < 0) (0x7f ^ mask) & 0xff
+    else {
+      val mant = if (seg < 2) (pcm >> 1) & 0x0f else (pcm >> seg) & 0x0f
+      (((seg << 4) | mant) ^ mask) & 0xff
+    }
+  }
 
   /** Real RIFF/WAVE parser (public container spec: `RIFF <size> WAVE`
     * then even-aligned `<id> <size> <body>` chunks): walks every
@@ -114,7 +173,7 @@ object Multimodal {
     require(content.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       "not a RIFF/WAVE payload")
     var off = 12
-    var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
+    var fmt = Option.empty[(Int, Int, Int, Int)] // (tag, ch, rate, bits)
     var data = Option.empty[(Int, Int)]     // (body offset, size)
     while (off + 8 <= content.length) {
       val id = tag(off)
@@ -127,28 +186,56 @@ object Multimodal {
         case "fmt " =>
           require(sz >= 16, "fmt chunk too short")
           val formatTag = le16(body)
-          require(formatTag == 1,
-            s"unsupported WAV format tag $formatTag (integer PCM only)")
-          fmt = Some((le16(body + 2), le32(body + 4).toInt,
+          require(formatTag == 1 || formatTag == 6 || formatTag == 7,
+            s"unsupported WAV format tag $formatTag " +
+              "(1=PCM, 6=A-law, 7=µ-law supported)")
+          fmt = Some((formatTag, le16(body + 2), le32(body + 4).toInt,
             le16(body + 14)))
         case "data" => data = Some((body, sz))
         case _ => () // JUNK/LIST/fact/…: walked over
       }
       off = body + sz + (sz & 1) // RIFF pads odd-size chunks to even
     }
-    val (ch, rate, bits) = fmt.getOrElse(
+    val (tagFmt, ch, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV: missing fmt chunk"))
     val (doff, dsz) = data.getOrElse(
       throw new IllegalArgumentException("WAV: missing data chunk"))
     val end = math.min(doff + dsz, content.length)
-    val samples = bits match {
-      case 8 => Array.tabulate(end - doff)(i => u8(doff + i) - 128)
-      case 16 =>
+    val samples = (tagFmt, bits) match {
+      case (1, 8) => Array.tabulate(end - doff)(i => u8(doff + i) - 128)
+      case (1, 16) =>
         Array.tabulate((end - doff) / 2)(i => s16(doff + 2 * i))
-      case b => throw new IllegalArgumentException(
+      // G.711 (r14): one codeword byte per sample, table expansion
+      // to 16-bit linear — a non-8-bit width in the header is a
+      // hostile/corrupt stream, rejected by name
+      case (6, 8) => Array.tabulate(end - doff)(i => alawTable(u8(doff + i)))
+      case (7, 8) => Array.tabulate(end - doff)(i => ulawTable(u8(doff + i)))
+      case (6 | 7, b) => throw new IllegalArgumentException(
+        s"G.711 WAV requires 8-bit codewords, header says $b")
+      case (_, b) => throw new IllegalArgumentException(
         s"unsupported PCM width $b (8/16 supported)")
     }
-    WavClip(rate, ch, bits, samples)
+    WavClip(rate, ch, bits, samples, tagFmt)
+  }
+
+  /** Serialize G.711 codewords (0..255, one byte per sample) to a
+    * spec-exact RIFF/WAVE payload with format tag 7 (µ-law) or 6
+    * (A-law) — the inverse container of the decodeWav G.711 path. */
+  def buildWavG711(sampleRate: Int, channels: Int,
+                   codewords: Array[Int], mulaw: Boolean): Array[Byte] = {
+    val dataSz = codewords.length
+    val riffSz = 4 + (8 + 16) + (8 + dataSz)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSz)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(if (mulaw) 7 else 6); buf.putShort(channels.toShort)
+    buf.putInt(sampleRate); buf.putInt(sampleRate * channels)
+    buf.putShort(channels.toShort); buf.putShort(8)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSz)
+    codewords.foreach(c => buf.put((c & 0xff).toByte))
+    buf.array()
   }
 
   /** Serialize 16-bit PCM to a spec-exact RIFF/WAVE payload (the

@@ -192,6 +192,19 @@ object DedupQueries extends QueryPack {
     memoizedParquet(stdClustersMemo, s, d, "graft-lshclusters-")(
       Dedup.nearDupClusters(stdPairs(s, d)))
 
+  /** The pack's three memoized shared tables, exposed for the bench's
+    * separately billed pre-build pass (r14 verdict task 6 — q377's
+    * suite wall swung 0.36→5.88 s depending on whether it paid the
+    * span-set build). Clusters force pairs, listed after it so each
+    * row bills only its own increment. */
+  override def prebuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "build_dup_spans" -> ((s, d) => { dupSpans(s, d); () }),
+      // numbered so the bench's name-sorted pass runs pairs first
+      // and the clusters row bills only its own increment
+      "build_lsh1_pairs" -> ((s, d) => { stdPairs(s, d); () }),
+      "build_lsh2_clusters" -> ((s, d) => { stdClusters(s, d); () }))
+
   private val corpusSql =
     """SELECT doc_id, text FROM documents
       | UNION ALL

@@ -1144,6 +1144,93 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q390 select failed: $other")
       }
+    }),
+    // ── WITH RECURSIVE (r14 verdict task 3) ──────────────────────────
+    // Linear-recursive CTEs evaluated as an iterative fixpoint
+    // (Engine.buildRecursiveCte): each round re-plans the step with
+    // the binding bound to the previous DELTA only, localCheckpoints
+    // it (lineage never grows with depth — Graph.scala's discipline),
+    // and stops when a round adds nothing. DuckDB runs WITH RECURSIVE
+    // natively, so the oracle is the same shape verbatim (modulo its
+    // `//` integer division).
+    //
+    // q408: UNION ALL ancestor closure over the implicit binary-heap
+    // parent relation on order keys (child k → parent k/2) — each
+    // round is ONE keyed equi-join of the frontier against the edge
+    // set; depth = log₂(max key) ≈ 17 rounds at sf0.01, unchanged at
+    // 100× (depth grows with log of the KEY RANGE, not row count).
+    "q408_recursive_closure" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope recscope; use recscope")
+        .foreach(require(_, "q408 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey")))
+      eng.sql(
+        "with recursive edges as (select o_orderkey as child, " +
+          "  o_orderkey / 2 as parent from ord where o_orderkey > 1), " +
+          "anc as (" +
+          "  select child, parent from edges where child <= 200 " +
+          "  union all " +
+          "  select a.child, e.parent from anc a " +
+          "  join edges e on e.child = a.parent) " +
+          "select child, count(*) as depth, sum(parent) as s " +
+          "from anc group by child order by child") match {
+        case Rows(df) => df
+        case other => sys.error(s"q408 select failed: $other")
+      }
+    }),
+    // q409: UNION (distinct) reachability over a CYCLIC functional
+    // graph (two successor functions per node, so the frontier
+    // doubles and the fixpoint closes in ~log rounds, not diameter
+    // rounds). The distinct mode's per-round EXCEPT against the seen
+    // set is what terminates on cycles — the bag semantics of q408
+    // would loop forever here and trip the depth cap instead.
+    "q409_recursive_reach" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope rescope2; use rescope2")
+        .foreach(require(_, "q409 ddl"))
+      eng.attachTable("cust", Tables.customer(s, d).select(
+        col("c_custkey")))
+      eng.sql(
+        "with recursive edges as (" +
+          "  select c_custkey % 1500 as src, " +
+          "    (c_custkey * 2) % 1500 as dst from cust " +
+          "  union all " +
+          "  select c_custkey % 1500 as src, " +
+          "    (c_custkey * 3 + 1) % 1500 as dst from cust), " +
+          "reach as (" +
+          "  select c_custkey % 1500 as v from cust where c_custkey = 7 " +
+          "  union " +
+          "  select e.dst as v from reach r join edges e on e.src = r.v) " +
+          "select count(*) as n, sum(v) as s, min(v) as lo, " +
+          "max(v) as hi from reach") match {
+        case Rows(df) => df
+        case other => sys.error(s"q409 select failed: $other")
+      }
+    }),
+    // q410: recursion carrying STATE through the step (depth counter)
+    // — top-down descendant walk from the root with depth+1 per
+    // round, the org-chart/BOM shape. The body aggregates the closure
+    // by depth, so the oracle checks every level's population.
+    "q410_recursive_depth" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope rescope3; use rescope3")
+        .foreach(require(_, "q410 ddl"))
+      eng.attachTable("ord", Tables.orders(s, d).select(
+        col("o_orderkey")))
+      eng.sql(
+        "with recursive walk(node, depth) as (" +
+          "  select o_orderkey as node, 0 as depth from ord " +
+          "  where o_orderkey = 1 " +
+          "  union all " +
+          "  select o.o_orderkey, w.depth + 1 from walk w " +
+          "  join ord o on o.o_orderkey / 2 = w.node " +
+          "  where o.o_orderkey > 1) " +
+          "select depth, count(*) as n, sum(node) as s " +
+          "from walk group by depth order by depth") match {
+        case Rows(df) => df
+        case other => sys.error(s"q410 select failed: $other")
+      }
     })
   )
 
@@ -1512,6 +1599,45 @@ object EngineQueries extends QueryPack {
         |   AND n_regionkey = r_regionkey
         |   AND r_name = 'EUROPE')
         | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        | LIMIT 100""".stripMargin
+        | LIMIT 100""".stripMargin,
+    // DuckDB runs WITH RECURSIVE natively — same shapes verbatim,
+    // with `//` spelling the dialect's int/int quotient and BIGINT
+    // casts matching the engine's long literals/counts
+    "q408_recursive_closure" ->
+      """WITH RECURSIVE edges AS (SELECT o_orderkey AS child,
+        |   o_orderkey // 2 AS parent FROM orders WHERE o_orderkey > 1),
+        | anc AS (
+        |  SELECT child, parent FROM edges WHERE child <= 200
+        |  UNION ALL
+        |  SELECT a.child, e.parent FROM anc a
+        |  JOIN edges e ON e.child = a.parent)
+        | SELECT child, CAST(count(*) AS BIGINT) AS depth,
+        |  CAST(sum(parent) AS BIGINT) AS s
+        | FROM anc GROUP BY child ORDER BY child""".stripMargin,
+    "q409_recursive_reach" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_custkey % 1500 AS src,
+        |   (c_custkey * 2) % 1500 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey % 1500 AS src,
+        |   (c_custkey * 3 + 1) % 1500 AS dst FROM customer),
+        | reach AS (
+        |  SELECT c_custkey % 1500 AS v FROM customer WHERE c_custkey = 7
+        |  UNION
+        |  SELECT e.dst AS v FROM reach r JOIN edges e ON e.src = r.v)
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s, min(v) AS lo, max(v) AS hi
+        | FROM reach""".stripMargin,
+    "q410_recursive_depth" ->
+      """WITH RECURSIVE walk(node, depth) AS (
+        |  SELECT o_orderkey AS node, CAST(0 AS BIGINT) AS depth
+        |  FROM orders WHERE o_orderkey = 1
+        |  UNION ALL
+        |  SELECT o.o_orderkey, w.depth + 1 FROM walk w
+        |  JOIN orders o ON o.o_orderkey // 2 = w.node
+        |  WHERE o.o_orderkey > 1)
+        | SELECT depth, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(node) AS BIGINT) AS s
+        | FROM walk GROUP BY depth ORDER BY depth""".stripMargin
   )
 }

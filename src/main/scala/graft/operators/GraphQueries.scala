@@ -62,6 +62,16 @@ object GraphQueries extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** Memoized co-occurrence edge tables, exposed for the bench's
+    * separately billed pre-build pass (r14 verdict task 6). The
+    * top-2000 cut forces the minShared=2 base, so listing the base
+    * first bills each row's own increment. */
+  override def prebuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "build_supplier_co" -> ((s, d) => { supplierCo(s, d, 2L); () }),
+      "build_supplier_co_top2000" ->
+        ((s, d) => { supplierCoTop2000(s, d); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // in/out degree over the customer→order edge set
     "q68_graph_degrees" -> ((s, d) => {

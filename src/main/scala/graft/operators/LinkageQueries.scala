@@ -111,22 +111,36 @@ object LinkageQueries extends QueryPack {
       val names = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("id"),
           col("c_name").as("w"))
+      // r14 shuffle diet (verdict task 2): the self-join keys on an
+      // 8-byte xxhash64 of the deletion variant instead of the raw
+      // ~25-byte string, and carries ONLY (id, id2) through the join
+      // and both distincts — names re-attach by id AFTER the pair
+      // set is deduped, so the wide strings never ride the big
+      // shuffle (they spilled 57 GB at 100×, SCALING §13). Recall is
+      // untouched: every true dist≤1 pair still shares a key, and
+      // hash collisions only ADD candidates — the row-local verify
+      // prunes them, because every TRUE shared-deletion pair has
+      // levenshtein ≤ 2 (d(w1,w2) ≤ d(w1,v) + d(v,w2) ≤ 2) while a
+      // collision pair is a random name pair.
       val vars = names.select(col("id"), col("w"),
           explode(sequence(lit(0), length(col("w")))).as("p"))
-        .select(col("id"), col("w"),
+        .select(col("id"), xxhash64(
           when(col("p") === 0, col("w"))
             .otherwise(concat(
               expr("substr(w, 1, p - 1)"),
-              expr("substr(w, p + 1)"))).as("vk"))
-        .select(col("id"), col("w"), col("vk")).distinct()
-      val cand = vars.join(
-          vars.select(col("id").as("id2"), col("w").as("w2"),
-            col("vk")),
-          Seq("vk"))
+              expr("substr(w, p + 1)")))).as("hk"))
+        .distinct()
+      val pairs = vars.join(
+          vars.select(col("id").as("id2"), col("hk")), Seq("hk"))
         .filter(col("id") < col("id2"))
-        .select(col("id"), col("id2"), col("w"), col("w2")).distinct()
+        .select(col("id"), col("id2")).distinct()
+      val cand = pairs
+        .join(names, Seq("id"))
+        .join(names.select(col("id").as("id2"), col("w").as("w2")),
+          Seq("id2"))
       cand.select(levenshtein(col("w"), col("w2")).cast("long")
           .as("edit_dist"))
+        .filter(col("edit_dist") <= 2) // collision prune (see above)
         .groupBy(col("edit_dist"))
         .agg(count(lit(1)).as("n_pairs"))
     })
@@ -203,6 +217,7 @@ object LinkageQueries extends QueryPack {
         |  FROM vars a JOIN vars b ON a.vk = b.vk AND a.id < b.id)
         | SELECT CAST(levenshtein(w, w2) AS BIGINT) AS edit_dist,
         |  count(*) AS n_pairs
-        | FROM cand GROUP BY 1""".stripMargin
+        | FROM cand WHERE levenshtein(w, w2) <= 2 GROUP BY 1"""
+        .stripMargin
   )
 }

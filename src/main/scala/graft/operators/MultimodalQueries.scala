@@ -168,6 +168,33 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("block_row"), col("block_col"),
           col("sum_px"), col("n_px"), col("width"), col("height"))
     }),
+    // COMPRESSED audio codec (r14 verdict task 4): G.711 µ-law/A-law
+    // — the companded telephony formats real scraped audio arrives
+    // in (WAV format tags 7/6). Codewords come straight from the
+    // docs' codepoints (mod 256), the WAV container wraps them with
+    // the law picked by doc parity, and decodeWav expands through
+    // the ITU-T tables to 16-bit linear. The oracle recomputes the
+    // expansion ARITHMETICALLY from the codepoints (the CCITT
+    // segment/mantissa formula in SQL) — a table slip, sign-bit or
+    // XOR-0x55 error diverges every window's energy. Row-local.
+    "q411_g711_wav" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val codes = text.map(_.toInt & 0xff).toArray
+          MediaRecord(id, "audio", "wav",
+            Multimodal.buildWavG711(8000, 1, codes,
+              mulaw = id % 2 == 0))
+        })
+      Multimodal.audioEnergyWav(media, windowSamples = 32).toDF()
+        .select(col("media_id"), col("window_no"), col("energy"),
+          col("n_samples"), col("sample_rate"),
+          when(col("media_id") % 2 === 0, lit("ulaw"))
+            .otherwise(lit("alaw")).as("law"))
+    }),
     // REAL video codec end-to-end, completing the trio (q375 audio,
     // q381 image): build spec-exact AVI containers — LIST hdrl/avih
     // header, odd-size JUNK between hdrl and movi (pad-byte walking
@@ -619,6 +646,32 @@ object MultimodalQueries extends QueryPack {
         |  CAST(count(*) AS INT) AS n_samples,
         |  CAST(8000 + ((doc_id // 3) % 4) * 4000 AS INT) AS sample_rate
         | FROM sm GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    "q411_g711_wav" ->
+      s"""WITH ${cpCte(2)},
+        | cw AS (SELECT doc_id, i, p % 256 AS c FROM b),
+        | ex AS (SELECT doc_id, i,
+        |   CASE WHEN doc_id % 2 = 0 THEN
+        |    (CASE WHEN (255 - c) >= 128
+        |      THEN 132 - ((((255 - c) % 16) * 8 + 132)
+        |        * (1 << (((255 - c) // 16) % 8)))
+        |      ELSE ((((255 - c) % 16) * 8 + 132)
+        |        * (1 << (((255 - c) // 16) % 8))) - 132 END)
+        |   ELSE
+        |    (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END) *
+        |    (CASE ((xor(c, 85) // 16) % 8)
+        |      WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+        |      WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+        |      ELSE ((xor(c, 85) % 16) * 16 + 264)
+        |        * (1 << (((xor(c, 85) // 16) % 8) - 1)) END)
+        |   END AS s
+        |  FROM cw)
+        | SELECT doc_id AS media_id,
+        |  CAST((i - 1) // 32 AS INT) AS window_no,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+        | FROM ex GROUP BY doc_id, (i - 1) // 32""".stripMargin,
     "q160_size_outliers" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

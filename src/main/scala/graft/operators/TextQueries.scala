@@ -134,6 +134,21 @@ object TextQueries extends QueryPack {
     }
   }
 
+  /** The memoized standard perceptron (dims=256, iters=3 over the
+    * zzflag-planted corpus — the model ten queries share), exposed
+    * for the bench's separately billed pre-build pass (r14 verdict
+    * task 6). */
+  override def prebuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("build_perceptron_std" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" zzflag" * 10)).otherwise(lit(""))).as("text"))
+      Classifier.batchPerceptronCached(planted, "doc_id", "text",
+        when(col("doc_id") % 3 === 0, 1L).otherwise(-1L),
+        dims = 256, iters = 3, cacheKey = s"$d:planted-zzflag", s)
+      ()
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE merge induction — the tokenizer-vocabulary training step
     // (Sennrich et al. 2016) as textbook ONE-PASS GREEDY (r12,
@@ -367,6 +382,8 @@ object TextQueries extends QueryPack {
         when(col("doc_id") % 3 === 0, 1L).otherwise(-1L),
         dims = 256, iters = 3, cacheKey = s"$d:planted-zzflag", s)
     }),
+    // (the trainer above is the memoized standard model ten queries
+    // share — its build is exposed via `prebuilds` below)
     // The apply half: train (as q193), collect the bounded model,
     // score the corpus with it, emit the confusion matrix. On the
     // separable planted task the matrix must be perfectly diagonal —

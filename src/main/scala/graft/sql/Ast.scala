@@ -86,13 +86,25 @@ object Ast {
   case class CreateLock(name: String, ifNotExists: Boolean)
       extends Statement
   /** kind ∈ scope|type|edge|storage|index|procedure|lock */
-  /** `WITH name AS (SELECT …) [, …] SELECT …` — common table
-    * expressions (absent in the reference; documented superset).
-    * Later bindings and the body see earlier bindings; bindings
-    * shadow tables of the same name for the statement's duration.
-    * The body is a SELECT or a set-operation chain. */
-  case class WithStmt(bindings: Seq[(String, SelectStmt)],
-                      body: Statement) extends Statement
+  /** One CTE binding: `name [(col, …)] AS (<select or set-op chain>)`.
+    * The optional column list renames the binding's output
+    * positionally (ANSI; required in practice for recursive CTEs
+    * whose base term is an unaliased expression). */
+  case class CteBinding(name: String, cols: Seq[String],
+                        stmt: Statement)
+  /** `WITH [RECURSIVE] name [(cols)] AS (…) [, …] SELECT …` — common
+    * table expressions (absent in the reference; documented
+    * superset). Later bindings and the body see earlier bindings;
+    * bindings shadow tables of the same name for the statement's
+    * duration. The body is a SELECT or a set-operation chain; each
+    * binding's body may itself be a set-op chain. With RECURSIVE, a
+    * binding whose body references its own name must be the ANSI
+    * linear-recursive shape `base UNION [ALL] recursive` and is
+    * evaluated as an iterative fixpoint (Engine.buildRecursiveCte —
+    * depth-capped, per-round lineage cuts). */
+  case class WithStmt(bindings: Seq[CteBinding],
+                      body: Statement,
+                      recursive: Boolean = false) extends Statement
   /** `SELECT … UNION|INTERSECT|EXCEPT [ALL] SELECT …` (absent in the
     * reference; documented superset). Standard precedence: INTERSECT
     * binds tighter than UNION/EXCEPT; chains are left-associative;

@@ -172,19 +172,28 @@ object Parser {
     }
     else if (p.isKw("select")) selectChain(p)
     else if (p.takeKw("with")) {
-      val bindings = ArrayBuffer.empty[(String, SelectStmt)]
+      // WITH [RECURSIVE]; each binding body is a full set-op chain
+      // (a recursive CTE's `base UNION [ALL] step` needs it), with an
+      // optional ANSI column list renaming the output positionally
+      val recursive = p.takeKw("recursive")
+      val bindings = ArrayBuffer.empty[CteBinding]
       var more = true
       while (more) {
         val n = p.ident()
+        val cols = ArrayBuffer.empty[String]
+        if (p.takeSym("(")) {
+          cols += p.ident()
+          while (p.takeSym(",")) cols += p.ident()
+          p.expectSym(")")
+        }
         p.expectKw("as"); p.expectSym("(")
-        p.expectKw("select")
-        bindings += ((n, select(p)))
+        bindings += CteBinding(n, cols.toSeq, selectChain(p))
         p.expectSym(")")
         more = p.takeSym(",")
       }
       if (!p.isKw("select"))
         throw ParseError("expected select", p.pos)
-      WithStmt(bindings.toSeq, selectChain(p))
+      WithStmt(bindings.toSeq, selectChain(p), recursive)
     }
     else if (p.takeKw("insert")) insert(p)
     else if (p.takeKw("load")) load(p)
@@ -597,8 +606,10 @@ object Parser {
       // One FROM item: `(SELECT …) [AS] alias` (derived table,
       // superset — bound as a transient table for this statement), or
       // `table [alias]` / the reference `alias:table` form
-      // (nowdbsql.y:1089, the first identifier is the alias).
-      def fromItem(): (String, Option[String]) =
+      // (nowdbsql.y:1089, the first identifier is the alias). The
+      // third component marks derived usages, so the collision check
+      // below can tell a derived alias's own slot from a REAL table's.
+      def fromItem(): (String, Option[String], Boolean) =
         if (p.takeSym("(")) {
           p.expectKw("select")
           val dsel = select(p)
@@ -609,25 +620,34 @@ object Parser {
             throw ParseError(s"duplicate derived-table alias $alias",
               p.pos)
           derived += ((alias, dsel))
-          (alias, None)
+          (alias, None, true)
         } else {
           var t = p.ident()
           var a: Option[String] = None
           if (p.takeSym(":")) { a = Some(t); t = p.ident() }
           if (a.isEmpty) a = aliasOpt()
-          (t, a)
+          (t, a, false)
         }
-      val (t0, a0) = fromItem()
+      // real (non-derived) table names + aliases seen in this FROM —
+      // a derived alias equal to one would silently shadow that table
+      // via the transient binding for the whole statement (advice
+      // finding); pure shadowing with NO other use of the name
+      // (`FROM (SELECT …) edges` alone) stays legal, like ANSI.
+      val realNames = ArrayBuffer.empty[String]
+      val (t0, a0, d0) = fromItem()
       from = Some(t0); fromAlias = a0
+      if (!d0) realNames ++= t0 +: a0.toSeq
       // Comma-separated FROM list (superset — TPC-H's join spelling):
       // `FROM a, b c, …` desugars to inner joins with a TRUE
       // condition; the WHERE's equi-conjuncts reach the join through
       // Catalyst's predicate pushdown, so the plan is the same keyed
       // join an explicit JOIN … ON would produce.
       while (p.takeSym(",")) {
-        val (t, a) = fromItem()
+        val (t, a, d) = fromItem()
+        if (!d) realNames ++= t +: a.toSeq
         ansiJoins += AnsiJoin(t, a, "inner", Lit(true, "bool"))
       }
+      val commaJoinCount = ansiJoins.length
       var joining = true
       while (joining) {
         // ANSI join kinds (superset); a bare JOIN may still be the
@@ -677,6 +697,21 @@ object Parser {
                   if (k == "bare") "inner" else k, on)
             }
         }
+      }
+      if (derived.nonEmpty) {
+        val dNames = derived.map(_._1.toLowerCase).toSet
+        realNames ++= joins.flatMap(j => j.typeName +: j.alias.toSeq)
+        // JOIN-clause entries (parsed after the comma list): a table
+        // name matching a derived alias is a USE of the binding
+        // (self-join of the derived table), not a real-table slot —
+        // only non-matching names and all aliases count as real
+        realNames ++= ansiJoins.drop(commaJoinCount).flatMap(aj =>
+          (if (dNames(aj.table.toLowerCase)) Seq.empty
+           else Seq(aj.table)) ++ aj.alias.toSeq)
+        realNames.find(n => dNames(n.toLowerCase)).foreach(n =>
+          throw ParseError(
+            s"derived-table alias $n collides with a table name or " +
+              "alias in the same FROM", p.pos))
       }
     }
     val where = if (p.takeKw("where")) Some(expr(p)) else None

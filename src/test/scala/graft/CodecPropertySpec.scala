@@ -53,6 +53,53 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("G.711: expand/compress are exact inverses over all 256 " +
+    "codewords (µ-law's dual zero excepted), and the WAV container " +
+    "round-trips random codeword streams through both laws") {
+    // table-level: decode-then-encode returns the codeword — the
+    // standard G.711 identity. µ-law has TWO zero codes (0xFF = +0,
+    // 0x7F = −0); −0 decodes to 0, which re-encodes as +0 — the one
+    // documented exception.
+    (0 until 256).foreach { c =>
+      val u = Multimodal.ulawExpand(c)
+      assert(u >= -32124 && u <= 32124, s"ulaw($c) out of range: $u")
+      if (c != 0x7f)
+        assert(Multimodal.ulawCompress(u) == c, s"ulaw roundtrip $c")
+    }
+    assert(Multimodal.ulawExpand(0x7f) == 0 &&
+      Multimodal.ulawCompress(0) == 0xff)
+    (0 until 256).foreach { c =>
+      val a = Multimodal.alawExpand(c)
+      assert(a >= -32256 && a <= 32256, s"alaw($c) out of range: $a")
+      assert(Multimodal.alawCompress(a) == c, s"alaw roundtrip $c")
+    }
+    // container-level: random codeword streams through the full
+    // build → RIFF walk → expand path, both laws, odd/even sizes
+    val gen = for {
+      rate <- Gen.choose(1, 48000)
+      n <- Gen.choose(0, 301)
+      codes <- Gen.listOfN(n, Gen.choose(0, 255))
+      mu <- Gen.oneOf(true, false)
+    } yield (rate, codes.toArray, mu)
+    (0 until 120).foreach { i =>
+      val (rate, codes, mu) = draw(gen, 7000L + i)
+      val clip = Multimodal.decodeWav(
+        Multimodal.buildWavG711(rate, 1, codes, mulaw = mu))
+      assert(clip.sample_rate == rate && clip.bits_per_sample == 8 &&
+        clip.format_tag == (if (mu) 7 else 6), s"case $i header")
+      val expect = codes.map(c =>
+        if (mu) Multimodal.ulawExpand(c) else Multimodal.alawExpand(c))
+      assert(clip.samples.toSeq == expect.toSeq, s"case $i samples")
+    }
+    // hostile stream: a G.711 format tag with a non-8-bit width
+    val bad = Multimodal.buildWavG711(8000, 1, Array(1, 2, 3),
+      mulaw = true).clone()
+    // fmt body starts at offset 20; bits-per-sample is at +14 → 34
+    bad(34) = 16.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    assert(e.getMessage.contains("8-bit"), e.getMessage)
+  }
+
   test("BMP round-trips exactly for every stride remainder " +
     "(width 1..17) and random heights incl. 1x1") {
     val gen = for {

@@ -64,6 +64,45 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("EXPLAIN flows through the wire: a client can audit pushdown " +
+    "without the internal Plans harness (r14 verdict task 7)") {
+    val root = Files.createTempDirectory("server-explain").toString
+    val srv = new Server(spark, root, port = 0, pageSize = 100).start()
+    try {
+      val c = new WireClient("127.0.0.1", srv.boundPort)
+      assert(c.send("create scope explscope").head.startsWith("+ok"))
+      assert(c.send("use explscope").head.startsWith("+ok"))
+      assert(c.send("create type item (id uint pk, price float)")
+        .head.startsWith("+ok"))
+      (1 to 4).foreach { i =>
+        assert(c.send(s"insert into item (id, price) ($i, $i.5)")
+          .head.startsWith("+ok"))
+      }
+      val (hdr, rows) = c.query(
+        "explain select id from item where price > 2.0")
+      assert(hdr == Seq("plan"))
+      assert(rows.nonEmpty)
+      val planTxt = rows.map(_.head).mkString("\n")
+      // the executed plan text must show the scan with the filter —
+      // i.e. enough detail to audit pushdown from the client side
+      assert(planTxt.contains("Scan"), planTxt)
+      assert(planTxt.toLowerCase.contains("filter"), planTxt)
+      // recursive CTEs EXPLAIN too (the final union-of-legs plan)
+      val (h2, r2) = c.query(
+        "explain with recursive t(n) as (select 1 union all " +
+          "select n + 1 from t where n < 3) select n from t")
+      assert(h2 == Seq("plan"))
+      assert(r2.map(_.head).mkString("\n").contains("Union"),
+        r2.map(_.head).mkString("\n"))
+      // and a malformed EXPLAIN errors without killing the session
+      assert(c.send("explain insert into item (id, price) (9, 1.0)")
+        .head.startsWith("-err"))
+      assert(c.send("explain select id from item").head
+        .startsWith("+cursor"))
+      c.close()
+    } finally srv.stop()
+  }
+
   test("python client (clients/pynow.py) drives a full session") {
     assume(
       try new ProcessBuilder("python3", "--version").start()
