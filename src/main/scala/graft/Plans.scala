@@ -314,6 +314,10 @@ object Plans {
       "q397_tpch_q8" -> ("TPC-H q8 shape: EIGHT-table comma join — " +
         "ReorderJoin turns the TRUE-condition chain into keyed " +
         "joins; case-sum market-share ratio inside one aggregate"),
+      "q398_tpch_q9" -> ("TPC-H q9 shape: five-table star over a " +
+        "derived table — at small SF every join broadcasts; at scale " +
+        "AQE flips the lineitem-side builds to shuffle joins (the " +
+        "SCALING §14 leg confirms the flip)"),
       "q404_tpch_q15" -> ("TPC-H q15 shape: view joined in the comma " +
         "FROM plus the uncorrelated MAX scalar over the same view"),
       "q407_tpch_q19" -> ("TPC-H q19 shape: OR-of-AND-blocks join " +
@@ -336,21 +340,30 @@ object Plans {
       "q416_tpcds_q89" -> ("TPC-DS q89 shape: windowed category " +
         "mean via sum-over/count-over, exact-decimal deviation " +
         "filter"))
+    // SPARK_GRAFT_PLANS_ONLY (comma-separated substrings) and
+    // SPARK_GRAFT_PLANS_OUT support the SCALING legs: dump just the
+    // queries under study at a scaled sfDir to a side file, without
+    // touching the canonical PLANS.md
+    val plansOnly = sys.env.get("SPARK_GRAFT_PLANS_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
+    val selected = headline.filter { case (n, _) =>
+      plansOnly.isEmpty || plansOnly.exists(n.contains) }
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries\n\n"
     sb ++= s"Generated by `graft.Plans` at $sfDir. What to look for:\n"
     sb ++= "`PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin`\n"
     sb ++= "for dimensions, `partial_…` aggregates before `Exchange`,\n"
     sb ++= "`WholeStageCodegen` spans over the hot pipelines.\n"
-    headline.foreach { case (name, why) =>
+    selected.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE so the executed plan is the real one
       sb ++= s"\n## $name — $why\n\n```\n"
       sb ++= df.queryExecution.executedPlan.toString().take(6000)
       sb ++= "\n```\n"
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${headline.size} queries)")
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(s"[plans] wrote $outPath (${selected.size} queries)")
     spark.stop()
   }
 }

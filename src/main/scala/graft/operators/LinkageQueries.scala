@@ -130,14 +130,40 @@ object LinkageQueries extends QueryPack {
               expr("substr(w, 1, p - 1)"),
               expr("substr(w, p + 1)")))).as("hk"))
         .distinct()
-      val pairs = vars.join(
+      // pair dedup at an EXPLICIT width (2× the session's shuffle
+      // parallelism — AQE honors user-specified repartition counts,
+      // where its parallelism-first coalescing was squeezing the
+      // dedup into ~cores partitions whose per-task hash maps
+      // overflowed into sort-fallback spill at the 100× corpus).
+      // The exchange ships raw 16-byte pairs; the dedup then runs
+      // post-shuffle on small slices — no map-side aggregate, no
+      // oversized hash map, no spill.
+      val dedupWidth = 2 * s.conf.get("spark.sql.shuffle.partitions",
+        "200").toInt
+      // the variant self-join stays a SHUFFLE join (merge hint): the
+      // deduped variant side compresses well enough that AQE's
+      // size estimate flips it to broadcast at the 100× corpus —
+      // building a 25M-entry hashed relation per executor, which is
+      // both the memory spike and most of the remaining spill; a
+      // sort-merge of 16-byte rows streams instead
+      val pairs = vars.hint("merge").join(
           vars.select(col("id").as("id2"), col("hk")), Seq("hk"))
         .filter(col("id") < col("id2"))
-        .select(col("id"), col("id2")).distinct()
+        .select(col("id"), col("id2"))
+        .repartition(dedupWidth, col("id"), col("id2"))
+        .distinct()
+      // names re-attach as BROADCAST hash joins: the register is the
+      // bounded dimension side (1.5M rows ≈ low hundreds of MB at the
+      // 100× corpus), the deduped pair stream the fact side — with a
+      // shuffle join here the pair stream sort-merge-sorted ~134M
+      // rows TWICE with strings attached, which was the real 50 GB
+      // spill at 100× (the variant join itself is only 16-byte rows).
+      // At a register too big to broadcast, bucket both sides by id
+      // instead — the pair stream still never carries strings.
       val cand = pairs
-        .join(names, Seq("id"))
-        .join(names.select(col("id").as("id2"), col("w").as("w2")),
-          Seq("id2"))
+        .join(broadcast(names), Seq("id"))
+        .join(broadcast(names.select(col("id").as("id2"),
+          col("w").as("w2"))), Seq("id2"))
       cand.select(levenshtein(col("w"), col("w2")).cast("long")
           .as("edit_dist"))
         .filter(col("edit_dist") <= 2) // collision prune (see above)
