@@ -624,4 +624,83 @@ class EngineDqlFuzzSpec extends AnyFunSuite {
           s"spark:  ${canon(want).take(3)}")
     }
   }
+
+  test("40 random recursive CTEs: UNION ALL closures == Spark SQL's " +
+    "native recursion; UNION-distinct reachability == a Scala BFS " +
+    "(r14 — two independent oracles for the fixpoint loop)") {
+    val rnd = new scala.util.Random(1414)
+    val eng = new Engine(spark,
+      java.nio.file.Files.createTempDirectory("rec-fuzz").toString)
+    def run(sql: String): Seq[org.apache.spark.sql.Row] =
+      eng.sql(sql) match {
+        case Rows(df) => df.collect().toSeq
+        case other => fail(s"engine failed on [$sql]: $other")
+      }
+    def canon(rows: Seq[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted
+
+    // ── arm 1: UNION ALL ancestor closures over random forests,
+    //    engine vs Spark SQL native recursive CTEs (25 cases) ──
+    for (i <- 0 until 25) {
+      val n = 20 + rnd.nextInt(80)
+      val edges = (2 to n).map(k => (k.toLong, (1 + rnd.nextInt(k - 1)).toLong))
+      val df = edges.toDF("child", "parent")
+      eng.attachTable("rfe", df)
+      df.createOrReplaceTempView("rfe_v")
+      val cut = 1 + rnd.nextInt(n)
+      val agg = Seq(
+        "count(*) as c, sum(parent) as s",
+        "child, count(*) as c",
+        "count(*) as c, min(child) as lo, max(parent) as hi"
+      )(rnd.nextInt(3))
+      val grp = if (agg.startsWith("child")) " group by child" else ""
+      def text(tbl: String) =
+        s"with recursive anc as (" +
+          s"select child, parent from $tbl where child <= $cut " +
+          "union all " +
+          s"select a.child, e.parent from anc a join $tbl e " +
+          "on e.child = a.parent) " +
+          s"select $agg from anc$grp"
+      val got = canon(run(text("rfe")))
+      val want = canon(spark.sql(text("rfe_v")).collect().toSeq)
+      assert(got == want,
+        s"closure #$i (n=$n cut=$cut) diverged:\nengine: ${got.take(3)}" +
+          s"\nspark:  ${want.take(3)}")
+    }
+
+    // ── arm 2: UNION-distinct reachability over random CYCLIC
+    //    functional graphs, engine vs a driver-side Scala BFS
+    //    (Spark's native recursion rejects UNION) (15 cases) ──
+    for (i <- 0 until 15) {
+      val n = 8 + rnd.nextInt(16)
+      val a1 = 1 + rnd.nextInt(5); val b1 = rnd.nextInt(n)
+      val a2 = 1 + rnd.nextInt(5); val b2 = rnd.nextInt(n)
+      val edges = (0 until n).flatMap(v => Seq(
+        (v.toLong, ((a1 * v + b1) % n).toLong),
+        (v.toLong, ((a2 * v + b2) % n).toLong)))
+      val df = edges.toDF("src", "dst")
+      eng.attachTable("rge", df)
+      val start = rnd.nextInt(n)
+      val got = canon(run(
+        "with recursive reach as (" +
+          s"select dst as v from rge where src = $start " +
+          "union " +
+          "select e.dst as v from reach r join rge e on e.src = r.v) " +
+          "select count(*) as c, sum(v) as s from reach"))
+      // independent oracle: plain BFS over the edge list
+      val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var frontier = adj.getOrElse(start.toLong, Seq.empty).distinct
+        .filterNot(seen)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+          .distinct.filterNot(seen)
+      }
+      val want = Seq(s"${seen.size}|${seen.sum}")
+      assert(got == want,
+        s"reach #$i (n=$n start=$start a1=$a1 b1=$b1 a2=$a2 b2=$b2) " +
+          s"diverged: engine=$got bfs=$want")
+    }
+  }
 }
