@@ -218,21 +218,34 @@ object Bench {
     // multi-second build (q377's suite wall swung 0.36→5.88 s with
     // suite order). Name-sorted so layered artifacts (pairs →
     // clusters) each bill their own increment.
-    val builds: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else SparkEntry.prebuilds.toSeq.sortBy(_._1).map { case (n, fn) =>
+    // Subset runs (SPARK_GRAFT_ONLY) pre-build too — only the packs
+    // the selection touches (advice finding: skipping prebuilds under
+    // `only` re-absorbed builds into the first consumer's wall, the
+    // exact q377-style swing this pass was built to remove). A failed
+    // build is recorded with a NEGATIVE wall so the JSON shows its
+    // cost silently moved back onto a suite row, instead of billing a
+    // clean-looking row for an artifact that doesn't exist.
+    val builds: Seq[(String, Double)] = {
+      val pb =
+        if (only.isEmpty) SparkEntry.prebuilds
+        else SparkEntry.prebuildsFor(selected.map(_._1).toSet)
+      pb.toSeq.sortBy(_._1).map { case (n, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] prebuild $n failed: ${e.getMessage}")
-        }
+        val failed =
+          try { fn(spark, sfDir); false }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] prebuild $n failed: ${e.getMessage}")
+            true
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()
-        n -> dt
+        n -> (if (failed) -dt else dt)
       }
+    }
 
     // settle the warmup's + prebuilds' listener traffic so the first
     // timed query's pressure window starts clean
@@ -338,11 +351,30 @@ object Bench {
         f""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}"""
       // >1.5× movers vs the prior citable record, each with its
       // post-suite isolated reps=3 median — the record refutes or
-      // confirms its own outliers
+      // confirms its own outliers. r15 (verdict task 2): an isolated
+      // number that CONFIRMS the move (still >1.5× prior) is flagged
+      // `confirmed` and the record names the fresh-JVM chase command
+      // — the post-suite isolated re-measure runs on a box that just
+      // absorbed 400+ queries, and the r19 trio (q127/q232/q185) was
+      // refuted exactly by a fresh-idle re-run (SCALING §15), so a
+      // confirmed flag means "adjudicate in a fresh JVM", never
+      // "regression proven".
       val moverJson = movers.map { case (name, prior, wall) =>
+        val iso = isolated(name)
+        val confirmed = iso > prior * 1.5 || iso < prior / 1.5
         "\"" + name + f"""\":{"prior":$prior%.3f,"suite":$wall%.3f,""" +
-          f""""isolated":${isolated(name)}%.3f}"""
+          f""""isolated":$iso%.3f,"confirmed":$confirmed}"""
       }.mkString("{", ",", "}")
+      val confirmedMovers = movers.collect {
+        case (name, prior, _)
+          if isolated(name) > prior * 1.5 || isolated(name) < prior / 1.5
+          => name
+      }
+      if (confirmedMovers.nonEmpty)
+        System.err.println("[bench] isolated-confirmed movers — " +
+          "adjudicate in a fresh idle JVM with: SPARK_GRAFT_ONLY=" +
+          confirmedMovers.mkString(",") + " SPARK_GRAFT_REPS=3 " +
+          "sbt \"runMain graft.Bench\"")
       // separately billed memoized-artifact builds (r14 task 6)
       val buildJson = builds.map { case (n, w) =>
         "\"" + n + f"\":$w%.3f" }.mkString("{", ",", "}")

@@ -328,8 +328,22 @@ object Plans {
         "a union of per-round checkpointed legs, each round ONE " +
         "keyed join of the delta against the edge set"),
       "q409_recursive_reach" -> ("WITH RECURSIVE UNION-distinct " +
-        "reachability on cyclic data: per-round EXCEPT against the " +
-        "seen union terminates the fixpoint"),
+        "reachability on cyclic data: per-round anti-join of the " +
+        "delta against ONE cumulative materialized seen frame (r15) " +
+        "— constant plan width at any depth"),
+      "q417_sample" -> ("SAMPLE keyword: deterministic hash-mod " +
+        "filter INSIDE the scan stage — codegen'd predicate, no " +
+        "shuffle, no RNG; survives column pruning"),
+      "q419_tpcds_q36" -> ("TPC-DS q36 shape: ROLLUP grid with " +
+        "GROUPING()-derived hierarchy level — ONE Expand + one " +
+        "aggregate for all subtotal levels, then a keyed rank " +
+        "window partitioned by (level, parent)"),
+      "q420_tpcds_q67" -> ("TPC-DS q67 shape: three-key ROLLUP over " +
+        "a pre-computed year column, rank within category over the " +
+        "grid — Expand rides the same single shuffle"),
+      "q422_adpcm_wav" -> ("IMA ADPCM WAV decode: stateful 4-bit " +
+        "block decode entirely row-local in one mapPartitions pass, " +
+        "zero shuffles before the window agg"),
       "q411_g711_wav" -> ("G.711 µ-law/A-law WAV decode: one " +
         "mapPartitions pass, zero shuffles before the window agg"),
       "q412_tpcds_q3" -> ("TPC-DS q3 shape: date-dim star with a " +

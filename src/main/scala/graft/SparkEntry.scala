@@ -51,4 +51,16 @@ object SparkEntry {
     * billed pre-build pass (QueryPack.prebuilds). */
   def prebuilds: Map[String, (SparkSession, String) => Unit] =
     packs.flatMap(_.prebuilds).toMap
+
+  /** Prebuilds whose owning pack contributes at least one query in
+    * `selectedNames` — subset bench runs (SPARK_GRAFT_ONLY) still
+    * pre-build the artifacts their selection consumes, so the first
+    * consumer's wall doesn't re-absorb a multi-second memoized build
+    * (advice finding). Pack granularity errs toward building: a pack
+    * artifact an individual selected query doesn't read costs one
+    * extra billed build row, never a skewed suite row. */
+  def prebuildsFor(selectedNames: Set[String])
+      : Map[String, (SparkSession, String) => Unit] =
+    packs.filter(_.queries.keys.exists(selectedNames))
+      .flatMap(_.prebuilds).toMap
 }

@@ -81,6 +81,25 @@ class Engine(val spark: SparkSession, root: String,
     * working otherwise). */
   def hasScope(name: String): Boolean = Catalog.exists(root, name)
 
+  /** Does every base table `st` references resolve in THIS engine
+    * (scope tables, attached frames, stored views), with the WITH
+    * bindings' own names excluded? Routing aid for the injectParser
+    * front door (r15 verdict task 7): a front-door `WITH RECURSIVE`
+    * runs the engine's semi-naive fixpoint — including the
+    * UNION-distinct cyclic mode Spark 4.1's native recursion does
+    * not support — exactly when its targets are engine tables;
+    * Spark-catalog-only queries stay on Spark's native path. */
+  private[engine] def resolvesAllTables(st: Statement): Boolean = {
+    val cteNames = st match {
+      case w: WithStmt => w.bindings.map(_.name.toLowerCase).toSet
+      case _ => Set.empty[String]
+    }
+    val names = referencedTables(st).map(_.toLowerCase).toSet -- cteNames
+    names.nonEmpty && names.forall(n =>
+      attached.contains(n) || resolveView(n).isDefined ||
+        current.exists(_.resolve(n).isDefined))
+  }
+
   def sql(statement: String): Result =
     try run(Parser.parse(statement))
     catch {
@@ -691,6 +710,19 @@ class Engine(val spark: SparkSession, root: String,
       throw new IllegalArgumentException(
         s"recursive CTE ${b.name}: the recursive reference may not " +
           "appear inside a subquery or derived table")
+    // hidden recursion through a stored view: the syntactic scans
+    // above can't see a view whose BODY reads the recursive name —
+    // at build time tableDf would resolve it to the frontier through
+    // cteBindings, silently making the recursion non-linear (advice
+    // finding). Walk every referenced name through the view catalog
+    // transitively and reject if any body reaches the binding.
+    if (referencedTables(rec).exists(t =>
+        !t.equalsIgnoreCase(b.name) &&
+          viewBodyReferences(t, b.name, Set.empty)))
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name}: a view referenced by the " +
+          s"recursive term reads ${b.name} in its body — hidden " +
+          "recursion through views is not supported")
     if (fromRefs != 1)
       throw new IllegalArgumentException(
         s"recursive CTE ${b.name}: the recursive term must " +
@@ -722,14 +754,92 @@ class Engine(val spark: SparkSession, root: String,
       .get("graft.recursion.maxRounds", Engine.maxRecursionRounds.toString)
       .toInt
     val saved = cteBindings.get
+    // the one-job-per-round scheme below marks the round delta for
+    // RDD localCheckpoint and lets the seen-union's count job force
+    // it; by default Spark only truncates the job's FINAL marked RDD
+    // (doCheckpoint does not descend once it finds checkpoint data),
+    // so the delta's lineage would never cut and round R's task
+    // closures would serialize R nested plans — stack overflow at
+    // three-digit depths (ring probe). This thread-local property
+    // makes every job checkpoint ALL marked ancestors.
+    val sc = spark.sparkContext
+    val ancestorsKey = "spark.checkpoint.checkpointAllMarkedAncestors"
+    val prevAncestors = sc.getLocalProperty(ancestorsKey)
+    sc.setLocalProperty(ancestorsKey, "true")
     try {
-      var frontier =
-        (if (distinctMode) base1.distinct() else base1)
-          .localCheckpoint(true)
-      val legs = mutable.ArrayBuffer[DataFrame](frontier)
+      // Materialize a round frame with a TRUNCATED identity, in ONE
+      // job: persist the plan's InternalRow RDD and count it (the
+      // count doubles as the emptiness probe, folding what used to
+      // be a separate isEmpty job into the materialization), then
+      // re-wrap the bytes through the GraftSparkInternals bridge.
+      // The bridge matters: localCheckpoint preserves the origin
+      // plan's attribute ids AND constraints in its LogicalRDD, so a
+      // step that projects a scanned column verbatim (`select r2.v
+      // from reach join ring r2 …`) emits the SAME attribute id
+      // every round and carries constraints referencing attributes
+      // outside its own output — Catalyst's Union.rewriteConstraints
+      // faults on exactly that (key-not-found, reproduced by
+      // DeepRecursionSpec's 999-round ring). The row .copy() is
+      // required: toRdd serves reused UnsafeRow buffers.
+      // Materialize a round frame in ONE job, with truncated
+      // identity AND truncated lineage: RDD-level localCheckpoint
+      // persists the InternalRow bytes and cuts the parent chain at
+      // the first job (the count — which doubles as the emptiness
+      // probe, folding what used to be a separate isEmpty job into
+      // the materialization). Then re-wrap through the
+      // GraftSparkInternals bridge: Dataset.localCheckpoint would
+      // preserve the origin plan's attribute ids and constraints in
+      // its LogicalRDD, and a step that projects a scanned column
+      // verbatim (`select r2.v from reach join ring r2 …`) then
+      // emits the SAME attribute id every round with constraints
+      // referencing attributes outside its own output — Catalyst's
+      // Union.rewriteConstraints faults on exactly that
+      // (key-not-found, reproduced by DeepRecursionSpec's ring).
+      // The row .copy() is required: toRdd serves reused UnsafeRow
+      // buffers. A bare persist() instead of localCheckpoint keeps
+      // the whole parent chain alive — at three-digit round counts
+      // the nested task closures overflow the stack (ring probe).
+      def materialize(df: DataFrame)
+          : (DataFrame, Long, org.apache.spark.rdd.RDD[_]) = {
+        val rdd = df.queryExecution.toRdd.map(_.copy())
+          .localCheckpoint()
+        val cnt = rdd.count()
+        (org.apache.spark.sql.GraftSparkInternals.wrapInternal(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          rdd, df.schema), cnt, rdd)
+      }
+      val (f0, f0n, f0r) = materialize(
+        if (distinctMode) base1.distinct() else base1)
+      var frontier = f0
+      // UNION ALL mode: the result is the union of every round's leg,
+      // so all legs stay persisted until the consumer is done.
+      // Distinct mode never reads the legs (the result IS the seen
+      // frame), so it skips the buffer and instead RETIRES superseded
+      // blocks each round — without that, D rounds leave D persisted
+      // seen-snapshots behind and per-round wall creeps up with
+      // depth (measured: 326→404 ms/round from ring-120 to ring-240
+      // before the unpersists).
+      val legs = mutable.ArrayBuffer[DataFrame]()
+      if (!distinctMode) legs += frontier
+      // Distinct mode keeps ONE cumulative materialized seen-set and
+      // anti-joins each round's delta against it — one persisted
+      // build per round. The naive alternative (EXCEPT against the
+      // union of ALL prior legs) is correct but re-widens the plan
+      // every round: a D-round fixpoint analyzes a D-leg union D
+      // times, O(D·|total|) planning work, where this loop's plan
+      // width is CONSTANT at any depth (DeepRecursionSpec holds a
+      // 999-round ring flat).
+      var seen: DataFrame = if (distinctMode) frontier else null
+      var seenN: Long = f0n
+      var seenRdd: org.apache.spark.rdd.RDD[_] =
+        if (distinctMode) f0r else null
+      var prevFrontierRdd: org.apache.spark.rdd.RDD[_] = null
       var rounds = 0
-      var done = frontier.isEmpty
+      var done = f0n == 0
+      val dbgRounds = spark.conf
+        .get("graft.recursion.debugRounds", "false") == "true"
       while (!done) {
+        val roundT0 = System.nanoTime()
         rounds += 1
         if (rounds > maxRounds)
           throw new IllegalStateException(
@@ -744,17 +854,56 @@ class Engine(val spark: SparkSession, root: String,
               s"${stepRaw.columns.length} columns, expected " +
               s"${cols.length}")
         val step = stepRaw.toDF(cols: _*)
-        // distinct mode: drop rows already seen — one EXCEPT against
-        // the shallow union of checkpointed legs (a single anti-join)
-        val delta0 =
-          if (!distinctMode) step
-          else step.distinct().except(legs.reduce(_ unionAll _))
-        val delta = delta0.localCheckpoint(true)
-        if (delta.isEmpty) done = true
-        else { legs += delta; frontier = delta }
+        // distinct mode: drop rows already seen — ONE anti-join of
+        // the round's step against the cumulative seen frame. No
+        // separate .distinct(): Spark's except IS `EXCEPT DISTINCT`
+        // (output deduplicated), so a prepended distinct would be a
+        // whole extra shuffle per round for nothing.
+        if (!distinctMode) {
+          val (delta, deltaN, _) = materialize(step)
+          if (deltaN == 0) done = true
+          else { frontier = delta; legs += delta }
+        } else {
+          // ONE job per round: mark the delta for checkpoint but let
+          // the seen-union's count force it — the delta's row count
+          // falls out as the seen set's growth, so the separate
+          // delta-count job disappears (ring probe: jobs/round 2→1).
+          val planT0 = System.nanoTime()
+          val deltaRdd = step.except(seen).queryExecution.toRdd
+            .map(_.copy()).localCheckpoint()
+          if (dbgRounds && rounds % 30 == 0)
+            System.err.println(f"[graft-rec]   plan: " +
+              f"${(System.nanoTime() - planT0) / 1e6}%.0f ms")
+          val delta = org.apache.spark.sql.GraftSparkInternals
+            .wrapInternal(spark.asInstanceOf[
+              org.apache.spark.sql.classic.SparkSession],
+              deltaRdd, frontier.schema)
+          val (s2, s2n, s2r) = materialize(seen.unionAll(delta))
+          if (s2n == seenN) {
+            // no growth: fixpoint reached; s2 is content-equal to
+            // seen — adopt it and retire the old blocks anyway
+            done = true
+          }
+          // the old seen snapshot is fully copied into s2 and the
+          // previous frontier was folded in LAST round — neither is
+          // referenced by any future plan; drop their blocks
+          seenRdd.unpersist(false)
+          if (prevFrontierRdd != null) prevFrontierRdd.unpersist(false)
+          prevFrontierRdd = deltaRdd
+          seen = s2; seenRdd = s2r; seenN = s2n
+          frontier = delta
+        }
+        if (dbgRounds && rounds % 30 == 0)
+          System.err.println(f"[graft-rec] round $rounds: " +
+            f"${(System.nanoTime() - roundT0) / 1e6}%.0f ms")
       }
-      legs.reduce(_ unionAll _)
-    } finally cteBindings.set(saved)
+      // distinct mode already holds the final set as `seen`; reuse
+      // it rather than re-unioning the legs
+      if (distinctMode) seen else legs.reduce(_ unionAll _)
+    } finally {
+      cteBindings.set(saved)
+      sc.setLocalProperty(ancestorsKey, prevAncestors)
+    }
   }
 
   /** SQL set operations: positional alignment (left side's names win,
@@ -811,6 +960,26 @@ class Engine(val spark: SparkSession, root: String,
 
   private def resolveView(table: String): Option[(String, String)] =
     current.flatMap(_.views.find(_._1.equalsIgnoreCase(table)))
+
+  /** Does `table`, if it is a stored view, reference `target`
+    * (transitively through further views) in its body? Used by the
+    * recursive-CTE linearity check; `expanding` breaks view cycles
+    * (viewDf would reject those at build time anyway). A view body
+    * that fails to parse returns false — the build will surface the
+    * real error. */
+  private def viewBodyReferences(table: String, target: String,
+      expanding: Set[String]): Boolean = {
+    val tl = table.toLowerCase
+    !expanding(tl) && resolveView(table).exists { case (_, vsql) =>
+      val body = try Some(Parser.parse(vsql))
+        catch { case scala.util.control.NonFatal(_) => None }
+      body.exists { st =>
+        val refs = referencedTables(st)
+        refs.exists(_.equalsIgnoreCase(target)) ||
+          refs.exists(viewBodyReferences(_, target, expanding + tl))
+      }
+    }
+  }
 
   def tableDf(table: String): DataFrame =
     cteBindings.get.get(table.toLowerCase)
@@ -1637,8 +1806,14 @@ class Engine(val spark: SparkSession, root: String,
   private def tryColsOf(t: String): Option[Set[String]] =
     try Some(tableDf(t).columns.map(_.toLowerCase).toSet)
     catch {
-      case _: IllegalArgumentException | _: IllegalStateException |
-           _: org.apache.spark.sql.AnalysisException => None
+      // NonFatal: any resolution failure (bad name, broken stored
+      // view re-parsed via resolveView → ParseError, unreadable
+      // parquet → IO error) degrades to "columns unknown", which is
+      // the contract of this best-effort probe; only VM-fatal errors
+      // (OOM, interrupts) propagate (advice finding: the narrowed
+      // 3-type catch turned a ParseError from a broken view into a
+      // hard failure of a heuristic scope check)
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Qualifiers visible on the outer side of `sel` (FROM alias plus
@@ -2351,6 +2526,43 @@ class Engine(val spark: SparkSession, root: String,
     val fromName = sel.from.get
     val fromAlias = sel.fromAlias.getOrElse(fromName)
     var df = tableDf(fromName).as(fromAlias)
+    // SAMPLE (sql.tex:2127 absent-triple): deterministic hash-mod
+    // sample of the base scan, applied BEFORE joins/WHERE — the
+    // Knuth multiplicative filter (TextAnalysis.hashSample) keyed on
+    // an integer column, so the kept set is stable across runs,
+    // partitionings and engines (DuckDB replays the same arithmetic;
+    // Spark's .sample is partition-layout-dependent and would never
+    // oracle-match). At scale this is a codegen'd scan filter: no
+    // shuffle, no RNG, and the pct survives column pruning.
+    sel.sample.foreach { case (pct, keyOpt) =>
+      val keyName = keyOpt match {
+        case Some(f) =>
+          f.qualifier.foreach { q =>
+            if (!q.equalsIgnoreCase(fromAlias))
+              throw new IllegalArgumentException(
+                s"SAMPLE ON ${q}.${f.name}: the sample key must " +
+                  s"belong to the base FROM table ($fromAlias)")
+          }
+          df.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"SAMPLE ON ${f.name}: no such column in $fromName"))
+            .name
+        case None => df.schema.fields.head.name
+      }
+      val keyField = df.schema.fields
+        .find(_.name.equalsIgnoreCase(keyName)).get
+      import org.apache.spark.sql.types._
+      keyField.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"SAMPLE needs an integer key column, but " +
+            s"$keyName is ${other.simpleString} — name one with " +
+            "SAMPLE <pct> ON <column>")
+      }
+      df = df.filter(
+        pmod(col(s"$fromAlias.$keyName") * lit(2654435761L),
+          lit(100L)) < lit(pct))
+    }
     // one source of truth with tagTimeItems' typing pass
     val ctx: Map[String, String] = selectCtx(sel)
 

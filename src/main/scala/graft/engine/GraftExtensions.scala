@@ -109,6 +109,18 @@ class GraftParser(session: SparkSession, delegate: ParserInterface)
               session.conf.getOption("spark.graft.root").isDefined &&
               GraftExtensions.engineFor(session).hasScope(n)))
       case Some("load") => toks.lift(1).exists(_ != "data")
+      // WITH RECURSIVE (r15 verdict task 7): route by target, like
+      // USE/DESC. The engine's semi-naive fixpoint wins when every
+      // referenced table is an engine table (scope/attached/view) —
+      // that path also runs the UNION-distinct cyclic mode Spark
+      // 4.1's native recursion (UNION ALL only) rejects. Queries over
+      // Spark-catalog tables fall through to Spark's native
+      // recursion untouched. Plain WITH (no RECURSIVE) always stays
+      // with Spark.
+      case Some("with") if toks.lift(1).contains("recursive") =>
+        eng.exists(e =>
+          try e.resolvesAllTables(graft.sql.Parser.parse(sqlText))
+          catch { case scala.util.control.NonFatal(_) => false })
       case Some("desc") => scopeTable(toks.lift(1))
       case Some("insert") => scopeTable(toks.lift(2))
       case Some("update") => scopeTable(toks.lift(1))

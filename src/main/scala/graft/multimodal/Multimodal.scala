@@ -153,6 +153,119 @@ object Multimodal {
     }
   }
 
+  // ── IMA ADPCM (r15 verdict task 5) ─────────────────────────────────
+  // IMA/DVI ADPCM, WAV format tag 0x11 — the codec family's next
+  // public compressed format after G.711: 4-bit differential coding
+  // over a public 89-entry step-size table, block-aligned with a
+  // per-block (predictor, step-index) header. Real scraped
+  // telephony/game audio. Tables and update rules are the public IMA
+  // specification (also in RFC 3551 §4.5.1 lineage).
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+  private val imaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8) // by nibble magnitude (n & 7)
+
+  /** One IMA ADPCM state step: decode nibble `n` against
+    * (predictor, stepIndex), returning the new state — the new
+    * predictor IS the decoded sample. */
+  def imaStep(pred: Int, sidx: Int, n: Int): (Int, Int) = {
+    val step = imaStepTable(sidx)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p0 = if ((n & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, sidx + imaIndexAdj(n & 7)))
+    (p, i)
+  }
+
+  /** IMA ADPCM encoder: 16-bit samples → 4-bit nibbles, starting
+    * from (predictor=0, stepIndex=initIndex). The standard greedy
+    * quantizer (sign + three threshold bits), with the state advanced
+    * by the DECODER's update rule so encoder and decoder track the
+    * same predictor — the property the CodecPropertySpec round-trip
+    * fuzz asserts (lossy codec: decode∘encode matches the reference
+    * decoder's reconstruction, not the input). */
+  def adpcmEncode(samples: Array[Int], initIndex: Int): Array[Int] = {
+    var pred = 0
+    var sidx = math.max(0, math.min(88, initIndex))
+    samples.map { s =>
+      val step = imaStepTable(sidx)
+      var delta = s - pred
+      var code = 0
+      if (delta < 0) { code = 8; delta = -delta }
+      if (delta >= step) { code |= 4; delta -= step }
+      if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) code |= 1
+      val (p, i) = imaStep(pred, sidx, code)
+      pred = p; sidx = i
+      code
+    }
+  }
+
+  /** Serialize an IMA ADPCM nibble stream to a spec-exact RIFF/WAVE
+    * payload (format tag 0x11, mono): fmt chunk with the tag-17
+    * extension (cbSize=2, wSamplesPerBlock), data as blocks of
+    * `blockAlign` bytes — 4-byte header (int16 predictor, uint8 step
+    * index, reserved 0) + packed nibbles low-first. The builder runs
+    * the decoder's state machine while laying blocks out, so each
+    * block header carries the true running (predictor, index) exactly
+    * as a real streaming encoder writes it. `nibbles.length` must be
+    * a multiple of the block's nibble capacity — a partial final
+    * block is a named error, not silent zero-padding (zero nibbles
+    * are NOT silence in a differential codec). */
+  def buildWavAdpcm(sampleRate: Int, nibbles: Array[Int],
+                    blockAlign: Int, initIndex: Int): Array[Byte] = {
+    require(blockAlign >= 5, s"ADPCM block align $blockAlign too " +
+      "small (needs 4 header bytes + data)")
+    val perBlock = (blockAlign - 4) * 2
+    require(nibbles.length % perBlock == 0,
+      s"ADPCM nibble count ${nibbles.length} is not a multiple of " +
+        s"the block capacity $perBlock")
+    val nBlocks = nibbles.length / perBlock
+    val spb = perBlock + 1 // header predictor counts as a sample
+    val dataSz = nBlocks * blockAlign
+    val riffSz = 4 + (8 + 20) + (8 + dataSz)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSz)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(20)
+    buf.putShort(0x11); buf.putShort(1)
+    buf.putInt(sampleRate)
+    // byte rate for ADPCM: blocks per second × block size
+    buf.putInt((sampleRate.toLong * blockAlign / spb).toInt)
+    buf.putShort(blockAlign.toShort); buf.putShort(4)
+    buf.putShort(2); buf.putShort(spb.toShort) // cbSize, samples/block
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSz)
+    var pred = 0
+    var sidx = math.max(0, math.min(88, initIndex))
+    var k = 0
+    while (k < nBlocks) {
+      buf.putShort(pred.toShort); buf.put(sidx.toByte); buf.put(0.toByte)
+      var j = 0
+      while (j < perBlock) {
+        val lo = nibbles(k * perBlock + j) & 0x0f
+        val hi = nibbles(k * perBlock + j + 1) & 0x0f
+        buf.put((lo | (hi << 4)).toByte)
+        val (p1, i1) = imaStep(pred, sidx, lo)
+        val (p2, i2) = imaStep(p1, i1, hi)
+        pred = p2; sidx = i2
+        j += 2
+      }
+      k += 1
+    }
+    buf.array()
+  }
+
   /** Real RIFF/WAVE parser (public container spec: `RIFF <size> WAVE`
     * then even-aligned `<id> <size> <body>` chunks): walks every
     * chunk honoring the RIFF odd-size pad byte, reads integer-PCM
@@ -173,7 +286,9 @@ object Multimodal {
     require(content.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       "not a RIFF/WAVE payload")
     var off = 12
-    var fmt = Option.empty[(Int, Int, Int, Int)] // (tag, ch, rate, bits)
+    // (tag, ch, rate, bits, blockAlign, samplesPerBlock) — the last
+    // two only meaningful for the block-aligned ADPCM format
+    var fmt = Option.empty[(Int, Int, Int, Int, Int, Int)]
     var data = Option.empty[(Int, Int)]     // (body offset, size)
     while (off + 8 <= content.length) {
       val id = tag(off)
@@ -186,17 +301,25 @@ object Multimodal {
         case "fmt " =>
           require(sz >= 16, "fmt chunk too short")
           val formatTag = le16(body)
-          require(formatTag == 1 || formatTag == 6 || formatTag == 7,
+          require(formatTag == 1 || formatTag == 6 || formatTag == 7 ||
+              formatTag == 0x11,
             s"unsupported WAV format tag $formatTag " +
-              "(1=PCM, 6=A-law, 7=µ-law supported)")
+              "(1=PCM, 6=A-law, 7=µ-law, 17=IMA ADPCM supported)")
+          // tag 17 carries the wSamplesPerBlock extension (cbSize=2)
+          val spb =
+            if (formatTag == 0x11) {
+              require(sz >= 20,
+                "ADPCM fmt chunk too short for wSamplesPerBlock")
+              le16(body + 18)
+            } else 0
           fmt = Some((formatTag, le16(body + 2), le32(body + 4).toInt,
-            le16(body + 14)))
+            le16(body + 14), le16(body + 12), spb))
         case "data" => data = Some((body, sz))
         case _ => () // JUNK/LIST/fact/…: walked over
       }
       off = body + sz + (sz & 1) // RIFF pads odd-size chunks to even
     }
-    val (tagFmt, ch, rate, bits) = fmt.getOrElse(
+    val (tagFmt, ch, rate, bits, blockAlign, spb) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV: missing fmt chunk"))
     val (doff, dsz) = data.getOrElse(
       throw new IllegalArgumentException("WAV: missing data chunk"))
@@ -212,6 +335,54 @@ object Multimodal {
       case (7, 8) => Array.tabulate(end - doff)(i => ulawTable(u8(doff + i)))
       case (6 | 7, b) => throw new IllegalArgumentException(
         s"G.711 WAV requires 8-bit codewords, header says $b")
+      // IMA ADPCM (r15): block-aligned 4-bit differential decode.
+      // Each block: 4-byte header (int16 predictor — emitted as the
+      // block's first sample — uint8 step index, reserved), then
+      // packed nibbles low-first, each advancing the (predictor,
+      // index) state machine. Hostile streams fail by name: a bad
+      // block align, a truncated final block, or an out-of-range
+      // step index would otherwise index out of the step table or
+      // mis-frame every later block.
+      case (0x11, 4) =>
+        require(ch == 1,
+          s"IMA ADPCM: only mono supported (header says $ch channels)")
+        require(blockAlign >= 5,
+          s"IMA ADPCM: block align $blockAlign too small " +
+            "(4-byte header + data)")
+        val dsz = end - doff
+        require(dsz % blockAlign == 0,
+          s"IMA ADPCM: truncated block — data size $dsz is not a " +
+            s"multiple of block align $blockAlign")
+        val perBlock = (blockAlign - 4) * 2
+        require(spb == perBlock + 1,
+          s"IMA ADPCM: header says $spb samples per block, block " +
+            s"align $blockAlign implies ${perBlock + 1}")
+        val nBlocks = dsz / blockAlign
+        val out = new Array[Int](nBlocks * (perBlock + 1))
+        var k = 0
+        var w = 0
+        while (k < nBlocks) {
+          val boff = doff + k * blockAlign
+          var pred = s16(boff)
+          var sidx = u8(boff + 2)
+          require(sidx <= 88,
+            s"IMA ADPCM: step index $sidx out of range (0..88)")
+          out(w) = pred; w += 1
+          var j = 0
+          while (j < blockAlign - 4) {
+            val byte = u8(boff + 4 + j)
+            val (p1, i1) = imaStep(pred, sidx, byte & 0x0f)
+            out(w) = p1; w += 1
+            val (p2, i2) = imaStep(p1, i1, (byte >> 4) & 0x0f)
+            out(w) = p2; w += 1
+            pred = p2; sidx = i2
+            j += 1
+          }
+          k += 1
+        }
+        out
+      case (0x11, b) => throw new IllegalArgumentException(
+        s"IMA ADPCM requires 4-bit samples, header says $b")
       case (_, b) => throw new IllegalArgumentException(
         s"unsupported PCM width $b (8/16 supported)")
     }

@@ -1231,6 +1231,53 @@ object EngineQueries extends QueryPack {
         case Rows(df) => df
         case other => sys.error(s"q410 select failed: $other")
       }
+    }),
+    // q417 (r15 verdict task 4): SAMPLE — the reference manual's last
+    // absent-triple keyword (sql.tex:2127). Scan-level deterministic
+    // hash-mod sampling (the Knuth multiplicative filter, same
+    // arithmetic as q71) — seed-stable across runs/partitionings, so
+    // DuckDB replays it exactly; Spark's .sample never could. The
+    // TABLESAMPLE spelling and the named out-of-range rejection are
+    // covered in Round15OpsSpec.
+    "q417_sample" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope smpscope; use smpscope")
+        .foreach(require(_, "q417 ddl"))
+      eng.attachTable("documents", Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("n_chars")))
+      eng.sql("select doc_id, source, n_chars from documents " +
+        "sample 10 on doc_id") match {
+        case Rows(df) => df
+        case other => sys.error(s"q417 select failed: $other")
+      }
+    }),
+    // q418 (r15 verdict tasks 1/8): DEEP recursion — a single-
+    // successor ring, so the distinct-mode fixpoint runs one round
+    // per node (60 rounds, frontier size 1) instead of q409's ~log
+    // rounds. This is the shape that punished the old per-round
+    // EXCEPT-against-union-of-legs (O(rounds·total) dedup, plan
+    // re-widening every round); with the cumulative checkpointed
+    // seen-set each round is one anti-join against one materialized
+    // frame and plan width stays constant at any depth.
+    "q418_recursive_ring" -> ((s, d) => {
+      val eng = freshEngine(s)
+      eng.script("create scope ringscope; use ringscope")
+        .foreach(require(_, "q418 ddl"))
+      eng.attachTable("cust", Tables.customer(s, d).select(
+        col("c_custkey")))
+      eng.sql(
+        "with recursive edges as (" +
+          "  select distinct c_custkey % 60 as src, " +
+          "    (c_custkey % 60 + 1) % 60 as dst from cust), " +
+          "reach as (" +
+          "  select c_custkey % 60 as v from cust where c_custkey = 60 " +
+          "  union " +
+          "  select e.dst as v from reach r join edges e on e.src = r.v) " +
+          "select count(*) as n, sum(v) as s, min(v) as lo, " +
+          "max(v) as hi from reach") match {
+        case Rows(df) => df
+        case other => sys.error(s"q418 select failed: $other")
+      }
     })
   )
 
@@ -1638,6 +1685,22 @@ object EngineQueries extends QueryPack {
         |  WHERE o.o_orderkey > 1)
         | SELECT depth, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(node) AS BIGINT) AS s
-        | FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+        | FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
+    // SAMPLE maps to the deterministic multiplicative hash filter —
+    // DuckDB replays the identical arithmetic (same constant as q71)
+    "q417_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        | WHERE (doc_id * 2654435761) % 100 < 10""".stripMargin,
+    "q418_recursive_ring" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT c_custkey % 60 AS src,
+        |   (c_custkey % 60 + 1) % 60 AS dst FROM customer),
+        | reach AS (
+        |  SELECT c_custkey % 60 AS v FROM customer WHERE c_custkey = 60
+        |  UNION
+        |  SELECT e.dst AS v FROM reach r JOIN edges e ON e.src = r.v)
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s, min(v) AS lo, max(v) AS hi
+        | FROM reach""".stripMargin
   )
 }

@@ -122,13 +122,23 @@ object LinkageQueries extends QueryPack {
       // prunes them, because every TRUE shared-deletion pair has
       // levenshtein ≤ 2 (d(w1,w2) ≤ d(w1,v) + d(v,w2) ≤ 2) while a
       // collision pair is a random name pair.
+      // the key is (xxhash64(variant), length(variant)) — the 4-byte
+      // length rides along as a second independent component (advice
+      // finding: a bare 64-bit hash admits a seed-independent
+      // engine/oracle divergence if two variants of names with true
+      // levenshtein ≤ 2 ever collide; same-hash AND same-length
+      // pushes the expected collision count at a 100× corpus from
+      // ~1e-5 to ~1e-6 per length class, and the verify step still
+      // prunes any survivor that isn't a true dist≤2 pair)
       val vars = names.select(col("id"), col("w"),
           explode(sequence(lit(0), length(col("w")))).as("p"))
-        .select(col("id"), xxhash64(
+        .select(col("id"),
           when(col("p") === 0, col("w"))
             .otherwise(concat(
               expr("substr(w, 1, p - 1)"),
-              expr("substr(w, p + 1)")))).as("hk"))
+              expr("substr(w, p + 1)"))).as("v"))
+        .select(col("id"), xxhash64(col("v")).as("hk"),
+          length(col("v")).as("hl"))
         .distinct()
       // pair dedup at an EXPLICIT width (2× the session's shuffle
       // parallelism — AQE honors user-specified repartition counts,
@@ -147,7 +157,8 @@ object LinkageQueries extends QueryPack {
       // both the memory spike and most of the remaining spill; a
       // sort-merge of 16-byte rows streams instead
       val pairs = vars.hint("merge").join(
-          vars.select(col("id").as("id2"), col("hk")), Seq("hk"))
+          vars.select(col("id").as("id2"), col("hk"), col("hl")),
+          Seq("hk", "hl"))
         .filter(col("id") < col("id2"))
         .select(col("id"), col("id2"))
         .repartition(dedupWidth, col("id"), col("id2"))

@@ -195,6 +195,35 @@ object MultimodalQueries extends QueryPack {
           when(col("media_id") % 2 === 0, lit("ulaw"))
             .otherwise(lit("alaw")).as("law"))
     }),
+    // IMA ADPCM (r15 verdict task 5): WAV format tag 0x11 — 4-bit
+    // differential coding over the public 89-entry step table,
+    // block-aligned with (predictor, step index) headers. The nibble
+    // stream comes straight from the docs' codepoints (mod 16), the
+    // builder lays out spec-exact blocks carrying the running decoder
+    // state in each header, and decodeWav reconstructs 16-bit linear
+    // through the IMA state machine. The oracle replays the SAME
+    // public algorithm as a DuckDB recursive CTE over (predictor,
+    // index) state — a table slip, clamp miss, nibble order or
+    // block-framing error diverges every window's energy. Row-local
+    // on the engine side; the stateful part never leaves the row.
+    "q422_adpcm_wav" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val K = 32 // nibbles per block → blockAlign 20, 33 samples/block
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= K)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tot = (text.length / K) * K
+          val nibbles = text.take(tot).map(_.toInt & 0x0f).toArray
+          MediaRecord(id, "audio", "wav",
+            Multimodal.buildWavAdpcm(8000, nibbles, blockAlign = 20,
+              initIndex = (id % 89).toInt))
+        })
+      Multimodal.audioEnergyWav(media, windowSamples = 32).toDF()
+        .select(col("media_id"), col("window_no"), col("energy"),
+          col("n_samples"), col("sample_rate"))
+    }),
     // REAL video codec end-to-end, completing the trio (q375 audio,
     // q381 image): build spec-exact AVI containers — LIST hdrl/avih
     // header, odd-size JUNK between hdrl and movi (pad-byte walking
@@ -672,6 +701,55 @@ object MultimodalQueries extends QueryPack {
         |  CAST(8000 AS INT) AS sample_rate,
         |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
         | FROM ex GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+    // the oracle replays the public IMA state machine as a recursive
+    // CTE: one round per nibble, state = (predictor, step index);
+    // emission = every post-nibble predictor plus each block's header
+    // predictor (the state at the block boundary, which the builder
+    // wrote into the header and the decoder re-emits). Step table
+    // spelled as a list literal indexed by the carried state.
+    "q422_adpcm_wav" ->
+      s"""WITH RECURSIVE ${cpCte(1)},
+        | lim AS (SELECT doc_id, (length(text) // 32) * 32 AS tot
+        |  FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 32),
+        | nib AS (SELECT b.doc_id, b.i, b.p % 16 AS n
+        |  FROM b JOIN lim USING (doc_id) WHERE b.i <= lim.tot),
+        | st AS (SELECT range AS sidx, ([7,8,9,10,11,12,13,14,16,17,
+        |   19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,
+        |   118,130,143,157,173,190,209,230,253,279,307,337,371,408,
+        |   449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,
+        |   1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+        |   4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+        |   12635,13899,15289,16818,18500,20350,22385,24623,27086,
+        |   29794,32767])[range + 1] AS step FROM range(0, 89)),
+        | dec AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT)
+        |    AS pred, CAST(doc_id % 89 AS BIGINT) AS sidx FROM lim
+        |  UNION ALL
+        |  SELECT d.doc_id, d.j + 1,
+        |   GREATEST(-32768, LEAST(32767, d.pred +
+        |    (CASE WHEN n.n >= 8 THEN -1 ELSE 1 END) *
+        |    ((s.step // 8)
+        |     + CASE WHEN n.n % 2 = 1 THEN s.step // 4 ELSE 0 END
+        |     + CASE WHEN (n.n // 2) % 2 = 1 THEN s.step // 2 ELSE 0 END
+        |     + CASE WHEN (n.n // 4) % 2 = 1 THEN s.step ELSE 0 END))),
+        |   GREATEST(0, LEAST(88, d.sidx +
+        |    CASE WHEN n.n % 8 < 4 THEN -1 ELSE (n.n % 8 - 3) * 2 END))
+        |  FROM dec d
+        |  JOIN nib n ON n.doc_id = d.doc_id AND n.i = d.j + 1
+        |  JOIN st s ON s.sidx = d.sidx),
+        | em AS (
+        |  SELECT doc_id, j + ((j - 1) // 32) AS ord, pred
+        |  FROM dec WHERE j >= 1
+        |  UNION ALL
+        |  SELECT d.doc_id, (d.j // 32) * 33 AS ord, d.pred
+        |  FROM dec d JOIN lim USING (doc_id)
+        |  WHERE d.j % 32 = 0 AND d.j <= lim.tot - 32)
+        | SELECT doc_id AS media_id,
+        |  CAST(ord // 32 AS INT) AS window_no,
+        |  CAST(sum(pred * pred) AS BIGINT) AS energy,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate
+        | FROM em GROUP BY doc_id, ord // 32""".stripMargin,
     "q160_size_outliers" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -161,7 +161,79 @@ object TpcdsQueries extends QueryPack {
         "select brand, cat, moy, tofloat(sum_sales) as sum_sales, " +
         "round(tofloat(tot) / nm, 6) as avg_monthly " +
         "from a where 10 * abs(sum_sales * nm - tot) > tot " +
-        "order by brand, cat, moy limit 100")
+        "order by brand, cat, moy limit 100"),
+    // ── the grouping-grid shapes (r15 verdict task 6) ───────────────
+    // TPC-DS's distinctive ROLLUP-with-GROUPING() family: subtotal
+    // grids where GROUPING() both labels the hierarchy level
+    // (lochierarchy) and keys the rank's partition (rank WITHIN the
+    // parent level). One Expand per rollup — the subtotal rows ride
+    // the same single aggregate, never a second scan.
+    //
+    // q36 shape: gross-margin hierarchy — margin over
+    // rollup(category, brand), ranked within each hierarchy level.
+    // parent_cat is NULL exactly on the subtotal/grand rows, so the
+    // rank partitions are (leaf level × category), (subtotal level),
+    // (grand) — the official query's CASE-keyed partitioning.
+    "q419_tpcds_q36" -> tpcds("q36",
+      "with g as (select " +
+        "  tofloat(sum(l_extendedprice * l_discount)) as profit, " +
+        "  tofloat(sum(l_extendedprice)) as rev, " +
+        "  p_type, p_brand, " +
+        "  grouping(p_type) + grouping(p_brand) as lochierarchy, " +
+        "  case when grouping(p_brand) = 0 then p_type end " +
+        "    as parent_cat " +
+        "from lineitem, part where l_partkey = p_partkey " +
+        "group by rollup(p_type, p_brand)) " +
+        "select lochierarchy, " +
+        "coalesce(p_type, 'ALL') as category, " +
+        "coalesce(p_brand, 'ALL') as brand, " +
+        "round(profit / rev, 6) as gross_margin, " +
+        "rank() over (partition by lochierarchy, parent_cat " +
+        "  order by profit / rev) as rank_within_parent " +
+        "from g order by lochierarchy desc, category, brand"),
+    // q67 shape: rollup-over-window — the widest grid (category,
+    // brand, year), then rank the grid rows within each category by
+    // sales. The year key is an EXPRESSION, pre-computed in a base
+    // CTE because rollup lists are plain fields (dialect rule); the
+    // rollup then runs over the CTE's columns. Rank ties share a
+    // rank (no tiebreaker — NULL ordering conventions differ between
+    // engines, equal ranks don't).
+    "q420_tpcds_q67" -> tpcds("q67",
+      "with base as (select p_type, p_brand, " +
+        "  year(o_orderdate) as d_year, l_quantity " +
+        "  from lineitem, orders, part " +
+        "  where l_orderkey = o_orderkey and l_partkey = p_partkey), " +
+        "s as (select p_type, p_brand, d_year, " +
+        "  sum(toint(l_quantity)) as sumsales " +
+        "  from base group by rollup(p_type, p_brand, d_year)), " +
+        "r as (select p_type, p_brand, d_year, sumsales, " +
+        "  rank() over (partition by p_type " +
+        "    order by sumsales desc) as rk from s) " +
+        "select coalesce(p_type, 'ALL') as category, " +
+        "coalesce(p_brand, 'ALL') as brand, " +
+        "coalesce(d_year, 0) as d_year, sumsales, rk " +
+        "from r where rk <= 3 " +
+        "order by category, rk, brand, d_year"),
+    // q86 shape: date-filtered revenue rollup ranked desc within the
+    // parent — the q36 grid over a one-year star slice, ordered by
+    // the level-aware key
+    "q421_tpcds_q86" -> tpcds("q86",
+      "with g as (select " +
+        "  tofloat(sum(l_extendedprice)) as total_sum, " +
+        "  p_type, p_brand, " +
+        "  grouping(p_type) + grouping(p_brand) as lochierarchy, " +
+        "  case when grouping(p_brand) = 0 then p_type end " +
+        "    as parent_cat " +
+        "from lineitem, orders, part " +
+        "where l_orderkey = o_orderkey and l_partkey = p_partkey " +
+        "and year(o_orderdate) = 1996 " +
+        "group by rollup(p_type, p_brand)) " +
+        "select round(total_sum, 2) as total_sum, " +
+        "coalesce(p_type, 'ALL') as category, " +
+        "coalesce(p_brand, 'ALL') as brand, lochierarchy, " +
+        "rank() over (partition by lochierarchy, parent_cat " +
+        "  order by total_sum desc) as rank_within_parent " +
+        "from g order by lochierarchy desc, category, brand")
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,6 +299,62 @@ object TpcdsQueries extends QueryPack {
         |  CAST(sum_sales AS DOUBLE) AS sum_sales,
         |  round(CAST(tot AS DOUBLE) / nm, 6) AS avg_monthly
         | FROM a WHERE 10 * abs(sum_sales * nm - tot) > tot
-        | ORDER BY brand, cat, moy LIMIT 100""".stripMargin
+        | ORDER BY brand, cat, moy LIMIT 100""".stripMargin,
+    // grouping-grid shapes: DuckDB runs ROLLUP + GROUPING() natively
+    // — same text modulo the oracle-typing conventions (tofloat →
+    // CAST AS DOUBLE, BIGINT casts on grid/rank outputs)
+    "q419_tpcds_q36" ->
+      s"""WITH g AS (SELECT
+        |   CAST(sum($EXT * $DISC) AS DOUBLE) AS profit,
+        |   CAST(sum($EXT) AS DOUBLE) AS rev,
+        |   p_type, p_brand,
+        |   CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT)
+        |     AS lochierarchy,
+        |   CASE WHEN GROUPING(p_brand) = 0 THEN p_type END
+        |     AS parent_cat
+        |  FROM lineitem, part WHERE l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_type, p_brand))
+        | SELECT lochierarchy, coalesce(p_type, 'ALL') AS category,
+        |  coalesce(p_brand, 'ALL') AS brand,
+        |  round(profit / rev, 6) AS gross_margin,
+        |  CAST(rank() OVER (PARTITION BY lochierarchy, parent_cat
+        |    ORDER BY profit / rev) AS BIGINT) AS rank_within_parent
+        | FROM g
+        | ORDER BY lochierarchy DESC, category, brand""".stripMargin,
+    "q420_tpcds_q67" ->
+      s"""WITH base AS (SELECT p_type, p_brand,
+        |   year(o_orderdate) AS d_year, l_quantity
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey),
+        | s AS (SELECT p_type, p_brand, d_year,
+        |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsales
+        |  FROM base GROUP BY ROLLUP(p_type, p_brand, d_year)),
+        | r AS (SELECT p_type, p_brand, d_year, sumsales,
+        |   CAST(rank() OVER (PARTITION BY p_type
+        |     ORDER BY sumsales DESC) AS BIGINT) AS rk FROM s)
+        | SELECT coalesce(p_type, 'ALL') AS category,
+        |  coalesce(p_brand, 'ALL') AS brand,
+        |  CAST(coalesce(d_year, 0) AS BIGINT) AS d_year, sumsales, rk
+        | FROM r WHERE rk <= 3
+        | ORDER BY category, rk, brand, d_year""".stripMargin,
+    "q421_tpcds_q86" ->
+      s"""WITH g AS (SELECT
+        |   CAST(sum($EXT) AS DOUBLE) AS total_sum,
+        |   p_type, p_brand,
+        |   CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT)
+        |     AS lochierarchy,
+        |   CASE WHEN GROUPING(p_brand) = 0 THEN p_type END
+        |     AS parent_cat
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |   AND year(o_orderdate) = 1996
+        |  GROUP BY ROLLUP(p_type, p_brand))
+        | SELECT round(total_sum, 2) AS total_sum,
+        |  coalesce(p_type, 'ALL') AS category,
+        |  coalesce(p_brand, 'ALL') AS brand, lochierarchy,
+        |  CAST(rank() OVER (PARTITION BY lochierarchy, parent_cat
+        |    ORDER BY total_sum DESC) AS BIGINT) AS rank_within_parent
+        | FROM g
+        | ORDER BY lochierarchy DESC, category, brand""".stripMargin
   )
 }

@@ -43,8 +43,8 @@ object Ast {
     * for moving aggregates). An empty PARTITION BY is legal but
     * funnels the table through one task — queries at scale must
     * partition. */
-  case class WindowFn(fn: FnCall, partBy: Seq[Field],
-                      ordBy: Seq[(Field, Boolean)],
+  case class WindowFn(fn: FnCall, partBy: Seq[Expr],
+                      ordBy: Seq[(Expr, Boolean)],
                       frame: Option[WFrame] = None) extends Expr
   case class Field(name: String, qualifier: Option[String] = None)
       extends Expr
@@ -215,6 +215,12 @@ object Ast {
                         // (superset): bound as transient tables for
                         // the statement's build, in declared order —
                         // `from`/`ansiJoins` reference the alias
-                        derived: Seq[(String, SelectStmt)] = Seq.empty)
+                        derived: Seq[(String, SelectStmt)] = Seq.empty,
+                        // `FROM t SAMPLE <pct> [ON f]` (the last
+                        // keyword of the reference manual's absent
+                        // triple, sql.tex:2127): deterministic
+                        // hash-mod sample of the base scan — (pct,
+                        // optional key field)
+                        sample: Option[(Long, Option[Field])] = None)
       extends Statement
 }

@@ -226,11 +226,12 @@ object ExprBuilder {
     case WindowFn(f, parts, ords, frame) =>
       import org.apache.spark.sql.expressions.Window
       val spec0 =
-        if (parts.nonEmpty) Window.partitionBy(parts.map(fieldCol): _*)
+        if (parts.nonEmpty)
+          Window.partitionBy(parts.map(e => build(e, ctx)): _*)
         else Window.partitionBy()
       val specOrd =
         if (ords.nonEmpty) spec0.orderBy(ords.map { case (fd, asc) =>
-          val c = fieldCol(fd); if (asc) c.asc else c.desc
+          val c = build(fd, ctx); if (asc) c.asc else c.desc
         }: _*)
         else spec0
       // explicit ROWS/RANGE frame (r12 task 2) → Spark's

@@ -587,6 +587,7 @@ object Parser {
     }
     var from: Option[String] = None
     var fromAlias: Option[String] = None
+    var sample: Option[(Long, Option[Field])] = None
     val joins = ArrayBuffer.empty[JoinClause]
     val ansiJoins = ArrayBuffer.empty[AnsiJoin]
     val derived = ArrayBuffer.empty[(String, SelectStmt)]
@@ -598,7 +599,8 @@ object Parser {
       def clauseKw: Boolean =
         Seq("join", "where", "group", "order", "having", "limit",
           "offset", "union", "intersect", "except", "minus", "inner",
-          "left", "right", "full", "on").exists(p.isKw)
+          "left", "right", "full", "on", "sample",
+          "tablesample").exists(p.isKw)
       def aliasOpt(): Option[String] =
         if (p.takeKw("as")) Some(p.ident())
         else if (!clauseKw && p.cur.isInstanceOf[TId]) Some(p.ident())
@@ -634,9 +636,50 @@ object Parser {
       // finding); pure shadowing with NO other use of the name
       // (`FROM (SELECT …) edges` alone) stays legal, like ANSI.
       val realNames = ArrayBuffer.empty[String]
+      // plain (non-derived) FROM items, collected so the dNames
+      // exclusion below can treat a table name equal to a derived
+      // alias as a USE of the binding in every spelling — comma-list
+      // `FROM (SELECT …) d, d` and `JOIN d ON …` desugar to the same
+      // inner join, so they must pass or fail together (advice
+      // finding: the comma form was rejected, the JOIN form allowed)
+      val plainItems = ArrayBuffer.empty[(String, Option[String])]
       val (t0, a0, d0) = fromItem()
       from = Some(t0); fromAlias = a0
-      if (!d0) realNames ++= t0 +: a0.toSeq
+      if (!d0) plainItems += ((t0, a0))
+      // SAMPLE <pct> [PERCENT] [ON f] — the last keyword of the
+      // reference manual's absent triple "having, limit, sample"
+      // (sql.tex:2127; HAVING and LIMIT are done). Also the ANSI
+      // spelling TABLESAMPLE (<pct> PERCENT) [ON f]. Attaches to the
+      // base FROM table (scan-level, before WHERE/joins) and maps to
+      // the DETERMINISTIC multiplicative hash-mod sampler — NOT
+      // Spark's .sample, whose output depends on partition layout —
+      // so results are seed-stable and a DuckDB oracle can replicate
+      // the filter arithmetically. Out-of-range fraction is a named
+      // parse error, per the design: an empty (0) or total (≥100)
+      // "sample" is a user mistake, not a degenerate scan.
+      def samplePct(pct: Long, pos: Int): Unit = {
+        if (pct < 1 || pct > 99)
+          throw ParseError(
+            s"SAMPLE $pct: percentage must be between 1 and 99 " +
+              "(0 keeps nothing, 100 is the full scan)", pos)
+      }
+      if (p.takeKw("sample")) {
+        val pos = p.pos
+        val pct = p.uintLit()
+        p.takeKw("percent") // optional noise word
+        samplePct(pct, pos)
+        val key = if (p.takeKw("on")) Some(fieldRef(p)) else None
+        sample = Some((pct, key))
+      } else if (p.takeKw("tablesample")) {
+        p.expectSym("(")
+        val pos = p.pos
+        val pct = p.uintLit()
+        p.expectKw("percent")
+        p.expectSym(")")
+        samplePct(pct, pos)
+        val key = if (p.takeKw("on")) Some(fieldRef(p)) else None
+        sample = Some((pct, key))
+      }
       // Comma-separated FROM list (superset — TPC-H's join spelling):
       // `FROM a, b c, …` desugars to inner joins with a TRUE
       // condition; the WHERE's equi-conjuncts reach the join through
@@ -644,7 +687,7 @@ object Parser {
       // join an explicit JOIN … ON would produce.
       while (p.takeSym(",")) {
         val (t, a, d) = fromItem()
-        if (!d) realNames ++= t +: a.toSeq
+        if (!d) plainItems += ((t, a))
         ansiJoins += AnsiJoin(t, a, "inner", Lit(true, "bool"))
       }
       val commaJoinCount = ansiJoins.length
@@ -700,14 +743,22 @@ object Parser {
       }
       if (derived.nonEmpty) {
         val dNames = derived.map(_._1.toLowerCase).toSet
+        // One rule for every join spelling (r15, advice finding —
+        // comma-list and JOIN used to disagree): a FROM/JOIN slot
+        // whose table name matches a derived alias is a legal USE of
+        // the binding (self-join re-instantiation) when it carries
+        // its OWN alias — the slot then exposes that alias, names
+        // stay unique, ANSI-style. WITHOUT an alias the slot would
+        // re-expose the derived name itself (duplicate exposed
+        // correlation name) — that is the silent-shadowing hazard,
+        // rejected below like any other collision.
+        def slotNames(t: String, a: Option[String]): Seq[String] =
+          (if (dNames(t.toLowerCase) && a.nonEmpty) Seq.empty
+           else Seq(t)) ++ a.toSeq
+        realNames ++= plainItems.flatMap { case (t, a) => slotNames(t, a) }
         realNames ++= joins.flatMap(j => j.typeName +: j.alias.toSeq)
-        // JOIN-clause entries (parsed after the comma list): a table
-        // name matching a derived alias is a USE of the binding
-        // (self-join of the derived table), not a real-table slot —
-        // only non-matching names and all aliases count as real
-        realNames ++= ansiJoins.drop(commaJoinCount).flatMap(aj =>
-          (if (dNames(aj.table.toLowerCase)) Seq.empty
-           else Seq(aj.table)) ++ aj.alias.toSeq)
+        realNames ++= ansiJoins.drop(commaJoinCount)
+          .flatMap(aj => slotNames(aj.table, aj.alias))
         realNames.find(n => dNames(n.toLowerCase)).foreach(n =>
           throw ParseError(
             s"derived-table alias $n collides with a table name or " +
@@ -788,7 +839,7 @@ object Parser {
     SelectStmt(items.toSeq, from, fromAlias, joins.toSeq, where,
       groupBy.toSeq, orderBy.toSeq, limit, having,
       distinct = dflag, offset = offset, ansiJoins = ansiJoins.toSeq,
-      groupMode = groupMode, derived = derived.toSeq)
+      groupMode = groupMode, derived = derived.toSeq, sample = sample)
   }
 
   private def fieldRef(p: P): Field = {
@@ -981,20 +1032,22 @@ object Parser {
     case t => throw ParseError("expected expression", t.pos)
   }
 
-  /** `OVER ( [PARTITION BY f, …] [ORDER BY f [ASC|DESC], …] )` */
+  /** `OVER ( [PARTITION BY e, …] [ORDER BY e [ASC|DESC], …] )` —
+    * partition/order keys are full EXPRESSIONS (ANSI; r15 — the
+    * TPC-DS q36 shape ranks `ORDER BY profit / rev` inside OVER). */
   private def windowOver(p: P, f: FnCall): Expr = {
     p.expectSym("(")
-    val parts = ArrayBuffer.empty[Field]
+    val parts = ArrayBuffer.empty[Expr]
     if (p.takeKw("partition")) {
       p.expectKw("by")
-      parts += fieldRef(p)
-      while (p.takeSym(",")) parts += fieldRef(p)
+      parts += expr(p)
+      while (p.takeSym(",")) parts += expr(p)
     }
-    val ords = ArrayBuffer.empty[(Field, Boolean)]
+    val ords = ArrayBuffer.empty[(Expr, Boolean)]
     if (p.takeKw("order")) {
       p.expectKw("by")
       def one(): Unit = {
-        val fd = fieldRef(p)
+        val fd = expr(p)
         val asc = if (p.takeKw("desc")) false else { p.takeKw("asc"); true }
         ords += ((fd, asc))
       }

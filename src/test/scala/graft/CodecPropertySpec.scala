@@ -100,6 +100,124 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(e.getMessage.contains("8-bit"), e.getMessage)
   }
 
+  // Independent IMA ADPCM reference decoder, written directly from
+  // the public spec with its OWN copy of the tables — the round-trip
+  // fuzz asserts Multimodal's decode against this, not against
+  // itself. Emits each block's header predictor plus every
+  // post-nibble predictor (the tag-17 emission contract).
+  private val refStep = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+  private def refAdpcm(nibbles: Array[Int], initIndex: Int,
+      perBlock: Int): Array[Int] = {
+    var pred = 0
+    var idx = initIndex
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    nibbles.zipWithIndex.foreach { case (n, j) =>
+      if (j % perBlock == 0) out += pred // block header sample
+      val step = refStep(idx)
+      var d = step >> 3
+      if ((n & 1) != 0) d += step >> 2
+      if ((n & 2) != 0) d += step >> 1
+      if ((n & 4) != 0) d += step
+      pred = math.max(-32768,
+        math.min(32767, if ((n & 8) != 0) pred - d else pred + d))
+      idx = math.max(0, math.min(88,
+        idx + Array(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)))
+      out += pred
+    }
+    out.toArray
+  }
+
+  test("IMA ADPCM: decode of encode matches the independent " +
+    "reference decoder (lossy codec — reconstruction parity, not " +
+    "identity), random block sizes and step-index starts") {
+    val gen = for {
+      rate <- Gen.choose(1, 48000)
+      perBlockHalf <- Gen.choose(1, 40) // bytes of nibbles per block
+      blocks <- Gen.choose(1, 6)
+      initIdx <- Gen.choose(0, 88)
+      n = perBlockHalf * 2 * blocks
+      samples <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield (rate, perBlockHalf * 2, initIdx, samples.toArray)
+    (0 until 120).foreach { i =>
+      val (rate, perBlock, initIdx, samples) = draw(gen, 9000L + i)
+      val nibbles = Multimodal.adpcmEncode(samples, initIdx)
+      val blockAlign = perBlock / 2 + 4
+      val wav = Multimodal.buildWavAdpcm(rate, nibbles, blockAlign,
+        initIdx)
+      val clip = Multimodal.decodeWav(wav)
+      assert(clip.sample_rate == rate && clip.bits_per_sample == 4 &&
+        clip.format_tag == 0x11 && clip.channels == 1, s"case $i header")
+      val expect = refAdpcm(nibbles, initIdx, perBlock)
+      assert(clip.samples.toSeq == expect.toSeq, s"case $i samples")
+    }
+    // lossy-quality guard on a signal the codec is FOR: a slow ramp
+    // (≤64/sample slope — well inside the adaptive stepper's range)
+    // must reconstruct within a small bound once the stepper locks
+    // on. Random noise can't bound error (any 4-bit DPCM is allowed
+    // to be wildly wrong there); a tracked smooth signal can.
+    val ramp = Array.tabulate(512)(k => -16000 + k * 63)
+    val nr = Multimodal.adpcmEncode(ramp, 0)
+    val clip = Multimodal.decodeWav(
+      Multimodal.buildWavAdpcm(8000, nr, blockAlign = 20, initIndex = 0))
+    val rec = clip.samples
+    (64 until 512).foreach { k =>
+      val v = rec(k + k / 32 + 1) // skip the interleaved header samples
+      assert(math.abs(v - ramp(k)) <= 256,
+        s"ramp sample $k: ${ramp(k)} vs $v")
+    }
+  }
+
+  test("IMA ADPCM hostile streams fail by name: bad block align, " +
+    "truncated block, out-of-range step index, stereo, bad width, " +
+    "partial final block") {
+    val good = Multimodal.buildWavAdpcm(8000,
+      Array.fill(64)(5), blockAlign = 20, initIndex = 30)
+    // fmt body at 20: blockAlign LE16 at +12 (=32), bits at +14 (=34),
+    // channels at +2 (=22), samplesPerBlock at +18 (=38); data body
+    // starts at 48, block header: pred 48..49, step index 50
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    val eAlign = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(patched(32, 3)))
+    assert(eAlign.getMessage.contains("block align"), eAlign.getMessage)
+    val eTrunc = intercept[IllegalArgumentException](
+      Multimodal.decodeWav {
+        val b = good.clone()
+        // shrink the data chunk's declared size by one byte → the
+        // walker sees a final partial block
+        val dszOff = 44
+        val old = (b(dszOff) & 0xff) | ((b(dszOff + 1) & 0xff) << 8)
+        b(dszOff) = ((old - 1) & 0xff).toByte
+        b
+      })
+    assert(eTrunc.getMessage.contains("truncated"), eTrunc.getMessage)
+    val eIdx = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(patched(50, 89)))
+    assert(eIdx.getMessage.contains("step index"), eIdx.getMessage)
+    val eCh = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(patched(22, 2)))
+    assert(eCh.getMessage.contains("mono"), eCh.getMessage)
+    val eBits = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(patched(34, 8)))
+    assert(eBits.getMessage.contains("4-bit"), eBits.getMessage)
+    val eSpb = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(patched(38, 12)))
+    assert(eSpb.getMessage.contains("samples per block"), eSpb.getMessage)
+    // builder refuses a partial final block rather than zero-padding
+    val eBuild = intercept[IllegalArgumentException](
+      Multimodal.buildWavAdpcm(8000, Array.fill(33)(1), 20, 0))
+    assert(eBuild.getMessage.contains("multiple"), eBuild.getMessage)
+  }
+
   test("BMP round-trips exactly for every stride remainder " +
     "(width 1..17) and random heights incl. 1x1") {
     val gen = for {

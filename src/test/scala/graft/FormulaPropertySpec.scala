@@ -123,7 +123,7 @@ class FormulaPropertySpec extends AnyFunSuite {
       val sql = s"select ${render(e)}"
       Parser.parse(sql) match {
         case s @ SelectStmt(Seq(SelectItem(parsed, None)), None,
-            _, _, _, _, _, _, _, _, _, _, _, _) if s.derived.isEmpty =>
+            _, _, _, _, _, _, _, _, _, _, _, _, _) if s.derived.isEmpty =>
           assert(parsed == e, s"\n$sql\nparsed: $parsed\nwanted: $e")
         case other => fail(s"$sql parsed to $other")
       }

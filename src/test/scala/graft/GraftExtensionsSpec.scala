@@ -87,4 +87,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val n = spark.sql("EXEC pcount()").collect().head.getLong(0)
     assert(n == 2L, s"n=$n")
   }
+
+  test("WITH RECURSIVE routes by target: engine fixpoint for engine " +
+    "tables (UNION-distinct cycles), Spark native for Spark tables") {
+    // an engine table forming a 10-node ring (v -> (v+1) % 10): the
+    // UNION-distinct reachability only terminates on the ENGINE's
+    // fixpoint — Spark 4.1's native recursion supports UNION ALL
+    // only, so reaching the engine is observable from the result
+    // (a native route would throw, a bag route would loop to the
+    // depth cap)
+    assert(spark.sql("CREATE TYPE ringnode (v uint PK)").collect()
+      .head.getBoolean(0))
+    (0 until 10).foreach(i => spark.sql(
+      s"INSERT INTO ringnode (v) VALUES ($i)"))
+    val reach = spark.sql(
+      "WITH RECURSIVE r AS (" +
+        "  SELECT v FROM ringnode WHERE v = 0 " +
+        "  UNION " +
+        "  SELECT n.v FROM r JOIN ringnode n ON n.v = (r.v + 1) % 10) " +
+        "SELECT count(*) AS n, sum(v) AS s FROM r").collect().head
+    assert(reach.getLong(0) == 10L && reach.getLong(1) == 45L,
+      reach.toString)
+    // a Spark-only temp view is NOT an engine table → the statement
+    // falls through to Spark's native recursion (UNION ALL mode),
+    // untouched by the dialect
+    spark.range(1, 6).toDF("k").createOrReplaceTempView("sparkonly")
+    val native = spark.sql(
+      "WITH RECURSIVE cnt AS (" +
+        "  SELECT CAST(1 AS LONG) AS x " +
+        "  UNION ALL " +
+        "  SELECT x + 1 FROM cnt WHERE x < 5) " +
+        "SELECT count(*) AS n FROM cnt JOIN sparkonly ON k = x")
+      .collect().head
+    assert(native.getLong(0) == 5L, native.toString)
+  }
 }
