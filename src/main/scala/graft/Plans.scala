@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.Plans"`. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+    // sfDir: first arg wins, then SPARK_GRAFT_SF_DIR (an arg that was
+    // silently ignored regenerated the 100x plan file at sf0.01 once)
+    val sfDir = args.headOption.orElse(
+      sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse(
       "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
