@@ -799,15 +799,32 @@ class Engine(val spark: SparkSession, root: String,
       // buffers. A bare persist() instead of localCheckpoint keeps
       // the whole parent chain alive — at three-digit round counts
       // the nested task closures overflow the stack (ring probe).
+      def wrap(rdd: org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow],
+          schema: StructType): DataFrame =
+        org.apache.spark.sql.GraftSparkInternals.wrapInternal(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          rdd, schema)
       def materialize(df: DataFrame)
-          : (DataFrame, Long, org.apache.spark.rdd.RDD[_]) = {
+          : (DataFrame, Long, org.apache.spark.rdd.RDD[
+              org.apache.spark.sql.catalyst.InternalRow]) = {
         val rdd = df.queryExecution.toRdd.map(_.copy())
           .localCheckpoint()
         val cnt = rdd.count()
-        (org.apache.spark.sql.GraftSparkInternals.wrapInternal(
-          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          rdd, df.schema), cnt, rdd)
+        (wrap(rdd, df.schema), cnt, rdd)
       }
+      // Non-recursive CTE bindings the recursive term references are
+      // LAZY plans — left alone, every round's step re-executes them
+      // in full (q418's ring re-scanned + re-deduplicated its edge
+      // CTE's source table 60 times; q409 re-built a 2-scan UNION ALL
+      // each round). Materialize each once as checkpointed
+      // InternalRows and rebind for the loop: rounds then join
+      // against cached bytes, and per-round cost no longer carries
+      // the CTE's build.
+      val loopBindings: Map[String, DataFrame] = saved ++
+        referencedTables(rec).map(_.toLowerCase).distinct
+          .filter(n => n != nl && saved.contains(n))
+          .map { n => n -> materialize(saved(n))._1 }
       val (f0, f0n, f0r) = materialize(
         if (distinctMode) base1.distinct() else base1)
       var frontier = f0
@@ -821,19 +838,55 @@ class Engine(val spark: SparkSession, root: String,
       // before the unpersists).
       val legs = mutable.ArrayBuffer[DataFrame]()
       if (!distinctMode) legs += frontier
-      // Distinct mode keeps ONE cumulative materialized seen-set and
-      // anti-joins each round's delta against it — one persisted
-      // build per round. The naive alternative (EXCEPT against the
-      // union of ALL prior legs) is correct but re-widens the plan
-      // every round: a D-round fixpoint analyzes a D-leg union D
-      // times, O(D·|total|) planning work, where this loop's plan
-      // width is CONSTANT at any depth (DeepRecursionSpec holds a
-      // 999-round ring flat).
-      var seen: DataFrame = if (distinctMode) frontier else null
+      // Distinct mode keeps the cumulative seen-set as a FLAT RDD
+      // union of checkpointed per-round delta legs — sc.union is
+      // O(1) driver work and, unlike re-materializing `seen ∪ delta`
+      // every round (the r15-mid-build scheme), the per-round count
+      // job scans only the DELTA, so a D-round fixpoint does O(|D|)
+      // total count work instead of O(D·|total|) re-scans. The legs
+      // buffer is compacted into one checkpointed frame every
+      // `compactEvery` rounds, so task-closure size (one RDD ref per
+      // leg) and partition count stay bounded at any depth
+      // (DeepRecursionSpec holds a 999-round ring flat). Plan width
+      // is still CONSTANT: the union happens at the RDD layer, one
+      // LogicalRDD leaf regardless of leg count.
+      // seen is wrapped SEPARATELY from frontier (fresh attribute
+      // ids): the anti-join below references both sides, and sharing
+      // ids with the step's projection would make the join condition
+      // self-referential (trivially true) on the first round.
+      var seen: DataFrame =
+        if (distinctMode) wrap(f0r, base1.schema) else null
       var seenN: Long = f0n
-      var seenRdd: org.apache.spark.rdd.RDD[_] =
-        if (distinctMode) f0r else null
-      var prevFrontierRdd: org.apache.spark.rdd.RDD[_] = null
+      val seenLegs = mutable.ArrayBuffer[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]]()
+      if (distinctMode) seenLegs += f0r
+      val compactEvery = spark.conf
+        .get("graft.recursion.compactLegs", "32").toInt
+      // The broadcast gate: the optimizer sees only stats-less
+      // LogicalRDDs (default size = huge) so left alone every round
+      // pays a two-sided shuffle SortMergeJoin; WE know the seen
+      // set's exact cardinality from the counts the loop already
+      // takes. Below the byte bound the anti-join build side is
+      // broadcast (one shuffle per round instead of three); above
+      // it the planner's shuffle join is kept — the gate is data-
+      // driven, not a local-mode constant.
+      val bcSeenBytes = spark.conf
+        .get("graft.recursion.broadcastSeenBytes", "33554432").toLong
+      val rowEstBytes = math.max(1, base1.schema.defaultSize)
+      var deferRetire: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow] = null
+      // fold leg RDDs into ONE checkpointed, narrowly-coalesced RDD
+      def packLegs(ls: Seq[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]])
+          : org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val packed = sc.union(ls)
+          .coalesce(math.max(1, math.min(
+            ls.map(_.getNumPartitions).max, sc.defaultParallelism)))
+          .localCheckpoint()
+        packed.count()
+        packed
+      }
       var rounds = 0
       var done = f0n == 0
       val dbgRounds = spark.conf
@@ -846,7 +899,7 @@ class Engine(val spark: SparkSession, root: String,
             s"recursive CTE ${b.name} exceeded $maxRounds rounds — " +
               "add a depth bound to the recursive term (or raise " +
               "graft.recursion.maxRounds)")
-        cteBindings.set(saved + (nl -> frontier))
+        cteBindings.set(loopBindings + (nl -> frontier))
         val stepRaw = buildSelect(rec)
         if (stepRaw.columns.length != cols.length)
           throw new IllegalArgumentException(
@@ -855,51 +908,90 @@ class Engine(val spark: SparkSession, root: String,
               s"${cols.length}")
         val step = stepRaw.toDF(cols: _*)
         // distinct mode: drop rows already seen — ONE anti-join of
-        // the round's step against the cumulative seen frame. No
-        // separate .distinct(): Spark's except IS `EXCEPT DISTINCT`
-        // (output deduplicated), so a prepended distinct would be a
-        // whole extra shuffle per round for nothing.
+        // the round's step against the cumulative seen frame,
+        // deduplicated after (LeftAnti + Distinct is exactly what
+        // Catalyst rewrites EXCEPT to, with the same null-safe `<=>`
+        // keys — spelling it out lets us pick the build side).
         if (!distinctMode) {
           val (delta, deltaN, _) = materialize(step)
           if (deltaN == 0) done = true
           else { frontier = delta; legs += delta }
         } else {
-          // ONE job per round: mark the delta for checkpoint but let
-          // the seen-union's count force it — the delta's row count
-          // falls out as the seen set's growth, so the separate
-          // delta-count job disappears (ring probe: jobs/round 2→1).
           val planT0 = System.nanoTime()
-          val deltaRdd = step.except(seen).queryExecution.toRdd
+          // alias-qualified keys: resolution survives Catalyst's
+          // relation deduplication even when step projects a frontier
+          // column verbatim (same underlying attribute id)
+          val sAl = step.alias("__rec_s")
+          val vAl = seen.alias("__rec_v")
+          val antiCond = cols.map(c =>
+            col(s"__rec_s.`$c`") <=> col(s"__rec_v.`$c`"))
+            .reduce(_ && _)
+          val pruned =
+            if (seenN * rowEstBytes <= bcSeenBytes)
+              sAl.join(broadcast(vAl), antiCond, "left_anti")
+            else sAl.join(vAl, antiCond, "left_anti")
+          val buildT = System.nanoTime()
+          // ONE counted job per round, and it scans ONLY the delta:
+          // the checkpoint is forced by the delta count itself.
+          val qe = pruned.distinct().queryExecution
+          val optT0 = System.nanoTime()
+          qe.optimizedPlan // force analysis+optimization separately
+          val optT1 = System.nanoTime()
+          val deltaRdd = qe.toRdd
             .map(_.copy()).localCheckpoint()
           if (dbgRounds && rounds % 30 == 0)
             System.err.println(f"[graft-rec]   plan: " +
-              f"${(System.nanoTime() - planT0) / 1e6}%.0f ms")
-          val delta = org.apache.spark.sql.GraftSparkInternals
-            .wrapInternal(spark.asInstanceOf[
-              org.apache.spark.sql.classic.SparkSession],
-              deltaRdd, frontier.schema)
-          val (s2, s2n, s2r) = materialize(seen.unionAll(delta))
-          if (s2n == seenN) {
-            // no growth: fixpoint reached; s2 is content-equal to
-            // seen — adopt it and retire the old blocks anyway
-            done = true
+              f"${(System.nanoTime() - planT0) / 1e6}%.0f ms " +
+              f"(build ${(buildT - planT0) / 1e6}%.0f, " +
+              f"analyze+opt ${(optT1 - optT0) / 1e6}%.0f, " +
+              f"phys ${(System.nanoTime() - optT1) / 1e6}%.0f)")
+          val deltaN = deltaRdd.count()
+          // a frontier deferred at the last compaction was consumed
+          // by the count job above — safe to retire its blocks now
+          if (deferRetire != null) {
+            deferRetire.unpersist(false); deferRetire = null
           }
-          // the old seen snapshot is fully copied into s2 and the
-          // previous frontier was folded in LAST round — neither is
-          // referenced by any future plan; drop their blocks
-          seenRdd.unpersist(false)
-          if (prevFrontierRdd != null) prevFrontierRdd.unpersist(false)
-          prevFrontierRdd = deltaRdd
-          seen = s2; seenRdd = s2r; seenN = s2n
-          frontier = delta
+          if (deltaN == 0) { deltaRdd.unpersist(false); done = true }
+          else {
+            seenLegs += deltaRdd
+            seenN += deltaN
+            frontier = wrap(deltaRdd, frontier.schema)
+            if (seenLegs.length >= compactEvery) {
+              // compact: fold the legs into one checkpointed frame
+              // (narrow coalesce bounds partition growth), retire
+              // the superseded blocks. The newest leg doubles as the
+              // live frontier — its retirement is DEFERRED until the
+              // next round's count has consumed it.
+              val packed = packLegs(seenLegs.toSeq)
+              seenLegs.foreach(l =>
+                if (l ne deltaRdd) l.unpersist(false))
+              deferRetire = deltaRdd
+              seenLegs.clear()
+              seenLegs += packed
+            }
+            seen =
+              if (seenLegs.length == 1) wrap(seenLegs.head, seen.schema)
+              else wrap(sc.union(seenLegs.toSeq), seen.schema)
+          }
         }
         if (dbgRounds && rounds % 30 == 0)
           System.err.println(f"[graft-rec] round $rounds: " +
             f"${(System.nanoTime() - roundT0) / 1e6}%.0f ms")
       }
-      // distinct mode already holds the final set as `seen`; reuse
-      // it rather than re-unioning the legs
-      if (distinctMode) seen else legs.reduce(_ unionAll _)
+      // distinct mode: one final compaction folds the in-flight legs
+      // into a single checkpointed frame — the persisted-block census
+      // leaves the loop constant (≤1 seen frame, DeepRecursionSpec)
+      // and the consumer re-scans one coalesced RDD instead of a
+      // many-legged union
+      if (distinctMode) {
+        if (seenLegs.length > 1) {
+          val packed = packLegs(seenLegs.toSeq)
+          seenLegs.foreach(_.unpersist(false))
+          seenLegs.clear()
+          seenLegs += packed
+        }
+        wrap(seenLegs.head, base1.schema)
+      } else legs.reduce(_ unionAll _)
     } finally {
       cteBindings.set(saved)
       sc.setLocalProperty(ancestorsKey, prevAncestors)
