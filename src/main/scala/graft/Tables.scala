@@ -110,6 +110,54 @@ object Tables {
   private val normalizedEvents =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Parquet row groups are the atomic unit of scan parallelism —
+    * a single-rowgroup file decodes on ONE core no matter how many
+    * byte-range splits the scheduler cuts (the other splits read
+    * nothing). Count them once per path per JVM from the footers
+    * (metadata-only read). Unknown/unreadable ⇒ MaxValue, i.e.
+    * "assume splittable", so [[fanout]] degrades to a no-op. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def rowGroupsOf(spark: SparkSession, path: String): Int =
+    rowGroupCache.computeIfAbsent(path, _ => {
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          else Array(fs.getFileStatus(p))
+        files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf))
+          try r.getRowGroups.size finally r.close()
+        }.sum
+      } catch { case _: Throwable => Int.MaxValue }
+    })
+
+  /** Layout-aware post-scan rebalance (optimization guide §2.5: an
+    * unsplittable input serializes the whole pipeline — "repartition
+    * immediately after the read"). Wraps a frame whose downstream is
+    * row-local compute-heavy (per-cell hashing, text features, codec
+    * decode, vector math): when the source table's REAL scan
+    * parallelism (row groups across its files) is below half the
+    * cores, insert one round-robin exchange so the compute uses the
+    * cluster; otherwise return the frame untouched. On a many-file /
+    * many-rowgroup production layout this is a no-op — the gate is
+    * measured from the data's own footers, not a local-mode constant.
+    * Predicate pushdown and column pruning are unaffected (Catalyst
+    * pushes filters/projections through Repartition), so call sites
+    * project/filter FIRST and fan out the narrow survivors. */
+  def fanout(s: SparkSession, d: String, name: String,
+             df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (rowGroupsOf(s, s"$d/$name.parquet") < math.max(2, par / 2))
+      df.repartition(par)
+    else df
+  }
+
   /** events with `ts` (ns long) plus a derived µs TimestampType column
     * `ts_utc` for window/partition-pruning use. */
   def eventsWithTime(s: SparkSession, d: String): DataFrame = {
@@ -117,8 +165,17 @@ object Tables {
     events(s, d).withColumn("ts_utc",
       graft.functions.NowFunctions.stampToTs(col("ts")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents and embeddings are served FANNED OUT ([[fanout]]):
+    * their ~160 consumers are text/vector compute pipelines
+    * (shingle+hash, tokenize, per-cell features, dot products) whose
+    * cost is row-local work, and this corpus ships single-rowgroup
+    * files that would serialize that work through one core. Filters
+    * and pruning still push below the exchange; on a multi-rowgroup
+    * production layout the wrapper is an exact no-op. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanout(s, d, "documents", load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanout(s, d, "embeddings", load(s, d, "embeddings"))
 
   /** Register every table as a temp view (used by the SQL front-end and
     * ad-hoc `spark.sql` queries). events goes through [[events]] so the

@@ -70,7 +70,9 @@ object AnalyticsQueries extends QueryPack {
     "q95_corr" -> ((s, d) => {
       val x = dec(col("l_quantity"))
       val y = dec(col("l_extendedprice"))
-      Tables.lineitem(s, d)
+      Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
           sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
@@ -109,7 +111,9 @@ object AnalyticsQueries extends QueryPack {
     "q98_regression" -> ((s, d) => {
       val x = dec(col("l_quantity"))
       val y = dec(col("l_extendedprice"))
-      Tables.lineitem(s, d)
+      Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
           sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
@@ -169,7 +173,13 @@ object AnalyticsQueries extends QueryPack {
     // an unfamiliar 100-TB table, and the single-pass plan is what
     // makes it affordable there.
     "q154_column_profile" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // fanned out post-scan (Tables.fanout): the 5-column multi-
+      // distinct Expand aggregate is row-local compute that a
+      // single-rowgroup source serializes on one core (r15 profile:
+      // 2.2 s in a 3-task stage)
+      val li = Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax"))
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax")
       val aggs = cols.flatMap { c =>
@@ -349,9 +359,10 @@ object AnalyticsQueries extends QueryPack {
     // expression over exact sums. Per-group state: five decimals.
     "q294_simpson_audit" -> ((s, d) => {
       val dec = DecimalType(18, 4)
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-        col("l_discount").cast(dec).as("x"),
-        col("l_quantity").cast(dec).as("y"))
+      val li = Tables.fanout(s, d, "lineitem",
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_discount").cast(dec).as("x"),
+          col("l_quantity").cast(dec).as("y")))
       def moments(df: DataFrame, keys: Seq[String]): DataFrame = {
         val g = if (keys.isEmpty) df.groupBy() else
           df.groupBy(keys.map(col): _*)
@@ -437,8 +448,8 @@ object AnalyticsQueries extends QueryPack {
     // self-join of the fact table at scale beyond the basket-keyed
     // equi-join); lift is micro-rounded for an integer-exact top-20.
     "q301_basket_rules" -> ((s, d) => {
-      val bi = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val bi = Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
         .distinct()
       val n = bi.select(col("o")).distinct().agg(count(lit(1)).as("n"))
       val cx = bi.groupBy(col("p")).agg(count(lit(1)).as("c"))
@@ -512,10 +523,14 @@ object AnalyticsQueries extends QueryPack {
     "q336_encoding_advisor" -> ((s, d) => {
       val cs = Seq("l_returnflag", "l_linestatus", "l_suppkey",
         "l_partkey", "l_quantity")
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-        col("l_linenumber").cast("long").as("l_linenumber"),
-        col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
-        col("l_partkey"), col("l_quantity"))
+      // fanned out post-scan (Tables.fanout): both consumers (the
+      // distributedRank sampling+sort and the Expand distinct agg)
+      // are compute-heavy map work over a single-rowgroup source
+      val li = Tables.fanout(s, d, "lineitem",
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+          col("l_partkey"), col("l_quantity")))
       val ranked = Rank.distributedRank(li,
         Seq(col("l_orderkey").asc, col("l_linenumber").asc), s)
       val nxt = ranked.select((col("rk") - 1L).as("rk")
@@ -566,16 +581,27 @@ object AnalyticsQueries extends QueryPack {
             sum(col("h").cast(dec38)).as("s"))
           .select(lit(name).as("table_name"), col("n_rows"),
             (col("s") % mersenne61).cast("long").as("checksum"))
-      fp("lineitem", Tables.lineitem(s, d),
+      // lineitem/orders/events fanned out post-scan (Tables.fanout):
+      // the per-row md5 over the concat'd key string is the whole
+      // cost and a single-rowgroup source serializes it (documents
+      // arrives fanned from its loader)
+      fp("lineitem", Tables.fanout(s, d, "lineitem",
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_suppkey"),
+            col("l_returnflag"))),
           Seq(col("l_orderkey"), col("l_linenumber"),
             col("l_suppkey"), col("l_returnflag")))
-        .unionAll(fp("orders", Tables.orders(s, d),
+        .unionAll(fp("orders", Tables.fanout(s, d, "orders",
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"))),
           Seq(col("o_orderkey"), col("o_custkey"),
             col("o_orderstatus"))))
         .unionAll(fp("documents", Tables.documents(s, d),
           Seq(col("doc_id"), col("lang"), col("source"),
             col("n_chars"))))
-        .unionAll(fp("events", Tables.events(s, d),
+        .unionAll(fp("events", Tables.fanout(s, d, "events",
+          Tables.events(s, d).select(col("event_id"),
+            col("user_id"), col("event_type"))),
           Seq(col("event_id"), col("user_id"), col("event_type"))))
     }),
     // Driver-environment divergence probe: q337's order-free
@@ -614,20 +640,33 @@ object AnalyticsQueries extends QueryPack {
       val (nw0, nc, stp0, punct, _) = CurationQueries.gateFeats
       val nw = when(col("text").isNotNull, nw0)
       val stp = when(col("text").isNotNull, stp0)
-      probe(Tables.lineitem(s, d), "lineitem",
+      // each probed table is fanned out post-scan (Tables.fanout):
+      // the per-CELL md5+conv is the whole cost of this query, and a
+      // single-rowgroup source serializes it through one core
+      // (measured: 2.6 s single-task lineitem stage at sf0.1)
+      probe(Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_suppkey"), col("l_returnflag"))), "lineitem",
           Seq("l_orderkey" -> col("l_orderkey"),
             "l_linenumber" -> col("l_linenumber"),
             "l_suppkey" -> col("l_suppkey"),
             "l_returnflag" -> col("l_returnflag")))
-        .unionAll(probe(Tables.orders(s, d), "orders",
+        .unionAll(probe(Tables.fanout(s, d, "orders",
+            Tables.orders(s, d).select(col("o_orderkey"),
+              col("o_custkey"), col("o_orderstatus"))), "orders",
           Seq("o_orderkey" -> col("o_orderkey"),
             "o_custkey" -> col("o_custkey"),
             "o_orderstatus" -> col("o_orderstatus"))))
-        .unionAll(probe(Tables.events(s, d), "events",
+        .unionAll(probe(Tables.fanout(s, d, "events",
+            Tables.events(s, d).select(col("event_id"),
+              col("user_id"), col("event_type"))), "events",
           Seq("event_id" -> col("event_id"),
             "user_id" -> col("user_id"),
             "event_type" -> col("event_type"))))
-        .unionAll(probe(Tables.documents(s, d), "documents",
+        .unionAll(probe(Tables.fanout(s, d, "documents",
+            Tables.documents(s, d).select(col("doc_id"), col("lang"),
+              col("source"), col("n_chars"), col("text"))),
+          "documents",
           Seq("doc_id" -> col("doc_id"), "lang" -> col("lang"),
             "source" -> col("source"), "n_chars" -> col("n_chars"),
             "feat_n_words" -> nw, "feat_n_chars" -> nc,

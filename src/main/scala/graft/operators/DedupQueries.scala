@@ -377,6 +377,11 @@ object DedupQueries extends QueryPack {
         // domain exceeds 10000 (ScaleGen replicas start at 20000)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text"))
+        // the global top-k LIMIT above collapses the batch to ONE
+        // partition, and the band projection (shingle md5 × k minhash
+        // folds per row) would run single-core on it (measured 1.9 s
+        // in one task at sf0.1) — spread the survivors first
+        .repartition(s.sparkContext.defaultParallelism)
       Dedup.streamNearDupScreen(batch,
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", shingleN = 3, k = 8, bands = 4, tau = 0.5)

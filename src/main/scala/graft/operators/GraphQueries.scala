@@ -36,7 +36,9 @@ object GraphQueries extends QueryPack {
       (s.sparkContext.applicationId, d, minShared, false), {
         val p = java.nio.file.Files
           .createTempDirectory(s"graft-co-$minShared-").toString
-        Graph.commonNeighborPairs(Tables.lineitem(s, d),
+        Graph.commonNeighborPairs(
+            Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_suppkey"))),
             "l_orderkey", "l_suppkey", minShared)
           .write.mode("overwrite").parquet(p)
         p

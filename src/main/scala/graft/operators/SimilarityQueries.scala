@@ -176,9 +176,14 @@ object SimilarityQueries extends QueryPack {
     // JL random projection 64→16 dims, deterministic md5-parity signs
     // (Similarity.jlProject scaladoc) — long-form (vec_id, j, proj),
     // every projection bit-identical to the oracle's recompute.
+    // Input is fanned out post-scan (Tables.fanout): the projection's
+    // 64×16 per-row dot products are the cost, and a single-rowgroup
+    // source would serialize them through one core (measured 2.7 s in
+    // ONE task at sf0.1; r15 profile).
     "q146_jl_projection" -> ((s, d) =>
-      Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
-          "embedding", k = 16)
+      Similarity.jlProject(
+          Tables.fanout(s, d, "embeddings", Tables.embeddings(s, d)),
+          "vec_id", "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
     // Pairwise-cosine histogram over a deterministic probe set (the
     // first 100 vectors, 4950 pairs): the embedding-space geometry
