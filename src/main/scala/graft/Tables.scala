@@ -165,17 +165,18 @@ object Tables {
     events(s, d).withColumn("ts_utc",
       graft.functions.NowFunctions.stampToTs(col("ts")))
   }
-  /** documents and embeddings are served FANNED OUT ([[fanout]]):
-    * their ~160 consumers are text/vector compute pipelines
-    * (shingle+hash, tokenize, per-cell features, dot products) whose
-    * cost is row-local work, and this corpus ships single-rowgroup
-    * files that would serialize that work through one core. Filters
-    * and pruning still push below the exchange; on a multi-rowgroup
-    * production layout the wrapper is an exact no-op. */
-  def documents(s: SparkSession, d: String): DataFrame =
-    fanout(s, d, "documents", load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    fanout(s, d, "embeddings", load(s, d, "embeddings"))
+  /** documents/embeddings are served RAW. A loader-level [[fanout]]
+    * was tried in r15 and measured both ways on one box: single-pass
+    * compute-heavy consumers won big (q187 2.5→0.4 s), but the many
+    * multi-derivation pipelines (BM25 passes, LSH banding, span
+    * families — 10–25 stage plans that re-derive the corpus several
+    * times) LOST 1.5–2.5× each: at this corpus size the extra
+    * exchange and the 32-task stages it forces on every downstream
+    * derivation outweigh the decode parallelism. fanout is applied
+    * per call site where a profile shows one dominating serialized
+    * stage, never blanket. */
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view (used by the SQL front-end and
     * ad-hoc `spark.sql` queries). events goes through [[events]] so the

@@ -448,8 +448,11 @@ object AnalyticsQueries extends QueryPack {
     // self-join of the fact table at scale beyond the basket-keyed
     // equi-join); lift is micro-rounded for an integer-exact top-20.
     "q301_basket_rules" -> ((s, d) => {
-      val bi = Tables.fanout(s, d, "lineitem", Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      // NOT fanned out (r15 A/B: 1.83 s raw vs 3.11 s fanned — the
+      // pair self-join pipeline loses more to the extra exchange
+      // stages than the scan fanout returns)
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
       val n = bi.select(col("o")).distinct().agg(count(lit(1)).as("n"))
       val cx = bi.groupBy(col("p")).agg(count(lit(1)).as("c"))
@@ -523,14 +526,13 @@ object AnalyticsQueries extends QueryPack {
     "q336_encoding_advisor" -> ((s, d) => {
       val cs = Seq("l_returnflag", "l_linestatus", "l_suppkey",
         "l_partkey", "l_quantity")
-      // fanned out post-scan (Tables.fanout): both consumers (the
-      // distributedRank sampling+sort and the Expand distinct agg)
-      // are compute-heavy map work over a single-rowgroup source
-      val li = Tables.fanout(s, d, "lineitem",
-        Tables.lineitem(s, d).select(col("l_orderkey"),
-          col("l_linenumber").cast("long").as("l_linenumber"),
-          col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
-          col("l_partkey"), col("l_quantity")))
+      // NOT fanned out (r15 A/B: 2.07 s raw vs 3.20 s fanned — the
+      // rank+join+Expand pipeline pays more in extra-stage tasks
+      // than the decode parallelism returns at this corpus size)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"))
       val ranked = Rank.distributedRank(li,
         Seq(col("l_orderkey").asc, col("l_linenumber").asc), s)
       val nxt = ranked.select((col("rk") - 1L).as("rk")

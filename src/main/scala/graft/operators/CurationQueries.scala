@@ -479,7 +479,11 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"))
     }),
     "q136_source_overlap" -> ((s, d) => {
-      val sg = Dedup.wordShingles(Tables.documents(s, d), "source",
+      // fanned out post-scan (r15 A/B: 2.1 s raw vs 1.3 s fanned) —
+      // the shingle explode+distinct is the dominating stage
+      val sg = Dedup.wordShingles(
+          Tables.fanout(s, d, "documents", Tables.documents(s, d)
+            .select(col("source"), col("text"))), "source",
           "text", n = 5)
         .select(col("shingle"), col("doc_id").as("source")).distinct()
       val pairs = Graph.commonNeighborPairs(sg, "shingle", "source",
@@ -544,8 +548,11 @@ object CurationQueries extends QueryPack {
     // derivation pattern). Hash-shuffle on the 8-byte fingerprint;
     // output bounded by duplicate groups.
     "q207_crosslang_dup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"))
+      // fanned out post-scan (r15 A/B: 2.2 s raw vs 0.6 s fanned) —
+      // the per-doc normalization+hash projection dominates
+      val docs = Tables.fanout(s, d, "documents",
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text")))
       val corpus = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 20000L).as("doc_id"),
           lit("xx").as("lang"), col("text")))

@@ -361,9 +361,14 @@ object TextQueries extends QueryPack {
     // Gopher-style intra-document repetition: duplicate trigram
     // fraction + most-frequent-trigram share per doc, flag > 0.125.
     // Zero-shuffle row-local profile; exact integer-ratio oracle.
+    // Fanned out post-scan (Tables.fanout): the per-doc trigram sort
+    // + run-length fold is the entire cost, serialized by a single-
+    // rowgroup source (r15 A/B: 2.5 s raw vs 0.4 s fanned)
     "q187_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionProfile(Tables.documents(s, d), "doc_id",
-        "text", n = 3)),
+      TextAnalysis.repetitionProfile(
+        Tables.fanout(s, d, "documents", Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))),
+        "doc_id", "text", n = 3)),
     // Distributed classifier TRAINING, differentially checked: 3
     // full-batch perceptron passes on hashed bag-of-words. The task
     // is a PLANTED lexical rule (docs with id%3==0 carry a repeated
@@ -1459,7 +1464,11 @@ object TextQueries extends QueryPack {
     // leaves the executors), so the scan is O(total chars) with no
     // skew pitfalls beyond doc length itself.
     "q281_char_entropy" -> ((s, d) => {
-      val chars = Tables.documents(s, d)
+      // fanned out post-scan (r15 A/B: 2.0 s raw vs 0.8 s fanned) —
+      // the per-character explode is one dominating serialized stage
+      val chars = Tables.fanout(s, d, "documents",
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1), length(col("text")))).as("i"),
           col("text"))

@@ -59,15 +59,11 @@ object TpcdsQueries extends QueryPack {
     def money(c: String) = col(c).cast("decimal(12,2)").as(c)
     def rate(c: String) = col(c).cast("decimal(4,2)").as(c)
     def ns(c: String) = (col(c).cast("long") * 1000000000L).as(c)
-    // the fact side is fanned out post-scan (Tables.fanout): the
-    // grouping-grid aggregates and window passes are compute over
-    // every lineitem row, serialized by a single-rowgroup source
-    eng.attachTable("lineitem", Tables.fanout(s, d, "lineitem",
-      Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), money("l_extendedprice"),
-        rate("l_discount"), rate("l_tax"),
-        col("l_returnflag"), ns("l_shipdate"))),
+    eng.attachTable("lineitem", Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), money("l_extendedprice"),
+      rate("l_discount"), rate("l_tax"),
+      col("l_returnflag"), ns("l_shipdate")),
       timeCols = Set("l_shipdate"))
     eng.attachTable("orders", Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), ns("o_orderdate"),
