@@ -1,0 +1,21 @@
+#!/bin/bash
+# Direct-JVM runner for graft mains (avoids the sbt project lock so a
+# bench can run while sbt compiles/tests). Mirrors build.sbt javaOptions.
+# Usage: scripts/jrun.sh <MainClass> [args...]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+OPENS="$OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
+OPENS="$OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
+OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
+OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CP" "$@"

@@ -766,6 +766,8 @@ class Engine(val spark: SparkSession, root: String,
     val ancestorsKey = "spark.checkpoint.checkpointAllMarkedAncestors"
     val prevAncestors = sc.getLocalProperty(ancestorsKey)
     sc.setLocalProperty(ancestorsKey, "true")
+    val bindingRdds = mutable.ArrayBuffer[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow]]()
     try {
       // Materialize a round frame with a TRUNCATED identity, in ONE
       // job: persist the plan's InternalRow RDD and count it (the
@@ -820,11 +822,46 @@ class Engine(val spark: SparkSession, root: String,
       // each round). Materialize each once as checkpointed
       // InternalRows and rebind for the loop: rounds then join
       // against cached bytes, and per-round cost no longer carries
-      // the CTE's build.
+      // the CTE's build. The materialized binding RDDs are unpersisted
+      // once the fixpoint exits (the returned frame is backed by the
+      // packed legs / local rows, never by the bindings) — without
+      // that a long-lived driver accumulates dead persisted blocks
+      // until the ContextCleaner happens to GC them (advice finding).
+      val loopRefs = referencedTables(rec).map(_.toLowerCase).distinct
       val loopBindings: Map[String, DataFrame] = saved ++
-        referencedTables(rec).map(_.toLowerCase).distinct
+        loopRefs
           .filter(n => n != nl && saved.contains(n))
-          .map { n => n -> materialize(saved(n))._1 }
+          .map { n =>
+            val (df, _, r) = materialize(saved(n))
+            bindingRdds += r
+            n -> df
+          } ++
+        // Plain ATTACHED tables the step joins are re-read from
+        // storage every round too (q410 re-decoded its parquet fact
+        // table once per walk level — the dominant per-round cost).
+        // Snapshot small ones once behind a byte gate read from the
+        // optimizer's own size estimate (parquet file bytes), so a
+        // 100 TB edge table keeps streaming while a bounded dimension
+        // iterates against cached bytes. Only attached tables WITHOUT
+        // declared time columns are eligible: typeCtx derives their
+        // kinds from the frame schema exactly as it does for CTE
+        // bindings, so shadowing cannot change expression typing
+        // (scope tables type from catalog props and stay unshadowed).
+        loopRefs
+          .filter(n => n != nl && !saved.contains(n) &&
+            attached.contains(n) &&
+            attachedTimeCols.getOrElse(n, Set.empty).isEmpty)
+          .flatMap { n =>
+            val df = attached(n)
+            val cacheTableBytes = spark.conf
+              .get("graft.recursion.cacheTableBytes", "67108864").toLong
+            val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (est <= cacheTableBytes) {
+              val (m, _, r) = materialize(df)
+              bindingRdds += r
+              Some(n -> m)
+            } else None
+          }
       val (f0, f0n, f0r) = materialize(
         if (distinctMode) base1.distinct() else base1)
       var frontier = f0
@@ -872,7 +909,22 @@ class Engine(val spark: SparkSession, root: String,
       // driven, not a local-mode constant.
       val bcSeenBytes = spark.conf
         .get("graft.recursion.broadcastSeenBytes", "33554432").toLong
-      val rowEstBytes = math.max(1, base1.schema.defaultSize)
+      // Gate on MEASURED bytes, not schema.defaultSize (advice
+      // finding): defaultSize prices strings/binary/arrays at ~20
+      // bytes, so a wide-string seen set could pass the 32 MB gate
+      // while actually being GBs — sample the materialized base leg's
+      // UnsafeRow sizes and take the max of both estimates.
+      val rowEstBytes: Long = {
+        val sample = f0r.take(64)
+        val measured =
+          if (sample.isEmpty) 0L
+          else sample.map {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              u.getSizeInBytes.toLong
+            case _ => base1.schema.defaultSize.toLong
+          }.sum / sample.length
+        math.max(1L, math.max(base1.schema.defaultSize.toLong, measured))
+      }
       var deferRetire: org.apache.spark.rdd.RDD[
         org.apache.spark.sql.catalyst.InternalRow] = null
       // fold leg RDDs into ONE checkpointed, narrowly-coalesced RDD
@@ -891,14 +943,114 @@ class Engine(val spark: SparkSession, root: String,
       var done = f0n == 0
       val dbgRounds = spark.conf
         .get("graft.recursion.debugRounds", "false") == "true"
-      while (!done) {
-        val roundT0 = System.nanoTime()
-        rounds += 1
-        if (rounds > maxRounds)
-          throw new IllegalStateException(
-            s"recursive CTE ${b.name} exceeded $maxRounds rounds — " +
-              "add a depth bound to the recursive term (or raise " +
-              "graft.recursion.maxRounds)")
+
+      // ── Driver-resident fast path (r16, guide §3.1/§5) ───────────
+      // Below the SAME byte gate that already shipped the seen set to
+      // the driver for a broadcast build EVERY round, keep the
+      // accumulated rows at the driver ONCE and make each round a
+      // single job: the frontier binds as a broadcast-hinted
+      // LocalRelation (its broadcast builds driver-side, zero tasks),
+      // the step's rows are collected (bounded by the gate), and the
+      // dedup-against-seen runs on a driver hash set. The r15 scheme
+      // ran ~6 jobs/round on q418's 60-round ring (357 stages: a
+      // BroadcastExchange collect job that re-scanned ALL seen legs,
+      // AQE shuffle-stage jobs for the distinct, the delta count) —
+      // this path runs exactly one. Over the gate — or the moment a
+      // round's output or the accumulated set overflows it — the
+      // distributed anti-join path below takes over, so the choice is
+      // data-driven bytes, never a local-mode constant.
+      def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasMapType(a.elementType)
+          case _ => false
+        }
+      // Spark's set semantics normalize -0.0 to 0.0 and treat
+      // NaN = NaN (NormalizeFloatingNumbers on join/grouping keys);
+      // driver-side rows must reproduce both: stored values get -0.0
+      // flipped to 0.0 (what a normalized shuffle would have written),
+      // set keys additionally collapse NaN (Scala == on boxed doubles
+      // is primitive ==, where NaN != NaN) and wrap byte arrays
+      // (reference equality otherwise).
+      def normVal(v: Any): Any = v match {
+        case d: java.lang.Double =>
+          if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d) else d
+        case f: java.lang.Float =>
+          if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f) else f
+        case r: Row => Row.fromSeq(r.toSeq.map(normVal))
+        case s: Seq[_] => s.map(normVal)
+        case other => other
+      }
+      def keyVal(v: Any): Any = v match {
+        case d: java.lang.Double if d.isNaN => "\u0000NaN:d"
+        case f: java.lang.Float if f.isNaN => "\u0000NaN:f"
+        case b: Array[Byte] => b.toSeq
+        case r: Row => r.toSeq.map(keyVal).toList
+        case s: Seq[_] => s.map(keyVal).toList
+        case other => other
+      }
+      def keyOf(r: Row): Seq[Any] = r.toSeq.map(keyVal)
+      // conservative external-row byte estimate for the driver gate
+      def extBytes(v: Any): Long = v match {
+        case null => 8L
+        case s: String => 24L + 2L * s.length
+        case b: Array[Byte] => 24L + b.length
+        case sq: Seq[_] => 24L + sq.map(extBytes).sum
+        case r: Row => 16L + r.toSeq.map(extBytes).sum
+        case _ => 8L
+      }
+      def extRowBytes(r: Row): Long = 16L + r.toSeq.map(extBytes).sum
+      import scala.jdk.CollectionConverters._
+      val maxDriverRows: Long =
+        math.min(4000000L, math.max(1024L, bcSeenBytes / rowEstBytes))
+      val resultRows = mutable.ArrayBuffer[Row]()
+      val seenKeys = mutable.HashSet[Seq[Any]]()
+      var frontRows: Seq[Row] = Nil
+      var driverBytes = 0L
+      var driverMode =
+        !base1.schema.fields.exists(f => hasMapType(f.dataType)) &&
+          f0n > 0 && f0n <= maxDriverRows
+      if (driverMode) {
+        wrap(f0r, base1.schema).collect().foreach { r0 =>
+          val r = normVal(r0).asInstanceOf[Row]
+          if (distinctMode) {
+            val k = keyOf(r)
+            if (!seenKeys.contains(k)) { seenKeys += k; resultRows += r }
+          } else resultRows += r
+        }
+        frontRows = resultRows.toSeq
+        driverBytes = resultRows.iterator.map(extRowBytes).sum
+        if (driverBytes > bcSeenBytes) {
+          resultRows.clear(); seenKeys.clear(); frontRows = Nil
+          driverMode = false
+        }
+      }
+      // fold the driver-resident state back into the distributed
+      // loop's invariants (called when the gate overflows mid-loop)
+      def switchToDistributed(): Unit = {
+        val (allF, allN, allR) = materialize(
+          spark.createDataFrame(resultRows.asJava, base1.schema))
+        val (fF, _, _) = materialize(
+          spark.createDataFrame(frontRows.asJava, base1.schema))
+        if (distinctMode) {
+          seenLegs.foreach(_.unpersist(false))
+          seenLegs.clear()
+          seenLegs += allR
+          seen = wrap(allR, base1.schema)
+          seenN = allN
+        } else {
+          f0r.unpersist(false)
+          legs.clear()
+          legs += allF
+        }
+        frontier = fF
+        resultRows.clear(); seenKeys.clear(); frontRows = Nil
+        driverMode = false
+      }
+
+      def distributedRound(): Unit = {
         cteBindings.set(loopBindings + (nl -> frontier))
         val stepRaw = buildSelect(rec)
         if (stepRaw.columns.length != cols.length)
@@ -918,18 +1070,22 @@ class Engine(val spark: SparkSession, root: String,
           else { frontier = delta; legs += delta }
         } else {
           val planT0 = System.nanoTime()
-          // alias-qualified keys: resolution survives Catalyst's
-          // relation deduplication even when step projects a frontier
-          // column verbatim (same underlying attribute id)
-          val sAl = step.alias("__rec_s")
-          val vAl = seen.alias("__rec_v")
-          val antiCond = cols.map(c =>
-            col(s"__rec_s.`$c`") <=> col(s"__rec_v.`$c`"))
-            .reduce(_ && _)
+          // both sides renamed POSITIONALLY to fresh unique names
+          // (advice finding: name-based `col("__rec_s.`c`")` faults
+          // on duplicate or backticked output columns); the rename
+          // projections also give each side fresh attribute ids, so
+          // resolution survives Catalyst's relation deduplication
+          // even when step projects a frontier column verbatim
+          val sNames = cols.indices.map(i => s"__rec_s$i")
+          val vNames = cols.indices.map(i => s"__rec_v$i")
+          val sAl = step.toDF(sNames: _*)
+          val vAl = seen.toDF(vNames: _*)
+          val antiCond = cols.indices.map(i =>
+            col(sNames(i)) <=> col(vNames(i))).reduce(_ && _)
           val pruned =
-            if (seenN * rowEstBytes <= bcSeenBytes)
+            (if (seenN * rowEstBytes <= bcSeenBytes)
               sAl.join(broadcast(vAl), antiCond, "left_anti")
-            else sAl.join(vAl, antiCond, "left_anti")
+            else sAl.join(vAl, antiCond, "left_anti")).toDF(cols: _*)
           val buildT = System.nanoTime()
           // ONE counted job per round, and it scans ONLY the delta:
           // the checkpoint is forced by the delta count itself.
@@ -974,16 +1130,70 @@ class Engine(val spark: SparkSession, root: String,
               else wrap(sc.union(seenLegs.toSeq), seen.schema)
           }
         }
+      }
+
+      while (!done) {
+        val roundT0 = System.nanoTime()
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"recursive CTE ${b.name} exceeded $maxRounds rounds — " +
+              "add a depth bound to the recursive term (or raise " +
+              "graft.recursion.maxRounds)")
+        if (driverMode) {
+          val localFrontier = broadcast(spark.createDataFrame(
+            frontRows.asJava, base1.schema))
+          cteBindings.set(loopBindings + (nl -> localFrontier))
+          val stepRaw = buildSelect(rec)
+          if (stepRaw.columns.length != cols.length)
+            throw new IllegalArgumentException(
+              s"recursive CTE ${b.name}: the recursive term produces " +
+                s"${stepRaw.columns.length} columns, expected " +
+                s"${cols.length}")
+          val step = stepRaw.toDF(cols: _*)
+          // ONE job: collect the step, capped one past the gate so an
+          // overflowing round is detected (its truncated result is
+          // discarded and the round re-runs distributed)
+          val taken = step.limit(maxDriverRows.toInt + 1).collect()
+          if (taken.length > maxDriverRows) {
+            switchToDistributed()
+            distributedRound()
+          } else {
+            val fresh = mutable.ArrayBuffer[Row]()
+            taken.foreach { r0 =>
+              val r = normVal(r0).asInstanceOf[Row]
+              if (distinctMode) {
+                val k = keyOf(r)
+                if (!seenKeys.contains(k)) { seenKeys += k; fresh += r }
+              } else fresh += r
+            }
+            if (fresh.isEmpty) done = true
+            else {
+              resultRows ++= fresh
+              frontRows = fresh.toSeq
+              driverBytes += fresh.iterator.map(extRowBytes).sum
+              if (driverBytes > bcSeenBytes) switchToDistributed()
+            }
+          }
+        } else distributedRound()
         if (dbgRounds && rounds % 30 == 0)
           System.err.println(f"[graft-rec] round $rounds: " +
             f"${(System.nanoTime() - roundT0) / 1e6}%.0f ms")
       }
-      // distinct mode: one final compaction folds the in-flight legs
-      // into a single checkpointed frame — the persisted-block census
-      // leaves the loop constant (≤1 seen frame, DeepRecursionSpec)
-      // and the consumer re-scans one coalesced RDD instead of a
-      // many-legged union
-      if (distinctMode) {
+      if (driverMode) {
+        // pure driver-resident run: every accumulated row is already
+        // local — return a LocalRelation-backed frame (values are
+        // identical to the distributed path's; consumers aggregate or
+        // re-distribute). The base leg's persisted blocks are dead.
+        f0r.unpersist(false)
+        seenLegs.clear(); legs.clear()
+        spark.createDataFrame(resultRows.asJava, base1.schema)
+      } else if (distinctMode) {
+        // one final compaction folds the in-flight legs into a single
+        // checkpointed frame — the persisted-block census leaves the
+        // loop constant (≤1 seen frame, DeepRecursionSpec) and the
+        // consumer re-scans one coalesced RDD instead of a
+        // many-legged union
         if (seenLegs.length > 1) {
           val packed = packLegs(seenLegs.toSeq)
           seenLegs.foreach(_.unpersist(false))
@@ -995,6 +1205,11 @@ class Engine(val spark: SparkSession, root: String,
     } finally {
       cteBindings.set(saved)
       sc.setLocalProperty(ancestorsKey, prevAncestors)
+      // retire the loop-binding materializations (advice finding):
+      // the returned frame never reads them — packed legs or local
+      // rows only — so their persisted blocks are dead the moment
+      // the fixpoint exits
+      bindingRdds.foreach(_.unpersist(false))
     }
   }
 

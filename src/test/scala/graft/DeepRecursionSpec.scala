@@ -63,6 +63,54 @@ class DeepRecursionSpec extends AnyFunSuite {
       f"$before -> $after")
   }
 
+  // r16: the fixpoint has two executions — driver-resident below the
+  // broadcastSeenBytes gate (one job/round) and the distributed
+  // anti-join above it — plus a mid-loop handover when the gate
+  // overflows. All three must produce identical multisets.
+  test("driver-resident, distributed, and mid-loop-overflow recursion " +
+    "paths agree exactly (UNION and UNION ALL)") {
+    val eng = freshEngine()
+    eng.script("create scope modering; use modering")
+    val n = 40
+    eng.attachTable("ring", spark.range(0, n).toDF("v")
+      .select(col("v").cast("long").as("v")))
+    def run(q: String): Seq[Seq[Any]] = eng.sql(q) match {
+      case Rows(d) => d.collect().toSeq.map(_.toSeq)
+        .sortBy(_.mkString("|"))
+      case other => fail(s"recursion failed: $other")
+    }
+    val distinctQ =
+      "with recursive reach as (" +
+        "  select v from ring where v = 0 " +
+        "  union " +
+        s"  select r2.v from reach r join ring r2 " +
+        s"    on r2.v = (r.v + 1) % $n) " +
+        "select v from reach"
+    val allQ =
+      "with recursive steps(v, d) as (" +
+        "  select v, 0 from ring where v < 3 " +
+        "  union all " +
+        "  select v + 1, d + 1 from steps where d < 5) " +
+        "select v, d from steps"
+    def inMode(bytes: String)(q: String): Seq[Seq[Any]] = {
+      spark.conf.set("graft.recursion.broadcastSeenBytes", bytes)
+      try run(q)
+      finally spark.conf.unset("graft.recursion.broadcastSeenBytes")
+    }
+    val driver = run(distinctQ)             // default gate: driver-resident
+    val dist = inMode("0")(distinctQ)       // gate 0: distributed anti-join
+    val mid = inMode("600")(distinctQ)      // overflows after ~some rounds
+    assert(driver == dist, "driver vs distributed mismatch")
+    assert(driver == mid, "driver vs mid-loop-overflow mismatch")
+    assert(driver.length == n)
+    val driverAll = run(allQ)
+    val distAll = inMode("0")(allQ)
+    val midAll = inMode("600")(allQ)
+    assert(driverAll == distAll, "UNION ALL driver vs distributed")
+    assert(driverAll == midAll, "UNION ALL driver vs overflow")
+    assert(driverAll.length == 3 * 6)
+  }
+
   test("depth cap fails by name and names the knob") {
     val eng = freshEngine()
     eng.script("create scope capring; use capring")
