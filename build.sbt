@@ -31,5 +31,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sized to the executor threads it hosts (guide §5), still
+  // env-overridable. local[32] packs 32 concurrently-allocating tasks
+  // into ONE JVM — a production cluster gives each executor 4-8 GB, so
+  // an 8 GB ceiling here is ~250 MB per running task, far below any
+  // real deployment. Measured on the full 422-query bench at 32 cores
+  // (r16, jstat -gcutil sampled through both runs): at 8 GB the suite
+  // spent 313 s in GC within the first 9 minutes (1000 full GCs, old
+  // gen at 99%) and late-suite queries degraded 2-4x vs their isolated
+  // walls; at 24 GB the same phase ran 0.8 s of GC, suite total
+  // 318.2 -> 281.2 s (-12%), with the late TPC-DS family recovering
+  // 2-4x (q414 4.00 -> 0.94 s). The 8-core-faster-than-32 inversion in
+  // the r15 records traces to exactly this: 4x the allocation rate on
+  // the same 8 GB heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -17,5 +17,5 @@ OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "$CP" "$@"

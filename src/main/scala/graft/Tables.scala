@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -113,13 +114,14 @@ object Tables {
   /** Parquet row groups are the atomic unit of scan parallelism —
     * a single-rowgroup file decodes on ONE core no matter how many
     * byte-range splits the scheduler cuts (the other splits read
-    * nothing). Count them once per path per JVM from the footers
-    * (metadata-only read). Unknown/unreadable ⇒ MaxValue, i.e.
-    * "assume splittable", so [[fanout]] degrades to a no-op. */
-  private val rowGroupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def rowGroupsOf(spark: SparkSession, path: String): Int =
-    rowGroupCache.computeIfAbsent(path, _ => {
+    * nothing). Read (rowGroups, rows) once per path per JVM from the
+    * footers (metadata-only read). Unknown/unreadable ⇒
+    * (MaxValue, 0), i.e. "assume splittable", so [[fanout]] degrades
+    * to a no-op. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  private def layoutOf(spark: SparkSession, path: String): (Int, Long) =
+    layoutCache.computeIfAbsent(path, _ => {
       try {
         val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(path)
@@ -132,9 +134,11 @@ object Tables {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(f.getPath, conf))
-          try r.getRowGroups.size finally r.close()
-        }.sum
-      } catch { case _: Throwable => Int.MaxValue }
+          try (r.getRowGroups.size,
+            r.getRowGroups.asScala.map(_.getRowCount).sum)
+          finally r.close()
+        }.foldLeft((0, 0L)) { case ((g, n), (g2, n2)) => (g + g2, n + n2) }
+      } catch { case _: Throwable => (Int.MaxValue, 0L) }
     })
 
   /** Layout-aware post-scan rebalance (optimization guide §2.5: an
@@ -149,13 +153,42 @@ object Tables {
     * measured from the data's own footers, not a local-mode constant.
     * Predicate pushdown and column pruning are unaffected (Catalyst
     * pushes filters/projections through Repartition), so call sites
-    * project/filter FIRST and fan out the narrow survivors. */
-  def fanout(s: SparkSession, d: String, name: String,
-             df: DataFrame): DataFrame = {
+    * project/filter FIRST and fan out the narrow survivors.
+    *
+    * r16 (verdict task 1): the fanout WIDTH is size-adaptive, not a
+    * flat defaultParallelism — `ceil(rows / rowsPerTask)` clamped to
+    * [2, cores], rows read from the same footers as the gate.
+    * `rowsPerTask` is the call site's measured compute density (rows
+    * one core chews through in ~100-200 ms): per-cell hash probes
+    * default to 16384 (lineitem keeps its measured 32-wide win at
+    * sf0.1, 600k rows; 100k-row events drops to 7 — the r15 driver
+    * record showed the flat-32 events/orders fanouts 2.4× FASTER at 8
+    * cores, i.e. over-wide); per-doc text/vector sites pass 64-256
+    * (5k docs at sf0.1 still earn full width — q187 measured 6× from
+    * it). Width grows with the data toward the core cap, so cluster
+    * scale gets cluster width from the same formula.
+    *
+    * The gate+width read the files the frame ACTUALLY scans
+    * (df.inputFiles — advice finding: the events loader may serve a
+    * normalized ns-long copy whose layout differs from
+    * `$d/events.parquet`); the (d, name) path is only the fallback
+    * when a non-file-backed frame reports nothing. */
+  def fanout(s: SparkSession, d: String, name: String, df: DataFrame,
+             rowsPerTask: Long = 16384L): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    if (rowGroupsOf(s, s"$d/$name.parquet") < math.max(2, par / 2))
-      df.repartition(par)
-    else df
+    val scanned =
+      try df.inputFiles.toSeq catch { case _: Throwable => Nil }
+    val paths = if (scanned.nonEmpty) scanned else Seq(s"$d/$name.parquet")
+    val (rowGroups, rows) = paths.map(layoutOf(s, _))
+      .foldLeft((0, 0L)) { case ((g, n), (g2, n2)) =>
+        ((g.toLong + g2.toLong).min(Int.MaxValue).toInt, n + n2) }
+    if (rowGroups >= math.max(2, par / 2)) df
+    else {
+      val rpt = math.max(1L, rowsPerTask)
+      val width = math.max(2L,
+        math.min(par.toLong, (rows + rpt - 1) / rpt)).toInt
+      df.repartition(width)
+    }
   }
 
   /** events with `ts` (ns long) plus a derived µs TimestampType column

@@ -1338,6 +1338,15 @@ class Engine(val spark: SparkSession, root: String,
   private def writeTable(name: String, df: DataFrame, dir: String,
                          mode: String): Unit =
     if (isStampedEdge(name))
+      // NOTE (r16, measured and left alone): a REBALANCE on stamp_date
+      // before this partitionBy write (guide §6's small-files cure —
+      // a W-task insert over D days lands W×D fragments) was tried and
+      // LOST on the same box: q186_proc_exec 2.88 s plain vs 3.23 s
+      // rebalanced (reps=3 medians, 24 GB heap) — at this load size
+      // the extra AQE exchange costs more than the fragment files save
+      // the downstream stamp-pruned scans. At warehouse scale the
+      // rebalance belongs in a compaction pass, not on the ingest hot
+      // path.
       df.withColumn("stamp_date",
           to_date(NowFunctions.stampToTs(col("stamp"))))
         .write.partitionBy("stamp_date").mode(mode).parquet(dir)
@@ -1388,7 +1397,12 @@ class Engine(val spark: SparkSession, root: String,
     val rowCols = props.map(p =>
       valueByCol.getOrElse(p.name.toLowerCase,
         lit(null).cast(Catalog.sparkType(p.typ))).as(p.name))
-    val row = spark.range(1).select(rowCols: _*)
+    // ONE slice: spark.range(1) defaults to defaultParallelism empty
+    // partitions, so every single-row INSERT ran a 32-task job (and a
+    // 32-task write) for one row — measured as the dominant fixed cost
+    // of the DML-heavy engine queries at 32 cores (guide §2: task
+    // width must follow data size, and this frame is one row)
+    val row = spark.range(0, 1, 1, 1).select(rowCols: _*)
 
     if (kind == "type") { // vertex PK uniqueness (dml.c:116-168)
       val pk = s.types(name).pk.name
@@ -2827,7 +2841,8 @@ class Engine(val spark: SparkSession, root: String,
         ExprBuilder.build(it.expr)
           .as(it.alias.getOrElse(defaultName(it.expr, i)))
       }
-      return spark.range(1).select(cols: _*)
+      // ONE slice (not defaultParallelism) — a constant row needs one task
+      return spark.range(0, 1, 1, 1).select(cols: _*)
     }
     val s = current
     val fromName = sel.from.get

@@ -667,7 +667,8 @@ object AnalyticsQueries extends QueryPack {
             "event_type" -> col("event_type"))))
         .unionAll(probe(Tables.fanout(s, d, "documents",
             Tables.documents(s, d).select(col("doc_id"), col("lang"),
-              col("source"), col("n_chars"), col("text"))),
+              col("source"), col("n_chars"), col("text")),
+            rowsPerTask = 128),
           "documents",
           Seq("doc_id" -> col("doc_id"), "lang" -> col("lang"),
             "source" -> col("source"), "n_chars" -> col("n_chars"),

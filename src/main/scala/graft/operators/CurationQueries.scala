@@ -483,7 +483,8 @@ object CurationQueries extends QueryPack {
       // the shingle explode+distinct is the dominating stage
       val sg = Dedup.wordShingles(
           Tables.fanout(s, d, "documents", Tables.documents(s, d)
-            .select(col("source"), col("text"))), "source",
+            .select(col("source"), col("text")),
+            rowsPerTask = 128), "source",
           "text", n = 5)
         .select(col("shingle"), col("doc_id").as("source")).distinct()
       val pairs = Graph.commonNeighborPairs(sg, "shingle", "source",
@@ -552,7 +553,8 @@ object CurationQueries extends QueryPack {
       // the per-doc normalization+hash projection dominates
       val docs = Tables.fanout(s, d, "documents",
         Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("text")))
+          .select(col("doc_id"), col("lang"), col("text")),
+        rowsPerTask = 128)
       val corpus = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 20000L).as("doc_id"),
           lit("xx").as("lang"), col("text")))

@@ -182,7 +182,8 @@ object SimilarityQueries extends QueryPack {
     // ONE task at sf0.1; r15 profile).
     "q146_jl_projection" -> ((s, d) =>
       Similarity.jlProject(
-          Tables.fanout(s, d, "embeddings", Tables.embeddings(s, d)),
+          Tables.fanout(s, d, "embeddings", Tables.embeddings(s, d),
+            rowsPerTask = 64),
           "vec_id", "embedding", k = 16)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
     // Pairwise-cosine histogram over a deterministic probe set (the

@@ -367,7 +367,7 @@ object TextQueries extends QueryPack {
     "q187_repetition" -> ((s, d) =>
       TextAnalysis.repetitionProfile(
         Tables.fanout(s, d, "documents", Tables.documents(s, d)
-          .select(col("doc_id"), col("text"))),
+          .select(col("doc_id"), col("text")), rowsPerTask = 128),
         "doc_id", "text", n = 3)),
     // Distributed classifier TRAINING, differentially checked: 3
     // full-batch perceptron passes on hashed bag-of-words. The task
@@ -1468,7 +1468,8 @@ object TextQueries extends QueryPack {
       // the per-character explode is one dominating serialized stage
       val chars = Tables.fanout(s, d, "documents",
           Tables.documents(s, d)
-            .select(col("doc_id"), col("source"), col("text")))
+            .select(col("doc_id"), col("source"), col("text")),
+          rowsPerTask = 128)
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1), length(col("text")))).as("i"),
           col("text"))
