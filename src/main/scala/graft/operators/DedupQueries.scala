@@ -575,6 +575,17 @@ object DedupQueries extends QueryPack {
     // only qualifies for long docs where sz/(sz+3) ≥ 0.9). Prefix-
     // filtered probe side, exact intersection verify.
     "q140_containment" -> ((s, d) =>
+      // fanout tried and REVERTED (r16): the corpus union scans as 2
+      // partitions and the shingle tokenize+hash burns ~1 s of cpu on
+      // 2 cores (QueryProfile), but fanning it to 32 made the QUERY
+      // slower relative to an untouched same-run control (q44):
+      // control-normalized walls 1.61/1.64x raw vs 2.01/2.05x fanned
+      // across two paired reps=5 rounds — the persisted 32-partition
+      // shingle frame taxes every one of the pipeline's downstream
+      // derivations (3 branches + window), the same multi-derivation
+      // loss the r15 blanket corpus fanout measured. Absolute walls
+      // disagreed between rounds (box drift ±80%); the paired ratio is
+      // the credible signal.
       Dedup.containmentPairs(corpus(s, d), "doc_id", "text",
         n = 3, tau = 0.9)),
     // Duplicated-substring SPAN accounting (the ExactSubstr dedup of
