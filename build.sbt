@@ -45,4 +45,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the r15 records traces to exactly this: 4x the allocation rate on
   // the same 8 GB heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // Bound the young gen: with a 24 GB max heap G1's adaptive young
+  // sizing (200 ms pause goal) lets young grow to ~14 GB, and 1-2 s
+  // allocation-heavy queries eat one long young pause inside their
+  // timed window — measured isolated reps=5 medians, monotone with
+  // heap size: q98 0.89 s @8g / 0.98 @12g / 1.07 @16g / 1.42 @24g,
+  // q300 1.16/1.36/1.43/1.54. Pinning young at 4 GB (128 MB per
+  // local[32] task) recovers the 8 GB walls while keeping 20 GB of
+  // old-gen headroom for the suite's allocation history: q98 0.94,
+  // q300 1.21 isolated; full suite 284.6 -> 279.0 s, q98 0.90 /
+  // q300 0.97 / q297 0.49 in-suite. Env-appended opts below can
+  // override (later -Xmn wins).
+  "-Xmn4g",
+) ++ sys.env.get("SPARK_DRIVER_JVM_OPTS")
+  .toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
