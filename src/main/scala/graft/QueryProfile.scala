@@ -30,7 +30,7 @@ object QueryProfile {
 
     case class St(id: Int, name: String, wallMs: Long, tasks: Int,
         runMs: Long, cpuMs: Long, shRead: Long, shWrite: Long,
-        input: Long, spill: Long)
+        input: Long, spill: Long, deserMs: Long, gcMs: Long)
     val stages = mutable.ArrayBuffer[St]()
     val listener = new SparkListener {
       override def onStageCompleted(
@@ -45,7 +45,8 @@ object QueryProfile {
           m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten,
           m.inputMetrics.bytesRead,
-          m.memoryBytesSpilled + m.diskBytesSpilled)
+          m.memoryBytesSpilled + m.diskBytesSpilled,
+          m.executorDeserializeTime, m.jvmGCTime)
       }
     }
 
@@ -77,7 +78,8 @@ object QueryProfile {
         println(f"${s.id}%6d ${s.wallMs}%8d ${s.tasks}%6d " +
           f"${s.runMs}%8d ${s.cpuMs}%8d ${s.shRead / 1048576}%7d " +
           f"${s.shWrite / 1048576}%7d ${s.input / 1048576}%7d " +
-          f"${s.spill / 1048576}%8d  ${s.name}")
+          f"${s.spill / 1048576}%8d ${s.deserMs}%6d ${s.gcMs}%5d" +
+          f"  ${s.name}")
       }
       val sumWall = stages.map(_.wallMs).sum
       println(f"stage-wall sum ${sumWall / 1000.0}%.2f s over " +

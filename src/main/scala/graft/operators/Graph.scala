@@ -264,19 +264,22 @@ object Graph {
     var hop = 1L
     var done = false
     while (!done && hop <= maxHops) {
-      // lazy persist, not an eager checkpoint: the frame is consumed
-      // by isEmpty, the union, and the next round's joins — one
-      // materialization, zero extra jobs. Lineage stays shallow
-      // because it bottoms out at the materialized `sym` and the
-      // persisted previous rounds; only every 4th hop flattens it
-      // with a checkpoint (the cadence that matters for 100-hop
-      // walks, not 4-hop ones).
+      // EAGER checkpoint per hop (r16, reversing the r15 lazy-persist
+      // choice): a lazily-persisted leg only truncates the PLAN after
+      // it materializes, and with the ≤6-hop probe skip nothing
+      // materializes until the final job — so every hop's AQE stage
+      // shipped the whole accumulated plan, and thread sampling
+      // showed per-task ObjectInputStream.readObject (task-binary
+      // deser, paid per task × 32 partitions) dominating executor
+      // CPU. One extra job per hop buys flat Scan-ExistingRDD plans
+      // downstream: paired A/B (q315 control flat) q316 2.34→0.93 s,
+      // q128 0.59→0.50, q134 1.23→1.03.
       val next = sym
         .join(frontier.select(col("v").as("u")), Seq("u"), "left_semi")
         .select(col("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(hop))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       roundCaches += next
       // the final hop folds in unconditionally — an emptiness probe
       // there is dead work (the loop exits either way). For SHORT
@@ -310,8 +313,8 @@ object Graph {
     * multi-source labelled BFS used for landmark centrality
     * estimates (Eppstein–Wang style), and all L walks advance in the
     * SAME per-hop join — one shuffle per hop regardless of L, never
-    * one BFS job per landmark. Same lazy-persist / checkpoint-cadence
-    * lineage discipline as [[bfsDistances]]. */
+    * one BFS job per landmark. Same eager per-hop checkpoint
+    * discipline as [[bfsDistances]] (r16 — see its in-loop note). */
   def bfsDistancesLabeled(edges: DataFrame, src: String, dst: String,
                           seeds: DataFrame, seedCol: String,
                           maxHops: Int): DataFrame = {
@@ -334,7 +337,7 @@ object Graph {
         .select(col("seed"), col("v")).distinct()
         .join(visited, Seq("seed", "v"), "left_anti")
         .withColumn("dist", lit(hop))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       roundCaches += next
       // short-walk probe skip — same reasoning as bfsDistances
       if (hop < maxHops && maxHops > 6 && next.isEmpty) done = true
@@ -357,8 +360,8 @@ object Graph {
     * round relax their edges; the others provably contribute nothing
     * new). Weights must be non-negative. Each round is one join on
     * the frontier + one min-reduce keyed on the vertex — the min-plus
-    * generalization of [[bfsDistances]], same lazy-persist /
-    * checkpoint-cadence lineage discipline. Early-exits when a round
+    * generalization of [[bfsDistances]], same eager per-round
+    * checkpoint discipline (r16 — see bfsDistances' in-loop note). Early-exits when a round
     * improves nothing (then longer paths can't either). */
   def ssspBounded(edges: DataFrame, src: String, dst: String,
                   wCol: String, seeds: DataFrame, seedCol: String,
@@ -384,7 +387,7 @@ object Graph {
         .select(col("v"), (col("du") + col("w")).as("dist"))
       val next = dist.unionAll(relax)
         .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       roundCaches += next
       if (hop == maxHops) {
         // last round: the result is `next` regardless — computing the
@@ -404,7 +407,7 @@ object Graph {
         // (min-fold of an empty relax set is `dist` unchanged)
         if (maxHops > 6 && improved.isEmpty) done = true
         else {
-          dist = if (hop % 4 == 0) next.localCheckpoint() else next
+          dist = next // already eagerly checkpointed above (r16)
           frontier = improved
         }
       }

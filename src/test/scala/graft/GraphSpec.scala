@@ -237,4 +237,21 @@ class GraphSpec extends AnyFunSuite {
       1000000L / dst }.sum
     assert(h == 1500000L)
   }
+
+  test("BFS/SSSP eager per-hop checkpoints survive exhausted frontiers") {
+    // r16: hop deltas are eagerly localCheckpointed (flat task
+    // binaries); rounds PAST the graph's diameter produce EMPTY
+    // deltas that still checkpoint + unpersist cleanly, and results
+    // must equal the diameter-bounded walk exactly
+    val seeds = Seq(1L).toDF("v0")
+    val short = Graph.bfsDistances(edges, "s", "d", seeds, "v0",
+      maxHops = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val long = Graph.bfsDistances(edges, "s", "d", seeds, "v0",
+      maxHops = 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short == long && short(4L) == 3L)
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 5L)).toDF("s", "d", "w")
+    val sp = Graph.ssspBounded(w, "s", "d", "w", seeds, "v0",
+      maxHops = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+  }
 }
